@@ -1,0 +1,403 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.plans.AsOfJoin
+
+/** Relational / dataflow core (SURVEY.md §2.B).
+  *
+  * The reference (cerndb/dist-keras) delegates all of this surface to
+  * Spark itself — its examples use plain `select/filter/join/groupBy`
+  * (`examples/mnist.py ~L60-90 [H]`, `examples/workflow.ipynb [H]`) — so
+  * these queries are written as the idiomatic Catalyst forms we want the
+  * optimizer to see: unbroken logical plans, pushdown-friendly filters,
+  * explicit broadcast hints for dimension tables, DECIMAL(18,2) money
+  * aggregates for cross-engine determinism (SURVEY.md §2 rules 1-6).
+  *
+  * Determinism conventions shared by every query here:
+  *   - total ORDER BY on key columns (driver hash compare is order-sensitive)
+  *   - `SUM(CAST(x AS DECIMAL(18,2)))` for money/measure sums
+  *   - timestamps compared only after date_trunc / DATE cast
+  *   - output column names match the DuckDB oracle exactly
+  */
+object RelQueries {
+
+  /** Money columns in the testdata are exactly-2-decimal doubles
+    * (verified), so the DECIMAL(18,2) cast is lossless; products of two
+    * 2-dp values are exactly 4-decimal, so DECIMAL(18,4) is lossless for
+    * them (a 2-dp cast of a product would hit round-half ties and
+    * diverge between engines). Sums run in exact decimal —
+    * order-insensitive under any partitioning — and the final value is
+    * emitted as DOUBLE so both engines expose the identical float64. */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+  private def sumDec(c: Column): Column = sum(dec(c)).cast("double")
+  private def sumDec4(c: Column): Column = sum(dec4(c)).cast("double")
+
+  // ----------------------------------------------------------------- scans
+
+  /** Projection + computed column; Parquet reader must show ReadSchema
+    * pruned to the 5 referenced columns. */
+  def scanProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"),
+        dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("double").as("disc_price"))
+      // lineitem's (orderkey, linenumber) is non-unique in the testdata,
+      // so the ORDER BY covers every output column to be total
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "disc_price")
+
+  /** Conjunctive predicates — all pushable to the Parquet scan
+    * (PushedFilters non-empty; verified in RelQueriesSpec). */
+  def filterQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate").cast("date") < lit("1998-01-01").cast("date") &&
+        col("l_discount").between(0.03, 0.08) &&
+        col("l_quantity") < 30 &&
+        col("l_returnflag").isin("A", "R"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"), col("l_returnflag"),
+        col("l_shipdate").cast("date").cast("timestamp_ntz").as("ship_date"))
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_returnflag", "ship_date")
+
+  // ----------------------------------------------------------------- joins
+
+  /** Fact-to-dim equi join; AQE picks broadcast-hash at this size, SMJ at
+    * scale — both correct because the plan stays declarative. */
+  def joinInner(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("c_name"), col("o_totalprice"), col("c_mktsegment"))
+      .orderBy("o_orderkey")
+
+  /** Dim-chain with explicit broadcast hints: at 100 TB nation/region are
+    * still tiny, so pinning broadcast avoids any chance of a shuffle. */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("r_name"))
+      .orderBy("c_custkey")
+
+  /** Left outer + count(non-null) — customers with zero orders count 0. */
+  def joinLeft(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  /** Left-semi ≡ EXISTS: customers having at least one 'F' order. */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** Left-anti ≡ NOT EXISTS: customers with no orders at all. */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** Equi key + range residual: the partkey equality keeps this a hash
+    * join (never a nested-loop cross product) with the price band applied
+    * as a post-join filter — the only scalable shape for band joins. */
+  def joinRange(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = broadcast(Tables.part(spark, dir))
+    li.join(p,
+        col("l_partkey") === col("p_partkey") &&
+        (col("l_extendedprice") / col("l_quantity"))
+          .between(col("p_retailprice") * 0.9, col("p_retailprice") * 1.1))
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey"), col("p_name"))
+      .orderBy("l_orderkey", "l_linenumber", "p_partkey")
+  }
+
+  /** Keyed backward as-of join (events → latest order of that customer at
+    * or before the event time), via the keyed-window construction in
+    * [[graft.plans.AsOfJoin]]. Build side pre-aggregated to one row per
+    * (custkey, orderdate) for determinism. */
+  def joinAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val probe = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val build = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate").as("d"))
+      .agg(max(col("o_orderkey")).as("okey"))
+      .select(col("o_custkey"), col("d"), col("okey"))
+    AsOfJoin.backward(probe, build, "user_id", "o_custkey", "ts", "d")
+      .select(col("event_id"), col("user_id"), col("d").cast("timestamp_ntz").as("o_date"), col("okey"))
+      .orderBy("event_id")
+  }
+
+  // ------------------------------------------------------------ aggregates
+
+  /** TPC-H Q1 shape: partial (map-side) + final hash aggregation over a
+    * 6-value grouping domain; DECIMAL sums are order-insensitive so the
+    * result is identical under any partitioning. */
+  def aggGroupBy(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumDec(col("l_quantity")).as("sum_qty"),
+        sumDec(col("l_extendedprice")).as("sum_base"),
+        sumDec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** count(DISTINCT) — Catalyst plans expand + two-phase agg. */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
+  def aggRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sumDec(col("l_quantity")).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  def aggCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sumDec(col("o_totalprice")).as("sum_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  /** Explicit GROUPING SETS ((status),(priority),()) via SQL (the
+    * canonical surface for this op; Catalyst plans a single Expand). */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM graft_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus),(o_orderpriority),())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  // --------------------------------------------------------------- windows
+
+  /** Ranking trio per customer; (totalprice DESC, orderkey) is a total
+    * order so row_number/rank/dense_rank are all deterministic. */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Running DECIMAL sum + lag/lead over a unique (date, pk) order. */
+  def windowFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").cast("timestamp_ntz").as("o_date"),
+        sum(dec(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_okey"),
+        lead(col("o_orderkey"), 1).over(w).as("next_okey"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  /** Top-k per group: window rank + filter — per-partition partial top-k,
+    * no global sort of the fact table. */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Global top-10 — Spark plans TakeOrderedAndProject (per-partition
+    * heap + driver merge), no full sort at scale. */
+  def sortLimit(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  // ------------------------------------------------------------- set ops
+
+  def unionAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey").as("okey"), lit("open").as("tag"))
+      .unionByName(
+        o.filter(col("o_totalprice") > 400000)
+          .select(col("o_orderkey").as("okey"), lit("big").as("tag")))
+      .orderBy("okey", "tag")
+  }
+
+  def intersectQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+      .intersect(Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+
+  def exceptQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"))
+      .except(Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+
+  // ------------------------------------------------------- scalar families
+
+  /** String function family — every expression codegen'd builtin. */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up_name"),
+        lower(col("p_brand")).as("lo_brand"),
+        substring(col("p_type"), 1, 4).as("ty4"),
+        length(col("p_name")).as("name_len"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), lit(" "), lit("_")).as("name_us"),
+        element_at(split(col("p_name"), " "), 1).as("first_word"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size4"),
+        col("p_name").like("%red%").as("is_red"))
+      .orderBy("p_partkey")
+
+  /** Date/time family. Day-of-week mapping pinned: Spark `weekday`
+    * (Mon=0) ≡ DuckDB `isodow - 1` (SURVEY.md §2 q_date_funcs note). */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("o_orderdate").cast("date")
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        year(d).as("y"),
+        month(d).as("m"),
+        dayofmonth(d).as("dom"),
+        date_trunc("month", d).cast("timestamp_ntz").as("month_start"),
+        datediff(d, lit("1995-01-01").cast("date")).as("days_since"),
+        date_add(d, 30).cast("timestamp_ntz").as("d_plus30"),
+        weekday(d).as("dow"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Math + conditional family. floor/ceil/abs/pow/sqrt are exact or
+    * correctly-rounded IEEE (bit-identical across engines); only ln is
+    * libm-dependent, hence ROUND(,6). */
+  def mathFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        ceil(col("l_extendedprice")).as("price_ceil"),
+        abs(col("l_discount") - 0.05).as("disc_dev"),
+        pow(col("l_quantity"), 2.0).as("qty_sq"),
+        sqrt(col("l_extendedprice")).as("price_sqrt"),
+        round(log(col("l_extendedprice")), 6).as("price_ln"),
+        when(col("l_discount") < 0.03, "low")
+          .when(col("l_discount") < 0.06, "mid")
+          .otherwise("high").as("disc_tier"))
+      .orderBy("l_orderkey", "l_linenumber", "price_floor", "price_ceil",
+        "disc_dev", "qty_sq", "price_sqrt", "price_ln", "disc_tier")
+
+  /** JSON extraction from the events.props payload column. */
+  def jsonFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .filter(col("k") > 50)
+      .orderBy("event_id")
+
+  /** Array/HOF family over float embeddings; folds are sequential in
+    * array order (Spark `aggregate` HOF ≡ DuckDB `list_aggregate`),
+    * elements cast to DOUBLE before arithmetic (FIXTURES.md hazard 3). */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val first4 = transform(
+      slice(col("embedding"), 1, 4), x => round(x.cast("double"), 6))
+    Tables.embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("n"),
+        first4.as("first4"),
+        round(array_max(col("embedding")).cast("double"), 6).as("mx"),
+        round(array_min(col("embedding")).cast("double"), 6).as("mn"),
+        round(
+          aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x.cast("double")),
+          6).as("sm"),
+        sort_array(first4).as("sorted4"))
+      .orderBy("vec_id")
+  }
+
+  // ------------------------------------------------ subqueries / temporal
+
+  /** TPC-H Q17 shape, written as the decorrelated join form Catalyst
+    * would produce anyway (pre-aggregate per partkey, then join+filter).
+    * l_quantity is integral so AVG is exact and the comparison is
+    * deterministic under any summation order. */
+  def subqueryScalar(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val avgQ = li.groupBy(col("l_partkey"))
+      .agg(avg(col("l_quantity")).as("aq"))
+    li.join(avgQ, "l_partkey")
+      .filter(col("l_quantity") < col("aq") * 0.5)
+      .agg(
+        sumDec(col("l_extendedprice")).as("total"),
+        count(lit(1)).as("n"))
+  }
+
+  // ------------------------------------------- time windows (batch equiv)
+
+  /** Tumbling 1-hour window — the batch-equivalent of the Structured
+    * Streaming query in graft.stream.StreamOps (same grouping result). */
+  def windowTumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sumDec(col("value")).as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  /** Sliding window (1 h / 30 min): each event lands in exactly 2
+    * epoch-aligned buckets — `window()` is a Catalyst Expand, no UDF. */
+  def windowSliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("n"))
+      .orderBy("wstart")
+
+  /** Session windows (30-min gap) per user. `session_window` keeps state
+    * per user — at scale this shuffles once by user_id, identical to the
+    * streaming state-store layout. New session starts at ts >= prev_end
+    * (half-open [start, last+gap) windows). */
+  def windowSession(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"))
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .orderBy("user_id", "session_start")
+}

@@ -1,0 +1,125 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.vec.VectorOps
+
+/** Similarity search over embedding columns (SURVEY.md §2.C).
+  *
+  * Embeddings in the testdata are L2-normalized (‖v‖²=1, verified in
+  * FIXTURES.md), so cosine similarity ≡ dot product — every scorer here
+  * uses the sequential zip_with/aggregate fold from [[VectorOps.dot]],
+  * which is bit-identical to DuckDB's list_aggregate fold.
+  *
+  * Scale story: brute-force top-k broadcasts the (small) query side and
+  * scans candidates once — linear, shuffle-free, the right baseline up to
+  * ~10⁶ candidates per query batch. Beyond that, [[lshBuckets]] gives the
+  * sub-linear path: random-hyperplane signatures bucket candidates so
+  * each query probes only its own bucket (equi-join on the signature
+  * instead of a cross join).
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k: queries × candidates via broadcast
+    * cross-join, per-query window rank. Tie-break on candidate id. */
+  def cosineTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val scored = candidates.crossJoin(broadcast(queries))
+      .select(
+        col("qid"), col("cid"),
+        VectorOps.dot(col("qe"), col("ce")).as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), round(col("score"), 6).as("score"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  def qCosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cands = emb.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    cosineTopK(queries, cands, 3)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: probe block (vec_id < 100)
+    * against all candidates, keep pairs above threshold. The probe bound
+    * keeps the demo linear; the production path for all-pairs near-dup is
+    * LSH bucketing (see lshBuckets) + within-bucket scoring. */
+  def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val a = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    b.crossJoin(broadcast(a))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorOps.dot(col("ea"), col("eb")).as("score"))
+      .filter(col("score") > 0.25)
+      .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // ----------------------------------------------------------- LSH / ANN
+
+  /** Deterministic pseudo-random hyperplanes (no RNG at plan time so the
+    * operator is reproducible across sessions): plane p component i is a
+    * fixed hash-derived value in [-1, 1]. */
+  def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { i =>
+        val h = (p * 1327L + i * 7919L + 104729L) % 1999L
+        (h.toDouble / 999.5) - 1.0
+      }
+    }
+
+  /** Random-hyperplane signature: bit p = sign(v · plane_p). Returns an
+    * int bucket id in [0, 2^nPlanes). */
+  def lshBuckets(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex
+      .map { case (plane, p) =>
+        when(VectorOps.dotLit(v, plane) >= 0, lit(1 << p)).otherwise(lit(0))
+      }
+      .reduce(_ + _)
+
+  /** ANN top-k via LSH bucketing: candidates and queries hash to buckets;
+    * each query scores only its own bucket — the scan becomes an
+    * equi-join keyed on bucket id (shuffle-partitionable, sub-linear per
+    * query). Approximate: recall measured against brute force in
+    * SimilaritySpec. Multi-probe (flip one bit) widens recall. */
+  def annTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              nPlanes: Int = 6, dim: Int = 64, multiProbe: Boolean = true): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val cands = candidates.withColumn("bucket", lshBuckets(col("ce"), planes))
+    val qb = queries.withColumn("bucket", lshBuckets(col("qe"), planes))
+    val probes =
+      if (!multiProbe) qb.select(col("qid"), col("qe"), col("bucket"))
+      else qb.select(col("qid"), col("qe"),
+        explode(array(
+          col("bucket") +: (0 until nPlanes).map(p =>
+            col("bucket").bitwiseXOR(lit(1 << p))): _*)).as("bucket"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    cands.join(probes, Seq("bucket"))
+      .select(col("qid"), col("cid"), VectorOps.dot(col("qe"), col("ce")).as("score"))
+      .dropDuplicates("qid", "cid")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), round(col("score"), 6).as("score"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  /** Non-oracled query entry demonstrating the ANN path on testdata. */
+  def qAnnTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cands = emb.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    annTopK(queries, cands, 3)
+  }
+}

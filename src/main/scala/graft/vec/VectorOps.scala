@@ -1,0 +1,145 @@
+package graft.vec
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Vector/ML data-prep operators — the dist-keras transformer surface
+  * (`distkeras/transformers.py [H]`, SURVEY.md §2.A) re-expressed as pure
+  * Catalyst column expressions over `ArrayType` columns.
+  *
+  * The reference implements each of these as an `rdd.map` over Python
+  * `Row`s (exiting Tungsten per operator, re-inferring schema on the way
+  * back — SURVEY.md §3.2). Here every op is a higher-order-function
+  * expression, so a pipeline of them stays inside one whole-stage-codegen
+  * region and never materializes intermediate rows.
+  */
+object VectorOps {
+
+  /** MinMaxTransformer (`distkeras/transformers.py ~L40-80 [H]`):
+    * rescale from observed [oMin,oMax] to [nMin,nMax], element-wise. */
+  def minMaxScale(v: Column, oMin: Column, oMax: Column,
+                  nMin: Double = 0.0, nMax: Double = 1.0): Column =
+    transform(v, x =>
+      lit(nMin) + (x.cast("double") - oMin) * (nMax - nMin) / (oMax - oMin))
+
+  /** Scalar variant used by q_minmax_scale (range from a 1-row stats DF,
+    * broadcast-joined — no `collect()`, scales to any table size). */
+  def minMaxScaleScalar(x: Column, oMin: Column, oMax: Column): Column =
+    (x.cast("double") - oMin) / (oMax - oMin)
+
+  /** OneHotTransformer (`transformers.py ~L120-160 [H]`): class index →
+    * indicator vector of dimension n. Pure Catalyst: sequence+transform. */
+  def oneHot(label: Column, n: Int): Column =
+    transform(sequence(lit(0), lit(n - 1)),
+      i => when(i === label, 1.0).otherwise(0.0))
+
+  /** LabelIndexTransformer (`transformers.py ~L170-220 [H]`): probability
+    * vector → predicted class index (0-based argmax; first max wins on
+    * ties, matching both engines' 1-based position semantics). */
+  def argMax(v: Column): Column =
+    (array_position(v, array_max(v)) - 1).cast("long")
+
+  /** argmax with the reference's activation_threshold behavior [M]:
+    * if max activation < threshold, emit defaultIdx. */
+  def argMaxThreshold(v: Column, threshold: Double, defaultIdx: Long): Column =
+    when(array_max(v).cast("double") < threshold, lit(defaultIdx))
+      .otherwise(argMax(v))
+
+  /** VectorAssembler usage (`examples/mnist.py ~L60-90 [H]`): N numeric
+    * columns → one dense array column (Catalyst CreateArray). */
+  def assemble(cols: Column*): Column = array(cols: _*)
+
+  /** Dense representation of a sparse (indices, values, size) struct —
+    * DenseTransformer (`transformers.py ~L90-115 [H]`): scatter values
+    * into a zero vector. */
+  def sparseToDense(indices: Column, values: Column, sz: Column): Column =
+    transform(sequence(lit(0), sz - 1), i =>
+      coalesce(element_at(map_from_arrays(indices, values), i.cast("int")), lit(0.0)))
+
+  /** Sequential dot product of a vector column against literal weights —
+    * the oracle-able linear special case of ModelPredictor
+    * (`distkeras/predictors.py ~L20-80 [H]`). Fold order is array order
+    * in both Spark (`aggregate`) and DuckDB (`list_aggregate`), so the
+    * result is bit-identical (SURVEY.md §2 rule 5). */
+  def dotLit(v: Column, w: Seq[Double]): Column =
+    aggregate(
+      zip_with(v, typedLit(w), (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Dot product of two vector columns (used by similarity search). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Deterministic demo weights for q_linear_predict — shared between the
+    * Spark query and the generated DuckDB oracle SQL. */
+  val demoWeights: Seq[Double] = (1 to 64).map(i => ((i * 37) % 19 - 9) / 10.0)
+  val demoBias: Double = 0.05
+
+  // ------------------------------------------------------------- queries
+
+  /** q_minmax_scale: scalar min-max over l_quantity. Table stats come
+    * from a 1-row aggregate cross-joined (broadcast) — two scans but no
+    * global window, so it parallelizes at any scale. */
+  def qMinMaxScale(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val stats = li.agg(
+      min(col("l_quantity")).as("q_min"), max(col("l_quantity")).as("q_max"))
+    li.crossJoin(broadcast(stats))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(minMaxScaleScalar(col("l_quantity"), col("q_min"), col("q_max")), 6)
+          .as("scaled"))
+      // non-unique lineitem key → include the value for a total order
+      .orderBy("l_orderkey", "l_linenumber", "scaled")
+  }
+
+  def qOneHot(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), oneHot(col("label"), 10).as("onehot"))
+      .orderBy("vec_id")
+
+  def qArgMax(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), argMax(col("embedding")).as("pred"))
+      .orderBy("vec_id")
+
+  def qVectorAssemble(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        assemble(col("l_quantity"), col("l_discount"), col("l_tax")).as("features"))
+      .orderBy("l_orderkey", "l_linenumber", "features")
+
+  def qLinearPredict(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        round(dotLit(col("embedding"), demoWeights) + demoBias, 6).as("pred"))
+      .orderBy("vec_id")
+
+  /** q_accuracy — AccuracyEvaluator (`distkeras/evaluators.py ~L15-60
+    * [H]`) as a single-row aggregate; "prediction" is argmax(embedding)
+    * mod 10 for a deterministic, model-free oracle. */
+  def qAccuracy(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .agg(round(
+        avg(when(argMax(col("embedding")) % 10 === col("label").cast("long"), 1.0)
+          .otherwise(0.0)), 6).as("acc"))
+
+  /** q_vec_avg_by_label — the element-wise weight-average merge at the
+    * heart of the reference's data-parallel trainers
+    * (`distkeras/trainers.py ~L150-260 [H]`), in long form:
+    * posexplode → groupBy(label, idx) → avg. The assembled-array form
+    * (collect back to vectors) is in graft.ml.Trainers via a typed
+    * Aggregator; this long form is the DuckDB-checkable shape. */
+  def qVecAvgByLabel(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).as("idx"))
+      .agg(round(avg(col("v").cast("double")), 6).as("avg_v"))
+      .orderBy("label", "idx")
+}

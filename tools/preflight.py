@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Local pre-flight of the driver's correctness gate (dev tool only; the
+shipped library is pure Scala/Spark). Reads Verify's parquet dumps +
+oracle_sql.json, runs each oracle in DuckDB over the same testdata, and
+compares row-by-row with columns sorted by name — mirroring the driver's
+order-sensitive hash compare as closely as we can.
+
+Usage: python3 tools/preflight.py /root/testdata/sf0.01 /tmp/vout
+"""
+import datetime
+import decimal
+import json
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    # dtype-family normalization: the engines expose Decimal/float and
+    # date/datetime differently through pandas; compare values
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        v = datetime.datetime(v.year, v.month, v.day)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def norm_df(df: pd.DataFrame):
+    df = df[sorted(df.columns)]
+    rows = []
+    for t in df.itertuples(index=False):
+        rows.append(tuple(norm_cell(v) for v in t))
+    return list(df.columns), rows
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:
+            print(f"FAIL {name}: spark dump unreadable: {e}")
+            n_bad += 1
+            continue
+        try:
+            exp = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_bad += 1
+            continue
+        gc, gr = norm_df(got)
+        ec, er = norm_df(exp)
+        if [c.lower() for c in gc] != [c.lower() for c in ec]:
+            print(f"FAIL {name}: columns {gc} vs {ec}")
+            n_bad += 1
+            continue
+        if len(gr) != len(er):
+            print(f"FAIL {name}: rowcount {len(gr)} vs {len(er)}")
+            n_bad += 1
+            continue
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(gr, er)) if a != b]
+        if bad:
+            i, a, b = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(gr)} rows differ; first at {i}:")
+            print(f"   cols:  {gc}")
+            print(f"   spark: {a}")
+            print(f"   duck:  {b}")
+            n_bad += 1
+        else:
+            print(f"ok   {name} ({len(gr)} rows)")
+            n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} failed")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
