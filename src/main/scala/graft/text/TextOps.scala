@@ -89,9 +89,12 @@ object TextOps {
 
   // --------------------------------------------------- near-dup (MinHash)
 
-  /** MinHash parameters: k permutations of a 64-bit-ish hash space split
-    * into `bands` bands of `rowsPerBand`. Deterministic (fixed a/b/p). */
-  val minhashPerms = 16
+  /** MinHash parameters: k permutations split into `minhashBands` bands
+    * of r = perms/bands rows. r=8 keeps the per-band collision
+    * probability for unrelated same-vocabulary documents negligible
+    * (P ≈ jaccard^8) while 4 bands still catch pairs with jaccard ≳ 0.6.
+    * Deterministic (fixed a/b/p). */
+  val minhashPerms = 32
   val minhashBands = 4
   private val prime = 2038074743L
   private val permA: Seq[Long] = (1 to minhashPerms).map(i => 2L * i * 977 + 1)
@@ -105,17 +108,17 @@ object TextOps {
 
   /** MinHash signature (array of minhashPerms longs) of a shingle set.
     * Base shingle hash = xxhash64 (codegen'd); permutation j is
-    * (a_j*h + b_j) mod p over non-negative h. */
+    * (a_j*h + b_j) mod p over non-negative h. The permutation constants
+    * are inlined as literals (Scala-level loop, not a sequence()
+    * transform) so each fold is a flat codegen-friendly expression. */
   def minhashSignature(sh: Column): Column = {
     val hashes = array_distinct(transform(sh, s => pmod(xxhash64(s), lit(prime))))
-    transform(
-      sequence(lit(0), lit(minhashPerms - 1)),
-      j => aggregate(
+    array((0 until minhashPerms).map { j =>
+      aggregate(
         hashes,
         lit(Long.MaxValue),
-        (acc, h) => least(acc,
-          pmod(element_at(typedLit(permA), j.cast("int") + 1) * h +
-               element_at(typedLit(permB), j.cast("int") + 1), lit(prime)))))
+        (acc, h) => least(acc, pmod(lit(permA(j)) * h + lit(permB(j)), lit(prime))))
+    }: _*)
   }
 
   /** LSH banding: (bandId, hash of the band's signature slice) keys.
@@ -136,16 +139,43 @@ object TextOps {
     * key — a pure equi-shuffle join on uniform hash keys; candidate
     * verification touches only colliding pairs, never the cross product.
     */
+  /** Signature via explode + one hash aggregate: each (doc, shingleHash)
+    * row feeds 32 codegen'd `min(a_j*h+b_j mod p)` aggregates with
+    * map-side partial combine — the per-element work stays inside
+    * whole-stage codegen instead of an interpreted HOF fold, and the
+    * shuffle carries one 32-long signature row per document. This is the
+    * 100 TB shape: explode → partial agg, never a per-row lambda fold. */
+  def minhashSignatures(docs: DataFrame, w: Int): DataFrame = {
+    val hashed = docs.select(
+      col("doc_id"),
+      explode(array_distinct(
+        transform(shingles(tokens(col("text")), w), s => pmod(xxhash64(s), lit(prime)))))
+        .as("h"))
+    val mins = (0 until minhashPerms).map(j =>
+      min(pmod(lit(permA(j)) * col("h") + lit(permB(j)), lit(prime))).as(s"m$j"))
+    hashed.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until minhashPerms).map(j => col(s"m$j")): _*).as("sig"))
+  }
+
   def nearDupPairs(docs: DataFrame, w: Int = 3, minJaccard: Double = 0.6): DataFrame = {
-    val withSig = docs
-      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), w)).as("sh"))
-      .withColumn("keys", bandKeys(minhashSignature(col("sh"))))
-    val keyed = withSig.select(col("doc_id"), col("sh"), explode(col("keys")).as("k"))
-    val a = keyed.select(col("k"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = keyed.select(col("k"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("k"))
+    // Band join ships only (bandKey, doc_id) — constant-width rows — and
+    // candidate pairs are de-duplicated BEFORE any document content is
+    // rejoined. Exact-Jaccard shingle sets are computed only for the few
+    // surviving candidate pairs, not for the whole corpus.
+    val keyed = minhashSignatures(docs, w)
+      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("k"))
+    val cand = keyed.select(col("k"), col("doc_id").as("id_a"))
+      .join(keyed.select(col("k"), col("doc_id").as("id_b")), Seq("k"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b").distinct()
+    val text = docs.select(col("doc_id"), col("text"))
+    cand
+      .join(text.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(text.select(col("doc_id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
+      .withColumn("sh_a", array_distinct(shingles(tokens(col("text_a")), w)))
+      .withColumn("sh_b", array_distinct(shingles(tokens(col("text_b")), w)))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
