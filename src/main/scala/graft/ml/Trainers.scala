@@ -1,0 +1,176 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+
+/** Data-parallel trainers — the redesign of the reference's trainer zoo
+  * (`distkeras/trainers.py [H]`, `workers.py [H]`,
+  * `parameter_servers.py [H]`).
+  *
+  * The reference runs an ASYNC parameter server: a driver-hosted TCP
+  * socket server, one thread per worker, workers pushing pickled weight
+  * deltas mid-epoch (`networking.py [H]`). That transport is
+  * nondeterministic, unfaultolerant, and caps out at O(10) workers. Our
+  * design keeps the *update mathematics* of each algorithm but runs them
+  * as SYNCHRONOUS epochs (SURVEY.md §2.A DistributedTrainer row):
+  *
+  *   per epoch:  broadcast center weights
+  *               → mapPartitions: local minibatch SGD per partition
+  *               → treeAggregate the per-partition results (one vector
+  *                 per partition, element-wise combine — O(log n) depth)
+  *               → driver applies the [[UpdateRule]] to move the center
+  *
+  * Every boundary is a Spark-managed stage, so training is
+  * deterministic given a seed, straggler-tolerant (speculation), and
+  * scales with the shuffle system rather than a single PS socket. The
+  * async rules (DOWNPOUR, AEASGD/EAMSGD, ADAG, DynSGD) survive as
+  * pluggable center-update rules — documented divergence, not a port
+  * gap (their async-staleness behavior is intentionally not reproduced;
+  * DynSGD's staleness term degenerates to 0 in sync form).
+  */
+object Trainers {
+
+  /** How the driver folds per-partition results into the center —
+    * the sync forms of `distkeras/trainers.py` algorithms. */
+  sealed trait UpdateRule {
+    /** @param center  weights broadcast at epoch start
+      * @param locals  per-partition (trained weights, example count)
+      * @param state   accumulated rule state (e.g. Adag magnitudes) */
+    def apply(center: ModelWeights, locals: Seq[(ModelWeights, Long)],
+              state: Array[Double]): ModelWeights
+  }
+
+  /** Plain parameter averaging, example-count weighted —
+    * `AveragingTrainer/EnsembleTrainer (~L150-260) [H]`. */
+  case object Averaging extends UpdateRule {
+    def apply(c: ModelWeights, locals: Seq[(ModelWeights, Long)],
+              state: Array[Double]): ModelWeights = {
+      val total = locals.map(_._2).sum.toDouble.max(1.0)
+      locals.map { case (m, n) => m * (n / total) }.reduce(_ + _)
+    }
+  }
+
+  /** DOWNPOUR (Dean et al. 2012; `trainers.py ~L380-420 [H]`): sync form
+    * applies the mean of local deltas to the center. */
+  case object Downpour extends UpdateRule {
+    def apply(c: ModelWeights, locals: Seq[(ModelWeights, Long)],
+              state: Array[Double]): ModelWeights = {
+      val mean = ModelWeights.average(locals.map { case (m, _) => m - c })
+      c + mean
+    }
+  }
+
+  /** Elastic averaging (Zhang/Choromanska/LeCun 2015; `trainers.py
+    * ~L430-520 [H]`): center moves toward the local average with
+    * elasticity alpha. */
+  final case class ElasticAverage(alpha: Double = 0.5) extends UpdateRule {
+    def apply(c: ModelWeights, locals: Seq[(ModelWeights, Long)],
+              state: Array[Double]): ModelWeights = {
+      val avg = ModelWeights.average(locals.map(_._1))
+      c + (avg - c) * alpha
+    }
+  }
+
+  /** ADAG (accumulated-gradient normalization, Hermans;
+    * `trainers.py ~L530-580 [H]` + `ADAGParameterServer [H]`): delta
+    * scaled by 1/sqrt(accumulated squared delta + eps), element-wise. */
+  final case class Adag(eps: Double = 1e-8) extends UpdateRule {
+    def apply(c: ModelWeights, locals: Seq[(ModelWeights, Long)],
+              state: Array[Double]): ModelWeights = {
+      val delta = ModelWeights.average(locals.map { case (m, _) => m - c })
+      var i = 0
+      val out = new Array[Double](c.flat.length)
+      while (i < out.length) {
+        state(i) += delta.flat(i) * delta.flat(i)
+        out(i) = c.flat(i) + delta.flat(i) / math.sqrt(state(i) + eps)
+        i += 1
+      }
+      c.copy(flat = out)
+    }
+  }
+
+  /** DynSGD (Jiang et al., SIGMOD'17; `trainers.py ~L590-640 [H]`):
+    * staleness-aware 1/(staleness+1) scaling — staleness ≡ 0 at a sync
+    * barrier, so this is Downpour with scale 1; kept for rule parity. */
+  case object DynSgd extends UpdateRule {
+    def apply(c: ModelWeights, locals: Seq[(ModelWeights, Long)],
+              state: Array[Double]): ModelWeights =
+      Downpour(c, locals, state)
+  }
+
+  /** One local-SGD pass over a partition's rows (logistic model).
+    * Deterministic: rows are consumed in partition order, seed fixed. */
+  private def localSgd(
+      init: LinearModel, rows: Iterator[(Array[Double], Double)],
+      lr: Double, batchSize: Int): (ModelWeights, Long) = {
+    var m = init
+    var n = 0L
+    rows.grouped(batchSize).foreach { batch =>
+      val g = new Array[Double](m.weights.flat.length)
+      batch.foreach { case (x, y) =>
+        val gi = m.gradient(x, y)
+        var i = 0
+        while (i < g.length) { g(i) += gi(i); i += 1 }
+        n += 1
+      }
+      val scale = lr / batch.size
+      m = LinearModel(m.weights.copy(
+        flat = Array.tabulate(g.length)(i => m.weights.flat(i) - scale * g(i))))
+    }
+    (m.weights, n)
+  }
+
+  private def toExamples(df: DataFrame, featuresCol: String, labelCol: String) = {
+    df.select(col(featuresCol), col(labelCol).cast("double"))
+      .rdd.map { r: Row =>
+        (r.getSeq[Any](0).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case other => other.toString.toDouble
+        }.toArray, r.getDouble(1))
+      }
+  }
+
+  /** SingleTrainer (`trainers.py ~L90-140 [H]`): all data to one
+    * partition, sequential SGD — the determinism baseline. */
+  def trainSingle(df: DataFrame, featuresCol: String, labelCol: String,
+                  dim: Int, epochs: Int = 5, lr: Double = 0.5,
+                  batchSize: Int = 32, seed: Long = 42L): LinearModel = {
+    val data = toExamples(df, featuresCol, labelCol).coalesce(1)
+    var model = LinearModel.init(dim, seed)
+    for (_ <- 0 until epochs) {
+      val (w, _) = data.mapPartitions(it =>
+        Iterator.single(localSgd(model, it, lr, batchSize))).collect().head
+      model = LinearModel(w)
+    }
+    model
+  }
+
+  /** The synchronous data-parallel trainer (DistributedTrainer redesign,
+    * `trainers.py ~L270-360 [H]`). One Spark stage per epoch; the only
+    * driver-side data is one weight vector per partition (numWorkers ×
+    * nParams doubles), reduced element-wise. */
+  def trainDistributed(
+      df: DataFrame, featuresCol: String, labelCol: String, dim: Int,
+      numWorkers: Int = 4, epochs: Int = 5, lr: Double = 0.5,
+      batchSize: Int = 32, rule: UpdateRule = Averaging,
+      seed: Long = 42L): LinearModel = {
+    val data = toExamples(df, featuresCol, labelCol)
+      .repartition(numWorkers).persist()
+    try {
+      var center = LinearModel.init(dim, seed)
+      val state = new Array[Double](center.weights.flat.length)
+      for (_ <- 0 until epochs) {
+        val sc = df.sparkSession.sparkContext
+        val bc = sc.broadcast(center.weights)
+        val locals = data.mapPartitions { it =>
+          val res = localSgd(LinearModel(bc.value), it, lr, batchSize)
+          if (res._2 == 0) Iterator.empty else Iterator.single(res)
+        }.collect().toSeq
+        bc.destroy()
+        if (locals.nonEmpty) center = LinearModel(rule(center.weights, locals, state))
+      }
+      center
+    } finally data.unpersist()
+  }
+}

@@ -1,0 +1,109 @@
+package graft.mm
+
+import org.apache.spark.sql.{DataFrame, Encoder, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling for training-data pipelines: media as
+  * opaque `binary` columns + typed metadata structs, with decode /
+  * feature-extract / resize / frame-sample as batched `mapPartitions`
+  * operators (the JVM analogue of a Pandas-UDF-over-Arrow-batches
+  * pipeline — same batch shape and schema discipline).
+  *
+  * No image/audio codecs exist in this environment, so [[StubCodec]] is
+  * a clearly-marked deterministic stand-in: the Spark-side plumbing —
+  * schema resolution, batch iteration, partitioning, output typing — is
+  * real and tested (MultimodalSpec); only the innermost decode call is
+  * fake. Swapping in a real codec changes one function.
+  *
+  * Scale notes: media bytes dominate row size, so operators (a) never
+  * shuffle raw bytes (feature extraction projects bytes away before any
+  * wide transform), (b) run decode inside mapPartitions with bounded
+  * batches so peak memory is batchSize × mediaSize, (c) keep metadata in
+  * a separate struct column so pruning-only queries never touch bytes.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("bytes", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("n_frames", IntegerType, nullable = true))), nullable = false)))
+
+  /** STUB — deterministic fake decoders. A real deployment replaces
+    * these bodies with an actual codec (JPEG/PNG/PCM/container demux);
+    * signatures and batch shapes are the contract. */
+  object StubCodec {
+    /** "Decode" bytes to a fixed-dim feature vector: byte histogram
+      * (16 bins) normalized — deterministic, content-sensitive. */
+    def imageFeatures(bytes: Array[Byte], dim: Int = 16): Array[Float] = {
+      val hist = new Array[Float](dim)
+      bytes.foreach(b => hist((b & 0xff) % dim) += 1f)
+      val n = math.max(bytes.length, 1).toFloat
+      hist.map(_ / n)
+    }
+
+    /** "Resize": deterministic re-encoding that tags the payload with
+      * the target dims (a real impl returns re-encoded pixels). */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+      s"resized:${w}x$h:".getBytes("UTF-8") ++ bytes.take(64)
+
+    /** "Frame offsets": every strideth frame index, from metadata only —
+      * no byte access, so it runs as a pure Catalyst expression. */
+    def frameIndices(nFrames: Int, stride: Int): Seq[Int] =
+      0 until math.max(nFrames, 0) by math.max(stride, 1)
+  }
+
+  /** Feature extraction: binary → Array[Float] via batched
+    * mapPartitions; bytes are dropped from the output so downstream
+    * shuffles never carry media payloads. */
+  def extractFeatures(media: DataFrame, batchSize: Int = 64, dim: Int = 16): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val enc: Encoder[Row] = RowEncoder.encoderFor(out)
+    val idI = media.schema.fieldIndex("media_id")
+    val kindI = media.schema.fieldIndex("kind")
+    val bytesI = media.schema.fieldIndex("bytes")
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // batch boundary = one native-codec call per `batchSize` rows
+        batch.map { r =>
+          Row(r.getLong(idI), r.getString(kindI),
+            StubCodec.imageFeatures(r.getAs[Array[Byte]](bytesI), dim).toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  /** Resize images to (w × h); non-image rows pass through unchanged. */
+  def resizeImages(media: DataFrame, w: Int, h: Int, batchSize: Int = 64): DataFrame = {
+    val enc: Encoder[Row] = RowEncoder.encoderFor(media.schema)
+    val kindI = media.schema.fieldIndex("kind")
+    val bytesI = media.schema.fieldIndex("bytes")
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          if (r.getString(kindI) == "image")
+            Row.fromSeq(r.toSeq.updated(bytesI, StubCodec.resize(r.getAs[Array[Byte]](bytesI), w, h)))
+          else r
+        }
+      }
+    }(enc)
+  }
+
+  /** Frame sampling plan for videos: metadata-only, pure Catalyst
+    * (sequence + filter on index stride) — zero byte access. */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("media_id"),
+        filter(
+          sequence(lit(0), greatest(col("meta.n_frames") - 1, lit(0))),
+          i => i % stride === 0).as("frame_indices"))
+}

@@ -93,7 +93,7 @@ object Similarity {
     * query). Approximate: recall measured against brute force in
     * SimilaritySpec. Multi-probe (flip one bit) widens recall. */
   def annTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              nPlanes: Int = 6, dim: Int = 64, multiProbe: Boolean = true): DataFrame = {
+              nPlanes: Int = 4, dim: Int = 64, multiProbe: Boolean = true): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
     val cands = candidates.withColumn("bucket", lshBuckets(col("ce"), planes))
     val qb = queries.withColumn("bucket", lshBuckets(col("qe"), planes))

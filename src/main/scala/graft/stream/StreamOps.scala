@@ -1,0 +1,72 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming operators over the events shape
+  * (ts, user_id, event_type, value) — SURVEY.md §2.B streaming rows.
+  *
+  * The reference is batch-only [H]; these are the streaming duals of the
+  * batch window queries in graft.rel.RelQueries (windowTumbling /
+  * windowSliding / windowSession). Each function takes ANY events-shaped
+  * DataFrame — batch or streaming — and applies the identical logical
+  * plan, which is what makes the batch queries usable as oracles for the
+  * streaming ones (asserted in StreamOpsSpec with MemoryStream).
+  *
+  * Scale: all state is keyed (window × type, or user_id), so the state
+  * store partitions by key across executors; watermarks bound state
+  * growth — without them a 100 TB stream accumulates windows forever.
+  */
+object StreamOps {
+
+  /** Tumbling 1-hour counts/sums; on a stream add a watermark first so
+    * append mode can finalize windows. */
+  def tumbling(events: DataFrame, watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Sliding 1-hour window every 30 minutes. */
+  def sliding(events: DataFrame, watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src.groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("wstart"), col("n"))
+  }
+
+  /** Session windows with a 30-minute gap per user. */
+  def sessions(events: DataFrame, watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"))
+      .select(col("user_id"), col("session_start"), col("n_events"))
+  }
+
+  final case class UserEvent(user_id: Long, event_type: String, value: Double)
+  final case class UserCounter(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state — the `flatMapGroupsWithState` path
+    * (SURVEY.md §2.B "streaming: stateful ops"): a running per-user
+    * counter that emits an updated snapshot per micro-batch. State is
+    * one counter per user — O(users), partitioned by key. */
+  def runningCounters(events: Dataset[UserEvent]): Dataset[UserCounter] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserCounter, UserCounter](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserCounter]) =>
+          val prev = state.getOption.getOrElse(UserCounter(uid, 0L, 0.0))
+          val (n, v) = rows.foldLeft((prev.n_events, prev.total_value)) {
+            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          }
+          val next = UserCounter(uid, n, v)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.plans.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("backward as-of picks the latest build row at or before probe time") {
+    val probe = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 12:00:00")),
+      (3L, 20L, ts("2024-01-01 09:00:00")),
+      (4L, 30L, ts("2024-01-01 09:00:00"))  // key with no build rows
+    ).toDF("event_id", "k", "t")
+    val build = Seq(
+      (10L, ts("2024-01-01 09:30:00"), 100L),
+      (10L, ts("2024-01-01 11:00:00"), 101L),
+      (20L, ts("2024-01-01 09:00:00"), 200L)  // exactly equal ts -> match
+    ).toDF("k", "bt", "payload")
+
+    val out = AsOfJoin.backward(probe, build, "k", "k", "t", "bt")
+      .select("event_id", "payload").as[(Long, Long)].collect().toMap
+
+    assert(out == Map(1L -> 100L, 2L -> 101L, 3L -> 200L))
+    // event 4: no build rows for key 30 -> dropped (inner as-of)
+  }
+
+  test("as-of is deterministic when build is unique per (key, time)") {
+    val probe = Seq((1L, 1L, ts("2024-01-01 10:00:00"))).toDF("event_id", "k", "t")
+    val build = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 7L),
+      (1L, ts("2024-01-01 09:00:00"), 8L)).toDF("k", "bt", "payload")
+    val got = (1 to 3).map(_ =>
+      AsOfJoin.backward(probe, build, "k", "k", "t", "bt")
+        .select("payload").as[Long].head())
+    assert(got.forall(_ == 8L))
+  }
+}

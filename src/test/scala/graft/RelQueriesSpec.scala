@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.rel.RelQueries
+
+/** One assertion set per §2.B operator on sf0.001, plus plan-shape
+  * checks (pushdown, broadcast, top-k) — the "is the plan the one we'd
+  * want at 100 TB" gate, not just row correctness. */
+class RelQueriesSpec extends SparkSpec {
+
+  test("every registered query runs and most return rows") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n >= 0, s"$name failed")
+      // except/anti are legitimately empty when every customer has orders
+      if (!Set("q_dedup_ngram", "q_dedup_minhash", "q_except", "q_join_anti").contains(name))
+        assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry flagship returns revenue per nation") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length > 0 && rows.length <= 25)
+    assert(rows.map(_.getAs[java.math.BigDecimal]("revenue").doubleValue()).forall(_ > 0))
+  }
+
+  test("oracle keys are a subset of query keys with matching names") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"oracle-only keys: ${os -- qs}")
+    assert((qs -- os) == Set("q_dedup_minhash", "q_dedup_simhash", "q_lang_id", "q_ann_topk"))
+  }
+
+  test("q_filter pushes predicates into the parquet scan") {
+    val plan = RelQueries.filterQ(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan.take(500))
+    assert(plan.contains("l_quantity"), "quantity filter not pushed")
+  }
+
+  test("q_scan_project prunes columns at the scan") {
+    val plan = RelQueries.scanProject(spark, sfDir).queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_tax"),
+      s"unpruned read: $readSchema")
+  }
+
+  test("q_join_broadcast plans broadcast joins for dims") {
+    val plan = RelQueries.joinBroadcast(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("q_sort_limit plans TakeOrderedAndProject (no global sort)") {
+    val plan = RelQueries.sortLimit(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
+  test("q_agg_groupby: Q1 invariants") {
+    val rows = RelQueries.aggGroupBy(spark, sfDir).collect()
+    assert(rows.length == 6) // {A,N,R} x {F,O}
+    val n = rows.map(_.getAs[Long]("n")).sum
+    assert(n == Tables.lineitem(spark, sfDir).count())
+  }
+
+  test("q_join_left counts zero-order customers as 0") {
+    val df = RelQueries.joinLeft(spark, sfDir)
+    val total = df.agg(sum("n_orders")).head().getLong(0)
+    assert(total == Tables.orders(spark, sfDir).count())
+    assert(df.count() == Tables.customer(spark, sfDir).count())
+  }
+
+  test("semi + anti partition the customer set") {
+    val semiAll = Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("c_custkey") === col("o_custkey"), "left_semi").count()
+    val anti = RelQueries.joinAnti(spark, sfDir).count()
+    assert(semiAll + anti == Tables.customer(spark, sfDir).count())
+  }
+
+  test("q_agg_rollup adds subtotal and grand-total rows") {
+    val base = RelQueries.aggGroupBy(spark, sfDir).count()
+    val rollup = RelQueries.aggRollup(spark, sfDir).collect()
+    assert(rollup.length == base + 3 + 1) // 6 leaves + 3 flag subtotals + total
+    val grand = rollup.find(r => r.isNullAt(0) && r.isNullAt(1)).get
+    assert(grand.getAs[Long]("n") == Tables.lineitem(spark, sfDir).count())
+  }
+
+  test("q_window_rank rn==1 rows are each customer's max-price order") {
+    val top = RelQueries.windowRank(spark, sfDir)
+      .filter(col("rn") === 1).select("o_custkey", "o_totalprice")
+    val expect = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey").agg(max("o_totalprice").as("o_totalprice"))
+    assert(top.except(expect).isEmpty && expect.except(top).isEmpty)
+  }
+
+  test("q_topk_per_group returns at most 3 per customer") {
+    val over = RelQueries.topkPerGroup(spark, sfDir)
+      .groupBy("o_custkey").count().filter(col("count") > 3).count()
+    assert(over == 0)
+  }
+
+  test("q_window_sliding doubles event count (each event in 2 windows)") {
+    val n = RelQueries.windowSliding(spark, sfDir).agg(sum("n")).head().getLong(0)
+    assert(n == Tables.events(spark, sfDir).count() * 2)
+  }
+
+  test("q_window_session: session count bounded and covers all events") {
+    val s = RelQueries.windowSession(spark, sfDir)
+    val nEvents = s.agg(sum("n_events")).head().getLong(0)
+    assert(nEvents == Tables.events(spark, sfDir).count())
+  }
+
+  test("q_join_asof matches every event to the latest prior order date") {
+    val out = RelQueries.joinAsOf(spark, sfDir)
+    // all events match (orders all predate the 2024 events)
+    assert(out.count() == Tables.events(spark, sfDir).count())
+    // spot-check one user: events are all later than every order, so the
+    // matched date must be that customer's max order date
+    val row = out.orderBy("event_id").limit(1).head()
+    val uid = row.getAs[Long]("user_id")
+    val expected = Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") === uid)
+      .agg(max(col("o_orderdate").cast("timestamp_ntz"))).head()
+      .getAs[java.time.LocalDateTime](0)
+    assert(row.getAs[java.time.LocalDateTime]("o_date") == expected)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sim.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine top-k: scores descend, ranks contiguous, k respected") {
+    val out = Similarity.qCosineTopK(spark, sfDir).collect()
+    val byQ = out.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 8)
+    byQ.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rn"))
+      assert(sorted.map(_.getAs[Int]("rn")).toSeq == (1 to rows.length))
+      assert(rows.length <= 3)
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
+
+  test("ANN via LSH recalls most brute-force neighbors (multi-probe)") {
+    val exact = Similarity.qCosineTopK(spark, sfDir)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val ann = Similarity.qAnnTopK(spark, sfDir)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall too low") // LSH on near-random vectors
+  }
+
+  test("lshBuckets assigns equal vectors to equal buckets") {
+    val emb = Tables.embeddings(spark, sfDir).limit(10)
+      .select($"vec_id", $"embedding")
+    val planes = Similarity.hyperplanes(6, 64)
+    val b1 = emb.select($"vec_id", Similarity.lshBuckets($"embedding", planes).as("b"))
+      .as[(Long, Int)].collect().toMap
+    val b2 = emb.select($"vec_id", Similarity.lshBuckets($"embedding", planes).as("b"))
+      .as[(Long, Int)].collect().toMap
+    assert(b1 == b2)
+    assert(b1.values.forall(b => b >= 0 && b < 64))
+  }
+
+  test("embedding near-dup pairs are symmetric-free (a<b) and thresholded") {
+    val rows = Similarity.qDedupEmbedding(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Double]("score") > 0.25)
+    }
+  }
+}

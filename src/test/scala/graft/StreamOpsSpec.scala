@@ -1,0 +1,116 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.stream.StreamOps
+
+/** Streaming semantics via MemoryStream (SURVEY.md §5.2 item 5): the
+  * batch window queries are the oracles for the streaming duals; late
+  * rows beyond the watermark are dropped in append mode. */
+/** Top-level so Catalyst can encode it inside MemoryStream. */
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val fixture = Seq(
+    Ev(ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+    Ev(ts("2024-01-01 10:55:00"), 1, "click", 2.0),
+    Ev(ts("2024-01-01 11:05:00"), 2, "view", 3.0),
+    Ev(ts("2024-01-01 11:45:00"), 2, "view", 4.0),
+    Ev(ts("2024-01-01 13:00:00"), 1, "click", 5.0))
+
+  /** Append mode only emits windows the watermark has passed, so a
+    * far-future flush sentinel (user 99) in a second micro-batch forces
+    * every real window closed before comparing against batch. */
+  private val flush = Ev(ts("2024-01-02 12:00:00"), 99, "flush", 0.0)
+
+  private def runStreamFlushed(q: org.apache.spark.sql.DataFrame,
+                               mem: MemoryStream[Ev],
+                               name: String): org.apache.spark.sql.DataFrame = {
+    val query = q.writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName(name).trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(fixture: _*)
+    query.processAllAvailable()
+    mem.addData(flush)
+    query.processAllAvailable()
+    query.stop()
+    spark.table(name)
+  }
+
+  test("streaming tumbling == batch tumbling on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val streamed = runStreamFlushed(
+      StreamOps.tumbling(mem.toDF(), watermark = Some("10 minutes")), mem, "t_tumbling")
+      .filter(col("event_type") =!= "flush")
+      .orderBy("hour", "event_type").collect().toSeq
+    val batch = StreamOps.tumbling(fixture.toDF())
+      .orderBy("hour", "event_type").collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("streaming sessions == batch sessions per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val streamed = runStreamFlushed(
+      StreamOps.sessions(mem.toDF(), watermark = Some("10 minutes")), mem, "t_sessions")
+      .filter(col("user_id") =!= 99L)
+      .orderBy("user_id", "session_start").collect().toSeq
+    val batch = StreamOps.sessions(fixture.toDF())
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(streamed == batch)
+    // user 1: events at 10:05 and 10:55 are 50min apart -> separate sessions
+    assert(batch.count(_.getAs[Long]("user_id") == 1L) == 3)
+  }
+
+  test("late rows beyond the watermark are dropped in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.tumbling(mem.toDF(), watermark = Some("10 minutes"))
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("t_late").trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1: advance event time to 13:00 -> watermark 12:50
+    mem.addData(fixture: _*)
+    q.processAllAvailable()
+    // batch 2: a row 2+ hours late, before the watermark -> dropped
+    mem.addData(Ev(ts("2024-01-01 10:07:00"), 9, "late", 99.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("t_late").collect()
+    assert(!out.exists(_.getAs[String]("event_type") == "late"))
+  }
+
+  test("flatMapGroupsWithState keeps running per-user counters") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.UserEvent]
+    val q = StreamOps.runningCounters(mem.toDS()).writeStream
+      .outputMode(OutputMode.Update).format("memory")
+      .queryName("t_state").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(StreamOps.UserEvent(1, "click", 1.0), StreamOps.UserEvent(1, "click", 2.0))
+    q.processAllAvailable()
+    mem.addData(StreamOps.UserEvent(1, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_state")
+      .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("v"))
+      .collect()
+    val u1 = rows.find(_.getAs[Long]("user_id") == 1L).get
+    assert(u1.getAs[Long]("n") == 3L)          // state carried across batches
+    assert(u1.getAs[Double]("v") == 6.0)
+  }
+
+  test("batch windowTumbling on real events matches StreamOps.tumbling") {
+    val viaRel = graft.rel.RelQueries.windowTumbling(spark, sfDir)
+      .select(col("hour"), col("event_type"), col("n"))
+    val viaStream = StreamOps.tumbling(Tables.events(spark, sfDir))
+      .select(col("hour"), col("event_type"), col("n"))
+    assert(viaRel.except(viaStream).isEmpty && viaStream.except(viaRel).isEmpty)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Dedup + text-analysis behavior on planted fixtures (FIXTURES.md §B
+  * dupDocs): exact dup pair, near-dup pair (small edit), distinct pair. */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sentence(seed: Int, n: Int): String = {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+  }
+
+  private lazy val dupDocs = {
+    val base = sentence(1, 60)
+    val nearDup = base.split(" ").updated(5, "changed").mkString(" ")
+    Seq(
+      (1L, base), (2L, base),          // exact dup pair
+      (3L, nearDup),                   // near-dup of 1/2
+      (4L, sentence(99, 60)),          // distinct
+      (5L, sentence(123, 60))          // distinct
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts and keeps min id") {
+    val out = dupDocs.groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n"))
+    val byKeep = out.select("keep_id", "n").as[(Long, Long)].collect().toMap
+    assert(byKeep(1L) == 2L)             // docs 1,2 merged
+    assert(byKeep.values.sum == 5L)
+    assert(!byKeep.contains(2L))
+  }
+
+  test("minhash near-dup catches planted pairs, rejects distant ones") {
+    val pairs = TextOps.nearDupPairs(dupDocs, w = 3, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "exact dup pair missed")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)), "near-dup pair missed")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"false positive: $pairs")
+  }
+
+  test("minhash dedup is idempotent: survivors have no remaining near-dups") {
+    val pairs = TextOps.nearDupPairs(dupDocs, w = 3, minJaccard = 0.5)
+      .select("id_b").as[Long].collect().toSet
+    val survivors = dupDocs.filter(!$"doc_id".isin(pairs.toSeq: _*))
+    val again = TextOps.nearDupPairs(survivors, w = 3, minJaccard = 0.5).count()
+    assert(again == 0)
+  }
+
+  test("simhash is identical for identical docs, differs for distinct docs") {
+    val sh = dupDocs.select($"doc_id", concat_ws("", TextOps.simhash(TextOps.tokens($"text"))).as("sh"))
+      .as[(Long, String)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L) != sh(4L))
+  }
+
+  test("fingerprint is word-order-insensitive (bag semantics)") {
+    val shuffled = dupDocs.filter($"doc_id" === 1L)
+      .select(lit(9L).as("doc_id"),
+        concat_ws(" ", reverse(split($"text", " "))).as("text"))
+    val both = dupDocs.filter($"doc_id" === 1L).unionByName(shuffled)
+      .select(md5(concat_ws(" ", array_sort(array_distinct(TextOps.tokens($"text"))))).as("fp"))
+      .as[String].collect()
+    assert(both.distinct.length == 1)
+  }
+
+  test("langId detects real-language samples via marker terms") {
+    val samples = Seq(
+      (1L, "the cat sat on the mat and the dog is here"),
+      (2L, "der hund ist gross und die katze ist klein"),
+      (3L, "el perro es grande y la casa es blanca"),
+      (4L, "qqq www eee rrr")).toDF("doc_id", "text")
+    val got = samples.select($"doc_id", TextOps.langId($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "es" && got(4L) == "und")
+  }
+
+  test("quality score components are consistent") {
+    val row = TextOps.qQualityScore(spark, sfDir).head()
+    val q = row.getAs[Double]("quality")
+    val dr = row.getAs[Double]("distinct_ratio")
+    val sr = row.getAs[Double]("stop_ratio")
+    assert(q >= 0 && q <= 1 && dr > 0 && dr <= 1 && sr >= 0 && sr <= 1)
+    assert(math.abs(q - (dr * 0.5 + (1 - sr) * 0.5)) < 1e-5)
+  }
+
+  test("shingles produce size-w windows in order") {
+    val out = Seq("a b c d").toDF("text")
+      .select(TextOps.shingles(TextOps.tokens($"text"), 3).as("sh"))
+      .head().getSeq[String](0)
+    assert(out == Seq("a b c", "b c d"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.vec.VectorOps
+
+/** §2.A operator unit + property tests (FIXTURES.md §B vecs4 fixture +
+  * ScalaCheck generators sampled with a fixed seed — no scalatestplus
+  * bridge in the offline cache). */
+class VectorOpsSpec extends SparkSpec {
+
+  /** Minimal deterministic property runner. */
+  private def forAllSeeded[A](gen: Gen[A], n: Int = 20)(check: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      check(gen.apply(Gen.Parameters.default, Seed(42L + i)).get)
+    }
+  import spark.implicits._
+
+  private val vecs4 = Seq(
+    (1, Seq(0.1, 0.9, 0.3, 0.2), 1),
+    (2, Seq(0.5, 0.5, 0.5, 0.5), 0),  // all-equal: argmax -> first
+    (3, Seq(-1.0, -2.0, -0.5, -3.0), 2),
+    (4, Seq(0.0, 0.0, 0.0, 1.0), 3)
+  ).toDF("id", "v", "label")
+
+  test("argMax picks first max, 0-based") {
+    val got = vecs4.select($"id", VectorOps.argMax($"v").as("am"))
+      .as[(Int, Long)].collect().toMap
+    assert(got == Map(1 -> 1L, 2 -> 0L, 3 -> 2L, 4 -> 3L))
+  }
+
+  test("oneHot ∘ argMax is identity on valid labels") {
+    forAllSeeded(Gen.chooseNum(0, 9)) { label =>
+      val df = Seq(label).toDF("label")
+      val rt = df.select(VectorOps.argMax(VectorOps.oneHot($"label", 10)).as("rt"))
+        .head().getLong(0)
+      assert(rt == label.toLong)
+    }
+  }
+
+  test("argMaxThreshold falls back below the activation threshold") {
+    val got = vecs4.select($"id",
+      VectorOps.argMaxThreshold($"v", 0.55, -1L).as("am"))
+      .as[(Int, Long)].collect().toMap
+    assert(got(1) == 1L)   // max 0.9 >= 0.55
+    assert(got(2) == -1L)  // max 0.5 < 0.55
+    assert(got(3) == -1L)  // negative vector
+  }
+
+  test("minMaxScale output lies in [0,1] and is monotone") {
+    val df = Seq(1.0, 5.0, 3.0, 9.0).toDF("x")
+    val stats = df.agg(min($"x").as("mn"), max($"x").as("mx"))
+    val out = df.crossJoin(stats)
+      .select($"x", VectorOps.minMaxScaleScalar($"x", $"mn", $"mx").as("s"))
+      .as[(Double, Double)].collect().sortBy(_._1)
+    assert(out.head._2 == 0.0 && out.last._2 == 1.0)
+    assert(out.map(_._2).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  test("minMaxScale vector variant rescales element-wise") {
+    val df = Seq(Seq(0.0, 128.0, 255.0)).toDF("v")
+    val out = df.select(
+      VectorOps.minMaxScale($"v", lit(0.0), lit(255.0)).as("s"))
+      .head().getSeq[Double](0)
+    assert(out(0) == 0.0 && out(2) == 1.0 && math.abs(out(1) - 128.0 / 255.0) < 1e-12)
+  }
+
+  test("sparseToDense scatters (indices, values) into a dense vector") {
+    val df = Seq((Seq(0, 2), Seq(1.5, 2.5), 4)).toDF("idx", "vals", "sz")
+    val out = df.select(VectorOps.sparseToDense($"idx", $"vals", $"sz").as("d"))
+      .head().getSeq[Double](0)
+    assert(out == Seq(1.5, 0.0, 2.5, 0.0))
+  }
+
+  test("dotLit equals a hand-computed dot product, in array order") {
+    forAllSeeded(Gen.listOfN(8, Gen.chooseNum(-1e3, 1e3))) { xs =>
+      val w = (1 to 8).map(_ * 0.1)
+      val expected = xs.zip(w).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+      val got = Seq(Tuple1(xs)).toDF("v")
+        .select(VectorOps.dotLit($"v", w).as("d")).head().getDouble(0)
+      assert(got == expected) // bit-identical: same fold order
+    }
+  }
+
+  test("dot of an L2-normalized vector with itself is ~1 (real data)") {
+    val one = Tables.embeddings(spark, sfDir).limit(5)
+      .select(VectorOps.dot($"embedding", $"embedding").as("d"))
+      .as[Double].collect()
+    one.foreach(d => assert(math.abs(d - 1.0) < 1e-6))
+  }
+
+  test("q_accuracy yields a single fraction in [0,1]") {
+    val acc = VectorOps.qAccuracy(spark, sfDir).head().getDouble(0)
+    assert(acc >= 0.0 && acc <= 1.0)
+  }
+
+  test("q_vec_avg_by_label emits 64 positions per label") {
+    val counts = VectorOps.qVecAvgByLabel(spark, sfDir)
+      .groupBy("label").count().as[(Int, Long)].collect()
+    assert(counts.nonEmpty && counts.forall(_._2 == 64L))
+  }
+}
