@@ -60,16 +60,21 @@ object VectorOps {
 
   /** Sequential dot product of a vector column against literal weights —
     * the oracle-able linear special case of ModelPredictor
-    * (`distkeras/predictors.py ~L20-80 [H]`). Fold order is array order
-    * in both Spark (`aggregate`) and DuckDB (`list_aggregate`), so the
-    * result is bit-identical (SURVEY.md §2 rule 5). */
+    * (`distkeras/predictors.py ~L20-80 [H]`). Backed by the fused
+    * codegen expression [[graft.plans.DotProduct]]; the fold is
+    * left-to-right in array order, bit-identical to the HOF chain
+    * `aggregate(zip_with(...))` and to DuckDB's `list_aggregate` fold
+    * (SURVEY.md §2 rule 5), so oracled queries are unaffected. */
   def dotLit(v: Column, w: Seq[Double]): Column =
-    aggregate(
-      zip_with(v, typedLit(w), (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, x) => acc + x)
+    graft.plans.DotProduct(v, typedLit(w))
 
   /** Dot product of two vector columns (used by similarity search). */
   def dot(a: Column, b: Column): Column =
+    graft.plans.DotProduct(a, b)
+
+  /** Reference HOF formulation of [[dot]] — kept as the semantic spec
+    * the codegen expression is tested against (VectorOpsSpec). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)

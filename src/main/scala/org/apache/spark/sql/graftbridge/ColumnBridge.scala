@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into Spark's `private[sql]` Column ↔ Expression
+  * converters (Spark 4 wraps Column around ColumnNode; the public API
+  * deliberately hides the Catalyst expression). Lives under
+  * org.apache.spark.sql to satisfy the access scope — the standard
+  * pattern for libraries shipping custom Catalyst expressions.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

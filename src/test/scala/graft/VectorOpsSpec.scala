@@ -96,6 +96,34 @@ class VectorOpsSpec extends SparkSpec {
     assert(acc >= 0.0 && acc <= 1.0)
   }
 
+  test("DotProduct codegen expression matches the HOF spec bit-for-bit") {
+    val pairs = Tables.embeddings(spark, sfDir).limit(50)
+      .select($"embedding".as("a"), reverse($"embedding").as("b"))
+    val diff = pairs.select(
+      (graft.plans.DotProduct($"a", $"b") - VectorOps.dotHof($"a", $"b")).as("d"))
+      .as[Double].collect()
+    assert(diff.forall(_ == 0.0)) // identical fold order -> bit-identical
+  }
+
+  test("DotProduct handles nulls: null array -> null, null elems skipped") {
+    val df = Seq(
+      (Some(Seq(Some(1.0), None, Some(3.0))), Some(Seq(Some(2.0), Some(5.0), Some(4.0)))),
+      (None, Some(Seq(Some(1.0))))
+    ).toDF("a", "b")
+    val out = df.select(graft.plans.DotProduct($"a", $"b").as("d")).collect()
+    assert(out(0).getDouble(0) == 1.0 * 2.0 + 3.0 * 4.0)
+    assert(out(1).isNullAt(0))
+  }
+
+  test("graft_dot is SQL-callable via GraftExtensions injection") {
+    // injectFunction path, applied to the live session's registry
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => graft.plans.DotProduct(exprs(0), exprs(1)), "built-in")
+    val d = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0)
+    assert(d == 11.0)
+  }
+
   test("q_vec_avg_by_label emits 64 positions per label") {
     val counts = VectorOps.qVecAvgByLabel(spark, sfDir)
       .groupBy("label").count().as[(Int, Long)].collect()
