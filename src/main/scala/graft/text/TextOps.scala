@@ -213,21 +213,31 @@ object TextOps {
       .select(col("keep_id"), col("n_docs"), col("sh"))
       .orderBy("keep_id")
 
-  /** N-gram Jaccard near-dup over word trigram fingerprints — oracled
-    * variant of near-dup detection: compares each document against the
-    * candidate block sharing its bag fingerprint prefix. Kept fully
-    * relational (explode + equi-join + group) so DuckDB can mirror it. */
+  /** N-gram Jaccard near-dup over word trigram shingles — the oracled
+    * variant of near-dup detection, in the fully relational shape:
+    * explode shingles → equi-join probe×candidate on the shingle →
+    * count matches per pair → jaccard = |∩| / (|A|+|B|−|∩|).
+    *
+    * This never materializes the cross product: only pairs sharing ≥1
+    * shingle appear after the join (pairs with jaccard = 0 are excluded
+    * by the > 0.1 filter anyway, so the result set is identical to the
+    * nested-loop form the DuckDB oracle uses). At scale the join is a
+    * hash shuffle on shingle strings — skew-free for natural text. */
   def qDedupNgram(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
-    val probe = docs.filter(col("doc_id") < 50)
-      .select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val cand = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    probe.join(cand, col("id_a") < col("id_b"))
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text")), 3))).as("s"))
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.filter(col("doc_id") < 50).select(col("doc_id").as("id_a"), col("s"))
+      .join(sh.select(col("doc_id").as("id_b"), col("s")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
+    inter
+      .join(counts.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(counts.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+        round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 6)
+          .as("jaccard"))
       .filter(col("jaccard") > 0.1)
       .orderBy("id_a", "id_b")
   }
