@@ -94,6 +94,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (TextOps.qDedupSimhash _),
     "q_lang_id" -> (TextOps.qLangId _),
     "q_ann_topk" -> (Similarity.qAnnTopK _),
+    "q_approx_distinct" -> (RelQueries.approxDistinct _),
   )
 
   /** DuckDB-side literal for the q_linear_predict demo weights. */

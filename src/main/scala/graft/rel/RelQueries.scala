@@ -369,6 +369,17 @@ object RelQueries {
         count(lit(1)).as("n"))
   }
 
+  /** HLL approximate distinct (no oracle — sketch-dependent; property
+    * check in SourcesSpec: within 5% of exact). At 100 TB this is the
+    * only sane distinct-count: fixed-size sketch, one pass, mergeable. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   // ------------------------------------------- time windows (batch equiv)
 
   /** Tumbling 1-hour window — the batch-equivalent of the Structured

@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface (SURVEY.md §2.B "sinks" + the reference's ETL
+  * conventions: CSV/Parquet scans in `examples/mnist.py ~L40-60 [H]`).
+  *
+  * Explicit schemas everywhere: schema inference re-reads the data once
+  * (2× scan at 100 TB) and can silently change types between runs.
+  * Partitioned parquet writes are the scale-out layout — downstream
+  * readers get partition pruning for free on the partition columns.
+  */
+object Sources {
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Hive-style partitioned parquet sink. At scale: choose partition
+    * columns with bounded cardinality (date buckets, categories) —
+    * high-cardinality partitioning creates a small-files storm. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Random row reshuffle — `utils.shuffle(df)` (`distkeras/utils.py
+    * ~L60-75 [H]`), used by the reference before training so partitions
+    * see i.i.d. data. Deterministic given the seed; implemented as a
+    * repartition on a seeded random key (one shuffle, no global sort). */
+  def shuffle(df: DataFrame, numPartitions: Int, seed: Long = 42L): DataFrame =
+    df.repartition(numPartitions, rand(seed))
+}

@@ -29,7 +29,8 @@ class RelQueriesSpec extends SparkSpec {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracle-only keys: ${os -- qs}")
-    assert((qs -- os) == Set("q_dedup_minhash", "q_dedup_simhash", "q_lang_id", "q_ann_topk"))
+    assert((qs -- os) == Set("q_dedup_minhash", "q_dedup_simhash", "q_lang_id",
+      "q_ann_topk", "q_approx_distinct"))
   }
 
   test("q_filter pushes predicates into the parquet scan") {

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Sources
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partitioned parquet sink round-trips and partition-prunes") {
+    val out = Files.createTempDirectory("graft_sink").toString
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    Sources.writePartitioned(li, out, Seq("l_returnflag"))
+
+    val back = Sources.readParquet(spark, out)
+    assert(back.count() == li.count())
+    // layout check: one directory per returnflag value
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("l_returnflag=A", "l_returnflag=N", "l_returnflag=R"))
+    // pruning check: a filter on the partition column scans one partition
+    val plan = back.filter(col("l_returnflag") === "A")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"), plan.take(600))
+  }
+
+  test("csv and jsonl round-trip with explicit schemas") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val df = Seq((1L, "a", 0.5), (2L, "b", 1.5)).toDF("id", "name", "score")
+
+    val csvDir = Files.createTempDirectory("graft_csv").toString
+    df.write.mode("overwrite").option("header", "true").csv(csvDir)
+    val csvBack = Sources.readCsv(spark, csvDir, schema).orderBy("id")
+    assert(csvBack.as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 0.5), (2L, "b", 1.5)))
+
+    val jsonDir = Files.createTempDirectory("graft_json").toString
+    df.write.mode("overwrite").json(jsonDir)
+    val jsonBack = Sources.readJsonl(spark, jsonDir, schema).orderBy("id")
+    assert(jsonBack.as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 0.5), (2L, "b", 1.5)))
+  }
+
+  test("shuffle preserves the row multiset and balances partitions") {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_linenumber", "l_quantity")
+    val shuffled = Sources.shuffle(li, 8, seed = 13L)
+    assert(shuffled.count() == li.count())
+    assert(shuffled.except(li).isEmpty && li.except(shuffled).isEmpty)
+    val sizes = shuffled.rdd.glom().map(_.length).collect()
+    assert(sizes.length == 8)
+    val mean = sizes.sum.toDouble / sizes.length
+    assert(sizes.forall(s => math.abs(s - mean) < mean * 0.3), sizes.toSeq.toString)
+  }
+
+  test("approx_count_distinct is within 5% of exact") {
+    val ev = Tables.events(spark, sfDir)
+    val approx = ev.agg(approx_count_distinct($"user_id").as("a")).head().getLong(0)
+    val exact = ev.agg(countDistinct($"user_id")).head().getLong(0)
+    assert(math.abs(approx - exact) <= math.max(1L, (exact * 0.05).toLong),
+      s"approx $approx vs exact $exact")
+  }
+}
