@@ -146,6 +146,36 @@ object Trainers {
     model
   }
 
+  /** EnsembleTrainer (`distkeras/trainers.py ~L150-260 [H]`): one model
+    * per partition, no merge — returned as an ensemble whose prediction
+    * averages member probabilities. */
+  def trainEnsemble(df: DataFrame, featuresCol: String, labelCol: String,
+                    dim: Int, numModels: Int = 4, epochs: Int = 5,
+                    lr: Double = 0.5, batchSize: Int = 32,
+                    seed: Long = 42L): Seq[LinearModel] = {
+    val init = LinearModel.init(dim, seed)
+    toExamples(df, featuresCol, labelCol)
+      .repartition(numModels)
+      .mapPartitions { it =>
+        // each member trains fully locally, so the partition is buffered
+        // for multi-epoch passes (member data fits one worker by design)
+        val data = it.toArray
+        if (data.isEmpty) Iterator.empty
+        else {
+          var m = init
+          (0 until epochs).foreach { _ =>
+            m = LinearModel(localSgd(m, data.iterator, lr, batchSize)._1)
+          }
+          Iterator.single(m.weights.flat)
+        }
+      }
+      .collect().toSeq.map(f => LinearModel(init.weights.copy(flat = f)))
+  }
+
+  /** Average-probability ensemble prediction. */
+  def ensemblePredict(models: Seq[LinearModel], x: Array[Double]): Double =
+    models.map(_.predictProb(x)).sum / models.size
+
   /** The synchronous data-parallel trainer (DistributedTrainer redesign,
     * `trainers.py ~L270-360 [H]`). One Spark stage per epoch; the only
     * driver-side data is one weight vector per partition (numWorkers ×

@@ -79,6 +79,29 @@ object VectorOps {
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
+  /** ReshapeTransformer (`distkeras/transformers.py ~L230-260 [H]`):
+    * tensors stay as flat arrays with the shape carried in column
+    * metadata (representation-only — the physical layout never changes,
+    * so reshape is free at plan time; materialize nested form only at
+    * the ML boundary via [[reshape2d]]). */
+  def withShape(df: org.apache.spark.sql.DataFrame, colName: String,
+                shape: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLongArray("shape", shape.map(_.toLong).toArray).build()
+    df.withColumn(colName, col(colName).as(colName, meta))
+  }
+
+  def shapeOf(df: org.apache.spark.sql.DataFrame, colName: String): Option[Seq[Long]] = {
+    val m = df.schema(colName).metadata
+    if (m.contains("shape")) Some(m.getLongArray("shape").toSeq) else None
+  }
+
+  /** Physical 2-D reshape (row-major) for consumers that need nested
+    * arrays — pure Catalyst (sequence + slice), no UDF. */
+  def reshape2d(v: Column, rows: Int, cols: Int): Column =
+    transform(sequence(lit(0), lit(rows - 1)),
+      r => slice(v, r * cols + 1, lit(cols)))
+
   /** Deterministic demo weights for q_linear_predict — shared between the
     * Spark query and the generated DuckDB oracle SQL. */
   val demoWeights: Seq[Double] = (1 to 64).map(i => ((i * 37) % 19 - 9) / 10.0)

@@ -91,6 +91,17 @@ class TrainersSpec extends SparkSpec {
     assert(back.flat.toSeq == m.flat.toSeq && back.shapes == m.shapes)
   }
 
+  test("ensemble trainer: members differ, ensemble accuracy high") {
+    val models = Trainers.trainEnsemble(linsep, "features", "label", 2,
+      numModels = 4, epochs = 10, lr = 0.8)
+    assert(models.size == 4)
+    val data = linsep.as[(Seq[Double], Double)].collect()
+    val acc = data.count { case (x, y) =>
+      (if (Trainers.ensemblePredict(models, x.toArray) >= 0.5) 1.0 else 0.0) == y
+    }.toDouble / data.length
+    assert(acc > 0.9, s"ensemble accuracy $acc")
+  }
+
   test("batched predictor matches expression predictor") {
     val m = Trainers.trainSingle(linsep, "features", "label", 2, epochs = 3, lr = 0.5)
     val bc = spark.sparkContext.broadcast(m)

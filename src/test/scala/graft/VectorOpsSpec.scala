@@ -124,6 +124,19 @@ class VectorOpsSpec extends SparkSpec {
     assert(d == 11.0)
   }
 
+  test("reshape: shape metadata survives, flatten(reshape2d) == original") {
+    val df = Seq(Tuple1((1 to 12).map(_.toDouble))).toDF("v")
+    val tagged = VectorOps.withShape(df, "v", Seq(3, 4))
+    assert(VectorOps.shapeOf(tagged, "v").contains(Seq(3L, 4L)))
+    val back = tagged.select(flatten(VectorOps.reshape2d($"v", 3, 4)).as("f"))
+      .head().getSeq[Double](0)
+    assert(back == (1 to 12).map(_.toDouble))
+    val nested = tagged.select(VectorOps.reshape2d($"v", 3, 4).as("m"))
+      .head().getSeq[scala.collection.Seq[Double]](0)
+    assert(nested.head.toSeq == Seq(1.0, 2.0, 3.0, 4.0) &&
+      nested.last.toSeq == Seq(9.0, 10.0, 11.0, 12.0))
+  }
+
   test("q_vec_avg_by_label emits 64 positions per label") {
     val counts = VectorOps.qVecAvgByLabel(spark, sfDir)
       .groupBy("label").count().as[(Int, Long)].collect()
