@@ -113,6 +113,67 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  // ------------------------------------------------------------- IVF
+
+  /** IVF (inverted-file) ANN: a coarse quantizer assigns every candidate
+    * to its nearest centroid once; queries score only the `nProbe`
+    * nearest centroid lists. Centroids here are a deterministic stride
+    * sample of the corpus refined by one Lloyd iteration (computed with
+    * [[graft.vec.VectorAverage]] — distributed, no collect of vectors
+    * beyond the K centroids themselves, which is the IVF contract).
+    *
+    * Scale: candidate assignment is a broadcast of K centroids + one
+    * scan; the probe join is an equi-join on centroid id. K ~ sqrt(N)
+    * keeps lists balanced; skewed lists would AQE-split. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    // deterministic seed centroids: every (N/K)th candidate by id rank
+    val w0 = Window.orderBy(col("cid"))
+    val seeded = candidates.withColumn("rk", row_number().over(w0))
+    val total = candidates.count()
+    val stride = math.max(total / nCentroids, 1L)
+    val seeds = seeded.filter(col("rk") % stride === 1).limit(nCentroids)
+      .select(col("rk").as("centroid_id"), col("ce").as("centroid"))
+
+    // one Lloyd refinement: assign all candidates, average per cell
+    def nearestCentroid(cents: DataFrame, df: DataFrame, vecCol: String): DataFrame = {
+      val wBest = Window.partitionBy(col("__id")).orderBy(col("__s").desc, col("centroid_id"))
+      df.withColumn("__id", monotonically_increasing_id())
+        .crossJoin(broadcast(cents))
+        .withColumn("__s", VectorOps.dot(col(vecCol), col("centroid")))
+        .withColumn("__r", row_number().over(wBest))
+        .filter(col("__r") === 1)
+        .drop("__s", "__r", "centroid")
+    }
+    val assigned0 = nearestCentroid(seeds, candidates, "ce")
+    val refined = assigned0
+      .select(col("centroid_id"),
+        transform(col("ce"), _.cast("double")).as("ced"))
+      .groupBy(col("centroid_id"))
+      .agg(graft.vec.VectorAverage.avgVec(col("ced")).as("centroid"))
+      .select(col("centroid_id"), transform(col("centroid"), _.cast("float")).as("centroid"))
+
+    val lists = nearestCentroid(refined, candidates, "ce").select("centroid_id", "cid", "ce")
+
+    // probe: each query scores its nProbe nearest centroids' lists
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("__s").desc, col("centroid_id"))
+    val probes = queries.crossJoin(broadcast(refined))
+      .withColumn("__s", VectorOps.dot(col("qe"), col("centroid")))
+      .withColumn("__r", row_number().over(wProbe))
+      .filter(col("__r") <= nProbe)
+      .select(col("qid"), col("qe"), col("centroid_id"))
+
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    lists.join(probes, Seq("centroid_id"))
+      .select(col("qid"), col("cid"), VectorOps.dot(col("qe"), col("ce")).as("score"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), round(col("score"), 6).as("score"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
   /** Non-oracled query entry demonstrating the ANN path on testdata. */
   def qAnnTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)

@@ -41,6 +41,31 @@ class SimilaritySpec extends SparkSpec {
     assert(b1.values.forall(b => b >= 0 && b < 64))
   }
 
+  test("IVF ANN recalls most brute-force neighbors") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val cands = emb.filter($"vec_id" >= 8)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"))
+    val exact = Similarity.cosineTopK(queries, cands, 3)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, cands, 3, nCentroids = 8, nProbe = 3)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall too low")
+  }
+
+  test("VectorAverage aggregator averages element-wise, distributed") {
+    val df = Seq(
+      (0, Seq(1.0, 2.0, 3.0)), (0, Seq(3.0, 4.0, 5.0)),
+      (1, Seq(10.0, 0.0, 0.0))).toDF("g", "v").repartition(4)
+    val got = df.groupBy($"g")
+      .agg(graft.vec.VectorAverage.avgVec($"v").as("avg"))
+      .as[(Int, Seq[Double])].collect().toMap
+    assert(got(0) == Seq(2.0, 3.0, 4.0))
+    assert(got(1) == Seq(10.0, 0.0, 0.0))
+  }
+
   test("embedding near-dup pairs are symmetric-free (a<b) and thresholded") {
     val rows = Similarity.qDedupEmbedding(spark, sfDir).collect()
     assert(rows.nonEmpty)
