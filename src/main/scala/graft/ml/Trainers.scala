@@ -71,6 +71,25 @@ object Trainers {
     }
   }
 
+  /** EAMSGD (`trainers.py ~L430-520 [H]`, `workers.py › EAMSGDWorker
+    * [H]`): elastic averaging plus center-side momentum — the rule
+    * state carries the velocity vector. */
+  final case class ElasticAverageMomentum(alpha: Double = 0.5,
+                                          momentum: Double = 0.9) extends UpdateRule {
+    def apply(c: ModelWeights, locals: Seq[(ModelWeights, Long)],
+              state: Array[Double]): ModelWeights = {
+      val avg = ModelWeights.average(locals.map(_._1))
+      val out = new Array[Double](c.flat.length)
+      var i = 0
+      while (i < out.length) {
+        state(i) = momentum * state(i) + alpha * (avg.flat(i) - c.flat(i))
+        out(i) = c.flat(i) + state(i)
+        i += 1
+      }
+      c.copy(flat = out)
+    }
+  }
+
   /** ADAG (accumulated-gradient normalization, Hermans;
     * `trainers.py ~L530-580 [H]` + `ADAGParameterServer [H]`): delta
     * scaled by 1/sqrt(accumulated squared delta + eps), element-wise. */

@@ -55,6 +55,7 @@ class TrainersSpec extends SparkSpec {
       "averaging" -> Trainers.Averaging,
       "downpour" -> Trainers.Downpour,
       "elastic" -> Trainers.ElasticAverage(0.5),
+      "eamsgd" -> Trainers.ElasticAverageMomentum(0.5, 0.5),
       "adag" -> Trainers.Adag(),
       "dynsgd" -> Trainers.DynSgd)
     rules.foreach { case (name, rule) =>
