@@ -201,13 +201,29 @@ object TextOps {
     }: _*)
   }
 
+  /** SimHash fingerprints for a whole corpus via the same explode +
+    * codegen-aggregate shape as [[minhashSignatures]]: one row per
+    * (doc, tokenHash) feeds 32 conditional-sum aggregates (±1 per bit),
+    * partial-merged map-side; sign → bit. Occurrence-weighted (tokens
+    * are NOT deduplicated, matching SimHash semantics). */
+  def simhashFingerprints(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"),
+      explode(transform(tokens(lower(col("text"))), t => xxhash64(t))).as("h"))
+    val bitSums = (0 until 32).map(bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        .as(s"b$bit"))
+    hashed.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        concat_ws("", (0 until 32).map(bit =>
+          when(col(s"b$bit") > 0, "1").otherwise("0")): _*).as("sh"))
+  }
+
   /** SimHash near-dup: exact-match on the 32-bit fingerprint (documents
     * differing in a few low-weight tokens collide). Grouping key is the
     * fingerprint → uniform shuffle. */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        concat_ws("", simhash(tokens(lower(col("text"))))).as("sh"))
+    simhashFingerprints(Tables.documents(spark, dir))
       .groupBy(col("sh"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
       .select(col("keep_id"), col("n_docs"), col("sh"))

@@ -59,6 +59,15 @@ class TextOpsSpec extends SparkSpec {
     assert(sh(1L) != sh(4L))
   }
 
+  test("simhashFingerprints (agg form) == simhash column expression") {
+    val viaExpr = dupDocs
+      .select($"doc_id", concat_ws("", TextOps.simhash(TextOps.tokens(lower($"text")))).as("sh"))
+      .as[(Long, String)].collect().toMap
+    val viaAgg = TextOps.simhashFingerprints(dupDocs)
+      .as[(Long, String)].collect().toMap
+    assert(viaExpr == viaAgg)
+  }
+
   test("fingerprint is word-order-insensitive (bag semantics)") {
     val shuffled = dupDocs.filter($"doc_id" === 1L)
       .select(lit(9L).as("doc_id"),
