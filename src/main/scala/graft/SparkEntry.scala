@@ -191,7 +191,7 @@ object SparkEntry {
     "q_text_stats" ->
       "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, COUNT(DISTINCT source) AS n_sources FROM documents GROUP BY lang ORDER BY lang",
     "q_token_count" ->
-      "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, ROUND(CAST(len(string_split(text, ' ')) AS DOUBLE) / n_chars, 6) AS tokens_per_char FROM documents ORDER BY doc_id",
+      "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, ROUND(CAST(len(string_split(text, ' ')) AS DOUBLE) / n_chars, 6) AS tokens_per_char, CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe_tokens FROM documents ORDER BY doc_id",
     "q_quality_score" ->
       "SELECT doc_id, CAST(nt AS INTEGER) AS n_tokens, ROUND(nd / ntd, 6) AS distinct_ratio, ROUND(ns / ntd, 6) AS stop_ratio, ROUND((nd / ntd) * 0.5 + (1.0 - ns / ntd) * 0.5, 6) AS quality FROM (SELECT doc_id, len(toks) AS nt, CAST(len(toks) AS DOUBLE) AS ntd, CAST(len(list_distinct(toks)) AS DOUBLE) AS nd, CAST(len(list_filter(toks, t -> list_contains(['the','a','of','data','table','row'], t))) AS DOUBLE) AS ns FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)) ORDER BY doc_id",
     "q_fingerprint" ->

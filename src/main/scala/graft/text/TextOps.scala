@@ -46,15 +46,17 @@ object TextOps {
         countDistinct(col("source")).as("n_sources"))
       .orderBy("lang")
 
-  /** Whitespace token counting + tokens-per-char density (the cheap
-    * "BPE-ish" length signal used for quality filtering). */
+  /** Token counting: whitespace tokens, tokens-per-char density, and
+    * the standard chars/4 BPE-ish subword estimate used for LLM budget
+    * accounting. */
   def qTokenCount(spark: SparkSession, dir: String): DataFrame = {
     val n = size(tokens(col("text")))
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         n.as("n_tokens"),
-        round(n.cast("double") / col("n_chars"), 6).as("tokens_per_char"))
+        round(n.cast("double") / col("n_chars"), 6).as("tokens_per_char"),
+        ceil(col("n_chars").cast("double") / 4.0).as("est_bpe_tokens"))
       .orderBy("doc_id")
   }
 

@@ -57,6 +57,27 @@ class SourcesSpec extends SparkSpec {
     assert(sizes.forall(s => math.abs(s - mean) < mean * 0.3), sizes.toSeq.toString)
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+    o.write.mode("overwrite").bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_bkt")
+    c.write.mode("overwrite").bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("customer_bkt")
+    val joined = spark.table("orders_bkt")
+      .join(spark.table("customer_bkt"),
+        col("o_custkey") === col("c_custkey"))
+    // disable broadcast so the co-location actually decides the plan
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(500))
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n${plan.take(800)}")
+      assert(joined.count() == o.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("approx_count_distinct is within 5% of exact") {
     val ev = Tables.events(spark, sfDir)
     val approx = ev.agg(approx_count_distinct($"user_id").as("a")).head().getLong(0)
