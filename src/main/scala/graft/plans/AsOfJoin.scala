@@ -33,13 +33,16 @@ object AsOfJoin {
     * @return probe columns + build payload columns (null-free: unmatched
     *         probe rows are dropped, i.e. inner as-of semantics)
     */
+  /** @param tolerance optional maximum probe−build gap (e.g. "30 minutes");
+    *                   matches older than the tolerance are dropped */
   def backward(
       probe: DataFrame,
       build: DataFrame,
       probeKey: String,
       buildKey: String,
       probeTime: String,
-      buildTime: String): DataFrame = {
+      buildTime: String,
+      tolerance: Option[String] = None): DataFrame = {
     val payload = build.columns.filterNot(_ == buildKey).toSeq
     val probeCols = probe.columns.filterNot(c => c == probeKey).toSeq
 
@@ -59,8 +62,13 @@ object AsOfJoin {
         (col("__k").as(probeKey) +: col("__tag") +: probeCols.map(col)) ++
           payload.map(c => last(col(s"__b_$c"), ignoreNulls = true).over(w).as(c)): _*)
 
-    filled
+    val matched = filled
       .filter(col("__tag") === 1 && col(buildTime).isNotNull)
       .drop("__tag")
+    tolerance.fold(matched) { t =>
+      matched.filter(
+        col(probeTime).cast("timestamp") <=
+          col(buildTime).cast("timestamp") + expr(s"INTERVAL $t"))
+    }
   }
 }

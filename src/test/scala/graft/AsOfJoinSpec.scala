@@ -29,6 +29,18 @@ class AsOfJoinSpec extends SparkSpec {
     // event 4: no build rows for key 30 -> dropped (inner as-of)
   }
 
+  test("tolerance drops matches older than the window") {
+    val probe = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 18:00:00"))   // 7h after the last build row
+    ).toDF("event_id", "k", "t")
+    val build = Seq((10L, ts("2024-01-01 09:30:00"), 100L)).toDF("k", "bt", "payload")
+    val out = AsOfJoin.backward(probe, build, "k", "k", "t", "bt",
+      tolerance = Some("1 HOUR"))
+      .select("event_id").as[Long].collect().toSet
+    assert(out == Set(1L)) // event 2's only match is 7h stale -> dropped
+  }
+
   test("as-of is deterministic when build is unique per (key, time)") {
     val probe = Seq((1L, 1L, ts("2024-01-01 10:00:00"))).toDF("event_id", "k", "t")
     val build = Seq(

@@ -106,6 +106,24 @@ class StreamOpsSpec extends SparkSpec {
     assert(u1.getAs[Double]("v") == 6.0)
   }
 
+  test("streaming parquet file sink with checkpoint recovers counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ssink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.tumbling(mem.toDF(), watermark = Some("10 minutes"))
+      .writeStream.outputMode(OutputMode.Append).format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(fixture: _*)
+    q.processAllAvailable()
+    mem.addData(flush)
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(outDir).filter(col("event_type") =!= "flush")
+    assert(back.agg(sum("n")).head().getLong(0) == fixture.length)
+  }
+
   test("batch windowTumbling on real events matches StreamOps.tumbling") {
     val viaRel = graft.rel.RelQueries.windowTumbling(spark, sfDir)
       .select(col("hour"), col("event_type"), col("n"))
