@@ -1,0 +1,43 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed keys (SURVEY.md §7.2 scale notes).
+  *
+  * When one join key dominates (a hot user, a null-ish default), hash
+  * partitioning sends its entire volume to one task. Salting splits the
+  * skewed side's rows across `buckets` sub-keys and replicates the
+  * other side once per bucket, so the hot key fans out over `buckets`
+  * tasks. AQE's skew-join handles sort-merge skew automatically at
+  * runtime; explicit salting remains the tool for aggregations and for
+  * joins where the build side must stay hash-partitioned.
+  *
+  * Cost model: replicates `small` ×buckets — use only when
+  * |small| × buckets ≪ |big|, which is exactly the skew scenario.
+  */
+object SkewJoin {
+
+  /** Inner equi-join of a skewed `big` side with a `small` side on
+    * bigKey == smallKey, salted over `buckets`. */
+  def saltedJoin(big: DataFrame, small: DataFrame,
+                 bigKey: String, smallKey: String, buckets: Int): DataFrame = {
+    val salted = big.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val replicated = small
+      .withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
+      .withColumn("__salt", col("__salt").cast("long"))
+    salted.join(replicated,
+        salted(bigKey) === replicated(smallKey) && salted("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
+
+  /** Skew-safe aggregation: count/sum over a hot key in two phases —
+    * partial aggregate on (key, salt), then final aggregate on key.
+    * The first shuffle spreads the hot key across `buckets` reducers. */
+  def saltedCount(df: DataFrame, key: String, buckets: Int): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as("n"))
+}
