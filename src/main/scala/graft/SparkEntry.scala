@@ -67,6 +67,9 @@ object SparkEntry {
     "q_json_funcs" -> (RelQueries.jsonFuncs _),
     "q_array_funcs" -> (RelQueries.arrayFuncs _),
     "q_subquery_scalar" -> (RelQueries.subqueryScalar _),
+    "q_pivot" -> (RelQueries.pivotQ _),
+    "q_unpivot" -> (RelQueries.unpivotQ _),
+    "q_percentile" -> (RelQueries.percentileQ _),
     "q_window_tumbling" -> (RelQueries.windowTumbling _),
     "q_window_sliding" -> (RelQueries.windowSliding _),
     "q_window_session" -> (RelQueries.windowSession _),
@@ -162,6 +165,12 @@ object SparkEntry {
       "SELECT vec_id, CAST(len(embedding) AS INTEGER) AS n, list_transform(embedding[1:4], x -> ROUND(CAST(x AS DOUBLE), 6)) AS first4, ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS mx, ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS mn, ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 6) AS sm, list_sort(list_transform(embedding[1:4], x -> ROUND(CAST(x AS DOUBLE), 6))) AS sorted4 FROM embeddings ORDER BY vec_id",
     "q_subquery_scalar" ->
       "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total, COUNT(*) AS n FROM lineitem l WHERE l_quantity < (SELECT AVG(l_quantity) * 0.5 FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)",
+    "q_pivot" ->
+      "SELECT l_returnflag, CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F, CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q_unpivot" ->
+      "SELECT l_orderkey, l_linenumber, metric, value FROM (SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount' AS metric, l_discount AS value FROM lineitem) ORDER BY l_orderkey, l_linenumber, metric, value",
+    "q_percentile" ->
+      "SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.9) AS p90, quantile_cont(l_quantity, 0.99) AS p99 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q_window_tumbling" ->
       "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type",
     "q_window_sliding" ->

@@ -369,6 +369,39 @@ object RelQueries {
         count(lit(1)).as("n"))
   }
 
+  /** Pivot: wide-format aggregation (groupBy().pivot() plans a single
+    * aggregate with one conditional sum per pivot value — no join). */
+  def pivotQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(dec(col("l_quantity"))).cast("double"))
+      .orderBy("l_returnflag")
+
+  /** Unpivot/melt: wide → long via Dataset.unpivot (Expand, no union of
+    * scans — one pass regardless of how many measures melt). */
+  def unpivotQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount")),
+        "metric", "value")
+      .orderBy("l_orderkey", "l_linenumber", "metric", "value")
+
+  /** Exact interpolated percentiles (both engines define quantiles as
+    * linear interpolation at (n-1)p — Spark `percentile` ≡ DuckDB
+    * `quantile_cont`). Integral quantities make results exact. */
+  def percentileQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"),
+        expr("percentile(l_quantity, 0.99)").as("p99"))
+      .orderBy("l_returnflag")
+
   /** HLL approximate distinct (no oracle — sketch-dependent; property
     * check in SourcesSpec: within 5% of exact). At 100 TB this is the
     * only sane distinct-count: fixed-size sketch, one pass, mergeable. */
