@@ -65,6 +65,8 @@ object SparkEntry {
     "q_date_funcs" -> (RelQueries.dateFuncs _),
     "q_math_funcs" -> (RelQueries.mathFuncs _),
     "q_json_funcs" -> (RelQueries.jsonFuncs _),
+    "q_regex_funcs" -> (RelQueries.regexFuncs _),
+    "q_conditional_funcs" -> (RelQueries.conditionalFuncs _),
     "q_array_funcs" -> (RelQueries.arrayFuncs _),
     "q_subquery_scalar" -> (RelQueries.subqueryScalar _),
     "q_pivot" -> (RelQueries.pivotQ _),
@@ -161,6 +163,10 @@ object SparkEntry {
       "SELECT l_orderkey, l_linenumber, CAST(floor(l_extendedprice) AS BIGINT) AS price_floor, CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil, abs(l_discount - 0.05) AS disc_dev, pow(l_quantity, 2.0) AS qty_sq, sqrt(l_extendedprice) AS price_sqrt, ROUND(ln(l_extendedprice), 6) AS price_ln, CASE WHEN l_discount < 0.03 THEN 'low' WHEN l_discount < 0.06 THEN 'mid' ELSE 'high' END AS disc_tier FROM lineitem ORDER BY l_orderkey, l_linenumber, price_floor, price_ceil, disc_dev, qty_sq, price_sqrt, price_ln, disc_tier",
     "q_json_funcs" ->
       "SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events WHERE CAST(json_extract(props, '$.k') AS INTEGER) > 50 ORDER BY event_id",
+    "q_regex_funcs" ->
+      "SELECT p_partkey, regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word, regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head, CAST(len(regexp_extract_all(p_name, '[aeiou]', 0)) AS INTEGER) AS n_vowels, regexp_matches(p_name, '^(red|blue)') AS is_primary_color FROM part ORDER BY p_partkey",
+    "q_conditional_funcs" ->
+      "SELECT o_orderkey, coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm, greatest(o_totalprice, 100000.0) AS price_floor100k, least(o_totalprice, 400000.0) AS price_cap400k, CASE WHEN o_totalprice IS NULL THEN -1.0 ELSE o_totalprice END AS price_nn FROM orders ORDER BY o_orderkey",
     "q_array_funcs" ->
       "SELECT vec_id, CAST(len(embedding) AS INTEGER) AS n, list_transform(embedding[1:4], x -> ROUND(CAST(x AS DOUBLE), 6)) AS first4, ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS mx, ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS mn, ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 6) AS sm, list_sort(list_transform(embedding[1:4], x -> ROUND(CAST(x AS DOUBLE), 6))) AS sorted4 FROM embeddings ORDER BY vec_id",
     "q_subquery_scalar" ->

@@ -323,6 +323,29 @@ object RelQueries {
       .orderBy("l_orderkey", "l_linenumber", "price_floor", "price_ceil",
         "disc_dev", "qty_sq", "price_sqrt", "price_ln", "disc_tier")
 
+  /** Regex family — patterns kept to the common Java/RE2 subset so both
+    * engines agree. */
+  def regexFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+) ([a-z]+)", 2).as("second_word"),
+        regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("type_head"),
+        size(regexp_extract_all(col("p_name"), lit("[aeiou]"), lit(0))).as("n_vowels"),
+        col("p_name").rlike("^(red|blue)").as("is_primary_color"))
+      .orderBy("p_partkey")
+
+  /** Conditional/null-handling family. */
+  def conditionalFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        coalesce(nullif(col("o_orderstatus"), lit("P")), lit("PENDING")).as("status_norm"),
+        greatest(col("o_totalprice"), lit(100000.0)).as("price_floor100k"),
+        least(col("o_totalprice"), lit(400000.0)).as("price_cap400k"),
+        when(col("o_totalprice").isNull, -1.0).otherwise(col("o_totalprice")).as("price_nn"))
+      .orderBy("o_orderkey")
+
   /** JSON extraction from the events.props payload column. */
   def jsonFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
