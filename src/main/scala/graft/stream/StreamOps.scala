@@ -47,6 +47,33 @@ object StreamOps {
       .select(col("user_id"), col("session_start"), col("n_events"))
   }
 
+  /** Stream-stream inner join on user_id within a ±30-minute event-time
+    * band. Both sides carry watermarks so the join state is bounded —
+    * without the time bound and watermarks a stream-stream join buffers
+    * both streams forever. */
+  def streamStreamJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val l = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+    val r = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    l.join(r,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"),
+        col("click_value"), col("purchase_value"))
+  }
+
+  /** Streaming exact dedup: drop rows whose key was already seen within
+    * the watermark horizon (state is GC'd past the watermark — the only
+    * way streaming dedup stays bounded). Keyed on a content digest, the
+    * streaming dual of TextOps.qDedupExact. */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                           watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
   final case class UserCounter(user_id: Long, n_events: Long, total_value: Double)
 

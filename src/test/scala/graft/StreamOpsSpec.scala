@@ -124,6 +124,44 @@ class StreamOpsSpec extends SparkSpec {
     assert(back.agg(sum("n")).head().getLong(0) == fixture.length)
   }
 
+  test("stream-stream join matches clicks to purchases in the band") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = StreamOps.streamStreamJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("t_ssj").trigger(Trigger.ProcessingTime(0)).start()
+    clicks.addData(
+      Ev(ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(ts("2024-01-01 10:00:00"), 2, "click", 2.0))
+    purchases.addData(
+      Ev(ts("2024-01-01 10:20:00"), 1, "purchase", 9.0),   // in band for user 1
+      Ev(ts("2024-01-01 11:30:00"), 2, "purchase", 8.0))   // 90min late: out of band
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_ssj").collect()
+    assert(rows.map(_.getAs[Long]("user_id")).toSet == Set(1L))
+    assert(rows.head.getAs[Double]("purchase_value") == 9.0)
+  }
+
+  test("streaming dedup within watermark drops repeated keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.dedupWithinWatermark(mem.toDF(), Seq("user_id", "event_type"))
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("t_dedup").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(
+      Ev(ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(ts("2024-01-01 10:01:00"), 1, "click", 2.0),  // dup key within watermark
+      Ev(ts("2024-01-01 10:02:00"), 2, "view", 3.0))
+    q.processAllAvailable()
+    mem.addData(Ev(ts("2024-01-01 10:03:00"), 1, "click", 4.0)) // still within horizon
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_dedup").collect()
+    assert(rows.length == 2) // one (1, click), one (2, view)
+  }
+
   test("batch windowTumbling on real events matches StreamOps.tumbling") {
     val viaRel = graft.rel.RelQueries.windowTumbling(spark, sfDir)
       .select(col("hour"), col("event_type"), col("n"))
