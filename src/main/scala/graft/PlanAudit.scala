@@ -26,10 +26,19 @@ object PlanAudit {
     println(f"${"query"}%-22s ${"exch"}%5s ${"bcast"}%5s ${"wscg"}%5s  flags")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-        val exch = "Exchange".r.findAllIn(plan).length
-        val bcast = "BroadcastHashJoin".r.findAllIn(plan).length
-        val wscg = "WholeStageCodegen".r.findAllIn(plan).length
+        val df = fn(spark, sfDir)
+        // collect() runs THIS queryExecution so AQE finalizes it
+        // (count()/foreach wrap a different plan and leave it initial)
+        df.collect()
+        val full = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        // AQE formatted explain appends the pre-adaptive Initial Plan;
+        // audit only the final executed tree
+        val plan = full.split("== Initial Plan ==").head
+        val exch = """\(\d+\) Exchange""".r.findAllIn(plan).length
+        val bcast = """\(\d+\) BroadcastHashJoin""".r.findAllIn(plan).length
+        val wscg = """codegen id : (\d+)""".r.findAllMatchIn(plan)
+          .map(_.group(1)).toSeq.distinct.length
         val cross = plan.contains("CartesianProduct") ||
           plan.contains("BroadcastNestedLoopJoin")
         val flag =
