@@ -162,7 +162,7 @@ object SparkEntry {
     "q_math_funcs" ->
       "SELECT l_orderkey, l_linenumber, CAST(floor(l_extendedprice) AS BIGINT) AS price_floor, CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil, abs(l_discount - 0.05) AS disc_dev, pow(l_quantity, 2.0) AS qty_sq, sqrt(l_extendedprice) AS price_sqrt, ROUND(ln(l_extendedprice), 6) AS price_ln, CASE WHEN l_discount < 0.03 THEN 'low' WHEN l_discount < 0.06 THEN 'mid' ELSE 'high' END AS disc_tier FROM lineitem ORDER BY l_orderkey, l_linenumber, price_floor, price_ceil, disc_dev, qty_sq, price_sqrt, price_ln, disc_tier",
     "q_json_funcs" ->
-      "SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events WHERE CAST(json_extract(props, '$.k') AS INTEGER) > 50 ORDER BY event_id",
+      "SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k, CAST(json_extract(props, '$.k') AS INTEGER) AS k_parsed FROM events WHERE CAST(json_extract(props, '$.k') AS INTEGER) > 50 ORDER BY event_id",
     "q_regex_funcs" ->
       "SELECT p_partkey, regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word, regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head, CAST(len(regexp_extract_all(p_name, '[aeiou]', 0)) AS INTEGER) AS n_vowels, regexp_matches(p_name, '^(red|blue)') AS is_primary_color FROM part ORDER BY p_partkey",
     "q_conditional_funcs" ->

@@ -346,14 +346,20 @@ object RelQueries {
         when(col("o_totalprice").isNull, -1.0).otherwise(col("o_totalprice")).as("price_nn"))
       .orderBy("o_orderkey")
 
-  /** JSON extraction from the events.props payload column. */
-  def jsonFuncs(spark: SparkSession, dir: String): DataFrame =
+  /** JSON family: path extraction (get_json_object) and full schema
+    * parse (from_json → struct) — the parsed struct stays columnar, so
+    * repeated field access costs one parse, not one per field. */
+  def jsonFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val parsed = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))))
     Tables.events(spark, dir)
       .select(
         col("event_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"))
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        parsed.getField("k").as("k_parsed"))
       .filter(col("k") > 50)
       .orderBy("event_id")
+  }
 
   /** Array/HOF family over float embeddings; folds are sequential in
     * array order (Spark `aggregate` HOF ≡ DuckDB `list_aggregate`),
