@@ -224,9 +224,24 @@ object RelQueries {
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
-  /** Top-k per group: window rank + filter — per-partition partial top-k,
-    * no global sort of the fact table. */
+  /** Top-k per group via the custom bounded-heap operator
+    * [[graft.plans.TopK]] (O(n log k), no per-group sort buffer — see
+    * TopKPerGroup.scala); the rank column is computed afterwards by a
+    * window over only the k×groups surviving rows. */
   def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    graft.plans.TopK.perGroup(
+        Tables.orders(spark, dir)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+      .withColumn("rn", row_number().over(w))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Reference window-rank formulation (kept as the semantic spec the
+    * custom operator is tested against in TopKPerGroupSpec). */
+  def topkPerGroupWindow(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.orders(spark, dir)

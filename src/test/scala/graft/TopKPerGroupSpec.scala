@@ -15,7 +15,7 @@ class TopKPerGroupSpec extends SparkSpec {
     val custom = TopK.perGroup(orders, Seq("o_custkey"),
         Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
       .select("o_custkey", "o_orderkey", "o_totalprice")
-    val viaWindow = RelQueries.topkPerGroup(spark, sfDir)
+    val viaWindow = RelQueries.topkPerGroupWindow(spark, sfDir)
       .select("o_custkey", "o_orderkey", "o_totalprice")
     assert(custom.count() == viaWindow.count())
     assert(custom.except(viaWindow).isEmpty && viaWindow.except(custom).isEmpty)
