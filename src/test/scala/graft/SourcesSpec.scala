@@ -78,6 +78,14 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("approx percentile tracks the exact interpolated percentile") {
+    val li = Tables.lineitem(spark, sfDir)
+    val approx = li.agg(percentile_approx($"l_quantity", lit(0.5), lit(1000)))
+      .head().getDouble(0)
+    val exact = li.agg(expr("percentile(l_quantity, 0.5)")).head().getDouble(0)
+    assert(math.abs(approx - exact) <= 1.0, s"approx $approx vs exact $exact")
+  }
+
   test("approx_count_distinct is within 5% of exact") {
     val ev = Tables.events(spark, sfDir)
     val approx = ev.agg(approx_count_distinct($"user_id").as("a")).head().getLong(0)
