@@ -24,6 +24,19 @@ object Sources {
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC — the other columnar format with predicate pushdown + pruning
+    * (same Catalyst integration as parquet). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** Line-oriented raw text (one `value` column) — the raw-corpus entry
+    * point for text pipelines before any parsing. */
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
   /** Hive-style partitioned parquet sink. At scale: choose partition
     * columns with bounded cardinality (date buckets, categories) —
     * high-cardinality partitioning creates a small-files storm. */

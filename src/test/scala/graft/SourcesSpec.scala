@@ -46,6 +46,28 @@ class SourcesSpec extends SparkSpec {
       Seq((1L, "a", 0.5), (2L, "b", 1.5)))
   }
 
+  test("orc round-trips with pushdown intact") {
+    val out = Files.createTempDirectory("graft_orc").toString
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    Sources.writeOrc(li, out)
+    val back = Sources.readOrc(spark, out)
+    assert(back.count() == li.count())
+    val plan = back.filter(col("l_quantity") > 30)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("l_quantity"), plan.take(500))
+  }
+
+  test("raw text source reads one line per row") {
+    val dir = Files.createTempDirectory("graft_txt").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "corpus.txt"),
+      Seq("line one", "line two", "line three").mkString("", "\n", "\n"))
+    val df = Sources.readText(spark, dir)
+    assert(df.columns.toSeq == Seq("value"))
+    assert(df.count() == 3)
+  }
+
   test("shuffle preserves the row multiset and balances partitions") {
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_linenumber", "l_quantity")
     val shuffled = Sources.shuffle(li, 8, seed = 13L)
