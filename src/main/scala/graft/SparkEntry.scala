@@ -168,7 +168,7 @@ object SparkEntry {
     "q_conditional_funcs" ->
       "SELECT o_orderkey, coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm, greatest(o_totalprice, 100000.0) AS price_floor100k, least(o_totalprice, 400000.0) AS price_cap400k, CASE WHEN o_totalprice IS NULL THEN -1.0 ELSE o_totalprice END AS price_nn FROM orders ORDER BY o_orderkey",
     "q_array_funcs" ->
-      "SELECT vec_id, CAST(len(embedding) AS INTEGER) AS n, list_transform(embedding[1:4], x -> ROUND(CAST(x AS DOUBLE), 6)) AS first4, ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS mx, ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS mn, ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 6) AS sm, list_sort(list_transform(embedding[1:4], x -> ROUND(CAST(x AS DOUBLE), 6))) AS sorted4 FROM embeddings ORDER BY vec_id",
+      "SELECT vec_id, CAST(len(embedding) AS INTEGER) AS n, fr[1] AS e1, fr[2] AS e2, fr[3] AS e3, fr[4] AS e4, ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS mx, ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS mn, ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 6) AS sm, so[1] AS s1, so[2] AS s2, so[3] AS s3, so[4] AS s4 FROM (SELECT vec_id, embedding, list_transform(embedding[1:4], x -> ROUND(CAST(x AS DOUBLE), 6)) AS fr, list_sort(list_transform(embedding[1:4], x -> ROUND(CAST(x AS DOUBLE), 6))) AS so FROM embeddings) ORDER BY vec_id",
     "q_subquery_scalar" ->
       "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total, COUNT(*) AS n FROM lineitem l WHERE l_quantity < (SELECT AVG(l_quantity) * 0.5 FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)",
     "q_pivot" ->
@@ -187,11 +187,11 @@ object SparkEntry {
     "q_minmax_scale" ->
       "SELECT l_orderkey, l_linenumber, ROUND((l_quantity - MIN(l_quantity) OVER ()) / (MAX(l_quantity) OVER () - MIN(l_quantity) OVER ()), 6) AS scaled FROM lineitem ORDER BY l_orderkey, l_linenumber, scaled",
     "q_onehot" ->
-      "SELECT vec_id, label, list_transform(range(0, 10), i -> CASE WHEN i = label THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS onehot FROM embeddings ORDER BY vec_id",
+      "SELECT vec_id, label, CAST(generate_subscripts(oh, 1) AS INTEGER) AS idx, UNNEST(oh) AS ind FROM (SELECT vec_id, label, list_transform(range(0, 10), i -> CASE WHEN i = label THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS oh FROM embeddings) ORDER BY vec_id, idx",
     "q_argmax" ->
       "SELECT vec_id, CAST(list_position(embedding, list_max(embedding)) - 1 AS BIGINT) AS pred FROM embeddings ORDER BY vec_id",
     "q_vector_assemble" ->
-      "SELECT l_orderkey, l_linenumber, [l_quantity, l_discount, l_tax] AS features FROM lineitem ORDER BY l_orderkey, l_linenumber, features",
+      "SELECT l_orderkey, l_linenumber, CAST(generate_subscripts(f, 1) AS INTEGER) AS idx, UNNEST(f) AS fval FROM (SELECT l_orderkey, l_linenumber, [l_quantity, l_discount, l_tax] AS f FROM lineitem) ORDER BY l_orderkey, l_linenumber, idx, fval",
     "q_linear_predict" ->
       s"SELECT vec_id, ROUND(${dotSql("embedding", wLit)} + ${VectorOps.demoBias}, 6) AS pred FROM embeddings ORDER BY vec_id",
     "q_accuracy" ->

@@ -30,7 +30,14 @@ object Tables {
     * TIMESTAMP_NTZ column — the same truncation DuckDB applies with
     * `CAST(ts AS TIMESTAMP)`, so oracle comparisons line up exactly. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Require the config at session-build time (GraftSession/Verify/Bench
+    // set it) instead of mutating the live session here: a conf.set inside
+    // a loader is a hidden global side effect, races with concurrent
+    // queries, and lands too late for already-resolved readers.
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet stores ns-precision timestamps: build the session with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true (graft.GraftSession does)")
     apply(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
   }

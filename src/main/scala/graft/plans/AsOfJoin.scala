@@ -46,25 +46,36 @@ object AsOfJoin {
     val payload = build.columns.filterNot(_ == buildKey).toSeq
     val probeCols = probe.columns.filterNot(c => c == probeKey).toSeq
 
+    // All payload columns travel as ONE struct filled by ONE
+    // last(ignoreNulls) — per-column fills could mix fields from
+    // different build rows when the latest match has a legitimately
+    // NULL field (round-1 advice). Probe rows contribute a NULL struct;
+    // build rows a non-null struct that preserves inner nulls.
+    val bStruct = org.apache.spark.sql.types.StructType(
+      payload.map(c => org.apache.spark.sql.types.StructField(
+        c, build.schema(c).dataType, nullable = true)))
+
     val pSide = probe.select(
       (col(probeKey).as("__k") +: col(probeTime).cast("timestamp").as("__t") +: lit(1).as("__tag") +:
-        probeCols.map(col)) ++
-        payload.map(c => lit(null).cast(build.schema(c).dataType).as(s"__b_$c")): _*)
+        probeCols.map(col)) :+
+        lit(null).cast(bStruct).as("__b"): _*)
     val bSide = build.select(
       (col(buildKey).as("__k") +: col(buildTime).cast("timestamp").as("__t") +: lit(0).as("__tag") +:
-        probeCols.map(c => lit(null).cast(probe.schema(c).dataType).as(c))) ++
-        payload.map(c => col(c).as(s"__b_$c")): _*)
+        probeCols.map(c => lit(null).cast(probe.schema(c).dataType).as(c))) :+
+        struct(payload.map(col): _*).as("__b"): _*)
 
     val w = Window.partitionBy("__k").orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = pSide.unionByName(bSide)
       .select(
-        (col("__k").as(probeKey) +: col("__tag") +: probeCols.map(col)) ++
-          payload.map(c => last(col(s"__b_$c"), ignoreNulls = true).over(w).as(c)): _*)
+        (col("__k").as(probeKey) +: col("__tag") +: probeCols.map(col)) :+
+          last(col("__b"), ignoreNulls = true).over(w).as("__b"): _*)
 
     val matched = filled
-      .filter(col("__tag") === 1 && col(buildTime).isNotNull)
-      .drop("__tag")
+      .filter(col("__tag") === 1 && col("__b").isNotNull)
+      .select(
+        (col(probeKey) +: probeCols.map(col)) ++
+          payload.map(c => col("__b").getField(c).as(c)): _*)
     tolerance.fold(matched) { t =>
       matched.filter(
         col(probeTime).cast("timestamp") <=

@@ -18,11 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Deterministic row-content salt: task retries recompute the same
+    * salt for the same row (spark_partition_id/monotonically_increasing_id
+    * change across retries — a correctness hazard under shuffle
+    * fetch-failure recovery). Fully-identical rows share a salt, which
+    * only matters if the hot key's rows are also byte-identical. */
+  private def contentSalt(df: DataFrame, buckets: Int) =
+    pmod(xxhash64(df.columns.map(col): _*), lit(buckets.toLong))
+
   /** Inner equi-join of a skewed `big` side with a `small` side on
     * bigKey == smallKey, salted over `buckets`. */
   def saltedJoin(big: DataFrame, small: DataFrame,
                  bigKey: String, smallKey: String, buckets: Int): DataFrame = {
-    val salted = big.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val salted = big.withColumn("__salt", contentSalt(big, buckets))
     val replicated = small
       .withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
       .withColumn("__salt", col("__salt").cast("long"))
@@ -35,7 +43,7 @@ object SkewJoin {
     * partial aggregate on (key, salt), then final aggregate on key.
     * The first shuffle spreads the hot key across `buckets` reducers. */
   def saltedCount(df: DataFrame, key: String, buckets: Int): DataFrame =
-    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    df.withColumn("__salt", contentSalt(df, buckets))
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(key))

@@ -46,6 +46,14 @@ case class TopKPerGroupExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(groupExprs) :: Nil
 
+  // Row-set is filtered, never re-keyed: the child's hash partitioning on
+  // the group keys still holds, so declare it and let a downstream
+  // window/agg over the same keys reuse the exchange instead of adding a
+  // second one (the default is UnknownPartitioning). No outputOrdering:
+  // the heap drain orders rows within a group, not across groups.
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val schema = child.output
     val gExprs = groupExprs

@@ -378,21 +378,31 @@ object RelQueries {
 
   /** Array/HOF family over float embeddings; folds are sequential in
     * array order (Spark `aggregate` HOF ≡ DuckDB `list_aggregate`),
-    * elements cast to DOUBLE before arithmetic (FIXTURES.md hazard 3). */
+    * elements cast to DOUBLE before arithmetic (FIXTURES.md hazard 3).
+    * Array intermediates (slice/transform/sort_array) are unpacked to
+    * scalar columns at the end: raw array outputs crash the driver's
+    * pandas sort (round-1 verdict). */
   def arrayFuncs(spark: SparkSession, dir: String): DataFrame = {
     val first4 = transform(
       slice(col("embedding"), 1, 4), x => round(x.cast("double"), 6))
+    val sorted4 = sort_array(first4)
     Tables.embeddings(spark, dir)
       .select(
         col("vec_id"),
         size(col("embedding")).as("n"),
-        first4.as("first4"),
+        element_at(first4, 1).as("e1"),
+        element_at(first4, 2).as("e2"),
+        element_at(first4, 3).as("e3"),
+        element_at(first4, 4).as("e4"),
         round(array_max(col("embedding")).cast("double"), 6).as("mx"),
         round(array_min(col("embedding")).cast("double"), 6).as("mn"),
         round(
           aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x.cast("double")),
           6).as("sm"),
-        sort_array(first4).as("sorted4"))
+        element_at(sorted4, 1).as("s1"),
+        element_at(sorted4, 2).as("s2"),
+        element_at(sorted4, 3).as("s3"),
+        element_at(sorted4, 4).as("s4"))
       .orderBy("vec_id")
   }
 

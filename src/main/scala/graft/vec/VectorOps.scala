@@ -125,22 +125,34 @@ object VectorOps {
       .orderBy("l_orderkey", "l_linenumber", "scaled")
   }
 
+  /** Driver-gated shape: exploded long form (vec_id, label, idx, ind) —
+    * raw array columns crash the driver's pandas sort (round-1 verdict),
+    * and the long form needs no cross-engine float-string formatting.
+    * The array-typed [[oneHot]] stays as the library function. */
   def qOneHot(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), oneHot(col("label"), 10).as("onehot"))
-      .orderBy("vec_id")
+      .select(col("vec_id"), col("label"),
+        posexplode(oneHot(col("label"), 10)).as(Seq("pos", "ind")))
+      .select(col("vec_id"), col("label"), (col("pos") + 1).as("idx"), col("ind"))
+      .orderBy("vec_id", "idx")
 
   def qArgMax(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), argMax(col("embedding")).as("pred"))
       .orderBy("vec_id")
 
+  /** Driver-gated shape: exploded long form (see [[qOneHot]] note).
+    * The array-typed [[assemble]] stays as the library function. */
   def qVectorAssemble(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        assemble(col("l_quantity"), col("l_discount"), col("l_tax")).as("features"))
-      .orderBy("l_orderkey", "l_linenumber", "features")
+        posexplode(assemble(col("l_quantity"), col("l_discount"), col("l_tax")))
+          .as(Seq("pos", "fval")))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("pos") + 1).as("idx"), col("fval"))
+      // non-unique lineitem key → include the value for a total order
+      .orderBy("l_orderkey", "l_linenumber", "idx", "fval")
 
   def qLinearPredict(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

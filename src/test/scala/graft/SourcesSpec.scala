@@ -108,6 +108,14 @@ class SourcesSpec extends SparkSpec {
     assert(math.abs(approx - exact) <= 1.0, s"approx $approx vs exact $exact")
   }
 
+  test("Tables.events fails fast when nanosAsLong is unset") {
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try {
+      val e = intercept[IllegalArgumentException] { Tables.events(spark, sfDir) }
+      assert(e.getMessage.contains("nanosAsLong"))
+    } finally spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
   test("approx_count_distinct is within 5% of exact") {
     val ev = Tables.events(spark, sfDir)
     val approx = ev.agg(approx_count_distinct($"user_id").as("a")).head().getLong(0)

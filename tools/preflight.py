@@ -39,6 +39,13 @@ def norm_cell(v):
 
 def norm_df(df: pd.DataFrame):
     df = df[sorted(df.columns)]
+    # Mirror the driver exactly: it re-sorts with pandas sort_values over
+    # ALL columns before hashing. This step CRASHES on raw array<> output
+    # columns ("unhashable type: numpy.ndarray") — that is intentional:
+    # round 1 shipped 3 red rows because the old preflight compared in
+    # emitted order and never hit the driver's sort.
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     rows = []
     for t in df.itertuples(index=False):
         rows.append(tuple(norm_cell(v) for v in t))
