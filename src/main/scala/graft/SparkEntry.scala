@@ -91,6 +91,8 @@ object SparkEntry {
     "q_quality_score" -> (TextOps.qQualityScore _),
     "q_fingerprint" -> (TextOps.qFingerprint _),
     "q_dedup_ngram" -> (TextOps.qDedupNgram _),
+    "q_dedup_cluster" -> (TextOps.qDedupCluster _),
+    "q_frame_sample" -> (graft.mm.Multimodal.qFrameSample _),
     "q_cosine_topk" -> (Similarity.qCosineTopK _),
     "q_dedup_embedding" -> (Similarity.qDedupEmbedding _),
     // non-SQL-expressible (hash-seeded / heuristic) — rows-only check by
@@ -109,6 +111,16 @@ object SparkEntry {
   /** The 64-element sequential dot-product fold both engines share. */
   private def dotSql(a: String, b: String): String =
     s"list_aggregate(list_transform(range(1,65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),'sum')"
+
+  /** Shared CTE prefix for the ngram-dedup oracles: distinct trigram
+    * shingle rows per document (s0), the df-capped subset (s1 — mirrors
+    * TextOps.shingleRows with shingleDfCap=100), and per-doc shingle
+    * counts (cnt). */
+  private val ngramShingleCte: String =
+    "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+      "s0 AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' ') AS s FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - 3, 0) + 1)) AS i FROM tok))), " +
+      "s1 AS (SELECT doc_id, s FROM s0 WHERE s IN (SELECT s FROM s0 GROUP BY s HAVING COUNT(*) <= 100)), " +
+      "cnt AS (SELECT doc_id, COUNT(*) AS n FROM s1 GROUP BY doc_id)"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -211,8 +223,14 @@ object SparkEntry {
       "SELECT doc_id, CAST(nt AS INTEGER) AS n_tokens, ROUND(nd / ntd, 6) AS distinct_ratio, ROUND(ns / ntd, 6) AS stop_ratio, ROUND((nd / ntd) * 0.5 + (1.0 - ns / ntd) * 0.5, 6) AS quality FROM (SELECT doc_id, len(toks) AS nt, CAST(len(toks) AS DOUBLE) AS ntd, CAST(len(list_distinct(toks)) AS DOUBLE) AS nd, CAST(len(list_filter(toks, t -> list_contains(['the','a','of','data','table','row'], t))) AS DOUBLE) AS ns FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)) ORDER BY doc_id",
     "q_fingerprint" ->
       "SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp FROM documents ORDER BY doc_id",
+    // relational shingle form with the df cap (HAVING df <= 100), the
+    // exact mirror of TextOps.shingleRows + ngramJaccardPairs
     "q_dedup_ngram" ->
-      "WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), s AS (SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(toks) - 3, 0) + 1), i -> array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' '))) AS sh FROM d), p AS (SELECT doc_id AS id_a, sh AS sh_a FROM s WHERE doc_id < 50), c AS (SELECT doc_id AS id_b, sh AS sh_b FROM s) SELECT id_a, id_b, jaccard FROM (SELECT id_a, id_b, ROUND(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) / len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jaccard FROM p JOIN c ON id_a < id_b) WHERE jaccard > 0.1 ORDER BY id_a, id_b",
+      s"$ngramShingleCte SELECT id_a, id_b, jaccard FROM (SELECT id_a, id_b, ROUND(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 6) AS jaccard FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni FROM s1 a JOIN s1 b ON a.s = b.s AND a.doc_id < b.doc_id AND a.doc_id < 50 GROUP BY 1, 2) i JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b) WHERE jaccard > 0.1 ORDER BY id_a, id_b",
+    "q_dedup_cluster" ->
+      s"WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), s0 AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' ') AS s FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - 3, 0) + 1)) AS i FROM tok))), s1 AS (SELECT doc_id, s FROM s0 WHERE s IN (SELECT s FROM s0 GROUP BY s HAVING COUNT(*) <= 100)), cnt AS (SELECT doc_id, COUNT(*) AS n FROM s1 GROUP BY doc_id), pairs AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, ROUND(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 6) AS jaccard FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni FROM s1 a JOIN s1 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) i JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b) WHERE jaccard > 0.5), edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), comp(id, lbl) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.id) SELECT id AS doc_id, MIN(lbl) AS cluster_id, (id = MIN(lbl)) AS keep FROM comp GROUP BY id ORDER BY doc_id",
+    "q_frame_sample" ->
+      "SELECT media_id, CAST(i AS INTEGER) AS frame_idx FROM (SELECT doc_id AS media_id, UNNEST(range(0, n_chars % 240 + 1)) AS i FROM documents) WHERE i % 10 = 0 ORDER BY media_id, frame_idx",
     "q_cosine_topk" ->
       s"WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8), c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8), s AS (SELECT qid, cid, ${dotSql("qe", "ce")} AS score FROM c CROSS JOIN q) SELECT qid, cid, ROUND(score, 6) AS score, rn FROM (SELECT qid, cid, score, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS INTEGER) AS rn FROM s) WHERE rn <= 3 ORDER BY qid, rn",
     "q_dedup_embedding" ->

@@ -106,4 +106,25 @@ object Multimodal {
         filter(
           sequence(lit(0), greatest(col("meta.n_frames") - 1, lit(0))),
           i => i % stride === 0).as("frame_indices"))
+
+  /** Driver-gated multimodal key: frame-stride sampling over a frames
+    * view synthesized deterministically from `documents` metadata
+    * (doc_id → media_id, n_frames = n_chars mod 240 + 1 — the testdata
+    * has no real media table). Exercises the full [[sampleFrames]] path
+    * plus the exploded long form the gate can hash; stays metadata-only
+    * Catalyst end to end, which is exactly the 100 TB claim: planning a
+    * frame sample NEVER reads media bytes. */
+  def qFrameSample(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val media = graft.Tables.documents(spark, dir).select(
+      col("doc_id").as("media_id"),
+      lit("video").as("kind"),
+      struct(
+        lit(null).cast(IntegerType).as("width"),
+        lit(null).cast(IntegerType).as("height"),
+        lit(null).cast(IntegerType).as("sample_rate"),
+        (pmod(col("n_chars"), lit(240)) + 1).cast(IntegerType).as("n_frames")).as("meta"))
+    sampleFrames(media, 10)
+      .select(col("media_id"), explode(col("frame_indices")).as("frame_idx"))
+      .orderBy("media_id", "frame_idx")
+  }
 }

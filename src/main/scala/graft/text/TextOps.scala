@@ -108,6 +108,31 @@ object TextOps {
       sequence(lit(0), greatest(size(toks) - w, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(w))))
 
+  /** Document-frequency cap for shingle joins. At 100 TB, boilerplate
+    * shared by millions of documents (headers, licenses, templates)
+    * turns a shingle equi-join quadratic on a single hot key; dropping
+    * shingles with df above the cap bounds every join key's fan-out at
+    * `maxDf²` while leaving discriminative (rare) shingles — the ones
+    * that actually signal duplication — untouched. 100 never fires on
+    * the testdata (max df there is 9), so oracled results are unchanged;
+    * the planted-hot-shingle skew test exercises the firing path. */
+  val shingleDfCap = 100L
+
+  /** Distinct w-shingle rows (doc_id, s) with the df cap applied. The
+    * hot set (df > maxDf) is tiny by construction, so the filter is a
+    * broadcast anti-join — no extra shuffle of the shingle stream. */
+  def shingleRows(docs: DataFrame, w: Int, maxDf: Long = shingleDfCap): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(shingles(tokens(col("text")), w))).as("s"))
+    if (maxDf <= 0) sh
+    else {
+      val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf)
+        .select(col("s"))
+      sh.join(broadcast(hot), Seq("s"), "left_anti")
+    }
+  }
+
   /** MinHash signature (array of minhashPerms longs) of a shingle set.
     * Base shingle hash = xxhash64 (codegen'd); permutation j is
     * (a_j*h + b_j) mod p over non-negative h. The permutation constants
@@ -147,12 +172,10 @@ object TextOps {
     * whole-stage codegen instead of an interpreted HOF fold, and the
     * shuffle carries one 32-long signature row per document. This is the
     * 100 TB shape: explode → partial agg, never a per-row lambda fold. */
-  def minhashSignatures(docs: DataFrame, w: Int): DataFrame = {
-    val hashed = docs.select(
-      col("doc_id"),
-      explode(array_distinct(
-        transform(shingles(tokens(col("text")), w), s => pmod(xxhash64(s), lit(prime)))))
-        .as("h"))
+  def minhashSignatures(docs: DataFrame, w: Int,
+                        maxDf: Long = shingleDfCap): DataFrame = {
+    val hashed = shingleRows(docs, w, maxDf)
+      .select(col("doc_id"), pmod(xxhash64(col("s")), lit(prime)).as("h"))
     val mins = (0 until minhashPerms).map(j =>
       min(pmod(lit(permA(j)) * col("h") + lit(permB(j)), lit(prime))).as(s"m$j"))
     hashed.groupBy(col("doc_id"))
@@ -221,9 +244,63 @@ object TextOps {
           when(col(s"b$bit") > 0, "1").otherwise("0")): _*).as("sh"))
   }
 
+  /** 32-bit SimHash fingerprints as a long column (doc_id, fp) — the
+    * input shape for Hamming-band candidate joins. Same explode +
+    * codegen-aggregate pipeline as [[simhashFingerprints]]. */
+  def simhashFingerprintsLong(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"),
+      explode(transform(tokens(lower(col("text"))), t => xxhash64(t))).as("h"))
+    val bitSums = (0 until 32).map(bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        .as(s"b$bit"))
+    hashed.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(bit =>
+          when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
+          .reduce(_ + _).as("fp"))
+  }
+
+  /** Hamming-band near-dup pairs over precomputed fingerprints: the
+    * 32-bit fingerprint splits into `nBands` bands of 32/nBands bits;
+    * by pigeonhole, two fingerprints within Hamming distance < nBands
+    * MUST agree exactly on at least one band, so candidates come from
+    * nBands equi-joins on (band, bits) keys — never an all-pairs
+    * comparison — and are verified with an exact popcount
+    * (`bit_count(xor)`). Guaranteed recall for distance ≤ nBands − 1;
+    * pairs at distance in (nBands−1, maxHamming] are caught only if
+    * their flips cluster outside one band. */
+  def simhashBandPairs(fps: DataFrame, maxHamming: Int = 3,
+                       nBands: Int = 4): DataFrame = {
+    require(32 % nBands == 0, s"nBands must divide 32, got $nBands")
+    val width = 32 / nBands
+    val mask = (1L << width) - 1
+    val keyed = fps.select(col("doc_id"), col("fp"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("fp"), b * width).bitwiseAND(lit(mask)).as("bits"))): _*))
+        .as("k"))
+    keyed.select(col("k"), col("doc_id").as("id_a"), col("fp").as("fp_a"))
+      .join(keyed.select(col("k"), col("doc_id").as("id_b"), col("fp").as("fp_b")), Seq("k"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("fp_a"), col("fp_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Hamming-band SimHash near-dup pairs for a document corpus. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   nBands: Int = 4): DataFrame =
+    simhashBandPairs(simhashFingerprintsLong(docs), maxHamming, nBands)
+
   /** SimHash near-dup: exact-match on the 32-bit fingerprint (documents
     * differing in a few low-weight tokens collide). Grouping key is the
-    * fingerprint → uniform shuffle. */
+    * fingerprint → uniform shuffle. For Hamming-distance near-dups (a
+    * few flipped bits) use [[simhashPairs]], whose banded join catches
+    * distance ≤ nBands−1 with guaranteed recall. */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
     simhashFingerprints(Tables.documents(spark, dir))
       .groupBy(col("sh"))
@@ -241,12 +318,17 @@ object TextOps {
     * by the > 0.1 filter anyway, so the result set is identical to the
     * nested-loop form the DuckDB oracle uses). At scale the join is a
     * hash shuffle on shingle strings — skew-free for natural text. */
-  def qDedupNgram(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(array_distinct(shingles(tokens(col("text")), 3))).as("s"))
+  /** Shared pair engine for [[qDedupNgram]] and [[qDedupCluster]]'s edge
+    * set: df-capped shingle rows → equi-join → per-pair intersection
+    * count → jaccard. `probeFilter` bounds the probe side (None = full
+    * corpus self-join, still shingle-keyed, never a cross product). */
+  def ngramJaccardPairs(docs: DataFrame, w: Int, minJaccard: Double,
+                        probeFilter: Option[Column],
+                        maxDf: Long = shingleDfCap): DataFrame = {
+    val sh = shingleRows(docs, w, maxDf)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.filter(col("doc_id") < 50).select(col("doc_id").as("id_a"), col("s"))
+    val probe = probeFilter.fold(sh)(sh.filter)
+    val inter = probe.select(col("doc_id").as("id_a"), col("s"))
       .join(sh.select(col("doc_id").as("id_b"), col("s")), Seq("s"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
@@ -256,8 +338,31 @@ object TextOps {
       .select(col("id_a"), col("id_b"),
         round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 6)
           .as("jaccard"))
-      .filter(col("jaccard") > 0.1)
+      .filter(col("jaccard") > minJaccard)
+  }
+
+  def qDedupNgram(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(Tables.documents(spark, dir), 3, 0.1,
+      Some(col("doc_id") < 50))
       .orderBy("id_a", "id_b")
+
+  /** Duplicate-cluster assignment — the step after candidate pairs that
+    * an actual training-data pipeline needs: connected components over
+    * the near-dup graph, one row per document with its cluster's min id
+    * and a keep flag (keep exactly the min-id survivor per cluster).
+    * Edges here are the deterministic full-corpus ngram graph at
+    * jaccard > 0.5, so the key is DuckDB-oracle-able (recursive CTE);
+    * the same [[graft.graph.ConnectedComponents.run]] consumes MinHash/
+    * SimHash pair output unchanged. */
+  def qDedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val edges = ngramJaccardPairs(docs, 3, 0.5, None)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val nodes = docs.select(col("doc_id").as("id"))
+    graft.graph.ConnectedComponents.run(edges, nodes)
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+        (col("id") === col("lbl")).as("keep"))
+      .orderBy("doc_id")
   }
 
   // ----------------------------------------------------------- language ID

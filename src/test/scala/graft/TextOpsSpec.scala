@@ -104,4 +104,75 @@ class TextOpsSpec extends SparkSpec {
       .head().getSeq[String](0)
     assert(out == Seq("a b c", "b c d"))
   }
+
+  test("df cap drops a planted hot shingle and bounds the pair join") {
+    // 40 otherwise-distinct docs all share one boilerplate trigram;
+    // without the cap the shingle join fans out 40×40 on that key
+    val boiler = "common legal footer"
+    val docs = (1 to 40).map(i => (i.toLong, s"${sentence(i * 7, 30)} $boiler"))
+      .toDF("doc_id", "text")
+    val capped = TextOps.shingleRows(docs, 3, maxDf = 10)
+    assert(capped.filter($"s" === boiler).count() == 0, "hot shingle not dropped")
+    // discriminative shingles survive
+    assert(capped.count() > 0)
+    // with the hot key gone, the full-corpus pair join yields no
+    // near-dup pairs among distinct docs (bounded fan-out, no 40² blowup)
+    val pairs = TextOps.ngramJaccardPairs(docs, 3, 0.5, None, maxDf = 10)
+    assert(pairs.count() == 0)
+    // uncapped control: the hot shingle is present
+    assert(TextOps.shingleRows(docs, 3, maxDf = 0).filter($"s" === boiler).count() == 40)
+  }
+
+  test("connected components assign min-id cluster labels, singletons kept") {
+    // components: {1,2,3} (path), {4,5}, singleton {6}
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val got = graft.graph.ConnectedComponents.run(edges, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("qDedupCluster collapses planted dup chain to one survivor") {
+    // 1≈2≈3 near-dup cluster via transitive edges; 4,5 distinct
+    val docs = dupDocs
+    val edges = TextOps.ngramJaccardPairs(docs, 3, 0.5, None)
+      .select($"id_a".as("src"), $"id_b".as("dst"))
+    val labels = graft.graph.ConnectedComponents.run(
+      edges, docs.select($"doc_id".as("id")))
+      .as[(Long, Long)].collect().toMap
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L)
+    assert(labels(4L) == 4L && labels(5L) == 5L)
+  }
+
+  test("simhash banding catches a planted 1-bit flip, rejects far pairs") {
+    val base = 0x0F0F0F0FL
+    val fps = Seq(
+      (1L, base),
+      (2L, base ^ 1L),          // Hamming distance 1
+      (3L, base ^ 0x7L),        // Hamming distance 3 (one band)
+      (4L, 0x70F0A05AL)         // far
+    ).toDF("doc_id", "fp")
+    val got = TextOps.simhashBandPairs(fps, maxHamming = 3, nBands = 4)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got.contains((1L, 2L, 1)), s"1-bit flip missed: $got")
+    assert(got.contains((1L, 3L, 3)), s"3-bit same-band flip missed: $got")
+    assert(got.contains((2L, 3L, 2)), s"got $got")
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L), s"false positive: $got")
+  }
+
+  test("simhash band pairs on real docs match brute-force popcount") {
+    val fps = TextOps.simhashFingerprintsLong(dupDocs)
+    val all = fps.as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, fa) <- all; (ib, fb) <- all if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    val banded = TextOps.simhashBandPairs(fps, maxHamming = 3, nBands = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    // guaranteed recall for hamming < nBands, and no false positives
+    assert(banded.subsetOf(brute.map(t => (t._1, t._2, t._3))), s"false positives: ${banded -- brute}")
+    assert(brute.forall { case (a, b, h) => h >= 4 || banded.contains((a, b, h)) },
+      s"missed guaranteed pairs: ${brute -- banded}")
+  }
 }
