@@ -41,6 +41,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Set(1L)) // event 2's only match is 7h stale -> dropped
   }
 
+  test("all payload fields come from the same build row, even with nulls") {
+    // Latest build row has a NULL in one payload column; per-column
+    // last(ignoreNulls) fills would mix it with the older row's value.
+    val probe = Seq((1L, 10L, ts("2024-01-01 12:00:00"))).toDF("event_id", "k", "t")
+    val build = Seq(
+      (10L, ts("2024-01-01 09:00:00"), Option(100L), Option("old")),
+      (10L, ts("2024-01-01 11:00:00"), Option.empty[Long], Option("new"))
+    ).toDF("k", "bt", "v1", "v2")
+    val out = AsOfJoin.backward(probe, build, "k", "k", "t", "bt")
+      .select("v1", "v2").as[(Option[Long], String)].head()
+    assert(out == (None, "new"), s"payload mixed across build rows: $out")
+  }
+
   test("as-of is deterministic when build is unique per (key, time)") {
     val probe = Seq((1L, 1L, ts("2024-01-01 10:00:00"))).toDF("event_id", "k", "t")
     val build = Seq(
