@@ -35,9 +35,25 @@ object ConnectedComponents {
     val edges = edgesIn.select(col("src"), col("dst"))
       .union(edgesIn.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    // Only nodes that touch an edge need propagation; everything else is
+    // a singleton cluster and bypasses the loop entirely. In a dedup
+    // graph duplicates are a small fraction of the corpus, so the
+    // iterated set is orders of magnitude smaller than `nodes`.
+    val active = edges.select(col("src").as("id")).distinct().localCheckpoint()
+    var labels = active.select(col("id"), col("id").as("lbl")).localCheckpoint()
+
+    // Labels only ever decrease, so Σlbl strictly decreases until the
+    // fixpoint: a one-row aggregate probe per round (decimal — an id sum
+    // over billions of 64-bit ids overflows a long), no diff join.
+    def lblSum(df: DataFrame): java.math.BigDecimal = df
+      .agg(coalesce(sum(col("lbl").cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO)))
+      .head().getDecimal(0)
+
+    var prevSum = lblSum(labels)
     var iter = 0
-    var done = false
+    // Σ=0 ⟺ no edges, or only node 0 with self-loops — either way the
+    // initial labels are already the fixpoint and the loop can be skipped
+    var done = prevSum.signum() == 0
     while (!done && iter < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("src"), col("lbl")), Seq("src"))
@@ -49,16 +65,15 @@ object ConnectedComponents {
         .select(col("id"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
-      // labels only ever decrease, so "any row changed?" is the fixpoint
-      // probe; limit(1) keeps the action O(1) rows on the driver
-      val changed = next
-        .join(labels.select(col("id"), col("lbl").as("prev")), Seq("id"))
-        .filter(col("lbl") < col("prev"))
-        .limit(1).count()
+      val newSum = lblSum(next)
       labels = next
-      done = changed == 0L
+      done = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       iter += 1
     }
-    labels
+    val singletons = nodes
+      .join(active, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("lbl"))
+    labels.union(singletons)
   }
 }

@@ -275,11 +275,13 @@ object TextOps {
     require(32 % nBands == 0, s"nBands must divide 32, got $nBands")
     val width = 32 / nBands
     val mask = (1L << width) - 1
+    // materialized once: both self-join sides reuse the banded keys
     val keyed = fps.select(col("doc_id"), col("fp"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("fp"), b * width).bitwiseAND(lit(mask)).as("bits"))): _*))
         .as("k"))
+      .localCheckpoint()
     keyed.select(col("k"), col("doc_id").as("id_a"), col("fp").as("fp_a"))
       .join(keyed.select(col("k"), col("doc_id").as("id_b"), col("fp").as("fp_b")), Seq("k"))
       .filter(col("id_a") < col("id_b"))
@@ -325,7 +327,13 @@ object TextOps {
   def ngramJaccardPairs(docs: DataFrame, w: Int, minJaccard: Double,
                         probeFilter: Option[Column],
                         maxDf: Long = shingleDfCap): DataFrame = {
-    val sh = shingleRows(docs, w, maxDf)
+    // Full-corpus self-joins (probeFilter=None, the cluster-edge case)
+    // consume the shingle stream three ways — materialize it once
+    // (DISK_ONLY persist at cluster scale). Probe-filtered runs stay
+    // lazy so the probe's doc_id predicate pushes down to the scan,
+    // which measures faster than materializing at every tested scale.
+    val shBase = shingleRows(docs, w, maxDf)
+    val sh = if (probeFilter.isEmpty) shBase.localCheckpoint() else shBase
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val probe = probeFilter.fold(sh)(sh.filter)
     val inter = probe.select(col("doc_id").as("id_a"), col("s"))
