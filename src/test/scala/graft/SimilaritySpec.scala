@@ -55,6 +55,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall $recall too low")
   }
 
+  test("IVF returns full top-k even when candidates < 2x centroids") {
+    // regression: the old stride-sampled seeding produced ZERO seeds
+    // (and silently zero results) whenever the corpus was smaller than
+    // ~2x nCentroids
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val cands = emb.filter($"vec_id" >= 4 && $"vec_id" < 24)  // 20 cands, 16 centroids
+      .select($"vec_id".as("cid"), $"embedding".as("ce"))
+    val ivf = Similarity.ivfTopK(queries, cands, 3, nCentroids = 16, nProbe = 16)
+    assert(ivf.count() == 4 * 3, "IVF dropped results on a small corpus")
+  }
+
   test("VectorAverage aggregator averages element-wise, distributed") {
     val df = Seq(
       (0, Seq(1.0, 2.0, 3.0)), (0, Seq(3.0, 4.0, 5.0)),
