@@ -28,7 +28,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"noop-format write per query (includes final ORDER BY cost; round-1 timed count(), which dropped it via EliminateSorts - totals not directly comparable)","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

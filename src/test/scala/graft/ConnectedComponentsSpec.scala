@@ -1,0 +1,46 @@
+package graft
+
+import graft.graph.ConnectedComponents
+
+/** Distributed min-label propagation vs a driver-side union-find oracle
+  * on seeded random graphs (chains, triangles, isolated nodes all arise
+  * naturally at this density). */
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def unionFindMinLabels(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      // attach the larger root under the smaller: roots stay component mins
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  test("random graphs match driver-side union-find") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 30
+      val edges = (1 to 25)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val expected = unionFindMinLabels(n, edges)
+      val got = ConnectedComponents.run(
+        edges.toDF("src", "dst"),
+        (0 until n).map(_.toLong).toDF("id"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial: ${got.toSeq.diff(expected.toSeq)}")
+    }
+  }
+
+  test("empty edge set yields all singletons") {
+    val got = ConnectedComponents.run(
+      Seq.empty[(Long, Long)].toDF("src", "dst"),
+      Seq(1L, 2L, 3L).toDF("id"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+}
