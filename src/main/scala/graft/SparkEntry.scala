@@ -83,6 +83,8 @@ object SparkEntry {
     "q_linear_predict" -> (VectorOps.qLinearPredict _),
     "q_accuracy" -> (VectorOps.qAccuracy _),
     "q_vec_avg_by_label" -> (VectorOps.qVecAvgByLabel _),
+    "q_reshape" -> (VectorOps.qReshape _),
+    "q_dense_vec" -> (VectorOps.qDenseVec _),
     // §2.C LLM-pipeline operators
     "q_dedup_exact" -> (TextOps.qDedupExact _),
     "q_text_tokens" -> (TextOps.qTextTokens _),
@@ -210,6 +212,10 @@ object SparkEntry {
       "SELECT ROUND(AVG(CASE WHEN (list_position(embedding, list_max(embedding)) - 1) % 10 = label THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6) AS acc FROM embeddings",
     "q_vec_avg_by_label" ->
       "SELECT label, idx, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS avg_v FROM (SELECT label, CAST(generate_subscripts(embedding, 1) AS INTEGER) AS idx, UNNEST(embedding) AS v FROM embeddings) GROUP BY label, idx ORDER BY label, idx",
+    "q_reshape" ->
+      "SELECT vec_id, CAST((i - 1) // 8 AS INTEGER) AS r, CAST((i - 1) % 8 AS INTEGER) AS c, ROUND(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE), 6) AS v FROM (SELECT vec_id, embedding, UNNEST(range(1, 65)) AS i FROM embeddings) ORDER BY vec_id, r, c",
+    "q_dense_vec" ->
+      "WITH sp AS (SELECT vec_id, list_transform(list_filter(list_zip(range(0, 64), embedding), p -> p[2] > 0.15), p -> p[1]) AS idx, list_transform(list_filter(list_zip(range(0, 64), embedding), p -> p[2] > 0.15), p -> ROUND(CAST(p[2] AS DOUBLE), 6)) AS vals FROM embeddings) SELECT vec_id, CAST(generate_subscripts(dense, 1) - 1 AS INTEGER) AS pos, UNNEST(dense) AS v FROM (SELECT vec_id, list_transform(range(0, 64), i -> coalesce(vals[CAST(list_position(idx, i) AS INTEGER)], 0.0)) AS dense FROM sp) ORDER BY vec_id, pos",
     // §2.C
     "q_dedup_exact" ->
       "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups, md5(text) AS h FROM documents GROUP BY md5(text) ORDER BY keep_id",

@@ -170,6 +170,35 @@ object VectorOps {
         avg(when(argMax(col("embedding")) % 10 === col("label").cast("long"), 1.0)
           .otherwise(0.0)), 6).as("acc"))
 
+  /** q_reshape — ReshapeTransformer made driver-checkable: 8×8 row-major
+    * reshape of the 64-dim embedding via [[reshape2d]], exploded to
+    * (vec_id, r, c, v) long form. */
+  def qReshape(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(reshape2d(col("embedding"), 8, 8)).as(Seq("r", "rowv")))
+      .select(col("vec_id"), col("r"), posexplode(col("rowv")).as(Seq("c", "v")))
+      .select(col("vec_id"), col("r"), col("c"),
+        round(col("v").cast("double"), 6).as("v"))
+      .orderBy("vec_id", "r", "c")
+
+  /** q_dense_vec — DenseTransformer made driver-checkable: extract a
+    * sparse (indices, values) view of the embedding (elements > 0.15,
+    * positions 0-based), scatter back to dense via [[sparseToDense]],
+    * and emit the exploded long form. Round-trips the sparse↔dense
+    * contract end to end inside one Catalyst plan. */
+  def qDenseVec(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = filter(
+      zip_with(sequence(lit(0), lit(63)), col("embedding"),
+        (i, x) => struct(i.as("i"), x.as("x"))),
+      p => p.getField("x") > lit(0.15))
+    val idx = transform(pairs, _.getField("i"))
+    val vals = transform(pairs, p => round(p.getField("x").cast("double"), 6))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        posexplode(sparseToDense(idx, vals, lit(64))).as(Seq("pos", "v")))
+      .orderBy("vec_id", "pos")
+  }
+
   /** q_vec_avg_by_label — the element-wise weight-average merge at the
     * heart of the reference's data-parallel trainers
     * (`distkeras/trainers.py ~L150-260 [H]`), in long form:
