@@ -53,10 +53,17 @@ object VectorOps {
 
   /** Dense representation of a sparse (indices, values, size) struct —
     * DenseTransformer (`transformers.py ~L90-115 [H]`): scatter values
-    * into a zero vector. */
+    * into a zero vector. array_position probe, not a map build: a
+    * map_from_arrays inside the lambda would be reconstructed per dense
+    * element (Catalyst evaluates lambda bodies per element and does not
+    * hoist the allocation), turning O(sz + nnz) into O(sz × nnz)
+    * allocations; the linear probe stays inside codegen with zero
+    * allocation and nnz ≪ sz comparisons per element. */
   def sparseToDense(indices: Column, values: Column, sz: Column): Column =
-    transform(sequence(lit(0), sz - 1), i =>
-      coalesce(element_at(map_from_arrays(indices, values), i.cast("int")), lit(0.0)))
+    transform(sequence(lit(0), sz - 1), i => {
+      val pos = array_position(indices, i)
+      when(pos > 0, element_at(values, pos.cast("int"))).otherwise(lit(0.0))
+    })
 
   /** Sequential dot product of a vector column against literal weights —
     * the oracle-able linear special case of ModelPredictor
