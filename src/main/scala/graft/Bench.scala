@@ -19,16 +19,22 @@ object Bench {
     // time a noop-format write, not count(): EliminateSorts drops a final
     // ORDER BY under count(), so count() would systematically exclude the
     // sort cost that Verify's parquet dump pays
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // a failing query must be VISIBLE in the bench JSON (an "errors"
+    // entry), never a silently-absorbed near-0s "success"
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case t: Throwable =>
+          Some(t.toString.replaceAll("""[\\"\n\r\t]""", " ").take(160)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"noop-format write per query (includes final ORDER BY cost; round-1 timed count(), which dropped it via EliminateSorts - totals not directly comparable)","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"noop-format write per query (includes final ORDER BY cost; round-1 timed count(), which dropped it via EliminateSorts - totals not directly comparable)","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,14 +1,48 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.{SortExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 
 /** Dev tool: physical-plan audit over every registered query — the
   * "would this survive 100×" review (SURVEY.md §4.2) as a runnable
-  * check instead of a one-off. Prints per query: number of exchanges
-  * (shuffles), broadcast joins, whole-stage-codegen spans, and flags
+  * check instead of a one-off. Prints per query: number of shuffle
+  * exchanges, broadcast exchanges, whole-stage-codegen spans, and flags
   * cartesian/broadcast-nested-loop joins (expected only where a query
-  * is intentionally a bounded cross product). */
+  * is intentionally a bounded cross product). The counters walk the
+  * final adaptive physical tree (descending into query stages) — string
+  * parsing of the formatted explain undercounts under AQE. */
 object PlanAudit {
+
+  /** Runs the DataFrame (so AQE finalizes) and returns the executed
+    * physical plan — the final adaptive tree, not the initial one. */
+  def executedPlan(df: DataFrame): SparkPlan = {
+    // collect() runs THIS queryExecution so AQE finalizes it
+    // (count()/foreach wrap a different plan and leave it initial)
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  /** Flattened node list of the executed tree, descending into AQE
+    * query stages. Reused exchanges are leaves (the work happens once
+    * at the original exchange — following them would double-count). */
+  def nodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+    case qs: QueryStageExec => nodes(qs.plan)
+    case _ => p.children.flatMap(nodes)
+  })
+
+  def shuffles(p: SparkPlan): Int = nodes(p).count(_.isInstanceOf[ShuffleExchangeLike])
+  def broadcasts(p: SparkPlan): Int = nodes(p).count(_.isInstanceOf[BroadcastExchangeLike])
+  def sorts(p: SparkPlan): Int = nodes(p).count(_.isInstanceOf[SortExec])
+  def codegenSpans(p: SparkPlan): Int = nodes(p).count(_.isInstanceOf[WholeStageCodegenExec])
+  def hasCross(p: SparkPlan): Boolean = nodes(p).exists(n =>
+    n.isInstanceOf[CartesianProductExec] || n.isInstanceOf[BroadcastNestedLoopJoinExec])
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -20,34 +54,24 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // bounded-by-design cross products (small broadcast side)
-    val expectedCross = Set("q_cosine_topk", "q_dedup_embedding", "q_minmax_scale")
+    // bounded-by-design cross products (small broadcast side); ivf's are
+    // the K-centroid assignment/probe broadcasts — the IVF contract
+    val expectedCross = Set("q_cosine_topk", "q_dedup_embedding",
+      "q_minmax_scale", "q_ivf_topk")
 
-    println(f"${"query"}%-22s ${"exch"}%5s ${"bcast"}%5s ${"wscg"}%5s  flags")
+    println(f"${"query"}%-24s ${"exch"}%5s ${"bcast"}%5s ${"sort"}%5s ${"wscg"}%5s  flags")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val df = fn(spark, sfDir)
-        // collect() runs THIS queryExecution so AQE finalizes it
-        // (count()/foreach wrap a different plan and leave it initial)
-        df.collect()
-        val full = df.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
-        // AQE formatted explain appends the pre-adaptive Initial Plan;
-        // audit only the final executed tree
-        val plan = full.split("== Initial Plan ==").head
-        val exch = """\(\d+\) Exchange""".r.findAllIn(plan).length
-        val bcast = """\(\d+\) BroadcastHashJoin""".r.findAllIn(plan).length
-        val wscg = """codegen id : (\d+)""".r.findAllMatchIn(plan)
-          .map(_.group(1)).toSeq.distinct.length
-        val cross = plan.contains("CartesianProduct") ||
-          plan.contains("BroadcastNestedLoopJoin")
+        val plan = executedPlan(fn(spark, sfDir))
+        val cross = hasCross(plan)
         val flag =
           if (cross && !expectedCross.contains(name)) "UNEXPECTED-CROSS"
           else if (cross) "cross(by-design)"
           else ""
-        println(f"$name%-22s $exch%5d $bcast%5d $wscg%5d  $flag")
+        println(f"$name%-24s ${shuffles(plan)}%5d ${broadcasts(plan)}%5d " +
+          f"${sorts(plan)}%5d ${codegenSpans(plan)}%5d  $flag")
       } catch {
-        case e: Throwable => println(f"$name%-22s ERROR ${e.getMessage.take(60)}")
+        case e: Throwable => println(f"$name%-24s ERROR ${e.getMessage.take(60)}")
       }
     }
     spark.stop()

@@ -101,8 +101,12 @@ object SparkEntry {
     // the driver; full behavior covered in ScalaTest (SURVEY.md §5)
     "q_dedup_minhash" -> (TextOps.qDedupMinhash _),
     "q_dedup_simhash" -> (TextOps.qDedupSimhash _),
+    "q_dedup_simhash_banded" -> (TextOps.qDedupSimhashBanded _),
+    "q_dedup_cluster_banded" -> (TextOps.qDedupClusterBanded _),
+    "q_dedup_embedding_lsh" -> (Similarity.qDedupEmbeddingLsh _),
     "q_lang_id" -> (TextOps.qLangId _),
     "q_ann_topk" -> (Similarity.qAnnTopK _),
+    "q_ivf_topk" -> (Similarity.qIvfTopK _),
     "q_approx_distinct" -> (RelQueries.approxDistinct _),
   )
 

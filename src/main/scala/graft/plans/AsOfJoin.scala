@@ -43,6 +43,11 @@ object AsOfJoin {
       probeTime: String,
       buildTime: String,
       tolerance: Option[String] = None): DataFrame = {
+    // A build row with NULL time must never match: nulls sort FIRST in
+    // the window order, so an unfiltered null-time row would act as a
+    // -infinity match for every probe row (pandas merge_asof drops such
+    // rows). Filter before the union so it can't participate at all.
+    val buildNN = build.filter(col(buildTime).isNotNull)
     val payload = build.columns.filterNot(_ == buildKey).toSeq
     val probeCols = probe.columns.filterNot(c => c == probeKey).toSeq
 
@@ -59,7 +64,7 @@ object AsOfJoin {
       (col(probeKey).as("__k") +: col(probeTime).cast("timestamp").as("__t") +: lit(1).as("__tag") +:
         probeCols.map(col)) :+
         lit(null).cast(bStruct).as("__b"): _*)
-    val bSide = build.select(
+    val bSide = buildNN.select(
       (col(buildKey).as("__k") +: col(buildTime).cast("timestamp").as("__t") +: lit(0).as("__tag") +:
         probeCols.map(c => lit(null).cast(probe.schema(c).dataType).as(c))) :+
         struct(payload.map(col): _*).as("__b"): _*)

@@ -1,0 +1,34 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage-truncation strategy for iterative and multiply-consumed
+  * intermediates (ConnectedComponents rounds, shingle streams, banded
+  * self-join keys).
+  *
+  * - [[Checkpointer.Local]] (default): `localCheckpoint()` — blocks live
+  *   on executors only. Fast (no DFS write) but NOT fault-tolerant: an
+  *   executor lost mid-job (decommission, spot kill, OOM) makes the
+  *   truncated RDD unrecoverable and fails the job. Right for local mode
+  *   and short jobs on static clusters.
+  * - [[Checkpointer.Reliable]]: `checkpoint()` to the SparkContext
+  *   checkpoint directory (`sc.setCheckpointDir` — HDFS/S3 on a real
+  *   cluster). Survives executor loss, so it is the choice for long
+  *   multi-round jobs at the 100 TB scale where dynamic allocation or
+  *   preemption make executor loss routine (GraphFrames checkpoints its
+  *   iterative connected-components state the same way).
+  */
+sealed trait Checkpointer {
+  def apply(df: DataFrame): DataFrame
+}
+
+object Checkpointer {
+  case object Local extends Checkpointer {
+    def apply(df: DataFrame): DataFrame = df.localCheckpoint()
+  }
+
+  /** Requires `spark.sparkContext.setCheckpointDir(...)` to be set. */
+  case object Reliable extends Checkpointer {
+    def apply(df: DataFrame): DataFrame = df.checkpoint()
+  }
+}

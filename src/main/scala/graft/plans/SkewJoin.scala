@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Salted equi-join for skewed keys (SURVEY.md §7.2 scale notes).
@@ -18,19 +18,31 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
-  /** Deterministic row-content salt: task retries recompute the same
-    * salt for the same row (spark_partition_id/monotonically_increasing_id
-    * change across retries — a correctness hazard under shuffle
-    * fetch-failure recovery). Fully-identical rows share a salt, which
-    * only matters if the hot key's rows are also byte-identical. */
-  private def contentSalt(df: DataFrame, buckets: Int) =
-    pmod(xxhash64(df.columns.map(col): _*), lit(buckets.toLong))
+  /** Deterministic salt: task retries recompute the same salt for the
+    * same row (spark_partition_id/monotonically_increasing_id change
+    * across retries — a correctness hazard under shuffle fetch-failure
+    * recovery). The default hashes the full row content, so fully
+    * IDENTICAL rows share a salt — which defeats the salting when a hot
+    * key's rows are also byte-identical (common in log/event corpora).
+    * For that case pass a `disambiguator` expression that is stable
+    * across retries and distinct across the duplicates — a pre-assigned
+    * row id, a file/offset lineage column — and it is hashed INSTEAD of
+    * the content; or pre-aggregate the duplicates to (row, count) before
+    * joining, which shrinks the hot key instead of spreading it.
+    * Exposed so callers can inspect the bucket distribution before
+    * committing to a bucket count. */
+  def salt(df: DataFrame, buckets: Int,
+           disambiguator: Option[Column] = None): Column =
+    pmod(xxhash64(disambiguator.map(Seq(_))
+        .getOrElse(df.columns.toSeq.map(col)): _*),
+      lit(buckets.toLong))
 
   /** Inner equi-join of a skewed `big` side with a `small` side on
     * bigKey == smallKey, salted over `buckets`. */
   def saltedJoin(big: DataFrame, small: DataFrame,
-                 bigKey: String, smallKey: String, buckets: Int): DataFrame = {
-    val salted = big.withColumn("__salt", contentSalt(big, buckets))
+                 bigKey: String, smallKey: String, buckets: Int,
+                 disambiguator: Option[Column] = None): DataFrame = {
+    val salted = big.withColumn("__salt", salt(big, buckets, disambiguator))
     val replicated = small
       .withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
       .withColumn("__salt", col("__salt").cast("long"))
@@ -42,8 +54,9 @@ object SkewJoin {
   /** Skew-safe aggregation: count/sum over a hot key in two phases —
     * partial aggregate on (key, salt), then final aggregate on key.
     * The first shuffle spreads the hot key across `buckets` reducers. */
-  def saltedCount(df: DataFrame, key: String, buckets: Int): DataFrame =
-    df.withColumn("__salt", contentSalt(df, buckets))
+  def saltedCount(df: DataFrame, key: String, buckets: Int,
+                  disambiguator: Option[Column] = None): DataFrame =
+    df.withColumn("__salt", salt(df, buckets, disambiguator))
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(key))

@@ -132,15 +132,14 @@ object Similarity {
     // Deterministic hash-sampled seed centroids: ORDER BY xxhash64(cid)
     // LIMIT K compiles to TakeOrderedAndProject — per-partition bounded
     // top-K merged on the driver, no global-window exchange and no
-    // driver-side count() (round-1 verdict scale-killer). The no-partition
-    // row_number window below runs over ≤ nCentroids rows, so it is
-    // bounded by K, not by the corpus.
-    val wSeed = Window.orderBy(col("cid"))
+    // driver-side count() (round-1 verdict scale-killer). The seed row's
+    // own cid IS the centroid id — unique and deterministic — so seeding
+    // needs no window at all; the whole plan is free of empty-partition
+    // windows (asserted in SimilaritySpec).
     val seeds = candidates
       .orderBy(xxhash64(col("cid")))
       .limit(nCentroids)
-      .withColumn("centroid_id", row_number().over(wSeed))
-      .select(col("centroid_id"), col("ce").as("centroid"))
+      .select(col("cid").as("centroid_id"), col("ce").as("centroid"))
 
     // one Lloyd refinement: assign all candidates, average per cell.
     // Per-candidate best centroid keys the window on the (unique) cid —
@@ -189,4 +188,58 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
     annTopK(queries, cands, 3)
   }
+
+  /** IVF ANN on the driver gate (rows-only: hash-seeded centroids are
+    * not SQL-expressible) — same query/candidate split as q_cosine_topk,
+    * recall + no-global-window plan assertion in SimilaritySpec. */
+  def qIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cands = emb.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    ivfTopK(queries, cands, 3)
+  }
+
+  // -------------------------------------------- all-pairs near-dup (LSH)
+
+  /** All-pairs embedding near-duplicate pairs via LSH bucketing — the
+    * scale path that [[qDedupEmbedding]]'s broadcast probe block stands
+    * in for: every vector hashes to a random-hyperplane bucket, pairs
+    * form by equi-join WITHIN a bucket, and the exact dot product
+    * verifies. The probe side multi-probes its one-bit-flip neighbor
+    * buckets, so any pair whose signatures differ in at most one plane
+    * is co-bucketed at least once (each match is unique — no dedup
+    * shuffle needed).
+    *
+    * Scale: the join is keyed on bucket id — shuffle-partitionable,
+    * never all-pairs; per-bucket work is |bucket|²/2, so size nPlanes ≈
+    * log₂(N / targetBucketSize). Approximate: pairs split by two or more
+    * hyperplanes (each cuts a pair at angle θ with prob θ/π) can be
+    * missed — recall is measured vs bounded brute force in
+    * SimilaritySpec, not assumed. */
+  def embeddingNearDupPairs(emb: DataFrame, threshold: Double,
+                            nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val withBucket = emb.select(col("vec_id"), col("embedding"),
+      lshBuckets(col("embedding"), planes).as("b0"))
+    val a = withBucket.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+      explode(array(col("b0") +: (0 until nPlanes).map(p =>
+        col("b0").bitwiseXOR(lit(1 << p))): _*)).as("bucket"))
+    val b = withBucket.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+      col("b0").as("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorOps.dot(col("ea"), col("eb")).as("score"))
+      .filter(col("score") > threshold)
+      .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** LSH-bucketed embedding near-dup on the driver gate (rows-only:
+    * bucket membership depends on the hash-derived hyperplanes). Same
+    * threshold as the oracled q_dedup_embedding, minus its probe bound. */
+  def qDedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupPairs(Tables.embeddings(spark, dir), 0.25)
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.plans.Checkpointer
 
 /** Text-analysis + deduplication operators for LLM training-data
   * pipelines (SURVEY.md §2.C; beyond the reference surface, which has no
@@ -120,16 +121,25 @@ object TextOps {
 
   /** Distinct w-shingle rows (doc_id, s) with the df cap applied. The
     * hot set (df > maxDf) is tiny by construction, so the filter is a
-    * broadcast anti-join — no extra shuffle of the shingle stream. */
-  def shingleRows(docs: DataFrame, w: Int, maxDf: Long = shingleDfCap): DataFrame = {
+    * broadcast anti-join — no extra shuffle of the shingle stream.
+    *
+    * When the cap is active the stream is materialized ONCE (through
+    * `cp`) and both consumers — the hot-set aggregation and the
+    * anti-join probe — read the checkpointed blocks. Leaving it lazy
+    * made every downstream consumer recompute tokenize→shingle→explode
+    * plus the hot-set subtree (round 2's only real bench regression:
+    * q_dedup_minhash 3.4→6.6 s). */
+  def shingleRows(docs: DataFrame, w: Int, maxDf: Long = shingleDfCap,
+                  cp: Checkpointer = Checkpointer.Local): DataFrame = {
     val sh = docs.select(col("doc_id"),
       explode(array_distinct(shingles(tokens(col("text")), w))).as("s"))
     if (maxDf <= 0) sh
     else {
-      val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      val mat = cp(sh)
+      val hot = mat.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDf)
         .select(col("s"))
-      sh.join(broadcast(hot), Seq("s"), "left_anti")
+      mat.join(broadcast(hot), Seq("s"), "left_anti")
     }
   }
 
@@ -271,17 +281,17 @@ object TextOps {
     * pairs at distance in (nBands−1, maxHamming] are caught only if
     * their flips cluster outside one band. */
   def simhashBandPairs(fps: DataFrame, maxHamming: Int = 3,
-                       nBands: Int = 4): DataFrame = {
+                       nBands: Int = 4,
+                       cp: Checkpointer = Checkpointer.Local): DataFrame = {
     require(32 % nBands == 0, s"nBands must divide 32, got $nBands")
     val width = 32 / nBands
     val mask = (1L << width) - 1
     // materialized once: both self-join sides reuse the banded keys
-    val keyed = fps.select(col("doc_id"), col("fp"),
+    val keyed = cp(fps.select(col("doc_id"), col("fp"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("fp"), b * width).bitwiseAND(lit(mask)).as("bits"))): _*))
-        .as("k"))
-      .localCheckpoint()
+        .as("k")))
     keyed.select(col("k"), col("doc_id").as("id_a"), col("fp").as("fp_a"))
       .join(keyed.select(col("k"), col("doc_id").as("id_b"), col("fp").as("fp_b")), Seq("k"))
       .filter(col("id_a") < col("id_b"))
@@ -295,8 +305,18 @@ object TextOps {
 
   /** Hamming-band SimHash near-dup pairs for a document corpus. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-                   nBands: Int = 4): DataFrame =
-    simhashBandPairs(simhashFingerprintsLong(docs), maxHamming, nBands)
+                   nBands: Int = 4,
+                   cp: Checkpointer = Checkpointer.Local): DataFrame =
+    simhashBandPairs(simhashFingerprintsLong(docs), maxHamming, nBands, cp)
+
+  /** Hamming-banded SimHash near-dup on the driver gate — the production
+    * path for fingerprint near-dup (pigeonhole-guaranteed recall for
+    * distance < nBands, candidates from band equi-joins, popcount
+    * verify — never all-pairs). Rows-only driver check (fingerprints are
+    * hash-seeded); 1-bit-flip and brute-force-parity properties in
+    * TextOpsSpec cover semantics. */
+  def qDedupSimhashBanded(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables.documents(spark, dir))
 
   /** SimHash near-dup: exact-match on the 32-bit fingerprint (documents
     * differing in a few low-weight tokens collide). Grouping key is the
@@ -326,14 +346,16 @@ object TextOps {
     * corpus self-join, still shingle-keyed, never a cross product). */
   def ngramJaccardPairs(docs: DataFrame, w: Int, minJaccard: Double,
                         probeFilter: Option[Column],
-                        maxDf: Long = shingleDfCap): DataFrame = {
-    // Full-corpus self-joins (probeFilter=None, the cluster-edge case)
-    // consume the shingle stream three ways — materialize it once
-    // (DISK_ONLY persist at cluster scale). Probe-filtered runs stay
-    // lazy so the probe's doc_id predicate pushes down to the scan,
-    // which measures faster than materializing at every tested scale.
-    val shBase = shingleRows(docs, w, maxDf)
-    val sh = if (probeFilter.isEmpty) shBase.localCheckpoint() else shBase
+                        maxDf: Long = shingleDfCap,
+                        cp: Checkpointer = Checkpointer.Local): DataFrame = {
+    // With the df cap active, shingleRows already materialized the
+    // stream — its output is a cheap broadcast anti-join over
+    // checkpointed blocks, fine to recompute per consumer. Only the
+    // uncapped full-corpus self-join (probeFilter=None) still needs the
+    // stream pinned here: it consumes it three ways (counts, probe,
+    // candidate side) and each would rebuild tokenize→shingle→explode.
+    val shBase = shingleRows(docs, w, maxDf, cp)
+    val sh = if (probeFilter.isEmpty && maxDf <= 0) cp(shBase) else shBase
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val probe = probeFilter.fold(sh)(sh.filter)
     val inter = probe.select(col("doc_id").as("id_a"), col("s"))
@@ -365,6 +387,24 @@ object TextOps {
   def qDedupCluster(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val edges = ngramJaccardPairs(docs, 3, 0.5, None)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val nodes = docs.select(col("doc_id").as("id"))
+    graft.graph.ConnectedComponents.run(edges, nodes)
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+        (col("id") === col("lbl")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Cluster assignment over MinHash-banded edges — the 100 TB shape of
+    * [[qDedupCluster]]: edge generation is document-linear (signatures +
+    * band equi-join, [[nearDupPairs]]) instead of token-linear (the
+    * exact shingle self-join the oracled key uses, ~100× more shuffle at
+    * scale), and [[graft.graph.ConnectedComponents.run]] consumes the
+    * pair output unchanged. Rows-only driver check (minhash seeds are
+    * not SQL-expressible); planted-cluster property in TextOpsSpec. */
+  def qDedupClusterBanded(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val edges = nearDupPairs(docs, 3, 0.6)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val nodes = docs.select(col("doc_id").as("id"))
     graft.graph.ConnectedComponents.run(edges, nodes)

@@ -54,6 +54,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == (None, "new"), s"payload mixed across build rows: $out")
   }
 
+  test("build rows with NULL time never match") {
+    // nulls sort first in the window order, so an unfiltered null-time
+    // build row acts as a -infinity match (pandas merge_asof drops it)
+    val probe = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("event_id", "k", "t")
+    val build = Seq(
+      (10L, Option.empty[Timestamp], 666L),
+      (10L, Option(ts("2024-01-01 09:00:00")), 100L)
+    ).toDF("k", "bt", "payload")
+    val out = AsOfJoin.backward(probe, build, "k", "k", "t", "bt")
+      .select("payload").as[Long].collect().toSeq
+    assert(out == Seq(100L), s"null-time build row leaked: $out")
+
+    // with ONLY a null-time build row, the probe has no match at all
+    val buildNullOnly = Seq((10L, Option.empty[Timestamp], 666L)).toDF("k", "bt", "payload")
+    assert(AsOfJoin.backward(probe, buildNullOnly, "k", "k", "t", "bt").isEmpty)
+  }
+
   test("as-of is deterministic when build is unique per (key, time)") {
     val probe = Seq((1L, 1L, ts("2024-01-01 10:00:00"))).toDF("event_id", "k", "t")
     val build = Seq(

@@ -43,4 +43,31 @@ class ConnectedComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
+
+  test("negative node ids propagate (label sum 0 is not a fixpoint proof)") {
+    // initial Σlbl = -5 + 5 = 0: the old sum==0 shortcut skipped the
+    // loop here and returned self-labels for a connected pair
+    val got = ConnectedComponents.run(
+      Seq((-5L, 5L)).toDF("src", "dst"),
+      Seq(-5L, 5L, 7L).toDF("id"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(-5L -> -5L, 5L -> -5L, 7L -> 7L))
+  }
+
+  test("reliable checkpointer mode matches union-find oracle") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val rnd = new scala.util.Random(7)
+    val n = 30
+    val edges = (1 to 25)
+      .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+    val expected = unionFindMinLabels(n, edges)
+    val got = ConnectedComponents.run(
+      edges.toDF("src", "dst"),
+      (0 until n).map(_.toLong).toDF("id"),
+      cp = graft.plans.Checkpointer.Reliable)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
 }

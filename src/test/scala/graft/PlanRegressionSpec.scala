@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Pins shuffle-Exchange and Sort counts of the heaviest gate queries so
+  * a plan regression fails tests instead of drifting silently in bench
+  * (round-2 verdict item 8). Counts are from the FINAL adaptive physical
+  * tree at sf0.001 on the shared local[8] session; an increase means a
+  * new shuffle/sort crept into the plan — re-pin deliberately with a
+  * reason, never casually. Iterative queries (dedup_cluster*) checkpoint
+  * their loop state, so the pinned count covers the final composed plan;
+  * the per-round join/agg shape is covered by ConnectedComponentsSpec.
+  */
+class PlanRegressionSpec extends SparkSpec {
+
+  private def counts(df: DataFrame): (Int, Int) = {
+    val plan = PlanAudit.executedPlan(df)
+    (PlanAudit.shuffles(plan), PlanAudit.sorts(plan))
+  }
+
+  // (query key, max shuffle exchanges, max sorts) — measured at sf0.001
+  // (AQE may broadcast-convert joins at this size, so the pins reflect
+  // the small-data plan; a pin breach still signals a structural change)
+  private val pins = Seq(
+    ("q_dedup_cluster", 3, 1),
+    ("q_dedup_cluster_banded", 3, 1),
+    ("q_dedup_minhash", 2, 1),
+    ("q_dedup_ngram", 4, 1),
+    ("q_dense_vec", 1, 1),
+    ("q_join_asof", 3, 2))
+
+  pins.foreach { case (name, maxExch, maxSort) =>
+    test(s"$name plan stays within $maxExch exchanges / $maxSort sorts") {
+      val (e, s) = counts(SparkEntry.queries(name)(spark, sfDir))
+      assert(e <= maxExch && s <= maxSort,
+        s"$name plan drifted: exchanges=$e (pin $maxExch), sorts=$s (pin $maxSort)")
+      info(s"$name: exchanges=$e sorts=$s")
+    }
+  }
+}

@@ -30,7 +30,11 @@ class RelQueriesSpec extends SparkSpec {
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracle-only keys: ${os -- qs}")
     assert((qs -- os) == Set("q_dedup_minhash", "q_dedup_simhash", "q_lang_id",
-      "q_ann_topk", "q_approx_distinct"))
+      "q_ann_topk", "q_approx_distinct",
+      // round-3 scale-path keys: hash-seeded (minhash bands, simhash
+      // fingerprints, LSH hyperplanes, IVF centroids) → rows-only
+      "q_dedup_simhash_banded", "q_dedup_cluster_banded",
+      "q_dedup_embedding_lsh", "q_ivf_topk"))
   }
 
   test("q_filter pushes predicates into the parquet scan") {

@@ -87,4 +87,52 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Double]("score") > 0.25)
     }
   }
+
+  test("LSH all-pairs near-dup: exact precision, measured recall vs brute force") {
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val a = emb.select($"vec_id".as("id_a"), $"embedding".as("ea"))
+    val b = emb.select($"vec_id".as("id_b"), $"embedding".as("eb"))
+    val brute = b.crossJoin(broadcast(a))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b",
+        graft.vec.VectorOps.dot($"ea", $"eb").as("score"))
+      .filter($"score" > 0.25)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.embeddingNearDupPairs(emb, 0.25)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every LSH pair is exact-verified, so it must be a brute-force pair
+    assert(lsh.subsetOf(brute), s"false positives: ${lsh.diff(brute)}")
+    assert(brute.nonEmpty)
+    val recall = brute.count(lsh.contains).toDouble / brute.size
+    // near-random vectors barely above threshold are the hardest case
+    // for hyperplane LSH; planted near-dups (high cosine) land at ~1.0
+    assert(recall >= 0.3, s"LSH near-dup recall $recall too low")
+  }
+
+  test("LSH near-dup recalls planted high-similarity pairs") {
+    // a vector and a tiny perturbation of it: angle ≈ 0 → every
+    // hyperplane puts them on the same side → recall must be 1.0
+    val base = (0 until 64).map(i => math.sin(i + 1).toFloat)
+    val norm = math.sqrt(base.map(x => x * x).sum).toFloat
+    val v = base.map(_ / norm)
+    val nearly = v.updated(0, v(0) + 0.001f)
+    val far = (0 until 64).map(i => if (i % 2 == 0) v(i) else -v(i))
+    val df = Seq((1L, v), (2L, nearly), (3L, far))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embeddingNearDupPairs(df, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)), s"planted pair missed or false positive: $got")
+  }
+
+  test("q_ivf_topk: full top-k rows and NO global (empty-partition) window") {
+    val df = Similarity.qIvfTopK(spark, sfDir)
+    val globalWindows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      "ivfTopK plan contains a window without partitionBy — a single-" +
+        "reducer exchange over the corpus at scale")
+    assert(df.count() == 8 * 3)
+  }
 }

@@ -27,4 +27,30 @@ class SkewJoinSpec extends SparkSpec {
     assert(salted == plain)
     assert(salted(1L) == 900L)
   }
+
+  test("disambiguator spreads byte-identical hot-key rows, deterministically") {
+    // 900 rows fully identical in content — the content salt collapses
+    // them onto ONE bucket; a caller-supplied row-id disambiguator
+    // spreads them while staying stable across recomputation
+    val identical = (1 to 900).map(i => (1L, 0, i.toLong)).toDF("k", "v", "rid")
+      .repartition(8)
+    val collapsed = identical.drop("rid")
+      .select(SkewJoin.salt(identical.drop("rid"), 4).as("s"))
+      .distinct().count()
+    assert(collapsed == 1L, "identical rows should collapse without a disambiguator")
+
+    val spread = identical
+      .select(SkewJoin.salt(identical, 4, Some($"rid")).as("s"))
+      .distinct().count()
+    assert(spread == 4L, "disambiguator should use all buckets")
+
+    // join result identical to plain, and stable across two runs
+    val dim1 = Seq((1L, "hot")).toDF("dk", "name")
+    val run1 = SkewJoin.saltedJoin(identical, dim1, "k", "dk", 4, Some($"rid"))
+      .select("k", "v", "rid", "name")
+    val run2 = SkewJoin.saltedJoin(identical, dim1, "k", "dk", 4, Some($"rid"))
+      .select("k", "v", "rid", "name")
+    assert(run1.count() == 900L)
+    assert(run1.except(run2).isEmpty && run2.except(run1).isEmpty)
+  }
 }

@@ -144,6 +144,41 @@ class TextOpsSpec extends SparkSpec {
     assert(labels(4L) == 4L && labels(5L) == 5L)
   }
 
+  test("banded cluster assignment: MinHash edges collapse the planted cluster") {
+    // the 100 TB path: document-linear MinHash band edges (not the
+    // token-linear exact shingle self-join) feeding the same CC run
+    val edges = TextOps.nearDupPairs(dupDocs, 3, 0.5)
+      .select($"id_a".as("src"), $"id_b".as("dst"))
+    val labels = graft.graph.ConnectedComponents.run(
+      edges, dupDocs.select($"doc_id".as("id")))
+      .as[(Long, Long)].collect().toMap
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L)
+    assert(labels(4L) == 4L && labels(5L) == 5L)
+  }
+
+  test("q_dedup_cluster_banded gate key: one row per doc, keep = min-id survivor") {
+    val rows = TextOps.qDedupClusterBanded(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val cl = r.getAs[Long]("cluster_id")
+      assert(cl <= id)
+      assert(r.getAs[Boolean]("keep") == (id == cl))
+    }
+    val nClusters = rows.map(_.getAs[Long]("cluster_id")).distinct.length
+    assert(rows.count(_.getAs[Boolean]("keep")) == nClusters)
+  }
+
+  test("q_dedup_simhash_banded gate key: verified pairs within hamming bound") {
+    val rows = TextOps.qDedupSimhashBanded(spark, sfDir).collect()
+    assert(rows.nonEmpty, "no near-dup pairs found on testdata")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Int]("hamming") <= 3)
+    }
+  }
+
   test("simhash banding catches a planted 1-bit flip, rejects far pairs") {
     val base = 0x0F0F0F0FL
     val fps = Seq(
