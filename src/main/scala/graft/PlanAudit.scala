@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.{SortExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.{ReusedSubqueryExec, SortExec, SparkPlan, WholeStageCodegenExec}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
@@ -19,9 +19,11 @@ object PlanAudit {
   /** Runs the DataFrame (so AQE finalizes) and returns the executed
     * physical plan — the final adaptive tree, not the initial one. */
   def executedPlan(df: DataFrame): SparkPlan = {
-    // collect() runs THIS queryExecution so AQE finalizes it
-    // (count()/foreach wrap a different plan and leave it initial)
-    df.collect()
+    // toRdd.foreach runs THIS queryExecution so AQE finalizes it
+    // (count()/a noop write wrap a different plan and leave it initial)
+    // while keeping every row on the executors — collect() here would
+    // pull the full result into the driver just for a plan inspection
+    df.queryExecution.toRdd.foreach(_ => ())
     df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
@@ -29,12 +31,20 @@ object PlanAudit {
   }
 
   /** Flattened node list of the executed tree, descending into AQE
-    * query stages. Reused exchanges are leaves (the work happens once
-    * at the original exchange — following them would double-count). */
-  def nodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-    case qs: QueryStageExec => nodes(qs.plan)
-    case _ => p.children.flatMap(nodes)
-  })
+    * query stages, nested adaptive plans, and subquery plans hanging
+    * off expressions (scalar/IN subqueries run real exchanges too —
+    * skipping them would undercount). Reused exchanges/subqueries are
+    * leaves (the work happens once at the original — following them
+    * would double-count). */
+  def nodes(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case _: ReusedSubqueryExec => Nil
+      case qs: QueryStageExec => Seq(qs.plan)
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case _ => p.children
+    }
+    p +: (kids ++ p.subqueries).flatMap(nodes)
+  }
 
   def shuffles(p: SparkPlan): Int = nodes(p).count(_.isInstanceOf[ShuffleExchangeLike])
   def broadcasts(p: SparkPlan): Int = nodes(p).count(_.isInstanceOf[BroadcastExchangeLike])

@@ -120,12 +120,13 @@ object SparkEntry {
 
   /** Shared CTE prefix for the ngram-dedup oracles: distinct trigram
     * shingle rows per document (s0), the df-capped subset (s1 — mirrors
-    * TextOps.shingleRows with shingleDfCap=100), and per-doc shingle
-    * counts (cnt). */
+    * TextOps.shingleRows; the cap is interpolated from
+    * TextOps.shingleDfCap so the oracle cannot silently drift from the
+    * Spark side), and per-doc shingle counts (cnt). */
   private val ngramShingleCte: String =
     "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
       "s0 AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' ') AS s FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - 3, 0) + 1)) AS i FROM tok))), " +
-      "s1 AS (SELECT doc_id, s FROM s0 WHERE s IN (SELECT s FROM s0 GROUP BY s HAVING COUNT(*) <= 100)), " +
+      s"s1 AS (SELECT doc_id, s FROM s0 WHERE s IN (SELECT s FROM s0 GROUP BY s HAVING COUNT(*) <= ${text.TextOps.shingleDfCap})), " +
       "cnt AS (SELECT doc_id, COUNT(*) AS n FROM s1 GROUP BY doc_id)"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -233,12 +234,13 @@ object SparkEntry {
       "SELECT doc_id, CAST(nt AS INTEGER) AS n_tokens, ROUND(nd / ntd, 6) AS distinct_ratio, ROUND(ns / ntd, 6) AS stop_ratio, ROUND((nd / ntd) * 0.5 + (1.0 - ns / ntd) * 0.5, 6) AS quality FROM (SELECT doc_id, len(toks) AS nt, CAST(len(toks) AS DOUBLE) AS ntd, CAST(len(list_distinct(toks)) AS DOUBLE) AS nd, CAST(len(list_filter(toks, t -> list_contains(['the','a','of','data','table','row'], t))) AS DOUBLE) AS ns FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)) ORDER BY doc_id",
     "q_fingerprint" ->
       "SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp FROM documents ORDER BY doc_id",
-    // relational shingle form with the df cap (HAVING df <= 100), the
-    // exact mirror of TextOps.shingleRows + ngramJaccardPairs
+    // relational shingle form with the df cap (HAVING df <=
+    // TextOps.shingleDfCap, interpolated), the exact mirror of
+    // TextOps.shingleRows + ngramJaccardPairs
     "q_dedup_ngram" ->
       s"$ngramShingleCte SELECT id_a, id_b, jaccard FROM (SELECT id_a, id_b, ROUND(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 6) AS jaccard FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni FROM s1 a JOIN s1 b ON a.s = b.s AND a.doc_id < b.doc_id AND a.doc_id < 50 GROUP BY 1, 2) i JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b) WHERE jaccard > 0.1 ORDER BY id_a, id_b",
     "q_dedup_cluster" ->
-      s"WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), s0 AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' ') AS s FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - 3, 0) + 1)) AS i FROM tok))), s1 AS (SELECT doc_id, s FROM s0 WHERE s IN (SELECT s FROM s0 GROUP BY s HAVING COUNT(*) <= 100)), cnt AS (SELECT doc_id, COUNT(*) AS n FROM s1 GROUP BY doc_id), pairs AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, ROUND(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 6) AS jaccard FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni FROM s1 a JOIN s1 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) i JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b) WHERE jaccard > 0.5), edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), comp(id, lbl) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.id) SELECT id AS doc_id, MIN(lbl) AS cluster_id, (id = MIN(lbl)) AS keep FROM comp GROUP BY id ORDER BY doc_id",
+      s"WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), s0 AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' ') AS s FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - 3, 0) + 1)) AS i FROM tok))), s1 AS (SELECT doc_id, s FROM s0 WHERE s IN (SELECT s FROM s0 GROUP BY s HAVING COUNT(*) <= ${text.TextOps.shingleDfCap})), cnt AS (SELECT doc_id, COUNT(*) AS n FROM s1 GROUP BY doc_id), pairs AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, ROUND(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 6) AS jaccard FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni FROM s1 a JOIN s1 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) i JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b) WHERE jaccard > 0.5), edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), comp(id, lbl) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.id) SELECT id AS doc_id, MIN(lbl) AS cluster_id, (id = MIN(lbl)) AS keep FROM comp GROUP BY id ORDER BY doc_id",
     "q_frame_sample" ->
       "SELECT media_id, CAST(i AS INTEGER) AS frame_idx FROM (SELECT doc_id AS media_id, UNNEST(range(0, n_chars % 240 + 1)) AS i FROM documents) WHERE i % 10 = 0 ORDER BY media_id, frame_idx",
     "q_cosine_topk" ->

@@ -17,6 +17,12 @@ import org.apache.spark.sql.DataFrame
   *   multi-round jobs at the 100 TB scale where dynamic allocation or
   *   preemption make executor loss routine (GraphFrames checkpoints its
   *   iterative connected-components state the same way).
+  * - [[Checkpointer.None]]: pass-through, no materialization. For
+  *   callers that only want to inspect or compose the plan (both Local
+  *   and Reliable are EAGER — they run Spark jobs at DataFrame
+  *   construction time); downstream consumers then recompute the full
+  *   lineage per consumer, so never use it for 3+-way-consumed
+  *   intermediates on the hot path.
   */
 sealed trait Checkpointer {
   def apply(df: DataFrame): DataFrame
@@ -30,5 +36,9 @@ object Checkpointer {
   /** Requires `spark.sparkContext.setCheckpointDir(...)` to be set. */
   case object Reliable extends Checkpointer {
     def apply(df: DataFrame): DataFrame = df.checkpoint()
+  }
+
+  case object None extends Checkpointer {
+    def apply(df: DataFrame): DataFrame = df
   }
 }

@@ -29,13 +29,19 @@ object SkewJoin {
     * row id, a file/offset lineage column — and it is hashed INSTEAD of
     * the content; or pre-aggregate the duplicates to (row, count) before
     * joining, which shrinks the hot key instead of spreading it.
+    * Rows whose disambiguator is NULL fall back to the content hash:
+    * hashing the null itself would send every null-disambiguator row to
+    * one bucket, silently recreating the hot spot the salt exists to fix.
     * Exposed so callers can inspect the bucket distribution before
     * committing to a bucket count. */
   def salt(df: DataFrame, buckets: Int,
-           disambiguator: Option[Column] = None): Column =
-    pmod(xxhash64(disambiguator.map(Seq(_))
-        .getOrElse(df.columns.toSeq.map(col)): _*),
-      lit(buckets.toLong))
+           disambiguator: Option[Column] = None): Column = {
+    val contentHash = xxhash64(df.columns.toSeq.map(col): _*)
+    val h = disambiguator
+      .map(d => when(d.isNull, contentHash).otherwise(xxhash64(d)))
+      .getOrElse(contentHash)
+    pmod(h, lit(buckets.toLong))
+  }
 
   /** Inner equi-join of a skewed `big` side with a `small` side on
     * bigKey == smallKey, salted over `buckets`. */

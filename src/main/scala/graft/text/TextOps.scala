@@ -128,7 +128,13 @@ object TextOps {
     * anti-join probe — read the checkpointed blocks. Leaving it lazy
     * made every downstream consumer recompute tokenize→shingle→explode
     * plus the hot-set subtree (round 2's only real bench regression:
-    * q_dedup_minhash 3.4→6.6 s). */
+    * q_dedup_minhash 3.4→6.6 s).
+    *
+    * SIDE EFFECT: with the default `cp` (Local/Reliable are eager),
+    * merely CONSTRUCTING this DataFrame runs Spark jobs and pins
+    * blocks until RDD GC — callers that only want to inspect or
+    * compose the plan should pass `cp = Checkpointer.None` (at the
+    * recompute cost above if they then execute it). */
   def shingleRows(docs: DataFrame, w: Int, maxDf: Long = shingleDfCap,
                   cp: Checkpointer = Checkpointer.Local): DataFrame = {
     val sh = docs.select(col("doc_id"),

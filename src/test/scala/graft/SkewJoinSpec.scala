@@ -53,4 +53,25 @@ class SkewJoinSpec extends SparkSpec {
     assert(run1.count() == 900L)
     assert(run1.except(run2).isEmpty && run2.except(run1).isEmpty)
   }
+
+  test("NULL disambiguator rows fall back to the content hash, not one bucket") {
+    // 800 distinct-content rows whose disambiguator is entirely NULL:
+    // hashing the null itself would put all 800 in a single bucket,
+    // recreating the hot spot; the content-hash fallback spreads them
+    val nullDis = (1 to 800).map(i => (1L, i)).toDF("k", "v")
+      .withColumn("rid", lit(null).cast("long")).repartition(8)
+    val buckets = nullDis
+      .select(SkewJoin.salt(nullDis, 4, Some($"rid")).as("s"))
+      .distinct().count()
+    assert(buckets == 4L, "null disambiguators should spread via content hash")
+
+    // mixed case: null-rid rows spread by content, non-null by rid
+    val mixed = ((1 to 400).map(i => (1L, i, Some(i.toLong))) ++
+      (401 to 800).map(i => (1L, i, Option.empty[Long])))
+      .toDF("k", "v", "rid").repartition(8)
+    val mixedBuckets = mixed
+      .select(SkewJoin.salt(mixed, 4, Some($"rid")).as("s"))
+      .distinct().count()
+    assert(mixedBuckets == 4L)
+  }
 }
