@@ -55,14 +55,43 @@ object ModelWeights {
   }
 }
 
+/** A differentiable binary classifier over flat [[ModelWeights]] — the
+  * contract the trainer zoo optimizes. The reference trains *arbitrary*
+  * Keras models (`distkeras/trainers.py › Trainer.__init__` takes any
+  * compiled model [H]); this trait is the Spark-side equivalent: any
+  * model that can (1) score an example and (2) produce a log-loss
+  * gradient with respect to its flat weight vector plugs into every
+  * trainer and update rule unchanged. Implementations must be
+  * immutable — `withWeights` returns a new model around new weights,
+  * which is what lets a broadcast model ship into tasks safely.
+  */
+trait DiffModel extends Serializable {
+  def weights: ModelWeights
+  /** Same architecture, new weights (must return the same concrete type). */
+  def withWeights(w: ModelWeights): DiffModel
+  def predictProb(x: Array[Double]): Double
+  /** d(logLoss)/d(flat) for one example, same layout as weights.flat. */
+  def gradient(x: Array[Double], y: Double): Array[Double]
+
+  def predictLabel(x: Array[Double]): Double =
+    if (predictProb(x) >= 0.5) 1.0 else 0.0
+
+  def logLoss(x: Array[Double], y: Double): Double = {
+    val p = math.min(math.max(predictProb(x), 1e-12), 1 - 1e-12)
+    -(y * math.log(p) + (1 - y) * math.log(1 - p))
+  }
+}
+
 /** Linear/logistic model — the oracle-able special case of a Keras model
   * used throughout the training and prediction operators. Weights layout:
   * [w_0..w_{d-1}, b].
   */
-final case class LinearModel(weights: ModelWeights) {
+final case class LinearModel(weights: ModelWeights) extends DiffModel {
   private val d = weights.flat.length - 1
   def w: Array[Double] = weights.flat.take(d)
   def b: Double = weights.flat(d)
+
+  def withWeights(w: ModelWeights): LinearModel = LinearModel(w)
 
   def margin(x: Array[Double]): Double = {
     var s = b
@@ -72,7 +101,6 @@ final case class LinearModel(weights: ModelWeights) {
   }
 
   def predictProb(x: Array[Double]): Double = 1.0 / (1.0 + math.exp(-margin(x)))
-  def predictLabel(x: Array[Double]): Double = if (predictProb(x) >= 0.5) 1.0 else 0.0
 
   /** Logistic-loss gradient contribution of one example, added into acc
     * (scaled by -lr when used as an SGD step). */
@@ -85,14 +113,78 @@ final case class LinearModel(weights: ModelWeights) {
     g(d) = err
     g
   }
-
-  def logLoss(x: Array[Double], y: Double): Double = {
-    val p = math.min(math.max(predictProb(x), 1e-12), 1 - 1e-12)
-    -(y * math.log(p) + (1 - y) * math.log(1 - p))
-  }
 }
 
 object LinearModel {
   def init(dim: Int, seed: Long = 42L): LinearModel =
     LinearModel(ModelWeights.uniform(Seq((1, dim + 1)), -0.1, 0.1, seed))
+}
+
+/** One-hidden-layer MLP (tanh hidden, logistic output) — the smallest
+  * genuinely NONLINEAR member of the model zoo, exercising multi-shape
+  * [[ModelWeights]] for real (the reference's `examples/mnist.py` builds
+  * exactly this Dense→Dense Keras stack [H]). Weight layout, matching
+  * `shapes = Seq((hidden, din), (hidden, 1), (1, hidden), (1, 1))`:
+  * [W1 row-major (hidden×din), b1 (hidden), w2 (hidden), b2].
+  *
+  * Forward:  h_j = tanh(Σ_i W1[j,i]·x_i + b1_j);  p = σ(Σ_j w2_j·h_j + b2).
+  * Backward (log loss): err = p − y; ∂w2 = err·h; ∂b2 = err;
+  * ∂z1_j = err·w2_j·(1 − h_j²); ∂W1[j,i] = ∂z1_j·x_i; ∂b1 = ∂z1.
+  */
+final case class MlpModel(weights: ModelWeights, din: Int, hidden: Int)
+    extends DiffModel {
+  require(weights.flat.length == hidden * din + hidden + hidden + 1,
+    s"weight layout mismatch: ${weights.flat.length} for din=$din hidden=$hidden")
+  private val offB1 = hidden * din
+  private val offW2 = offB1 + hidden
+  private val offB2 = offW2 + hidden
+
+  def withWeights(w: ModelWeights): MlpModel = copy(weights = w)
+
+  private def forward(x: Array[Double]): (Array[Double], Double) = {
+    val f = weights.flat
+    val h = new Array[Double](hidden)
+    var j = 0
+    while (j < hidden) {
+      var s = f(offB1 + j)
+      var i = 0
+      while (i < din) { s += f(j * din + i) * x(i); i += 1 }
+      h(j) = math.tanh(s)
+      j += 1
+    }
+    var z = f(offB2)
+    j = 0
+    while (j < hidden) { z += f(offW2 + j) * h(j); j += 1 }
+    (h, 1.0 / (1.0 + math.exp(-z)))
+  }
+
+  def predictProb(x: Array[Double]): Double = forward(x)._2
+
+  def gradient(x: Array[Double], y: Double): Array[Double] = {
+    val f = weights.flat
+    val (h, p) = forward(x)
+    val g = new Array[Double](f.length)
+    val err = p - y
+    g(offB2) = err
+    var j = 0
+    while (j < hidden) {
+      g(offW2 + j) = err * h(j)
+      val dz1 = err * f(offW2 + j) * (1.0 - h(j) * h(j))
+      g(offB1 + j) = dz1
+      var i = 0
+      while (i < din) { g(j * din + i) = dz1 * x(i); i += 1 }
+      j += 1
+    }
+    g
+  }
+}
+
+object MlpModel {
+  def shapes(din: Int, hidden: Int): Seq[(Int, Int)] =
+    Seq((hidden, din), (hidden, 1), (1, hidden), (1, 1))
+
+  /** Symmetry-breaking uniform init (all-equal hidden units would train
+    * identically and the net would collapse to a linear model). */
+  def init(din: Int, hidden: Int, seed: Long = 42L): MlpModel =
+    MlpModel(ModelWeights.uniform(shapes(din, hidden), -0.5, 0.5, seed), din, hidden)
 }

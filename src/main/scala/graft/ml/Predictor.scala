@@ -33,7 +33,7 @@ object Predictor {
   /** Batched black-box scorer. Batches amortize per-call model overhead
     * (for a real NN: one forward pass per `batchSize` rows). The model
     * ships once per executor via broadcast, not once per task closure. */
-  def predictBatched(df: DataFrame, modelBc: Broadcast[LinearModel],
+  def predictBatched[M <: DiffModel](df: DataFrame, modelBc: Broadcast[M],
                      featuresCol: String, outputCol: String,
                      batchSize: Int = 1024): DataFrame = {
     val outSchema = StructType(df.schema.fields :+

@@ -117,10 +117,12 @@ object Trainers {
       Downpour(c, locals, state)
   }
 
-  /** One local-SGD pass over a partition's rows (logistic model).
-    * Deterministic: rows are consumed in partition order, seed fixed. */
+  /** One local-SGD pass over a partition's rows, for ANY [[DiffModel]]
+    * (the reference's worker loop, `workers.py › SGDWorker [H]`, is
+    * likewise model-agnostic — it calls into the compiled model's
+    * gradient). Deterministic: rows are consumed in partition order. */
   private def localSgd(
-      init: LinearModel, rows: Iterator[(Array[Double], Double)],
+      init: DiffModel, rows: Iterator[(Array[Double], Double)],
       lr: Double, batchSize: Int): (ModelWeights, Long) = {
     var m = init
     var n = 0L
@@ -133,7 +135,7 @@ object Trainers {
         n += 1
       }
       val scale = lr / batch.size
-      m = LinearModel(m.weights.copy(
+      m = m.withWeights(m.weights.copy(
         flat = Array.tabulate(g.length)(i => m.weights.flat(i) - scale * g(i))))
     }
     (m.weights, n)
@@ -151,19 +153,28 @@ object Trainers {
   }
 
   /** SingleTrainer (`trainers.py ~L90-140 [H]`): all data to one
-    * partition, sequential SGD — the determinism baseline. */
+    * partition, sequential SGD — the determinism baseline. Generic over
+    * the model architecture; `withWeights` is contracted to return the
+    * same concrete type, so the cast is safe. */
+  def trainSingleModel[M <: DiffModel](
+      df: DataFrame, featuresCol: String, labelCol: String, init: M,
+      epochs: Int = 5, lr: Double = 0.5, batchSize: Int = 32): M = {
+    val data = toExamples(df, featuresCol, labelCol).coalesce(1)
+    var model: DiffModel = init
+    for (_ <- 0 until epochs) {
+      val frozen = model
+      val (w, _) = data.mapPartitions(it =>
+        Iterator.single(localSgd(frozen, it, lr, batchSize))).collect().head
+      model = model.withWeights(w)
+    }
+    model.asInstanceOf[M]
+  }
+
   def trainSingle(df: DataFrame, featuresCol: String, labelCol: String,
                   dim: Int, epochs: Int = 5, lr: Double = 0.5,
-                  batchSize: Int = 32, seed: Long = 42L): LinearModel = {
-    val data = toExamples(df, featuresCol, labelCol).coalesce(1)
-    var model = LinearModel.init(dim, seed)
-    for (_ <- 0 until epochs) {
-      val (w, _) = data.mapPartitions(it =>
-        Iterator.single(localSgd(model, it, lr, batchSize))).collect().head
-      model = LinearModel(w)
-    }
-    model
-  }
+                  batchSize: Int = 32, seed: Long = 42L): LinearModel =
+    trainSingleModel(df, featuresCol, labelCol, LinearModel.init(dim, seed),
+      epochs, lr, batchSize)
 
   /** EnsembleTrainer (`distkeras/trainers.py ~L150-260 [H]`): one model
     * per partition, no merge — returned as an ensemble whose prediction
@@ -199,27 +210,37 @@ object Trainers {
     * `trainers.py ~L270-360 [H]`). One Spark stage per epoch; the only
     * driver-side data is one weight vector per partition (numWorkers ×
     * nParams doubles), reduced element-wise. */
+  def trainDistributedModel[M <: DiffModel](
+      df: DataFrame, featuresCol: String, labelCol: String, init: M,
+      numWorkers: Int = 4, epochs: Int = 5, lr: Double = 0.5,
+      batchSize: Int = 32, rule: UpdateRule = Averaging): M = {
+    val data = toExamples(df, featuresCol, labelCol)
+      .repartition(numWorkers).persist()
+    try {
+      var center: DiffModel = init
+      val state = new Array[Double](center.weights.flat.length)
+      for (_ <- 0 until epochs) {
+        val sc = df.sparkSession.sparkContext
+        // broadcast the whole (immutable) model, not just the weights:
+        // the architecture (shapes, hyperparams) must travel with them
+        val bc = sc.broadcast(center)
+        val locals = data.mapPartitions { it =>
+          val res = localSgd(bc.value, it, lr, batchSize)
+          if (res._2 == 0) Iterator.empty else Iterator.single(res)
+        }.collect().toSeq
+        bc.destroy()
+        if (locals.nonEmpty)
+          center = center.withWeights(rule(center.weights, locals, state))
+      }
+      center.asInstanceOf[M]
+    } finally data.unpersist()
+  }
+
   def trainDistributed(
       df: DataFrame, featuresCol: String, labelCol: String, dim: Int,
       numWorkers: Int = 4, epochs: Int = 5, lr: Double = 0.5,
       batchSize: Int = 32, rule: UpdateRule = Averaging,
-      seed: Long = 42L): LinearModel = {
-    val data = toExamples(df, featuresCol, labelCol)
-      .repartition(numWorkers).persist()
-    try {
-      var center = LinearModel.init(dim, seed)
-      val state = new Array[Double](center.weights.flat.length)
-      for (_ <- 0 until epochs) {
-        val sc = df.sparkSession.sparkContext
-        val bc = sc.broadcast(center.weights)
-        val locals = data.mapPartitions { it =>
-          val res = localSgd(LinearModel(bc.value), it, lr, batchSize)
-          if (res._2 == 0) Iterator.empty else Iterator.single(res)
-        }.collect().toSeq
-        bc.destroy()
-        if (locals.nonEmpty) center = LinearModel(rule(center.weights, locals, state))
-      }
-      center
-    } finally data.unpersist()
-  }
+      seed: Long = 42L): LinearModel =
+    trainDistributedModel(df, featuresCol, labelCol, LinearModel.init(dim, seed),
+      numWorkers, epochs, lr, batchSize, rule)
 }

@@ -103,6 +103,83 @@ class TrainersSpec extends SparkSpec {
     assert(acc > 0.9, s"ensemble accuracy $acc")
   }
 
+  /** XOR fixture: NOT linearly separable — the canonical case a linear
+    * model cannot learn (accuracy stuck ≈ 0.5) and a 1-hidden-layer MLP
+    * can. 256 points around the four corners, small uniform jitter. */
+  private lazy val xor = {
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 256).map { _ =>
+      val cx = rnd.nextInt(2)
+      val cy = rnd.nextInt(2)
+      val x0 = cx + (rnd.nextDouble() - 0.5) * 0.3
+      val x1 = cy + (rnd.nextDouble() - 0.5) * 0.3
+      (Seq(x0, x1), if (cx != cy) 1.0 else 0.0)
+    }
+    rows.toDF("features", "label")
+  }
+
+  private def xorAccuracy(m: ml.DiffModel): Double = {
+    val data = xor.as[(Seq[Double], Double)].collect()
+    data.count { case (x, y) => m.predictLabel(x.toArray) == y }
+      .toDouble / data.length
+  }
+
+  test("MLP learns XOR with sync averaging (linear model provably cannot)") {
+    val linear = Trainers.trainDistributed(xor, "features", "label", 2,
+      numWorkers = 4, epochs = 60, lr = 0.8, rule = Trainers.Averaging)
+    val linAcc = xorAccuracy(linear)
+    assert(linAcc < 0.8, s"linear model should NOT learn XOR, got $linAcc")
+
+    val mlp = Trainers.trainDistributedModel(xor, "features", "label",
+      MlpModel.init(din = 2, hidden = 8, seed = 5L),
+      numWorkers = 4, epochs = 150, lr = 0.8, rule = Trainers.Averaging)
+    val acc = xorAccuracy(mlp)
+    assert(acc > 0.95, s"MLP XOR accuracy $acc")
+  }
+
+  test("MLP learns XOR with an async-derived rule (Adag)") {
+    val mlp = Trainers.trainDistributedModel(xor, "features", "label",
+      MlpModel.init(din = 2, hidden = 8, seed = 5L),
+      numWorkers = 4, epochs = 150, lr = 0.8, rule = Trainers.Adag())
+    val acc = xorAccuracy(mlp)
+    assert(acc > 0.95, s"MLP+Adag XOR accuracy $acc")
+  }
+
+  test("MLP training is deterministic given a seed") {
+    def run() = Trainers.trainDistributedModel(xor, "features", "label",
+      MlpModel.init(2, 4, seed = 11L), numWorkers = 4, epochs = 3, lr = 0.5)
+      .weights.flat.toSeq
+    assert(run() == run())
+  }
+
+  test("MLP gradient matches finite differences") {
+    val m = MlpModel.init(din = 3, hidden = 4, seed = 99L)
+    val x = Array(0.3, -1.2, 0.7)
+    val y = 1.0
+    val g = m.gradient(x, y)
+    val eps = 1e-6
+    (0 until m.weights.flat.length).foreach { i =>
+      val up = m.weights.flat.clone(); up(i) += eps
+      val dn = m.weights.flat.clone(); dn(i) -= eps
+      val num = (m.withWeights(m.weights.copy(flat = up)).logLoss(x, y) -
+        m.withWeights(m.weights.copy(flat = dn)).logLoss(x, y)) / (2 * eps)
+      assert(math.abs(num - g(i)) < 1e-5,
+        s"grad mismatch at $i: analytic ${g(i)} vs numeric $num")
+    }
+  }
+
+  test("batched predictor scores an MLP (model-agnostic plumbing)") {
+    val mlp = MlpModel.init(din = 2, hidden = 4, seed = 7L)
+    val bc = spark.sparkContext.broadcast(mlp)
+    val scored = Predictor.predictBatched(xor, bc, "features", "p")
+      .select("p").as[Double].collect()
+    val local = xor.as[(Seq[Double], Double)].collect()
+      .map { case (x, _) => mlp.predictProb(x.toArray) }
+    assert(scored.sorted.zip(local.sorted).forall {
+      case (a, b) => math.abs(a - b) < 1e-12
+    })
+  }
+
   test("batched predictor matches expression predictor") {
     val m = Trainers.trainSingle(linsep, "features", "label", 2, epochs = 3, lr = 0.5)
     val bc = spark.sparkContext.broadcast(m)
