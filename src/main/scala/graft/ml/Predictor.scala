@@ -40,7 +40,7 @@ object Predictor {
       org.apache.spark.sql.types.StructField(outputCol, DoubleType, nullable = false))
     val featIdx = df.schema.fieldIndex(featuresCol)
     val enc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { it =>
+    val mapped = df.mapPartitions { it =>
       val model = modelBc.value
       it.grouped(batchSize).flatMap { batch =>
         // batch boundary = where a real implementation hands the whole
@@ -55,6 +55,13 @@ object Predictor {
         }
       }
     }(enc)
+    // the row encoder drops column metadata (e.g. ReshapeTransformer's
+    // shape annotation) — re-attach it; a plan-level Project only, the
+    // MapPartitions island stays a single node
+    df.schema.fields.filter(_.metadata != org.apache.spark.sql.types.Metadata.empty)
+      .foldLeft(mapped) { (d, f) =>
+        d.withColumn(f.name, col(f.name).as(f.name, f.metadata))
+      }
   }
 }
 
