@@ -69,14 +69,28 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplanes (no RNG at plan time so the
     * operator is reproducible across sessions): plane p component i is a
-    * fixed hash-derived value in [-1, 1]. */
-  def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    * fixed hash-derived value in [-1, 1]. `offset` selects a disjoint
+    * plane family — used for independent hash tables and for the
+    * refinement blocks of [[cappedLshBuckets]]. */
+  def hyperplanes(nPlanes: Int, dim: Int, offset: Int = 0): Seq[Seq[Double]] =
     (0 until nPlanes).map { p =>
       (0 until dim).map { i =>
-        val h = (p * 1327L + i * 7919L + 104729L) % 1999L
+        val h = ((p + offset) * 1327L + i * 7919L + 104729L) % 1999L
         (h.toDouble / 999.5) - 1.0
       }
     }
+
+  /** Size the plane count from the corpus size: 2^nPlanes buckets ≈
+    * n / targetBucketSize, i.e. nPlanes ≈ log₂(n / target) — expected
+    * per-bucket work (|b|²/2) then stays ≈ target²/2 regardless of
+    * corpus scale. Clamped: below 2 planes bucketing is pointless,
+    * above 24 the signature no longer fits useful bucket-id space and
+    * per-bucket population is sub-1 anyway. */
+  def autoPlanes(n: Long, targetBucketSize: Long = 64L,
+                 minPlanes: Int = 2, maxPlanes: Int = 24): Int =
+    math.min(maxPlanes, math.max(minPlanes,
+      math.ceil(math.log(math.max(n, 1L).toDouble / math.max(targetBucketSize, 1L))
+        / math.log(2.0)).toInt))
 
   /** Random-hyperplane signature: bit p = sign(v · plane_p). Returns an
     * int bucket id in [0, 2^nPlanes). */
@@ -242,4 +256,132 @@ object Similarity {
     * threshold as the oracled q_dedup_embedding, minus its probe bound. */
   def qDedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDupPairs(Tables.embeddings(spark, dir), 0.25)
+
+  // ------------------------------- capped LSH (auto-sized + skew-guarded)
+
+  /** LSH bucketing with a hard per-bucket population cap — the df-cap
+    * analogue for the embedding side. Two distinct skew sources need two
+    * distinct guards:
+    *
+    *  1. DIVERSE hot buckets (random collisions because nPlanes was too
+    *     small for the corpus): REFINE — rows in any bucket above `cap`
+    *     get `subPlanes` extra hyperplanes appended to their signature,
+    *     splitting the bucket ~2^subPlanes ways; repeat to `maxDepth`.
+    *  2. DEGENERATE hot buckets (piles of near-identical vectors): no
+    *     amount of extra planes splits them — every hyperplane puts
+    *     near-identical vectors on the same side (the same failure mode
+    *     as salting identical rows, SkewJoin.salt). These stay flagged
+    *     `hot = true` after maxDepth, and pair generation handles them
+    *     by star-expansion instead (see [[embeddingNearDupPairsCapped]]).
+    *
+    * Output: (idCol, vecCol, lvl, bucket, hot) — bucket ids are only
+    * comparable WITHIN a level (the join key downstream is (lvl,
+    * bucket)), `hot` marks buckets still above cap after maxDepth.
+    *
+    * Scale: each round's hot-bucket id list is broadcast — bounded by
+    * #buckets-above-cap ≤ N/cap, and in practice tiny because
+    * [[autoPlanes]] sizes the primary signature so only genuine skew
+    * survives. The loop is `maxDepth` (≤ 3) rounds of lazy plan
+    * composition, not actions. */
+  def cappedLshBuckets(df: DataFrame, idCol: String, vecCol: String,
+                       nPlanes: Int, dim: Int, cap: Long,
+                       subPlanes: Int = 3, maxDepth: Int = 3,
+                       planeOffset: Int = 0): DataFrame = {
+    val base = df.select(col(idCol), col(vecCol), lit(0).as("lvl"),
+      lshBuckets(col(vecCol), hyperplanes(nPlanes, dim, planeOffset))
+        .cast("long").as("bucket"))
+    var cur = base
+    var settled: Option[DataFrame] = scala.None
+    for (d <- 1 to maxDepth) {
+      val hotIds = cur.groupBy(col("lvl"), col("bucket")).count()
+        .filter(col("count") > cap)
+        .select(col("lvl").as("h_lvl"), col("bucket").as("h_bucket"))
+      val joined = cur.join(broadcast(hotIds),
+        col("lvl") === col("h_lvl") && col("bucket") === col("h_bucket"), "left")
+      val cold = joined.filter(col("h_lvl").isNull)
+        .select(col(idCol), col(vecCol), col("lvl"), col("bucket"))
+      settled = Some(settled.map(_.unionAll(cold)).getOrElse(cold))
+      val sub = hyperplanes(subPlanes, dim,
+        planeOffset + nPlanes + (d - 1) * subPlanes)
+      cur = joined.filter(col("h_lvl").isNotNull)
+        .select(col(idCol), col(vecCol), lit(d).as("lvl"),
+          (col("bucket") * (1 << subPlanes) +
+            lshBuckets(col(vecCol), sub)).as("bucket"))
+    }
+    // whatever is still above cap after maxDepth refinements is
+    // degenerate skew — flag it for the caller's O(|b|) path
+    val counts = cur.groupBy(col("lvl"), col("bucket")).count()
+      .filter(col("count") > cap)
+      .select(col("lvl").as("h_lvl"), col("bucket").as("h_bucket"))
+    val last = cur.join(broadcast(counts),
+      col("lvl") === col("h_lvl") && col("bucket") === col("h_bucket"), "left")
+      .select(col(idCol), col(vecCol), col("lvl"), col("bucket"),
+        col("h_lvl").isNotNull.as("hot"))
+    settled.map(_.withColumn("hot", lit(false)).unionAll(last)).getOrElse(last)
+  }
+
+  /** All-pairs embedding near-dup with auto-sized planes and the skew
+    * guard — the form you'd actually run at 100 TB, where neither the
+    * plane count nor the skew profile is known in advance:
+    *
+    *  - nPlanes = [[autoPlanes]](corpus count / targetBucketSize): per-
+    *    bucket work stays ≈ target²/2 at ANY corpus size.
+    *  - `nTables` independent plane families (classic multi-table LSH)
+    *    recover the recall that a single auto-sized table loses — a pair
+    *    is found if it co-buckets in ANY table; dedup before scoring.
+    *  - hot buckets surviving refinement (near-identical piles) emit
+    *    pairs against the bucket's min-id REPRESENTATIVE only: O(|b|)
+    *    rows instead of |b|²/2. Component-lossless for downstream
+    *    clustering: every member connects to the representative, so the
+    *    pile still collapses into one duplicate cluster — exactly the
+    *    role the pairs play in qDedupCluster.
+    *
+    * The corpus count is one metadata-cheap aggregate action at plan
+    * time (the one driver round-trip; it sizes the signature). Pair
+    * dedup carries the two vectors through the shuffle for simplicity —
+    * at extreme dim, re-join the vectors after dedup instead. */
+  def embeddingNearDupPairsCapped(emb: DataFrame, threshold: Double,
+                                  dim: Int = 64, targetBucketSize: Long = 64L,
+                                  cap: Long = 256L, nTables: Int = 2,
+                                  cp: graft.plans.Checkpointer =
+                                    graft.plans.Checkpointer.Local): DataFrame = {
+    val n = emb.count()
+    val nPlanes = autoPlanes(n, targetBucketSize)
+    val tables = (0 until nTables).map { t =>
+      // each table's bucketing is consumed ~6 ways (cold self-join sides,
+      // reps, rep vectors, star members) — checkpoint it once per table
+      // (eager, same convention as TextOps.shingleRows)
+      val bk = cp(cappedLshBuckets(emb, "vec_id", "embedding", nPlanes, dim, cap,
+        planeOffset = t * 101))
+      val cold = bk.filter(!col("hot"))
+      val a = cold.select(col("lvl"), col("bucket"),
+        col("vec_id").as("id_a"), col("embedding").as("ea"))
+      val b = cold.select(col("lvl"), col("bucket"),
+        col("vec_id").as("id_b"), col("embedding").as("eb"))
+      val coldPairs = a.join(b, Seq("lvl", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("ea"), col("eb"))
+      val hotRows = bk.filter(col("hot"))
+      val reps = hotRows.groupBy(col("lvl"), col("bucket"))
+        .agg(min(col("vec_id")).as("id_a"))
+      val repVecs = reps.join(
+        hotRows.select(col("lvl"), col("bucket"),
+          col("vec_id").as("id_a"), col("embedding").as("ea")),
+        Seq("lvl", "bucket", "id_a"))
+      // min-id rep < every other member, so (rep, member) is already
+      // in canonical (id_a < id_b) order
+      val starPairs = hotRows.join(repVecs, Seq("lvl", "bucket"))
+        .filter(col("vec_id") =!= col("id_a"))
+        .select(col("id_a"), col("vec_id").as("id_b"),
+          col("ea"), col("embedding").as("eb"))
+      coldPairs.unionAll(starPairs)
+    }
+    tables.reduce(_ unionAll _)
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        VectorOps.dot(col("ea"), col("eb")).as("score"))
+      .filter(col("score") > threshold)
+      .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
+      .orderBy("id_a", "id_b")
+  }
 }

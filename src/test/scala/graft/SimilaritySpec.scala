@@ -124,6 +124,100 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Set((1L, 2L)), s"planted pair missed or false positive: $got")
   }
 
+  test("autoPlanes sizes the signature from corpus count") {
+    assert(Similarity.autoPlanes(1000000L, 4096L) == 8)   // ceil(log2(244))
+    assert(Similarity.autoPlanes(500L, 64L) == 3)
+    assert(Similarity.autoPlanes(10L, 64L) == 2)          // min clamp
+    assert(Similarity.autoPlanes(Long.MaxValue, 1L) == 24) // max clamp
+    // monotone in n
+    val sizes = Seq(1L, 1000L, 100000L, 10000000L).map(Similarity.autoPlanes(_, 64L))
+    assert(sizes == sizes.sorted)
+  }
+
+  /** 600 near-identical vectors (one degenerate pile no refinement can
+    * split) + 100 spread vectors. */
+  private def skewedFixture = {
+    val base = (0 until 64).map(i => math.sin(i + 1))
+    val norm = math.sqrt(base.map(x => x * x).sum)
+    val v = base.map(x => (x / norm).toFloat)
+    val pile = (0L until 600L).map { i =>
+      (i, v.updated((i % 64).toInt, v((i % 64).toInt) + 1e-4f * ((i % 7) + 1)))
+    }
+    val rnd = new scala.util.Random(17)
+    val spread = (600L until 700L).map { i =>
+      val raw = Array.fill(64)(rnd.nextGaussian())
+      val n2 = math.sqrt(raw.map(x => x * x).sum)
+      (i, raw.map(x => (x / n2).toFloat).toSeq)
+    }
+    (pile ++ spread).toDF("vec_id", "embedding")
+  }
+
+  test("capped LSH: degenerate pile stays flagged hot, emitted pairs are O(n) not n^2") {
+    val df = skewedFixture
+    val pairs = Similarity.embeddingNearDupPairsCapped(df, 0.9,
+      targetBucketSize = 64L, cap = 50L, nTables = 2)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+    // star expansion: the 600-pile must yield ~599 pairs per table (pre-
+    // dedup), NOT 600*599/2 ≈ 180k — assert well under the quadratic blowup
+    assert(got.length < 5000, s"pair count ${got.length} suggests |b|^2 blowup")
+    // component-lossless: every pile member reaches the representative,
+    // so the whole pile is one connected component of the pair graph
+    val adj = got.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val seen = collection.mutable.Set(0L)
+    val stack = collection.mutable.Stack(0L)
+    while (stack.nonEmpty) {
+      adj.getOrElse(stack.pop(), Set.empty).foreach { n =>
+        if (seen.add(n)) stack.push(n)
+      }
+    }
+    assert((0L until 600L).forall(seen.contains),
+      s"pile split: only ${seen.count(_ < 600)} of 600 connected")
+  }
+
+  test("capped LSH: refinement bounds diverse buckets at <= cap") {
+    // tiny primary signature (2 planes, 4 buckets) over 500 spread real
+    // embeddings forces every primary bucket over cap — refinement must
+    // split them below cap without flagging them degenerate
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val bk = Similarity.cappedLshBuckets(emb, "vec_id", "embedding",
+      nPlanes = 2, dim = 64, cap = 50L, subPlanes = 3, maxDepth = 3)
+    val coldCounts = bk.filter(!$"hot").groupBy($"lvl", $"bucket").count()
+      .select("count").as[Long].collect()
+    assert(coldCounts.nonEmpty && coldCounts.forall(_ <= 50L),
+      s"cold bucket above cap: max ${coldCounts.max}")
+    val hotRows = bk.filter($"hot").count()
+    assert(hotRows < 100, s"$hotRows diverse rows wrongly flagged degenerate")
+  }
+
+  test("capped LSH recalls planted high-similarity pairs") {
+    val base = (0 until 64).map(i => math.sin(i + 1).toFloat)
+    val norm = math.sqrt(base.map(x => x * x).sum).toFloat
+    val v = base.map(_ / norm)
+    val nearly = v.updated(0, v(0) + 0.001f)
+    val far = (0 until 64).map(i => if (i % 2 == 0) v(i) else -v(i))
+    val df = Seq((1L, v), (2L, nearly), (3L, far))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embeddingNearDupPairsCapped(df, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)), s"planted pair missed or false positive: $got")
+  }
+
+  test("capped LSH precision: every emitted pair is a true above-threshold pair") {
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val a = emb.select($"vec_id".as("id_a"), $"embedding".as("ea"))
+    val b = emb.select($"vec_id".as("id_b"), $"embedding".as("eb"))
+    val brute = b.crossJoin(broadcast(a))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", graft.vec.VectorOps.dot($"ea", $"eb").as("score"))
+      .filter($"score" > 0.25)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = Similarity.embeddingNearDupPairsCapped(emb, 0.25,
+      targetBucketSize = 64L, cap = 100L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(brute), s"false positives: ${capped.diff(brute)}")
+  }
+
   test("q_ivf_topk: full top-k rows and NO global (empty-partition) window") {
     val df = Similarity.qIvfTopK(spark, sfDir)
     val globalWindows = df.queryExecution.optimizedPlan.collect {
