@@ -23,9 +23,9 @@ import graft.plans.Checkpointer
   * [[Checkpointer]] so plans don't grow with iterations (the standard
   * Spark iterative-algorithm shape; GraphX/GraphFrames do the same) —
   * pass [[Checkpointer.Reliable]] on clusters where executor loss is
-  * routine. For adversarial graphs with large diameters, switch to
-  * large-star/small-star (O(log n) rounds); for dedup graphs
-  * min-propagation converges faster in practice.
+  * routine. For adversarial graphs with large diameters, use
+  * [[runStar]] (large-star/small-star, O(log n) rounds); for dedup
+  * graphs min-propagation converges faster in practice.
   */
 object ConnectedComponents {
 
@@ -81,5 +81,94 @@ object ConnectedComponents {
       .join(active, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("lbl"))
     labels.union(singletons)
+  }
+
+  /** Canonical undirected edge set: (src < dst), self-loops dropped,
+    * duplicates collapsed. */
+  private def canon(df: DataFrame): DataFrame =
+    df.select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  /** Connected components by alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the O(log n)-round alternative to [[run]]'s min-label
+    * propagation, whose round count is the graph DIAMETER (the scaladoc
+    * hazard above: an adversarial chain blows past maxIter).
+    *
+    *  - large-star: center u with neighbors N(u); every v ∈ N(u) with
+    *    v > u re-attaches to m = min(N(u) ∪ {u}).
+    *  - small-star: orient edges toward the larger endpoint; center u
+    *    attaches itself and all (smaller) neighbors to m = min(N(u)).
+    *
+    * Both steps preserve connectivity and strictly shrink long chains;
+    * at the fixpoint every component is a star centered at its min id.
+    * Each round is two groupBy+join pairs keyed on node ids — same
+    * shuffle shape as [[run]], just O(log n) rounds instead of
+    * O(diameter). Fixpoint detection: (edge count, Σ xxhash64(src,dst))
+    * probe — two one-row aggregates; an undetected hash-sum collision
+    * would need two distinct edge sets with equal count AND equal 64-bit
+    * hash sum in adjacent rounds.
+    *
+    * Same signature and output contract as [[run]]: (id, lbl) with
+    * lbl = min node id of the component, singletons included. */
+  def runStar(edgesIn: DataFrame, nodes: DataFrame, maxIter: Int = 30,
+              cp: Checkpointer = Checkpointer.Local): DataFrame =
+    runStarRounds(edgesIn, nodes, maxIter, cp)._1
+
+  /** [[runStar]] plus the number of rounds executed (exposed so the
+    * O(log n) convergence claim is testable, not asserted). */
+  def runStarRounds(edgesIn: DataFrame, nodes: DataFrame, maxIter: Int = 30,
+                    cp: Checkpointer = Checkpointer.Local): (DataFrame, Int) = {
+    val initial = cp(canon(edgesIn))
+    // active = nodes touching an edge (for singleton bypass, as in run())
+    val active = cp(initial.select(col("src").as("id"))
+      .union(initial.select(col("dst").as("id"))).distinct())
+
+    def probe(df: DataFrame): (Long, java.math.BigDecimal) = {
+      // hash sum in decimal: a long sum of 64-bit hashes overflows (ANSI)
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+
+    var edges = initial
+    var iter = 0
+    var done = edges.isEmpty
+    var prev = if (done) scala.None else Some(probe(edges))
+    while (!done && iter < maxIter) {
+      // large-star over both orientations
+      val both = edges.select(col("src").as("u"), col("dst").as("v"))
+        .union(edges.select(col("dst").as("u"), col("src").as("v")))
+      val mins = both.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      val large = both.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(least(col("u"), col("mn")).as("src"), col("v").as("dst"))
+      val lEdges = canon(large)
+      // small-star: orient toward the larger endpoint (u > v)
+      val oriented = lEdges.select(col("dst").as("u"), col("src").as("v"))
+      val smins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = oriented.join(smins, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("m").as("src"), col("v").as("dst"))
+        .union(smins.select(col("m").as("src"), col("u").as("dst")))
+      edges = cp(canon(small))
+      val cur = probe(edges)
+      done = prev.exists(p => p._1 == cur._1 && p._2.compareTo(cur._2) == 0)
+      prev = Some(cur)
+      iter += 1
+    }
+    // fixpoint is a star per component: every node's label is its min
+    // neighbor (or itself, for the center)
+    val labels = edges.select(col("src").as("id"), col("dst").as("lbl"))
+      .union(edges.select(col("dst").as("id"), col("src").as("lbl")))
+      .groupBy(col("id")).agg(min(col("lbl")).as("nbr"))
+      .select(col("id"), least(col("id"), col("nbr")).as("lbl"))
+    val singletons = nodes
+      .join(active, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("lbl"))
+    (labels.union(singletons), iter)
   }
 }

@@ -54,6 +54,52 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got == Map(-5L -> -5L, 5L -> -5L, 7L -> 7L))
   }
 
+  test("star variant matches union-find oracle on random graphs") {
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 3) {
+      val n = 30
+      val edges = (1 to 25)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val expected = unionFindMinLabels(n, edges)
+      val got = ConnectedComponents.runStar(
+        edges.toDF("src", "dst"),
+        (0 until n).map(_.toLong).toDF("id"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial: ${got.toSeq.diff(expected.toSeq)}")
+    }
+  }
+
+  test("star variant: diameter-100 path converges in O(log n) rounds") {
+    // the adversarial case for min-label propagation: a 101-node chain
+    // needs ~100 propagation rounds (maxIter=30 would NOT converge);
+    // large-star/small-star must do it in O(log n)
+    val edges = (0L until 100L).map(i => (i, i + 1))
+    val (labelsDf, rounds) = ConnectedComponents.runStarRounds(
+      edges.toDF("src", "dst"),
+      (0L to 100L).toDF("id"))
+    val labels = labelsDf.as[(Long, Long)].collect().toMap
+    assert(labels.size == 101 && labels.values.forall(_ == 0L),
+      s"chain not fully labeled: ${labels.filter(_._2 != 0L)}")
+    assert(rounds <= 12, s"star variant took $rounds rounds on diameter 100")
+  }
+
+  test("star variant: empty edges and singletons") {
+    val got = ConnectedComponents.runStar(
+      Seq.empty[(Long, Long)].toDF("src", "dst"),
+      Seq(1L, 2L, 3L).toDF("id"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("star variant handles negative ids and duplicate/reversed edges") {
+    val got = ConnectedComponents.runStar(
+      Seq((-5L, 5L), (5L, -5L), (-5L, 5L), (7L, 8L)).toDF("src", "dst"),
+      Seq(-5L, 5L, 7L, 8L, 9L).toDF("id"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(-5L -> -5L, 5L -> -5L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
+  }
+
   test("reliable checkpointer mode matches union-find oracle") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
