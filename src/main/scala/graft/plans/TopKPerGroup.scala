@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Whole-operator extension demo (SURVEY.md §4.2 tier (c)): top-k rows
@@ -22,6 +23,15 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * At 100 TB with small k this is the difference between spilling a full
   * sort and never spilling at all.
   *
+  * The O(groups × k) term is itself bounded: past `maxGroups` resident
+  * groups the partition SPILLS — the current heaps are drained, sorted
+  * by group-key bytes, and written to a local temp segment; at the end
+  * the sorted segments stream back through a k-way merge grouped by
+  * key, re-heaping each group's ≤ k-per-segment candidates. Peak memory
+  * is O(maxGroups × k + segments × k) regardless of how many groups a
+  * pathological partition holds (the hazard the window form avoids by
+  * externally sorting everything). Spill count is a SQL metric.
+  *
   * The physical exec declares ClusteredDistribution on the group keys,
   * so Catalyst inserts exactly one hash shuffle — the same exchange the
   * window form needs — and AQE still coalesces/splits it.
@@ -30,7 +40,8 @@ case class TopKPerGroup(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    maxGroups: Int = TopK.defaultMaxGroups) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
     copy(child = newChild)
@@ -40,8 +51,12 @@ case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    maxGroups: Int) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numSpills" -> SQLMetrics.createMetric(sparkContext, "number of spilled segments"))
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(groupExprs) :: Nil
@@ -59,16 +74,53 @@ case class TopKPerGroupExec(
     val gExprs = groupExprs
     val sOrder = order
     val kk = k
+    val mg = maxGroups
+    val spillMetric = longMetric("numSpills")
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(gExprs, schema)
       val rowProj = UnsafeProjection.create(schema, schema)
       val ordering = RowOrdering.create(sOrder, schema)
+      val nFields = schema.length
       // heap head = worst kept row (reverse ordering), evicted past k
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      val segments = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+
+      // drain one heap into rank order (heap pops worst-first)
+      def drained(h: java.util.PriorityQueue[UnsafeRow]): Array[UnsafeRow] = {
+        val rows = new Array[UnsafeRow](h.size)
+        var i = rows.length - 1
+        while (i >= 0) { rows(i) = h.poll(); i -= 1 }
+        rows
+      }
+
+      // spill: all resident groups, sorted by key bytes, rows in rank
+      // order — (keyLen, keyBytes, rowLen, rowBytes) records
+      def spill(): Unit = {
+        val f = java.io.File.createTempFile("graft_topk_spill", ".bin")
+        val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(f), 1 << 16))
+        val keys = new java.util.ArrayList(heaps.keySet())
+        keys.sort((a: UnsafeRow, b: UnsafeRow) =>
+          java.util.Arrays.compareUnsigned(a.getBytes, b.getBytes))
+        keys.forEach { key =>
+          val kb = key.getBytes
+          drained(heaps.get(key)).foreach { r =>
+            val rb = r.getBytes
+            out.writeInt(kb.length); out.write(kb)
+            out.writeInt(rb.length); out.write(rb)
+          }
+        }
+        out.close()
+        heaps.clear()
+        segments += f
+        spillMetric += 1
+      }
+
       it.foreach { row =>
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
+          if (heaps.size() >= mg) spill()
           heap = new java.util.PriorityQueue[UnsafeRow](kk + 1, ordering.reverse)
           heaps.put(key.copy(), heap)
         }
@@ -78,14 +130,77 @@ case class TopKPerGroupExec(
           heap.add(rowProj(row).copy())
         }
       }
-      val out = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
-      heaps.values.forEach { h =>
-        val rows = new Array[UnsafeRow](h.size)
-        var i = rows.length - 1
-        while (i >= 0) { rows(i) = h.poll(); i -= 1 } // drain -> rank order
-        out ++= rows
+
+      if (segments.isEmpty) {
+        // in-memory path: unchanged bounded-heap drain
+        val out = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
+        heaps.values.forEach(h => out ++= drained(h))
+        out.iterator
+      } else {
+        spill() // final resident groups join the merge as one more segment
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => segments.foreach(_.delete()))
+
+        // streaming k-way merge: segments are key-sorted, so each group's
+        // candidates (≤ k per segment) arrive together; re-heap them and
+        // emit. Peak memory O(segments × k) — the enforced bound.
+        final class SegIter(f: java.io.File) {
+          private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+            new java.io.FileInputStream(f), 1 << 16))
+          var key: Array[Byte] = _
+          var row: UnsafeRow = _
+          // read one record eagerly, EOF ends the segment (key = null)
+          def next(): Unit = {
+            try {
+              val kl = in.readInt()
+              val kb = new Array[Byte](kl); in.readFully(kb)
+              val rl = in.readInt()
+              val rb = new Array[Byte](rl); in.readFully(rb)
+              val r = new UnsafeRow(nFields)
+              r.pointTo(rb, rb.length)
+              key = kb; row = r
+            } catch {
+              case _: java.io.EOFException => key = null; row = null; in.close()
+            }
+          }
+        }
+        val iters = segments.map { f => val s = new SegIter(f); s.next(); s }
+          .filter(_.key != null)
+        val headOrder = new java.util.Comparator[SegIter] {
+          def compare(a: SegIter, b: SegIter): Int =
+            java.util.Arrays.compareUnsigned(a.key, b.key)
+        }
+        val pq = new java.util.PriorityQueue[SegIter](math.max(iters.size, 1), headOrder)
+        iters.foreach(pq.add)
+
+        new Iterator[InternalRow] {
+          private var pending: Iterator[UnsafeRow] = Iterator.empty
+          private def refill(): Unit = {
+            if (pq.isEmpty) return
+            val groupKey = pq.peek().key
+            val heap = new java.util.PriorityQueue[UnsafeRow](kk + 1, ordering.reverse)
+            while (!pq.isEmpty &&
+              java.util.Arrays.compareUnsigned(pq.peek().key, groupKey) == 0) {
+              val seg = pq.poll()
+              while (seg.key != null &&
+                java.util.Arrays.compareUnsigned(seg.key, groupKey) == 0) {
+                if (heap.size < kk) heap.add(seg.row)
+                else if (ordering.compare(seg.row, heap.peek()) < 0) {
+                  heap.poll(); heap.add(seg.row)
+                }
+                seg.next()
+              }
+              if (seg.key != null) pq.add(seg)
+            }
+            pending = drained(heap).iterator
+          }
+          def hasNext: Boolean = {
+            if (!pending.hasNext) refill()
+            pending.hasNext
+          }
+          def next(): InternalRow = pending.next()
+        }
       }
-      out.iterator
     }
   }
 
@@ -95,13 +210,18 @@ case class TopKPerGroupExec(
 
 object TopKStrategy extends Strategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroup(g, o, k, child) =>
-      TopKPerGroupExec(g, o, k, planLater(child)) :: Nil
+    case TopKPerGroup(g, o, k, child, mg) =>
+      TopKPerGroupExec(g, o, k, planLater(child), mg) :: Nil
     case _ => Nil
   }
 }
 
 object TopK {
+  /** Default resident-group cap per partition: 1M groups × k rows before
+    * a segment spills. At k=5 and ~100-byte rows that is ~500 MB worst
+    * case — inside a sane executor; lower it for wide rows or large k. */
+  val defaultMaxGroups: Int = 1 << 20
+
   private def ensureStrategy(spark: SparkSession): Unit =
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
@@ -112,7 +232,8 @@ object TopK {
     * analyzed child's attributes, so the custom node enters the planner
     * fully resolved. */
   def perGroup(df: DataFrame, groupCols: Seq[String],
-               orderSpec: Seq[(String, Boolean)], k: Int): DataFrame = {
+               orderSpec: Seq[(String, Boolean)], k: Int,
+               maxGroups: Int = defaultMaxGroups): DataFrame = {
     val spark = df.sparkSession
     ensureStrategy(spark)
     val analyzed = df.queryExecution.analyzed
@@ -125,7 +246,8 @@ object TopK {
       orderSpec.map { case (n, asc) =>
         SortOrder(attr(n), if (asc) Ascending else Descending) },
       k,
-      analyzed)
+      analyzed,
+      maxGroups)
     ColumnBridge.ofRows(spark, plan)
   }
 }
