@@ -11,11 +11,13 @@ import org.apache.spark.sql.types._
   * operators (the JVM analogue of a Pandas-UDF-over-Arrow-batches
   * pipeline — same batch shape and schema discipline).
   *
-  * No image/audio codecs exist in this environment, so [[StubCodec]] is
-  * a clearly-marked deterministic stand-in: the Spark-side plumbing —
-  * schema resolution, batch iteration, partitioning, output typing — is
-  * real and tested (MultimodalSpec); only the innermost decode call is
-  * fake. Swapping in a real codec changes one function.
+  * Decode is real for the two formats simple enough to parse without
+  * libraries — binary PPM images ([[PpmCodec]]) and PCM-16 WAV audio
+  * ([[WavCodec]]) — so the batch plumbing is proven on real bytes.
+  * Anything else falls back to [[StubCodec]], a clearly-marked
+  * deterministic stand-in (a decode failure must degrade, never throw:
+  * one corrupt blob must not kill a 100 TB job). Swapping in a full
+  * codec (JPEG/OPUS/containers) extends [[Codec]]'s dispatch only.
   *
   * Scale notes: media bytes dominate row size, so operators (a) never
   * shuffle raw bytes (feature extraction projects bytes away before any
@@ -35,9 +37,24 @@ object Multimodal {
       StructField("sample_rate", IntegerType, nullable = true),
       StructField("n_frames", IntegerType, nullable = true))), nullable = false)))
 
-  /** STUB — deterministic fake decoders. A real deployment replaces
-    * these bodies with an actual codec (JPEG/PNG/PCM/container demux);
-    * signatures and batch shapes are the contract. */
+  /** Format-dispatching decode front end: real parsing for PPM/WAV,
+    * stub fallback for every other byte pattern. */
+  object Codec {
+    def imageFeatures(bytes: Array[Byte], dim: Int = 16): Array[Float] =
+      PpmCodec.decode(bytes).map(PpmCodec.features(_, dim))
+        .orElse(WavCodec.decode(bytes).map(WavCodec.features(_, dim)))
+        .getOrElse(StubCodec.imageFeatures(bytes, dim))
+
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+      PpmCodec.decode(bytes)
+        .map(img => PpmCodec.encode(PpmCodec.resizeNearest(img, w, h)))
+        .getOrElse(StubCodec.resize(bytes, w, h))
+  }
+
+  /** STUB — deterministic fake decoders for formats [[Codec]] cannot
+    * parse. A real deployment replaces these bodies with an actual codec
+    * (JPEG/PNG/container demux); signatures and batch shapes are the
+    * contract. */
   object StubCodec {
     /** "Decode" bytes to a fixed-dim feature vector: byte histogram
       * (16 bins) normalized — deterministic, content-sensitive. */
@@ -76,7 +93,7 @@ object Multimodal {
         // batch boundary = one native-codec call per `batchSize` rows
         batch.map { r =>
           Row(r.getLong(idI), r.getString(kindI),
-            StubCodec.imageFeatures(r.getAs[Array[Byte]](bytesI), dim).toSeq)
+            Codec.imageFeatures(r.getAs[Array[Byte]](bytesI), dim).toSeq)
         }
       }
     }(enc)
@@ -91,7 +108,7 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           if (r.getString(kindI) == "image")
-            Row.fromSeq(r.toSeq.updated(bytesI, StubCodec.resize(r.getAs[Array[Byte]](bytesI), w, h)))
+            Row.fromSeq(r.toSeq.updated(bytesI, Codec.resize(r.getAs[Array[Byte]](bytesI), w, h)))
           else r
         }
       }

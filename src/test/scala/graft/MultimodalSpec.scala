@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Row
 
-import graft.mm.Multimodal
+import graft.mm.{Multimodal, PpmCodec, WavCodec}
 
 class MultimodalSpec extends SparkSpec {
 
@@ -35,6 +35,95 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(out(0).getAs[Array[Byte]]("bytes"), "UTF-8").startsWith("resized:8x8:"))
     assert(new String(out(2).getAs[Array[Byte]]("bytes"), "UTF-8") == "pcm-audio-bytes")
     assert(Multimodal.resizeImages(media, 8, 8).schema == media.schema)
+  }
+
+  /** 4×4 P6 gradient: pixel (x,y) = (x*60, y*60, 128). */
+  private def gradientPpm: Array[Byte] = {
+    val px = new Array[Byte](4 * 4 * 3)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val o = (y * 4 + x) * 3
+      px(o) = (x * 60).toByte; px(o + 1) = (y * 60).toByte; px(o + 2) = 128.toByte
+    }
+    PpmCodec.encode(PpmCodec.Image(4, 4, px))
+  }
+
+  /** 100 Hz square-ish wave, 1 channel, 8 kHz PCM-16, 800 samples. */
+  private def toneWav: Array[Byte] = {
+    val samples = Array.tabulate(800)(i =>
+      (if ((i / 40) % 2 == 0) 12000 else -12000).toShort)
+    WavCodec.encode(WavCodec.Audio(8000, 1, samples))
+  }
+
+  test("PPM codec: encode/decode round-trip and header edge cases") {
+    val bytes = gradientPpm
+    val img = PpmCodec.decode(bytes).get
+    assert(img.width == 4 && img.height == 4)
+    assert(PpmCodec.decode(PpmCodec.encode(img)).get.pixels.toSeq == img.pixels.toSeq)
+    // comments in header are legal PPM
+    val withComment = ("P6\n# a comment\n4 4\n255\n").getBytes("US-ASCII") ++
+      img.pixels
+    assert(PpmCodec.decode(withComment).exists(_.width == 4))
+    // malformed inputs degrade to None, never throw
+    assert(PpmCodec.decode("P6\n4 4\n255\n".getBytes).isEmpty)   // truncated raster
+    assert(PpmCodec.decode("P5\n4 4\n255\n".getBytes).isEmpty)   // wrong magic
+    assert(PpmCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("PPM codec: nearest-neighbor resize picks the exact source pixels") {
+    val img = PpmCodec.decode(gradientPpm).get
+    val small = PpmCodec.resizeNearest(img, 2, 2)
+    assert(small.width == 2 && small.height == 2)
+    // 2x2 from 4x4: source pixels (0,0),(2,0),(0,2),(2,2)
+    val expect = Seq((0, 0), (2, 0), (0, 2), (2, 2)).flatMap { case (x, y) =>
+      val o = (y * 4 + x) * 3
+      Seq(img.pixels(o), img.pixels(o + 1), img.pixels(o + 2))
+    }
+    assert(small.pixels.toSeq == expect)
+  }
+
+  test("WAV codec: encode/decode round-trip, rejects non-PCM and truncated data") {
+    val audio = WavCodec.decode(toneWav).get
+    assert(audio.sampleRate == 8000 && audio.channels == 1 && audio.samples.length == 800)
+    assert(audio.samples(0) == 12000 && audio.samples(40) == -12000)
+    // truncated file degrades to None
+    assert(WavCodec.decode(toneWav.take(50)).isEmpty)
+    assert(WavCodec.decode("RIFFjunk".getBytes).isEmpty)
+  }
+
+  test("real decode feeds the feature path: PPM means and WAV energy are exact") {
+    val imgFeat = Multimodal.Codec.imageFeatures(gradientPpm, dim = 16)
+    // channel means of the gradient: r = mean(0,60,120,180)/255, b = 128/255
+    assert(math.abs(imgFeat(0) - 90f / 255f) < 1e-6f)
+    assert(math.abs(imgFeat(1) - 90f / 255f) < 1e-6f)
+    assert(math.abs(imgFeat(2) - 128f / 255f) < 1e-6f)
+    assert(math.abs(imgFeat.drop(3).sum - 1f) < 1e-5f) // histogram normalized
+    val wavFeat = Multimodal.Codec.imageFeatures(toneWav, dim = 16)
+    assert(math.abs(wavFeat(0) - 12000f / 32768f) < 1e-4f) // RMS of square wave
+    // unknown bytes take the stub path (byte histogram sums to 1)
+    val stub = Multimodal.Codec.imageFeatures("not-a-media-file".getBytes, 16)
+    assert(math.abs(stub.sum - 1f) < 1e-5f)
+  }
+
+  test("extractFeatures and resizeImages run real codecs through the batch plumbing") {
+    val rows = Seq(
+      Row(1L, "image", gradientPpm, Row(4, 4, null, null)),
+      Row(2L, "audio", toneWav, Row(null, null, 8000, null)),
+      Row(3L, "image", "not-really-an-image".getBytes, Row(null, null, null, null)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    val feats = Multimodal.extractFeatures(df, batchSize = 2, dim = 16)
+      .collect().sortBy(_.getLong(0))
+    assert(math.abs(feats(0).getSeq[Float](2).head - 90f / 255f) < 1e-6f)
+    assert(math.abs(feats(1).getSeq[Float](2).head - 12000f / 32768f) < 1e-4f)
+    assert(feats(2).getSeq[Float](2).length == 16) // stub fallback, no throw
+
+    val resized = Multimodal.resizeImages(df, 2, 2).collect().sortBy(_.getLong(0))
+    val out = PpmCodec.decode(resized(0).getAs[Array[Byte]]("bytes")).get
+    assert(out.width == 2 && out.height == 2)
+    // audio row untouched; unparseable image row got the stub tag
+    assert(resized(1).getAs[Array[Byte]]("bytes").toSeq == toneWav.toSeq)
+    assert(new String(resized(2).getAs[Array[Byte]]("bytes"), "UTF-8")
+      .startsWith("resized:2x2:"))
   }
 
   test("sampleFrames is metadata-only and strides correctly") {
