@@ -93,7 +93,7 @@ object SparkEntry {
     "q_quality_score" -> (TextOps.qQualityScore _),
     "q_fingerprint" -> (TextOps.qFingerprint _),
     "q_dedup_ngram" -> (TextOps.qDedupNgram _),
-    "q_dedup_cluster" -> (TextOps.qDedupCluster _),
+    "q_dedup_cluster" -> ((s: SparkSession, d: String) => TextOps.qDedupCluster(s, d)),
     "q_frame_sample" -> (graft.mm.Multimodal.qFrameSample _),
     "q_cosine_topk" -> (Similarity.qCosineTopK _),
     "q_dedup_embedding" -> (Similarity.qDedupEmbedding _),

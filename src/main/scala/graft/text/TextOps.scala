@@ -390,12 +390,13 @@ object TextOps {
     * jaccard > 0.5, so the key is DuckDB-oracle-able (recursive CTE);
     * the same [[graft.graph.ConnectedComponents.run]] consumes MinHash/
     * SimHash pair output unchanged. */
-  def qDedupCluster(spark: SparkSession, dir: String): DataFrame = {
+  def qDedupCluster(spark: SparkSession, dir: String,
+                    cp: Checkpointer = Checkpointer.Local): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val edges = ngramJaccardPairs(docs, 3, 0.5, None)
+    val edges = ngramJaccardPairs(docs, 3, 0.5, None, cp = cp)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val nodes = docs.select(col("doc_id").as("id"))
-    graft.graph.ConnectedComponents.run(edges, nodes)
+    graft.graph.ConnectedComponents.run(edges, nodes, cp = cp)
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
         (col("id") === col("lbl")).as("keep"))
       .orderBy("doc_id")

@@ -144,6 +144,21 @@ class TextOpsSpec extends SparkSpec {
     assert(labels(4L) == 4L && labels(5L) == 5L)
   }
 
+  test("qDedupCluster end-to-end under Reliable checkpointing == Local output") {
+    // the full gate query's iterative loop (df-capped shingle stream +
+    // CC rounds) run with reliable (HDFS-style) checkpoints: identical
+    // output, and the checkpoint dir must actually have been written
+    val dir = java.nio.file.Files.createTempDirectory("graft_reliable").toFile
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val local = TextOps.qDedupCluster(spark, sfDir).collect().toSeq
+    val reliable = TextOps.qDedupCluster(spark, sfDir,
+      cp = graft.plans.Checkpointer.Reliable).collect().toSeq
+    assert(local == reliable)
+    def fileCount(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(fileCount).sum else 1
+    assert(fileCount(dir) > 0, "Reliable run never wrote a checkpoint")
+  }
+
   test("banded cluster assignment: MinHash edges collapse the planted cluster") {
     // the 100 TB path: document-linear MinHash band edges (not the
     // token-linear exact shingle self-join) feeding the same CC run
