@@ -81,6 +81,7 @@ object SparkEntry {
     "q_argmax" -> (VectorOps.qArgMax _),
     "q_vector_assemble" -> (VectorOps.qVectorAssemble _),
     "q_linear_predict" -> (VectorOps.qLinearPredict _),
+    "q_mlp_predict" -> (VectorOps.qMlpPredict _),
     "q_accuracy" -> (VectorOps.qAccuracy _),
     "q_vec_avg_by_label" -> (VectorOps.qVecAvgByLabel _),
     "q_reshape" -> (VectorOps.qReshape _),
@@ -103,7 +104,9 @@ object SparkEntry {
     "q_dedup_simhash" -> (TextOps.qDedupSimhash _),
     "q_dedup_simhash_banded" -> (TextOps.qDedupSimhashBanded _),
     "q_dedup_cluster_banded" -> (TextOps.qDedupClusterBanded _),
+    "q_dedup_cluster_star" -> (TextOps.qDedupClusterStar _),
     "q_dedup_embedding_lsh" -> (Similarity.qDedupEmbeddingLsh _),
+    "q_dedup_embedding_lsh_capped" -> (Similarity.qDedupEmbeddingLshCapped _),
     "q_lang_id" -> (TextOps.qLangId _),
     "q_ann_topk" -> (Similarity.qAnnTopK _),
     "q_ivf_topk" -> (Similarity.qIvfTopK _),
@@ -213,6 +216,21 @@ object SparkEntry {
       "SELECT l_orderkey, l_linenumber, CAST(generate_subscripts(f, 1) AS INTEGER) AS idx, UNNEST(f) AS fval FROM (SELECT l_orderkey, l_linenumber, [l_quantity, l_discount, l_tax] AS f FROM lineitem) ORDER BY l_orderkey, l_linenumber, idx, fval",
     "q_linear_predict" ->
       s"SELECT vec_id, ROUND(${dotSql("embedding", wLit)} + ${VectorOps.demoBias}, 6) AS pred FROM embeddings ORDER BY vec_id",
+    // MLP forward pass: hidden tanh units then a sigmoid, all literals
+    // interpolated from VectorOps.mlp* (single source of truth); the
+    // weighted sum is written in the same left-associated order as the
+    // Spark reduce so the double arithmetic folds identically
+    "q_mlp_predict" -> {
+      val hCols = (0 until VectorOps.mlpHidden).map { j =>
+        val w1 = VectorOps.mlpW1(j).mkString("[", ", ", "]")
+        // tanh via exp, mirroring qMlpPredict.tanhViaExp term for term
+        s"1.0 - 2.0/(exp(2.0*(${dotSql("embedding", w1)} + ${VectorOps.mlpB1(j)}))+1.0) AS h$j"
+      }.mkString(", ")
+      val zSum = (0 until VectorOps.mlpHidden)
+        .map(j => s"h$j * ${VectorOps.mlpW2(j)}").mkString(" + ")
+      s"WITH h AS (SELECT vec_id, $hCols FROM embeddings) " +
+        s"SELECT vec_id, ROUND(1.0/(1.0+exp(-($zSum + ${VectorOps.mlpB2}))), 6) AS mlp_prob FROM h ORDER BY vec_id"
+    },
     "q_accuracy" ->
       "SELECT ROUND(AVG(CASE WHEN (list_position(embedding, list_max(embedding)) - 1) % 10 = label THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6) AS acc FROM embeddings",
     "q_vec_avg_by_label" ->

@@ -257,6 +257,14 @@ object Similarity {
   def qDedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDupPairs(Tables.embeddings(spark, dir), 0.25)
 
+  /** Auto-sized + skew-guarded LSH near-dup on the driver gate
+    * (rows-only, like [[qDedupEmbeddingLsh]]): plane count derived from
+    * the corpus count, hot buckets refined or star-expanded — the
+    * parameter-free form a 100 TB caller would invoke. */
+  def qDedupEmbeddingLshCapped(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupPairsCapped(Tables.embeddings(spark, dir), 0.25,
+      targetBucketSize = 64L, cap = 256L)
+
   // ------------------------------- capped LSH (auto-sized + skew-guarded)
 
   /** LSH bucketing with a hard per-bucket population cap — the df-cap

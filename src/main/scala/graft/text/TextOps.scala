@@ -420,6 +420,23 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** [[qDedupClusterBanded]] with the O(log n)-round large-star/
+    * small-star CC core instead of min-label propagation — the variant
+    * you'd pick when cluster diameters are unknown (chained near-dups,
+    * e.g. drifting boilerplate, can make diameter O(corpus)). Same edge
+    * generation, same output contract; rows-only on the gate like the
+    * banded key (minhash seeds are not SQL-expressible). */
+  def qDedupClusterStar(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val edges = nearDupPairs(docs, 3, 0.6)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val nodes = docs.select(col("doc_id").as("id"))
+    graft.graph.ConnectedComponents.runStar(edges, nodes)
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+        (col("id") === col("lbl")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   // ----------------------------------------------------------- language ID
 
   /** Tiny n-gram-profile language scorer: marker-term hit counts per

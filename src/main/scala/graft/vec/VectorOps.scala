@@ -114,6 +114,17 @@ object VectorOps {
   val demoWeights: Seq[Double] = (1 to 64).map(i => ((i * 37) % 19 - 9) / 10.0)
   val demoBias: Double = 0.05
 
+  /** Deterministic MLP demo weights (din=64, hidden=4) — formula-derived
+    * (no RNG) so the Spark query and the DuckDB oracle interpolate the
+    * SAME literals; layout matches [[graft.ml.MlpModel]]
+    * ([W1 row-major, b1, w2, b2], MlpDemoSpec pins the equivalence). */
+  val mlpHidden: Int = 4
+  val mlpW1: Seq[Seq[Double]] = (0 until mlpHidden).map(j =>
+    (0 until 64).map(i => ((i * 37 + j * 101) % 19 - 9) / 10.0))
+  val mlpB1: Seq[Double] = (0 until mlpHidden).map(j => ((j * 53) % 7 - 3) / 10.0)
+  val mlpW2: Seq[Double] = (0 until mlpHidden).map(j => ((j * 29) % 11 - 5) / 10.0)
+  val mlpB2: Double = 0.05
+
   // ------------------------------------------------------------- queries
 
   /** q_minmax_scale: scalar min-max over l_quantity. Table stats come
@@ -167,6 +178,31 @@ object VectorOps {
         col("vec_id"),
         round(dotLit(col("embedding"), demoWeights) + demoBias, 6).as("pred"))
       .orderBy("vec_id")
+
+  /** q_mlp_predict — the general ModelPredictor case
+    * (`distkeras/predictors.py ~L20-80 [H]`) for a NONLINEAR net,
+    * expressed entirely as Catalyst expressions: hidden unit j is
+    * tanh(dot(W1_j, x) + b1_j) (each dot is the fused codegen
+    * [[graft.plans.DotProduct]]), the output is a sigmoid over the
+    * explicit left-associated weighted sum — so even a neural scorer
+    * stays inside whole-stage codegen, no UDF, no mapPartitions. The
+    * same weights drive [[graft.ml.MlpModel]] in MlpDemoSpec, pinning
+    * the expression form to the Scala backprop model. */
+  def qMlpPredict(spark: SparkSession, dir: String): DataFrame = {
+    // tanh written via exp — the oracle engine has no tanh builtin, and
+    // using the SAME formula on both sides keeps the fold comparable
+    def tanhViaExp(x: Column): Column =
+      lit(1.0) - lit(2.0) / (exp(lit(2.0) * x) + lit(1.0))
+    val h = (0 until mlpHidden).map { j =>
+      tanhViaExp(dotLit(col("embedding"), mlpW1(j)) + lit(mlpB1(j)))
+    }
+    val z = h.zip(mlpW2).map { case (hj, w) => hj * lit(w) }
+      .reduce(_ + _) + lit(mlpB2)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("mlp_prob"))
+      .orderBy("vec_id")
+  }
 
   /** q_accuracy — AccuracyEvaluator (`distkeras/evaluators.py ~L15-60
     * [H]`) as a single-row aggregate; "prediction" is argmax(embedding)

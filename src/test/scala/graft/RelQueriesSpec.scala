@@ -31,10 +31,11 @@ class RelQueriesSpec extends SparkSpec {
     assert(os.subsetOf(qs), s"oracle-only keys: ${os -- qs}")
     assert((qs -- os) == Set("q_dedup_minhash", "q_dedup_simhash", "q_lang_id",
       "q_ann_topk", "q_approx_distinct",
-      // round-3 scale-path keys: hash-seeded (minhash bands, simhash
+      // round-3/4 scale-path keys: hash-seeded (minhash bands, simhash
       // fingerprints, LSH hyperplanes, IVF centroids) → rows-only
       "q_dedup_simhash_banded", "q_dedup_cluster_banded",
-      "q_dedup_embedding_lsh", "q_ivf_topk"))
+      "q_dedup_cluster_star", "q_dedup_embedding_lsh",
+      "q_dedup_embedding_lsh_capped", "q_ivf_topk"))
   }
 
   test("q_filter pushes predicates into the parquet scan") {

@@ -218,6 +218,15 @@ class SimilaritySpec extends SparkSpec {
     assert(capped.subsetOf(brute), s"false positives: ${capped.diff(brute)}")
   }
 
+  test("q_dedup_embedding_lsh_capped gate key: nonempty, canonical, thresholded") {
+    val rows = Similarity.qDedupEmbeddingLshCapped(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Double]("score") > 0.25)
+    }
+  }
+
   test("q_ivf_topk: full top-k rows and NO global (empty-partition) window") {
     val df = Similarity.qIvfTopK(spark, sfDir)
     val globalWindows = df.queryExecution.optimizedPlan.collect {

@@ -185,6 +185,13 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.count(_.getAs[Boolean]("keep")) == nClusters)
   }
 
+  test("q_dedup_cluster_star gate key == banded key (same edges, star CC core)") {
+    val star = TextOps.qDedupClusterStar(spark, sfDir).collect().toSeq
+    val banded = TextOps.qDedupClusterBanded(spark, sfDir).collect().toSeq
+    assert(star.nonEmpty && star == banded,
+      "star CC must produce identical cluster assignment over the same edges")
+  }
+
   test("q_dedup_simhash_banded gate key: verified pairs within hamming bound") {
     val rows = TextOps.qDedupSimhashBanded(spark, sfDir).collect()
     assert(rows.nonEmpty, "no near-dup pairs found on testdata")

@@ -137,6 +137,29 @@ class VectorOpsSpec extends SparkSpec {
       nested.last.toSeq == Seq(9.0, 10.0, 11.0, 12.0))
   }
 
+  test("q_mlp_predict (Catalyst expression form) == MlpModel forward pass") {
+    // the gate query computes the MLP in pure codegen expressions; the
+    // trainer-side MlpModel computes it in Scala — same weights, so the
+    // probabilities must agree to float-input precision
+    val flat = (VectorOps.mlpW1.flatten ++ VectorOps.mlpB1 ++
+      VectorOps.mlpW2 :+ VectorOps.mlpB2).toArray
+    val model = graft.ml.MlpModel(
+      graft.ml.ModelWeights(graft.ml.MlpModel.shapes(64, VectorOps.mlpHidden), flat),
+      din = 64, hidden = VectorOps.mlpHidden)
+    val viaExpr = VectorOps.qMlpPredict(spark, sfDir)
+      .as[(Long, Double)].collect().toMap
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    assert(viaExpr.size == emb.length)
+    emb.foreach { case (id, e) =>
+      val p = model.predictProb(e.map(_.toDouble).toArray)
+      // the query rounds to 6 decimals; the model doesn't — agree within
+      // the rounding half-step
+      assert(math.abs(viaExpr(id) - p) < 5.1e-7,
+        s"vec $id: expr ${viaExpr(id)} vs model $p")
+    }
+  }
+
   test("q_vec_avg_by_label emits 64 positions per label") {
     val counts = VectorOps.qVecAvgByLabel(spark, sfDir)
       .groupBy("label").count().as[(Int, Long)].collect()
