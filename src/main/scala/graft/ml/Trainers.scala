@@ -243,4 +243,47 @@ object Trainers {
       seed: Long = 42L): LinearModel =
     trainDistributedModel(df, featuresCol, labelCol, LinearModel.init(dim, seed),
       numWorkers, epochs, lr, batchSize, rule)
+
+  /** Training record — the reference Trainer's bookkeeping surface
+    * (`trainers.py › Trainer.get_training_time / .get_history [H]`):
+    * wall-clock seconds plus the mean log-loss over the training set
+    * after each epoch (one extra distributed (sum, count) aggregate per
+    * epoch — O(1) rows to the driver, never the data). */
+  final case class TrainingReport[M <: DiffModel](
+      model: M, epochLoss: Seq[Double], seconds: Double)
+
+  def trainDistributedWithHistory[M <: DiffModel](
+      df: DataFrame, featuresCol: String, labelCol: String, init: M,
+      numWorkers: Int = 4, epochs: Int = 5, lr: Double = 0.5,
+      batchSize: Int = 32, rule: UpdateRule = Averaging): TrainingReport[M] = {
+    val t0 = System.nanoTime()
+    val data = toExamples(df, featuresCol, labelCol)
+      .repartition(numWorkers).persist()
+    try {
+      var center: DiffModel = init
+      val state = new Array[Double](center.weights.flat.length)
+      val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+      for (_ <- 0 until epochs) {
+        val sc = df.sparkSession.sparkContext
+        val bc = sc.broadcast(center)
+        val locals = data.mapPartitions { it =>
+          val res = localSgd(bc.value, it, lr, batchSize)
+          if (res._2 == 0) Iterator.empty else Iterator.single(res)
+        }.collect().toSeq
+        if (locals.nonEmpty)
+          center = center.withWeights(rule(center.weights, locals, state))
+        val bcEval = sc.broadcast(center)
+        val (lossSum, n) = data.mapPartitions { it =>
+          val m = bcEval.value
+          var s = 0.0; var k = 0L
+          it.foreach { case (x, y) => s += m.logLoss(x, y); k += 1 }
+          Iterator.single((s, k))
+        }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+        bc.destroy(); bcEval.destroy()
+        losses += (if (n == 0) 0.0 else lossSum / n)
+      }
+      TrainingReport(center.asInstanceOf[M], losses.toSeq,
+        (System.nanoTime() - t0) / 1e9)
+    } finally data.unpersist()
+  }
 }

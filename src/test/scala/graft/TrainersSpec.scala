@@ -168,6 +168,19 @@ class TrainersSpec extends SparkSpec {
     }
   }
 
+  test("training report: per-epoch loss history descends, wall time recorded") {
+    val report = Trainers.trainDistributedWithHistory(linsep, "features", "label",
+      LinearModel.init(2, seed = 42L), numWorkers = 4, epochs = 10, lr = 0.8)
+    assert(report.epochLoss.length == 10)
+    assert(report.epochLoss.last < report.epochLoss.head,
+      s"loss did not decrease: ${report.epochLoss}")
+    assert(report.seconds > 0.0)
+    // the reported model matches plain training with identical settings
+    val plain = Trainers.trainDistributed(linsep, "features", "label", 2,
+      numWorkers = 4, epochs = 10, lr = 0.8)
+    assert(report.model.weights.flat.toSeq == plain.weights.flat.toSeq)
+  }
+
   test("batched predictor scores an MLP (model-agnostic plumbing)") {
     val mlp = MlpModel.init(din = 2, hidden = 4, seed = 7L)
     val bc = spark.sparkContext.broadcast(mlp)
