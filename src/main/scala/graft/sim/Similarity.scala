@@ -300,21 +300,36 @@ object Similarity {
         .cast("long").as("bucket"))
     var cur = base
     var settled: Option[DataFrame] = scala.None
-    for (d <- 1 to maxDepth) {
+    var d = 1
+    var exhausted = false
+    while (d <= maxDepth && !exhausted) {
       val hotIds = cur.groupBy(col("lvl"), col("bucket")).count()
         .filter(col("count") > cap)
         .select(col("lvl").as("h_lvl"), col("bucket").as("h_bucket"))
-      val joined = cur.join(broadcast(hotIds),
-        col("lvl") === col("h_lvl") && col("bucket") === col("h_bucket"), "left")
-      val cold = joined.filter(col("h_lvl").isNull)
-        .select(col(idCol), col(vecCol), col("lvl"), col("bucket"))
-      settled = Some(settled.map(_.unionAll(cold)).getOrElse(cold))
-      val sub = hyperplanes(subPlanes, dim,
-        planeOffset + nPlanes + (d - 1) * subPlanes)
-      cur = joined.filter(col("h_lvl").isNotNull)
-        .select(col(idCol), col(vecCol), lit(d).as("lvl"),
-          (col("bucket") * (1 << subPlanes) +
-            lshBuckets(col(vecCol), sub)).as("bucket"))
+      // probe emptiness before wiring another refinement round into the
+      // plan: with an auto-sized signature the common case is NO hot
+      // bucket, and skipping the remaining rounds drops their per-round
+      // full-set aggregate + join from the executed plan entirely (the
+      // probe is one small aggregate job; hot-bucket ids are bounded by
+      // N/cap and were headed for a broadcast anyway)
+      if (hotIds.isEmpty) {
+        settled = Some(settled.map(_.unionAll(cur)).getOrElse(cur))
+        cur = cur.limit(0)
+        exhausted = true
+      } else {
+        val joined = cur.join(broadcast(hotIds),
+          col("lvl") === col("h_lvl") && col("bucket") === col("h_bucket"), "left")
+        val cold = joined.filter(col("h_lvl").isNull)
+          .select(col(idCol), col(vecCol), col("lvl"), col("bucket"))
+        settled = Some(settled.map(_.unionAll(cold)).getOrElse(cold))
+        val sub = hyperplanes(subPlanes, dim,
+          planeOffset + nPlanes + (d - 1) * subPlanes)
+        cur = joined.filter(col("h_lvl").isNotNull)
+          .select(col(idCol), col(vecCol), lit(d).as("lvl"),
+            (col("bucket") * (1 << subPlanes) +
+              lshBuckets(col(vecCol), sub)).as("bucket"))
+      }
+      d += 1
     }
     // whatever is still above cap after maxDepth refinements is
     // degenerate skew — flag it for the caller's O(|b|) path
