@@ -188,3 +188,27 @@ object MlpModel {
   def init(din: Int, hidden: Int, seed: Long = 42L): MlpModel =
     MlpModel(ModelWeights.uniform(shapes(din, hidden), -0.5, 0.5, seed), din, hidden)
 }
+
+/** Model persistence — the disk-format replacement for the reference's
+  * pickled model files (`examples/mnist.py` saves/loads the trained
+  * Keras model between runs [M]). Weights are written as ONE parquet
+  * row (shape rows/cols arrays + the flat vector): engine-portable,
+  * schema-checked, readable by any parquet tool — and round-trips
+  * bit-exactly, since parquet doubles are IEEE754 verbatim. */
+object ModelIO {
+  def save(spark: org.apache.spark.sql.SparkSession, w: ModelWeights,
+           path: String): Unit = {
+    import spark.implicits._
+    Seq((w.shapes.map(_._1), w.shapes.map(_._2), w.flat.toSeq))
+      .toDF("shape_rows", "shape_cols", "flat")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): ModelWeights = {
+    val r = spark.read.parquet(path).head()
+    ModelWeights(
+      r.getSeq[Int](r.fieldIndex("shape_rows"))
+        .zip(r.getSeq[Int](r.fieldIndex("shape_cols"))),
+      r.getSeq[Double](r.fieldIndex("flat")).toArray)
+  }
+}

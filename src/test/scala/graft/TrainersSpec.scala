@@ -79,6 +79,20 @@ class TrainersSpec extends SparkSpec {
     assert(ModelWeights.average(Seq(m, m, m)).flat.toSeq == m.flat.toSeq)
   }
 
+  test("ModelIO: trained MLP weights round-trip bit-exactly through parquet") {
+    val trained = Trainers.trainDistributedModel(xor, "features", "label",
+      MlpModel.init(2, 4, seed = 7L), numWorkers = 2, epochs = 3, lr = 0.5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_model").toString + "/m"
+    ModelIO.save(spark, trained.weights, dir)
+    val back = ModelIO.load(spark, dir)
+    assert(back.shapes == trained.weights.shapes)
+    assert(back.flat.toSeq == trained.weights.flat.toSeq) // bit-exact doubles
+    // a model rebuilt from disk scores identically
+    val rebuilt = trained.withWeights(back)
+    val x = Array(0.3, 0.7)
+    assert(rebuilt.predictProb(x) == trained.predictProb(x))
+  }
+
   test("ModelWeights layer round-trip and serializability") {
     val m = ModelWeights(Seq((2, 3), (1, 2)), Array(1.0, 2, 3, 4, 5, 6, 7, 8))
     val layers = m.layers
