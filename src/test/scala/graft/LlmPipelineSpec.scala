@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sim.Similarity
+import graft.text.TextOps
+
+/** The LLM-training-data counterpart of PipelineSpec: every cleaning
+  * stage a 100 TB corpus pipeline runs, composed over the real test
+  * tables instead of tested in isolation —
+  *
+  *   quality filter → language filter → exact dedup → near-dup cluster
+  *   survivors → embedding near-dup prune
+  *
+  * Asserts the stages agree where they overlap (every exact dup is a
+  * near-dup cluster member), the survivor set shrinks monotonically,
+  * the result is deterministic across runs, and the composed plan stays
+  * free of cartesian products.
+  */
+class LlmPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  /** Stage 1+2: quality + language gate (pure Catalyst, one scan). */
+  private def gated: DataFrame = {
+    val toks = split(col("text"), " ")
+    val distinctRatio = size(array_distinct(toks)).cast("double") / size(toks)
+    docs.filter(col("lang").isin("en", "de", "fr") && distinctRatio > 0.1)
+  }
+
+  test("stages compose: survivors shrink monotonically and deterministically") {
+    val n0 = docs.count()
+    val afterGate = gated
+    val n1 = afterGate.count()
+    assert(n1 > 0 && n1 <= n0, s"gate: $n0 -> $n1")
+
+    // stage 3: exact dedup survivors (min doc_id per md5)
+    val exactSurvivors = afterGate
+      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+      .drop("h")
+    val n2 = exactSurvivors.count()
+    assert(n2 <= n1, s"exact dedup: $n1 -> $n2")
+
+    // stage 4: near-dup cluster over the gated corpus, keep one per cluster
+    val clusters = {
+      val edges = TextOps.nearDupPairs(afterGate, 3, 0.6)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      graph.ConnectedComponents.run(edges, afterGate.select(col("doc_id").as("id")))
+    }
+    val nearSurvivors = clusters.filter(col("id") === col("lbl"))
+      .select(col("id").as("doc_id"))
+      .join(exactSurvivors, Seq("doc_id"), "left_semi")
+    val n3 = nearSurvivors.count()
+    assert(n3 <= n2 && n3 > 0, s"near-dup cluster: $n2 -> $n3")
+
+    // every exact duplicate pair must also be in one near-dup cluster
+    // (identical text => jaccard 1.0 > any threshold)
+    val exactPairs = afterGate
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("a"), max(col("doc_id")).as("b"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    val clusterOf = clusters.as[(Long, Long)].collect().toMap
+    exactPairs.select("a", "b").as[(Long, Long)].collect().foreach { case (a, b) =>
+      assert(clusterOf(a) == clusterOf(b),
+        s"identical docs $a,$b landed in different near-dup clusters")
+    }
+
+    // stage 5: embedding near-dup prune over the survivors' vectors
+    val emb = Tables.embeddings(spark, sfDir)
+      .join(nearSurvivors, col("vec_id") === col("doc_id"), "left_semi")
+      .select(col("vec_id"), col("embedding"))
+    val dropIds = Similarity.embeddingNearDupPairsCapped(emb, 0.95,
+        targetBucketSize = 64L, cap = 128L)
+      .select(col("id_b").as("vec_id")).distinct()
+    val finalSurvivors = emb.join(dropIds, Seq("vec_id"), "left_anti")
+    val n4 = finalSurvivors.count()
+    assert(n4 <= n3 && n4 > 0, s"embedding prune: $n3 -> $n4")
+
+    // determinism: the whole composed pipeline yields the same survivor
+    // set on a second evaluation
+    val ids1 = finalSurvivors.select("vec_id").as[Long].collect().sorted.toSeq
+    val ids2 = finalSurvivors.select("vec_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+  }
+
+  test("composed gate+exact-dedup plan has no cartesian product") {
+    val exactSurvivors = gated
+      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+      .drop("h")
+    val joined = Tables.embeddings(spark, sfDir)
+      .join(exactSurvivors, col("vec_id") === col("doc_id"), "left_semi")
+    assert(!PlanAudit.hasCross(PlanAudit.executedPlan(joined)),
+      "pipeline join planned a cartesian product")
+  }
+}
