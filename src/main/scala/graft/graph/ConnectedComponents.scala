@@ -143,12 +143,15 @@ object ConnectedComponents {
       val both = edges.select(col("src").as("u"), col("dst").as("v"))
         .union(edges.select(col("dst").as("u"), col("src").as("v")))
       val mins = both.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      // output is already canonically ordered (src = min(u, mn) ≤ u < v
+      // = dst) and small-star's min-aggregate tolerates duplicate edges,
+      // so no distinct between the stars — one less shuffle per round;
+      // the end-of-round canon() compresses the multiset once
       val large = both.join(mins, Seq("u"))
         .filter(col("v") > col("u"))
         .select(least(col("u"), col("mn")).as("src"), col("v").as("dst"))
-      val lEdges = canon(large)
       // small-star: orient toward the larger endpoint (u > v)
-      val oriented = lEdges.select(col("dst").as("u"), col("src").as("v"))
+      val oriented = large.select(col("dst").as("u"), col("src").as("v"))
       val smins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
       val small = oriented.join(smins, Seq("u"))
         .filter(col("v") =!= col("m"))
