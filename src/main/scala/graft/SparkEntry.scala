@@ -94,6 +94,8 @@ object SparkEntry {
     "q_quality_score" -> (TextOps.qQualityScore _),
     "q_fingerprint" -> (TextOps.qFingerprint _),
     "q_dedup_ngram" -> (TextOps.qDedupNgram _),
+    "q_sample_hash" -> (text.Sampling.qSampleHash _),
+    "q_split_assign" -> (text.Sampling.qSplitAssign _),
     "q_dedup_cluster" -> ((s: SparkSession, d: String) => TextOps.qDedupCluster(s, d)),
     "q_frame_sample" -> (graft.mm.Multimodal.qFrameSample _),
     "q_cosine_topk" -> (Similarity.qCosineTopK _),
@@ -252,6 +254,12 @@ object SparkEntry {
       "SELECT doc_id, CAST(nt AS INTEGER) AS n_tokens, ROUND(nd / ntd, 6) AS distinct_ratio, ROUND(ns / ntd, 6) AS stop_ratio, ROUND((nd / ntd) * 0.5 + (1.0 - ns / ntd) * 0.5, 6) AS quality FROM (SELECT doc_id, len(toks) AS nt, CAST(len(toks) AS DOUBLE) AS ntd, CAST(len(list_distinct(toks)) AS DOUBLE) AS nd, CAST(len(list_filter(toks, t -> list_contains(['the','a','of','data','table','row'], t))) AS DOUBLE) AS ns FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)) ORDER BY doc_id",
     "q_fingerprint" ->
       "SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp FROM documents ORDER BY doc_id",
+    // content-hash sampling/splits: md5 hex is engine-identical, cut
+    // literals interpolated from Sampling.cutHex (single source of truth)
+    "q_sample_hash" ->
+      s"SELECT doc_id, lang FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(0.10)}' ORDER BY doc_id",
+    "q_split_assign" ->
+      s"SELECT split, lang, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id FROM (SELECT doc_id, lang, CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(0.8)}' THEN 'train' WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(0.9)}' THEN 'val' ELSE 'test' END AS split FROM documents) GROUP BY split, lang ORDER BY split, lang",
     // relational shingle form with the df cap (HAVING df <=
     // TextOps.shingleDfCap, interpolated), the exact mirror of
     // TextOps.shingleRows + ngramJaccardPairs
