@@ -126,6 +126,50 @@ class MultimodalSpec extends SparkSpec {
       .startsWith("resized:2x2:"))
   }
 
+  test("codec round-trip properties on seeded random media") {
+    val rnd = new scala.util.Random(271)
+    (1 to 20).foreach { _ =>
+      val w = 1 + rnd.nextInt(12)
+      val h = 1 + rnd.nextInt(12)
+      val px = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val img = PpmCodec.Image(w, h, px)
+      val back = PpmCodec.decode(PpmCodec.encode(img)).get
+      assert(back.width == w && back.height == h && back.pixels.toSeq == px.toSeq)
+      // resize to own size is identity for nearest-neighbor
+      val same = PpmCodec.resizeNearest(img, w, h)
+      assert(same.pixels.toSeq == px.toSeq)
+    }
+    (1 to 20).foreach { _ =>
+      val n = 1 + rnd.nextInt(500)
+      val ch = 1 + rnd.nextInt(2)
+      val samples = Array.fill(n * ch)((rnd.nextInt(65536) - 32768).toShort)
+      val a = WavCodec.Audio(8000 + rnd.nextInt(40000), ch, samples)
+      val back = WavCodec.decode(WavCodec.encode(a)).get
+      assert(back.sampleRate == a.sampleRate && back.channels == ch)
+      assert(back.samples.toSeq == samples.toSeq)
+    }
+  }
+
+  test("WAV decoder honors word alignment for odd-sized chunks") {
+    // craft: RIFF/WAVE + a 3-byte junk chunk (odd, so a pad byte
+    // follows) + valid fmt + data; the walk must skip the pad
+    val a = WavCodec.Audio(8000, 1, Array[Short](100, -100, 3000))
+    val canonical = WavCodec.encode(a)
+    val fmtAndData = java.util.Arrays.copyOfRange(canonical, 12, canonical.length)
+    val junk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3, 0) // 3 data + 1 pad
+    val buf = java.nio.ByteBuffer
+      .allocate(12 + junk.length + fmtAndData.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII"))
+      .putInt(4 + junk.length + fmtAndData.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put(junk).put(fmtAndData)
+    val got = WavCodec.decode(buf.array())
+    assert(got.exists(_.samples.toSeq == Seq[Short](100, -100, 3000)),
+      s"odd-chunk walk failed: $got")
+  }
+
   test("sampleFrames is metadata-only and strides correctly") {
     val out = Multimodal.sampleFrames(media, stride = 3).collect()
     assert(out.length == 1)
