@@ -211,4 +211,26 @@ object ModelIO {
         .zip(r.getSeq[Int](r.fieldIndex("shape_cols"))),
       r.getSeq[Double](r.fieldIndex("flat")).toArray)
   }
+
+  /** Architecture-aware loads: the shape list fully determines the model
+    * family (a linear model is one (1, d+1) row; the MLP is the 4-shape
+    * layout of [[MlpModel.shapes]]), so no side-channel metadata file is
+    * needed — a malformed shape list fails fast instead of mis-scoring. */
+  def loadLinear(spark: org.apache.spark.sql.SparkSession, path: String): LinearModel = {
+    val w = load(spark, path)
+    require(w.shapes.sizeIs == 1 && w.shapes.head._1 == 1,
+      s"not a linear model shape list: ${w.shapes}")
+    LinearModel(w)
+  }
+
+  def loadMlp(spark: org.apache.spark.sql.SparkSession, path: String): MlpModel = {
+    val w = load(spark, path)
+    w.shapes match {
+      case Seq((h1, din), (h2, 1), (1, h3), (1, 1))
+          if h1 == h2 && h2 == h3 =>
+        MlpModel(w, din, h1)
+      case other =>
+        throw new IllegalArgumentException(s"not an MLP shape list: $other")
+    }
+  }
 }

@@ -74,6 +74,21 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming CONTENT dedup: the key is the SimHash fingerprint of the
+    * text, so trivially-perturbed near-identical documents (fingerprint
+    * collisions by construction) collapse within the watermark horizon —
+    * the streaming dual of the batch near-dup family, with the same
+    * bounded-state story: fingerprints are GC'd past the watermark.
+    * Expects a `ts` event-time column alongside the text. */
+  def dedupByFingerprint(docs: DataFrame, textCol: String,
+                         watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("__fp",
+        graft.text.TextOps.simhash(split(lower(col(textCol)), " ")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("__fp"))
+      .drop("__fp")
+
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
   final case class UserCounter(user_id: Long, n_events: Long, total_value: Double)
 

@@ -13,6 +13,7 @@ import graft.stream.StreamOps
   * rows beyond the watermark are dropped in append mode. */
 /** Top-level so Catalyst can encode it inside MemoryStream. */
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+case class Doc(ts: Timestamp, doc_id: Long, text: String)
 
 class StreamOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -160,6 +161,23 @@ class StreamOpsSpec extends SparkSpec {
     q.stop()
     val rows = spark.table("t_dedup").collect()
     assert(rows.length == 2) // one (1, click), one (2, view)
+  }
+
+  test("streaming fingerprint dedup collapses near-identical documents") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = StreamOps.dedupByFingerprint(mem.toDF(), "text")
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("t_fpdedup").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(
+      Doc(ts("2024-01-01 10:00:00"), 1, "the quick brown fox jumps over the lazy dog"),
+      // same bag of words, different order -> identical SimHash -> dropped
+      Doc(ts("2024-01-01 10:01:00"), 2, "lazy dog the quick brown fox jumps over the"),
+      Doc(ts("2024-01-01 10:02:00"), 3, "completely unrelated text about spark engines"))
+    q.processAllAvailable()
+    q.stop()
+    val survivors = spark.table("t_fpdedup").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(survivors == Set(1L, 3L), s"got $survivors")
   }
 
   test("batch windowTumbling on real events matches StreamOps.tumbling") {

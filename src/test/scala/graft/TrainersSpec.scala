@@ -91,6 +91,14 @@ class TrainersSpec extends SparkSpec {
     val rebuilt = trained.withWeights(back)
     val x = Array(0.3, 0.7)
     assert(rebuilt.predictProb(x) == trained.predictProb(x))
+    // architecture-aware load reconstructs the MLP from shapes alone
+    val typed = ModelIO.loadMlp(spark, dir)
+    assert(typed.din == 2 && typed.hidden == 4)
+    assert(typed.predictProb(x) == trained.predictProb(x))
+    // and refuses a mismatched family
+    intercept[IllegalArgumentException] {
+      ModelIO.loadLinear(spark, dir)
+    }
   }
 
   test("ModelWeights layer round-trip and serializability") {
