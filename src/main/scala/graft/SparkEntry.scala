@@ -83,6 +83,7 @@ object SparkEntry {
     "q_linear_predict" -> (VectorOps.qLinearPredict _),
     "q_mlp_predict" -> (VectorOps.qMlpPredict _),
     "q_accuracy" -> (VectorOps.qAccuracy _),
+    "q_eval_metrics" -> (VectorOps.qEvalMetrics _),
     "q_vec_avg_by_label" -> (VectorOps.qVecAvgByLabel _),
     "q_reshape" -> (VectorOps.qReshape _),
     "q_dense_vec" -> (VectorOps.qDenseVec _),
@@ -235,6 +236,11 @@ object SparkEntry {
     },
     "q_accuracy" ->
       "SELECT ROUND(AVG(CASE WHEN (list_position(embedding, list_max(embedding)) - 1) % 10 = label THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6) AS acc FROM embeddings",
+    // binary evaluator: prob rounded to 6 BEFORE thresholding/binning so
+    // both engines agree on every decision; binned (1024) AUC mirrors
+    // Evaluator.binaryMetrics term for term
+    "q_eval_metrics" ->
+      s"""WITH s AS (SELECT ROUND(1.0/(1.0+exp(-(${dotSql("embedding", wLit)} + ${VectorOps.demoBias}))), 6) AS p, CAST((list_position(embedding, list_max(embedding)) - 1) % 2 AS INTEGER) AS y FROM embeddings), b AS (SELECT CAST(least(floor(p*1024), 1023) AS INTEGER) AS bin, CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS pred, y FROM s), c AS (SELECT SUM(CASE WHEN pred=1 AND y=1 THEN 1 ELSE 0 END) AS tp, SUM(CASE WHEN pred=1 AND y=0 THEN 1 ELSE 0 END) AS fp, SUM(CASE WHEN pred=0 AND y=1 THEN 1 ELSE 0 END) AS fn FROM b), h AS (SELECT bin, CAST(SUM(y) AS DOUBLE) AS pos, CAST(SUM(1-y) AS DOUBLE) AS neg FROM b GROUP BY bin), a AS (SELECT SUM(pos*neg_below) + 0.5*SUM(pos*neg) AS num, SUM(pos) AS npos, SUM(neg) AS nneg FROM (SELECT pos, neg, COALESCE(SUM(neg) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS neg_below FROM h)) SELECT ROUND(CAST(tp AS DOUBLE)/(tp+fp), 6) AS prec, ROUND(CAST(tp AS DOUBLE)/(tp+fn), 6) AS recall, ROUND(2.0*tp/(2.0*tp+fp+fn), 6) AS f1, ROUND(num/(npos*nneg), 6) AS auc FROM c CROSS JOIN a""",
     "q_vec_avg_by_label" ->
       "SELECT label, idx, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS avg_v FROM (SELECT label, CAST(generate_subscripts(embedding, 1) AS INTEGER) AS idx, UNNEST(embedding) AS v FROM embeddings) GROUP BY label, idx ORDER BY label, idx",
     "q_reshape" ->

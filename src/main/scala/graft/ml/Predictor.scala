@@ -75,4 +75,60 @@ object Evaluator {
 
   def accuracyExpr(predictionCol: Column, labelCol: Column): Column =
     avg(when(predictionCol === labelCol, 1.0).otherwise(0.0))
+
+  /** Binary-classification metrics as ONE distributed aggregation pass —
+    * the evaluator surface the reference computes driver-side with
+    * sklearn over collected predictions (`examples/mnist.py [M]`):
+    * precision/recall/F1 at a probability threshold, and AUC.
+    *
+    * AUC is BINNED (default 1024 probability bins): an exact
+    * Mann-Whitney AUC needs a global rank over all scores — a
+    * single-reducer sort at 100 TB — while the binned form is one
+    * groupBy(bin) histogram plus a window over ≤ `bins` rows; pairs
+    * falling in the same bin count 1/2 (the standard tie treatment), so
+    * the approximation error is bounded by the within-bin mass. The
+    * probability is rounded to 6 decimals BEFORE binning so the bin
+    * assignment is reproducible across engines (same reasoning as every
+    * oracled float column).
+    *
+    * Returns one row: (precision, recall, f1, auc) rounded to 6. */
+  def binaryMetrics(scored: DataFrame, probCol: String, labelCol: String,
+                    threshold: Double = 0.5, bins: Int = 1024): DataFrame = {
+    val p = round(col(probCol).cast("double"), 6)
+    val y = col(labelCol).cast("int")
+    val base = scored.select(
+      least(floor(p * bins), lit(bins - 1)).cast("int").as("bin"),
+      when(p >= threshold, 1).otherwise(0).as("pred"), y.as("y"))
+
+    val counts = base.agg(
+      sum(when(col("pred") === 1 && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("pred") === 1 && col("y") === 0, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("pred") === 0 && col("y") === 1, 1L).otherwise(0L)).as("fn"))
+
+    val hist = base.groupBy(col("bin")).agg(
+      sum(col("y")).cast("double").as("pos"),
+      sum(lit(1) - col("y")).cast("double").as("neg"))
+    // negCumBelow over ≤ bins rows — the window is tiny by construction;
+    // the constant partition key states that single-partition execution
+    // is INTENDED here (the input is the bin histogram, not the data)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0))
+      .orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val auc = hist
+      .withColumn("neg_below", coalesce(sum(col("neg")).over(w), lit(0.0)))
+      .agg((sum(col("pos") * col("neg_below")) +
+        lit(0.5) * sum(col("pos") * col("neg"))).as("num"),
+        sum(col("pos")).as("npos"), sum(col("neg")).as("nneg"))
+      .select((col("num") / (col("npos") * col("nneg"))).as("auc"))
+
+    // "prec" not "precision": the latter is a reserved word in some SQL
+    // engines, and the oracle must share column names verbatim
+    counts.crossJoin(auc).select(
+      round(col("tp").cast("double") / (col("tp") + col("fp")), 6).as("prec"),
+      round(col("tp").cast("double") / (col("tp") + col("fn")), 6).as("recall"),
+      round(lit(2.0) * col("tp") /
+        (lit(2.0) * col("tp") + col("fp") + col("fn")), 6).as("f1"),
+      round(col("auc"), 6).as("auc"))
+  }
 }

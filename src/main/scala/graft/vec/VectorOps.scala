@@ -204,6 +204,18 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** q_eval_metrics — the full binary-evaluator surface
+    * (precision/recall/F1 + binned AUC, [[graft.ml.Evaluator
+    * .binaryMetrics]]) over a deterministic scoring: prob =
+    * sigmoid(linear demo model), label = argmax(embedding) mod 2. */
+  def qEvalMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val margin = dotLit(col("embedding"), demoWeights) + lit(demoBias)
+    val scored = Tables.embeddings(spark, dir).select(
+      (lit(1.0) / (lit(1.0) + exp(-margin))).as("prob"),
+      (argMax(col("embedding")) % 2).cast("int").as("y"))
+    graft.ml.Evaluator.binaryMetrics(scored, "prob", "y")
+  }
+
   /** q_accuracy — AccuracyEvaluator (`distkeras/evaluators.py ~L15-60
     * [H]`) as a single-row aggregate; "prediction" is argmax(embedding)
     * mod 10 for a deterministic, model-free oracle. */

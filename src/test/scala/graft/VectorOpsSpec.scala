@@ -160,6 +160,37 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("binaryMetrics: precision/recall/F1 exact, binned AUC ~= exact Mann-Whitney") {
+    val row = VectorOps.qEvalMetrics(spark, sfDir).head()
+    // recompute everything locally from the same deterministic scoring
+    val data = Tables.embeddings(spark, sfDir)
+      .select($"embedding", VectorOps.argMax($"embedding").as("am"))
+      .as[(Seq[Float], Long)].collect()
+      .map { case (e, am) =>
+        val margin = e.map(_.toDouble).zip(VectorOps.demoWeights)
+          .map { case (x, w) => x * w }.sum + VectorOps.demoBias
+        val p = BigDecimal(1.0 / (1.0 + math.exp(-margin)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (p, (am % 2).toInt)
+      }
+    val tp = data.count { case (p, y) => p >= 0.5 && y == 1 }
+    val fp = data.count { case (p, y) => p >= 0.5 && y == 0 }
+    val fn = data.count { case (p, y) => p < 0.5 && y == 1 }
+    assert(math.abs(row.getAs[Double]("prec") - tp.toDouble / (tp + fp)) < 1e-6)
+    assert(math.abs(row.getAs[Double]("recall") - tp.toDouble / (tp + fn)) < 1e-6)
+    assert(math.abs(row.getAs[Double]("f1") - 2.0 * tp / (2.0 * tp + fp + fn)) < 1e-6)
+    // exact Mann-Whitney AUC (pairwise, ties = 1/2)
+    val pos = data.filter(_._2 == 1).map(_._1)
+    val neg = data.filter(_._2 == 0).map(_._1)
+    val exact = pos.map(pp => neg.map(pn =>
+      if (pp > pn) 1.0 else if (pp == pn) 0.5 else 0.0).sum).sum / (pos.length.toDouble * neg.length)
+    assert(math.abs(row.getAs[Double]("auc") - exact) < 2e-3,
+      s"binned auc ${row.getAs[Double]("auc")} vs exact $exact")
+    // the scoring must actually separate the classes better than chance
+    // in at least SOME direction for the metric test to be meaningful
+    assert(row.getAs[Double]("auc") > 0.0 && row.getAs[Double]("auc") < 1.0)
+  }
+
   test("q_vec_avg_by_label emits 64 positions per label") {
     val counts = VectorOps.qVecAvgByLabel(spark, sfDir)
       .groupBy("label").count().as[(Int, Long)].collect()
