@@ -84,6 +84,8 @@ object SparkEntry {
     "q_mlp_predict" -> (VectorOps.qMlpPredict _),
     "q_accuracy" -> (VectorOps.qAccuracy _),
     "q_eval_metrics" -> (VectorOps.qEvalMetrics _),
+    "q_string_index" -> (VectorOps.qStringIndex _),
+    "q_bucketize" -> (VectorOps.qBucketize _),
     "q_vec_avg_by_label" -> (VectorOps.qVecAvgByLabel _),
     "q_reshape" -> (VectorOps.qReshape _),
     "q_dense_vec" -> (VectorOps.qDenseVec _),
@@ -236,6 +238,10 @@ object SparkEntry {
     },
     "q_accuracy" ->
       "SELECT ROUND(AVG(CASE WHEN (list_position(embedding, list_max(embedding)) - 1) % 10 = label THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6) AS acc FROM embeddings",
+    "q_string_index" ->
+      "WITH f AS (SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment), i AS (SELECT c_mktsegment, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, c_mktsegment) - 1 AS BIGINT) AS seg_idx FROM f) SELECT c_custkey, c.c_mktsegment, seg_idx FROM customer c JOIN i ON c.c_mktsegment = i.c_mktsegment ORDER BY c_custkey",
+    "q_bucketize" ->
+      "SELECT o_orderkey, CASE WHEN o_totalprice >= 300000.0 AND o_totalprice < 1e9 THEN CAST(3 AS BIGINT) WHEN o_totalprice >= 200000.0 AND o_totalprice < 300000.0 THEN 2 WHEN o_totalprice >= 100000.0 AND o_totalprice < 200000.0 THEN 1 WHEN o_totalprice >= 0.0 AND o_totalprice < 100000.0 THEN 0 ELSE -1 END AS price_bucket FROM orders ORDER BY o_orderkey",
     // binary evaluator: prob rounded to 6 BEFORE thresholding/binning so
     // both engines agree on every decision; binned (1024) AUC mirrors
     // Evaluator.binaryMetrics term for term

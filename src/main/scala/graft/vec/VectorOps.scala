@@ -125,6 +125,36 @@ object VectorOps {
   val mlpW2: Seq[Double] = (0 until mlpHidden).map(j => ((j * 29) % 11 - 5) / 10.0)
   val mlpB2: Double = 0.05
 
+  /** StringIndexer usage (`examples/mnist.py`/`workflow.ipynb` index
+    * string labels before one-hot [M]): category → dense index by
+    * frequency (most frequent = 0), ties broken by value — MLlib's
+    * default `frequencyDesc` order made deterministic. The index table
+    * is one aggregate over the DISTINCT categories (tiny by definition)
+    * and broadcasts back onto the data; the window runs over category
+    * rows, never data rows. */
+  def stringIndexTable(df: DataFrame, catCol: String,
+                       idxCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)) // intent: the input is the category set, not data
+      .orderBy(col("__n").desc, col(catCol))
+    df.groupBy(col(catCol)).agg(count(lit(1)).as("__n"))
+      .withColumn(idxCol, (row_number().over(w) - 1).cast("long"))
+      .drop("__n")
+  }
+
+  /** Bucketizer usage (feature discretization in the example pipelines
+    * [M]): value → bucket index for ascending split boundaries
+    * [s0, s1), [s1, s2), …; values below s0 or ≥ last split get -1
+    * (MLlib throws instead — a 100 TB job must not die on one outlier). */
+  def bucketize(x: Column, splits: Seq[Double]): Column = {
+    require(splits.sizeIs >= 2 && splits == splits.sorted, s"bad splits: $splits")
+    val xs = x.cast("double")
+    splits.sliding(2).zipWithIndex.foldLeft(lit(-1L)) {
+      case (acc, (Seq(lo, hi), i)) =>
+        when(xs >= lo && xs < hi, lit(i.toLong)).otherwise(acc)
+    }
+  }
+
   // ------------------------------------------------------------- queries
 
   /** q_minmax_scale: scalar min-max over l_quantity. Table stats come
@@ -203,6 +233,25 @@ object VectorOps {
         round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("mlp_prob"))
       .orderBy("vec_id")
   }
+
+  /** q_string_index — StringIndexer over customer market segments:
+    * frequency-ordered dense indices broadcast back onto the rows. */
+  def qStringIndex(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val idx = stringIndexTable(cust, "c_mktsegment", "seg_idx")
+    cust.join(broadcast(idx), Seq("c_mktsegment"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("seg_idx"))
+      .orderBy("c_custkey")
+  }
+
+  /** q_bucketize — Bucketizer over order totals with literal splits;
+    * -1 = outside all buckets (here: nothing, splits cover the range). */
+  def qBucketize(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        bucketize(col("o_totalprice"),
+          Seq(0.0, 100000.0, 200000.0, 300000.0, 1e9)).as("price_bucket"))
+      .orderBy("o_orderkey")
 
   /** q_eval_metrics — the full binary-evaluator surface
     * (precision/recall/F1 + binned AUC, [[graft.ml.Evaluator

@@ -160,6 +160,27 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("stringIndexTable: frequency-desc indices, ties broken by value") {
+    val df = Seq("b", "b", "b", "a", "a", "c", "d", "d")
+      .toDF("cat")
+    val idx = VectorOps.stringIndexTable(df, "cat", "idx")
+      .as[(String, Long)].collect().toMap
+    // b(3) -> 0; a(2) and d(2) tie -> value order a then d; c(1) last
+    assert(idx == Map("b" -> 0L, "a" -> 1L, "d" -> 2L, "c" -> 3L))
+  }
+
+  test("bucketize: [lo, hi) boundaries, outliers get -1") {
+    val df = Seq(-5.0, 0.0, 9.99, 10.0, 19.9, 20.0, 25.0).toDF("x")
+    val got = df.select($"x",
+        VectorOps.bucketize($"x", Seq(0.0, 10.0, 20.0)).as("b"))
+      .as[(Double, Long)].collect().toMap
+    assert(got == Map(-5.0 -> -1L, 0.0 -> 0L, 9.99 -> 0L, 10.0 -> 1L,
+      19.9 -> 1L, 20.0 -> -1L, 25.0 -> -1L))
+    intercept[IllegalArgumentException] {
+      VectorOps.bucketize($"x", Seq(10.0, 0.0))
+    }
+  }
+
   test("binaryMetrics: precision/recall/F1 exact, binned AUC ~= exact Mann-Whitney") {
     val row = VectorOps.qEvalMetrics(spark, sfDir).head()
     // recompute everything locally from the same deterministic scoring
