@@ -84,6 +84,12 @@ case class TopKPerGroupExec(
       // heap head = worst kept row (reverse ordering), evicted past k
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
       val segments = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+      // register cleanup BEFORE consuming input: a task that fails (or is
+      // killed) mid-foreach must not leak already-written segments until
+      // JVM exit. The listener closes over the buffer, so it deletes
+      // whatever exists at task end — success or failure.
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => segments.foreach(_.delete()))
 
       // drain one heap into rank order (heap pops worst-first)
       def drained(h: java.util.PriorityQueue[UnsafeRow]): Array[UnsafeRow] = {
@@ -96,7 +102,8 @@ case class TopKPerGroupExec(
       // spill: all resident groups, sorted by key bytes, rows in rank
       // order — (keyLen, keyBytes, rowLen, rowBytes) records
       def spill(): Unit = {
-        val f = java.io.File.createTempFile("graft_topk_spill", ".bin")
+        // managed executor-local dir (spark.local.dir), not java.io.tmpdir
+        val f = ColumnBridge.managedSpillFile("graft_topk_spill")
         val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
           new java.io.FileOutputStream(f), 1 << 16))
         val keys = new java.util.ArrayList(heaps.keySet())
@@ -138,8 +145,6 @@ case class TopKPerGroupExec(
         out.iterator
       } else {
         spill() // final resident groups join the merge as one more segment
-        val tc = org.apache.spark.TaskContext.get()
-        if (tc != null) tc.addTaskCompletionListener[Unit](_ => segments.foreach(_.delete()))
 
         // streaming k-way merge: segments are key-sorted, so each group's
         // candidates (≤ k per segment) arrive together; re-heap them and

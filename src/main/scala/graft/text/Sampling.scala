@@ -33,11 +33,19 @@ object Sampling {
   def cutHex(cumFraction: Double): String =
     hexOf(math.round(cumFraction * 256).toInt.max(0).min(256))
 
-  /** Keep rows whose hash bucket < round(fraction·256). */
-  def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame = {
+  /** Membership predicate for the fraction-sized hash sample — exposed
+    * as a Column so other operators (e.g. decontamination's eval split)
+    * can reuse the EXACT same membership decision as [[hashSample]]. */
+  def inSample(key: Column, fraction: Double): Column = {
     val cut = math.round(fraction * 256).toInt.max(0).min(256)
-    if (cut >= 256) df else df.filter(hexPrefix(key) < lit(hexOf(cut)))
+    if (cut >= 256) lit(true)
+    else if (cut <= 0) lit(false)
+    else hexPrefix(key) < lit(hexOf(cut))
   }
+
+  /** Keep rows whose hash bucket < round(fraction·256). */
+  def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame =
+    df.filter(inSample(key, fraction))
 
   /** Deterministic split label from cumulative hash ranges, e.g.
     * `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`. Fractions must
@@ -50,7 +58,12 @@ object Sampling {
     val prefix = hexPrefix(key)
     fractions.init.zip(cuts.init).foldRight(lit(fractions.last._1)) {
       case (((name, _), cut), elseCol) =>
-        when(prefix < lit(hexOf(cut)), name).otherwise(elseCol)
+        // cut == 256 means "everything up to here" — hexOf(256) would be
+        // the 3-char "100", which compares ABOVE only "0f".."00" prefixes
+        // lexicographically, silently misassigning ~94% of rows (e.g. a
+        // 0.999/0.001 split). Same always-true guard as hashSample above.
+        val cond = if (cut >= 256) lit(true) else prefix < lit(hexOf(cut))
+        when(cond, name).otherwise(elseCol)
     }
   }
 

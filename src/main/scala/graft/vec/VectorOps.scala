@@ -144,14 +144,19 @@ object VectorOps {
 
   /** Bucketizer usage (feature discretization in the example pipelines
     * [M]): value → bucket index for ascending split boundaries
-    * [s0, s1), [s1, s2), …; values below s0 or ≥ last split get -1
-    * (MLlib throws instead — a 100 TB job must not die on one outlier). */
+    * [s0, s1), [s1, s2), …, [s_{n-1}, s_n] — the LAST interval is closed
+    * at the upper boundary, exactly like MLlib's Bucketizer, so a value
+    * equal to the final split lands in the last bucket rather than
+    * falling out. Values outside [s0, s_n] get -1 (MLlib throws
+    * instead — a 100 TB job must not die on one outlier). */
   def bucketize(x: Column, splits: Seq[Double]): Column = {
     require(splits.sizeIs >= 2 && splits == splits.sorted, s"bad splits: $splits")
     val xs = x.cast("double")
+    val last = splits.size - 2
     splits.sliding(2).zipWithIndex.foldLeft(lit(-1L)) {
       case (acc, (Seq(lo, hi), i)) =>
-        when(xs >= lo && xs < hi, lit(i.toLong)).otherwise(acc)
+        val hiCond = if (i == last) xs <= hi else xs < hi
+        when(xs >= lo && hiCond, lit(i.toLong)).otherwise(acc)
     }
   }
 

@@ -19,4 +19,16 @@ object ColumnBridge {
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** A spill file in Spark's managed executor-local dirs (the block
+    * manager's temp-block allocator — same place shuffle/sort spills go,
+    * honoring spark.local.dir and cleaned with executor storage), rather
+    * than bare java.io.tmpdir which no Spark cleanup ever touches. Falls
+    * back to tmpdir when no SparkEnv exists (plain unit-test JVM). */
+  def managedSpillFile(prefix: String): java.io.File = {
+    val env = org.apache.spark.SparkEnv.get
+    if (env != null && env.blockManager != null && env.blockManager.diskBlockManager != null)
+      env.blockManager.diskBlockManager.createTempLocalBlock()._2
+    else java.io.File.createTempFile(prefix, ".bin")
+  }
 }

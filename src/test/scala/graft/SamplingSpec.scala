@@ -51,6 +51,19 @@ class SamplingSpec extends SparkSpec {
     assert(train == cut80, "train split must equal the 80% hash sample")
   }
 
+  test("splitAssign with a cut that rounds to 256 (0.999/0.001) assigns by the guard, not hex '100'") {
+    // round(0.999·256) = 256: hexOf(256) is the 3-char "100", which is
+    // lexicographically above only "00".."0f" — without the always-true
+    // guard ~94% of rows would silently land in "val"
+    val split = docs.select($"doc_id",
+      Sampling.splitAssign($"doc_id",
+        Seq("train" -> 0.999, "val" -> 0.001)).as("split"))
+    val counts = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.getOrElse("train", 0L) == docs.count(),
+      s"0.999 rounds to cut 256 → every row is train at 1/256 granularity; got $counts")
+  }
+
   test("splitAssign rejects fractions not summing to 1") {
     intercept[IllegalArgumentException] {
       Sampling.splitAssign(lit(1L), Seq("a" -> 0.5, "b" -> 0.3))

@@ -169,13 +169,16 @@ class VectorOpsSpec extends SparkSpec {
     assert(idx == Map("b" -> 0L, "a" -> 1L, "d" -> 2L, "c" -> 3L))
   }
 
-  test("bucketize: [lo, hi) boundaries, outliers get -1") {
+  test("bucketize: [lo, hi) boundaries, closed last interval (MLlib parity), outliers -1") {
     val df = Seq(-5.0, 0.0, 9.99, 10.0, 19.9, 20.0, 25.0).toDF("x")
     val got = df.select($"x",
         VectorOps.bucketize($"x", Seq(0.0, 10.0, 20.0)).as("b"))
       .as[(Double, Long)].collect().toMap
+    // x == 20.0 (the last split) belongs to the last bucket — MLlib's
+    // Bucketizer closes the final interval; an exclusive bound would
+    // silently drop exact-boundary values from ported pipelines
     assert(got == Map(-5.0 -> -1L, 0.0 -> 0L, 9.99 -> 0L, 10.0 -> 1L,
-      19.9 -> 1L, 20.0 -> -1L, 25.0 -> -1L))
+      19.9 -> 1L, 20.0 -> 1L, 25.0 -> -1L))
     intercept[IllegalArgumentException] {
       VectorOps.bucketize($"x", Seq(10.0, 0.0))
     }
