@@ -100,6 +100,9 @@ object SparkEntry {
     "q_sample_hash" -> (text.Sampling.qSampleHash _),
     "q_split_assign" -> (text.Sampling.qSplitAssign _),
     "q_dedup_cluster" -> ((s: SparkSession, d: String) => TextOps.qDedupCluster(s, d)),
+    "q_decontaminate" -> (TextOps.qDecontaminate _),
+    "q_quality_repetition" -> (TextOps.qQualityRepetition _),
+    "q_pack_chunks" -> (TextOps.qPackChunks _),
     "q_frame_sample" -> (graft.mm.Multimodal.qFrameSample _),
     "q_cosine_topk" -> (Similarity.qCosineTopK _),
     "q_dedup_embedding" -> (Similarity.qDedupEmbedding _),
@@ -241,7 +244,7 @@ object SparkEntry {
     "q_string_index" ->
       "WITH f AS (SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment), i AS (SELECT c_mktsegment, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, c_mktsegment) - 1 AS BIGINT) AS seg_idx FROM f) SELECT c_custkey, c.c_mktsegment, seg_idx FROM customer c JOIN i ON c.c_mktsegment = i.c_mktsegment ORDER BY c_custkey",
     "q_bucketize" ->
-      "SELECT o_orderkey, CASE WHEN o_totalprice >= 300000.0 AND o_totalprice < 1e9 THEN CAST(3 AS BIGINT) WHEN o_totalprice >= 200000.0 AND o_totalprice < 300000.0 THEN 2 WHEN o_totalprice >= 100000.0 AND o_totalprice < 200000.0 THEN 1 WHEN o_totalprice >= 0.0 AND o_totalprice < 100000.0 THEN 0 ELSE -1 END AS price_bucket FROM orders ORDER BY o_orderkey",
+      "SELECT o_orderkey, CASE WHEN o_totalprice >= 300000.0 AND o_totalprice <= 1e9 THEN CAST(3 AS BIGINT) WHEN o_totalprice >= 200000.0 AND o_totalprice < 300000.0 THEN 2 WHEN o_totalprice >= 100000.0 AND o_totalprice < 200000.0 THEN 1 WHEN o_totalprice >= 0.0 AND o_totalprice < 100000.0 THEN 0 ELSE -1 END AS price_bucket FROM orders ORDER BY o_orderkey",
     // binary evaluator: prob rounded to 6 BEFORE thresholding/binning so
     // both engines agree on every decision; binned (1024) AUC mirrors
     // Evaluator.binaryMetrics term for term
@@ -277,6 +280,19 @@ object SparkEntry {
     // TextOps.shingleRows + ngramJaccardPairs
     "q_dedup_ngram" ->
       s"$ngramShingleCte SELECT id_a, id_b, jaccard FROM (SELECT id_a, id_b, ROUND(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 6) AS jaccard FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni FROM s1 a JOIN s1 b ON a.s = b.s AND a.doc_id < b.doc_id AND a.doc_id < 50 GROUP BY 1, 2) i JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b) WHERE jaccard > 0.1 ORDER BY id_a, id_b",
+    // decontamination: eval split = the q_sample_hash 10% cut (same
+    // interpolated literal), shingle universe = the df-capped s1 set,
+    // threshold interpolated from TextOps.decontamThreshold
+    "q_decontaminate" ->
+      s"$ngramShingleCte, ev AS (SELECT DISTINCT s FROM s1 WHERE substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(text.TextOps.decontamEvalFraction)}'), tr AS (SELECT doc_id, s FROM s1 WHERE NOT substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(text.TextOps.decontamEvalFraction)}'), tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id), cont AS (SELECT doc_id, COUNT(*) AS nc FROM tr JOIN ev USING (s) GROUP BY doc_id) SELECT t.doc_id, n_shingles, CAST(COALESCE(nc, 0) AS BIGINT) AS n_contaminated, ROUND(CAST(COALESCE(nc, 0) AS DOUBLE) / n_shingles, 6) AS contamination, CAST(COALESCE(nc, 0) AS DOUBLE) / n_shingles > ${text.TextOps.decontamThreshold} AS flagged FROM tot t LEFT JOIN cont c ON t.doc_id = c.doc_id ORDER BY t.doc_id",
+    // Gopher repetition signals; thresholds interpolated from TextOps
+    "q_quality_repetition" ->
+      s"WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), g2 AS (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS g FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - 2, 0) + 1)) AS i FROM tok)), p2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g), a2 AS (SELECT doc_id, MAX(c) AS max2, SUM(c) AS tot2 FROM p2 GROUP BY doc_id), g3 AS (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' ') AS g FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - 3, 0) + 1)) AS i FROM tok)), a3 AS (SELECT doc_id, COUNT(*) AS tot3, COUNT(DISTINCT g) AS dist3 FROM g3 GROUP BY doc_id) SELECT a2.doc_id, ROUND(CAST(max2 AS DOUBLE) / tot2, 6) AS top_bigram_frac, ROUND(1.0 - CAST(dist3 AS DOUBLE) / tot3, 6) AS dup_trigram_frac, (CAST(max2 AS DOUBLE) / tot2 > ${text.TextOps.repTopBigramMax} OR 1.0 - CAST(dist3 AS DOUBLE) / tot3 > ${text.TextOps.repDupTrigramMax}) AS flagged FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id ORDER BY a2.doc_id",
+    // sequence packing: keyed (per-source) running offset; block size
+    // interpolated from TextOps.packBlockTokens; explicit floor (a bare
+    // DuckDB CAST would round where Spark truncates)
+    "q_pack_chunks" ->
+      s"WITH t AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), o AS (SELECT doc_id, source AS stream, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset FROM t) SELECT doc_id, stream, n_tokens, tok_offset, CAST(floor(tok_offset / ${text.TextOps.packBlockTokens}.0) AS BIGINT) AS chunk_first, CAST(floor((tok_offset + n_tokens - 1) / ${text.TextOps.packBlockTokens}.0) AS BIGINT) AS chunk_last FROM o ORDER BY doc_id",
     "q_dedup_cluster" ->
       s"WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), s0 AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' ') AS s FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - 3, 0) + 1)) AS i FROM tok))), s1 AS (SELECT doc_id, s FROM s0 WHERE s IN (SELECT s FROM s0 GROUP BY s HAVING COUNT(*) <= ${text.TextOps.shingleDfCap})), cnt AS (SELECT doc_id, COUNT(*) AS n FROM s1 GROUP BY doc_id), pairs AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, ROUND(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 6) AS jaccard FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni FROM s1 a JOIN s1 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) i JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b) WHERE jaccard > 0.5), edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), comp(id, lbl) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.id) SELECT id AS doc_id, MIN(lbl) AS cluster_id, (id = MIN(lbl)) AS keep FROM comp GROUP BY id ORDER BY doc_id",
     "q_frame_sample" ->

@@ -466,4 +466,130 @@ object TextOps {
     Tables.documents(spark, dir)
       .select(col("doc_id"), langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
+
+  // ------------------------------------------------------ decontamination
+
+  /** Eval-set fraction shared by the decontamination gate key and its
+    * oracle (the same 10% hash sample as q_sample_hash). */
+  val decontamEvalFraction = 0.10
+  /** Contamination flag threshold: fraction of a train doc's shingles
+    * that also occur in the eval set. */
+  val decontamThreshold = 0.05
+
+  /** Train/eval overlap detection — the decontamination pass every LLM
+    * training pipeline runs before training: any w-shingle that occurs
+    * in the held-out (eval) split marks the training documents that
+    * contain it. The eval split is the deterministic content-hash sample
+    * ([[Sampling.inSample]]), so both membership and overlap are exactly
+    * reproducible across engines and runs.
+    *
+    * Scale shape: one df-capped shingle scan ([[shingleRows]] — the cap
+    * also kills boilerplate shingles that would flag everything), split
+    * by the hash predicate into eval/train WITHOUT a join; the distinct
+    * eval shingle set is broadcast (eval sets are small by design — if
+    * yours is not, drop the hint and this is a plain shingle-keyed
+    * equi-join). Output is per-TRAIN-doc: total shingles, shingles also
+    * in eval, contamination fraction, flag. */
+  def decontaminationReport(docs: DataFrame, isEval: Column, w: Int,
+                            threshold: Double = decontamThreshold,
+                            maxDf: Long = shingleDfCap,
+                            cp: Checkpointer = Checkpointer.Local): DataFrame = {
+    val sh = shingleRows(docs, w, maxDf, cp)
+    val evalSh = sh.filter(isEval).select(col("s")).distinct()
+    val trainSh = sh.filter(!isEval)
+    val totals = trainSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val contaminated = trainSh.join(broadcast(evalSh), Seq("s"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    val frac = coalesce(col("n_contaminated"), lit(0L)).cast("double") / col("n_shingles")
+    totals.join(contaminated, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(frac, 6).as("contamination"),
+        (frac > threshold).as("flagged"))
+  }
+
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminationReport(Tables.documents(spark, dir),
+      Sampling.inSample(col("doc_id"), decontamEvalFraction), 3)
+      .orderBy("doc_id")
+
+  // ------------------------------------------- repetition quality (Gopher)
+
+  /** Gopher-rule thresholds (Rae et al. 2021 §A1.1 use per-n-gram caps
+    * of this shape): flag when the single most frequent bigram exceeds
+    * 20% of all bigrams, or over half the trigrams are repeats. */
+  val repTopBigramMax = 0.2
+  val repDupTrigramMax = 0.5
+
+  /** Repetition-based quality filter — the Gopher-style "repetitious
+    * document" signals: top-bigram concentration and duplicate-trigram
+    * fraction. Machine-generated/spammy text scores high on both; the
+    * type-token ratio in [[qQualityScore]] misses exactly this failure
+    * mode (a document looping 50 distinct words still has high TTR).
+    *
+    * Scale shape: explode n-grams → two-phase hash aggregation keyed on
+    * (doc_id[, gram]) — partial map-side combine absorbs the explosion,
+    * the two per-doc aggregates then join co-partitioned on doc_id. No
+    * per-doc quadratic work, no windows. */
+  def repetitionReport(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val g2 = docs.select(col("doc_id"), explode(shingles(toks, 2)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max2"), sum(col("c")).as("tot2"))
+    val g3 = docs.select(col("doc_id"), explode(shingles(toks, 3)).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("tot3"), countDistinct(col("g")).as("dist3"))
+    val topBigram = col("max2").cast("double") / col("tot2")
+    val dupTrigram = lit(1.0) - col("dist3").cast("double") / col("tot3")
+    g2.join(g3, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        round(topBigram, 6).as("top_bigram_frac"),
+        round(dupTrigram, 6).as("dup_trigram_frac"),
+        (topBigram > repTopBigramMax || dupTrigram > repDupTrigramMax).as("flagged"))
+  }
+
+  def qQualityRepetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionReport(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  // ------------------------------------------------------ sequence packing
+
+  /** Training-block size (tokens) for [[qPackChunks]]. */
+  val packBlockTokens = 256L
+
+  /** Concat-then-chunk sequence packing offsets — the bookkeeping step
+    * of packing documents into fixed-size training blocks: per stream,
+    * each document gets its exclusive cumulative token offset, the block
+    * it starts in, and how many blocks it spans. A real packer then
+    * cuts the concatenated token stream at block boundaries; offsets are
+    * the part that needs the engine (the cut itself is embarrassingly
+    * parallel given them).
+    *
+    * Scale shape: the running sum is a KEYED window (partition by
+    * stream = source), never a global ORDER BY over the corpus — at
+    * 100 TB each source's stream is an independent partition of work.
+    * Document order within a stream is doc_id (stable, content-hash-
+    * assignable — any deterministic total order works). */
+  def packChunks(docs: DataFrame, stream: Column, order: Column,
+                 blockTokens: Long = packBlockTokens): DataFrame = {
+    val nTok = size(tokens(col("text"))).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stream).orderBy(order)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val off = coalesce(sum(nTok).over(w), lit(0L))
+    // explicit floor: Spark `/` on longs is double division, and a bare
+    // CAST would truncate here but ROUND in DuckDB — floor() agrees
+    docs.select(
+      col("doc_id"), stream.as("stream"), nTok.as("n_tokens"),
+      off.as("tok_offset"),
+      floor(off / lit(blockTokens.toDouble)).as("chunk_first"),
+      floor((off + nTok - 1) / lit(blockTokens.toDouble)).as("chunk_last"))
+  }
+
+  def qPackChunks(spark: SparkSession, dir: String): DataFrame =
+    packChunks(Tables.documents(spark, dir), col("source"), col("doc_id"))
+      .orderBy("doc_id")
 }

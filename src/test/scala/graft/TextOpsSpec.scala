@@ -232,4 +232,71 @@ class TextOpsSpec extends SparkSpec {
     assert(brute.forall { case (a, b, h) => h >= 4 || banded.contains((a, b, h)) },
       s"missed guaranteed pairs: ${brute -- banded}")
   }
+
+  test("decontamination flags train docs sharing eval shingles, skips eval docs") {
+    // eval = {1}; doc 2 is an exact copy of 1 (fully contaminated),
+    // doc 3 a near-copy (one token changed → partial), docs 4/5 clean
+    val report = TextOps.decontaminationReport(
+      dupDocs, col("doc_id") === 1L, w = 3)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!report.contains(1L), "eval docs must not appear in the train report")
+    assert(report.keySet == Set(2L, 3L, 4L, 5L))
+    val (_, n2, c2, f2, fl2) = report(2L)
+    assert(n2 == c2 && f2 == 1.0 && fl2, s"exact copy must be 100% contaminated: ${report(2L)}")
+    val (_, n3, c3, _, fl3) = report(3L)
+    // one token substitution kills at most w=3 shingles of ~58
+    assert(c3 > 0 && c3 < n3 && fl3, s"near-copy partially contaminated: ${report(3L)}")
+    // unrelated docs may share a stray trigram by vocab chance, but must
+    // stay far below the near-copy's contamination and (here) unflagged
+    assert(report(4L)._4 < 0.05 && !report(4L)._5, s"clean doc flagged: ${report(4L)}")
+    assert(report(5L)._4 < 0.05 && !report(5L)._5, s"clean doc flagged: ${report(5L)}")
+  }
+
+  test("repetition report: looping text flagged, diverse text not") {
+    val docs = Seq(
+      (1L, "spam ham spam ham spam ham spam ham spam ham"), // one bigram dominates
+      (2L, sentence(7, 60)),                                // diverse
+      (3L, Seq.fill(20)("alpha beta gamma").mkString(" "))  // repeated trigram block
+    ).toDF("doc_id", "text")
+    val rep = TextOps.repetitionReport(docs)
+      .as[(Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: bigrams alternate "spam ham"/"ham spam" → top bigram = 5/9
+    assert(rep(1L)._2 > 0.5 && rep(1L)._4, s"${rep(1L)}")
+    // doc 3: only 3 distinct trigrams in 58 → dup fraction ≈ 0.95
+    assert(rep(3L)._3 > 0.9 && rep(3L)._4, s"${rep(3L)}")
+    assert(!rep(2L)._4, s"diverse doc flagged: ${rep(2L)}")
+    // sanity: 12-word vocab random text still has near-distinct trigrams
+    assert(rep(2L)._3 < 0.2, s"${rep(2L)}")
+  }
+
+  test("packChunks: per-stream offsets are exact prefix sums, chunks consistent") {
+    val docs = Seq(
+      (1L, "a", sentence(1, 100)), (2L, "a", sentence(2, 200)),
+      (3L, "a", sentence(3, 30)), (4L, "b", sentence(4, 300)),
+      (5L, "b", sentence(5, 10))
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.packChunks(docs, col("source"), col("doc_id"), blockTokens = 128L)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    // stream a: offsets 0, 100, 300; stream b restarts at 0
+    assert(byId(1L) == (1L, "a", 100L, 0L, 0L, 0L))
+    assert(byId(2L) == (2L, "a", 200L, 100L, 0L, 2L))   // spans blocks 0..2 (100..299)
+    assert(byId(3L) == (3L, "a", 30L, 300L, 2L, 2L))
+    assert(byId(4L) == (4L, "b", 300L, 0L, 0L, 2L))
+    assert(byId(5L) == (5L, "b", 10L, 300L, 2L, 2L))
+    // invariant: within a stream, offset = previous offset + n_tokens
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      rows.sortBy(_._1).foldLeft(0L) { case (expect, r) =>
+        assert(r._4 == expect, s"offset gap at $r"); expect + r._3
+      }
+    }
+    // partitioning independence: same result after a repartition
+    val again = TextOps.packChunks(docs.repartition(7), col("source"), col("doc_id"), 128L)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == again.toSeq)
+  }
 }
