@@ -42,7 +42,15 @@ object Bench {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
                  catch { case t: Throwable => err = Some(sanitize(t)); false }
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop blocks the query left pinned (localCheckpoint streams):
+        // the ContextCleaner's periodic GC is 30 min, so without this
+        // every rep of every query inherits the previous ones' blocks
+        // and the block store fills over the run (reps are new RDDs —
+        // nothing here is reused, only leaked). Outside the timer: this
+        // is harness hygiene, not query cost.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        if (ok) Some(dt) else None
       }.toVector
       val median = if (times.isEmpty) 0.0 else times.sorted.apply((times.size - 1) / 2)
       (name, median, times, err)

@@ -72,6 +72,10 @@ object ConnectedComponents {
         .select(col("id"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl")))
       val newSum = lblSum(next)
+      // round N is materialized (cp is eager) — round N−1's blocks are
+      // now unreachable from any plan; free them instead of waiting for
+      // RDD GC (they otherwise pile up across rounds and bench reps)
+      Checkpointer.release(labels)
       labels = next
       done = newSum.compareTo(prevSum) == 0
       prevSum = newSum
@@ -80,6 +84,9 @@ object ConnectedComponents {
     val singletons = nodes
       .join(active, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("lbl"))
+    // the returned plan references only `labels` (a materialized
+    // checkpoint root) and `active` — the doubled edge set is done
+    Checkpointer.release(edges)
     labels.union(singletons)
   }
 
@@ -157,8 +164,11 @@ object ConnectedComponents {
         .filter(col("v") =!= col("m"))
         .select(col("m").as("src"), col("v").as("dst"))
         .union(smins.select(col("m").as("src"), col("u").as("dst")))
-      edges = cp(canon(small))
-      val cur = probe(edges)
+      val nextEdges = cp(canon(small))
+      val cur = probe(nextEdges)
+      // superseded round state — free its blocks (see run())
+      Checkpointer.release(edges)
+      edges = nextEdges
       done = prev.exists(p => p._1 == cur._1 && p._2.compareTo(cur._2) == 0)
       prev = Some(cur)
       iter += 1

@@ -29,6 +29,17 @@ sealed trait Checkpointer {
 }
 
 object Checkpointer {
+
+  /** Free the blocks behind a superseded cp() result (no-op for
+    * [[None]] outputs and anything else that isn't a checkpoint root).
+    * Iterative callers MUST release round N−1's state once round N is
+    * materialized: localCheckpoint blocks otherwise stay pinned until
+    * RDD GC, and across bench reps / long sessions the block store
+    * fills and everything downstream slows down. Never call it on a
+    * DataFrame still referenced by a lazy, unexecuted plan. */
+  def release(df: DataFrame): Unit =
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpoint(df)
+
   case object Local extends Checkpointer {
     def apply(df: DataFrame): DataFrame = df.localCheckpoint()
   }

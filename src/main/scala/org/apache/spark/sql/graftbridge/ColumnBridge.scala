@@ -20,6 +20,20 @@ object ColumnBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Free the storage blocks behind a (local)checkpointed DataFrame.
+    * `Dataset.localCheckpoint()` pins its materialized RDD blocks until
+    * the RDD is garbage-collected by the ContextCleaner — in iterative
+    * algorithms that checkpoint per round, superseded round states pile
+    * up nondeterministically (GC lag), inflating the block store and
+    * slowing later work. A no-op for plans that aren't a checkpoint
+    * (LogicalRDD) root, so it is always safe to call on a cp() result. */
+  def releaseCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+        case _ => ()
+      }
+
   /** A spill file in Spark's managed executor-local dirs (the block
     * manager's temp-block allocator — same place shuffle/sort spills go,
     * honoring spark.local.dir and cleaned with executor storage), rather

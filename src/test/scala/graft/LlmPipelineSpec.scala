@@ -85,6 +85,46 @@ class LlmPipelineSpec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("round-5 stages extend the chain: decontaminate → repetition gate → split → pack") {
+    // stage 0: the eval split is carved out first (the decontamination
+    // reference), then the train side flows through the cleaning chain
+    val isEval = text.Sampling.inSample(col("doc_id"), TextOps.decontamEvalFraction)
+
+    // decontamination report over the gated corpus
+    val decon = TextOps.decontaminationReport(gated, isEval, w = 3)
+    val cleanTrain = gated.filter(!isEval)
+      .join(decon.filter(!col("flagged")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val nTrain = gated.filter(!isEval).count()
+    val nClean = cleanTrain.count()
+    assert(nClean > 0 && nClean <= nTrain, s"decontaminate: $nTrain -> $nClean")
+
+    // repetition gate composes on the same side
+    val unflagged = TextOps.repetitionReport(cleanTrain).filter(!col("flagged"))
+    val kept = cleanTrain.join(unflagged.select("doc_id"), Seq("doc_id"), "left_semi")
+    val nKept = kept.count()
+    assert(nKept > 0 && nKept <= nClean, s"repetition gate: $nClean -> $nKept")
+
+    // split assignment is disjoint+exhaustive over the kept set
+    val split = kept.select(col("doc_id"), col("source"), col("text"),
+      text.Sampling.splitAssign(col("doc_id"),
+        Seq("train" -> 0.9, "val" -> 0.1)).as("split"))
+    assert(split.count() == nKept)
+
+    // packing offsets close the pipeline: per (split, source) streams,
+    // exact prefix sums — total tokens must equal the sum of doc tokens
+    val packed = TextOps.packChunks(
+      split.filter(col("split") === "train"),
+      concat_ws("/", col("split"), col("source")), col("doc_id"))
+    val byStream = packed.groupBy("stream")
+      .agg(max(col("tok_offset") + col("n_tokens")).as("stream_toks"),
+        sum(col("n_tokens")).as("sum_toks"))
+      .as[(String, Long, Long)].collect()
+    assert(byStream.nonEmpty)
+    byStream.foreach { case (s, end, total) =>
+      assert(end == total, s"stream $s: packed end $end != token sum $total")
+    }
+  }
+
   test("composed gate+exact-dedup plan has no cartesian product") {
     val exactSurvivors = gated
       .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
