@@ -75,6 +75,7 @@ object SparkEntry {
     "q_window_tumbling" -> (RelQueries.windowTumbling _),
     "q_window_sliding" -> (RelQueries.windowSliding _),
     "q_window_session" -> (RelQueries.windowSession _),
+    "q_dedup_latest" -> (RelQueries.dedupLatest _),
     // §2.A reference (dist-keras) operator surface
     "q_minmax_scale" -> (VectorOps.qMinMaxScale _),
     "q_onehot" -> (VectorOps.qOneHot _),
@@ -103,6 +104,7 @@ object SparkEntry {
     "q_decontaminate" -> (TextOps.qDecontaminate _),
     "q_quality_repetition" -> (TextOps.qQualityRepetition _),
     "q_pack_chunks" -> (TextOps.qPackChunks _),
+    "q_dedup_incremental" -> (TextOps.qDedupIncremental _),
     "q_frame_sample" -> (graft.mm.Multimodal.qFrameSample _),
     "q_cosine_topk" -> (Similarity.qCosineTopK _),
     "q_dedup_embedding" -> (Similarity.qDedupEmbedding _),
@@ -288,6 +290,14 @@ object SparkEntry {
     // Gopher repetition signals; thresholds interpolated from TextOps
     "q_quality_repetition" ->
       s"WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), g2 AS (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS g FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - 2, 0) + 1)) AS i FROM tok)), p2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g), a2 AS (SELECT doc_id, MAX(c) AS max2, SUM(c) AS tot2 FROM p2 GROUP BY doc_id), g3 AS (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' ') AS g FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - 3, 0) + 1)) AS i FROM tok)), a3 AS (SELECT doc_id, COUNT(*) AS tot3, COUNT(DISTINCT g) AS dist3 FROM g3 GROUP BY doc_id) SELECT a2.doc_id, ROUND(CAST(max2 AS DOUBLE) / tot2, 6) AS top_bigram_frac, ROUND(1.0 - CAST(dist3 AS DOUBLE) / tot3, 6) AS dup_trigram_frac, (CAST(max2 AS DOUBLE) / tot2 > ${text.TextOps.repTopBigramMax} OR 1.0 - CAST(dist3 AS DOUBLE) / tot3 > ${text.TextOps.repDupTrigramMax}) AS flagged FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id ORDER BY a2.doc_id",
+    // incremental dedup: batch/corpus split = the same interpolated 10%
+    // hash cut as q_decontaminate; digests compared, never documents
+    "q_dedup_incremental" ->
+      s"WITH newb AS (SELECT doc_id, md5(text) AS h FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(text.TextOps.decontamEvalFraction)}'), corp AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE NOT substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(text.TextOps.decontamEvalFraction)}'), keep AS (SELECT MIN(doc_id) AS doc_id, h FROM newb GROUP BY h) SELECT k.doc_id, k.h FROM keep k LEFT JOIN corp c ON k.h = c.h WHERE c.h IS NULL ORDER BY k.doc_id",
+    // latest-record compaction: total order inside each key via
+    // (ts DESC, event_id DESC); ns ts cast to µs TIMESTAMP both engines
+    "q_dedup_latest" ->
+      "SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM (SELECT user_id, event_type, event_id, ts, value, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1 ORDER BY user_id, event_type",
     // sequence packing: keyed (per-source) running offset; block size
     // interpolated from TextOps.packBlockTokens; explicit floor (a bare
     // DuckDB CAST would round where Spark truncates)

@@ -498,4 +498,21 @@ object RelQueries {
       .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"))
       .select(col("user_id"), col("session_start"), col("n_events"))
       .orderBy("user_id", "session_start")
+
+  /** q_dedup_latest — latest-record-per-key compaction (the CDC/upsert
+    * materialization every changelog consumer runs): keep the newest
+    * event per (user_id, event_type), ties broken by event_id so the
+    * order is total and the result deterministic. One hash shuffle on
+    * the key, rank inside the partition — at 100 TB this is the same
+    * exchange a groupBy needs, and AQE handles skewed keys. */
+  def dedupLatest(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"), col("value"))
+      .orderBy("user_id", "event_type")
+  }
 }

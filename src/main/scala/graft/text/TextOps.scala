@@ -592,4 +592,36 @@ object TextOps {
   def qPackChunks(spark: SparkSession, dir: String): DataFrame =
     packChunks(Tables.documents(spark, dir), col("source"), col("doc_id"))
       .orderBy("doc_id")
+
+  // ---------------------------------------------------- incremental dedup
+
+  /** Incremental exact dedup — the production ingest shape: a NEW batch
+    * of documents arrives, the corpus already holds kept digests; keep
+    * only batch docs that are neither in-batch duplicates (min doc_id
+    * survives) nor already present in the corpus. The batch twin of the
+    * streaming fingerprint dedup in [[graft.stream.StreamOps]], here as
+    * an oracled relational op.
+    *
+    * Scale shape: both sides reduce to digests before any join — the
+    * shuffle carries (16-byte hash, id), never documents; at 100 TB the
+    * corpus side is the pre-computed digest table you already maintain,
+    * and the anti-join is digest-keyed (uniform, skew-free). */
+  def incrementalDedup(newBatch: DataFrame, corpus: DataFrame): DataFrame = {
+    val batchKeep = newBatch
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val corpusDigests = corpus.select(md5(col("text")).as("h")).distinct()
+    batchKeep.join(corpusDigests, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("h"))
+  }
+
+  /** Gate key: the 10% hash sample plays the new batch, the rest the
+    * existing corpus (same deterministic split device as
+    * [[qDecontaminate]], so both engines agree on membership). */
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isNew = Sampling.inSample(col("doc_id"), decontamEvalFraction)
+    incrementalDedup(docs.filter(isNew), docs.filter(!isNew))
+      .orderBy("doc_id")
+  }
 }

@@ -129,4 +129,21 @@ class RelQueriesSpec extends SparkSpec {
       .getAs[java.time.LocalDateTime](0)
     assert(row.getAs[java.time.LocalDateTime]("o_date") == expected)
   }
+
+  test("q_dedup_latest keeps exactly one newest event per (user, type)") {
+    val out = RelQueries.dedupLatest(spark, sfDir)
+    val events = Tables.events(spark, sfDir)
+    // one row per key, and as many rows as distinct keys
+    assert(out.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).isEmpty)
+    assert(out.count() ==
+      events.select("user_id", "event_type").distinct().count())
+    // the kept row really is the max (ts, event_id) of its key
+    val key = out.limit(1).head()
+    val (uid, et) = (key.getAs[Long]("user_id"), key.getAs[String]("event_type"))
+    val expect = events
+      .filter(col("user_id") === uid && col("event_type") === et)
+      .orderBy(col("ts").desc, col("event_id").desc).limit(1).head()
+    assert(key.getAs[Long]("event_id") == expect.getAs[Long]("event_id"))
+  }
 }

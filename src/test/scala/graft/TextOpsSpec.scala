@@ -271,6 +271,19 @@ class TextOpsSpec extends SparkSpec {
     assert(rep(2L)._3 < 0.2, s"${rep(2L)}")
   }
 
+  test("incremental dedup: in-batch dups collapse, corpus-known docs drop, fresh survive") {
+    val corpus = Seq((10L, "old news body"), (11L, "archived text")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "fresh document"),
+      (2L, "old news body"),     // already in corpus → dropped
+      (3L, "fresh document"),    // in-batch dup of 1 → collapsed to min id
+      (4L, "another new one")
+    ).toDF("doc_id", "text")
+    val kept = TextOps.incrementalDedup(batch, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L), s"kept $kept")
+  }
+
   test("packChunks: per-stream offsets are exact prefix sums, chunks consistent") {
     val docs = Seq(
       (1L, "a", sentence(1, 100)), (2L, "a", sentence(2, 200)),
