@@ -294,30 +294,41 @@ object Similarity {
   def cappedLshBuckets(df: DataFrame, idCol: String, vecCol: String,
                        nPlanes: Int, dim: Int, cap: Long,
                        subPlanes: Int = 3, maxDepth: Int = 3,
-                       planeOffset: Int = 0): DataFrame = {
-    val base = df.select(col(idCol), col(vecCol), lit(0).as("lvl"),
+                       planeOffset: Int = 0,
+                       cp: graft.plans.Checkpointer =
+                         graft.plans.Checkpointer.Local): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // materialize the signature scan ONCE: every probe below and every
+    // downstream consumer then reads these blocks instead of recomputing
+    // the nPlanes×dim hyperplane fold over the corpus (the probe loop
+    // used to recompute it per round — half this operator's runtime)
+    val base = cp(df.select(col(idCol), col(vecCol), lit(0).as("lvl"),
       lshBuckets(col(vecCol), hyperplanes(nPlanes, dim, planeOffset))
-        .cast("long").as("bucket"))
+        .cast("long").as("bucket")))
     var cur = base
     var settled: Option[DataFrame] = scala.None
     var d = 1
     var exhausted = false
+    var refined = false
     while (d <= maxDepth && !exhausted) {
-      val hotIds = cur.groupBy(col("lvl"), col("bucket")).count()
+      // hot ids are bounded by N/cap and headed for a broadcast anyway:
+      // COLLECT them once — one small aggregate job — instead of an
+      // isEmpty probe plus a lazy re-aggregation inside the final plan.
+      // With an auto-sized signature the common case is zero hot buckets
+      // and the loop exits after this one job.
+      val hot = cur.groupBy(col("lvl"), col("bucket")).count()
         .filter(col("count") > cap)
-        .select(col("lvl").as("h_lvl"), col("bucket").as("h_bucket"))
-      // probe emptiness before wiring another refinement round into the
-      // plan: with an auto-sized signature the common case is NO hot
-      // bucket, and skipping the remaining rounds drops their per-round
-      // full-set aggregate + join from the executed plan entirely (the
-      // probe is one small aggregate job; hot-bucket ids are bounded by
-      // N/cap and were headed for a broadcast anyway)
-      if (hotIds.isEmpty) {
+        .select(col("lvl"), col("bucket"))
+        .as[(Int, Long)].collect()
+      if (hot.isEmpty) {
         settled = Some(settled.map(_.unionAll(cur)).getOrElse(cur))
         cur = cur.limit(0)
         exhausted = true
       } else {
-        val joined = cur.join(broadcast(hotIds),
+        refined = true
+        val hotIds = broadcast(hot.toSeq.toDF("h_lvl", "h_bucket"))
+        val joined = cur.join(hotIds,
           col("lvl") === col("h_lvl") && col("bucket") === col("h_bucket"), "left")
         val cold = joined.filter(col("h_lvl").isNull)
           .select(col(idCol), col(vecCol), col("lvl"), col("bucket"))
@@ -331,16 +342,23 @@ object Similarity {
       }
       d += 1
     }
-    // whatever is still above cap after maxDepth refinements is
-    // degenerate skew — flag it for the caller's O(|b|) path
-    val counts = cur.groupBy(col("lvl"), col("bucket")).count()
-      .filter(col("count") > cap)
-      .select(col("lvl").as("h_lvl"), col("bucket").as("h_bucket"))
-    val last = cur.join(broadcast(counts),
-      col("lvl") === col("h_lvl") && col("bucket") === col("h_bucket"), "left")
-      .select(col(idCol), col(vecCol), col("lvl"), col("bucket"),
-        col("h_lvl").isNotNull.as("hot"))
-    settled.map(_.withColumn("hot", lit(false)).unionAll(last)).getOrElse(last)
+    if (!refined) {
+      // no bucket was ever hot: the checkpointed base IS the answer —
+      // no degenerate-skew probe, no second checkpoint, just the flag
+      base.withColumn("hot", lit(false))
+    } else {
+      // whatever is still above cap after maxDepth refinements is
+      // degenerate skew — flag it for the caller's O(|b|) path
+      val counts = cur.groupBy(col("lvl"), col("bucket")).count()
+        .filter(col("count") > cap)
+        .select(col("lvl").as("h_lvl"), col("bucket").as("h_bucket"))
+      val last = cur.join(broadcast(counts),
+        col("lvl") === col("h_lvl") && col("bucket") === col("h_bucket"), "left")
+        .select(col(idCol), col(vecCol), col("lvl"), col("bucket"),
+          col("h_lvl").isNotNull.as("hot"))
+      // multiply-consumed downstream (~6 ways) — one materialization
+      cp(settled.map(_.withColumn("hot", lit(false)).unionAll(last)).getOrElse(last))
+    }
   }
 
   /** All-pairs embedding near-dup with auto-sized planes and the skew
@@ -371,11 +389,11 @@ object Similarity {
     val n = emb.count()
     val nPlanes = autoPlanes(n, targetBucketSize)
     val tables = (0 until nTables).map { t =>
-      // each table's bucketing is consumed ~6 ways (cold self-join sides,
-      // reps, rep vectors, star members) — checkpoint it once per table
-      // (eager, same convention as TextOps.shingleRows)
-      val bk = cp(cappedLshBuckets(emb, "vec_id", "embedding", nPlanes, dim, cap,
-        planeOffset = t * 101))
+      // cappedLshBuckets checkpoints internally (the signature scan once,
+      // plus the refined composition only when refinement fired) — its
+      // output reads materialized blocks for all ~6 consumers below
+      val bk = cappedLshBuckets(emb, "vec_id", "embedding", nPlanes, dim, cap,
+        planeOffset = t * 101, cp = cp)
       val cold = bk.filter(!col("hot"))
       val a = cold.select(col("lvl"), col("bucket"),
         col("vec_id").as("id_a"), col("embedding").as("ea"))
