@@ -49,4 +49,18 @@ object Sources {
     * repartition on a seeded random key (one shuffle, no global sort). */
   def shuffle(df: DataFrame, numPartitions: Int, seed: Long = 42L): DataFrame =
     df.repartition(numPartitions, rand(seed))
+
+  /** Media-file ingest for the multimodal pipeline: a directory of raw
+    * image/audio files as (path, modificationTime, length, content)
+    * rows via Spark's binaryFile source — the standard way opaque bytes
+    * enter a DataFrame at scale. Two scale facts make this the right
+    * entry point: the source COLUMN-PRUNES `content` (metadata-only
+    * queries never read file bodies), and `pathGlobFilter` prunes at
+    * listing time. Feed the result to `mm.Multimodal.extractFeatures` /
+    * `resizeImages` (batched decode over the `content` column). */
+  def readMediaDir(spark: SparkSession, dir: String,
+                   glob: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    glob.fold(r)(g => r.option("pathGlobFilter", g)).load(dir)
+  }
 }

@@ -25,12 +25,18 @@ class PlanRegressionSpec extends SparkSpec {
     ("q_dedup_cluster", 3, 1),
     ("q_dedup_cluster_banded", 3, 1),
     ("q_dedup_cluster_star", 5, 1),
-    ("q_dedup_embedding_lsh_capped", 3, 3),
+    ("q_dedup_embedding_lsh_capped", 2, 3),
     ("q_dedup_minhash", 2, 1),
     ("q_dedup_ngram", 4, 1),
     ("q_dense_vec", 1, 1),
     ("q_join_asof", 3, 2),
-    ("q_mlp_predict", 1, 1))
+    ("q_mlp_predict", 1, 1),
+    // round-5 keys (measured at sf0.001 like the rest)
+    ("q_decontaminate", 4, 1),
+    ("q_quality_repetition", 5, 1),
+    ("q_pack_chunks", 2, 2),
+    ("q_dedup_incremental", 3, 1),
+    ("q_dedup_latest", 2, 3))
 
   pins.foreach { case (name, maxExch, maxSort) =>
     test(s"$name plan stays within $maxExch exchanges / $maxSort sorts") {

@@ -123,4 +123,25 @@ class SourcesSpec extends SparkSpec {
     assert(math.abs(approx - exact) <= math.max(1L, (exact * 0.05).toLong),
       s"approx $approx vs exact $exact")
   }
+
+  test("media dir ingest: glob filters at listing, content decodes, metadata prunes bodies") {
+    import graft.mm.PpmCodec
+    val dir = Files.createTempDirectory("graft_media")
+    val img = PpmCodec.Image(2, 2, Array.tabulate(12)(i => (i * 20).toByte))
+    Files.write(dir.resolve("a.ppm"), PpmCodec.encode(img))
+    Files.write(dir.resolve("b.ppm"), PpmCodec.encode(img))
+    Files.write(dir.resolve("notes.txt"), "not media".getBytes)
+
+    val media = Sources.readMediaDir(spark, dir.toString, Some("*.ppm"))
+    assert(media.count() == 2, "glob must exclude the .txt")
+    // the bytes are REAL media: the shipped codec decodes them
+    val decoded = media.select($"content").as[Array[Byte]].collect()
+      .flatMap(PpmCodec.decode)
+    assert(decoded.length == 2 && decoded.forall(i => i.width == 2 && i.height == 2))
+    // metadata-only query prunes the content column at the scan
+    val metaPlan = PlanAudit.executedPlan(
+      media.select($"path", $"length").filter($"length" > 0)).toString
+    assert(!metaPlan.contains("content"),
+      s"metadata query must not read file bodies:\n$metaPlan")
+  }
 }
