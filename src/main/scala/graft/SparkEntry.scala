@@ -100,6 +100,7 @@ object SparkEntry {
     "q_dedup_ngram" -> (TextOps.qDedupNgram _),
     "q_sample_hash" -> (text.Sampling.qSampleHash _),
     "q_split_assign" -> (text.Sampling.qSplitAssign _),
+    "q_stratified_sample" -> (text.Sampling.qStratifiedSample _),
     "q_dedup_cluster" -> ((s: SparkSession, d: String) => TextOps.qDedupCluster(s, d)),
     "q_decontaminate" -> (TextOps.qDecontaminate _),
     "q_quality_repetition" -> (TextOps.qQualityRepetition _),
@@ -290,6 +291,17 @@ object SparkEntry {
     // Gopher repetition signals; thresholds interpolated from TextOps
     "q_quality_repetition" ->
       s"WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), g2 AS (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS g FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - 2, 0) + 1)) AS i FROM tok)), p2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g), a2 AS (SELECT doc_id, MAX(c) AS max2, SUM(c) AS tot2 FROM p2 GROUP BY doc_id), g3 AS (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' ') AS g FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - 3, 0) + 1)) AS i FROM tok)), a3 AS (SELECT doc_id, COUNT(*) AS tot3, COUNT(DISTINCT g) AS dist3 FROM g3 GROUP BY doc_id) SELECT a2.doc_id, ROUND(CAST(max2 AS DOUBLE) / tot2, 6) AS top_bigram_frac, ROUND(1.0 - CAST(dist3 AS DOUBLE) / tot3, 6) AS dup_trigram_frac, (CAST(max2 AS DOUBLE) / tot2 > ${text.TextOps.repTopBigramMax} OR 1.0 - CAST(dist3 AS DOUBLE) / tot3 > ${text.TextOps.repDupTrigramMax}) AS flagged FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id ORDER BY a2.doc_id",
+    // stratified sample: per-stratum conditions generated from the SAME
+    // fraction list the Spark side uses (cuts via Sampling.cutHex — a
+    // fraction rounding to 256 becomes a bare stratum predicate, the
+    // SQL mirror of the always-true guard)
+    "q_stratified_sample" -> {
+      val conds = text.Sampling.stratifiedDemoFractions.map { case (s, f) =>
+        if (math.round(f * 256).toInt >= 256) s"(lang = '$s')"
+        else s"(lang = '$s' AND substring(md5(lang || '|' || CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(f)}')"
+      }.mkString(" OR ")
+      s"SELECT doc_id, lang FROM documents WHERE $conds ORDER BY doc_id"
+    },
     // incremental dedup: batch/corpus split = the same interpolated 10%
     // hash cut as q_decontaminate; digests compared, never documents
     "q_dedup_incremental" ->

@@ -89,6 +89,28 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(Seq("__fp"))
       .drop("__fp")
 
+  /** Streaming twin of [[graft.text.TextOps.incrementalDedup]] and the
+    * missing join shape in this file: a STREAM-STATIC anti-join. New
+    * documents stream in; the corpus's kept digests are a static (batch)
+    * table — exactly how a production ingest keeps its dedup state, as
+    * a compacted digest table refreshed out-of-band. In-stream dups are
+    * collapsed by digest within the watermark (bounded state, GC'd like
+    * [[dedupByFingerprint]]); docs whose digest exists in the corpus
+    * never leave the stream. The static side is planned like any batch
+    * join (broadcast when small) — no streaming state for it at all.
+    * Expects a `ts` event-time column; `corpusDigests` has column `h`
+    * (md5 hex, the same digest [[graft.text.TextOps.qDedupExact]] keys
+    * on). */
+  def incrementalDedupStream(newDocs: DataFrame, corpusDigests: DataFrame,
+                             textCol: String = "text",
+                             watermark: String = "10 minutes"): DataFrame =
+    newDocs
+      .withColumn("__h", md5(col(textCol)))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("__h"))
+      .join(corpusDigests, col("__h") === col("h"), "left_anti")
+      .drop("__h")
+
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
   final case class UserCounter(user_id: Long, n_events: Long, total_value: Double)
 

@@ -91,6 +91,20 @@ object Sampling {
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
 
+  /** Per-stratum fractions for the q_stratified_sample gate key —
+    * shared with the oracle SQL (cuts interpolated via [[cutHex]]). The
+    * LLM-pipeline use: domain reweighting, e.g. keep all of a scarce
+    * language, half of the dominant one. */
+  val stratifiedDemoFractions: Seq[(String, Double)] =
+    Seq("de" -> 1.0, "en" -> 0.5, "fr" -> 0.25)
+
+  /** Gate key: per-language stratified sample of documents. */
+  def qStratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedHashSample(Tables.documents(spark, dir), col("lang"),
+        col("doc_id"), stratifiedDemoFractions.toMap)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
   /** Gate key: 80/10/10 split assignment, aggregated per (split, lang) —
     * proves disjoint-and-exhaustive assignment in one oracled shape. */
   def qSplitAssign(spark: SparkSession, dir: String): DataFrame =

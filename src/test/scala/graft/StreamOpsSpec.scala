@@ -180,6 +180,26 @@ class StreamOpsSpec extends SparkSpec {
     assert(survivors == Set(1L, 3L), s"got $survivors")
   }
 
+  test("stream-static incremental dedup: corpus digests drop, in-stream dups collapse") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq("old news body", "archived text").toDF("text")
+      .select(md5($"text").as("h"))
+    val mem = MemoryStream[Doc]
+    val q = StreamOps.incrementalDedupStream(mem.toDF(), corpus, "text")
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("t_incdedup").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(
+      Doc(ts("2024-01-01 10:00:00"), 1, "fresh document"),
+      Doc(ts("2024-01-01 10:01:00"), 2, "old news body"),       // in corpus → dropped
+      Doc(ts("2024-01-01 10:02:00"), 3, "fresh document"),      // in-stream dup → dropped
+      Doc(ts("2024-01-01 10:03:00"), 4, "another new one"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("t_incdedup").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(1L, 4L), s"got $kept")
+  }
+
   test("batch windowTumbling on real events matches StreamOps.tumbling") {
     val viaRel = graft.rel.RelQueries.windowTumbling(spark, sfDir)
       .select(col("hour"), col("event_type"), col("n"))
