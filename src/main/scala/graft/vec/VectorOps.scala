@@ -53,13 +53,21 @@ object VectorOps {
 
   /** Dense representation of a sparse (indices, values, size) struct —
     * DenseTransformer (`transformers.py ~L90-115 [H]`): scatter values
-    * into a zero vector. array_position probe, not a map build: a
-    * map_from_arrays inside the lambda would be reconstructed per dense
-    * element (Catalyst evaluates lambda bodies per element and does not
-    * hoist the allocation), turning O(sz + nnz) into O(sz × nnz)
-    * allocations; the linear probe stays inside codegen with zero
-    * allocation and nnz ≪ sz comparisons per element. */
+    * into a zero vector. Backed by the native codegen expression
+    * [[graft.plans.ScatterToDense]] — one fused O(sz + nnz) loop; the
+    * best pure-HOF form ([[sparseToDenseHof]], kept as the semantic
+    * spec) must probe `array_position(indices, i)` per dense slot,
+    * O(sz × nnz) comparisons per row. Equivalence is property-tested
+    * incl. duplicate and out-of-range indices. */
   def sparseToDense(indices: Column, values: Column, sz: Column): Column =
+    graft.plans.ScatterToDense(indices, values, sz.cast("int"))
+
+  /** HOF reference formulation of [[sparseToDense]] — the semantic spec
+    * (array_position = first occurrence wins; out-of-range ignored).
+    * A map_from_arrays inside the lambda would be even worse than the
+    * probe: Catalyst re-evaluates lambda bodies per element, so the map
+    * build would be reconstructed sz times per row. */
+  def sparseToDenseHof(indices: Column, values: Column, sz: Column): Column =
     transform(sequence(lit(0), sz - 1), i => {
       val pos = array_position(indices, i)
       when(pos > 0, element_at(values, pos.cast("int"))).otherwise(lit(0.0))

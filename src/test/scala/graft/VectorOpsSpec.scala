@@ -74,6 +74,27 @@ class VectorOpsSpec extends SparkSpec {
     assert(out == Seq(1.5, 0.0, 2.5, 0.0))
   }
 
+  test("ScatterToDense expression ≡ HOF spec, incl. duplicate and out-of-range indices") {
+    // duplicates (first occurrence must win, like array_position),
+    // out-of-range indices (ignored), unsorted order, empty pairs
+    val rows = Seq(
+      (Seq(0, 2, 0), Seq(1.0, 2.0, 9.0), 4),   // dup index 0: 1.0 wins
+      (Seq(3, 7, -1), Seq(5.0, 6.0, 7.0), 4),  // 7 and -1 out of range
+      (Seq(2, 1), Seq(8.0, 9.0), 3),           // unsorted
+      (Seq.empty[Int], Seq.empty[Double], 3))  // all zeros
+    val df = rows.toDF("idx", "vals", "sz")
+    val both = df.select(
+      VectorOps.sparseToDense($"idx", $"vals", $"sz").as("expr"),
+      VectorOps.sparseToDenseHof($"idx", $"vals", $"sz").as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Double](0) == r.getSeq[Double](1),
+        s"expr ${r.getSeq[Double](0)} != hof ${r.getSeq[Double](1)}")
+    }
+    assert(both(0).getSeq[Double](0) == Seq(1.0, 0.0, 2.0, 0.0))
+    assert(both(1).getSeq[Double](0) == Seq(0.0, 0.0, 0.0, 5.0))
+  }
+
   test("dotLit equals a hand-computed dot product, in array order") {
     forAllSeeded(Gen.listOfN(8, Gen.chooseNum(-1e3, 1e3))) { xs =>
       val w = (1 to 8).map(_ * 0.1)
