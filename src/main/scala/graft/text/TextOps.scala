@@ -530,9 +530,21 @@ object TextOps {
     * mode (a document looping 50 distinct words still has high TTR).
     *
     * Scale shape: explode n-grams → two-phase hash aggregation keyed on
-    * (doc_id[, gram]) — partial map-side combine absorbs the explosion,
-    * the two per-doc aggregates then join co-partitioned on doc_id. No
-    * per-doc quadratic work, no windows. */
+    * (doc_id[, gram]) — partial map-side combine absorbs the explosion
+    * (each document lives in one input partition, so the map side
+    * already reduces to per-doc distinct grams), the two per-doc
+    * aggregates then join co-partitioned on doc_id.
+    *
+    * Why not row-local HOFs (the stats ARE per-document)? Measured both
+    * at sf0.1: nested-lambda counting (`transform(distinct, x ->
+    * size(filter(g2, y -> y = x)))`) re-derives the whole shingle
+    * expression per outer element — Catalyst does not hoist common
+    * subexpressions into lambda bodies — 150 s (~30× worse); the
+    * sort-then-longest-run `aggregate` fold avoids the recompute but
+    * HOF lambdas evaluate interpreted with per-element struct
+    * allocation — 8.4 s. The codegen'd relational aggregation wins at
+    * 4.5 s, and its shuffle carries (doc_id, gram, count) — already
+    * combiner-reduced, not the raw corpus. */
   def repetitionReport(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val g2 = docs.select(col("doc_id"), explode(shingles(toks, 2)).as("g"))
