@@ -57,8 +57,8 @@ object Bench {
     }
     def r3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     // ascending by median: the harness keeps only the LAST ~2000 output
-    // chars, so the expensive (interesting) keys and the headline total
-    // must sit at the END of the line to survive truncation
+    // chars of the run, so the expensive (interesting) keys and the
+    // headline total must sit at the END of the line to survive truncation
     val byTime = results.sortBy(_._2)
     val qs = byTime.map { case (k, m, _, _) => "\"" + k + "\":" + r3(m) }
       .mkString("{", ",", "}")
@@ -68,14 +68,21 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val method = s"median of $reps noop-format writes per query (includes final ORDER BY cost; value per key = median over successful reps, raw samples under runs, queries sorted ascending by median; round-1 timed count(), which dropped sorts via EliminateSorts - totals not directly comparable)"
-    // headline fields LAST (same tail-survival reason as above)
-    val json = s"""{"method":"$method","runs":$runs,"queries":$qs,"errors":$errs,"sf":"$sfDir","n_queries":${results.size},"unit":"sec","metric":"total","value":${r3(total)}}"""
-    println(json)
-    // full JSON also lands in the repo so truncation never loses data
+    // full JSON (all keys + raw samples) lands in the repo; stdout gets a
+    // COMPACT line instead — rounds 1-4 all show "parsed": null in
+    // BENCH_r*.json because the full ~5 kB line overflowed the harness's
+    // ~2000-char stdout tail and could never be json.loads'd whole
+    val fullJson = s"""{"method":"$method","runs":$runs,"queries":$qs,"errors":$errs,"sf":"$sfDir","n_queries":${results.size},"unit":"sec","metric":"total","value":${r3(total)}}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
-      (json + "\n").getBytes("UTF-8"))
+      (fullJson + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    // compact stdout line: slowest 25 keys only (the rest are sub-second
+    // scheduling-floor keys), headline fields last; ~900 chars total so the
+    // whole line survives inside the tail window alongside sbt's epilogue
+    val topQs = byTime.takeRight(25).map { case (k, m, _, _) => "\"" + k + "\":" + r3(m) }
+      .mkString("{", ",", "}")
+    println(s"""{"full":"BENCH_LOCAL.json","queries":$topQs,"errors":$errs,"sf":"$sfDir","n_queries":${results.size},"queries_note":"slowest 25 of ${results.size}; every key in BENCH_LOCAL.json","unit":"sec","metric":"total","value":${r3(total)}}""")
     spark.stop()
   }
 }

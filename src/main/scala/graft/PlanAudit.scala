@@ -66,8 +66,14 @@ object PlanAudit {
 
     // bounded-by-design cross products (small broadcast side); ivf's are
     // the K-centroid assignment/probe broadcasts — the IVF contract
+    // q_bloom_join / q_tfidf / q_bm25_search broadcast a ONE-ROW frame
+    // (the bloom bitmap / corpus-scalar aggregates) — a bounded cross by
+    // construction, the in-plan alternative to collecting a scalar
+    // q_eval_metrics crosses its two ONE-ROW aggregates (confusion
+    // counts x AUC accumulator) — also bounded by construction
     val expectedCross = Set("q_cosine_topk", "q_dedup_embedding",
-      "q_minmax_scale", "q_ivf_topk")
+      "q_minmax_scale", "q_ivf_topk", "q_eval_metrics",
+      "q_bloom_join", "q_tfidf", "q_bm25_search")
 
     println(f"${"query"}%-24s ${"exch"}%5s ${"bcast"}%5s ${"sort"}%5s ${"wscg"}%5s  flags")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

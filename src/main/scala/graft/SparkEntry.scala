@@ -76,6 +76,9 @@ object SparkEntry {
     "q_window_sliding" -> (RelQueries.windowSliding _),
     "q_window_session" -> (RelQueries.windowSession _),
     "q_dedup_latest" -> (RelQueries.dedupLatest _),
+    "q_join_skew_salted" -> (graft.plans.SkewJoin.qJoinSkewSalted _),
+    "q_bloom_join" -> (graft.plans.BloomFilter.qBloomJoin _),
+    "q_zorder_layout" -> (graft.plans.ZOrder.qZorderLayout _),
     // §2.A reference (dist-keras) operator surface
     "q_minmax_scale" -> (VectorOps.qMinMaxScale _),
     "q_onehot" -> (VectorOps.qOneHot _),
@@ -107,6 +110,8 @@ object SparkEntry {
     "q_pack_chunks" -> (TextOps.qPackChunks _),
     "q_dedup_incremental" -> (TextOps.qDedupIncremental _),
     "q_frame_sample" -> (graft.mm.Multimodal.qFrameSample _),
+    "q_tfidf" -> (text.Relevance.qTfidf _),
+    "q_bm25_search" -> (text.Relevance.qBm25Search _),
     "q_cosine_topk" -> (Similarity.qCosineTopK _),
     "q_dedup_embedding" -> (Similarity.qDedupEmbedding _),
     // non-SQL-expressible (hash-seeded / heuristic) — rows-only check by
@@ -306,6 +311,29 @@ object SparkEntry {
     // hash cut as q_decontaminate; digests compared, never documents
     "q_dedup_incremental" ->
       s"WITH newb AS (SELECT doc_id, md5(text) AS h FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(text.TextOps.decontamEvalFraction)}'), corp AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE NOT substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(text.TextOps.decontamEvalFraction)}'), keep AS (SELECT MIN(doc_id) AS doc_id, h FROM newb GROUP BY h) SELECT k.doc_id, k.h FROM keep k LEFT JOIN corp c ON k.h = c.h WHERE c.h IS NULL ORDER BY k.doc_id",
+    // salted skew join: the salt is result-invisible, so the oracle is
+    // the PLAIN join — any drift means the salting changed semantics
+    "q_join_skew_salted" ->
+      "SELECT l_orderkey, l_linenumber, l_suppkey, s_name, l_quantity FROM lineitem JOIN supplier ON l_suppkey = s_suppkey ORDER BY l_orderkey, l_linenumber, l_suppkey, s_name, l_quantity",
+    // bloom-prefiltered semi join: the Bloom pass only moves work off
+    // the shuffle; the oracle is the plain semi-join it must equal
+    "q_bloom_join" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0) ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice",
+    // z-order clustering key: bit-interleave generated by
+    // ZOrder.zvalueSql from the SAME (cols, bits) as the Spark side
+    "q_zorder_layout" ->
+      s"SELECT p_partkey, p_size, p_partkey % 256 AS kb, ${graft.plans.ZOrder.zvalueSql(Seq("p_size", "p_partkey % 256"), graft.plans.ZOrder.zBits)} AS zval FROM part ORDER BY zval, p_partkey",
+    // tf-idf: smoothed idf, rank over the ROUNDED score (ties by term)
+    "q_tfidf" ->
+      "WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term FROM documents) GROUP BY doc_id, term), dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), n AS (SELECT COUNT(*) AS n_docs FROM documents), s AS (SELECT doc_id, term, tf, ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS score FROM tf JOIN dft USING (term) CROSS JOIN n) SELECT doc_id, term, tf, score, rn FROM (SELECT doc_id, term, tf, score, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rn FROM s) WHERE rn <= 3 ORDER BY doc_id, rn",
+    // BM25: per-term contributions rounded to 6 dp then summed as
+    // DECIMAL(18,6) (addition-order-proof); k1/b-derived constants
+    // interpolated from Relevance so both engines parse one double
+    "q_bm25_search" -> {
+      import text.Relevance.{bm25B => b, bm25K1 => k1, demoQuery}
+      val terms = demoQuery.map(t => s"'$t'").mkString(", ")
+      s"WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), dl AS (SELECT doc_id, len(toks) AS dl FROM tok), st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (SELECT doc_id, UNNEST(toks) AS term FROM tok) WHERE term IN ($terms) GROUP BY doc_id, term), dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), w AS (SELECT doc_id, CAST(ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * ${k1 + 1.0}) / (tf + $k1 * (${1.0 - b} + $b * dl / (CAST(sum_dl AS DOUBLE) / n_docs))), 6) AS DECIMAL(18,6)) AS wd FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st) SELECT doc_id, CAST(SUM(wd) AS DOUBLE) AS score, COUNT(*) AS n_terms_matched FROM w GROUP BY doc_id ORDER BY SUM(wd) DESC, doc_id LIMIT 10"
+    },
     // latest-record compaction: total order inside each key via
     // (ts DESC, event_id DESC); ns ts cast to µs TIMESTAMP both engines
     "q_dedup_latest" ->

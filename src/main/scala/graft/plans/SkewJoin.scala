@@ -1,7 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.Tables
 
 /** Salted equi-join for skewed keys (SURVEY.md §7.2 scale notes).
   *
@@ -67,4 +69,19 @@ object SkewJoin {
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(key))
       .agg(sum(col("__partial")).as("n"))
+
+  /** Gate key: lineitem⋈supplier salted over 8 buckets. The salt is
+    * result-invisible — the oracle is the PLAIN join — it only changes
+    * how the hot key's rows distribute over reducers. supplier is tiny
+    * here so a broadcast would also work; the salted form is the shape
+    * that survives when the build side outgrows the broadcast threshold
+    * and one key dominates the probe side. */
+  def qJoinSkewSalted(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")
+    val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+    saltedJoin(li, sup, "l_suppkey", "s_suppkey", buckets = 8)
+      .select("l_orderkey", "l_linenumber", "l_suppkey", "s_name", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber", "l_suppkey", "s_name", "l_quantity")
+  }
 }

@@ -1,0 +1,103 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Term-relevance scoring over the document corpus: TF-IDF term
+  * profiles and BM25 ranked retrieval — the text-analysis layer a
+  * training-data pipeline uses for corpus exploration, keyword-based
+  * filtering, and quality-weighted sampling.
+  *
+  * Scale shape (both operators): tokenize → explode → two-phase hash
+  * aggregation. The explosion is absorbed map-side (each document lives
+  * in one input partition, so partial aggregation reduces to per-doc
+  * term counts before anything shuffles); the only wide exchanges carry
+  * (doc_id, term, count) triples — corpus-size-independent per row. The
+  * document-frequency table is term-level (vocabulary-sized, ≪ corpus)
+  * and joins back keyed on term; the corpus-level scalars (N, total
+  * length) are one-row aggregates broadcast via cross-join, never
+  * collected to the driver.
+  */
+object Relevance {
+
+  /** Per-(doc, term) frequencies from whitespace tokens, lowercased. */
+  private def termFreq(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Top `k` TF-IDF terms per document. Smoothed idf =
+    * ln((N+1)/(df+1)) + 1 (the sklearn "smooth_idf" form — never zero,
+    * never divides by zero). Rank is over the ROUNDED score (ties then
+    * broken by term) so both engines rank the same values. */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val tf = termFreq(docs)
+    val dfTable = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = log((col("n_docs") + lit(1)).cast("double") / (col("df") + lit(1)).cast("double")) + lit(1.0)
+    val scored = tf
+      .join(dfTable, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("tf").cast("double") * idf, 6).as("score"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .where(col("rn") <= k)
+  }
+
+  def qTfidf(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopTerms(Tables.documents(spark, dir), 3)
+      .select("doc_id", "term", "tf", "score", "rn")
+      .orderBy("doc_id", "rn")
+
+  /** BM25 (Robertson/Sparck Jones) parameters — the standard defaults. */
+  val bm25K1 = 1.2
+  val bm25B = 0.75
+
+  /** Demo query for the gate key: three discriminative corpus terms. */
+  val demoQuery: Seq[String] = Seq("hash", "join", "merge")
+
+  /** Top `k` documents for `query` by BM25.
+    *
+    * Determinism contract: each term's contribution is rounded to 6 dp
+    * and summed as DECIMAL(18,6), so the per-document score is exact and
+    * addition-order-independent — the ranking cannot flip on float
+    * summation order (Spark's aggregation order is nondeterministic;
+    * DuckDB's differs again). Derived constants (k1+1, 1-b) are computed
+    * once here and interpolated into the oracle, so both engines parse
+    * the identical double. */
+  def bm25Search(docs: DataFrame, query: Seq[String], k: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("toks"))
+    val dl = toks.select(col("doc_id"), size(col("toks")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = toks
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .where(col("term").isin(query: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTable = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val w = idf * (col("tf") * lit(bm25K1 + 1.0)) /
+      (col("tf") + lit(bm25K1) * (lit(1.0 - bm25B) + lit(bm25B) * col("dl") / avgdl))
+    tf
+      .join(broadcast(dfTable), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(w, 6).cast(DecimalType(18, 6)).as("wd"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("wd")).as("score_dec"), count(lit(1)).as("n_terms_matched"))
+      .orderBy(col("score_dec").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("score_dec").cast("double").as("score"), col("n_terms_matched"))
+  }
+
+  def qBm25Search(spark: SparkSession, dir: String): DataFrame =
+    bm25Search(Tables.documents(spark, dir), demoQuery, 10)
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Relevance
+
+class RelevanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "apple banana apple cherry"),
+    (1L, "apple banana banana durian"),
+    (2L, "apple cherry cherry cherry"),
+    (3L, "apple zebra zebra zebra zebra")
+  ).toDF("doc_id", "text")
+
+  test("tfidf: a term in every doc scores below an equally-frequent rare term") {
+    val top = Relevance.tfidfTopTerms(docs, 10)
+      .select("doc_id", "term", "score").as[(Long, String, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    // doc 0: 'apple' tf=2 but df=4 (all docs); 'cherry' tf=1, df=2.
+    // idf(apple) = ln(5/5)+1 = 1 → score 2.0; idf(cherry) = ln(5/3)+1.
+    assert(math.abs(top((0L, "apple")) - 2.0) < 1e-9)
+    assert(top((2L, "cherry")) > top((2L, "apple")),
+      "3x rare term must outrank 1x ubiquitous term")
+  }
+
+  test("tfidf: at most k terms per doc, ranked by score then term") {
+    val out = Relevance.tfidfTopTerms(docs, 2)
+      .select("doc_id", "rn", "score").as[(Long, Int, Double)].collect()
+    assert(out.groupBy(_._1).forall(_._2.length <= 2))
+    out.groupBy(_._1).values.foreach { rows =>
+      val byRn = rows.sortBy(_._2)
+      assert(byRn.map(_._3).sameElements(byRn.map(_._3).sortBy(-_: Double)),
+        "rank must be score-descending")
+    }
+  }
+
+  test("bm25: docs matching more query mass rank first; non-matching docs absent") {
+    val out = Relevance.bm25Search(docs, Seq("cherry", "durian"), 10)
+      .select("doc_id", "score", "n_terms_matched").as[(Long, Double, Long)].collect()
+    val ids = out.map(_._1).toSet
+    assert(!ids.contains(3L), "doc without any query term must not appear")
+    assert(ids == Set(0L, 1L, 2L))
+    // doc 2 has cherry x3; doc 0 cherry x1 — same single term, higher tf wins
+    val score = out.map(t => t._1 -> t._2).toMap
+    assert(score(2L) > score(0L))
+    // doc 1 matches the rarer 'durian' (df=1) → beats the cherry-only docs
+    assert(out.head._1 == 1L || score(1L) > score(0L))
+  }
+
+  test("bm25 gate key is deterministic across runs and bounded by k") {
+    val d = Tables.documents(spark, sfDir)
+    val a = Relevance.bm25Search(d, Relevance.demoQuery, 10).collect()
+    val b = Relevance.bm25Search(d, Relevance.demoQuery, 10).collect()
+    assert(a.sameElements(b), "ranking must be run-stable (decimal score sums)")
+    assert(a.length <= 10 && a.nonEmpty)
+    val scores = a.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sortBy(-_: Double)))
+  }
+}

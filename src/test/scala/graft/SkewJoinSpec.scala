@@ -74,4 +74,15 @@ class SkewJoinSpec extends SparkSpec {
       .distinct().count()
     assert(mixedBuckets == 4L)
   }
+
+  test("q_join_skew_salted gate key equals the plain lineitem-supplier join") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")
+    val sup = Tables.supplier(spark, sfDir).select("s_suppkey", "s_name")
+    val plain = li.join(sup, $"l_suppkey" === $"s_suppkey")
+      .select("l_orderkey", "l_linenumber", "l_suppkey", "s_name", "l_quantity")
+    val salted = SkewJoin.qJoinSkewSalted(spark, sfDir)
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
 }
