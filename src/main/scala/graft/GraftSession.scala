@@ -28,6 +28,16 @@ object GraftSession {
       .master(master)
       .withExtensions(new GraftExtensions)
       .config("spark.sql.adaptive.enabled", "true")
+      // runtime re-planning for the two failure modes bench can't see:
+      // skew (one reducer gets the hot key's volume) and oversized
+      // estimates (a "small" side that isn't). Both default-on in Spark
+      // 4; pinned because the engine's scale posture depends on them.
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Catalyst's own runtime Bloom pushdown on shuffle joins — the
+      // optimizer-injected twin of the explicit plans/BloomFilter
+      // operator (which callers use where injection can't reach, e.g.
+      // pre-shuffle semi-join pruning with a reusable built filter)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

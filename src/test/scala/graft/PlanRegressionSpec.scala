@@ -36,7 +36,13 @@ class PlanRegressionSpec extends SparkSpec {
     ("q_quality_repetition", 5, 1),
     ("q_pack_chunks", 2, 2),
     ("q_dedup_incremental", 3, 1),
-    ("q_dedup_latest", 2, 3))
+    ("q_dedup_latest", 2, 3),
+    // round-5 technique keys
+    ("q_bloom_join", 3, 1),
+    ("q_join_skew_salted", 1, 1),
+    ("q_zorder_layout", 1, 1),
+    ("q_tfidf", 6, 3),
+    ("q_bm25_search", 5, 0))
 
   pins.foreach { case (name, maxExch, maxSort) =>
     test(s"$name plan stays within $maxExch exchanges / $maxSort sorts") {
