@@ -79,6 +79,8 @@ object SparkEntry {
     "q_join_skew_salted" -> (graft.plans.SkewJoin.qJoinSkewSalted _),
     "q_bloom_join" -> (graft.plans.BloomFilter.qBloomJoin _),
     "q_zorder_layout" -> (graft.plans.ZOrder.qZorderLayout _),
+    "q_histogram" -> (RelQueries.histogramQ _),
+    "q_profile" -> (RelQueries.profileQ _),
     // §2.A reference (dist-keras) operator surface
     "q_minmax_scale" -> (VectorOps.qMinMaxScale _),
     "q_onehot" -> (VectorOps.qOneHot _),
@@ -323,6 +325,14 @@ object SparkEntry {
     // ZOrder.zvalueSql from the SAME (cols, bits) as the Spark side
     "q_zorder_layout" ->
       s"SELECT p_partkey, p_size, p_partkey % 256 AS kb, ${graft.plans.ZOrder.zvalueSql(Seq("p_size", "p_partkey % 256"), graft.plans.ZOrder.zBits)} AS zval FROM part ORDER BY zval, p_partkey",
+    // fixed-width histogram: floor pinned both engines (DuckDB CAST
+    // rounds); width/bucket-count literals interpolated from RelQueries
+    "q_histogram" ->
+      s"SELECT bucket, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM (SELECT least(greatest(CAST(floor(o_totalprice / ${RelQueries.histWidth}) AS BIGINT), 0), ${RelQueries.histBuckets - 1}) AS bucket, o_totalprice FROM orders) GROUP BY bucket ORDER BY bucket",
+    // per-column profile: one unpivot pass; DuckDB SUM(int) yields
+    // HUGEINT so n_null is cast back to BIGINT; mean via exact DECIMAL
+    "q_profile" ->
+      "WITH u AS (SELECT 'l_quantity' AS col_name, l_quantity AS value FROM lineitem UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem UNION ALL SELECT 'l_discount', l_discount FROM lineitem) SELECT col_name, COUNT(*) AS n, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, COUNT(DISTINCT value) AS n_distinct, MIN(value) AS mn, MAX(value) AS mx, ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value), 6) AS mean FROM u GROUP BY col_name ORDER BY col_name",
     // tf-idf: smoothed idf, rank over the ROUNDED score (ties by term)
     "q_tfidf" ->
       "WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term FROM documents) GROUP BY doc_id, term), dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), n AS (SELECT COUNT(*) AS n_docs FROM documents), s AS (SELECT doc_id, term, tf, ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS score FROM tf JOIN dft USING (term) CROSS JOIN n) SELECT doc_id, term, tf, score, rn FROM (SELECT doc_id, term, tf, score, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rn FROM s) WHERE rn <= 3 ORDER BY doc_id, rn",

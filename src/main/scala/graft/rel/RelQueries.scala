@@ -515,4 +515,45 @@ object RelQueries {
       .select(col("user_id"), col("event_type"), col("event_id"), col("ts"), col("value"))
       .orderBy("user_id", "event_type")
   }
+
+  /** q_histogram — fixed-width histogram of order totals (20 x 30k
+    * buckets, outliers clamped into the edge buckets): the first plot
+    * every data-profiling pass draws. One two-phase hash aggregation;
+    * the shuffle carries 20 rows. floor() is pinned on both engines
+    * (DuckDB CAST would round); width/bounds are literals so the bucket
+    * function is engine-identical. */
+  val histBuckets = 20
+  val histWidth = 30000.0
+
+  def histogramQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        least(greatest(floor(col("o_totalprice") / histWidth), lit(0L)),
+          lit(histBuckets - 1L)).as("bucket"),
+        col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sumDec(col("o_totalprice")).as("sum_price"))
+      .orderBy("bucket")
+
+  /** q_profile — per-column summary statistics (count / nulls /
+    * distinct / min / max / decimal-exact mean) over lineitem's numeric
+    * measures, computed in ONE pass: unpivot to (column, value) rows —
+    * a Catalyst Expand, no extra scan per column — then a single
+    * grouped aggregation. The profile a pipeline runs before trusting a
+    * new 100 TB drop; the shuffle carries one row per (column, agg). */
+  def profileQ(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    Tables.lineitem(spark, dir)
+      .select(cols.map(col): _*)
+      .unpivot(Array.empty, cols.map(col).toArray, "col_name", "value")
+      .groupBy(col("col_name"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("value")).as("n_distinct"),
+        min(col("value")).as("mn"),
+        max(col("value")).as("mx"),
+        round(sumDec(col("value")) / count(col("value")), 6).as("mean"))
+      .orderBy("col_name")
+  }
 }

@@ -146,4 +146,27 @@ class RelQueriesSpec extends SparkSpec {
       .orderBy(col("ts").desc, col("event_id").desc).limit(1).head()
     assert(key.getAs[Long]("event_id") == expect.getAs[Long]("event_id"))
   }
+
+  test("q_histogram buckets partition the table: counts sum to row count, ids in range") {
+    val out = RelQueries.histogramQ(spark, sfDir).collect()
+    val total = Tables.orders(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("n")).sum == total)
+    assert(out.forall { r =>
+      val b = r.getAs[Long]("bucket"); b >= 0 && b < RelQueries.histBuckets
+    })
+  }
+
+  test("q_profile: one row per column, mean inside [min, max], null-free measures") {
+    val out = RelQueries.profileQ(spark, sfDir).collect()
+    assert(out.map(_.getAs[String]("col_name")).toSet ==
+      Set("l_quantity", "l_extendedprice", "l_discount"))
+    val total = Tables.lineitem(spark, sfDir).count()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n") == total)
+      assert(r.getAs[Long]("n_null") == 0L)
+      val (mn, mx, mean) = (r.getAs[Double]("mn"), r.getAs[Double]("mx"),
+        r.getAs[Double]("mean"))
+      assert(mean >= mn && mean <= mx, s"${r.getAs[String]("col_name")}: $mean not in [$mn,$mx]")
+    }
+  }
 }
