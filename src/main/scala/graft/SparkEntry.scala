@@ -81,6 +81,7 @@ object SparkEntry {
     "q_zorder_layout" -> (graft.plans.ZOrder.qZorderLayout _),
     "q_histogram" -> (RelQueries.histogramQ _),
     "q_profile" -> (RelQueries.profileQ _),
+    "q_join_null_safe" -> (RelQueries.joinNullSafe _),
     // §2.A reference (dist-keras) operator surface
     "q_minmax_scale" -> (VectorOps.qMinMaxScale _),
     "q_onehot" -> (VectorOps.qOneHot _),
@@ -325,6 +326,10 @@ object SparkEntry {
     // ZOrder.zvalueSql from the SAME (cols, bits) as the Spark side
     "q_zorder_layout" ->
       s"SELECT p_partkey, p_size, p_partkey % 256 AS kb, ${graft.plans.ZOrder.zvalueSql(Seq("p_size", "p_partkey % 256"), graft.plans.ZOrder.zBits)} AS zval FROM part ORDER BY zval, p_partkey",
+    // null-safe join: Spark <=> mirrors IS NOT DISTINCT FROM; the NULL
+    // group (status 'P' nulled) must survive the join on both engines
+    "q_join_null_safe" ->
+      "WITH o AS (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS k FROM orders), dim AS (SELECT k AS dk, COUNT(*) AS n_in_group FROM o GROUP BY k) SELECT o_orderkey, k, n_in_group FROM o JOIN dim ON k IS NOT DISTINCT FROM dk ORDER BY o_orderkey",
     // fixed-width histogram: floor pinned both engines (DuckDB CAST
     // rounds); width/bucket-count literals interpolated from RelQueries
     "q_histogram" ->

@@ -516,6 +516,23 @@ object RelQueries {
       .orderBy("user_id", "event_type")
   }
 
+  /** q_join_null_safe — null-safe equality join (`<=>` /
+    * `IS NOT DISTINCT FROM`): NULL keys match each other instead of
+    * silently dropping, the classic outer-ETL trap (a plain equi-join
+    * discards every NULL-keyed row; a COALESCE sentinel risks
+    * colliding with real values). Keys here are o_orderstatus with 'P'
+    * nulled out, so the NULL group is real and populated. Same hash
+    * shuffle as a plain equi-join — null-safe equality is still a
+    * deterministic partitioning key (all NULLs co-locate). */
+  def joinNullSafe(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), nullif(col("o_orderstatus"), lit("P")).as("k"))
+    val dim = o.groupBy(col("k").as("dk")).agg(count(lit(1)).as("n_in_group"))
+    o.join(dim, col("k") <=> col("dk"))
+      .select(col("o_orderkey"), col("k"), col("n_in_group"))
+      .orderBy("o_orderkey")
+  }
+
   /** q_histogram — fixed-width histogram of order totals (20 x 30k
     * buckets, outliers clamped into the edge buckets): the first plot
     * every data-profiling pass draws. One two-phase hash aggregation;

@@ -147,6 +147,17 @@ class RelQueriesSpec extends SparkSpec {
     assert(key.getAs[Long]("event_id") == expect.getAs[Long]("event_id"))
   }
 
+  test("q_join_null_safe: NULL-keyed rows survive and match the NULL group") {
+    val out = RelQueries.joinNullSafe(spark, sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    // every order row survives (a plain equi-join would drop the NULLs)
+    assert(out.count() == orders.count())
+    val nullRows = out.filter(col("k").isNull)
+    val pCount = orders.filter(col("o_orderstatus") === "P").count()
+    assert(nullRows.count() == pCount && pCount > 0)
+    assert(nullRows.select("n_in_group").distinct().head().getLong(0) == pCount)
+  }
+
   test("q_histogram buckets partition the table: counts sum to row count, ids in range") {
     val out = RelQueries.histogramQ(spark, sfDir).collect()
     val total = Tables.orders(spark, sfDir).count()
