@@ -139,33 +139,33 @@ object Similarity {
     * Scale: candidate assignment is a broadcast of K centroids + one
     * scan; the probe join is an equi-join on centroid id. K ~ sqrt(N)
     * keeps lists balanced; skewed lists would AQE-split. */
-  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Per-row nearest centroid (broadcast K centroids, window keyed on
+    * the unique cid — deterministic under task retries, unlike
+    * monotonically_increasing_id). */
+  private def nearestCentroid(cents: DataFrame, df: DataFrame, vecCol: String): DataFrame = {
+    val wBest = Window.partitionBy(col("cid")).orderBy(col("__s").desc, col("centroid_id"))
+    df.crossJoin(broadcast(cents))
+      .withColumn("__s", VectorOps.dot(col(vecCol), col("centroid")))
+      .withColumn("__r", row_number().over(wBest))
+      .filter(col("__r") === 1)
+      .drop("__s", "__r", "centroid")
+  }
 
-    // Deterministic hash-sampled seed centroids: ORDER BY xxhash64(cid)
-    // LIMIT K compiles to TakeOrderedAndProject — per-partition bounded
-    // top-K merged on the driver, no global-window exchange and no
-    // driver-side count() (round-1 verdict scale-killer). The seed row's
-    // own cid IS the centroid id — unique and deterministic — so seeding
-    // needs no window at all; the whole plan is free of empty-partition
-    // windows (asserted in SimilaritySpec).
+  /** Build the IVF index: (centroids, inverted lists).
+    *
+    * Deterministic hash-sampled seed centroids: ORDER BY xxhash64(cid)
+    * LIMIT K compiles to TakeOrderedAndProject — per-partition bounded
+    * top-K merged on the driver, no global-window exchange and no
+    * driver-side count() (round-1 verdict scale-killer). The seed row's
+    * own cid IS the centroid id — unique and deterministic — so seeding
+    * needs no window at all; the whole plan is free of empty-partition
+    * windows (asserted in SimilaritySpec). One Lloyd refinement
+    * (distributed [[graft.vec.VectorAverage]]) then re-centers cells. */
+  def buildIvfIndex(candidates: DataFrame, nCentroids: Int = 16): (DataFrame, DataFrame) = {
     val seeds = candidates
       .orderBy(xxhash64(col("cid")))
       .limit(nCentroids)
       .select(col("cid").as("centroid_id"), col("ce").as("centroid"))
-
-    // one Lloyd refinement: assign all candidates, average per cell.
-    // Per-candidate best centroid keys the window on the (unique) cid —
-    // deterministic under task retries, unlike monotonically_increasing_id.
-    def nearestCentroid(cents: DataFrame, df: DataFrame, vecCol: String): DataFrame = {
-      val wBest = Window.partitionBy(col("cid")).orderBy(col("__s").desc, col("centroid_id"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("__s", VectorOps.dot(col(vecCol), col("centroid")))
-        .withColumn("__r", row_number().over(wBest))
-        .filter(col("__r") === 1)
-        .drop("__s", "__r", "centroid")
-    }
     val assigned0 = nearestCentroid(seeds, candidates, "ce")
     val refined = assigned0
       .select(col("centroid_id"),
@@ -173,17 +173,21 @@ object Similarity {
       .groupBy(col("centroid_id"))
       .agg(graft.vec.VectorAverage.avgVec(col("ced")).as("centroid"))
       .select(col("centroid_id"), transform(col("centroid"), _.cast("float")).as("centroid"))
-
     val lists = nearestCentroid(refined, candidates, "ce").select("centroid_id", "cid", "ce")
+    (refined, lists)
+  }
 
-    // probe: each query scores its nProbe nearest centroids' lists
+  /** Probe a (built or loaded) IVF index: each query scores only its
+    * `nProbe` nearest centroids' lists — an equi-join on centroid_id,
+    * never a corpus scan per query. */
+  def ivfProbe(queries: DataFrame, centroids: DataFrame, lists: DataFrame,
+               k: Int, nProbe: Int = 4): DataFrame = {
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("__s").desc, col("centroid_id"))
-    val probes = queries.crossJoin(broadcast(refined))
+    val probes = queries.crossJoin(broadcast(centroids))
       .withColumn("__s", VectorOps.dot(col("qe"), col("centroid")))
       .withColumn("__r", row_number().over(wProbe))
       .filter(col("__r") <= nProbe)
       .select(col("qid"), col("qe"), col("centroid_id"))
-
     val wTop = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
     lists.join(probes, Seq("centroid_id"))
       .select(col("qid"), col("cid"), VectorOps.dot(col("qe"), col("ce")).as("score"))
@@ -191,6 +195,32 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("qid"), col("cid"), round(col("score"), 6).as("score"), col("rn"))
       .orderBy("qid", "rn")
+  }
+
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val (centroids, lists) = buildIvfIndex(candidates, nCentroids)
+    ivfProbe(queries, centroids, lists, k, nProbe)
+  }
+
+  /** Persist the IVF index: build once, probe many — at 100 TB the
+    * build (full-corpus assignment) amortizes over every query batch
+    * that follows. Lists are PARTITIONED BY centroid_id on disk, the
+    * literal inverted-file layout: a probe of nProbe centroids reads
+    * nProbe directories (partition pruning / DPP through the equi-join)
+    * and leaves the rest of the corpus untouched. */
+  def saveIvfIndex(candidates: DataFrame, dir: String, nCentroids: Int = 16): Unit = {
+    val (centroids, lists) = buildIvfIndex(candidates, nCentroids)
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    lists.write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/lists")
+  }
+
+  /** Load a persisted IVF index as (centroids, lists) for [[ivfProbe]]. */
+  def loadIvfIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val lists = spark.read.parquet(s"$dir/lists")
+      .select(col("centroid_id").cast("long"), col("cid"), col("ce"))
+    (centroids, lists)
   }
 
   /** Non-oracled query entry demonstrating the ANN path on testdata. */

@@ -55,6 +55,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall $recall too low")
   }
 
+  test("IVF index persists: save/load/probe == inline build, lists partitioned by centroid") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val cands = emb.filter($"vec_id" >= 8)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Similarity.saveIvfIndex(cands, dir, nCentroids = 8)
+    val (centroids, lists) = Similarity.loadIvfIndex(spark, dir)
+    val fromDisk = Similarity.ivfProbe(queries, centroids, lists, 3, nProbe = 3).collect()
+    val inline = Similarity.ivfTopK(queries, cands, 3, nCentroids = 8, nProbe = 3).collect()
+    assert(fromDisk.sameElements(inline),
+      "probing the persisted index must equal the inline build")
+    // the on-disk layout IS the inverted file: one directory per centroid
+    val parts = new java.io.File(s"$dir/lists").listFiles()
+      .filter(_.getName.startsWith("centroid_id="))
+    assert(parts.length > 1 && parts.length <= 8, s"got ${parts.length} list partitions")
+  }
+
   test("IVF returns full top-k even when candidates < 2x centroids") {
     // regression: the old stride-sampled seeding produced ZERO seeds
     // (and silently zero results) whenever the corpus was smaller than
