@@ -125,6 +125,25 @@ class LlmPipelineSpec extends SparkSpec {
     }
   }
 
+  test("round-5 relevance stage: BM25 domain gate composes with the cleaning chain") {
+    // domain filtering by keyword relevance — keep only documents that
+    // rank for the target-domain query (how a pipeline carves a
+    // domain-specific subcorpus out of a general crawl). BM25 over the
+    // GATED corpus, so the stage composes downstream of the cleaners.
+    val ranked = text.Relevance.bm25Search(gated, text.Relevance.demoQuery, 50)
+    val domain = gated.join(ranked.select("doc_id"), Seq("doc_id"), "left_semi")
+    val nDomain = domain.count()
+    assert(nDomain > 0 && nDomain <= 50, s"bm25 gate kept $nDomain")
+    // every kept doc really contains at least one query term
+    val misses = domain.filter(!text.Relevance.demoQuery
+        .map(t => col("text").contains(t)).reduce(_ || _))
+      .count()
+    assert(misses == 0, s"$misses kept docs lack every query term")
+    // and the stage composes with tf-idf profiling of the kept set
+    val profiled = text.Relevance.tfidfTopTerms(domain, 3)
+    assert(profiled.count() == nDomain * 3)
+  }
+
   test("composed gate+exact-dedup plan has no cartesian product") {
     val exactSurvivors = gated
       .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
