@@ -82,6 +82,7 @@ object SparkEntry {
     "q_histogram" -> (RelQueries.histogramQ _),
     "q_profile" -> (RelQueries.profileQ _),
     "q_join_null_safe" -> (RelQueries.joinNullSafe _),
+    "q_arg_minmax" -> (RelQueries.argMinMax _),
     // §2.A reference (dist-keras) operator surface
     "q_minmax_scale" -> (VectorOps.qMinMaxScale _),
     "q_onehot" -> (VectorOps.qOneHot _),
@@ -326,6 +327,10 @@ object SparkEntry {
     // ZOrder.zvalueSql from the SAME (cols, bits) as the Spark side
     "q_zorder_layout" ->
       s"SELECT p_partkey, p_size, p_partkey % 256 AS kb, ${graft.plans.ZOrder.zvalueSql(Seq("p_size", "p_partkey % 256"), graft.plans.ZOrder.zBits)} AS zval FROM part ORDER BY zval, p_partkey",
+    // argmin/argmax: ordering value is the UNIQUE o_orderkey, so the
+    // picked row is deterministic (ties would be engine-dependent)
+    "q_arg_minmax" ->
+      "SELECT o_custkey, arg_min(o_totalprice, o_orderkey) AS first_price, arg_max(o_totalprice, o_orderkey) AS latest_price, MIN(o_orderkey) AS first_okey, MAX(o_orderkey) AS latest_okey FROM orders GROUP BY o_custkey ORDER BY o_custkey",
     // null-safe join: Spark <=> mirrors IS NOT DISTINCT FROM; the NULL
     // group (status 'P' nulled) must survive the join on both engines
     "q_join_null_safe" ->

@@ -516,6 +516,23 @@ object RelQueries {
       .orderBy("user_id", "event_type")
   }
 
+  /** q_arg_minmax — argmin/argmax aggregates (`max_by`/`min_by`,
+    * DuckDB `arg_max`/`arg_min`): the price of each customer's first
+    * and latest order, keyed on the UNIQUE o_orderkey so the answer is
+    * total-order deterministic (max_by over a tied ordering value is
+    * engine-dependent — never oracle that). One hash aggregation;
+    * avoids the window-rank detour entirely (no sort, no rank, one
+    * combiner-friendly agg — the cheapest "top-1 per group" there is). */
+  def argMinMax(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        min_by(col("o_totalprice"), col("o_orderkey")).as("first_price"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("latest_price"),
+        min(col("o_orderkey")).as("first_okey"),
+        max(col("o_orderkey")).as("latest_okey"))
+      .orderBy("o_custkey")
+
   /** q_join_null_safe — null-safe equality join (`<=>` /
     * `IS NOT DISTINCT FROM`): NULL keys match each other instead of
     * silently dropping, the classic outer-ETL trap (a plain equi-join

@@ -147,6 +147,22 @@ class RelQueriesSpec extends SparkSpec {
     assert(key.getAs[Long]("event_id") == expect.getAs[Long]("event_id"))
   }
 
+  test("q_arg_minmax picks the price of the min/max order key, no window") {
+    val out = RelQueries.argMinMax(spark, sfDir)
+    val row = out.limit(1).head()
+    val cust = row.getAs[Long]("o_custkey")
+    val orders = Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") === cust)
+      .select("o_orderkey", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(row.getAs[Double]("first_price") == orders.head._2)
+    assert(row.getAs[Double]("latest_price") == orders.last._2)
+    assert(row.getAs[Long]("first_okey") == orders.head._1)
+    // one hash agg, no Window/Sort in the agg path
+    val plan = PlanAudit.executedPlan(out).toString
+    assert(!plan.contains("Window"), "argmax must not plan a window")
+  }
+
   test("q_join_null_safe: NULL-keyed rows survive and match the NULL group") {
     val out = RelQueries.joinNullSafe(spark, sfDir)
     val orders = Tables.orders(spark, sfDir)
