@@ -72,12 +72,16 @@ object BloomFilter {
   def bloomSemiJoin(big: DataFrame, bigKey: String,
                     buildSide: DataFrame, buildKey: String,
                     numBits: Long = 1L << 18, numHashes: Int = 2): DataFrame = {
-    val bloom = build(buildSide, col(buildKey), numBits, numHashes)
+    // project + alias the build key so the exact join resolves even when
+    // both sides share the key name (semi-join output is left-side-only,
+    // so the alias never leaks)
+    val buildKeys = buildSide.select(col(buildKey).as("__bloom_build_key"))
+    val bloom = build(buildKeys, col("__bloom_build_key"), numBits, numHashes)
     big
       .crossJoin(broadcast(bloom))
       .where(mightContain(col("bloom"), col(bigKey), numBits, numHashes))
       .drop("bloom")
-      .join(buildSide, col(bigKey) === col(buildKey), "left_semi")
+      .join(buildKeys, col(bigKey) === col("__bloom_build_key"), "left_semi")
   }
 
   /** Gate key: lineitem rows whose order is high-value (o_totalprice >

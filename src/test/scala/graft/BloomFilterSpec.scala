@@ -31,6 +31,20 @@ class BloomFilterSpec extends SparkSpec {
     assert(fpr < 0.05, s"measured FPR $fpr far above the ~1.3% analytic rate")
   }
 
+  test("empty build side: null bloom map rejects every probe, semi-join is empty") {
+    // a global agg over zero rows still emits ONE row, with a NULL map —
+    // element_at(null, w) -> null -> coalesce 0 -> bit test false
+    val none = spark.range(0).select($"id".as("k"))
+    val bloom = BloomFilter.build(none, $"k", bits, hashes)
+    assert(bloom.count() == 1L)
+    val probes = (1L to 100L).toDF("k")
+    val passed = probes.crossJoin(broadcast(bloom))
+      .where(BloomFilter.mightContain($"bloom", $"k", bits, hashes)).count()
+    assert(passed == 0L, "empty filter must reject everything")
+    val joined = BloomFilter.bloomSemiJoin(probes, "k", none, "k")
+    assert(joined.isEmpty)
+  }
+
   test("bloomSemiJoin equals the plain semi join and the filter map stays sparse") {
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
     val hot = Tables.orders(spark, sfDir)
