@@ -37,6 +37,44 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.resizeImages(media, 8, 8).schema == media.schema)
   }
 
+  test("multimodal retrieval: real PPM decode → features → cosine top-1 finds the near-dup") {
+    import org.apache.spark.sql.functions._
+    import graft.sim.Similarity
+    // six brightness variants of the gradient + ONE near-copy of variant 0
+    // (a single pixel nudged): after decode → channel-mean/histogram
+    // features → L2 normalize, the near-copy must be variant 0's nearest
+    // neighbor — the end-to-end shape of image near-dup detection
+    def img(scale: Double, tweak: Int = 0): Array[Byte] = {
+      val px = new Array[Byte](4 * 4 * 3)
+      for (y <- 0 until 4; x <- 0 until 4) {
+        val o = (y * 4 + x) * 3
+        px(o) = math.min(255, (x * 60 * scale).toInt).toByte
+        px(o + 1) = math.min(255, (y * 60 * scale).toInt).toByte
+        px(o + 2) = math.min(255, (128 * scale).toInt).toByte
+      }
+      if (tweak != 0) px(0) = (px(0) + tweak).toByte
+      PpmCodec.encode(PpmCodec.Image(4, 4, px))
+    }
+    val rows = (0 until 6).map(i =>
+      Row(i.toLong, "image", img(0.5 + i * 0.3), Row(4, 4, null, null))) :+
+      Row(10L, "image", img(0.5, tweak = 3), Row(4, 4, null, null))
+    val mediaDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), Multimodal.mediaSchema)
+    val feats = Multimodal.extractFeatures(mediaDf, batchSize = 3, dim = 16)
+    val norm = sqrt(aggregate(col("features"), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val normed = feats.select(col("media_id"),
+      transform(col("features"), x => x.cast("double") / norm).as("e"))
+    val queries = normed.filter(col("media_id") === 0L)
+      .select(col("media_id").as("qid"), col("e").as("qe"))
+    val cands = normed.filter(col("media_id") =!= 0L)
+      .select(col("media_id").as("cid"), col("e").as("ce"))
+    val top = Similarity.cosineTopK(queries, cands, 1).collect()
+    assert(top.length == 1 && top.head.getAs[Long]("cid") == 10L,
+      s"nearest neighbor of the base image must be its near-copy, got ${top.toSeq}")
+    assert(top.head.getAs[Double]("score") > 0.999, s"near-dup cosine ${top.head}")
+  }
+
   /** 4×4 P6 gradient: pixel (x,y) = (x*60, y*60, 128). */
   private def gradientPpm: Array[Byte] = {
     val px = new Array[Byte](4 * 4 * 3)
