@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.mm.{PpmCodec, WavCodec}
+import graft.sources.v2.{MediaSource, MediaSourceProvider}
+
+class MediaSourceSpec extends SparkSpec {
+
+  private def fmt = classOf[MediaSourceProvider].getName
+
+  /** temp dir with 3 PPMs, 2 WAVs, 1 opaque blob. */
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("media_src").toFile
+    def write(name: String, bytes: Array[Byte]): Unit = {
+      val out = new java.io.FileOutputStream(new java.io.File(d, name))
+      try out.write(bytes) finally out.close()
+    }
+    for (i <- 0 until 3) {
+      val px = Array.tabulate(4 * 6 * 3)(j => ((j + i * 7) % 251).toByte)
+      write(s"img$i.ppm", PpmCodec.encode(PpmCodec.Image(6, 4, px)))
+    }
+    for (i <- 0 until 2) {
+      val samples = Array.tabulate(400)(j => ((j * (i + 3)) % 20000).toShort)
+      write(s"tone$i.wav", WavCodec.encode(WavCodec.Audio(8000 + i * 8000, 1, samples)))
+    }
+    write("blob.bin", "not-media".getBytes("UTF-8"))
+    d.getAbsolutePath
+  }
+
+  test("DSv2 media source reads the directory with typed per-format metadata") {
+    val df = spark.read.format(fmt).load(dir)
+    assert(df.schema == MediaSource.schema)
+    val rows = df.collect().map(r => r.getAs[String]("name") -> r).toMap
+    assert(rows.size == 6)
+    assert(rows("img0.ppm").getAs[String]("kind") == "image")
+    assert(rows("img0.ppm").getAs[Int]("width") == 6)
+    assert(rows("img0.ppm").getAs[Int]("height") == 4)
+    assert(rows("tone1.wav").getAs[String]("kind") == "audio")
+    assert(rows("tone1.wav").getAs[Int]("sample_rate") == 16000)
+    assert(rows("blob.bin").getAs[String]("kind") == "binary")
+    assert(rows("blob.bin").isNullAt(rows("blob.bin").fieldIndex("width")))
+    // bytes round-trip exactly
+    assert(PpmCodec.decode(rows("img2.ppm").getAs[Array[Byte]]("bytes")).get.width == 6)
+  }
+
+  test("kind filter pushes down to the listing: pruned files never become tasks") {
+    val df = spark.read.format(fmt).load(dir).where(col("kind") === "image")
+    assert(df.count() == 3)
+    // the pushed filter prunes at planInputPartitions: with 6 files in
+    // one 16-file group, an unpruned scan has 1 partition of 6 files —
+    // so prove pruning via the scan description instead of partitioning
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("pushedKind=image"), s"filter not pushed:\n${desc.take(600)}")
+    // and the filter is gone from the residual only if pushed; either
+    // way results must be exact
+    assert(df.select("name").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("img0.ppm", "img1.ppm", "img2.ppm"))
+  }
+
+  test("metadata-only projection never reads file bodies") {
+    MediaSource.bodyReads.set(0L)
+    val meta = spark.read.format(fmt).load(dir)
+      .select("name", "kind", "size", "width", "height", "sample_rate")
+      .collect()
+    assert(meta.length == 6)
+    // header prefix (256 B) served every metadata column
+    assert(MediaSource.bodyReads.get() == 0L,
+      s"${MediaSource.bodyReads.get()} full-body reads for a metadata-only query")
+    // sanity: selecting bytes DOES read bodies
+    spark.read.format(fmt).load(dir).select("name", "bytes").collect()
+    assert(MediaSource.bodyReads.get() == 6L)
+  }
+
+  test("the source composes: DSv2 scan feeds the multimodal feature path") {
+    val media = spark.read.format(fmt).load(dir)
+      .where(col("kind") === "image")
+      .select(
+        monotonically_increasing_id().as("media_id"),
+        col("kind"), col("bytes"),
+        struct(col("width"), col("height"),
+          lit(null).cast("int").as("sample_rate"),
+          lit(null).cast("int").as("n_frames")).as("meta"))
+    // schema-align to Multimodal.mediaSchema field order
+    val feats = graft.mm.Multimodal.extractFeatures(media, batchSize = 2, dim = 16)
+    val rows = feats.collect()
+    assert(rows.length == 3)
+    rows.foreach(r => assert(r.getSeq[Float](2).length == 16))
+  }
+}
