@@ -33,7 +33,13 @@ object Bench {
     // raw per-run samples kept under "runs"
     // a failing query must be VISIBLE in the bench JSON (an "errors"
     // entry), never a silently-absorbed near-0s "success"
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run — the targeted-
+    // iteration loop for optimizing one key without a 4-minute sweep
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       var err: Option[String] = None
       // an errored rep's (typically truncated) wall time must NOT enter
       // the sample: the "errors" entry is the only signal, and the median
@@ -73,16 +79,16 @@ object Bench {
     // BENCH_r*.json because the full ~5 kB line overflowed the harness's
     // ~2000-char stdout tail and could never be json.loads'd whole
     val fullJson = s"""{"method":"$method","runs":$runs,"queries":$qs,"errors":$errs,"sf":"$sfDir","n_queries":${results.size},"unit":"sec","metric":"total","value":${r3(total)}}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
-      (fullJson + "\n").getBytes("UTF-8"))
+      java.nio.file.Paths.get(outFile), (fullJson + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     // compact stdout line: slowest 25 keys only (the rest are sub-second
     // scheduling-floor keys), headline fields last; ~900 chars total so the
     // whole line survives inside the tail window alongside sbt's epilogue
     val topQs = byTime.takeRight(25).map { case (k, m, _, _) => "\"" + k + "\":" + r3(m) }
       .mkString("{", ",", "}")
-    println(s"""{"full":"BENCH_LOCAL.json","queries":$topQs,"errors":$errs,"sf":"$sfDir","n_queries":${results.size},"queries_note":"slowest 25 of ${results.size}; every key in BENCH_LOCAL.json","unit":"sec","metric":"total","value":${r3(total)}}""")
+    println(s"""{"full":"$outFile","queries":$topQs,"errors":$errs,"sf":"$sfDir","n_queries":${results.size},"queries_note":"slowest 25 of ${results.size}; every key in $outFile","unit":"sec","metric":"total","value":${r3(total)}}""")
     spark.stop()
   }
 }

@@ -34,6 +34,14 @@ object ConnectedComponents {
     * @param nodes   node universe as column (id); isolated nodes become
     *                singleton clusters
     * @return (id, lbl) where lbl = min node id of the component
+    *
+    * Measured dead end (round 5, sf0.1, do not redo): chaining TWO
+    * propagation hops lazily between materializations — to halve the
+    * checkpoint+probe jobs — is ~20% SLOWER (5.0→6.2 s on
+    * q_dedup_cluster): the un-materialized second hop re-joins the edge
+    * table inside one deeper 4-shuffle plan, and AQE stages serialize
+    * worse than two short materialized rounds. One hop per
+    * materialization wins.
     */
   def run(edgesIn: DataFrame, nodes: DataFrame, maxIter: Int = 30,
           cp: Checkpointer = Checkpointer.Local): DataFrame = {
