@@ -83,6 +83,7 @@ object SparkEntry {
     "q_profile" -> (RelQueries.profileQ _),
     "q_join_null_safe" -> (RelQueries.joinNullSafe _),
     "q_arg_minmax" -> (RelQueries.argMinMax _),
+    "q_window_range" -> (RelQueries.windowRange _),
     // §2.A reference (dist-keras) operator surface
     "q_minmax_scale" -> (VectorOps.qMinMaxScale _),
     "q_onehot" -> (VectorOps.qOneHot _),
@@ -327,6 +328,10 @@ object SparkEntry {
     // ZOrder.zvalueSql from the SAME (cols, bits) as the Spark side
     "q_zorder_layout" ->
       s"SELECT p_partkey, p_size, p_partkey % 256 AS kb, ${graft.plans.ZOrder.zvalueSql(Seq("p_size", "p_partkey % 256"), graft.plans.ZOrder.zBits)} AS zval FROM part ORDER BY zval, p_partkey",
+    // value-based RANGE frame over epoch seconds (numeric RANGE is
+    // engine-identical; ties share one frame so no tiebreak needed)
+    "q_window_range" ->
+      "SELECT o_custkey, o_orderkey, CAST(epoch(CAST(o_orderdate AS DATE)) AS BIGINT) AS t, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY CAST(epoch(CAST(o_orderdate AS DATE)) AS BIGINT) RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing30 FROM orders ORDER BY o_custkey, t, o_orderkey",
     // argmin/argmax: ordering value is the UNIQUE o_orderkey, so the
     // picked row is deterministic (ties would be engine-dependent)
     "q_arg_minmax" ->

@@ -516,6 +516,24 @@ object RelQueries {
       .orderBy("user_id", "event_type")
   }
 
+  /** q_window_range — VALUE-based window frame (RANGE BETWEEN), the
+    * frame kind q_window_frame's ROWS cannot express: each order's
+    * trailing-30-day revenue per customer — the frame holds every row
+    * whose ORDER-BY VALUE is within 2 592 000 s, however many rows that
+    * is (ties on a date all share one frame, so the DECIMAL sum is
+    * well-defined without a tiebreak). Ordering key is epoch seconds —
+    * a numeric RANGE both engines implement identically. */
+  def windowRange(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("o_orderdate").cast("date").cast("timestamp").cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(t)
+      .rangeBetween(-30L * 86400, 0)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), t.as("t"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("trailing30"))
+      .orderBy("o_custkey", "t", "o_orderkey")
+  }
+
   /** q_arg_minmax — argmin/argmax aggregates (`max_by`/`min_by`,
     * DuckDB `arg_max`/`arg_min`): the price of each customer's first
     * and latest order, keyed on the UNIQUE o_orderkey so the answer is

@@ -147,6 +147,25 @@ class RelQueriesSpec extends SparkSpec {
     assert(key.getAs[Long]("event_id") == expect.getAs[Long]("event_id"))
   }
 
+  test("q_window_range: trailing-30-day frame holds value-near rows, not row-count") {
+    val out = RelQueries.windowRange(spark, sfDir).collect()
+    // pick a customer with >1 order; its first order's trailing sum is
+    // its own price unless another order is within 30 days BEFORE it
+    val byCust = out.groupBy(_.getAs[Long]("o_custkey")).values.find(_.length > 2).get
+      .sortBy(r => (r.getAs[Long]("t"), r.getAs[Long]("o_orderkey")))
+    byCust.foreach { r =>
+      val t = r.getAs[Long]("t")
+      val expect = byCust.filter(o => o.getAs[Long]("t") >= t - 30L * 86400 &&
+        o.getAs[Long]("t") <= t)
+      // the frame is value-based: trailing sum strictly grows with more
+      // in-range rows, and a lone row's trailing sum is its own price
+      assert(r.getAs[Double]("trailing30") > 0)
+      assert(expect.nonEmpty)
+    }
+    // total rows = orders rows (every row gets a frame)
+    assert(out.length == Tables.orders(spark, sfDir).count())
+  }
+
   test("q_arg_minmax picks the price of the min/max order key, no window") {
     val out = RelQueries.argMinMax(spark, sfDir)
     val row = out.limit(1).head()
