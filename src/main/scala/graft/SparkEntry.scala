@@ -119,17 +119,18 @@ object SparkEntry {
     "q_bm25_search" -> (text.Relevance.qBm25Search _),
     "q_cosine_topk" -> (Similarity.qCosineTopK _),
     "q_dedup_embedding" -> (Similarity.qDedupEmbedding _),
-    // non-SQL-expressible (hash-seeded / heuristic) — rows-only check by
-    // the driver; full behavior covered in ScalaTest (SURVEY.md §5)
+    // md5/generated-SQL-mirror oracled (engine-portable hashing)
     "q_dedup_minhash" -> (TextOps.qDedupMinhash _),
-    "q_dedup_simhash" -> (TextOps.qDedupSimhash _),
-    "q_dedup_simhash_banded" -> (TextOps.qDedupSimhashBanded _),
     "q_dedup_cluster_banded" -> (TextOps.qDedupClusterBanded _),
     "q_dedup_cluster_star" -> (TextOps.qDedupClusterStar _),
     "q_dedup_embedding_lsh" -> (Similarity.qDedupEmbeddingLsh _),
-    "q_dedup_embedding_lsh_capped" -> (Similarity.qDedupEmbeddingLshCapped _),
     "q_lang_id" -> (TextOps.qLangId _),
     "q_ann_topk" -> (Similarity.qAnnTopK _),
+    // non-SQL-expressible (runtime-adaptive / sketch-internal) —
+    // rows-only check by the driver; behavior covered in ScalaTest
+    "q_dedup_simhash" -> (TextOps.qDedupSimhash _),
+    "q_dedup_simhash_banded" -> (TextOps.qDedupSimhashBanded _),
+    "q_dedup_embedding_lsh_capped" -> (Similarity.qDedupEmbeddingLshCapped _),
     "q_ivf_topk" -> (Similarity.qIvfTopK _),
     "q_approx_distinct" -> (RelQueries.approxDistinct _),
   )
@@ -152,6 +153,46 @@ object SparkEntry {
       "s0 AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' ') AS s FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - 3, 0) + 1)) AS i FROM tok))), " +
       s"s1 AS (SELECT doc_id, s FROM s0 WHERE s IN (SELECT s FROM s0 GROUP BY s HAVING COUNT(*) <= ${text.TextOps.shingleDfCap})), " +
       "cnt AS (SELECT doc_id, COUNT(*) AS n FROM s1 GROUP BY doc_id)"
+
+  /** MinHash candidate+verify CTE chain (appended after
+    * [[ngramShingleCte]]): base hash h = int(md5(s)[1..15], 16) mod p —
+    * DuckDB computes the hex prefix as a 15-term positional sum, the
+    * exact value Spark gets from conv() in TextOps.baseHash — then
+    * permutation j is (a_j·h + b_j) mod p with a/b/p interpolated from
+    * TextOps (single source of truth). Bands of r rows hash with md5
+    * over the comma-joined slice (= TextOps.bandKeys), candidates
+    * equi-join on (band, bh), and exact Jaccard over the UNCAPPED s0
+    * shingle sets verifies (mirroring nearDupPairs, which filters on
+    * the unrounded jaccard). Yields `mh(id_a, id_b, jac)`. */
+  private val minhashPairsCte: String = {
+    val perms = text.TextOps.minhashPerms
+    val r = perms / text.TextOps.minhashBands
+    val p = text.TextOps.prime
+    val aLit = text.TextOps.permA.mkString("([", ", ", "])")
+    val bLit = text.TextOps.permB.mkString("([", ", ", "])")
+    val hexSum = (1 to 15)
+      .map(i => s"(CAST(strpos('0123456789abcdef', substring(md5(s), $i, 1)) AS BIGINT) - 1) * ${1L << (4 * (15 - i))}")
+      .mkString(" + ")
+    s"hh AS (SELECT doc_id, ($hexSum) % $p AS h FROM s1), " +
+      s"sig AS (SELECT doc_id, j, MIN(($aLit[CAST(j + 1 AS INTEGER)] * h + $bLit[CAST(j + 1 AS INTEGER)]) % $p) AS m FROM hh CROSS JOIN (SELECT UNNEST(range(0, $perms)) AS j) perms GROUP BY doc_id, j), " +
+      s"bnd AS (SELECT doc_id, CAST(j // $r AS INTEGER) AS band, md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY j)) AS bh FROM sig GROUP BY doc_id, band), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bnd a JOIN bnd b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id), " +
+      "c0 AS (SELECT doc_id, COUNT(*) AS n FROM s0 GROUP BY doc_id), " +
+      "inter AS (SELECT id_a, id_b, COUNT(*) AS ni FROM cand JOIN s0 sa ON sa.doc_id = cand.id_a JOIN s0 sb ON sb.doc_id = cand.id_b AND sb.s = sa.s GROUP BY id_a, id_b), " +
+      "mh AS (SELECT id_a, id_b, CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) AS jac FROM inter JOIN c0 ca ON ca.doc_id = id_a JOIN c0 cb ON cb.doc_id = id_b)"
+  }
+
+  /** Recursive-CTE connected components over the MinHash edge set (jac
+    * >= 0.6, the nearDupPairs threshold) — shared by the banded and
+    * star cluster oracles: both algorithms compute the SAME fixpoint
+    * (min doc_id per component over all documents), so one oracle
+    * serves both gate keys. */
+  private val minhashClusterSql: String =
+    s"${ngramShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $minhashPairsCte, " +
+      "pairs AS (SELECT id_a, id_b FROM mh WHERE jac >= 0.6), " +
+      "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), " +
+      "comp(id, lbl) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.id) " +
+      "SELECT id AS doc_id, MIN(lbl) AS cluster_id, (id = MIN(lbl)) AS keep FROM comp GROUP BY id ORDER BY doc_id"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -376,5 +417,47 @@ object SparkEntry {
       s"WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8), c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8), s AS (SELECT qid, cid, ${dotSql("qe", "ce")} AS score FROM c CROSS JOIN q) SELECT qid, cid, ROUND(score, 6) AS score, rn FROM (SELECT qid, cid, score, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS INTEGER) AS rn FROM s) WHERE rn <= 3 ORDER BY qid, rn",
     "q_dedup_embedding" ->
       s"WITH a AS (SELECT vec_id AS id_a, embedding AS ea FROM embeddings WHERE vec_id < 100), b AS (SELECT vec_id AS id_b, embedding AS eb FROM embeddings) SELECT id_a, id_b, ROUND(score, 6) AS score FROM (SELECT id_a, id_b, ${dotSql("ea", "eb")} AS score FROM b CROSS JOIN a WHERE id_a < id_b) WHERE score > 0.25 ORDER BY id_a, id_b",
+    // MinHash/LSH near-dup: md5-derived permutations are engine-
+    // identical (see minhashPairsCte), so signatures, band keys,
+    // candidates AND the exact-Jaccard verify all reproduce in DuckDB
+    "q_dedup_minhash" ->
+      s"$ngramShingleCte, $minhashPairsCte SELECT id_a, id_b, ROUND(jac, 6) AS jaccard FROM mh WHERE jac >= 0.6 ORDER BY id_a, id_b",
+    // banded/star CC over the same MinHash edges: one recursive-CTE
+    // oracle serves both (identical fixpoint, different round structure)
+    "q_dedup_cluster_banded" -> minhashClusterSql,
+    "q_dedup_cluster_star" -> minhashClusterSql,
+    // language ID: marker profiles are literal constants interpolated
+    // from TextOps.langMarkers; argmax-with-tiebreak = list_max over
+    // (score, lang) structs, the exact greatest(struct...) mirror
+    "q_lang_id" -> {
+      val structs = TextOps.langMarkers.keys.toSeq.sorted.map { l =>
+        val markers = TextOps.langMarkers(l).map(m => s"'$m'").mkString("[", ", ", "]")
+        s"{'s': CAST(len(list_filter(toks, t -> list_contains($markers, t))) AS INTEGER), 'l': '$l'}"
+      }.mkString(", ")
+      "WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), " +
+        s"b AS (SELECT doc_id, list_max([$structs]) AS best FROM t) " +
+        "SELECT doc_id, CASE WHEN best.s > 0 THEN best.l ELSE 'und' END AS lang_pred FROM b ORDER BY doc_id"
+    },
+    // hyperplane-LSH ANN: bucket assignment via Similarity.lshBucketSql
+    // (plane vectors interpolated as literals — the zvalueSql pattern);
+    // multi-probe explode, bucket equi-join, window top-k all mirrored
+    "q_ann_topk" -> {
+      val b = (v: String) => Similarity.lshBucketSql(v, 4, 64)
+      s"WITH qb AS (SELECT vec_id AS qid, embedding AS qe, ${b("embedding")} AS b0 FROM embeddings WHERE vec_id < 8), " +
+        s"probes AS (SELECT qid, qe, ${Similarity.multiProbeSql("b0", 4)} AS bucket FROM qb), " +
+        s"c AS (SELECT vec_id AS cid, embedding AS ce, ${b("embedding")} AS bucket FROM embeddings WHERE vec_id >= 8), " +
+        s"s AS (SELECT qid, cid, ${dotSql("qe", "ce")} AS score FROM c JOIN probes USING (bucket)) " +
+        "SELECT qid, cid, ROUND(score, 6) AS score, rn FROM (SELECT qid, cid, score, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS INTEGER) AS rn FROM s) WHERE rn <= 3 ORDER BY qid, rn"
+    },
+    // LSH-bucketed all-pairs near-dup: same generated bucket mirror;
+    // one-bit multi-probe on the probe side only (pairs are unique by
+    // construction — b0 and its flips are distinct), unrounded filter
+    "q_dedup_embedding_lsh" -> {
+      s"WITH wb AS (SELECT vec_id, embedding, ${Similarity.lshBucketSql("embedding", 4, 64)} AS b0 FROM embeddings), " +
+        s"a AS (SELECT vec_id AS id_a, embedding AS ea, ${Similarity.multiProbeSql("b0", 4)} AS bucket FROM wb), " +
+        "b AS (SELECT vec_id AS id_b, embedding AS eb, b0 AS bucket FROM wb), " +
+        s"s AS (SELECT id_a, id_b, ${dotSql("ea", "eb")} AS score FROM a JOIN b USING (bucket) WHERE id_a < id_b) " +
+        "SELECT id_a, id_b, ROUND(score, 6) AS score FROM s WHERE score > 0.25 ORDER BY id_a, id_b"
+    },
   )
 }

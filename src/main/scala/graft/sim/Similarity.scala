@@ -101,6 +101,33 @@ object Similarity {
       }
       .reduce(_ + _)
 
+  /** DuckDB mirror of the sequential [[VectorOps.dot]] fold (identical
+    * to SparkEntry's dotSql shape: element-cast to DOUBLE, summed in
+    * array order — bit-identical to [[graft.plans.DotProduct]]). */
+  def dotSqlExpr(a: String, b: String, dim: Int): String =
+    s"list_aggregate(list_transform(range(1, ${dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')"
+
+  /** Generated-SQL mirror of [[lshBuckets]] — the ZOrder.zvalueSql
+    * pattern: the deterministic [[hyperplanes]] are interpolated as
+    * literal lists from the SAME Scala source the Spark plan uses, so
+    * the oracle cannot drift from the operator. Scala's shortest-
+    * round-trip Double.toString guarantees DuckDB parses back the
+    * identical double (the wLit/mlpW1 parity fact), and the sign test
+    * folds the identical sequential dot product, so bucket ids agree
+    * bit-for-bit across engines. */
+  def lshBucketSql(vecExpr: String, nPlanes: Int, dim: Int, offset: Int = 0): String =
+    hyperplanes(nPlanes, dim, offset).zipWithIndex.map { case (plane, p) =>
+      val planeLit = plane.mkString("([", ", ", "])")
+      s"(CASE WHEN ${dotSqlExpr(vecExpr, planeLit, dim)} >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** One-bit-flip multi-probe bucket list as a DuckDB UNNEST literal,
+    * mirroring the explode(array(b0 +: flips)) in [[annTopK]] /
+    * [[embeddingNearDupPairs]]. */
+  def multiProbeSql(b0: String, nPlanes: Int): String =
+    (Seq(b0) ++ (0 until nPlanes).map(p => s"xor($b0, ${1 << p})"))
+      .mkString("UNNEST([", ", ", "])")
+
   /** ANN top-k via LSH bucketing: candidates and queries hash to buckets;
     * each query scores only its own bucket — the scan becomes an
     * equi-join keyed on bucket id (shuffle-partitionable, sub-linear per
@@ -223,7 +250,9 @@ object Similarity {
     (centroids, lists)
   }
 
-  /** Non-oracled query entry demonstrating the ANN path on testdata. */
+  /** ANN path on testdata — oracled via [[lshBucketSql]]'s generated
+    * SQL mirror (bucket assignment + probe join reproduced literally in
+    * DuckDB); recall-vs-brute-force properties in SimilaritySpec. */
   def qAnnTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 8)
@@ -281,9 +310,9 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
-  /** LSH-bucketed embedding near-dup on the driver gate (rows-only:
-    * bucket membership depends on the hash-derived hyperplanes). Same
-    * threshold as the oracled q_dedup_embedding, minus its probe bound. */
+  /** LSH-bucketed embedding near-dup on the driver gate — oracled via
+    * [[lshBucketSql]]'s generated SQL mirror. Same threshold as the
+    * oracled q_dedup_embedding, minus its probe bound. */
   def qDedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDupPairs(Tables.embeddings(spark, dir), 0.25)
 

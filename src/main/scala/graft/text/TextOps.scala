@@ -96,12 +96,29 @@ object TextOps {
     * of r = perms/bands rows. r=8 keeps the per-band collision
     * probability for unrelated same-vocabulary documents negligible
     * (P ≈ jaccard^8) while 4 bands still catch pairs with jaccard ≳ 0.6.
-    * Deterministic (fixed a/b/p). */
+    *
+    * Permutation j is the classic (a_j·h + b_j) mod p over a base hash
+    * h — but h is derived from md5 (h = conv(md5(s)[1..15], 16, 10)
+    * mod p) instead of a JVM-private hash, which makes the whole
+    * signature→band→candidate path ENGINE-PORTABLE: DuckDB computes the
+    * identical h as a 15-term positional hex sum (see SparkEntry.
+    * minhashPairsCte), the same engine-parity fact [[qDedupExact]] and
+    * Sampling.cutHex rely on. Signature elements stay LONGS, so the 32
+    * min-aggregates remain hash-aggregatable (narrow shuffle, no
+    * SortAggregate fallback — the md5-string-min alternative measured
+    * +2-4 s per minhash key at sf0.1). Deterministic (fixed a/b/p). */
   val minhashPerms = 32
   val minhashBands = 4
-  private val prime = 2038074743L
-  private val permA: Seq[Long] = (1 to minhashPerms).map(i => 2L * i * 977 + 1)
-  private val permB: Seq[Long] = (1 to minhashPerms).map(i => i * 1303L + 7)
+  private[graft] val prime = 2038074743L
+  private[graft] val permA: Seq[Long] = (1 to minhashPerms).map(i => 2L * i * 977 + 1)
+  private[graft] val permB: Seq[Long] = (1 to minhashPerms).map(i => i * 1303L + 7)
+
+  /** 60-bit base hash of a shingle from the md5 hex prefix, reduced mod
+    * p — conv() is exact to 15 hex chars (the full 16 would overflow
+    * signed 64-bit for digests ≥ 0x8000...), and the identical value
+    * reproduces in DuckDB as a positional sum over the same 15 chars. */
+  def baseHash(s: Column): Column =
+    pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(prime))
 
   /** Word w-shingles of a token array as strings. */
   def shingles(toks: Column, w: Int): Column =
@@ -149,13 +166,11 @@ object TextOps {
     }
   }
 
-  /** MinHash signature (array of minhashPerms longs) of a shingle set.
-    * Base shingle hash = xxhash64 (codegen'd); permutation j is
-    * (a_j*h + b_j) mod p over non-negative h. The permutation constants
-    * are inlined as literals (Scala-level loop, not a sequence()
-    * transform) so each fold is a flat codegen-friendly expression. */
+  /** MinHash signature (array of minhashPerms longs) of a shingle set —
+    * row-local HOF form of [[minhashSignatures]], kept as the semantic
+    * spec the aggregate pipeline is tested against. */
   def minhashSignature(sh: Column): Column = {
-    val hashes = array_distinct(transform(sh, s => pmod(xxhash64(s), lit(prime))))
+    val hashes = array_distinct(transform(sh, s => baseHash(s)))
     array((0 until minhashPerms).map { j =>
       aggregate(
         hashes,
@@ -164,34 +179,40 @@ object TextOps {
     }: _*)
   }
 
-  /** LSH banding: (bandId, hash of the band's signature slice) keys.
-    * Docs sharing any band key are near-dup candidates. */
+  /** LSH banding: (bandId, md5 of the band's signature slice) keys.
+    * Docs sharing any band key are near-dup candidates. The band hash is
+    * md5 over the comma-joined slice — engine-portable like the
+    * signature itself (DuckDB mirror: md5(string_agg(m, ',' ORDER BY j))
+    * per band). */
   def bandKeys(sig: Column): Column = {
     val r = minhashPerms / minhashBands
     transform(
       sequence(lit(0), lit(minhashBands - 1)),
-      b => struct(b.as("band"), xxhash64(concat_ws(",",
-        transform(slice(sig, b * r + 1, lit(r)), _.cast("string")))).as("bh")))
+      b => struct(b.as("band"),
+        md5(concat_ws(",",
+          transform(slice(sig, b * r + 1, lit(r)), _.cast("string")))).as("bh")))
   }
 
   /** MinHash/LSH near-duplicate candidate pairs with exact-Jaccard
-    * verification. No SQL oracle (hash-seed semantics); tested by
-    * planted-pair properties (TextOpsSpec).
+    * verification. Fully SQL-oracled (md5-derived permutations are
+    * engine-portable — see [[minhashSignature]]); planted-pair
+    * properties in TextOpsSpec cover the statistical behavior.
     *
     * Scale path: explode to (bandKey → doc) and self-join on the band
     * key — a pure equi-shuffle join on uniform hash keys; candidate
     * verification touches only colliding pairs, never the cross product.
     */
-  /** Signature via explode + one hash aggregate: each (doc, shingleHash)
-    * row feeds 32 codegen'd `min(a_j*h+b_j mod p)` aggregates with
-    * map-side partial combine — the per-element work stays inside
-    * whole-stage codegen instead of an interpreted HOF fold, and the
-    * shuffle carries one 32-long signature row per document. This is the
-    * 100 TB shape: explode → partial agg, never a per-row lambda fold. */
+  /** Signature via explode + one hash aggregate: each (doc, shingle)
+    * row computes ONE md5-derived [[baseHash]], then feeds 32 codegen'd
+    * `min((a_j·h+b_j) mod p)` aggregates with map-side partial
+    * combine — the per-element work stays inside whole-stage codegen
+    * (long buffers → HashAggregate), and the shuffle carries one
+    * 32-long signature row per document. This is the 100 TB shape:
+    * explode → partial agg, never a per-row lambda fold. */
   def minhashSignatures(docs: DataFrame, w: Int,
                         maxDf: Long = shingleDfCap): DataFrame = {
     val hashed = shingleRows(docs, w, maxDf)
-      .select(col("doc_id"), pmod(xxhash64(col("s")), lit(prime)).as("h"))
+      .select(col("doc_id"), baseHash(col("s")).as("h"))
     val mins = (0 until minhashPerms).map(j =>
       min(pmod(lit(permA(j)) * col("h") + lit(permB(j)), lit(prime))).as(s"m$j"))
     hashed.groupBy(col("doc_id"))
@@ -407,8 +428,9 @@ object TextOps {
     * band equi-join, [[nearDupPairs]]) instead of token-linear (the
     * exact shingle self-join the oracled key uses, ~100× more shuffle at
     * scale), and [[graft.graph.ConnectedComponents.run]] consumes the
-    * pair output unchanged. Rows-only driver check (minhash seeds are
-    * not SQL-expressible); planted-cluster property in TextOpsSpec. */
+    * pair output unchanged. Oracled (md5-derived minhash edges are
+    * engine-reproducible → recursive-CTE CC in DuckDB); planted-cluster
+    * property in TextOpsSpec. */
   def qDedupClusterBanded(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val edges = nearDupPairs(docs, 3, 0.6)
@@ -424,8 +446,9 @@ object TextOps {
     * small-star CC core instead of min-label propagation — the variant
     * you'd pick when cluster diameters are unknown (chained near-dups,
     * e.g. drifting boilerplate, can make diameter O(corpus)). Same edge
-    * generation, same output contract; rows-only on the gate like the
-    * banded key (minhash seeds are not SQL-expressible). */
+    * generation, same output contract — and the same oracle as the
+    * banded key (both algorithms reach the identical min-label
+    * fixpoint). */
   def qDedupClusterStar(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val edges = nearDupPairs(docs, 3, 0.6)

@@ -26,6 +26,9 @@ class PlanRegressionSpec extends SparkSpec {
     ("q_dedup_cluster_banded", 3, 1),
     ("q_dedup_cluster_star", 5, 1),
     ("q_dedup_embedding_lsh_capped", 2, 3),
+    // signature mins are LONGS (md5-derived numeric base hash) so the
+    // 32 aggregates stay hash-based — a string-digest variant measured
+    // here fell back to SortAggregate (+3 sorts, +2-4 s/key at sf0.1)
     ("q_dedup_minhash", 2, 1),
     ("q_dedup_ngram", 4, 1),
     ("q_dense_vec", 1, 1),
