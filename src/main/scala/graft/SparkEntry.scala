@@ -114,6 +114,7 @@ object SparkEntry {
     "q_quality_repetition" -> (TextOps.qQualityRepetition _),
     "q_pack_chunks" -> (TextOps.qPackChunks _),
     "q_dedup_incremental" -> (TextOps.qDedupIncremental _),
+    "q_llm_pipeline" -> (TextOps.qLlmPipeline _),
     "q_frame_sample" -> (graft.mm.Multimodal.qFrameSample _),
     "q_tfidf" -> (text.Relevance.qTfidf _),
     "q_bm25_search" -> (text.Relevance.qBm25Search _),
@@ -448,6 +449,49 @@ object SparkEntry {
         s"c AS (SELECT vec_id AS cid, embedding AS ce, ${b("embedding")} AS bucket FROM embeddings WHERE vec_id >= 8), " +
         s"s AS (SELECT qid, cid, ${dotSql("qe", "ce")} AS score FROM c JOIN probes USING (bucket)) " +
         "SELECT qid, cid, ROUND(score, 6) AS score, rn FROM (SELECT qid, cid, score, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS INTEGER) AS rn FROM s) WHERE rn <= 3 ORDER BY qid, rn"
+    },
+    // composed LLM pipeline: the per-stage oracle SQLs (quality,
+    // repetition, decontamination, exact dedup, ngram-cluster CC,
+    // split, pack) chained in ONE recursive CTE — every threshold and
+    // hash cut interpolated from the same TextOps/Sampling constants
+    // the Spark stages read
+    "q_llm_pipeline" -> {
+      val stop = TextOps.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      val evalIn = s"substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(TextOps.decontamEvalFraction)}'"
+      s"${ngramShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, " +
+        // stage 1a: quality gate (q_quality_score shape)
+        s"qual_ok AS (SELECT doc_id FROM (SELECT doc_id, ROUND((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5 + (1.0 - CAST(len(list_filter(toks, t -> list_contains($stop, t))) AS DOUBLE) / len(toks)) * 0.5, 6) AS quality FROM tok) WHERE quality >= ${TextOps.pipelineMinQuality}), " +
+        // stage 1b: repetition gate (q_quality_repetition shape)
+        "g2 AS (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS g FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - 2, 0) + 1)) AS i FROM tok)), " +
+        "a2 AS (SELECT doc_id, MAX(c) AS max2, SUM(c) AS tot2 FROM (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g) GROUP BY doc_id), " +
+        "g3 AS (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' ') AS g FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - 3, 0) + 1)) AS i FROM tok)), " +
+        "a3 AS (SELECT doc_id, COUNT(*) AS tot3, COUNT(DISTINCT g) AS dist3 FROM g3 GROUP BY doc_id), " +
+        s"rep_ok AS (SELECT a2.doc_id FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id WHERE NOT (CAST(max2 AS DOUBLE) / tot2 > ${TextOps.repTopBigramMax} OR 1.0 - CAST(dist3 AS DOUBLE) / tot3 > ${TextOps.repDupTrigramMax})), " +
+        // stage 2: decontamination vs the eval carve-out (q_decontaminate shape)
+        s"ev AS (SELECT DISTINCT s FROM s1 WHERE $evalIn), " +
+        s"tr AS (SELECT doc_id, s FROM s1 WHERE NOT $evalIn), " +
+        "tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id), " +
+        "cont AS (SELECT doc_id, COUNT(*) AS nc FROM tr JOIN ev USING (s) GROUP BY doc_id), " +
+        s"decon_ok AS (SELECT t.doc_id FROM tot t LEFT JOIN cont c ON t.doc_id = c.doc_id WHERE NOT (CAST(COALESCE(nc, 0) AS DOUBLE) / n_shingles > ${TextOps.pipelineContamMax})), " +
+        // stages 1+2 compose; stage 3: exact dedup (q_dedup_exact shape)
+        s"base AS (SELECT doc_id, source, text FROM documents WHERE NOT $evalIn AND doc_id IN (SELECT doc_id FROM qual_ok) AND doc_id IN (SELECT doc_id FROM rep_ok) AND doc_id IN (SELECT doc_id FROM decon_ok)), " +
+        "base2 AS (SELECT * FROM base WHERE doc_id IN (SELECT MIN(doc_id) FROM base GROUP BY md5(text))), " +
+        // stage 4: ngram-jaccard cluster dedup over the survivors
+        // (q_dedup_cluster shape, c-prefixed CTE names, source = base2)
+        "ctok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM base2), " +
+        "cs0 AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' ') AS s FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - 3, 0) + 1)) AS i FROM ctok))), " +
+        s"cs1 AS (SELECT doc_id, s FROM cs0 WHERE s IN (SELECT s FROM cs0 GROUP BY s HAVING COUNT(*) <= ${TextOps.shingleDfCap})), " +
+        "ccnt AS (SELECT doc_id, COUNT(*) AS n FROM cs1 GROUP BY doc_id), " +
+        s"cpairs AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, ROUND(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 6) AS jaccard FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni FROM cs1 a JOIN cs1 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) i JOIN ccnt ca ON ca.doc_id = id_a JOIN ccnt cb ON cb.doc_id = id_b) WHERE jaccard > ${TextOps.pipelineClusterJaccard}), " +
+        "cedges AS (SELECT id_a AS src, id_b AS dst FROM cpairs UNION ALL SELECT id_b, id_a FROM cpairs), " +
+        "comp(id, lbl) AS (SELECT doc_id, doc_id FROM base2 UNION SELECT e.dst, c.lbl FROM comp c JOIN cedges e ON e.src = c.id), " +
+        "keepc AS (SELECT id AS doc_id FROM comp GROUP BY id HAVING id = MIN(lbl)), " +
+        // stages 5+6: split assignment (q_split_assign cuts) + packing
+        // (q_pack_chunks shape) over (split, source) streams
+        s"fin AS (SELECT doc_id, source, text, CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(0.8)}' THEN 'train' WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(0.9)}' THEN 'val' ELSE 'test' END AS split FROM base2 WHERE doc_id IN (SELECT doc_id FROM keepc)), " +
+        "tt AS (SELECT doc_id, split || '/' || source AS stream, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM fin), " +
+        "o AS (SELECT doc_id, stream, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset FROM tt) " +
+        s"SELECT doc_id, stream, n_tokens, tok_offset, CAST(floor(tok_offset / ${TextOps.packBlockTokens}.0) AS BIGINT) AS chunk_first, CAST(floor((tok_offset + n_tokens - 1) / ${TextOps.packBlockTokens}.0) AS BIGINT) AS chunk_last FROM o ORDER BY doc_id"
     },
     // LSH-bucketed all-pairs near-dup: same generated bucket mirror;
     // one-bit multi-probe on the probe side only (pairs are unique by

@@ -659,4 +659,90 @@ object TextOps {
     incrementalDedup(docs.filter(isNew), docs.filter(!isNew))
       .orderBy("doc_id")
   }
+
+  // ---------------------------------------------- composed LLM pipeline
+
+  /** Pipeline quality-gate threshold (testdata quality spans
+    * 0.52–1.0 with p10 ≈ 0.58, so 0.6 actually gates). */
+  val pipelineMinQuality = 0.6
+  /** Pipeline split fractions (the q_split_assign shape). */
+  val pipelineSplits: Seq[(String, Double)] =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  /** Near-dup cluster threshold for the pipeline's dedup stage (the
+    * q_dedup_cluster threshold). */
+  val pipelineClusterJaccard = 0.5
+  /** Pipeline contamination ceiling — looser than the q_decontaminate
+    * report threshold (0.05) because the synthetic corpus shares one
+    * vocabulary across splits (median train-doc contamination is ~0.12
+    * at sf0.01; 0.05 would gate 92% of the corpus and starve the
+    * downstream stages). 0.2 keeps ~90% while still dropping true eval
+    * copies (contamination → 1.0). */
+  val pipelineContamMax = 0.2
+
+  /** The composed LLM training-data pipeline — the end-to-end artifact
+    * every individual gate key is a stage of (the reference's
+    * counterpart is its end-to-end workflow notebook):
+    *
+    *   quality gate → repetition gate → eval carve-out +
+    *   decontamination → exact dedup → near-dup cluster dedup →
+    *   split assignment → sequence packing
+    *
+    * one DataFrame out: (doc_id, stream, n_tokens, tok_offset,
+    * chunk_first, chunk_last) for every surviving training document.
+    * Every stage is the EXACT operator its own gate key runs — same
+    * thresholds, same hash cuts, same df caps — so the DuckDB oracle is
+    * the composition of the per-stage oracle SQL in one recursive CTE,
+    * and LlmPipelineSpec asserts gate-key ≡ hand-composed stages.
+    *
+    * Scale: no stage introduces a shape the per-stage keys don't
+    * already have — the gates are hash aggregations + semi-joins on
+    * doc_id (uniform), dedup shuffles carry digests/shingle hashes, CC
+    * is the checkpointed iterative core, packing is a keyed window.
+    * Semi-join composition keeps each filter independent (no
+    * multi-hundred-column rows ever shuffle; the text column rides only
+    * the final scan → pack path). */
+  def llmPipeline(docs: DataFrame,
+                  cp: Checkpointer = Checkpointer.Local): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nDistinct = size(array_distinct(toks)).cast("double")
+    val nStop = size(filter(toks, t => array_contains(typedLit(stopwords), t))).cast("double")
+    val quality = round((nDistinct / nTok) * 0.5 + (lit(1.0) - nStop / nTok) * 0.5, 6)
+    val isEval = Sampling.inSample(col("doc_id"), decontamEvalFraction)
+
+    // gates: each report is the gate key's own relational shape; the
+    // decontamination reference is the FULL corpus (eval docs define
+    // the contaminating shingle set regardless of their quality)
+    val repOk = repetitionReport(docs).filter(!col("flagged")).select("doc_id")
+    val deconOk = decontaminationReport(docs, isEval, 3,
+        threshold = pipelineContamMax, cp = cp)
+      .filter(!col("flagged")).select("doc_id")
+    val cleaned = docs
+      .filter(!isEval && quality >= pipelineMinQuality)
+      .join(repOk, Seq("doc_id"), "left_semi")
+      .join(deconOk, Seq("doc_id"), "left_semi")
+
+    // exact dedup: min doc_id survives per content digest
+    val exactKeep = cleaned.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val deduped = cleaned.join(exactKeep, Seq("doc_id"), "left_semi")
+
+    // near-dup cluster dedup over the surviving subset
+    val edges = ngramJaccardPairs(deduped, 3, pipelineClusterJaccard, None, cp = cp)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val keepCluster = graft.graph.ConnectedComponents
+      .run(edges, deduped.select(col("doc_id").as("id")), cp = cp)
+      .filter(col("id") === col("lbl"))
+      .select(col("id").as("doc_id"))
+    val survivors = deduped.join(keepCluster, Seq("doc_id"), "left_semi")
+
+    // split + pack: streams are (split, source) so each split's sources
+    // pack independently
+    val withSplit = survivors.select(col("doc_id"), col("source"), col("text"),
+      Sampling.splitAssign(col("doc_id"), pipelineSplits).as("split"))
+    packChunks(withSplit, concat_ws("/", col("split"), col("source")), col("doc_id"))
+  }
+
+  def qLlmPipeline(spark: SparkSession, dir: String): DataFrame =
+    llmPipeline(Tables.documents(spark, dir)).orderBy("doc_id")
 }

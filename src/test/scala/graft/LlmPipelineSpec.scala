@@ -144,6 +144,54 @@ class LlmPipelineSpec extends SparkSpec {
     assert(profiled.count() == nDomain * 3)
   }
 
+  test("q_llm_pipeline gate key ≡ hand-composed stages") {
+    val out = TextOps.qLlmPipeline(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.nonEmpty, "pipeline produced no survivors")
+
+    // recompose from the individual gate-key operators: the quality and
+    // repetition gates come from the GATE KEYS' own outputs (so this
+    // cross-checks that the pipeline stage really is the same operator)
+    val docs = Tables.documents(spark, sfDir)
+    val isEval = text.Sampling.inSample(col("doc_id"), TextOps.decontamEvalFraction)
+    val qualOk = TextOps.qQualityScore(spark, sfDir)
+      .filter(col("quality") >= TextOps.pipelineMinQuality).select("doc_id")
+    val repOk = TextOps.qQualityRepetition(spark, sfDir)
+      .filter(!col("flagged")).select("doc_id")
+    val deconOk = TextOps.decontaminationReport(docs, isEval, 3,
+        threshold = TextOps.pipelineContamMax)
+      .filter(!col("flagged")).select("doc_id")
+    val cleaned = docs.filter(!isEval)
+      .join(qualOk, Seq("doc_id"), "left_semi")
+      .join(repOk, Seq("doc_id"), "left_semi")
+      .join(deconOk, Seq("doc_id"), "left_semi")
+    val exact = cleaned.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val deduped = cleaned.join(exact, Seq("doc_id"), "left_semi")
+    val edges = TextOps.ngramJaccardPairs(deduped, 3,
+        TextOps.pipelineClusterJaccard, scala.None)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val keep = graph.ConnectedComponents
+      .run(edges, deduped.select(col("doc_id").as("id")))
+      .filter(col("id") === col("lbl")).select(col("id").as("doc_id"))
+    val survivors = deduped.join(keep, Seq("doc_id"), "left_semi")
+    val withSplit = survivors.select(col("doc_id"), col("source"), col("text"),
+      text.Sampling.splitAssign(col("doc_id"), TextOps.pipelineSplits).as("split"))
+    val packed = TextOps.packChunks(withSplit,
+      concat_ws("/", col("split"), col("source")), col("doc_id")).orderBy("doc_id")
+
+    assert(out.columns.toSeq == packed.columns.toSeq)
+    assert(rows.toSeq == packed.collect().toSeq,
+      "gate key diverged from the hand-composed stage chain")
+
+    // packing integrity: per stream the last offset+len equals the sum
+    val bad = out.groupBy("stream")
+      .agg(max(col("tok_offset") + col("n_tokens")).as("end"),
+        sum(col("n_tokens")).as("total"))
+      .filter(col("end") =!= col("total")).count()
+    assert(bad == 0, "stream packing offsets are not exact prefix sums")
+  }
+
   test("composed gate+exact-dedup plan has no cartesian product") {
     val exactSurvivors = gated
       .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
