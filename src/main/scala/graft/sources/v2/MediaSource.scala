@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -24,10 +24,19 @@ import graft.mm.PpmCodec
   * inside the source itself:
   *
   *  - **Filter pushdown to the LISTING** ([[MediaScanBuilder]]
-  *    `pushFilters`): `kind = 'image'` prunes non-matching files before
-  *    any partition is planned — pruned files are never opened, never
-  *    even become tasks. (Kind is derived from the extension, so the
-  *    predicate is decidable at planning time.)
+  *    `pushFilters`): `kind = 'image'`, `kind IN (...)` and any
+  *    size comparison prune non-matching files before any partition is
+  *    planned — pruned files are never opened, never even become tasks
+  *    (kind derives from the extension, size from directory metadata,
+  *    so both are decidable at planning time). width / height /
+  *    sample_rate predicates push to the READER: they're decided from
+  *    the 256-byte header BEFORE any body read, so a `width > k AND
+  *    bytes`-projecting query materializes only matching bodies.
+  *    Every accepted filter is ENFORCED (conjunction of all of them,
+  *    SQL null semantics: a null attribute fails any comparison), so
+  *    contradictory pushed predicates — e.g. `kind = 'image' AND kind
+  *    = 'audio'`, which Catalyst does not fold — correctly yield zero
+  *    rows.
   *  - **Column pruning to the BYTE level** (`pruneColumns`): when the
   *    projection doesn't include `bytes`, the reader parses only the
   *    fixed-size header for width/height/sample-rate and never
@@ -60,6 +69,67 @@ object MediaSource {
     * metadata-only projections never touch file bodies. Driver-side
     * only (local mode runs tasks in-JVM; on a cluster use a metric). */
   val bodyReads = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Test hook: counts header (256-byte prefix) file opens, so specs
+    * can PROVE listing-time pruning never opened a pruned file at all. */
+  val headerReads = new java.util.concurrent.atomic.AtomicLong(0)
+}
+
+/** Pushable-predicate vocabulary shared by the scan builder (accept),
+  * the listing (kind/size enforcement) and the reader (width/height/
+  * sample_rate enforcement). */
+object MediaFilters {
+  /** Columns decidable at LISTING time (file name + dir metadata). */
+  val listingCols: Set[String] = Set("kind", "size")
+  /** Columns decidable from the bounded header prefix. */
+  val headerCols: Set[String] = Set("width", "height", "sample_rate")
+
+  private def attrOf(f: Filter): Option[String] = f match {
+    case EqualTo(a, _) => Some(a)
+    case GreaterThan(a, _) => Some(a)
+    case GreaterThanOrEqual(a, _) => Some(a)
+    case LessThan(a, _) => Some(a)
+    case LessThanOrEqual(a, _) => Some(a)
+    case In(a, _) => Some(a)
+    case _ => scala.None
+  }
+
+  /** Accept equality / comparison / IN over the decidable columns. */
+  def pushable(f: Filter): Boolean =
+    attrOf(f).exists(a => listingCols.contains(a) || headerCols.contains(a))
+
+  def isListing(f: Filter): Boolean = attrOf(f).exists(listingCols.contains)
+
+  /** The single attribute a pushable filter references. */
+  def attr(f: Filter): String = attrOf(f).get
+
+  private def toL(x: Any): Option[Long] = x match {
+    case i: java.lang.Integer => Some(i.longValue)
+    case l: java.lang.Long => Some(l.longValue)
+    case s: java.lang.Short => Some(s.longValue)
+    case b: java.lang.Byte => Some(b.longValue)
+    case _ => scala.None
+  }
+
+  private def eq(value: Any, v: Any): Boolean =
+    value == v || (for { a <- toL(value); b <- toL(v) } yield a == b).getOrElse(false)
+
+  private def cmp(value: Any, v: Any): Option[Long] =
+    for { a <- toL(value); b <- toL(v) } yield java.lang.Long.compare(a, b)
+
+  /** SQL semantics for one accepted filter against an attribute value;
+    * null never matches (three-valued logic reduced to keep/drop). */
+  def eval(f: Filter, value: Any): Boolean =
+    if (value == null) false
+    else f match {
+      case EqualTo(_, v) => eq(value, v)
+      case In(_, vs) => vs.exists(v => eq(value, v))
+      case GreaterThan(_, v) => cmp(value, v).exists(_ > 0)
+      case GreaterThanOrEqual(_, v) => cmp(value, v).exists(_ >= 0)
+      case LessThan(_, v) => cmp(value, v).exists(_ < 0)
+      case LessThanOrEqual(_, v) => cmp(value, v).exists(_ <= 0)
+      case _ => false
+    }
 }
 
 class MediaSourceProvider extends TableProvider {
@@ -84,43 +154,53 @@ class MediaScanBuilder(path: String) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = MediaSource.schema
-  private var kindFilter: Option[String] = scala.None
   private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Accept kind-equality (decidable from the file name at listing
-    * time); everything else stays a residual Spark evaluates on top. */
+  /** Accept equality / range / IN over the listing-decidable (kind,
+    * size) and header-decidable (width, height, sample_rate) columns;
+    * everything else stays a residual Spark evaluates on top. ALL
+    * accepted filters are enforced (see [[MediaFilters.eval]]). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, residual) = filters.partition {
-      case EqualTo("kind", _: String) => true
-      case _ => false
-    }
+    val (accepted, residual) = filters.partition(MediaFilters.pushable)
     pushed = accepted
-    kindFilter = accepted.collectFirst { case EqualTo("kind", v: String) => v }
     residual
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new MediaScan(path, required, kindFilter)
+  override def build(): Scan = new MediaScan(path, required, pushed)
 }
 
-class MediaScan(path: String, required: StructType, kindFilter: Option[String])
+class MediaScan(path: String, required: StructType, filters: Array[Filter])
     extends Scan with Batch {
+  private val (listingFilters, headerFilters) =
+    filters.partition(MediaFilters.isListing)
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"MediaScan(path=$path, columns=${required.fieldNames.mkString(",")}, " +
-      s"pushedKind=${kindFilter.getOrElse("-")})"
+      s"listingFilters=[${listingFilters.mkString(";")}], " +
+      s"headerFilters=[${headerFilters.mkString(";")}])"
 
-  /** One partition per file group: files are listed AND kind-pruned
-    * here, at planning time — pruned files never become read tasks. */
+  /** One partition per file group: files are listed AND kind/size-
+    * pruned here, at planning time — pruned files never become read
+    * tasks (never even a header open, asserted in MediaSourceSpec). */
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = new java.io.File(path)
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(_.isFile).sortBy(_.getName)
-      .filter(f => kindFilter.forall(_ == MediaSource.kindOf(f.getName)))
+      .filter { f =>
+        listingFilters.forall { fl =>
+          val v: Any = MediaFilters.attr(fl) match {
+            case "kind" => MediaSource.kindOf(f.getName)
+            case "size" => f.length()
+          }
+          MediaFilters.eval(fl, v)
+        }
+      }
     // group small media files so tasks aren't one-file-sized; 16 files
     // per partition locally — a cluster build would pack by byte size
     files.grouped(16).map(g =>
@@ -128,65 +208,76 @@ class MediaScan(path: String, required: StructType, kindFilter: Option[String])
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new MediaReaderFactory(required)
+    new MediaReaderFactory(required, headerFilters)
 }
 
 case class MediaInputPartition(paths: Array[String]) extends InputPartition
 
-class MediaReaderFactory(required: StructType) extends PartitionReaderFactory {
+class MediaReaderFactory(required: StructType, headerFilters: Array[Filter])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new MediaPartitionReader(
-      partition.asInstanceOf[MediaInputPartition].paths, required)
+      partition.asInstanceOf[MediaInputPartition].paths, required, headerFilters)
 }
 
 /** Reads one file per `next()`. Bodies are materialized ONLY when the
-  * projection needs them: `bytes` requires the body; width/height/
-  * sample_rate parse from a bounded header prefix (PPM: ASCII header;
-  * WAV: 44-byte fmt header region — 256 bytes covers both). */
-class MediaPartitionReader(paths: Array[String], required: StructType)
+  * projection needs them AND the file passed every header filter:
+  * `bytes` requires the body; width/height/sample_rate parse from a
+  * bounded header prefix (PPM: ASCII header; WAV: 44-byte fmt header
+  * region — 256 bytes covers both), and header-pushed predicates are
+  * decided on that prefix BEFORE the body is opened. */
+class MediaPartitionReader(paths: Array[String], required: StructType,
+                           headerFilters: Array[Filter])
     extends PartitionReader[InternalRow] {
 
   private val needBytes = required.fieldNames.contains("bytes")
   private val needMeta = Seq("width", "height", "sample_rate")
-    .exists(required.fieldNames.contains)
+    .exists(required.fieldNames.contains) || headerFilters.nonEmpty
   private var i = -1
   private var row: InternalRow = _
 
   override def next(): Boolean = {
-    i += 1
-    if (i >= paths.length) return false
-    val f = new java.io.File(paths(i))
-    val body: Option[Array[Byte]] =
-      if (needBytes) {
-        MediaSource.bodyReads.incrementAndGet()
-        Some(java.nio.file.Files.readAllBytes(f.toPath))
-      } else scala.None
-    // header-only read for metadata: bounded prefix, never the body
-    val header: Option[Array[Byte]] =
-      if (needMeta && body.isEmpty) {
-        val in = new java.io.FileInputStream(f)
-        try Some(in.readNBytes(256)) finally in.close()
-      } else body
-    val kind = MediaSource.kindOf(f.getName)
-    var w: Integer = null; var h: Integer = null; var sr: Integer = null
-    header.foreach { bs =>
-      if (kind == "image") {
-        // full-body decode when bytes were read anyway; header-only
-        // ASCII parse otherwise (dimensions live in the PPM prefix)
-        PpmCodec.decode(bs).map(img => (img.width, img.height))
-          .orElse(parsePpmDims(bs))
-          .foreach { case (pw, ph) => w = pw; h = ph }
-      } else if (kind == "audio") parseWavRate(bs).foreach(r => sr = r)
+    while (true) {
+      i += 1
+      if (i >= paths.length) return false
+      val f = new java.io.File(paths(i))
+      val kind = MediaSource.kindOf(f.getName)
+      // header-only read for metadata + pushed predicates: bounded
+      // 256-byte prefix, never the body
+      val header: Option[Array[Byte]] =
+        if (needMeta) {
+          MediaSource.headerReads.incrementAndGet()
+          val in = new java.io.FileInputStream(f)
+          try Some(in.readNBytes(256)) finally in.close()
+        } else scala.None
+      var w: Integer = null; var h: Integer = null; var sr: Integer = null
+      header.foreach { bs =>
+        if (kind == "image")
+          parsePpmDims(bs).foreach { case (pw, ph) => w = pw; h = ph }
+        else if (kind == "audio") parseWavRate(bs).foreach(r => sr = r)
+      }
+      val metaVals = Map[String, Any]("width" -> w, "height" -> h, "sample_rate" -> sr)
+      if (headerFilters.forall(fl =>
+          MediaFilters.eval(fl, metaVals(MediaFilters.attr(fl))))) {
+        // only now is the body worth materializing
+        val body: Option[Array[Byte]] =
+          if (needBytes) {
+            MediaSource.bodyReads.incrementAndGet()
+            Some(java.nio.file.Files.readAllBytes(f.toPath))
+          } else scala.None
+        val values: Map[String, Any] = Map(
+          "path" -> UTF8String.fromString(f.getAbsolutePath),
+          "name" -> UTF8String.fromString(f.getName),
+          "kind" -> UTF8String.fromString(kind),
+          "size" -> f.length(),
+          "width" -> w, "height" -> h, "sample_rate" -> sr,
+          "bytes" -> body.orNull)
+        row = new GenericInternalRow(required.fieldNames.map(n => values(n): Any))
+        return true
+      }
+      // header filter rejected the file: skip without opening the body
     }
-    val values: Map[String, Any] = Map(
-      "path" -> UTF8String.fromString(f.getAbsolutePath),
-      "name" -> UTF8String.fromString(f.getName),
-      "kind" -> UTF8String.fromString(kind),
-      "size" -> f.length(),
-      "width" -> w, "height" -> h, "sample_rate" -> sr,
-      "bytes" -> body.orNull)
-    row = new GenericInternalRow(required.fieldNames.map(n => values(n): Any))
-    true
+    false
   }
 
   /** PPM dims from the ASCII header alone (body may be truncated). */
@@ -198,9 +289,13 @@ class MediaPartitionReader(paths: Array[String], required: StructType)
     catch { case _: NumberFormatException => scala.None }
   }
 
-  /** WAV sample rate from the 44-byte canonical header. */
+  /** WAV sample rate from the 44-byte canonical header. Requires the
+    * full RIFF/WAVE/fmt magic chain — a non-WAV RIFF container (AVI,
+    * WebP) must NOT report a garbage rate read from offset 24. */
   private def parseWavRate(bs: Array[Byte]): Option[Int] =
-    if (bs.length >= 28 && new String(bs.take(4), "ISO-8859-1") == "RIFF")
+    if (bs.length >= 28 &&
+        new String(bs.take(4), "ISO-8859-1") == "RIFF" &&
+        new String(bs.slice(8, 16), "ISO-8859-1") == "WAVEfmt ")
       Some(java.nio.ByteBuffer.wrap(bs, 24, 4)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt)
     else scala.None

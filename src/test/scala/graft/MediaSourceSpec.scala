@@ -51,7 +51,8 @@ class MediaSourceSpec extends SparkSpec {
     // one 16-file group, an unpruned scan has 1 partition of 6 files —
     // so prove pruning via the scan description instead of partitioning
     val desc = df.queryExecution.executedPlan.toString
-    assert(desc.contains("pushedKind=image"), s"filter not pushed:\n${desc.take(600)}")
+    assert(desc.contains("listingFilters=[EqualTo(kind,image)]"),
+      s"filter not pushed:\n${desc.take(600)}")
     // and the filter is gone from the residual only if pushed; either
     // way results must be exact
     assert(df.select("name").collect().map(_.getString(0)).sorted.toSeq ==
@@ -70,6 +71,72 @@ class MediaSourceSpec extends SparkSpec {
     // sanity: selecting bytes DOES read bodies
     spark.read.format(fmt).load(dir).select("name", "bytes").collect()
     assert(MediaSource.bodyReads.get() == 6L)
+  }
+
+  test("size-range pushdown prunes at the listing: non-matching files are never opened") {
+    // all 3 PPMs share one size; WAVs and the blob differ — pick a cut
+    // that keeps exactly the PPMs
+    val sizes = new java.io.File(dir).listFiles().map(f => f.getName -> f.length()).toMap
+    val ppmSize = sizes("img0.ppm")
+    MediaSource.headerReads.set(0L)
+    MediaSource.bodyReads.set(0L)
+    val rows = spark.read.format(fmt).load(dir)
+      .where(col("size") === ppmSize)
+      .select("name", "width", "height")
+      .collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("img0.ppm", "img1.ppm", "img2.ppm"))
+    assert(MediaSource.bodyReads.get() == 0L)
+    // only the 3 surviving files were opened (header prefix), the other
+    // 3 were pruned before any task existed
+    assert(MediaSource.headerReads.get() == 3L,
+      s"${MediaSource.headerReads.get()} header opens for a 3-file size match")
+    // range form prunes too
+    MediaSource.headerReads.set(0L)
+    val n = spark.read.format(fmt).load(dir)
+      .where(col("size") > ppmSize).select("name", "kind").count()
+    val expected = sizes.values.count(_ > ppmSize)
+    assert(n == expected)
+    assert(MediaSource.headerReads.get() == 0L,
+      "kind/size-only projection should not need header opens at all")
+  }
+
+  test("conflicting pushed kind equalities yield the correct empty result") {
+    val df = spark.read.format(fmt).load(dir)
+      .where(col("kind") === "image" && col("kind") === "audio")
+    assert(df.count() == 0, "kind='image' AND kind='audio' must be empty")
+    // IN pushes and enforces the full value set
+    val both = spark.read.format(fmt).load(dir)
+      .where(col("kind").isin("image", "audio"))
+      .select("name").collect().map(_.getString(0)).sorted.toSeq
+    assert(both == Seq("img0.ppm", "img1.ppm", "img2.ppm", "tone0.wav", "tone1.wav"))
+  }
+
+  test("header-pushed predicates gate body reads: only matching bodies are opened") {
+    MediaSource.bodyReads.set(0L)
+    // sample_rate = 16000 matches exactly tone1.wav; bytes projected →
+    // only ITS body may be read (headers decide the rest)
+    val rows = spark.read.format(fmt).load(dir)
+      .where(col("sample_rate") === 16000)
+      .select("name", "bytes").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("tone1.wav"))
+    assert(MediaSource.bodyReads.get() == 1L,
+      s"${MediaSource.bodyReads.get()} body reads; header filter should gate to 1")
+    // null semantics: width comparison never matches audio/binary rows
+    val wide = spark.read.format(fmt).load(dir)
+      .where(col("width") >= 1).select("name", "kind").collect()
+    assert(wide.forall(_.getString(1) == "image") && wide.length == 3)
+  }
+
+  test("a RIFF container that is not WAVE reports no sample rate") {
+    val d = java.nio.file.Files.createTempDirectory("media_riff").toFile
+    // RIFF magic + AVI form type, junk where a WAV's rate would sit
+    val bs = "RIFF".getBytes("ISO-8859-1") ++ Array[Byte](40, 0, 0, 0) ++
+      "AVI LIST".getBytes("ISO-8859-1") ++ Array.fill[Byte](32)(0x5A)
+    val out = new java.io.FileOutputStream(new java.io.File(d, "clip.wav"))
+    try out.write(bs) finally out.close()
+    val r = spark.read.format(fmt).load(d.getAbsolutePath)
+      .select("name", "sample_rate").collect().head
+    assert(r.isNullAt(1), s"AVI-in-.wav reported rate ${r.get(1)}")
   }
 
   test("the source composes: DSv2 scan feeds the multimodal feature path") {
