@@ -14,9 +14,10 @@ import graft.Tables
   * prune the fact scan BEFORE the join shuffle. Shipping 100 TB of
   * lineitem through an exchange to discard 99% of it in the join is the
   * single most expensive mistake a big join can make. A Bloom filter of
-  * the build keys is tiny (2^18 bits = 32 KB here), broadcasts for free,
-  * and filters map-side with two hash probes per row — no shuffle, no
-  * collect, false positives cleaned up by the exact join that follows.
+  * the build keys is tiny (auto-sized at ~16 bits per distinct key — a
+  * million-key build is 2 MB), broadcasts for free, and filters
+  * map-side with two hash probes per row — no shuffle, no collect,
+  * false positives cleaned up by the exact join that follows.
   *
   * Implementation is pure DataFrame ops (no driver-side state):
   *  - build: explode each key into `numHashes` bit positions →
@@ -65,22 +66,52 @@ object BloomFilter {
         .bitwiseAND(mask) =!= lit(0L)
     }.reduce(_ && _)
 
+  /** Bits per expected distinct build key when auto-sizing: 16 bits/key
+    * with 2 hashes gives FPR ≈ (1−e^(−2/16))² ≈ 1.4%. */
+  val autoBitsPerKey = 16L
+
+  /** Derive `numBits` from an approx distinct count of the build side —
+    * the same pattern as the capped LSH's autoPlanes: one metadata-cheap
+    * aggregate action at plan time sizes the structure so a build side
+    * 10× bigger than expected degrades FPR gracefully instead of
+    * silently saturating to all-pass. Rounded up to whole 64-bit words;
+    * floored at 1 Kib (tiny builds), capped at 16 Mib = 2 MB (past
+    * that, broadcast cost outweighs the prefilter's savings — callers
+    * with genuinely huge build sides should skip the Bloom pass). */
+  def autoNumBits(buildSide: DataFrame, buildKey: String,
+                  bitsPerKey: Long = autoBitsPerKey): Long = {
+    val n = buildSide.agg(approx_count_distinct(col(buildKey))).head.getLong(0)
+    val words = ((math.max(n, 1L) * bitsPerKey + 63) / 64)
+      .max(16L).min((1L << 24) / 64)
+    words * 64
+  }
+
+  /** Reserved internal column names — the probe filter column and the
+    * aliased build key. `big` must not use either. */
+  private val reservedCols = Seq("__bloom_filter", "__bloom_build_key")
+
   /** Semi-join of `big` against `buildSide` keys with a Bloom prefilter:
     * probe map-side first (cheap, no shuffle), exact semi-join after
     * (clears false positives). Result is EXACTLY the plain semi-join —
-    * the filter only moves work off the shuffle. */
+    * the filter only moves work off the shuffle. `numBits = 0` (the
+    * default) auto-sizes from the build side via [[autoNumBits]]. */
   def bloomSemiJoin(big: DataFrame, bigKey: String,
                     buildSide: DataFrame, buildKey: String,
-                    numBits: Long = 1L << 18, numHashes: Int = 2): DataFrame = {
+                    numBits: Long = 0L, numHashes: Int = 2): DataFrame = {
+    reservedCols.foreach(c => require(!big.columns.contains(c),
+      s"bloomSemiJoin: probe side must not contain reserved column '$c'"))
+    val bits = if (numBits > 0) numBits else autoNumBits(buildSide, buildKey)
     // project + alias the build key so the exact join resolves even when
     // both sides share the key name (semi-join output is left-side-only,
-    // so the alias never leaks)
+    // so the alias never leaks); the filter column gets a reserved name
+    // so a caller's own "bloom" column survives untouched
     val buildKeys = buildSide.select(col(buildKey).as("__bloom_build_key"))
-    val bloom = build(buildKeys, col("__bloom_build_key"), numBits, numHashes)
+    val bloom = build(buildKeys, col("__bloom_build_key"), bits, numHashes)
+      .select(col("bloom").as("__bloom_filter"))
     big
       .crossJoin(broadcast(bloom))
-      .where(mightContain(col("bloom"), col(bigKey), numBits, numHashes))
-      .drop("bloom")
+      .where(mightContain(col("__bloom_filter"), col(bigKey), bits, numHashes))
+      .drop("__bloom_filter")
       .join(buildKeys, col(bigKey) === col("__bloom_build_key"), "left_semi")
   }
 

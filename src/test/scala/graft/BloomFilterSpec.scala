@@ -61,6 +61,39 @@ class BloomFilterSpec extends SparkSpec {
     assert(nWords <= 2 * nKeys, s"$nWords words for $nKeys keys — map not sparse")
   }
 
+  test("auto-sizing keeps FPR bounded on a 10x larger build side") {
+    // 10,000 keys would saturate a fixed 2^14-bit filter (FPR → ~48%);
+    // autoNumBits scales with the build side, pinning FPR to the
+    // ~16-bits/key design point regardless of build cardinality
+    val keys = (1L to 10000L).toDF("k")
+    val bits = BloomFilter.autoNumBits(keys, "k")
+    assert(bits >= 10000L * 8 && bits % 64 == 0,
+      s"auto-sized $bits bits for 10k keys — under 8 bits/key")
+    val bloom = BloomFilter.build(keys, $"k", bits, hashes)
+    val probes = (1000001L to 1020000L).toDF("k") // disjoint from inserted
+    val fp = probes.crossJoin(broadcast(bloom))
+      .where(BloomFilter.mightContain($"bloom", $"k", bits, hashes))
+      .count()
+    val fpr = fp.toDouble / 20000
+    assert(fpr < 0.02, s"measured FPR $fpr above the ~1.4% auto-size design point")
+  }
+
+  test("a caller's own 'bloom' column survives bloomSemiJoin untouched") {
+    val probes = (1L to 100L).toDF("k").withColumn("bloom", $"k" * 2)
+    val buildSide = (1L to 50L).toDF("k")
+    val out = BloomFilter.bloomSemiJoin(probes, "k", buildSide, "k")
+    assert(out.columns.toSeq == Seq("k", "bloom"))
+    assert(out.count() == 50L)
+    assert(out.where($"bloom" =!= $"k" * 2).count() == 0L,
+      "caller's bloom column was clobbered by the prefilter")
+    // reserved names fail fast instead of resolving ambiguously
+    val clash = probes.withColumnRenamed("bloom", "__bloom_filter")
+    val e = intercept[IllegalArgumentException] {
+      BloomFilter.bloomSemiJoin(clash, "k", buildSide, "k")
+    }
+    assert(e.getMessage.contains("__bloom_filter"))
+  }
+
   test("the prefilter actually prunes: most non-matching rows drop before the join") {
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
     val hot = Tables.orders(spark, sfDir)
