@@ -34,12 +34,38 @@ object Bench {
     // a failing query must be VISIBLE in the bench JSON (an "errors"
     // entry), never a silently-absorbed near-0s "success"
     // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run — the targeted-
-    // iteration loop for optimizing one key without a 4-minute sweep
+    // iteration loop for optimizing one key without a 4-minute sweep.
+    // Unknown keys (typos) and an empty filter fail LOUDLY: an empty
+    // run reported as success with total 0.000 is worse than a crash.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { keys =>
+      val unknown = keys -- SparkEntry.queries.keySet
+      if (keys.isEmpty || unknown.nonEmpty) {
+        System.err.println(s"[bench] SPARK_GRAFT_BENCH_ONLY is ${
+          if (keys.isEmpty) "empty" else s"unknown: ${unknown.toSeq.sorted.mkString(", ")}"}")
+        spark.stop()
+        sys.exit(2)
+      }
+    }
+    // contention sentinel: a fixed CPU-bound no-op job timed before each
+    // key and once after the last — co-tenant load that inflates query
+    // times inflates the sentinel identically, so a contended run labels
+    // ITSELF (r5's driver run misread 6 keys by 4-19× with no way to
+    // tell from the artifact). Key i is covered by sentinels i and i+1;
+    // flagged when either exceeds 2× the run's minimum sentinel.
+    def sentinelRun(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1L << 24).selectExpr("sum(id * 3)")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinelRun() // codegen warm-up: the first sentinel pays plan compile
+    val sentinels = scala.collection.mutable.ArrayBuffer[Double]()
     val results = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      sentinels += sentinelRun()
       var err: Option[String] = None
       // an errored rep's (typically truncated) wall time must NOT enter
       // the sample: the "errors" entry is the only signal, and the median
@@ -61,6 +87,25 @@ object Bench {
       val median = if (times.isEmpty) 0.0 else times.sorted.apply((times.size - 1) / 2)
       (name, median, times, err)
     }
+    sentinels += sentinelRun()
+    val sentinelBase = sentinels.min
+    // two distinct contention signatures, two flags:
+    //  - per-key: load that STARTS/STOPS mid-run — a key's surrounding
+    //    sentinels exceed 2× the run's own minimum
+    //  - whole-run: SUSTAINED load (the r5 failure mode: every key
+    //    uniformly 4-19× inflated, in-run variance invisible) — the
+    //    run minimum itself exceeds 2× the solo reference time for the
+    //    fixed sentinel workload (~0.10 s for the 16M-row sum at 8-32
+    //    threads on this container; recalibrate via
+    //    SPARK_GRAFT_SENTINEL_REF if the hardware changes)
+    val sentinelRef = sys.env.get("SPARK_GRAFT_SENTINEL_REF")
+      .map(_.toDouble).getOrElse(0.10)
+    val runContended = sentinelBase > 2 * sentinelRef
+    val contended = results.zipWithIndex.collect {
+      case ((k, _, _, _), i)
+        if sentinelBase > 0 &&
+          math.max(sentinels(i), sentinels(i + 1)) > 2 * sentinelBase => k
+    }
     def r3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     // ascending by median: the harness keeps only the LAST ~2000 output
     // chars of the run, so the expensive (interesting) keys and the
@@ -73,13 +118,24 @@ object Bench {
     val errs = results.collect { case (k, _, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val method = s"median of $reps noop-format writes per query (includes final ORDER BY cost; value per key = median over successful reps, raw samples under runs, queries sorted ascending by median; round-1 timed count(), which dropped sorts via EliminateSorts - totals not directly comparable)"
+    val method = s"median of $reps noop-format writes per query (includes final ORDER BY cost; value per key = median over successful reps, raw samples under runs, queries sorted ascending by median; contended = keys whose surrounding sentinel no-ops ran >2x the run minimum, contended_run = the whole run is under sustained load (sentinel base >2x the solo reference) - treat such medians as load-inflated; round-1 timed count(), which dropped sorts via EliminateSorts - totals not directly comparable)"
+    val contJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sentJson = s"""{"base":${r3(sentinelBase)},"ref":${r3(sentinelRef)},"max":${r3(sentinels.max)},"samples":${sentinels.map(r3).mkString("[", ",", "]")}}"""
     // full JSON (all keys + raw samples) lands in the repo; stdout gets a
     // COMPACT line instead — rounds 1-4 all show "parsed": null in
     // BENCH_r*.json because the full ~5 kB line overflowed the harness's
     // ~2000-char stdout tail and could never be json.loads'd whole
-    val fullJson = s"""{"method":"$method","runs":$runs,"queries":$qs,"errors":$errs,"sf":"$sfDir","n_queries":${results.size},"unit":"sec","metric":"total","value":${r3(total)}}"""
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    val fullJson = s"""{"method":"$method","runs":$runs,"queries":$qs,"errors":$errs,"sentinel":$sentJson,"contended":$contJson,"contended_run":$runContended,"sf":"$sfDir","n_queries":${results.size},"unit":"sec","metric":"total","value":${r3(total)}}"""
+    // a BENCH_ONLY partial sweep must NOT silently overwrite the
+    // committed full-sweep BENCH_LOCAL.json — default partial output to
+    // a temp file instead (override explicitly if you mean it)
+    val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
+      if (only.isDefined) {
+        val p = java.nio.file.Files.createTempFile("bench_partial_", ".json").toString
+        System.err.println(s"[bench] partial run -> $p (BENCH_LOCAL.json is reserved for full sweeps; set SPARK_GRAFT_BENCH_OUT to override)")
+        p
+      } else "BENCH_LOCAL.json"
+    }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile), (fullJson + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
@@ -88,7 +144,7 @@ object Bench {
     // whole line survives inside the tail window alongside sbt's epilogue
     val topQs = byTime.takeRight(25).map { case (k, m, _, _) => "\"" + k + "\":" + r3(m) }
       .mkString("{", ",", "}")
-    println(s"""{"full":"$outFile","queries":$topQs,"errors":$errs,"sf":"$sfDir","n_queries":${results.size},"queries_note":"slowest 25 of ${results.size}; every key in $outFile","unit":"sec","metric":"total","value":${r3(total)}}""")
+    println(s"""{"full":"$outFile","queries":$topQs,"errors":$errs,"n_contended":${contended.size},"contended_run":$runContended,"sf":"$sfDir","n_queries":${results.size},"queries_note":"slowest 25 of ${results.size}; every key + sentinel detail in $outFile","unit":"sec","metric":"total","value":${r3(total)}}""")
     spark.stop()
   }
 }
