@@ -100,6 +100,32 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got == Map(-5L -> -5L, 5L -> -5L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
   }
 
+  test("adversarial scale: diameter-10^4 path through star-CC with Reliable checkpointing") {
+    // the scale shape a 100 TB near-dup graph can degenerate into:
+    // chained near-dups (drifting boilerplate) forming one long path.
+    // min-label propagation would need 10^4 rounds; large-star/small-star
+    // is pinned here to ceil(log2 n) + 4 rounds AND a wall-time budget,
+    // with Reliable (HDFS-style) checkpointing — the cluster
+    // configuration — truncating lineage each round.
+    val n = 10001L
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_path").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val edges = spark.range(0L, n - 1).selectExpr("id AS src", "id + 1 AS dst")
+    val nodes = spark.range(0L, n).selectExpr("id")
+    val t0 = System.nanoTime()
+    val (labelsDf, rounds) = ConnectedComponents.runStarRounds(
+      edges, nodes, cp = graft.plans.Checkpointer.Reliable)
+    val wrong = labelsDf.filter($"lbl" =!= 0L).count()
+    val total = labelsDf.count()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    assert(total == n && wrong == 0, s"$wrong of $total nodes mislabeled on the path")
+    val bound = math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt + 4
+    assert(rounds <= bound, s"star-CC took $rounds rounds on diameter ${n - 1} (bound $bound)")
+    // generous for CI noise; the point is rounds × per-round cost stays
+    // minutes-not-hours at adversarial diameter (measured ~10-20 s here)
+    assert(wallSec < 90.0, s"star-CC took $wallSec s on the diameter-${n - 1} path")
+  }
+
   test("reliable checkpointer mode matches union-find oracle") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)

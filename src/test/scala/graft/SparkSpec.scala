@@ -17,6 +17,13 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      // memory-pressure pin for the WHOLE suite: the memory manager
+      // budgets against 1 GiB instead of the real heap (unified pool
+      // ≈ 430 MB across 8 threads), so aggregates/sorts/joins that
+      // would spill on a loaded executor spill here too — every spec,
+      // including the diameter-10^4 star-CC path, must stay green
+      // under it (round-6 verdict ask #9)
+      .config("spark.testing.memory", (1L << 30).toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
