@@ -127,10 +127,10 @@ object SparkEntry {
     "q_dedup_embedding_lsh" -> (Similarity.qDedupEmbeddingLsh _),
     "q_lang_id" -> (TextOps.qLangId _),
     "q_ann_topk" -> (Similarity.qAnnTopK _),
-    // non-SQL-expressible (runtime-adaptive / sketch-internal) —
-    // rows-only check by the driver; behavior covered in ScalaTest
     "q_dedup_simhash" -> (TextOps.qDedupSimhash _),
     "q_dedup_simhash_banded" -> (TextOps.qDedupSimhashBanded _),
+    // non-SQL-expressible (runtime-adaptive / sketch-internal) —
+    // rows-only check by the driver; behavior covered in ScalaTest
     "q_dedup_embedding_lsh_capped" -> (Similarity.qDedupEmbeddingLshCapped _),
     "q_ivf_topk" -> (Similarity.qIvfTopK _),
     "q_approx_distinct" -> (RelQueries.approxDistinct _),
@@ -165,16 +165,21 @@ object SparkEntry {
     * equi-join on (band, bh), and exact Jaccard over the UNCAPPED s0
     * shingle sets verifies (mirroring nearDupPairs, which filters on
     * the unrounded jaccard). Yields `mh(id_a, id_b, jac)`. */
+  /** DuckDB mirror of TextOps.baseHash60: the 15-hex-char md5 prefix as
+    * a BIGINT positional sum (the exact value Spark's conv() computes).
+    * `m` is a column already holding the md5 hex digest. */
+  private def hex60Sql(m: String): String =
+    (1 to 15)
+      .map(i => s"(CAST(strpos('0123456789abcdef', substring($m, $i, 1)) AS BIGINT) - 1) * ${1L << (4 * (15 - i))}")
+      .mkString("(", " + ", ")")
+
   private val minhashPairsCte: String = {
     val perms = text.TextOps.minhashPerms
     val r = perms / text.TextOps.minhashBands
     val p = text.TextOps.prime
     val aLit = text.TextOps.permA.mkString("([", ", ", "])")
     val bLit = text.TextOps.permB.mkString("([", ", ", "])")
-    val hexSum = (1 to 15)
-      .map(i => s"(CAST(strpos('0123456789abcdef', substring(md5(s), $i, 1)) AS BIGINT) - 1) * ${1L << (4 * (15 - i))}")
-      .mkString(" + ")
-    s"hh AS (SELECT doc_id, ($hexSum) % $p AS h FROM s1), " +
+    s"hh AS (SELECT doc_id, ${hex60Sql("m")} % $p AS h FROM (SELECT doc_id, md5(s) AS m FROM s1)), " +
       s"sig AS (SELECT doc_id, j, MIN(($aLit[CAST(j + 1 AS INTEGER)] * h + $bLit[CAST(j + 1 AS INTEGER)]) % $p) AS m FROM hh CROSS JOIN (SELECT UNNEST(range(0, $perms)) AS j) perms GROUP BY doc_id, j), " +
       s"bnd AS (SELECT doc_id, CAST(j // $r AS INTEGER) AS band, md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY j)) AS bh FROM sig GROUP BY doc_id, band), " +
       "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bnd a JOIN bnd b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id), " +
@@ -438,6 +443,40 @@ object SparkEntry {
       "WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), " +
         s"b AS (SELECT doc_id, list_max([$structs]) AS best FROM t) " +
         "SELECT doc_id, CASE WHEN best.s > 0 THEN best.l ELSE 'und' END AS lang_pred FROM b ORDER BY doc_id"
+    },
+    // SimHash exact-fingerprint dedup: md5-derived token hashes (the
+    // baseHash60 positional-sum mirror), 32 conditional bit sums, sign
+    // -> bit char; engine-identical fingerprints group identically
+    "q_dedup_simhash" -> {
+      val bitSums = (0 until 32)
+        .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+        .mkString(", ")
+      val fpChars = (0 until 32)
+        .map(b => s"CASE WHEN b$b > 0 THEN '1' ELSE '0' END")
+        .mkString("concat(", ", ", ")")
+      "WITH tk AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS t FROM documents), " +
+        s"sh_h AS (SELECT doc_id, ${hex60Sql("m")} AS h FROM (SELECT doc_id, md5(t) AS m FROM tk)), " +
+        s"sb AS (SELECT doc_id, $bitSums FROM sh_h GROUP BY doc_id), " +
+        s"fp AS (SELECT doc_id, $fpChars AS sh FROM sb) " +
+        "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_docs, sh FROM fp GROUP BY sh ORDER BY keep_id"
+    },
+    // Hamming-banded SimHash pairs: same md5-derived fingerprints as a
+    // packed long, 4x8-bit band keys via shift/mask, popcount verify
+    // via bit_count(xor) — maxHamming=3/nBands=4, the gate defaults
+    "q_dedup_simhash_banded" -> {
+      val bitSums = (0 until 32)
+        .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+        .mkString(", ")
+      val fpLong = (0 until 32)
+        .map(b => s"CASE WHEN b$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+        .mkString(" + ")
+      "WITH tk AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS t FROM documents), " +
+        s"sh_h AS (SELECT doc_id, ${hex60Sql("m")} AS h FROM (SELECT doc_id, md5(t) AS m FROM tk)), " +
+        s"sb AS (SELECT doc_id, $bitSums FROM sh_h GROUP BY doc_id), " +
+        s"fps AS (SELECT doc_id, $fpLong AS fp FROM sb), " +
+        "keyed AS (SELECT doc_id, fp, band, (fp >> (band * 8)) & 255 AS bits FROM fps CROSS JOIN (SELECT UNNEST(range(0, 4)) AS band) bands), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, a.fp AS fp_a, c.fp AS fp_b FROM keyed a JOIN keyed c ON a.band = c.band AND a.bits = c.bits AND a.doc_id < c.doc_id) " +
+        "SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3 ORDER BY id_a, id_b"
     },
     // hyperplane-LSH ANN: bucket assignment via Similarity.lshBucketSql
     // (plane vectors interpolated as literals — the zvalueSql pattern);

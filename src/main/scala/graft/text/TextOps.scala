@@ -113,12 +113,18 @@ object TextOps {
   private[graft] val permA: Seq[Long] = (1 to minhashPerms).map(i => 2L * i * 977 + 1)
   private[graft] val permB: Seq[Long] = (1 to minhashPerms).map(i => i * 1303L + 7)
 
-  /** 60-bit base hash of a shingle from the md5 hex prefix, reduced mod
-    * p — conv() is exact to 15 hex chars (the full 16 would overflow
-    * signed 64-bit for digests ≥ 0x8000...), and the identical value
-    * reproduces in DuckDB as a positional sum over the same 15 chars. */
-  def baseHash(s: Column): Column =
-    pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(prime))
+  /** 60-bit md5-derived hash: int(md5(s)[1..15], 16) — conv() is exact
+    * to 15 hex chars (the full 16 would overflow signed 64-bit for
+    * digests ≥ 0x8000...), and the identical value reproduces in DuckDB
+    * as a positional sum over the same 15 chars. The engine-portable
+    * replacement for xxhash64 wherever an oracle needs to recompute the
+    * hash ([[minhashSignatures]] reduces it mod p; [[simhash]] reads
+    * its low 32 bits). */
+  def baseHash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** [[baseHash60]] reduced mod p — the MinHash permutation domain. */
+  def baseHash(s: Column): Column = pmod(baseHash60(s), lit(prime))
 
   /** Word w-shingles of a token array as strings. */
   def shingles(toks: Column, w: Int): Column =
@@ -252,9 +258,11 @@ object TextOps {
   // ----------------------------------------------------- near-dup (SimHash)
 
   /** 32-bit SimHash over word hashes: per bit, sum +1/-1 weighted by
-    * token occurrences; sign → bit. Deterministic; no oracle. */
+    * token occurrences; sign → bit. Token hash = [[baseHash60]] (md5-
+    * derived), so fingerprints are engine-reproducible and the gate
+    * keys carry full DuckDB oracles. */
   def simhash(toks: Column): Column = {
-    val hashes = transform(toks, t => xxhash64(t))
+    val hashes = transform(toks, t => baseHash60(t))
     array((0 until 32).map { bit =>
       when(
         aggregate(hashes, lit(0L),
@@ -270,7 +278,7 @@ object TextOps {
     * are NOT deduplicated, matching SimHash semantics). */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
     val hashed = docs.select(col("doc_id"),
-      explode(transform(tokens(lower(col("text"))), t => xxhash64(t))).as("h"))
+      explode(transform(tokens(lower(col("text"))), t => baseHash60(t))).as("h"))
     val bitSums = (0 until 32).map(bit =>
       sum(when(shiftright(col("h"), bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
         .as(s"b$bit"))
@@ -286,7 +294,7 @@ object TextOps {
     * codegen-aggregate pipeline as [[simhashFingerprints]]. */
   def simhashFingerprintsLong(docs: DataFrame): DataFrame = {
     val hashed = docs.select(col("doc_id"),
-      explode(transform(tokens(lower(col("text"))), t => xxhash64(t))).as("h"))
+      explode(transform(tokens(lower(col("text"))), t => baseHash60(t))).as("h"))
     val bitSums = (0 until 32).map(bit =>
       sum(when(shiftright(col("h"), bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
         .as(s"b$bit"))
@@ -339,8 +347,9 @@ object TextOps {
   /** Hamming-banded SimHash near-dup on the driver gate — the production
     * path for fingerprint near-dup (pigeonhole-guaranteed recall for
     * distance < nBands, candidates from band equi-joins, popcount
-    * verify — never all-pairs). Rows-only driver check (fingerprints are
-    * hash-seeded); 1-bit-flip and brute-force-parity properties in
+    * verify — never all-pairs). Oracled (md5-derived fingerprints
+    * reproduce in DuckDB; band split and popcount mirror as shift/
+    * bit_count); 1-bit-flip and brute-force-parity properties in
     * TextOpsSpec cover semantics. */
   def qDedupSimhashBanded(spark: SparkSession, dir: String): DataFrame =
     simhashPairs(Tables.documents(spark, dir))

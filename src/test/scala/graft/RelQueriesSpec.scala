@@ -29,12 +29,11 @@ class RelQueriesSpec extends SparkSpec {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracle-only keys: ${os -- qs}")
-    assert((qs -- os) == Set("q_dedup_simhash", "q_approx_distinct",
-      // remaining rows-only keys: xxhash64-seeded simhash fingerprints,
-      // runtime-adaptive capped LSH (hot-bucket refinement depends on
-      // observed counts), IVF (iterative centroid refinement), HLL
-      // sketch internals — each carries named ScalaTest properties
-      "q_dedup_simhash_banded",
+    assert((qs -- os) == Set("q_approx_distinct",
+      // remaining rows-only keys: runtime-adaptive capped LSH
+      // (hot-bucket refinement depends on observed counts), IVF
+      // (iterative centroid refinement), HLL sketch internals — each
+      // carries named ScalaTest properties
       "q_dedup_embedding_lsh_capped", "q_ivf_topk"))
   }
 
