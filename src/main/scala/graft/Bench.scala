@@ -54,9 +54,13 @@ object Bench {
     // ITSELF (r5's driver run misread 6 keys by 4-19× with no way to
     // tell from the artifact). Key i is covered by sentinels i and i+1;
     // flagged when either exceeds 2× the run's minimum sentinel.
+    // 64M rows ≈ 0.2 s solo: big enough that GC/scheduler noise on the
+    // sentinel itself stays well under the 2× flag threshold (a 16M-row
+    // variant measured base 0.044 s with ±0.15 s noise → ~10 false
+    // flags per solo sweep)
     def sentinelRun(): Double = {
       val t0 = System.nanoTime()
-      spark.range(1L << 24).selectExpr("sum(id * 3)")
+      spark.range(1L << 26).selectExpr("sum(id * 3)")
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
@@ -88,23 +92,30 @@ object Bench {
       (name, median, times, err)
     }
     sentinels += sentinelRun()
-    val sentinelBase = sentinels.min
+    val sentinelBase = {
+      val sorted = sentinels.sorted
+      sorted((sorted.size - 1) / 2) // median: robust to its own outliers
+    }
     // two distinct contention signatures, two flags:
-    //  - per-key: load that STARTS/STOPS mid-run — a key's surrounding
-    //    sentinels exceed 2× the run's own minimum
+    //  - per-key: load overlapping a key's measurement window — BOTH
+    //    surrounding sentinels exceed 2× the run's median (with a 0.1 s
+    //    floor). Requiring both sides kills the false positives from
+    //    isolated GC/scheduler blips, which hit one sentinel, not two —
+    //    a solo sweep measured ~10 single-sided blips; real contention
+    //    spans the whole window
     //  - whole-run: SUSTAINED load (the r5 failure mode: every key
     //    uniformly 4-19× inflated, in-run variance invisible) — the
-    //    run minimum itself exceeds 2× the solo reference time for the
-    //    fixed sentinel workload (~0.10 s for the 16M-row sum at 8-32
-    //    threads on this container; recalibrate via
+    //    run median itself exceeds 2× the solo reference time for the
+    //    fixed sentinel workload (~0.06-0.10 s for the 64M-row sum at
+    //    8-32 threads on this container; recalibrate via
     //    SPARK_GRAFT_SENTINEL_REF if the hardware changes)
     val sentinelRef = sys.env.get("SPARK_GRAFT_SENTINEL_REF")
       .map(_.toDouble).getOrElse(0.10)
     val runContended = sentinelBase > 2 * sentinelRef
+    val perKeyCut = 2 * math.max(sentinelBase, 0.10)
     val contended = results.zipWithIndex.collect {
       case ((k, _, _, _), i)
-        if sentinelBase > 0 &&
-          math.max(sentinels(i), sentinels(i + 1)) > 2 * sentinelBase => k
+        if math.min(sentinels(i), sentinels(i + 1)) > perKeyCut => k
     }
     def r3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     // ascending by median: the harness keeps only the LAST ~2000 output
@@ -118,7 +129,7 @@ object Bench {
     val errs = results.collect { case (k, _, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val method = s"median of $reps noop-format writes per query (includes final ORDER BY cost; value per key = median over successful reps, raw samples under runs, queries sorted ascending by median; contended = keys whose surrounding sentinel no-ops ran >2x the run minimum, contended_run = the whole run is under sustained load (sentinel base >2x the solo reference) - treat such medians as load-inflated; round-1 timed count(), which dropped sorts via EliminateSorts - totals not directly comparable)"
+    val method = s"median of $reps noop-format writes per query (includes final ORDER BY cost; value per key = median over successful reps, raw samples under runs, queries sorted ascending by median; contended = keys whose surrounding sentinel no-ops ran >2x the run median, contended_run = the whole run is under sustained load (sentinel median >2x the solo reference) - treat such medians as load-inflated; round-1 timed count(), which dropped sorts via EliminateSorts - totals not directly comparable)"
     val contJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sentJson = s"""{"base":${r3(sentinelBase)},"ref":${r3(sentinelRef)},"max":${r3(sentinels.max)},"samples":${sentinels.map(r3).mkString("[", ",", "]")}}"""
     // full JSON (all keys + raw samples) lands in the repo; stdout gets a
