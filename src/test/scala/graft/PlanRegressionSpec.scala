@@ -45,7 +45,12 @@ class PlanRegressionSpec extends SparkSpec {
     ("q_join_skew_salted", 1, 1),
     ("q_zorder_layout", 1, 1),
     ("q_tfidf", 6, 3),
-    ("q_bm25_search", 5, 0))
+    ("q_bm25_search", 5, 0),
+    // round-6 keys: the composed pipeline is the sum of its stages'
+    // shapes (gates + digest dedup + shingle join + CC rounds + keyed
+    // window); simhash_banded is fingerprint agg + band self-join
+    ("q_llm_pipeline", 15, 3),
+    ("q_dedup_simhash_banded", 3, 1))
 
   pins.foreach { case (name, maxExch, maxSort) =>
     test(s"$name plan stays within $maxExch exchanges / $maxSort sorts") {
