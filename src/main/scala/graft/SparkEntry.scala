@@ -115,6 +115,7 @@ object SparkEntry {
     "q_pack_chunks" -> (TextOps.qPackChunks _),
     "q_dedup_incremental" -> (TextOps.qDedupIncremental _),
     "q_llm_pipeline" -> (TextOps.qLlmPipeline _),
+    "q_scrub_pii" -> (TextOps.qScrubPii _),
     "q_frame_sample" -> (graft.mm.Multimodal.qFrameSample _),
     "q_tfidf" -> (text.Relevance.qTfidf _),
     "q_bm25_search" -> (text.Relevance.qBm25Search _),
@@ -443,6 +444,15 @@ object SparkEntry {
       "WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), " +
         s"b AS (SELECT doc_id, list_max([$structs]) AS best FROM t) " +
         "SELECT doc_id, CASE WHEN best.s > 0 THEN best.l ELSE 'und' END AS lang_pred FROM b ORDER BY doc_id"
+    },
+    // PII scrubbing: portable char-class regexes (no lookaround — Java
+    // regex and RE2 agree), deterministic doc_id-derived injection so
+    // the scrubber is exercised on real matches; cleaned text compared
+    // by md5
+    "q_scrub_pii" -> {
+      val inj = "CASE WHEN doc_id % 7 = 0 THEN concat('contact user', CAST(doc_id AS VARCHAR), '@example.com via https://example.org/u/', CAST(doc_id AS VARCHAR), ' ', text) ELSE text END"
+      s"WITH t AS (SELECT doc_id, $inj AS tx FROM documents) " +
+        s"SELECT doc_id, CAST(len(regexp_extract_all(tx, '${TextOps.emailRe}')) AS INTEGER) AS n_emails, CAST(len(regexp_extract_all(tx, '${TextOps.urlRe}')) AS INTEGER) AS n_urls, md5(regexp_replace(regexp_replace(tx, '${TextOps.emailRe}', '<EMAIL>', 'g'), '${TextOps.urlRe}', '<URL>', 'g')) AS clean_md5 FROM t ORDER BY doc_id"
     },
     // SimHash exact-fingerprint dedup: md5-derived token hashes (the
     // baseHash60 positional-sum mirror), 32 conditional bit sums, sign

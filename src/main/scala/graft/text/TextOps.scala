@@ -499,6 +499,45 @@ object TextOps {
       .select(col("doc_id"), langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
+  // ------------------------------------------------------- PII scrubbing
+
+  /** Portable PII regexes: plain character classes only — no
+    * lookaround, no backrefs — so Java regex (Spark) and RE2 (DuckDB)
+    * agree token for token. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val urlRe = "https?://[A-Za-z0-9./_%+#?=&-]+"
+
+  /** PII scrubbing — the redaction pass an LLM training pipeline runs
+    * before anything else ships: emails and URLs replaced by typed
+    * placeholders, with per-document redaction counts for audit. The
+    * synthetic corpus contains no PII, so every 7th document gets a
+    * deterministic doc_id-derived email+URL injected FIRST (identical
+    * expression in the oracle SQL) — the scrubber is exercised on real
+    * matches, not vacuously green.
+    *
+    * Scale shape: one codegen'd regex pass per row, zero shuffles
+    * before the output sort; the cleaned text is md5-compressed so the
+    * result stays narrow (the full cleaned corpus would be written to a
+    * sink, not compared). */
+  def scrubPii(docs: DataFrame, textCol: Column): DataFrame = {
+    val cleaned = regexp_replace(
+      regexp_replace(textCol, emailRe, "<EMAIL>"), urlRe, "<URL>")
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(textCol, lit(emailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(textCol, lit(urlRe), lit(0))).as("n_urls"),
+      md5(cleaned).as("clean_md5"))
+  }
+
+  def qScrubPii(spark: SparkSession, dir: String): DataFrame = {
+    val injected = when(col("doc_id") % 7 === 0,
+      concat(lit("contact user"), col("doc_id").cast("string"),
+        lit("@example.com via https://example.org/u/"),
+        col("doc_id").cast("string"), lit(" "), col("text")))
+      .otherwise(col("text"))
+    scrubPii(Tables.documents(spark, dir), injected).orderBy("doc_id")
+  }
+
   // ------------------------------------------------------ decontamination
 
   /** Eval-set fraction shared by the decontamination gate key and its

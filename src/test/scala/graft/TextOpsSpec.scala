@@ -312,4 +312,31 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, String, Long, Long, Long, Long)].collect()
     assert(out.toSeq == again.toSeq)
   }
+
+  test("scrubPii redacts emails and URLs with exact counts") {
+    val docs = Seq(
+      (1L, "reach a.b-c@corp.io or x@y.org today"),
+      (2L, "see https://site.org/p?q=1#frag and http://plain.net/x"),
+      (3L, "no pii here at all"),
+      (4L, "mixed bob@example.com at https://example.com/bob")
+    ).toDF("doc_id", "text")
+    val out = TextOps.scrubPii(docs, col("text")).orderBy("doc_id")
+      .as[(Long, Int, Int, String)].collect()
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((1L, 2, 0), (2L, 0, 2), (3L, 0, 0), (4L, 1, 1)))
+    // placeholders actually landed: cleaned text hash differs from raw
+    // exactly when something was redacted
+    val rawMd5 = docs.select(col("doc_id"), md5(col("text"))).as[(Long, String)]
+      .collect().toMap
+    out.foreach { case (id, ne, nu, h) =>
+      assert((h == rawMd5(id)) == (ne + nu == 0), s"doc $id hash/redaction mismatch")
+    }
+    // the redacted form is stable: scrubbing a scrubbed text is a no-op
+    val once = docs.select(col("doc_id").as("doc_id"),
+      regexp_replace(regexp_replace(col("text"), TextOps.emailRe, "<EMAIL>"),
+        TextOps.urlRe, "<URL>").as("text"))
+    val twice = TextOps.scrubPii(once, col("text")).orderBy("doc_id")
+      .as[(Long, Int, Int, String)].collect()
+    assert(twice.forall(r => r._2 == 0 && r._3 == 0), "placeholders re-matched as PII")
+  }
 }
