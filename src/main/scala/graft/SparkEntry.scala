@@ -116,6 +116,7 @@ object SparkEntry {
     "q_dedup_incremental" -> (TextOps.qDedupIncremental _),
     "q_llm_pipeline" -> (TextOps.qLlmPipeline _),
     "q_scrub_pii" -> (TextOps.qScrubPii _),
+    "q_dedup_substring" -> (TextOps.qDedupSubstring _),
     "q_frame_sample" -> (graft.mm.Multimodal.qFrameSample _),
     "q_tfidf" -> (text.Relevance.qTfidf _),
     "q_bm25_search" -> (text.Relevance.qBm25Search _),
@@ -444,6 +445,16 @@ object SparkEntry {
       "WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), " +
         s"b AS (SELECT doc_id, list_max([$structs]) AS best FROM t) " +
         "SELECT doc_id, CASE WHEN best.s > 0 THEN best.l ELSE 'und' END AS lang_pred FROM b ORDER BY doc_id"
+    },
+    // exact-substring dedup: the w=20 form of the shingle CTE (span
+    // length + df cap interpolated from TextOps constants)
+    "q_dedup_substring" -> {
+      val w = TextOps.substringSpanTokens
+      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        s"s0 AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + $w AS INTEGER)], ' ') AS s FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - $w, 0) + 1)) AS i FROM tok))), " +
+        s"s1 AS (SELECT doc_id, s FROM s0 WHERE s IN (SELECT s FROM s0 GROUP BY s HAVING COUNT(*) <= ${TextOps.shingleDfCap})), " +
+        "s2 AS (SELECT doc_id, md5(s) AS h FROM s1) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_spans FROM s2 a JOIN s2 b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2 ORDER BY id_a, id_b"
     },
     // PII scrubbing: portable char-class regexes (no lookaround — Java
     // regex and RE2 agree), deterministic doc_id-derived injection so

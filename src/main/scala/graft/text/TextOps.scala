@@ -412,6 +412,42 @@ object TextOps {
       Some(col("doc_id") < 50))
       .orderBy("id_a", "id_b")
 
+  /** Span length (tokens) for exact-substring dedup. */
+  val substringSpanTokens = 20
+
+  /** Exact-substring duplicate pairs — the "deduplicating training
+    * data" (Lee et al. 2021) detection regime: two documents are
+    * flagged when they share ANY exact `w`-token span, regardless of
+    * overall similarity. Catches copied paragraphs inside
+    * otherwise-distinct documents, which Jaccard near-dup misses by
+    * construction (one shared span among ~80 shingles is jaccard
+    * ≈ 0.01, far under any threshold). Output: (id_a, id_b,
+    * n_shared_spans).
+    *
+    * Scale: the SAME df-capped shingle equi-join as the ngram family —
+    * long spans are rarer than trigrams, so the join is strictly
+    * cheaper than the w=3 form; boilerplate spans above the df cap are
+    * dropped by the broadcast anti-join before they can go quadratic. */
+  def substringDupPairs(docs: DataFrame, w: Int = substringSpanTokens,
+                        maxDf: Long = shingleDfCap,
+                        cp: Checkpointer = Checkpointer.Local): DataFrame = {
+    // join on the span DIGEST: the self-join shuffle carries 16-byte
+    // hashes instead of ~6·w-byte span strings (at 100 TB the spans
+    // dominate the exchange otherwise); md5 keeps the oracle exact —
+    // DuckDB computes identical digests
+    val sh = shingleRows(docs, w, maxDf, cp)
+      .select(col("doc_id"), md5(col("s")).as("h"))
+    sh.select(col("doc_id").as("id_a"), col("h"))
+      .join(sh.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+  }
+
+  def qDedupSubstring(spark: SparkSession, dir: String): DataFrame =
+    substringDupPairs(Tables.documents(spark, dir))
+      .orderBy("id_a", "id_b")
+
   /** Duplicate-cluster assignment — the step after candidate pairs that
     * an actual training-data pipeline needs: connected components over
     * the near-dup graph, one row per document with its cluster's min id

@@ -339,4 +339,20 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Int, Int, String)].collect()
     assert(twice.forall(r => r._2 == 0 && r._3 == 0), "placeholders re-matched as PII")
   }
+
+  test("substring dedup catches a copied paragraph that jaccard misses") {
+    val para = sentence(7, 25)                  // the copied 25-token span
+    val a = sentence(11, 80) + " " + para
+    val b = para + " " + sentence(13, 80)
+    val docs = Seq((1L, a), (2L, b), (3L, sentence(17, 80))).toDF("doc_id", "text")
+    val spans = TextOps.substringDupPairs(docs, w = 20)
+      .as[(Long, Long, Long)].collect()
+    assert(spans.map(r => (r._1, r._2)).toSeq == Seq((1L, 2L)),
+      s"expected exactly the copied-paragraph pair, got ${spans.toSeq}")
+    assert(spans.head._3 >= 1)
+    // the same pair is INVISIBLE to jaccard near-dup at any useful
+    // threshold: 25 shared tokens over ~105-token docs
+    val jac = TextOps.ngramJaccardPairs(docs, 3, 0.5, scala.None).count()
+    assert(jac == 0, "jaccard unexpectedly flagged the copied-paragraph pair")
+  }
 }
