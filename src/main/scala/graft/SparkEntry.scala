@@ -117,6 +117,7 @@ object SparkEntry {
     "q_llm_pipeline" -> (TextOps.qLlmPipeline _),
     "q_scrub_pii" -> (TextOps.qScrubPii _),
     "q_dedup_substring" -> (TextOps.qDedupSubstring _),
+    "q_quality_unigram" -> (TextOps.qQualityUnigram _),
     "q_frame_sample" -> (graft.mm.Multimodal.qFrameSample _),
     "q_tfidf" -> (text.Relevance.qTfidf _),
     "q_bm25_search" -> (text.Relevance.qBm25Search _),
@@ -446,6 +447,11 @@ object SparkEntry {
         s"b AS (SELECT doc_id, list_max([$structs]) AS best FROM t) " +
         "SELECT doc_id, CASE WHEN best.s > 0 THEN best.l ELSE 'und' END AS lang_pred FROM b ORDER BY doc_id"
     },
+    // unigram LM quality: per-token -ln p rounded to 6 dp then summed
+    // as DECIMAL (order-proof, the BM25 device); corpus total via CAST
+    // to BIGINT (DuckDB SUM -> HUGEINT)
+    "q_quality_unigram" ->
+      "WITH tk AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS t FROM documents), tf AS (SELECT t, COUNT(*) AS c FROM tk GROUP BY t), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tf), cost AS (SELECT doc_id, CAST(ROUND(-ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS nll FROM tk JOIN tf USING (t) CROSS JOIN tot) SELECT doc_id, COUNT(*) AS n_tokens, ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll FROM cost GROUP BY doc_id ORDER BY doc_id",
     // exact-substring dedup: the w=20 form of the shingle CTE (span
     // length + df cap interpolated from TextOps constants)
     "q_dedup_substring" -> {

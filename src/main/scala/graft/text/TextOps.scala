@@ -535,6 +535,40 @@ object TextOps {
       .select(col("doc_id"), langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
+  // -------------------------------------------- unigram LM quality score
+
+  /** Unigram log-likelihood quality score — the perplexity-filter proxy
+    * corpus pipelines run when a real LM is too expensive for a first
+    * pass: score every document by the mean negative log-probability of
+    * its tokens under the corpus unigram distribution. Repetitious /
+    * template text (common tokens) scores LOW, rare-token line noise
+    * scores HIGH; both tails get cut.
+    *
+    * Scale shape: the vocabulary is a corpus-wide hash aggregate
+    * (term-keyed, combiner-reduced map-side); per-token costs come from
+    * an equi-join of the token stream to the vocab on term — at 100 TB
+    * the vocab of a cleaned corpus is millions of rows, so this is a
+    * plain shuffle join (broadcast only if you cap the vocab). The
+    * corpus total is a one-row broadcast. Per-token costs are rounded
+    * to 6 dp and summed as DECIMAL so the doc score is independent of
+    * addition order (the BM25 device). */
+  def unigramScores(docs: DataFrame): DataFrame = {
+    val tk = docs.select(col("doc_id"), explode(tokens(lower(col("text")))).as("t"))
+    val tf = tk.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val tot = tf.agg(sum(col("c")).as("n"))
+    val cost = tk.join(tf, Seq("t")).crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        round(-log(col("c").cast("double") / col("n").cast("double")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("nll"))
+    cost.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nll")).as("snll"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("snll").cast("double") / col("n_tokens"), 6).as("avg_nll"))
+  }
+
+  def qQualityUnigram(spark: SparkSession, dir: String): DataFrame =
+    unigramScores(Tables.documents(spark, dir)).orderBy("doc_id")
+
   // ------------------------------------------------------- PII scrubbing
 
   /** Portable PII regexes: plain character classes only — no

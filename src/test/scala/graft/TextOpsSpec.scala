@@ -355,4 +355,22 @@ class TextOpsSpec extends SparkSpec {
     val jac = TextOps.ngramJaccardPairs(docs, 3, 0.5, scala.None).count()
     assert(jac == 0, "jaccard unexpectedly flagged the copied-paragraph pair")
   }
+
+  test("unigram quality: repetitious text scores lower avg_nll than rare-token text") {
+    // doc 1 repeats the corpus-dominant token; doc 2 is one-off tokens
+    val docs = Seq(
+      (1L, "alpha alpha alpha alpha alpha alpha alpha alpha"),
+      (2L, "unique1 unique2 unique3 unique4 unique5 unique6 unique7 unique8"),
+      (3L, "alpha beta alpha beta alpha beta alpha beta")
+    ).toDF("doc_id", "text")
+    val got = TextOps.unigramScores(docs).orderBy("doc_id")
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(_._2).toSeq == Seq(8L, 8L, 8L))
+    val byId = got.map(r => r._1 -> r._3).toMap
+    assert(byId(1L) < byId(3L) && byId(3L) < byId(2L),
+      s"expected nll(repetitious) < nll(mixed) < nll(unique): $byId")
+    // score is a proper mean: all-same-token doc = -ln(p(alpha)) exactly
+    val pAlpha = 12.0 / 24.0
+    assert(math.abs(byId(1L) - (-math.log(pAlpha))) < 1e-5)
+  }
 }
