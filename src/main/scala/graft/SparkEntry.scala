@@ -109,6 +109,8 @@ object SparkEntry {
     "q_sample_hash" -> (text.Sampling.qSampleHash _),
     "q_split_assign" -> (text.Sampling.qSplitAssign _),
     "q_stratified_sample" -> (text.Sampling.qStratifiedSample _),
+    "q_shuffle_order" -> (text.Sampling.qShuffleOrder _),
+    "q_domain_mix" -> (text.Sampling.qDomainMix _),
     "q_dedup_cluster" -> ((s: SparkSession, d: String) => TextOps.qDedupCluster(s, d)),
     "q_decontaminate" -> (TextOps.qDecontaminate _),
     "q_quality_repetition" -> (TextOps.qQualityRepetition _),
@@ -355,6 +357,23 @@ object SparkEntry {
     // fraction list the Spark side uses (cuts via Sampling.cutHex — a
     // fraction rounding to 256 becomes a bare stratum predicate, the
     // SQL mirror of the always-true guard)
+    // deterministic shuffle: the oracle is the naive global window; the
+    // Spark side must reproduce it from the bucketed two-phase plan
+    "q_shuffle_order" ->
+      "SELECT doc_id, ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos FROM documents ORDER BY doc_id",
+    // domain mix: targets interpolated as CAST(x AS DOUBLE) literals
+    // (bare 0.5 would be DECIMAL in DuckDB and break double parity);
+    // rate/keep arithmetic is a single IEEE chain, same order both sides
+    "q_domain_mix" -> {
+      val vals = text.Sampling.domainMixTargets
+        .map { case (s, f) => s"('$s', CAST($f AS DOUBLE))" }.mkString(", ")
+      s"WITH avail AS (SELECT lang AS domain, COUNT(*) AS n_docs FROM documents GROUP BY lang), " +
+        s"tgt(domain, target) AS (VALUES $vals), " +
+        "a AS (SELECT avail.domain, n_docs, COALESCE(target, CAST(0.0 AS DOUBLE)) AS target FROM avail LEFT JOIN tgt USING (domain)), " +
+        "cap AS (SELECT MIN(CAST(n_docs AS DOUBLE) / target) AS t_cap FROM a WHERE target > 0), " +
+        "r AS (SELECT domain, n_docs, target, CASE WHEN target = 0 THEN CAST(0.0 AS DOUBLE) ELSE ROUND(LEAST(CAST(1.0 AS DOUBLE), target * t_cap / CAST(n_docs AS DOUBLE)), 6) END AS rate FROM a CROSS JOIN cap) " +
+        "SELECT domain, n_docs, target, rate, CAST(FLOOR(rate * CAST(n_docs AS DOUBLE)) AS BIGINT) AS n_keep FROM r ORDER BY domain"
+    },
     "q_stratified_sample" -> {
       val conds = text.Sampling.stratifiedDemoFractions.map { case (s, f) =>
         if (math.round(f * 256).toInt >= 256) s"(lang = '$s')"

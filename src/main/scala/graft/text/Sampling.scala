@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -104,6 +105,86 @@ object Sampling {
         col("doc_id"), stratifiedDemoFractions.toMap)
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
+
+  // ------------------------------------------- deterministic global shuffle
+
+  /** Deterministic global shuffle position for every row — the corpus
+    * serialization step before training (`utils.shuffle` upgraded from a
+    * random repartition to a reproducible total order). The position is
+    * the row's rank under ORDER BY (md5(key), key) — a pseudo-random but
+    * engine/run/partitioning-independent permutation, so two jobs (or a
+    * resumed job) agree on example order with zero coordination.
+    *
+    * Scale shape: NOT a global sort. The first two hex chars of the hash
+    * split the corpus into 256 uniform buckets; per-bucket counts (256
+    * rows) turn into exclusive cumulative offsets via a bounded window,
+    * broadcast back, and each row's position is bucket offset + its rank
+    * WITHIN the bucket (a keyed window, ~N/256 rows per partition).
+    * Because the bucket is a prefix of the sort key, bucket-major order
+    * ≡ global hash order — same device as external sort-merge, and at
+    * 100 TB each contiguous `pos` range is one output shard. Use more
+    * hex chars for more buckets at larger scale. */
+  def shufflePositions(df: DataFrame, key: Column): DataFrame = {
+    val keyed = df.withColumn("__h", md5(key.cast("string").cast("binary")))
+      .withColumn("__b", substring(col("__h"), 1, 2))
+    // 256-row aggregate; the partition-less window is intentional and
+    // bounded (same documented pattern as the histogram/AUC bins)
+    val offsets = keyed.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+      .select(col("__b"), coalesce(
+        sum(col("__c")).over(Window.partitionBy(lit(0)).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__off"))
+    val rn = row_number().over(Window.partitionBy(col("__b")).orderBy(col("__h"), key))
+    keyed.join(broadcast(offsets), Seq("__b"))
+      .withColumn("pos", col("__off") + rn)
+      .drop("__b", "__h", "__off")
+  }
+
+  /** Gate key: shuffle positions over documents; oracle is the plain
+    * global-window form (`ROW_NUMBER() OVER (ORDER BY md5(id), id)`) —
+    * the bucketed plan must reproduce it exactly. */
+  def qShuffleOrder(spark: SparkSession, dir: String): DataFrame =
+    shufflePositions(Tables.documents(spark, dir), col("doc_id"))
+      .select(col("doc_id"), col("pos"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------ domain-mixture planning
+
+  /** Target mixture for the q_domain_mix gate key ('es' deliberately
+    * absent — unlisted domains get rate 0). Shared with the oracle SQL
+    * (literals interpolated, the MLP-weights device). */
+  val domainMixTargets: Seq[(String, Double)] =
+    Seq("de" -> 0.15, "en" -> 0.5, "fr" -> 0.15, "zh" -> 0.2)
+
+  /** Domain-mixture sampling plan (the DoReMi/Pile-style static-mix
+    * step): given target proportions per domain, find the LARGEST total
+    * corpus T the availability supports — T = min over target domains of
+    * n_domain / target_domain (the binding domain samples at rate 1.0) —
+    * and emit each domain's sampling rate `target·T / n` plus the floor'd
+    * keep count. Feed the rates into [[stratifiedHashSample]] to apply.
+    *
+    * Every number is one IEEE division/multiplication chain evaluated in
+    * the same order on both engines (no float SUMS — order-proof by
+    * construction); rate rounded to 6 dp, floor() pinned explicitly.
+    * Scale shape: a domain-keyed hash agg (domains ≪ rows) + one-row
+    * broadcast of the binding capacity. */
+  def domainMixPlan(docs: DataFrame, stratum: Column,
+                    targets: Seq[(String, Double)]): DataFrame = {
+    val tmap = map(targets.flatMap { case (s, f) => Seq(lit(s), lit(f)) }: _*)
+    val avail = docs.groupBy(stratum.as("domain")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("target", coalesce(element_at(tmap, col("domain")), lit(0.0)))
+    val cap = avail.where(col("target") > 0)
+      .agg(min(col("n_docs").cast("double") / col("target")).as("t_cap"))
+    avail.crossJoin(broadcast(cap))
+      .withColumn("rate", when(col("target") === 0, lit(0.0)).otherwise(
+        round(least(lit(1.0), col("target") * col("t_cap") / col("n_docs").cast("double")), 6)))
+      .withColumn("n_keep", floor(col("rate") * col("n_docs").cast("double")).cast("long"))
+      .select(col("domain"), col("n_docs"), col("target"), col("rate"), col("n_keep"))
+  }
+
+  /** Gate key: mixture plan over documents by language. */
+  def qDomainMix(spark: SparkSession, dir: String): DataFrame =
+    domainMixPlan(Tables.documents(spark, dir), col("lang"), domainMixTargets)
+      .orderBy("domain")
 
   /** Gate key: 80/10/10 split assignment, aggregated per (split, lang) —
     * proves disjoint-and-exhaustive assignment in one oracled shape. */

@@ -87,4 +87,52 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(again == out.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("shufflePositions is a permutation equal to the global hash order, partition-independent") {
+    val n = docs.count()
+    val got = Sampling.shufflePositions(docs, $"doc_id")
+      .select("doc_id", "pos").as[(Long, Long)].collect().sortBy(_._1)
+    // a permutation of 1..n
+    assert(got.map(_._2).sorted.toSeq == (1L to n).toSeq)
+    // bucketed two-phase rank ≡ naive global window rank
+    val naive = docs.select($"doc_id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(md5($"doc_id".cast("string").cast("binary")), $"doc_id"))
+          .cast("long").as("pos"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == naive.toSeq, "bucketed plan must reproduce the global order")
+    // and it actually shuffles: positions are not monotone in doc_id
+    assert(got.sliding(2).exists(w => w(1)._2 < w(0)._2))
+    // stable under repartitioning
+    val re = Sampling.shufflePositions(docs.repartition(13), $"doc_id")
+      .select("doc_id", "pos").as[(Long, Long)].collect().sortBy(_._1)
+    assert(re.toSeq == got.toSeq)
+  }
+
+  test("domainMixPlan: binding domain rate 1.0, others scaled, keep counts floor'd") {
+    val plan = Sampling.domainMixPlan(docs, $"lang", Sampling.domainMixTargets)
+      .as[(String, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val avail = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val tcap = Sampling.domainMixTargets
+      .map { case (s, f) => avail(s) / f }.min
+    // the binding domain samples at (rounded) rate 1.0
+    val binding = Sampling.domainMixTargets.minBy { case (s, f) => avail(s) / f }._1
+    assert(plan(binding)._4 == 1.0, s"binding domain $binding: ${plan(binding)}")
+    // unlisted domain: rate 0, keep 0
+    assert(plan("es")._3 == 0.0 && plan("es")._4 == 0.0 && plan("es")._5 == 0L)
+    // every listed domain: rate = round(target*T/n, 6), keep = floor(rate*n)
+    Sampling.domainMixTargets.foreach { case (s, f) =>
+      val (_, n, _, rate, keep) = plan(s)
+      val expect = math.rint(math.min(1.0, f * tcap / n) * 1e6) / 1e6
+      assert(math.abs(rate - expect) < 1e-12, s"$s rate $rate vs $expect")
+      assert(keep == math.floor(rate * n).toLong)
+      assert(keep <= n)
+    }
+    // the realized mixture hits the targets: keep_s / total ≈ target_s
+    val total = Sampling.domainMixTargets.map(t => plan(t._1)._5).sum.toDouble
+    Sampling.domainMixTargets.foreach { case (s, f) =>
+      assert(math.abs(plan(s)._5 / total - f) < 0.01, s"$s mixture off-target")
+    }
+  }
 }
