@@ -71,9 +71,12 @@ object PlanAudit {
     // construction, the in-plan alternative to collecting a scalar
     // q_eval_metrics crosses its two ONE-ROW aggregates (confusion
     // counts x AUC accumulator) — also bounded by construction
+    // q_quality_unigram / q_domain_mix cross ONE-ROW aggregates too
+    // (corpus token total / binding mixture capacity)
     val expectedCross = Set("q_cosine_topk", "q_dedup_embedding",
       "q_minmax_scale", "q_ivf_topk", "q_eval_metrics",
-      "q_bloom_join", "q_tfidf", "q_bm25_search")
+      "q_bloom_join", "q_tfidf", "q_bm25_search",
+      "q_quality_unigram", "q_domain_mix")
 
     println(f"${"query"}%-24s ${"exch"}%5s ${"bcast"}%5s ${"sort"}%5s ${"wscg"}%5s  flags")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -50,7 +50,17 @@ class PlanRegressionSpec extends SparkSpec {
     // shapes (gates + digest dedup + shingle join + CC rounds + keyed
     // window); simhash_banded is fingerprint agg + band self-join
     ("q_llm_pipeline", 15, 3),
-    ("q_dedup_simhash_banded", 3, 1))
+    ("q_dedup_simhash_banded", 3, 1),
+    // round-6 pipeline additions: substring dedup is digest-join-shaped
+    // like ngram; scrub is a single codegen pass (1 exch = final sort);
+    // unigram/mix carry a one-row broadcast cross each; shuffle_order's
+    // 3 sorts = 256-row offset window + keyed rank + output ORDER BY —
+    // the global-sort-free contract is the 4-exchange shape itself
+    ("q_dedup_substring", 2, 1),
+    ("q_scrub_pii", 1, 1),
+    ("q_quality_unigram", 4, 1),
+    ("q_domain_mix", 4, 1),
+    ("q_shuffle_order", 4, 3))
 
   pins.foreach { case (name, maxExch, maxSort) =>
     test(s"$name plan stays within $maxExch exchanges / $maxSort sorts") {
