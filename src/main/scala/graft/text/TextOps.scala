@@ -835,15 +835,20 @@ object TextOps {
     val deconOk = decontaminationReport(docs, isEval, 3,
         threshold = pipelineContamMax, cp = cp)
       .filter(!col("flagged")).select("doc_id")
-    val cleaned = docs
+    // checkpoint the gated set: three downstream consumers (exact
+    // dedup, near-dup edges, survivor scan) would each recompute the
+    // quality+repetition+decontamination subtree otherwise — measured
+    // 10.3 s → materialize-once at sf0.1. Survivor rows are a filtered
+    // subset of the corpus, so the checkpoint is input-bounded.
+    val cleaned = cp(docs
       .filter(!isEval && quality >= pipelineMinQuality)
       .join(repOk, Seq("doc_id"), "left_semi")
-      .join(deconOk, Seq("doc_id"), "left_semi")
+      .join(deconOk, Seq("doc_id"), "left_semi"))
 
     // exact dedup: min doc_id survives per content digest
     val exactKeep = cleaned.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val deduped = cleaned.join(exactKeep, Seq("doc_id"), "left_semi")
+    val deduped = cp(cleaned.join(exactKeep, Seq("doc_id"), "left_semi"))
 
     // near-dup cluster dedup over the surviving subset
     val edges = ngramJaccardPairs(deduped, 3, pipelineClusterJaccard, None, cp = cp)
