@@ -125,6 +125,12 @@ object Sampling {
     * 100 TB each contiguous `pos` range is one output shard. Use more
     * hex chars for more buckets at larger scale. */
   def shufflePositions(df: DataFrame, key: Column): DataFrame = {
+    // withColumn would silently REPLACE a caller column of the same name
+    // and the final drop would then destroy caller data (the
+    // bloomSemiJoin reserved-name hazard) — refuse instead
+    Seq("__h", "__b", "__off", "pos").foreach { c =>
+      require(!df.columns.contains(c), s"shufflePositions reserves column name '$c'")
+    }
     val keyed = df.withColumn("__h", md5(key.cast("string").cast("binary")))
       .withColumn("__b", substring(col("__h"), 1, 2))
     // 256-row aggregate; the partition-less window is intentional and
@@ -169,6 +175,11 @@ object Sampling {
     * broadcast of the binding capacity. */
   def domainMixPlan(docs: DataFrame, stratum: Column,
                     targets: Seq[(String, Double)]): DataFrame = {
+    // a target domain ABSENT from the data is silently ignored (its
+    // availability is unknowable from this corpus — callers wanting a
+    // hard failure should anti-join targets against the plan's output)
+    require(targets.nonEmpty && targets.forall(_._2 > 0), s"targets must be positive: $targets")
+    require(targets.map(_._1).distinct.size == targets.size, s"duplicate target domain: $targets")
     val tmap = map(targets.flatMap { case (s, f) => Seq(lit(s), lit(f)) }: _*)
     val avail = docs.groupBy(stratum.as("domain")).agg(count(lit(1)).as("n_docs"))
       .withColumn("target", coalesce(element_at(tmap, col("domain")), lit(0.0)))

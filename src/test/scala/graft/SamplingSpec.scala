@@ -109,6 +109,18 @@ class SamplingSpec extends SparkSpec {
     assert(re.toSeq == got.toSeq)
   }
 
+  test("shufflePositions refuses reserved column names; domainMixPlan validates targets") {
+    intercept[IllegalArgumentException] {
+      Sampling.shufflePositions(docs.withColumn("pos", lit(1)), $"doc_id")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.domainMixPlan(docs, $"lang", Seq("en" -> 0.5, "en" -> 0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.domainMixPlan(docs, $"lang", Seq("en" -> 0.0))
+    }
+  }
+
   test("domainMixPlan: binding domain rate 1.0, others scaled, keep counts floor'd") {
     val plan = Sampling.domainMixPlan(docs, $"lang", Sampling.domainMixTargets)
       .as[(String, Long, Double, Double, Long)].collect()
