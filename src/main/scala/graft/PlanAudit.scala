@@ -76,7 +76,7 @@ object PlanAudit {
     val expectedCross = Set("q_cosine_topk", "q_dedup_embedding",
       "q_minmax_scale", "q_ivf_topk", "q_eval_metrics",
       "q_bloom_join", "q_tfidf", "q_bm25_search",
-      "q_quality_unigram", "q_domain_mix")
+      "q_quality_unigram", "q_domain_mix", "q_quality_tails")
 
     println(f"${"query"}%-24s ${"exch"}%5s ${"bcast"}%5s ${"sort"}%5s ${"wscg"}%5s  flags")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

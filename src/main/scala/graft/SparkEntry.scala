@@ -120,6 +120,7 @@ object SparkEntry {
     "q_scrub_pii" -> (TextOps.qScrubPii _),
     "q_dedup_substring" -> (TextOps.qDedupSubstring _),
     "q_quality_unigram" -> (TextOps.qQualityUnigram _),
+    "q_quality_tails" -> (TextOps.qQualityTails _),
     "q_frame_sample" -> (graft.mm.Multimodal.qFrameSample _),
     "q_tfidf" -> (text.Relevance.qTfidf _),
     "q_bm25_search" -> (text.Relevance.qBm25Search _),
@@ -154,6 +155,15 @@ object SparkEntry {
     * TextOps.shingleRows; the cap is interpolated from
     * TextOps.shingleDfCap so the oracle cannot silently drift from the
     * Spark side), and per-doc shingle counts (cnt). */
+  /** Shared CTE prefix for the unigram-LM oracles: per-token −ln p
+    * rounded to 6 dp as DECIMAL(18,6) (`cost`), mirroring
+    * TextOps.unigramScores. */
+  private val unigramCte: String =
+    "WITH tk AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS t FROM documents), " +
+      "tf AS (SELECT t, COUNT(*) AS c FROM tk GROUP BY t), " +
+      "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tf), " +
+      "cost AS (SELECT doc_id, CAST(ROUND(-ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS nll FROM tk JOIN tf USING (t) CROSS JOIN tot)"
+
   private val ngramShingleCte: String =
     "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
       "s0 AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' ') AS s FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - 3, 0) + 1)) AS i FROM tok))), " +
@@ -470,7 +480,13 @@ object SparkEntry {
     // as DECIMAL (order-proof, the BM25 device); corpus total via CAST
     // to BIGINT (DuckDB SUM -> HUGEINT)
     "q_quality_unigram" ->
-      "WITH tk AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS t FROM documents), tf AS (SELECT t, COUNT(*) AS c FROM tk GROUP BY t), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tf), cost AS (SELECT doc_id, CAST(ROUND(-ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS nll FROM tk JOIN tf USING (t) CROSS JOIN tot) SELECT doc_id, COUNT(*) AS n_tokens, ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll FROM cost GROUP BY doc_id ORDER BY doc_id",
+      s"$unigramCte SELECT doc_id, COUNT(*) AS n_tokens, ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll FROM cost GROUP BY doc_id ORDER BY doc_id",
+    // tail cut: rounded p10/p90 cuts (quantile_cont ≡ Spark percentile,
+    // the q_percentile parity) broadcast over the same scores
+    "q_quality_tails" ->
+      (s"$unigramCte, sc AS (SELECT doc_id, ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll FROM cost GROUP BY doc_id), " +
+        "cuts AS (SELECT ROUND(quantile_cont(avg_nll, 0.1), 6) AS p10, ROUND(quantile_cont(avg_nll, 0.9), 6) AS p90 FROM sc) " +
+        "SELECT doc_id, avg_nll, CASE WHEN avg_nll <= p10 THEN 'low' WHEN avg_nll >= p90 THEN 'high' ELSE 'mid' END AS tail FROM sc CROSS JOIN cuts ORDER BY doc_id"),
     // exact-substring dedup: the w=20 form of the shingle CTE (span
     // length + df cap interpolated from TextOps constants)
     "q_dedup_substring" -> {

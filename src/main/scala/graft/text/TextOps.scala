@@ -569,6 +569,34 @@ object TextOps {
   def qQualityUnigram(spark: SparkSession, dir: String): DataFrame =
     unigramScores(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** Tail cut over the unigram scores — the perplexity-filter DECISION
+    * step (CCNet/Gopher regime): documents in the bottom decile of
+    * avg_nll (too predictable: templates, boilerplate) and the top
+    * decile (too surprising: line noise, rare-token salad) get flagged;
+    * the middle mass trains. Cuts are exact interpolated percentiles
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`, parity proven by
+    * q_percentile) rounded to 6 dp so both engines compare scores
+    * against the identical cut double.
+    *
+    * Scale shape: the cuts are a one-row aggregate broadcast back over
+    * the scores — no global sort, no window; at 100 TB swap the exact
+    * percentile for approx_percentile with the same broadcast shape
+    * (the decision join is unchanged). */
+  def qualityTails(docs: DataFrame): DataFrame = {
+    val scores = unigramScores(docs)
+    val cuts = scores.agg(
+      round(expr("percentile(avg_nll, 0.1)"), 6).as("p10"),
+      round(expr("percentile(avg_nll, 0.9)"), 6).as("p90"))
+    scores.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("avg_nll"),
+        when(col("avg_nll") <= col("p10"), "low")
+          .when(col("avg_nll") >= col("p90"), "high")
+          .otherwise("mid").as("tail"))
+  }
+
+  def qQualityTails(spark: SparkSession, dir: String): DataFrame =
+    qualityTails(Tables.documents(spark, dir)).orderBy("doc_id")
+
   // ------------------------------------------------------- PII scrubbing
 
   /** Portable PII regexes: plain character classes only — no

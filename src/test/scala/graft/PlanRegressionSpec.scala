@@ -59,6 +59,7 @@ class PlanRegressionSpec extends SparkSpec {
     ("q_dedup_substring", 2, 1),
     ("q_scrub_pii", 1, 1),
     ("q_quality_unigram", 4, 1),
+    ("q_quality_tails", 5, 1),
     ("q_domain_mix", 4, 1),
     ("q_shuffle_order", 4, 3))
 

@@ -373,4 +373,24 @@ class TextOpsSpec extends SparkSpec {
     val pAlpha = 12.0 / 24.0
     assert(math.abs(byId(1L) - (-math.log(pAlpha))) < 1e-5)
   }
+
+  test("quality tails: extremes land in low/high, the middle mass is mid") {
+    // strictly distinct mid scores (i commons + 1 unique → score falls
+    // with i), one repetitious outlier (all commons = lowest possible
+    // nll) and one rare-token outlier (highest) — value-based cuts
+    // flood ties into a tail, so the fixture must not tie at the cut
+    val docs = ((1L to 20L).map(i => (i, ("common " * i.toInt).trim + s" tok$i")) ++
+      Seq((21L, ("common " * 30).trim),
+          (22L, "rare1 rare2 rare3 rare4 rare5"))).toDF("doc_id", "text")
+    val got = TextOps.qualityTails(docs).as[(Long, Double, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(21L)._3 == "low", s"repetitious doc: ${got(21L)}")
+    assert(got(22L)._3 == "high", s"rare-token doc: ${got(22L)}")
+    val mids = got.values.count(_._3 == "mid")
+    assert(mids >= 16, s"middle mass should be mid: $got")
+    // decision is against the ROUNDED cut: every score compares consistently
+    val low = got.values.filter(_._3 == "low").map(_._2).max
+    val mid = got.values.filter(_._3 == "mid").map(_._2)
+    assert(mid.forall(_ > low), "low tail must sit strictly below the mid mass")
+  }
 }
