@@ -122,9 +122,16 @@ object Sampling {
     * WITHIN the bucket (a keyed window, ~N/256 rows per partition).
     * Because the bucket is a prefix of the sort key, bucket-major order
     * ≡ global hash order — same device as external sort-merge, and at
-    * 100 TB each contiguous `pos` range is one output shard. Use more
-    * hex chars for more buckets at larger scale. */
-  def shufflePositions(df: DataFrame, key: Column): DataFrame = {
+    * 100 TB each contiguous `pos` range is one output shard.
+    *
+    * `hexChars` sets the bucket count (16^hexChars): 2 → 256 buckets
+    * (fine to ~TB), 3 → 4096, 4 → 65536 (≈1.5 GB/bucket at 100 TB).
+    * Positions are IDENTICAL for every granularity (the order is
+    * (md5, key) regardless — spec-pinned), so re-tuning for scale can
+    * never change the shuffle. The offsets window is over 16^hexChars
+    * rows — bounded, but keep hexChars ≤ 4. */
+  def shufflePositions(df: DataFrame, key: Column, hexChars: Int = 2): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 4, s"hexChars must be in [1,4]: $hexChars")
     // withColumn would silently REPLACE a caller column of the same name
     // and the final drop would then destroy caller data (the
     // bloomSemiJoin reserved-name hazard) — refuse instead
@@ -132,7 +139,7 @@ object Sampling {
       require(!df.columns.contains(c), s"shufflePositions reserves column name '$c'")
     }
     val keyed = df.withColumn("__h", md5(key.cast("string").cast("binary")))
-      .withColumn("__b", substring(col("__h"), 1, 2))
+      .withColumn("__b", substring(col("__h"), 1, hexChars))
     // 256-row aggregate; the partition-less window is intentional and
     // bounded (same documented pattern as the histogram/AUC bins)
     val offsets = keyed.groupBy(col("__b")).agg(count(lit(1)).as("__c"))

@@ -107,6 +107,16 @@ class SamplingSpec extends SparkSpec {
     val re = Sampling.shufflePositions(docs.repartition(13), $"doc_id")
       .select("doc_id", "pos").as[(Long, Long)].collect().sortBy(_._1)
     assert(re.toSeq == got.toSeq)
+    // bucket granularity is a pure scale knob: positions identical at
+    // 16 and 4096 buckets (re-tuning for scale can never change data)
+    Seq(1, 3).foreach { hc =>
+      val alt = Sampling.shufflePositions(docs, $"doc_id", hexChars = hc)
+        .select("doc_id", "pos").as[(Long, Long)].collect().sortBy(_._1)
+      assert(alt.toSeq == got.toSeq, s"hexChars=$hc changed the permutation")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.shufflePositions(docs, $"doc_id", hexChars = 5)
+    }
   }
 
   test("shufflePositions refuses reserved column names; domainMixPlan validates targets") {
