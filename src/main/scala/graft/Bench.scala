@@ -53,7 +53,9 @@ object Bench {
     // times inflates the sentinel identically, so a contended run labels
     // ITSELF (r5's driver run misread 6 keys by 4-19× with no way to
     // tell from the artifact). Key i is covered by sentinels i and i+1;
-    // flagged when either exceeds 2× the run's minimum sentinel.
+    // flagged when BOTH exceed 2× the run's median sentinel (floored at
+    // 0.10 s) — one-sided flags false-positive on GC blips (~10/sweep
+    // measured solo).
     // 64M rows ≈ 0.2 s solo: big enough that GC/scheduler noise on the
     // sentinel itself stays well under the 2× flag threshold (a 16M-row
     // variant measured base 0.044 s with ±0.15 s noise → ~10 false

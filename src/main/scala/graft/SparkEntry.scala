@@ -164,11 +164,29 @@ object SparkEntry {
       "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tf), " +
       "cost AS (SELECT doc_id, CAST(ROUND(-ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS nll FROM tk JOIN tf USING (t) CROSS JOIN tot)"
 
-  private val ngramShingleCte: String =
+  /** Shingle CTE chain (tok/s0/s1/cnt) for span length `w` — ONE
+    * builder for every shingle-shaped oracle (ngram w=3, substring
+    * w=20, the pipeline's embedded copy) so a change to the shingle
+    * shape cannot silently diverge between them. */
+  private def shingleCte(w: Int): String =
     "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-      "s0 AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' ') AS s FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - 3, 0) + 1)) AS i FROM tok))), " +
+      s"s0 AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + $w AS INTEGER)], ' ') AS s FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - $w, 0) + 1)) AS i FROM tok))), " +
       s"s1 AS (SELECT doc_id, s FROM s0 WHERE s IN (SELECT s FROM s0 GROUP BY s HAVING COUNT(*) <= ${text.TextOps.shingleDfCap})), " +
       "cnt AS (SELECT doc_id, COUNT(*) AS n FROM s1 GROUP BY doc_id)"
+
+  private val ngramShingleCte: String = shingleCte(3)
+
+  /** SimHash CTE prefix (tk/sh_h/sb) shared by the exact and banded
+    * oracles: md5-derived token hash (the [[hex60Sql]] positional-sum
+    * mirror of TextOps.baseHash) + the 32 conditional ±1 bit sums. */
+  private lazy val simhashBitSumsCte: String = {
+    val bitSums = (0 until 32)
+      .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(", ")
+    "WITH tk AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS t FROM documents), " +
+      s"sh_h AS (SELECT doc_id, ${hex60Sql("m")} AS h FROM (SELECT doc_id, md5(t) AS m FROM tk)), " +
+      s"sb AS (SELECT doc_id, $bitSums FROM sh_h GROUP BY doc_id)"
+  }
 
   /** MinHash candidate+verify CTE chain (appended after
     * [[ngramShingleCte]]): base hash h = int(md5(s)[1..15], 16) mod p —
@@ -490,10 +508,7 @@ object SparkEntry {
     // exact-substring dedup: the w=20 form of the shingle CTE (span
     // length + df cap interpolated from TextOps constants)
     "q_dedup_substring" -> {
-      val w = TextOps.substringSpanTokens
-      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-        s"s0 AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + $w AS INTEGER)], ' ') AS s FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - $w, 0) + 1)) AS i FROM tok))), " +
-        s"s1 AS (SELECT doc_id, s FROM s0 WHERE s IN (SELECT s FROM s0 GROUP BY s HAVING COUNT(*) <= ${TextOps.shingleDfCap})), " +
+      s"${shingleCte(TextOps.substringSpanTokens)}, " +
         "s2 AS (SELECT doc_id, md5(s) AS h FROM s1) " +
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_spans FROM s2 a JOIN s2 b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2 ORDER BY id_a, id_b"
     },
@@ -510,15 +525,10 @@ object SparkEntry {
     // baseHash60 positional-sum mirror), 32 conditional bit sums, sign
     // -> bit char; engine-identical fingerprints group identically
     "q_dedup_simhash" -> {
-      val bitSums = (0 until 32)
-        .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
-        .mkString(", ")
       val fpChars = (0 until 32)
         .map(b => s"CASE WHEN b$b > 0 THEN '1' ELSE '0' END")
         .mkString("concat(", ", ", ")")
-      "WITH tk AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS t FROM documents), " +
-        s"sh_h AS (SELECT doc_id, ${hex60Sql("m")} AS h FROM (SELECT doc_id, md5(t) AS m FROM tk)), " +
-        s"sb AS (SELECT doc_id, $bitSums FROM sh_h GROUP BY doc_id), " +
+      s"$simhashBitSumsCte, " +
         s"fp AS (SELECT doc_id, $fpChars AS sh FROM sb) " +
         "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_docs, sh FROM fp GROUP BY sh ORDER BY keep_id"
     },
@@ -526,15 +536,10 @@ object SparkEntry {
     // packed long, 4x8-bit band keys via shift/mask, popcount verify
     // via bit_count(xor) — maxHamming=3/nBands=4, the gate defaults
     "q_dedup_simhash_banded" -> {
-      val bitSums = (0 until 32)
-        .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
-        .mkString(", ")
       val fpLong = (0 until 32)
         .map(b => s"CASE WHEN b$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
         .mkString(" + ")
-      "WITH tk AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS t FROM documents), " +
-        s"sh_h AS (SELECT doc_id, ${hex60Sql("m")} AS h FROM (SELECT doc_id, md5(t) AS m FROM tk)), " +
-        s"sb AS (SELECT doc_id, $bitSums FROM sh_h GROUP BY doc_id), " +
+      s"$simhashBitSumsCte, " +
         s"fps AS (SELECT doc_id, $fpLong AS fp FROM sb), " +
         "keyed AS (SELECT doc_id, fp, band, (fp >> (band * 8)) & 255 AS bits FROM fps CROSS JOIN (SELECT UNNEST(range(0, 4)) AS band) bands), " +
         "cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, a.fp AS fp_a, c.fp AS fp_b FROM keyed a JOIN keyed c ON a.band = c.band AND a.bits = c.bits AND a.doc_id < c.doc_id) " +

@@ -14,8 +14,6 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.mm.PpmCodec
-
 /** DataSource V2 batch connector for a directory of media files — the
   * custom-source path for data Spark's built-in readers can't serve
   * well. `binaryFile` reads EVERY file's full body even for
@@ -94,9 +92,25 @@ object MediaFilters {
     case _ => scala.None
   }
 
-  /** Accept equality / comparison / IN over the decidable columns. */
-  def pushable(f: Filter): Boolean =
-    attrOf(f).exists(a => listingCols.contains(a) || headerCols.contains(a))
+  /** Columns whose values are integral — the only ones [[eval]]'s
+    * comparison branch can decide. */
+  private val numericCols: Set[String] = Set("size") ++ headerCols
+
+  /** Accept equality / IN over any decidable column, but ORDER
+    * comparisons only over the numeric ones: a pushed filter is removed
+    * from Spark's residual, so accepting e.g. kind >= 'audio' (which
+    * eval's integral cmp cannot decide — it would reject every file)
+    * silently returns 0 rows instead of leaving the predicate to
+    * Spark. */
+  def pushable(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => listingCols.contains(a) || headerCols.contains(a)
+    case In(a, _) => listingCols.contains(a) || headerCols.contains(a)
+    case GreaterThan(a, _) => numericCols.contains(a)
+    case GreaterThanOrEqual(a, _) => numericCols.contains(a)
+    case LessThan(a, _) => numericCols.contains(a)
+    case LessThanOrEqual(a, _) => numericCols.contains(a)
+    case _ => false
+  }
 
   def isListing(f: Filter): Boolean = attrOf(f).exists(listingCols.contains)
 
@@ -242,10 +256,19 @@ class MediaPartitionReader(paths: Array[String], required: StructType,
       if (i >= paths.length) return false
       val f = new java.io.File(paths(i))
       val kind = MediaSource.kindOf(f.getName)
+      // no header predicates + body needed anyway → ONE open: read the
+      // body and serve the metadata parse from its prefix (the separate
+      // header open would double every file's syscalls)
+      var body: Option[Array[Byte]] =
+        if (needBytes && headerFilters.isEmpty) {
+          MediaSource.bodyReads.incrementAndGet()
+          Some(java.nio.file.Files.readAllBytes(f.toPath))
+        } else scala.None
       // header-only read for metadata + pushed predicates: bounded
       // 256-byte prefix, never the body
       val header: Option[Array[Byte]] =
-        if (needMeta) {
+        if (body.isDefined) { if (needMeta) body.map(_.take(256)) else scala.None }
+        else if (needMeta) {
           MediaSource.headerReads.incrementAndGet()
           val in = new java.io.FileInputStream(f)
           try Some(in.readNBytes(256)) finally in.close()
@@ -259,12 +282,11 @@ class MediaPartitionReader(paths: Array[String], required: StructType,
       val metaVals = Map[String, Any]("width" -> w, "height" -> h, "sample_rate" -> sr)
       if (headerFilters.forall(fl =>
           MediaFilters.eval(fl, metaVals(MediaFilters.attr(fl))))) {
-        // only now is the body worth materializing
-        val body: Option[Array[Byte]] =
-          if (needBytes) {
-            MediaSource.bodyReads.incrementAndGet()
-            Some(java.nio.file.Files.readAllBytes(f.toPath))
-          } else scala.None
+        // header filters passed (or none): body is worth materializing
+        if (needBytes && body.isEmpty) {
+          MediaSource.bodyReads.incrementAndGet()
+          body = Some(java.nio.file.Files.readAllBytes(f.toPath))
+        }
         val values: Map[String, Any] = Map(
           "path" -> UTF8String.fromString(f.getAbsolutePath),
           "name" -> UTF8String.fromString(f.getName),

@@ -111,6 +111,32 @@ class MediaSourceSpec extends SparkSpec {
     assert(both == Seq("img0.ppm", "img1.ppm", "img2.ppm", "tone0.wav", "tone1.wav"))
   }
 
+  test("ORDER comparisons on the string kind column stay residual and evaluate correctly") {
+    // kind >= 'audio' is not integral-decidable: if the scan claimed it
+    // as pushed, eval's numeric cmp would reject EVERY file (0 rows);
+    // it must stay a residual Spark evaluates → all 6 files match
+    val df = spark.read.format(fmt).load(dir).where(col("kind") >= "audio")
+    assert(df.count() == 6)
+    assert(spark.read.format(fmt).load(dir).where(col("kind") > "binary").count() == 3)
+    // and the scan's pushed-filter list must not contain the comparison
+    val scanDesc = df.queryExecution.executedPlan.toString()
+    assert(!scanDesc.contains("listingFilters=[GreaterThanOrEqual"),
+      s"kind comparison must not be pushed:\n$scanDesc")
+  }
+
+  test("metadata+bytes projection opens each file once, serving the header from the body") {
+    MediaSource.headerReads.set(0); MediaSource.bodyReads.set(0)
+    val rows = spark.read.format(fmt).load(dir)
+      .select("name", "width", "bytes").collect()
+    assert(rows.length == 6)
+    assert(MediaSource.bodyReads.get() == 6, s"bodyReads=${MediaSource.bodyReads.get()}")
+    assert(MediaSource.headerReads.get() == 0,
+      s"header must be served from the body prefix: headerReads=${MediaSource.headerReads.get()}")
+    // dims still parsed correctly from the body-served prefix
+    val img = rows.find(_.getAs[String]("name") == "img1.ppm").get
+    assert(img.getAs[Int]("width") == 6)
+  }
+
   test("header-pushed predicates gate body reads: only matching bodies are opened") {
     MediaSource.bodyReads.set(0L)
     // sample_rate = 16000 matches exactly tone1.wav; bytes projected →
