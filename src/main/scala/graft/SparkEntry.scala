@@ -84,6 +84,8 @@ object SparkEntry {
     "q_join_null_safe" -> (RelQueries.joinNullSafe _),
     "q_arg_minmax" -> (RelQueries.argMinMax _),
     "q_window_range" -> (RelQueries.windowRange _),
+    "q_stats_moments" -> (RelQueries.statsMoments _),
+    "q_window_ntile" -> (RelQueries.windowNtile _),
     // §2.A reference (dist-keras) operator surface
     "q_minmax_scale" -> (VectorOps.qMinMaxScale _),
     "q_onehot" -> (VectorOps.qOneHot _),
@@ -121,6 +123,9 @@ object SparkEntry {
     "q_dedup_substring" -> (TextOps.qDedupSubstring _),
     "q_quality_unigram" -> (TextOps.qQualityUnigram _),
     "q_quality_tails" -> (TextOps.qQualityTails _),
+    "q_quality_gopher" -> (TextOps.qQualityGopher _),
+    "q_quality_entropy" -> (TextOps.qQualityEntropy _),
+    "q_token_bpe" -> (TextOps.qTokenBpe _),
     "q_frame_sample" -> (graft.mm.Multimodal.qFrameSample _),
     "q_tfidf" -> (text.Relevance.qTfidf _),
     "q_bm25_search" -> (text.Relevance.qBm25Search _),
@@ -609,5 +614,71 @@ object SparkEntry {
         s"s AS (SELECT id_a, id_b, ${dotSql("ea", "eb")} AS score FROM a JOIN b USING (bucket) WHERE id_a < id_b) " +
         "SELECT id_a, id_b, ROUND(score, 6) AS score FROM s WHERE score > 0.25 ORDER BY id_a, id_b"
     },
+    // Gopher composite gate: every threshold interpolated from the same
+    // TextOps constants the Spark side reads; ratio signals rounded to
+    // 6 dp BEFORE thresholding, thresholds pinned CAST(x AS DOUBLE) so
+    // both engines make the identical keep decision per document
+    "q_quality_gopher" -> {
+      val stop = TextOps.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "m AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens, " +
+        "ROUND(CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum') AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS mean_token_len, " +
+        s"CAST(len(list_filter(toks, t -> list_contains($stop, t))) AS INTEGER) AS stop_hits, " +
+        "ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS distinct_ratio FROM t) " +
+        s"SELECT doc_id, n_tokens, mean_token_len, stop_hits, distinct_ratio, " +
+        s"(n_tokens >= ${TextOps.gopherMinTokens} AND n_tokens <= ${TextOps.gopherMaxTokens}) AS len_ok, " +
+        s"(mean_token_len >= CAST(${TextOps.gopherMeanLenMin} AS DOUBLE) AND mean_token_len <= CAST(${TextOps.gopherMeanLenMax} AS DOUBLE)) AS mean_len_ok, " +
+        s"(stop_hits >= ${TextOps.gopherMinStopHits}) AS stop_ok, " +
+        s"(distinct_ratio >= CAST(${TextOps.gopherMinDistinctRatio} AS DOUBLE)) AS diverse_ok, " +
+        s"(n_tokens >= ${TextOps.gopherMinTokens} AND n_tokens <= ${TextOps.gopherMaxTokens} AND mean_token_len >= CAST(${TextOps.gopherMeanLenMin} AS DOUBLE) AND mean_token_len <= CAST(${TextOps.gopherMeanLenMax} AS DOUBLE) AND stop_hits >= ${TextOps.gopherMinStopHits} AND distinct_ratio >= CAST(${TextOps.gopherMinDistinctRatio} AS DOUBLE)) AS keep " +
+        "FROM m ORDER BY doc_id"
+    },
+    // token entropy: per-term −p·ln p rounded to 6 dp then summed as
+    // DECIMAL (addition-order-proof, the BM25 device); norm guard (d=1)
+    // mirrored as the same CASE on both engines
+    "q_quality_entropy" ->
+      ("WITH tk AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents), " +
+        "tf AS (SELECT doc_id, t, COUNT(*) AS c FROM tk GROUP BY doc_id, t), " +
+        "tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS d FROM tf GROUP BY doc_id), " +
+        "con AS (SELECT tf.doc_id, n, d, CAST(ROUND(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS e FROM tf JOIN tot ON tf.doc_id = tot.doc_id) " +
+        "SELECT doc_id, MIN(n) AS n_tokens, MIN(d) AS n_distinct, CAST(SUM(e) AS DOUBLE) AS entropy, " +
+        "CASE WHEN MIN(d) > 1 THEN ROUND(CAST(SUM(e) AS DOUBLE) / ln(CAST(MIN(d) AS DOUBLE)), 6) ELSE CAST(0.0 AS DOUBLE) END AS norm_entropy " +
+        "FROM con GROUP BY doc_id ORDER BY doc_id"),
+    // regex pre-tokenizer: piece regex interpolated from TextOps
+    // (disjoint char classes — Java regex and RE2 agree); deterministic
+    // injection exercises the numeric/symbol classes (q_scrub_pii
+    // device); exact piece stream verified via md5 over a \\u0001 join
+    "q_token_bpe" -> {
+      val inj = "CASE WHEN doc_id % 5 = 0 THEN concat('id=', CAST(doc_id AS VARCHAR), ' v1.2, cost $', CAST(doc_id % 97 AS VARCHAR), '! ', text) ELSE text END"
+      s"WITH inj AS (SELECT doc_id, $inj AS tx FROM documents) " +
+        s"SELECT doc_id, CAST(len(regexp_extract_all(tx, '${TextOps.bpePieceRe}')) AS INTEGER) AS n_pieces, " +
+        "CAST(len(regexp_extract_all(tx, '[0-9]+')) AS INTEGER) AS n_numeric, " +
+        "CAST(len(regexp_extract_all(tx, '[^a-z0-9 ]+')) AS INTEGER) AS n_symbol, " +
+        s"md5(array_to_string(regexp_extract_all(tx, '${TextOps.bpePieceRe}'), chr(1))) AS pieces_md5 FROM inj ORDER BY doc_id"
+    },
+    // single-pass moment statistics: the five moment sums are exact
+    // DECIMAL (partitioning-independent); the derived mean/var/std/corr
+    // chain is written in ONE fixed order, mirrored token for token
+    // (operands cast DECIMAL(19,4) in DuckDB: 18-wide operands multiply
+    // in int64 and overflow; 19 forces the exact int128 path — values
+    // are identical, so parity with Spark's DECIMAL(18,4) products holds)
+    "q_stats_moments" -> {
+      val q = "CAST(l_quantity AS DECIMAL(19,4))"
+      val p = "CAST(l_extendedprice AS DECIMAL(19,4))"
+      def prod(a: String, b: String) = s"CAST(SUM(CAST($a * $b AS DECIMAL(30,8))) AS DOUBLE)"
+      val nd = "CAST(n AS DOUBLE)"
+      val varX = s"(sxx - sx * sx / $nd) / $nd"
+      val varY = s"(syy - sy * sy / $nd) / $nd"
+      s"WITH m AS (SELECT l_returnflag, COUNT(*) AS n, CAST(SUM($q) AS DOUBLE) AS sx, CAST(SUM($p) AS DOUBLE) AS sy, ${prod(q, q)} AS sxx, ${prod(p, p)} AS syy, ${prod(q, p)} AS sxy FROM lineitem GROUP BY l_returnflag) " +
+        s"SELECT l_returnflag, n, ROUND(sx / $nd, 6) AS mean_qty, ROUND($varX, 6) AS var_qty, ROUND(sqrt($varX), 6) AS std_qty, " +
+        s"ROUND(((sxy - sx * sy / $nd) / $nd) / sqrt(($varX) * ($varY)), 6) AS corr_qty_price FROM m ORDER BY l_returnflag"
+    },
+    // distribution window functions: unique o_orderkey in the ordering
+    // so CUME_DIST cannot be tie-ambiguous; NTILE cast to INTEGER
+    // (Spark int vs DuckDB bigint)
+    "q_window_ntile" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, CAST(NTILE(4) OVER w AS INTEGER) AS quartile, " +
+        "ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank, ROUND(CUME_DIST() OVER w, 6) AS cdist " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) ORDER BY o_custkey, o_orderkey"),
   )
 }

@@ -608,4 +608,61 @@ object RelQueries {
         round(sumDec(col("value")) / count(col("value")), 6).as("mean"))
       .orderBy("col_name")
   }
+
+  /** q_stats_moments — single-pass moment statistics (mean / variance /
+    * stddev / correlation) per group, the way they are actually computed
+    * at 100 TB: ONE hash aggregation collecting the raw moments
+    * (Σx, Σy, Σx², Σy², Σxy — five combiner-friendly sums, no second
+    * pass, no window), then closed-form population formulas over the
+    * collected sums. Naive float moment sums are addition-order-
+    * dependent (different partitionings → different doubles → different
+    * hashes), so every moment is summed as DECIMAL — exact, so the
+    * derived doubles are bit-identical on any engine and any partition
+    * count. The derived-expression chain is written in one fixed order,
+    * mirrored token for token in the oracle SQL. */
+  def statsMoments(spark: SparkSession, dir: String): DataFrame = {
+    val x = dec4(col("l_quantity"))
+    val y = dec4(col("l_extendedprice"))
+    def prod(a: Column, b: Column): Column = (a * b).cast(DecimalType(30, 8))
+    val nd = col("n").cast("double")
+    val varX = (col("sxx") - col("sx") * col("sx") / nd) / nd
+    val varY = (col("syy") - col("sy") * col("sy") / nd) / nd
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(prod(x, x)).cast("double").as("sxx"),
+        sum(prod(y, y)).cast("double").as("syy"),
+        sum(prod(x, y)).cast("double").as("sxy"))
+      .select(
+        col("l_returnflag"), col("n"),
+        round(col("sx") / nd, 6).as("mean_qty"),
+        round(varX, 6).as("var_qty"),
+        round(sqrt(varX), 6).as("std_qty"),
+        round(((col("sxy") - col("sx") * col("sy") / nd) / nd) / sqrt(varX * varY), 6)
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q_window_ntile — distribution window functions (NTILE /
+    * PERCENT_RANK / CUME_DIST): the quantile-bucketing shape behind
+    * per-group calibration and leaderboard percentiles. Ordering key
+    * includes the UNIQUE o_orderkey so ties cannot make CUME_DIST
+    * engine-dependent. One hash exchange on the partition key + an
+    * in-partition sort — the same cost as any keyed window; never a
+    * global order. */
+  def windowNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
 }

@@ -896,4 +896,134 @@ object TextOps {
 
   def qLlmPipeline(spark: SparkSession, dir: String): DataFrame =
     llmPipeline(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  // ------------------------------------------ Gopher composite gate
+
+  /** Gopher-rule thresholds (Rae et al. 2021 §A1.1 shape, re-centred on
+    * this corpus's distributions so every rule actually discriminates:
+    * token counts here span 10..99, mean token length 3.7..5.3,
+    * stopword hits 0..23, distinct ratio 0.28..1.0). Single source of
+    * truth — interpolated into the oracle SQL. */
+  val gopherMinTokens = 20
+  val gopherMaxTokens = 90
+  val gopherMeanLenMin = 4.0
+  val gopherMeanLenMax = 5.0
+  val gopherMinStopHits = 2
+  val gopherMinDistinctRatio = 0.35
+
+  /** Gopher-style composite document gate — the rule battery corpus
+    * pipelines run BEFORE any model-based scoring: token-count bounds,
+    * mean-token-length bounds (word salad / char noise), minimum
+    * stopword evidence (natural-language check), minimum type-token
+    * ratio (repetition check). Emits every signal and per-rule verdict,
+    * not just the final keep, because production filters are tuned by
+    * inspecting per-rule kill rates.
+    *
+    * Scale shape: pure per-row HOF arithmetic — one codegen pass, zero
+    * shuffles before the output sort. Signals are rounded to 6 dp
+    * BEFORE thresholding so both engines make the identical decision
+    * on every document. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val nd = n.cast("double")
+    val meanLen = round(
+      aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+        .cast("double") / nd, 6)
+    val stopHits = size(filter(toks, t => array_contains(typedLit(stopwords), t)))
+    val dr = round(size(array_distinct(toks)).cast("double") / nd, 6)
+    docs.select(
+      col("doc_id"),
+      n.as("n_tokens"),
+      meanLen.as("mean_token_len"),
+      stopHits.as("stop_hits"),
+      dr.as("distinct_ratio"),
+      (n >= gopherMinTokens && n <= gopherMaxTokens).as("len_ok"),
+      (meanLen >= gopherMeanLenMin && meanLen <= gopherMeanLenMax).as("mean_len_ok"),
+      (stopHits >= gopherMinStopHits).as("stop_ok"),
+      (dr >= gopherMinDistinctRatio).as("diverse_ok"))
+      .withColumn("keep",
+        col("len_ok") && col("mean_len_ok") && col("stop_ok") && col("diverse_ok"))
+  }
+
+  def qQualityGopher(spark: SparkSession, dir: String): DataFrame =
+    gopherRules(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  // ------------------------------------------------- token entropy
+
+  /** Per-document token-entropy score — the gibberish detector that
+    * catches what type-token ratio misses: a document cycling two
+    * tokens and one cycling twenty both have low TTR, but their
+    * entropies differ. entropy = −Σ p·ln p over the doc's token
+    * distribution; norm_entropy divides by ln(n_distinct) (the maximum
+    * achievable with that vocabulary), so 1.0 = perfectly uniform usage
+    * and →0 = one token dominating.
+    *
+    * Scale shape: explode → (doc_id, term)-keyed count (map-side
+    * combine absorbs the explosion) → per-doc totals → contribution
+    * join co-partitioned on doc_id. Per-term contributions are rounded
+    * to 6 dp and summed as DECIMAL(18,6) — the BM25 device — so the
+    * score is independent of addition order (float Σ p·ln p is not). */
+  def entropyScores(docs: DataFrame): DataFrame = {
+    val tk = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val tf = tk.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+    val tot = tf.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("d"))
+    val p = col("c").cast("double") / col("n").cast("double")
+    tf.join(tot, Seq("doc_id"))
+      .select(col("doc_id"), col("n"), col("d"),
+        round(-p * log(p), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n")).as("n_tokens"), first(col("d")).as("n_distinct"),
+        sum(col("e")).as("se"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("se").cast("double").as("entropy"),
+        when(col("n_distinct") > 1,
+          round(col("se").cast("double") / log(col("n_distinct").cast("double")), 6))
+          .otherwise(lit(0.0)).as("norm_entropy"))
+  }
+
+  def qQualityEntropy(spark: SparkSession, dir: String): DataFrame =
+    entropyScores(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  // --------------------------------------------- regex pre-tokenizer
+
+  /** GPT-2-shape pre-tokenizer classes: runs of letters, runs of
+    * digits, runs of other non-space chars. Plain character classes
+    * only — no lookaround — so Java regex (Spark) and RE2 (DuckDB)
+    * produce the identical piece stream (the classes are disjoint, so
+    * leftmost-first vs leftmost-longest cannot differ either). */
+  val bpePieceRe = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+
+  /** Regex pre-tokenization counts — the byte-level BPE FRONT END
+    * (piece boundaries before merges): every LLM token budget starts
+    * here, and `q_token_count`'s chars/4 estimate is calibrated against
+    * it. The synthetic corpus is pure lowercase words, so every 5th
+    * document gets a deterministic doc_id-derived version string,
+    * price, and punctuation injected FIRST (identical expression in the
+    * oracle — the q_scrub_pii device): the numeric/symbol classes are
+    * exercised on real matches. The full piece stream is md5-compressed
+    * (pieces joined on \\u0001) so the oracle verifies the exact
+    * tokenization, not just counts.
+    *
+    * Scale shape: per-row regex passes, one codegen stage, zero
+    * shuffles before the output sort. */
+  def bpePieces(docs: DataFrame, textCol: Column): DataFrame = {
+    val pieces = regexp_extract_all(textCol, lit(bpePieceRe), lit(0))
+    docs.select(
+      col("doc_id"),
+      size(pieces).as("n_pieces"),
+      size(regexp_extract_all(textCol, lit("[0-9]+"), lit(0))).as("n_numeric"),
+      size(regexp_extract_all(textCol, lit("[^a-z0-9 ]+"), lit(0))).as("n_symbol"),
+      md5(concat_ws("\u0001", pieces)).as("pieces_md5"))
+  }
+
+  def qTokenBpe(spark: SparkSession, dir: String): DataFrame = {
+    val injected = when(col("doc_id") % 5 === 0,
+      concat(lit("id="), col("doc_id").cast("string"), lit(" v1.2, cost $"),
+        (col("doc_id") % 97).cast("string"), lit("! "), col("text")))
+      .otherwise(col("text"))
+    bpePieces(Tables.documents(spark, dir), injected).orderBy("doc_id")
+  }
 }

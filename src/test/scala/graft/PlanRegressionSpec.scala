@@ -61,7 +61,17 @@ class PlanRegressionSpec extends SparkSpec {
     ("q_quality_unigram", 4, 1),
     ("q_quality_tails", 5, 1),
     ("q_domain_mix", 4, 1),
-    ("q_shuffle_order", 4, 3))
+    ("q_shuffle_order", 4, 3),
+    // round-6 second wave: moments/gopher/bpe are single-agg or pure
+    // map passes (1 exch = the output ORDER BY range partition);
+    // ntile = keyed window exchange + window sort + output sort;
+    // entropy = (doc,term) count + per-doc totals + contribution join
+    // + final per-doc agg, all doc_id-co-partitioned after the first
+    ("q_stats_moments", 2, 1),
+    ("q_window_ntile", 2, 2),
+    ("q_quality_gopher", 1, 1),
+    ("q_quality_entropy", 3, 1),
+    ("q_token_bpe", 1, 1))
 
   pins.foreach { case (name, maxExch, maxSort) =>
     test(s"$name plan stays within $maxExch exchanges / $maxSort sorts") {

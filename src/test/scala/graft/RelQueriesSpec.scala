@@ -214,4 +214,45 @@ class RelQueriesSpec extends SparkSpec {
       assert(mean >= mn && mean <= mx, s"${r.getAs[String]("col_name")}: $mean not in [$mn,$mx]")
     }
   }
+
+  test("q_stats_moments matches Spark's built-in population moments") {
+    val got = RelQueries.statsMoments(spark, sfDir).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    val ref = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(avg(col("l_quantity")).as("m"), var_pop(col("l_quantity")).as("v"),
+        stddev_pop(col("l_quantity")).as("s"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    assert(got.keySet == ref.keySet && got.nonEmpty)
+    got.foreach { case (flag, r) =>
+      assert(math.abs(r.getAs[Double]("mean_qty") - ref(flag).getAs[Double]("m")) < 1e-4)
+      assert(math.abs(r.getAs[Double]("var_qty") - ref(flag).getAs[Double]("v")) < 1e-3)
+      assert(math.abs(r.getAs[Double]("std_qty") - ref(flag).getAs[Double]("s")) < 1e-4)
+      assert(math.abs(r.getAs[Double]("corr_qty_price") - ref(flag).getAs[Double]("c")) < 1e-4,
+        s"$flag: ${r.getAs[Double]("corr_qty_price")} vs ${ref(flag).getAs[Double]("c")}")
+    }
+  }
+
+  test("q_window_ntile: balanced quartiles, pct_rank/cume_dist hit their endpoints") {
+    val rows = RelQueries.windowNtile(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("o_custkey"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (ck, rs) =>
+      // quartile sizes differ by at most 1 and earlier buckets are never smaller
+      val sizes = rs.groupBy(_.getAs[Int]("quartile")).view.mapValues(_.length)
+      val present = sizes.keys.toSeq.sorted
+      assert(present.head == 1 && present == (1 to present.size),
+        s"cust $ck: quartiles must be dense from 1: $present")
+      assert(sizes.values.max - sizes.values.min <= 1, s"cust $ck: unbalanced $sizes")
+      (1 until present.size).foreach { i =>
+        assert(sizes(present(i - 1)) >= sizes(present(i)), s"cust $ck: early buckets take the extras")
+      }
+      // endpoints: first row 0.0 pct_rank; last row cume_dist exactly 1.0
+      assert(rs.map(_.getAs[Double]("pct_rank")).min == 0.0)
+      assert(rs.map(_.getAs[Double]("cdist")).max == 1.0)
+      if (rs.length > 1)
+        assert(rs.map(_.getAs[Double]("pct_rank")).max == 1.0, s"cust $ck: max pct_rank")
+    }
+  }
 }

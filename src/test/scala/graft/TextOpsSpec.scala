@@ -393,4 +393,78 @@ class TextOpsSpec extends SparkSpec {
     val mid = got.values.filter(_._3 == "mid").map(_._2)
     assert(mid.forall(_ > low), "low tail must sit strictly below the mid mass")
   }
+  test("gopher rules: each rule kills exactly its planted failure mode") {
+    import spark.implicits._
+    val docs = Seq(
+      // passes every rule: 24 tokens, mean len in [4,5], stopwords, diverse
+      (1L, Seq("the", "data", "table", "batch", "merge", "scan", "join", "sort",
+        "group", "query", "row", "value", "field", "index", "store", "shard",
+        "block", "chunk", "frame", "tuple", "the", "data", "merge", "scan").mkString(" ")),
+      (2L, "tiny doc here"), // too short -> len_ok false
+      (3L, Seq.fill(30)("wonderfully elaborate").mkString(" ")), // mean len > 5
+      (4L, (1 to 30).map(i => s"tok$i").mkString(" ")), // zero stopwords
+      (5L, ("data " * 30).trim) // one token type -> diverse_ok false
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherRules(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Boolean]("keep"), s"good doc must pass: ${got(1L)}")
+    assert(!got(2L).getAs[Boolean]("len_ok") && !got(2L).getAs[Boolean]("keep"))
+    assert(!got(3L).getAs[Boolean]("mean_len_ok"))
+    assert(!got(4L).getAs[Boolean]("stop_ok"))
+    assert(got(5L).getAs[Boolean]("len_ok") && got(5L).getAs[Boolean]("mean_len_ok") &&
+      got(5L).getAs[Boolean]("stop_ok") && !got(5L).getAs[Boolean]("diverse_ok") &&
+      !got(5L).getAs[Boolean]("keep"),
+      s"repetition must fail ONLY the diversity rule: ${got(5L)}")
+    // signal arithmetic spot-check on the good doc: 24 tokens, 20 types
+    assert(got(1L).getAs[Int]("n_tokens") == 24)
+    assert(math.abs(got(1L).getAs[Double]("distinct_ratio") - 20.0 / 24.0) < 1e-5)
+  }
+
+  test("token entropy: uniform = ln(d), constant = 0, skew in between") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x x x x"),
+      (3L, "p p p q")
+    ).toDF("doc_id", "text")
+    val got = TextOps.entropyScores(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Long]("n_tokens") == 8 && got(1L).getAs[Long]("n_distinct") == 8)
+    assert(math.abs(got(1L).getAs[Double]("entropy") - math.log(8)) < 1e-4)
+    assert(math.abs(got(1L).getAs[Double]("norm_entropy") - 1.0) < 1e-4)
+    assert(got(2L).getAs[Double]("entropy") == 0.0 &&
+      got(2L).getAs[Double]("norm_entropy") == 0.0,
+      "single-type doc: entropy and norm both exactly 0")
+    val expect3 = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(math.abs(got(3L).getAs[Double]("entropy") - expect3) < 1e-5)
+    assert(got(3L).getAs[Double]("norm_entropy") < 1.0 - 1e-3,
+      "skewed distribution must score below uniform")
+  }
+
+  test("bpe pieces: disjoint classes split runs; md5 fingerprints the exact boundaries") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab12 cd!ef"), (2L, "ab c"), (3L, "a bc")).toDF("doc_id", "text")
+    val got = TextOps.bpePieces(docs, col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Int]("n_pieces") == 5, s"ab|12|cd|!|ef: ${got(1L)}")
+    assert(got(1L).getAs[Int]("n_numeric") == 1 && got(1L).getAs[Int]("n_symbol") == 1)
+    // (ab)(c) vs (a)(bc): same chars, same counts - the separator in the
+    // md5 join is what keeps the fingerprints distinct
+    assert(got(2L).getAs[Int]("n_pieces") == got(3L).getAs[Int]("n_pieces"))
+    assert(got(2L).getAs[String]("pieces_md5") != got(3L).getAs[String]("pieces_md5"))
+  }
+
+  test("q_token_bpe: injected docs exercise numeric+symbol classes, others stay pure") {
+    val out = TextOps.qTokenBpe(spark, sfDir).collect()
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 5 == 0) {
+        assert(r.getAs[Int]("n_numeric") >= 2, s"doc $id: version+price digits expected")
+        assert(r.getAs[Int]("n_symbol") >= 3, s"doc $id: =, ., $$ and ! runs expected")
+      } else {
+        assert(r.getAs[Int]("n_numeric") == 0 && r.getAs[Int]("n_symbol") == 0,
+          s"doc $id: clean corpus text must produce only letter pieces")
+      }
+    }
+  }
 }
