@@ -652,8 +652,8 @@ object SparkEntry {
       val inj = "CASE WHEN doc_id % 5 = 0 THEN concat('id=', CAST(doc_id AS VARCHAR), ' v1.2, cost $', CAST(doc_id % 97 AS VARCHAR), '! ', text) ELSE text END"
       s"WITH inj AS (SELECT doc_id, $inj AS tx FROM documents) " +
         s"SELECT doc_id, CAST(len(regexp_extract_all(tx, '${TextOps.bpePieceRe}')) AS INTEGER) AS n_pieces, " +
-        "CAST(len(regexp_extract_all(tx, '[0-9]+')) AS INTEGER) AS n_numeric, " +
-        "CAST(len(regexp_extract_all(tx, '[^a-z0-9 ]+')) AS INTEGER) AS n_symbol, " +
+        s"CAST(len(regexp_extract_all(tx, '${TextOps.bpeNumRe}')) AS INTEGER) AS n_numeric, " +
+        s"CAST(len(regexp_extract_all(tx, '${TextOps.bpeSymRe}')) AS INTEGER) AS n_symbol, " +
         s"md5(array_to_string(regexp_extract_all(tx, '${TextOps.bpePieceRe}'), chr(1))) AS pieces_md5 FROM inj ORDER BY doc_id"
     },
     // single-pass moment statistics: the five moment sums are exact

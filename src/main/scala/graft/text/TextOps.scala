@@ -994,7 +994,9 @@ object TextOps {
     * only — no lookaround — so Java regex (Spark) and RE2 (DuckDB)
     * produce the identical piece stream (the classes are disjoint, so
     * leftmost-first vs leftmost-longest cannot differ either). */
-  val bpePieceRe = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+  val bpeNumRe = "[0-9]+"
+  val bpeSymRe = "[^A-Za-z0-9 ]+"
+  val bpePieceRe = s"[A-Za-z]+|$bpeNumRe|$bpeSymRe"
 
   /** Regex pre-tokenization counts — the byte-level BPE FRONT END
     * (piece boundaries before merges): every LLM token budget starts
@@ -1014,8 +1016,8 @@ object TextOps {
     docs.select(
       col("doc_id"),
       size(pieces).as("n_pieces"),
-      size(regexp_extract_all(textCol, lit("[0-9]+"), lit(0))).as("n_numeric"),
-      size(regexp_extract_all(textCol, lit("[^a-z0-9 ]+"), lit(0))).as("n_symbol"),
+      size(regexp_extract_all(textCol, lit(bpeNumRe), lit(0))).as("n_numeric"),
+      size(regexp_extract_all(textCol, lit(bpeSymRe), lit(0))).as("n_symbol"),
       md5(concat_ws("\u0001", pieces)).as("pieces_md5"))
   }
 
