@@ -86,6 +86,10 @@ object SparkEntry {
     "q_window_range" -> (RelQueries.windowRange _),
     "q_stats_moments" -> (RelQueries.statsMoments _),
     "q_window_ntile" -> (RelQueries.windowNtile _),
+    "q_join_full" -> (RelQueries.joinFull _),
+    "q_agg_collect" -> (RelQueries.aggCollect _),
+    "q_agg_multi_distinct" -> (RelQueries.aggMultiDistinct _),
+    "q_subquery_exists" -> (RelQueries.subqueryExists _),
     // §2.A reference (dist-keras) operator surface
     "q_minmax_scale" -> (VectorOps.qMinMaxScale _),
     "q_onehot" -> (VectorOps.qOneHot _),
@@ -680,5 +684,28 @@ object SparkEntry {
       ("SELECT o_custkey, o_orderkey, o_totalprice, CAST(NTILE(4) OVER w AS INTEGER) AS quartile, " +
         "ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank, ROUND(CUME_DIST() OVER w, 6) AS cdist " +
         "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) ORDER BY o_custkey, o_orderkey"),
+    // full outer: unmatched rows on both sides are the point
+    "q_join_full" ->
+      ("SELECT COALESCE(o.o_custkey, c.c_custkey) AS custkey, o.n_open, o.open_total, c.c_name, c.c_acctbal " +
+        "FROM (SELECT o_custkey, COUNT(*) AS n_open, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS open_total " +
+        "FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey) o " +
+        "FULL OUTER JOIN (SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal > 5000) c " +
+        "ON o.o_custkey = c.c_custkey ORDER BY custkey"),
+    // sorted collect_list/collect_set: the ONLY deterministic grouped-
+    // concatenation form (unsorted collect is partitioning-dependent)
+    "q_agg_collect" ->
+      ("SELECT o_custkey, string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses, " +
+        "array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS prio_set, COUNT(*) AS n " +
+        "FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
+    "q_agg_multi_distinct" ->
+      ("SELECT l_linestatus, COUNT(DISTINCT l_partkey) AS nd_part, COUNT(DISTINCT l_suppkey) AS nd_supp, " +
+        "COUNT(DISTINCT l_returnflag) AS nd_flag, COUNT(*) AS n FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"),
+    // correlated EXISTS / NOT EXISTS — the decorrelation pair; Spark
+    // side is the decorrelated semi+anti join form
+    "q_subquery_exists" ->
+      ("SELECT c_custkey, c_name, c_acctbal FROM customer c " +
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000) " +
+        "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F') " +
+        "ORDER BY c_custkey"),
   )
 }

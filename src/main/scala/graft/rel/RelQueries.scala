@@ -665,4 +665,78 @@ object RelQueries {
         round(cume_dist().over(w), 6).as("cdist"))
       .orderBy("o_custkey", "o_orderkey")
   }
+
+  /** q_join_full — FULL OUTER join with unmatched rows on BOTH sides:
+    * per-customer open-order ('O') aggregates vs the high-balance
+    * customer roster. Left-only rows = active customers with a low
+    * balance; right-only = rich customers with no open orders. The
+    * null-padded sides are the whole point (a training-data asset
+    * reconciliation: "what is in A, in B, in both"). Single hash
+    * shuffle on the (shared) key; no broadcast — full outer cannot
+    * broadcast either side, so the plan IS the scale plan. */
+  def joinFull(spark: SparkSession, dir: String): DataFrame = {
+    val open = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "O")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_open"), sumDec(col("o_totalprice")).as("open_total"))
+    val rich = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    open.join(rich, open("o_custkey") === rich("c_custkey"), "full_outer")
+      .select(
+        coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+        col("n_open"), col("open_total"), col("c_name"), col("c_acctbal"))
+      .orderBy("custkey")
+  }
+
+  /** q_agg_collect — order-insensitive list/set aggregation: the
+    * grouped-concatenation shape behind per-entity feature rollups
+    * (all statuses a customer ever had, the distinct priority set).
+    * `sort_array(collect_list)` makes the result independent of
+    * partitioning/merge order — collect_list alone is NOT
+    * deterministic under a shuffle, which is exactly why the sorted
+    * form is the only one an oracle can see. */
+  def aggCollect(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        concat_ws(",", sort_array(collect_list(col("o_orderstatus")))).as("statuses"),
+        concat_ws(",", sort_array(collect_set(col("o_orderpriority")))).as("prio_set"),
+        count(lit(1)).as("n"))
+      .orderBy("o_custkey")
+
+  /** q_agg_multi_distinct — several COUNT(DISTINCT) over different
+    * columns in one aggregate: Catalyst rewrites this to a single
+    * Expand (one pass over lineitem, rows replicated per distinct
+    * clause) + two-level aggregation — not one scan per distinct
+    * column, which is what a naive engine does and what kills it at
+    * 100 TB. PlanRegressionSpec pins the Expand. */
+  def aggMultiDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        countDistinct(col("l_returnflag")).as("nd_flag"),
+        count(lit(1)).as("n"))
+      .orderBy("l_linestatus")
+
+  /** q_subquery_exists — correlated EXISTS + NOT EXISTS, the classic
+    * decorrelation pair: customers with at least one big-ticket order
+    * (>400k) and no completed ('F') order. Spark-first form is the
+    * decorrelated one — a left-semi then a left-anti hash join, each
+    * one shuffle on the shared key (both auto-broadcast when the
+    * filtered order sets are small; at 100 TB they degrade gracefully
+    * to shuffled hash joins). The oracle states it as EXISTS/NOT
+    * EXISTS and DuckDB performs the same decorrelation. */
+  def subqueryExists(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val big = orders.filter(col("o_totalprice") > 400000).select(col("o_custkey"))
+    val done = orders.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    Tables.customer(spark, dir)
+      .join(big, col("c_custkey") === big("o_custkey"), "left_semi")
+      .join(done, col("c_custkey") === done("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy("c_custkey")
+  }
 }

@@ -255,4 +255,58 @@ class RelQueriesSpec extends SparkSpec {
         assert(rs.map(_.getAs[Double]("pct_rank")).max == 1.0, s"cust $ck: max pct_rank")
     }
   }
+
+  test("q_join_full has unmatched rows on BOTH sides plus matched rows") {
+    val out = RelQueries.joinFull(spark, sfDir).collect()
+    val leftOnly = out.count(r => !r.isNullAt(1) && r.isNullAt(3))
+    val rightOnly = out.count(r => r.isNullAt(1) && !r.isNullAt(3))
+    val both = out.count(r => !r.isNullAt(1) && !r.isNullAt(3))
+    assert(leftOnly > 0, "no left-only rows: full outer degenerated to right join")
+    assert(rightOnly > 0, "no right-only rows: full outer degenerated to left join")
+    assert(both > 0)
+    // custkey is never null (coalesce of the two keys) and unique
+    assert(out.forall(!_.isNullAt(0)))
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+  }
+
+  test("q_agg_collect is invariant under repartitioning (sorted collect)") {
+    val a = RelQueries.aggCollect(spark, sfDir).collect()
+    val b = RelQueries.aggCollect(spark, sfDir)
+      .repartition(7).sort("o_custkey").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // statuses string has n entries; prio_set is sorted and duplicate-free
+    a.foreach { r =>
+      assert(r.getAs[String]("statuses").split(",").length == r.getAs[Long]("n"))
+      val ps = r.getAs[String]("prio_set").split(",").toSeq
+      assert(ps == ps.sorted && ps.distinct == ps)
+    }
+  }
+
+  test("q_agg_multi_distinct plans ONE scan via Expand, values cross-checked") {
+    val df = RelQueries.aggMultiDistinct(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), "multiple count-distincts must go through a single Expand pass")
+    assert(plan.split("Scan parquet").length - 1 == 1, "must read lineitem exactly once")
+    val li = graft.Tables.lineitem(spark, sfDir).collect()
+    df.collect().foreach { r =>
+      val ls = r.getString(0)
+      val rows = li.filter(_.getAs[String]("l_returnflag") != null)
+        .filter(_.getAs[String]("l_linestatus") == ls)
+      assert(r.getAs[Long]("nd_part") == rows.map(_.getAs[Long]("l_partkey")).distinct.length)
+      assert(r.getAs[Long]("nd_supp") == rows.map(_.getAs[Long]("l_suppkey")).distinct.length)
+    }
+  }
+
+  test("q_subquery_exists ≡ Spark SQL's own correlated EXISTS form") {
+    val deco = RelQueries.subqueryExists(spark, sfDir).collect().map(_.toSeq).toSeq
+    Tables.customer(spark, sfDir).createOrReplaceTempView("c_exists_v")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("o_exists_v")
+    val sql = spark.sql(
+      """SELECT c_custkey, c_name, c_acctbal FROM c_exists_v c
+        |WHERE EXISTS (SELECT 1 FROM o_exists_v o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |AND NOT EXISTS (SELECT 1 FROM o_exists_v o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin).collect().map(_.toSeq).toSeq
+    assert(deco == sql)
+    assert(deco.nonEmpty)
+  }
 }
