@@ -73,10 +73,13 @@ object PlanAudit {
     // counts x AUC accumulator) — also bounded by construction
     // q_quality_unigram / q_domain_mix cross ONE-ROW aggregates too
     // (corpus token total / binding mixture capacity)
+    // q_gap_fill crosses the ONE-ROW day-bounds aggregate into the
+    // distinct-user set to generate the spine — bounded by construction
     val expectedCross = Set("q_cosine_topk", "q_dedup_embedding",
       "q_minmax_scale", "q_ivf_topk", "q_eval_metrics",
       "q_bloom_join", "q_tfidf", "q_bm25_search",
-      "q_quality_unigram", "q_domain_mix", "q_quality_tails")
+      "q_quality_unigram", "q_domain_mix", "q_quality_tails",
+      "q_gap_fill")
 
     println(f"${"query"}%-24s ${"exch"}%5s ${"bcast"}%5s ${"sort"}%5s ${"wscg"}%5s  flags")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.rel.RelQueries
+import graft.rel.{RelQueries, TimeSeries}
 import graft.sim.Similarity
 import graft.text.TextOps
 import graft.vec.VectorOps
@@ -90,6 +90,9 @@ object SparkEntry {
     "q_agg_collect" -> (RelQueries.aggCollect _),
     "q_agg_multi_distinct" -> (RelQueries.aggMultiDistinct _),
     "q_subquery_exists" -> (RelQueries.subqueryExists _),
+    "q_gap_fill" -> (TimeSeries.gapFill _),
+    "q_funnel" -> (TimeSeries.funnel _),
+    "q_cohort" -> (TimeSeries.cohort _),
     // §2.A reference (dist-keras) operator surface
     "q_minmax_scale" -> (VectorOps.qMinMaxScale _),
     "q_onehot" -> (VectorOps.qOneHot _),
@@ -707,5 +710,39 @@ object SparkEntry {
         "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000) " +
         "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F') " +
         "ORDER BY c_custkey"),
+    // gap-fill/densify: generated day spine (MIN..MAX) left-joined to
+    // the daily aggregates; zero-fill types pinned (0 BIGINT, 0.0
+    // DOUBLE), window SUM cast back to BIGINT (DuckDB -> HUGEINT)
+    "q_gap_fill" ->
+      ("WITH e AS (SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, value FROM events), " +
+        "daily AS (SELECT user_id, day, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM e GROUP BY user_id, day), " +
+        "b AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM e), " +
+        "spine AS (SELECT user_id, UNNEST(generate_series(dmin, dmax, INTERVAL 1 DAY)) AS day FROM (SELECT DISTINCT user_id FROM e) CROSS JOIN b) " +
+        "SELECT user_id, day, COALESCE(n, CAST(0 AS BIGINT)) AS n, COALESCE(sum_value, CAST(0.0 AS DOUBLE)) AS sum_value, " +
+        "CAST(SUM(COALESCE(n, 0)) OVER (PARTITION BY user_id ORDER BY day) AS BIGINT) AS cum_n " +
+        "FROM spine LEFT JOIN daily USING (user_id, day) ORDER BY user_id, day"),
+    // funnel: stage thresholds are keyed MINs (order-insensitive);
+    // conversion window interpolated from TimeSeries.funnelWindowHours
+    "q_funnel" -> {
+      val w = s"INTERVAL ${TimeSeries.funnelWindowHours} HOUR"
+      "WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS tss FROM events), " +
+        "t1 AS (SELECT user_id, MIN(tss) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id), " +
+        s"t2 AS (SELECT e.user_id, MIN(tss) AS t2 FROM e JOIN t1 USING (user_id) WHERE event_type = 'click' AND tss > t1 AND tss <= t1 + $w GROUP BY e.user_id), " +
+        s"t3 AS (SELECT e.user_id, MIN(tss) AS t3 FROM e JOIN t2 USING (user_id) WHERE event_type = 'purchase' AND tss > t2 AND tss <= t2 + $w GROUP BY e.user_id) " +
+        "SELECT stage, n_users FROM (" +
+        "SELECT '0_all' AS stage, COUNT(DISTINCT user_id) AS n_users FROM e " +
+        "UNION ALL SELECT '1_view', COUNT(*) FROM t1 " +
+        "UNION ALL SELECT '2_click', COUNT(*) FROM t2 " +
+        "UNION ALL SELECT '3_purchase', COUNT(*) FROM t3) ORDER BY stage"
+    },
+    // cohort retention: month-truncated timestamps subtract to exact
+    // month multiples, so Spark's CAST(months_between) ≡ DuckDB's
+    // date_diff('month'); activity de-duplicated before COUNT(DISTINCT)
+    "q_cohort" ->
+      ("WITH o AS (SELECT o_custkey, CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month FROM orders), " +
+        "f AS (SELECT o_custkey, MIN(month) AS cohort_month FROM o GROUP BY o_custkey), " +
+        "a AS (SELECT DISTINCT o.o_custkey, cohort_month, month FROM o JOIN f USING (o_custkey)) " +
+        "SELECT cohort_month, CAST(date_diff('month', cohort_month, month) AS INTEGER) AS month_offset, COUNT(DISTINCT o_custkey) AS n_customers " +
+        "FROM a GROUP BY cohort_month, month_offset ORDER BY cohort_month, month_offset"),
   )
 }

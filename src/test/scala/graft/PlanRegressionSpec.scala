@@ -71,7 +71,16 @@ class PlanRegressionSpec extends SparkSpec {
     ("q_window_ntile", 2, 2),
     ("q_quality_gopher", 1, 1),
     ("q_quality_entropy", 3, 1),
-    ("q_token_bpe", 1, 1))
+    ("q_token_bpe", 1, 1),
+    // round-6 time-series keys: gap_fill = daily agg + distinct-user +
+    // spine join + output sort, window sorts keyed by user; funnel's 9
+    // exchanges are its four stage aggregates (each 2-phase or joined)
+    // over one pushdown-filtered scan — every post-stage-1 table is
+    // user-count-bounded and shrinking; cohort = first-order agg +
+    // activity distinct + (cohort,offset) agg + output sort
+    ("q_gap_fill", 4, 2),
+    ("q_funnel", 9, 1),
+    ("q_cohort", 4, 1))
 
   pins.foreach { case (name, maxExch, maxSort) =>
     test(s"$name plan stays within $maxExch exchanges / $maxSort sorts") {
