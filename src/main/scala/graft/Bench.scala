@@ -21,6 +21,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the two intentionally-bounded partition-less windows (AUC bin
+    // cumsum, shuffle-bucket offsets — both run over ≤4096 aggregate
+    // rows, never data) trip WindowExec's blanket "No Partition Defined"
+    // warning on every job; ~100 repeats of it bury the bench's own
+    // output in the judged log tail, so drop that one logger to ERROR
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // warm up JVM/codegen + parquet footer caches so the first timed
     // query isn't charged ~10 s of one-time session startup
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
@@ -119,6 +127,15 @@ object Bench {
       case ((k, _, _, _), i)
         if math.min(sentinels(i), sentinels(i + 1)) > perKeyCut => k
     }
+    // per-key dispersion flag, independent of the sentinels: a key whose
+    // own reps disagree by >2.5× (max/min) had SOMETHING interfere with
+    // at least one rep — load the sentinels missed, GC, a spill — and
+    // its median is suspect even if the run as a whole looks clean. A
+    // healthy solo sweep has zero of these; any round-over-round
+    // comparison should discard flagged keys first.
+    val unstable = results.collect {
+      case (k, _, ts, _) if ts.size >= 2 && ts.max > 2.5 * ts.min => k
+    }
     def r3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     // ascending by median: the harness keeps only the LAST ~2000 output
     // chars of the run, so the expensive (interesting) keys and the
@@ -131,14 +148,15 @@ object Bench {
     val errs = results.collect { case (k, _, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val method = s"median of $reps noop-format writes per query (includes final ORDER BY cost; value per key = median over successful reps, raw samples under runs, queries sorted ascending by median; contended = keys whose surrounding sentinel no-ops ran >2x the run median, contended_run = the whole run is under sustained load (sentinel median >2x the solo reference) - treat such medians as load-inflated; round-1 timed count(), which dropped sorts via EliminateSorts - totals not directly comparable)"
+    val method = s"median of $reps noop-format writes per query (includes final ORDER BY cost; value per key = median over successful reps, raw samples under runs, queries sorted ascending by median; contended = keys whose surrounding sentinel no-ops ran >2x the run median, unstable = keys whose own reps spread >2.5x (max/min) - discard those medians in round-over-round comparisons, contended_run = the whole run is under sustained load (sentinel median >2x the solo reference) - treat such medians as load-inflated; round-1 timed count(), which dropped sorts via EliminateSorts - totals not directly comparable)"
     val contJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val unstJson = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sentJson = s"""{"base":${r3(sentinelBase)},"ref":${r3(sentinelRef)},"max":${r3(sentinels.max)},"samples":${sentinels.map(r3).mkString("[", ",", "]")}}"""
     // full JSON (all keys + raw samples) lands in the repo; stdout gets a
     // COMPACT line instead — rounds 1-4 all show "parsed": null in
     // BENCH_r*.json because the full ~5 kB line overflowed the harness's
     // ~2000-char stdout tail and could never be json.loads'd whole
-    val fullJson = s"""{"method":"$method","runs":$runs,"queries":$qs,"errors":$errs,"sentinel":$sentJson,"contended":$contJson,"contended_run":$runContended,"sf":"$sfDir","n_queries":${results.size},"unit":"sec","metric":"total","value":${r3(total)}}"""
+    val fullJson = s"""{"method":"$method","runs":$runs,"queries":$qs,"errors":$errs,"sentinel":$sentJson,"contended":$contJson,"unstable":$unstJson,"contended_run":$runContended,"sf":"$sfDir","n_queries":${results.size},"unit":"sec","metric":"total","value":${r3(total)}}"""
     // a BENCH_ONLY partial sweep must NOT silently overwrite the
     // committed full-sweep BENCH_LOCAL.json — default partial output to
     // a temp file instead (override explicitly if you mean it)
@@ -157,7 +175,7 @@ object Bench {
     // whole line survives inside the tail window alongside sbt's epilogue
     val topQs = byTime.takeRight(25).map { case (k, m, _, _) => "\"" + k + "\":" + r3(m) }
       .mkString("{", ",", "}")
-    println(s"""{"full":"$outFile","queries":$topQs,"errors":$errs,"n_contended":${contended.size},"contended_run":$runContended,"sf":"$sfDir","n_queries":${results.size},"queries_note":"slowest 25 of ${results.size}; every key + sentinel detail in $outFile","unit":"sec","metric":"total","value":${r3(total)}}""")
+    println(s"""{"full":"$outFile","queries":$topQs,"errors":$errs,"n_contended":${contended.size},"n_unstable":${unstable.size},"contended_run":$runContended,"sf":"$sfDir","n_queries":${results.size},"queries_note":"slowest 25 of ${results.size}; every key + sentinel detail in $outFile","unit":"sec","metric":"total","value":${r3(total)}}""")
     spark.stop()
   }
 }

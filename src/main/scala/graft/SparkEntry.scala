@@ -126,6 +126,9 @@ object SparkEntry {
     "q_pack_chunks" -> (TextOps.qPackChunks _),
     "q_dedup_incremental" -> (TextOps.qDedupIncremental _),
     "q_llm_pipeline" -> (TextOps.qLlmPipeline _),
+    "q_llm_pipeline_v2" -> (TextOps.qLlmPipelineV2 _),
+    "q_filter_domains" -> (TextOps.qFilterDomains _),
+    "q_token_fertility" -> (TextOps.qTokenFertility _),
     "q_scrub_pii" -> (TextOps.qScrubPii _),
     "q_dedup_substring" -> (TextOps.qDedupSubstring _),
     "q_quality_unigram" -> (TextOps.qQualityUnigram _),
@@ -143,6 +146,7 @@ object SparkEntry {
     "q_dedup_cluster_banded" -> (TextOps.qDedupClusterBanded _),
     "q_dedup_cluster_star" -> (TextOps.qDedupClusterStar _),
     "q_dedup_embedding_lsh" -> (Similarity.qDedupEmbeddingLsh _),
+    "q_dedup_embedding_cluster" -> (Similarity.qDedupEmbeddingCluster _),
     "q_lang_id" -> (TextOps.qLangId _),
     "q_ann_topk" -> (Similarity.qAnnTopK _),
     "q_dedup_simhash" -> (TextOps.qDedupSimhash _),
@@ -178,13 +182,18 @@ object SparkEntry {
 
   /** Shingle CTE chain (tok/s0/s1/cnt) for span length `w` — ONE
     * builder for every shingle-shaped oracle (ngram w=3, substring
-    * w=20, the pipeline's embedded copy) so a change to the shingle
-    * shape cannot silently diverge between them. */
+    * w=20, the pipelines' embedded copies) so a change to the shingle
+    * shape cannot silently diverge between them. `src` is the source
+    * relation (a prior CTE for the pipelines) and `p` prefixes the CTE
+    * names so several chains can coexist in one statement. */
+  private def shingleChain(w: Int, src: String, p: String): String =
+    s"${p}tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $src), " +
+      s"${p}s0 AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + $w AS INTEGER)], ' ') AS s FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - $w, 0) + 1)) AS i FROM ${p}tok))), " +
+      s"${p}s1 AS (SELECT doc_id, s FROM ${p}s0 WHERE s IN (SELECT s FROM ${p}s0 GROUP BY s HAVING COUNT(*) <= ${text.TextOps.shingleDfCap})), " +
+      s"${p}cnt AS (SELECT doc_id, COUNT(*) AS n FROM ${p}s1 GROUP BY doc_id)"
+
   private def shingleCte(w: Int): String =
-    "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-      s"s0 AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + $w AS INTEGER)], ' ') AS s FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - $w, 0) + 1)) AS i FROM tok))), " +
-      s"s1 AS (SELECT doc_id, s FROM s0 WHERE s IN (SELECT s FROM s0 GROUP BY s HAVING COUNT(*) <= ${text.TextOps.shingleDfCap})), " +
-      "cnt AS (SELECT doc_id, COUNT(*) AS n FROM s1 GROUP BY doc_id)"
+    "WITH " + shingleChain(w, "documents", "")
 
   private val ngramShingleCte: String = shingleCte(3)
 
@@ -610,6 +619,100 @@ object SparkEntry {
         "tt AS (SELECT doc_id, split || '/' || source AS stream, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM fin), " +
         "o AS (SELECT doc_id, stream, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset FROM tt) " +
         s"SELECT doc_id, stream, n_tokens, tok_offset, CAST(floor(tok_offset / ${TextOps.packBlockTokens}.0) AS BIGINT) AS chunk_first, CAST(floor((tok_offset + n_tokens - 1) / ${TextOps.packBlockTokens}.0) AS BIGINT) AS chunk_last FROM o ORDER BY doc_id"
+    },
+    // composed LLM pipeline v2: the v1 chain re-rooted on the SCRUBBED
+    // corpus (PII inject + redact first — the q_scrub_pii device), with
+    // the round-6 gates spliced in at their production positions:
+    // Gopher composite + unigram tail cut before the dedups, exact-
+    // substring dedup between exact and cluster dedup. Every stage is
+    // its own gate key's oracle SQL with the source relation swapped;
+    // all thresholds/cuts interpolated from the same constants.
+    "q_llm_pipeline_v2" -> {
+      val stop = TextOps.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      val evalIn = s"substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(TextOps.decontamEvalFraction)}'"
+      val inj = "CASE WHEN doc_id % 7 = 0 THEN concat('contact user', CAST(doc_id AS VARCHAR), '@example.com via https://example.org/u/', CAST(doc_id AS VARCHAR), ' ', text) ELSE text END"
+      "WITH RECURSIVE " +
+        // stage 0: PII inject + scrub — every later CTE reads d
+        s"d AS (SELECT doc_id, source, regexp_replace(regexp_replace($inj, '${TextOps.emailRe}', '<EMAIL>', 'g'), '${TextOps.urlRe}', '<URL>', 'g') AS text FROM documents), " +
+        s"${shingleChain(3, "d", "")}, " +
+        // stage 1a: Gopher composite gate (q_quality_gopher shape)
+        s"gop_ok AS (SELECT doc_id FROM (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens, ROUND(CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum') AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS mean_token_len, CAST(len(list_filter(toks, t -> list_contains($stop, t))) AS INTEGER) AS stop_hits, ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS distinct_ratio FROM tok) WHERE n_tokens >= ${TextOps.gopherMinTokens} AND n_tokens <= ${TextOps.gopherMaxTokens} AND mean_token_len >= CAST(${TextOps.gopherMeanLenMin} AS DOUBLE) AND mean_token_len <= CAST(${TextOps.gopherMeanLenMax} AS DOUBLE) AND stop_hits >= ${TextOps.gopherMinStopHits} AND distinct_ratio >= CAST(${TextOps.gopherMinDistinctRatio} AS DOUBLE)), " +
+        // stage 1b: unigram tail cut (q_quality_tails shape; mid mass survives)
+        "utk AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS t FROM d), " +
+        "utf AS (SELECT t, COUNT(*) AS c FROM utk GROUP BY t), " +
+        "utot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM utf), " +
+        "ucost AS (SELECT doc_id, CAST(ROUND(-ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS nll FROM utk JOIN utf USING (t) CROSS JOIN utot), " +
+        "usc AS (SELECT doc_id, ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll FROM ucost GROUP BY doc_id), " +
+        "ucut AS (SELECT ROUND(quantile_cont(avg_nll, 0.1), 6) AS p10, ROUND(quantile_cont(avg_nll, 0.9), 6) AS p90 FROM usc), " +
+        "tail_ok AS (SELECT doc_id FROM usc CROSS JOIN ucut WHERE avg_nll > p10 AND avg_nll < p90), " +
+        // stage 1c: quality gate (q_quality_score shape)
+        s"qual_ok AS (SELECT doc_id FROM (SELECT doc_id, ROUND((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5 + (1.0 - CAST(len(list_filter(toks, t -> list_contains($stop, t))) AS DOUBLE) / len(toks)) * 0.5, 6) AS quality FROM tok) WHERE quality >= ${TextOps.pipelineMinQuality}), " +
+        // stage 1d: repetition gate (q_quality_repetition shape)
+        "g2 AS (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS g FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - 2, 0) + 1)) AS i FROM tok)), " +
+        "a2 AS (SELECT doc_id, MAX(c) AS max2, SUM(c) AS tot2 FROM (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g) GROUP BY doc_id), " +
+        "g3 AS (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' ') AS g FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - 3, 0) + 1)) AS i FROM tok)), " +
+        "a3 AS (SELECT doc_id, COUNT(*) AS tot3, COUNT(DISTINCT g) AS dist3 FROM g3 GROUP BY doc_id), " +
+        s"rep_ok AS (SELECT a2.doc_id FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id WHERE NOT (CAST(max2 AS DOUBLE) / tot2 > ${TextOps.repTopBigramMax} OR 1.0 - CAST(dist3 AS DOUBLE) / tot3 > ${TextOps.repDupTrigramMax})), " +
+        // stage 2: decontamination vs the eval carve-out
+        s"ev AS (SELECT DISTINCT s FROM s1 WHERE $evalIn), " +
+        s"tr AS (SELECT doc_id, s FROM s1 WHERE NOT $evalIn), " +
+        "tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id), " +
+        "cont AS (SELECT doc_id, COUNT(*) AS nc FROM tr JOIN ev USING (s) GROUP BY doc_id), " +
+        s"decon_ok AS (SELECT t.doc_id FROM tot t LEFT JOIN cont c ON t.doc_id = c.doc_id WHERE NOT (CAST(COALESCE(nc, 0) AS DOUBLE) / n_shingles > ${TextOps.pipelineContamMax})), " +
+        // gates compose; stage 3: exact dedup
+        s"base AS (SELECT doc_id, source, text FROM d WHERE NOT $evalIn AND doc_id IN (SELECT doc_id FROM qual_ok) AND doc_id IN (SELECT doc_id FROM gop_ok) AND doc_id IN (SELECT doc_id FROM tail_ok) AND doc_id IN (SELECT doc_id FROM rep_ok) AND doc_id IN (SELECT doc_id FROM decon_ok)), " +
+        "base2 AS (SELECT * FROM base WHERE doc_id IN (SELECT MIN(doc_id) FROM base GROUP BY md5(text))), " +
+        // stage 4: exact-substring dedup (q_dedup_substring shape;
+        // min-id-wins — any doc sharing a span with a lower id drops)
+        s"${shingleChain(TextOps.substringSpanTokens, "base2", "x")}, " +
+        "xh AS (SELECT doc_id, md5(s) AS h FROM xs1), " +
+        "xdup AS (SELECT DISTINCT b.doc_id AS doc_id FROM xh a JOIN xh b ON a.h = b.h AND a.doc_id < b.doc_id), " +
+        "base3 AS (SELECT * FROM base2 WHERE doc_id NOT IN (SELECT doc_id FROM xdup)), " +
+        // stage 5: ngram-jaccard cluster dedup over the survivors
+        s"${shingleChain(3, "base3", "c")}, " +
+        s"cpairs AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, ROUND(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 6) AS jaccard FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni FROM cs1 a JOIN cs1 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) i JOIN ccnt ca ON ca.doc_id = id_a JOIN ccnt cb ON cb.doc_id = id_b) WHERE jaccard > ${TextOps.pipelineClusterJaccard}), " +
+        "cedges AS (SELECT id_a AS src, id_b AS dst FROM cpairs UNION ALL SELECT id_b, id_a FROM cpairs), " +
+        "comp(id, lbl) AS (SELECT doc_id, doc_id FROM base3 UNION SELECT e.dst, c.lbl FROM comp c JOIN cedges e ON e.src = c.id), " +
+        "keepc AS (SELECT id AS doc_id FROM comp GROUP BY id HAVING id = MIN(lbl)), " +
+        // stages 6+7: split assignment + packing
+        s"fin AS (SELECT doc_id, source, text, CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(0.8)}' THEN 'train' WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(0.9)}' THEN 'val' ELSE 'test' END AS split FROM base3 WHERE doc_id IN (SELECT doc_id FROM keepc)), " +
+        "tt AS (SELECT doc_id, split || '/' || source AS stream, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM fin), " +
+        "o AS (SELECT doc_id, stream, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset FROM tt) " +
+        s"SELECT doc_id, stream, n_tokens, tok_offset, CAST(floor(tok_offset / ${TextOps.packBlockTokens}.0) AS BIGINT) AS chunk_first, CAST(floor((tok_offset + n_tokens - 1) / ${TextOps.packBlockTokens}.0) AS BIGINT) AS chunk_last FROM o ORDER BY doc_id"
+    },
+    // URL/domain blocklist: synthetic doc_id-derived URLs over the
+    // literal pool (the q_scrub_pii injection device), host extracted
+    // with a portable char-class regex, www-stripped/lowercased, then
+    // exact + suffix blocklists — all literals interpolated from the
+    // same TextOps constants the Spark side reads
+    "q_filter_domains" -> {
+      val pool = TextOps.domainPool.map(d => s"'$d'").mkString("([", ", ", "])")
+      val blocked = TextOps.blockedDomains.map(d => s"'$d'").mkString(", ")
+      val sufCond = TextOps.blockedSuffixes.map(s => s"d LIKE '%$s'").mkString(" OR ")
+      s"WITH u AS (SELECT doc_id, concat('https://', $pool[CAST(doc_id % ${TextOps.domainPool.size} + 1 AS INTEGER)], '/p/', CAST(doc_id AS VARCHAR)) AS url FROM documents), " +
+        s"dom AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url, '${TextOps.hostRe}', 1)), '^www[.]', '') AS d FROM u) " +
+        s"SELECT d AS domain, (d IN ($blocked) OR $sufCond) AS blocked, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id FROM dom GROUP BY 1, 2 ORDER BY domain"
+    },
+    // tokenizer fertility: the q_token_bpe piece stream (same injection
+    // device) aggregated per language; ratios divide the exact BIGINT
+    // sums once (one IEEE division — addition-order-proof)
+    "q_token_fertility" -> {
+      val inj = "CASE WHEN doc_id % 5 = 0 THEN concat('id=', CAST(doc_id AS VARCHAR), ' v1.2, cost $', CAST(doc_id % 97 AS VARCHAR), '! ', text) ELSE text END"
+      s"WITH i AS (SELECT lang, $inj AS tx FROM documents), " +
+        s"m AS (SELECT lang, CAST(len(regexp_extract_all(tx, '${TextOps.bpePieceRe}')) AS BIGINT) AS p, CAST(len(string_split(tx, ' ')) AS BIGINT) AS w, CAST(len(tx) AS BIGINT) AS c FROM i) " +
+        "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(p) AS BIGINT) AS n_pieces, CAST(SUM(w) AS BIGINT) AS n_words, CAST(SUM(c) AS BIGINT) AS n_chars, ROUND(CAST(SUM(p) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6) AS fertility, ROUND(CAST(SUM(c) AS DOUBLE) / CAST(SUM(p) AS DOUBLE), 6) AS bytes_per_piece FROM m GROUP BY lang ORDER BY lang"
+    },
+    // SemDeDup-style embedding clusters: the q_dedup_embedding_lsh pair
+    // SQL (generated bucket mirror, unrounded score filter) feeding the
+    // same recursive-CTE CC fixpoint as the MinHash cluster oracles
+    "q_dedup_embedding_cluster" -> {
+      s"WITH RECURSIVE wb AS (SELECT vec_id, embedding, ${Similarity.lshBucketSql("embedding", 4, 64)} AS b0 FROM embeddings), " +
+        s"a AS (SELECT vec_id AS id_a, embedding AS ea, ${Similarity.multiProbeSql("b0", 4)} AS bucket FROM wb), " +
+        "b AS (SELECT vec_id AS id_b, embedding AS eb, b0 AS bucket FROM wb), " +
+        s"p AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, ${dotSql("ea", "eb")} AS score FROM a JOIN b USING (bucket) WHERE id_a < id_b) WHERE score > 0.25), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p), " +
+        "comp(id, lbl) AS (SELECT vec_id, vec_id FROM embeddings UNION SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.id) " +
+        "SELECT id AS vec_id, MIN(lbl) AS cluster_id, (id = MIN(lbl)) AS keep FROM comp GROUP BY id ORDER BY vec_id"
     },
     // LSH-bucketed all-pairs near-dup: same generated bucket mirror;
     // one-bit multi-probe on the probe side only (pairs are unique by

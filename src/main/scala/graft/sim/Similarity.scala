@@ -307,7 +307,6 @@ object Similarity {
         VectorOps.dot(col("ea"), col("eb")).as("score"))
       .filter(col("score") > threshold)
       .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
-      .orderBy("id_a", "id_b")
   }
 
   /** LSH-bucketed embedding near-dup on the driver gate — oracled via
@@ -315,6 +314,30 @@ object Similarity {
     * oracled q_dedup_embedding, minus its probe bound. */
   def qDedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDupPairs(Tables.embeddings(spark, dir), 0.25)
+      .orderBy("id_a", "id_b")
+
+  /** SemDeDup-style embedding-cluster dedup — the semantic analogue of
+    * the MinHash cluster keys: LSH pair edges ([[embeddingNearDupPairs]])
+    * feed [[graft.graph.ConnectedComponents.run]], one row per vector
+    * with its cluster's min id and a keep flag (keep exactly the min-id
+    * survivor per semantic cluster). This is the decision step a
+    * SemDeDup pass actually ships — pairs alone don't dedup anything.
+    *
+    * Scale: edge generation is the bucket equi-join (document-linear,
+    * never all-pairs) and CC is the checkpointed iterative core both
+    * already proven at the banded-MinHash key — composition adds no new
+    * shape. Oracled: the LSH bucket mirror is SQL-generated, so the
+    * pair set AND the recursive-CTE fixpoint reproduce in DuckDB. */
+  def qDedupEmbeddingCluster(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val edges = embeddingNearDupPairs(emb, 0.25)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val nodes = emb.select(col("vec_id").as("id"))
+    graft.graph.ConnectedComponents.run(edges, nodes)
+      .select(col("id").as("vec_id"), col("lbl").as("cluster_id"),
+        (col("id") === col("lbl")).as("keep"))
+      .orderBy("vec_id")
+  }
 
   /** Auto-sized + skew-guarded LSH near-dup on the driver gate
     * (rows-only, like [[qDedupEmbeddingLsh]]): plane count derived from

@@ -160,6 +160,42 @@ object Sampling {
       .select(col("doc_id"), col("pos"))
       .orderBy("doc_id")
 
+  /** Materialize the shuffled order as SHARDED parquet — the write path
+    * that closes [[shufflePositions]]' 100 TB claim: each shard
+    * directory holds exactly one contiguous `pos` range (shard =
+    * hash-prefix bucket = a prefix of the sort key, so bucket-major
+    * order ≡ global order), rows inside each shard file are pos-sorted,
+    * and NO global sort ever runs — the plan is one hash exchange on the
+    * shard id plus a per-partition sort, both shapes that scale
+    * linearly with executors. A trainer then streams shards in shard-id
+    * order (or any subset, resumably) and reads the exact global
+    * permutation.
+    *
+    * `sortWithinPartitions(shard, pos)` rather than `(pos)` alone:
+    * multiple shards can hash into one task, and the writer splits
+    * files by the partitionBy value — grouping by shard first keeps
+    * each file's rows contiguous AND ordered. */
+  def writeShuffledShards(df: DataFrame, key: Column, path: String,
+                          hexChars: Int = 2): Unit =
+    shuffledShardsFrame(df, key, hexChars)
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** The exact frame [[writeShuffledShards]] writes — exposed so specs
+    * can assert the plan (no global sort) without doing I/O. */
+  def shuffledShardsFrame(df: DataFrame, key: Column,
+                          hexChars: Int = 2): DataFrame = {
+    require(!df.columns.contains("shard"),
+      "shuffledShardsFrame reserves column name 'shard'")
+    // the shard id re-derives the SAME hash-prefix bucket
+    // shufflePositions used internally, so pos ranges per shard are
+    // contiguous by construction (offset_b .. offset_b + count_b)
+    shufflePositions(df, key, hexChars)
+      .withColumn("shard",
+        substring(md5(key.cast("string").cast("binary")), 1, hexChars))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+  }
+
   // ------------------------------------------------ domain-mixture planning
 
   /** Target mixture for the q_domain_mix gate key ('es' deliberately

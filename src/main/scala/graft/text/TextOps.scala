@@ -897,6 +897,95 @@ object TextOps {
   def qLlmPipeline(spark: SparkSession, dir: String): DataFrame =
     llmPipeline(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** The v2 end-to-end pipeline: [[llmPipeline]]'s six stages plus the
+    * round-6 operators composed in, in production order —
+    *
+    *   PII scrub → Gopher gate → unigram tail cut → quality gate →
+    *   repetition gate → eval carve-out + decontamination → exact dedup
+    *   → exact-substring dedup → near-dup cluster dedup → split → pack
+    *
+    * The scrub runs FIRST and every later stage reads the SCRUBBED text
+    * (redaction must precede anything that materializes tokens — the
+    * reason production pipelines order it this way), seeded by the same
+    * deterministic doc_id-derived injection as q_scrub_pii so the stage
+    * is exercised on real matches. Each stage is the EXACT operator of
+    * its own gate key — same thresholds, caps, and hash cuts — so the
+    * oracle is the composition of the per-stage oracle SQL, and
+    * LlmPipelineSpec asserts gate ≡ hand-composed stages.
+    *
+    * Scale: no new shapes — the added gates are per-row codegen passes
+    * (scrub, Gopher) or one-row-broadcast aggregates (tail cuts), and
+    * substring dedup is the same df-capped digest equi-join as its gate
+    * key. Stages drop documents monotonically, so the expensive
+    * token-stream work (shingles, CC) runs over ever-smaller survivor
+    * sets. */
+  def llmPipelineV2(docs: DataFrame,
+                    cp: Checkpointer = Checkpointer.Local): DataFrame = {
+    // stage 0: PII inject (the q_scrub_pii device) + scrub
+    val injected = when(col("doc_id") % 7 === 0,
+      concat(lit("contact user"), col("doc_id").cast("string"),
+        lit("@example.com via https://example.org/u/"),
+        col("doc_id").cast("string"), lit(" "), col("text")))
+      .otherwise(col("text"))
+    val cleanedText = regexp_replace(
+      regexp_replace(injected, emailRe, "<EMAIL>"), urlRe, "<URL>")
+    // checkpoint: every gate below re-reads the scrubbed corpus; without
+    // this each would recompute the two regex passes over the raw scan
+    val scrubbed = cp(docs.select(col("doc_id"), col("source"),
+      cleanedText.as("text")))
+
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nDistinct = size(array_distinct(toks)).cast("double")
+    val nStop = size(filter(toks, t => array_contains(typedLit(stopwords), t))).cast("double")
+    val quality = round((nDistinct / nTok) * 0.5 + (lit(1.0) - nStop / nTok) * 0.5, 6)
+    val isEval = Sampling.inSample(col("doc_id"), decontamEvalFraction)
+
+    // gates — each the gate key's own relational shape over the
+    // scrubbed corpus; tail cuts span the WHOLE corpus distribution
+    // (gating changes the percentile basis, so cuts come first)
+    val gopherOk = gopherRules(scrubbed).filter(col("keep")).select("doc_id")
+    val tailOk = qualityTails(scrubbed).filter(col("tail") === "mid").select("doc_id")
+    val repOk = repetitionReport(scrubbed).filter(!col("flagged")).select("doc_id")
+    val deconOk = decontaminationReport(scrubbed, isEval, 3,
+        threshold = pipelineContamMax, cp = cp)
+      .filter(!col("flagged")).select("doc_id")
+    val cleaned = cp(scrubbed
+      .filter(!isEval && quality >= pipelineMinQuality)
+      .join(gopherOk, Seq("doc_id"), "left_semi")
+      .join(tailOk, Seq("doc_id"), "left_semi")
+      .join(repOk, Seq("doc_id"), "left_semi")
+      .join(deconOk, Seq("doc_id"), "left_semi"))
+
+    // exact dedup: min doc_id survives per content digest
+    val exactKeep = cleaned.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val deduped = cp(cleaned.join(exactKeep, Seq("doc_id"), "left_semi"))
+
+    // exact-substring dedup: any doc sharing a 20-token span with a
+    // LOWER-id survivor drops (min-id-wins, the exact-dedup convention)
+    val subDropped = substringDupPairs(deduped, cp = cp)
+      .select(col("id_b").as("doc_id")).distinct()
+    val subKept = cp(deduped.join(subDropped, Seq("doc_id"), "left_anti"))
+
+    // near-dup cluster dedup over the surviving subset
+    val edges = ngramJaccardPairs(subKept, 3, pipelineClusterJaccard, None, cp = cp)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val keepCluster = graft.graph.ConnectedComponents
+      .run(edges, subKept.select(col("doc_id").as("id")), cp = cp)
+      .filter(col("id") === col("lbl"))
+      .select(col("id").as("doc_id"))
+    val survivors = subKept.join(keepCluster, Seq("doc_id"), "left_semi")
+
+    // split + pack over (split, source) streams
+    val withSplit = survivors.select(col("doc_id"), col("source"), col("text"),
+      Sampling.splitAssign(col("doc_id"), pipelineSplits).as("split"))
+    packChunks(withSplit, concat_ws("/", col("split"), col("source")), col("doc_id"))
+  }
+
+  def qLlmPipelineV2(spark: SparkSession, dir: String): DataFrame =
+    llmPipelineV2(Tables.documents(spark, dir)).orderBy("doc_id")
+
   // ------------------------------------------ Gopher composite gate
 
   /** Gopher-rule thresholds (Rae et al. 2021 §A1.1 shape, re-centred on
@@ -1027,5 +1116,110 @@ object TextOps {
         (col("doc_id") % 97).cast("string"), lit("! "), col("text")))
       .otherwise(col("text"))
     bpePieces(Tables.documents(spark, dir), injected).orderBy("doc_id")
+  }
+
+  /** The q_token_bpe injection device, shared with [[qTokenFertility]]
+    * (both keys must tokenize the IDENTICAL text or fertility would not
+    * be reproducible from the piece stream). */
+  private[graft] def bpeInjected: Column =
+    when(col("doc_id") % 5 === 0,
+      concat(lit("id="), col("doc_id").cast("string"), lit(" v1.2, cost $"),
+        (col("doc_id") % 97).cast("string"), lit("! "), col("text")))
+      .otherwise(col("text"))
+
+  // ------------------------------------------- tokenizer fertility stats
+
+  /** Tokenizer fertility per language — the stat tokenizer teams watch
+    * when a corpus mix changes: BPE pieces per whitespace word
+    * (fertility; >1 means words split into subwords) and bytes per
+    * piece (compression; low = symbol-heavy text burning token budget).
+    * Composes [[bpePieces]]'s piece stream with [[qTextStats]]'s
+    * language grouping; the same doc_id-derived injection as
+    * q_token_bpe exercises the numeric/symbol classes.
+    *
+    * Scale shape: per-row regex counts (one codegen pass) into a
+    * lang-keyed hash aggregate — the shuffle carries one narrow row per
+    * (partition, lang). Ratios divide the EXACT per-language long sums
+    * once at the end (one IEEE division, addition-order-proof), never
+    * averaged per-document. */
+  def tokenFertility(docs: DataFrame, textCol: Column): DataFrame = {
+    val pieces = size(regexp_extract_all(textCol, lit(bpePieceRe), lit(0))).cast("long")
+    val words = size(tokens(textCol)).cast("long")
+    val chars = length(textCol).cast("long")
+    docs.select(col("lang"), pieces.as("p"), words.as("w"), chars.as("c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("p")).as("n_pieces"),
+        sum(col("w")).as("n_words"), sum(col("c")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_pieces"), col("n_words"),
+        col("n_chars"),
+        round(col("n_pieces").cast("double") / col("n_words").cast("double"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_pieces").cast("double"), 6)
+          .as("bytes_per_piece"))
+  }
+
+  def qTokenFertility(spark: SparkSession, dir: String): DataFrame =
+    tokenFertility(Tables.documents(spark, dir), bpeInjected).orderBy("lang")
+
+  // --------------------------------------------- URL/domain blocklist
+
+  /** Literal domain pool for the q_filter_domains synthetic URLs (the
+    * corpus has no URL column, so each document gets a deterministic
+    * doc_id-derived one — the q_scrub_pii injection device). The pool
+    * deliberately includes a `www.`-prefixed entry (exercises host
+    * normalization) and both an exact-match and a suffix-match blocked
+    * domain. Shared with the oracle SQL as interpolated literals. */
+  val domainPool: Seq[String] = Seq(
+    "example.com", "www.news-example.net", "blog.example.org",
+    "spam-mill.example", "docs.example.io", "ads.tracker-example.net",
+    "wiki.example.org", "shop.example.co")
+  /** Exact-match blocklist. */
+  val blockedDomains: Seq[String] = Seq("spam-mill.example")
+  /** Suffix blocklist (a real blocklist blocks whole trees —
+    * `*.tracker-example.net` — not just apex domains). */
+  val blockedSuffixes: Seq[String] = Seq(".tracker-example.net")
+  /** Portable host-extraction regex: plain classes, no lookaround. */
+  val hostRe = "https?://([^/]+)"
+
+  /** Normalized registrable domain of a URL column: host, lowercased,
+    * leading `www.` stripped. */
+  def urlDomain(url: Column): Column =
+    regexp_replace(lower(regexp_extract(url, hostRe, 1)), "^www[.]", "")
+
+  /** Blocked-domain predicate: exact match against `blocked` or suffix
+    * match against `suffixes`. */
+  def domainBlocked(domain: Column,
+                    blocked: Seq[String] = blockedDomains,
+                    suffixes: Seq[String] = blockedSuffixes): Column = {
+    val exact = domain.isin(blocked: _*)
+    suffixes.foldLeft(exact)((acc, s) => acc || domain.endsWith(lit(s)))
+  }
+
+  /** URL/domain blocklist filter — the FIRST stage of every public web
+    * pipeline (C4/RefinedWeb drop blocklisted and tracker domains before
+    * any content-based work, because it is the cheapest kill). Returns
+    * the input rows with (domain, blocked) attached; callers filter
+    * `!blocked` to apply.
+    *
+    * Scale shape: one codegen'd regex + literal-list pass per row, zero
+    * shuffles — exactly why this gate runs first at 100 TB (it reads
+    * only the URL column and prunes before any tokenization). */
+  def filterDomains(docs: DataFrame, url: Column): DataFrame = {
+    val d = urlDomain(url)
+    docs.withColumn("domain", d).withColumn("blocked", domainBlocked(d))
+  }
+
+  /** Gate key: synthetic doc_id-derived URLs over the domain pool, then
+    * per-domain kill counts — the report a pipeline operator tunes the
+    * blocklist against (which domains die, how many docs each costs). */
+  def qFilterDomains(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      lit("https://"),
+      element_at(typedLit(domainPool), (col("doc_id") % domainPool.size).cast("int") + 1),
+      lit("/p/"), col("doc_id").cast("string"))
+    filterDomains(Tables.documents(spark, dir), url)
+      .groupBy(col("domain"), col("blocked"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+      .orderBy("domain")
   }
 }

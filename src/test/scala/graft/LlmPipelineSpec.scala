@@ -192,6 +192,77 @@ class LlmPipelineSpec extends SparkSpec {
     assert(bad == 0, "stream packing offsets are not exact prefix sums")
   }
 
+  test("q_llm_pipeline_v2 gate key ≡ hand-composed stages (round-6 ops included)") {
+    val out = TextOps.qLlmPipelineV2(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.nonEmpty, "v2 pipeline produced no survivors")
+
+    // recompose from the individual operators, each the gate key's own
+    // shape: scrub first, then every gate over the SCRUBBED text
+    val injected = when(col("doc_id") % 7 === 0,
+      concat(lit("contact user"), col("doc_id").cast("string"),
+        lit("@example.com via https://example.org/u/"),
+        col("doc_id").cast("string"), lit(" "), col("text")))
+      .otherwise(col("text"))
+    val cleanedText = regexp_replace(
+      regexp_replace(injected, TextOps.emailRe, "<EMAIL>"), TextOps.urlRe, "<URL>")
+    val scrubbed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), cleanedText.as("text"))
+
+    val isEval = text.Sampling.inSample(col("doc_id"), TextOps.decontamEvalFraction)
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    val quality = round((size(array_distinct(toks)).cast("double") / nTok) * 0.5 +
+      (lit(1.0) - size(filter(toks, t =>
+        array_contains(typedLit(TextOps.stopwords), t))).cast("double") / nTok) * 0.5, 6)
+
+    val gopherOk = TextOps.gopherRules(scrubbed).filter(col("keep")).select("doc_id")
+    val tailOk = TextOps.qualityTails(scrubbed)
+      .filter(col("tail") === "mid").select("doc_id")
+    val repOk = TextOps.repetitionReport(scrubbed).filter(!col("flagged")).select("doc_id")
+    val deconOk = TextOps.decontaminationReport(scrubbed, isEval, 3,
+        threshold = TextOps.pipelineContamMax)
+      .filter(!col("flagged")).select("doc_id")
+    val cleaned = scrubbed.filter(!isEval && quality >= TextOps.pipelineMinQuality)
+      .join(gopherOk, Seq("doc_id"), "left_semi")
+      .join(tailOk, Seq("doc_id"), "left_semi")
+      .join(repOk, Seq("doc_id"), "left_semi")
+      .join(deconOk, Seq("doc_id"), "left_semi")
+    val exact = cleaned.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val deduped = cleaned.join(exact, Seq("doc_id"), "left_semi")
+    val subDropped = TextOps.substringDupPairs(deduped)
+      .select(col("id_b").as("doc_id")).distinct()
+    val subKept = deduped.join(subDropped, Seq("doc_id"), "left_anti")
+    val edges = TextOps.ngramJaccardPairs(subKept, 3,
+        TextOps.pipelineClusterJaccard, scala.None)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val keep = graph.ConnectedComponents
+      .run(edges, subKept.select(col("doc_id").as("id")))
+      .filter(col("id") === col("lbl")).select(col("id").as("doc_id"))
+    val survivors = subKept.join(keep, Seq("doc_id"), "left_semi")
+    val withSplit = survivors.select(col("doc_id"), col("source"), col("text"),
+      text.Sampling.splitAssign(col("doc_id"), TextOps.pipelineSplits).as("split"))
+    val packed = TextOps.packChunks(withSplit,
+      concat_ws("/", col("split"), col("source")), col("doc_id")).orderBy("doc_id")
+
+    assert(out.columns.toSeq == packed.columns.toSeq)
+    assert(rows.toSeq == packed.collect().toSeq,
+      "v2 gate key diverged from the hand-composed stage chain")
+
+    // the v2 survivor set is a subset of v1's (v2 only adds gates) —
+    // except the scrub changes text, so compare counts loosely: v2 must
+    // gate at least as hard as v1 modulo the scrub's token edits
+    val v1n = TextOps.qLlmPipeline(spark, sfDir).count()
+    assert(rows.length <= v1n, s"v2 kept ${rows.length} > v1 $v1n")
+
+    // no PII survives: every surviving doc's text is scrub-clean
+    val leaked = survivors
+      .filter(col("text").rlike(TextOps.emailRe) || col("text").rlike(TextOps.urlRe))
+      .count()
+    assert(leaked == 0, s"$leaked survivors still contain raw emails/URLs")
+  }
+
   test("composed gate+exact-dedup plan has no cartesian product") {
     val exactSurvivors = gated
       .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))

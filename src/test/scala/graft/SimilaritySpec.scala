@@ -143,6 +143,32 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Set((1L, 2L)), s"planted pair missed or false positive: $got")
   }
 
+  test("embedding cluster dedup: pairs land in one cluster, min-id keeps") {
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val clusters = Similarity.qDedupEmbeddingCluster(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep"))).toMap
+    // total: every vector gets exactly one assignment
+    assert(clusters.size == emb.count())
+    // keep ⇔ the vector IS its cluster's min id; labels never exceed ids
+    clusters.foreach { case (id, (lbl, keep)) =>
+      assert(lbl <= id, s"cluster label $lbl above member $id")
+      assert(keep == (lbl == id), s"keep flag wrong for $id")
+    }
+    // every LSH near-dup pair must share a cluster (edges are the input)
+    val pairs = Similarity.embeddingNearDupPairs(emb, 0.25)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 == clusters(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // exactly one keeper per cluster
+    val byCluster = clusters.values.groupBy(_._1)
+    byCluster.foreach { case (lbl, ms) =>
+      assert(ms.count(_._2) == 1, s"cluster $lbl has ${ms.count(_._2)} keepers")
+    }
+  }
+
   test("autoPlanes sizes the signature from corpus count") {
     assert(Similarity.autoPlanes(1000000L, 4096L) == 8)   // ceil(log2(244))
     assert(Similarity.autoPlanes(500L, 64L) == 3)

@@ -144,4 +144,55 @@ class SourcesSpec extends SparkSpec {
     assert(!metaPlan.contains("content"),
       s"metadata query must not read file bodies:\n$metaPlan")
   }
+
+  test("sharded shuffle write: contiguous pos ranges, in-file order, no global sort") {
+    import org.apache.spark.sql.execution.SortExec
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val out = Files.createTempDirectory("graft_shards").toString
+    val frame = text.Sampling.shuffledShardsFrame(docs, col("doc_id"))
+
+    // the write-side plan must contain NO global sort — only the hash
+    // exchange on the shard id plus per-partition sorts (the whole
+    // point: at 100 TB a global ORDER BY is the query, this is not one)
+    val sorts = PlanAudit.nodes(PlanAudit.executedPlan(frame))
+      .collect { case s: SortExec => s }
+    assert(sorts.nonEmpty && sorts.forall(!_.global),
+      s"write plan ran a global sort: ${sorts.map(_.global)}")
+
+    text.Sampling.writeShuffledShards(docs, col("doc_id"), out)
+
+    // shard ranges: contiguous within each shard, chaining across
+    // shards in shard-id order, covering exactly 1..N
+    val ranges = spark.read.parquet(out)
+      .groupBy($"shard").agg(
+        min($"pos").as("lo"), max($"pos").as("hi"), count(lit(1)).as("c"))
+      .orderBy($"shard")
+      .as[(String, Long, Long, Long)].collect()
+    assert(ranges.nonEmpty)
+    ranges.foreach { case (s, lo, hi, c) =>
+      assert(hi - lo + 1 == c, s"shard $s range [$lo,$hi] has holes (count $c)")
+    }
+    val chained = ranges.sliding(2).forall {
+      case Array((_, _, hi, _), (_, lo, _, _)) => lo == hi + 1
+      case _ => true
+    }
+    assert(chained, s"shard ranges do not chain: ${ranges.mkString(", ")}")
+    assert(ranges.head._2 == 1L && ranges.last._3 == n,
+      s"ranges cover [${ranges.head._2}, ${ranges.last._3}], want [1, $n]")
+
+    // within one shard FILE the rows are pos-ascending (a trainer
+    // streaming the file reads the permutation in order, no sort)
+    val someShard = ranges(ranges.length / 2)._1
+    val inFile = spark.read.parquet(s"$out/shard=$someShard")
+      .select($"pos").as[Long].collect()
+    assert(inFile.toSeq == inFile.sorted.toSeq, s"shard $someShard file not pos-sorted")
+
+    // re-read union reproduces the oracled global order exactly
+    val rereadPos = spark.read.parquet(out)
+      .select($"doc_id", $"pos").as[(Long, Long)].collect().toMap
+    val oraclePos = text.Sampling.qShuffleOrder(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(rereadPos == oraclePos, "sharded write lost or changed positions")
+  }
 }

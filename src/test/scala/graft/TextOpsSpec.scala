@@ -467,4 +467,70 @@ class TextOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("domain filter: host normalization, exact + suffix blocklists") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://example.com/a"),            // clean
+      (2L, "https://WWW.Example.COM/b?q=1"),    // case + www -> example.com
+      (3L, "http://spam-mill.example/x"),       // exact blocklist
+      (4L, "https://ads.tracker-example.net/p"),// suffix blocklist
+      (5L, "https://tracker-example.net/p"),    // apex does NOT suffix-match
+      (6L, "https://www.sub.tracker-example.net/y")) // deep subdomain matches
+      .toDF("doc_id", "url")
+    val got = TextOps.filterDomains(docs, col("url")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[String]("domain") == "example.com" && !got(1L).getAs[Boolean]("blocked"))
+    assert(got(2L).getAs[String]("domain") == "example.com", "lowercase + www strip")
+    assert(got(3L).getAs[Boolean]("blocked"), "exact-match blocklist")
+    assert(got(4L).getAs[Boolean]("blocked"), "suffix blocklist")
+    assert(!got(5L).getAs[Boolean]("blocked"),
+      "apex tracker-example.net must NOT match the .tracker-example.net suffix")
+    assert(got(6L).getAs[String]("domain") == "sub.tracker-example.net" &&
+      got(6L).getAs[Boolean]("blocked"), "www strip then deep-subdomain suffix match")
+  }
+
+  test("q_filter_domains: pool covers all domains, kill counts only on blocked ones") {
+    val rows = TextOps.qFilterDomains(spark, sfDir).collect()
+    assert(rows.length == TextOps.domainPool.size,
+      s"every pool domain present once: ${rows.length}")
+    // the normalized pool: www. stripped from the prefixed entry
+    val want = TextOps.domainPool.map(_.stripPrefix("www.")).toSet
+    assert(rows.map(_.getAs[String]("domain")).toSet == want)
+    val blocked = rows.filter(_.getAs[Boolean]("blocked")).map(_.getAs[String]("domain"))
+    assert(blocked.toSet == Set("spam-mill.example", "ads.tracker-example.net"))
+    // kill counts are real: the synthetic URL assignment is uniform mod 8
+    rows.foreach(r => assert(r.getAs[Long]("n_docs") > 0))
+  }
+
+  test("token fertility composes the bpe piece stream with lang grouping") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "plain words only here"),      // 4 pieces = 4 words
+      (2L, "en", "v1.2 costs $5!"),             // pieces > words
+      (3L, "de", "nur woerter"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.tokenFertility(docs, col("text")).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    // en: doc1 4 pieces/4 words; doc2 "v|1|.|2|costs|$|5|!" = 8 pieces/3 words
+    assert(got("en").getAs[Long]("n_words") == 7 && got("en").getAs[Long]("n_pieces") == 12,
+      s"en: ${got("en")}")
+    assert(math.abs(got("en").getAs[Double]("fertility") - 12.0 / 7) < 1e-6)
+    assert(got("de").getAs[Double]("fertility") == 1.0, "pure-letter text: 1 piece per word")
+    // bytes_per_piece = chars / pieces over the exact sums
+    val enChars = "plain words only here".length + "v1.2 costs $5!".length
+    assert(math.abs(got("en").getAs[Double]("bytes_per_piece") - enChars / 12.0) < 1e-6)
+  }
+
+  test("q_token_fertility: injected symbols push fertility above 1 on the gate key") {
+    val rows = TextOps.qTokenFertility(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val f = r.getAs[Double]("fertility")
+      // every language has some doc_id % 5 == 0 docs, whose injected
+      // version/price pieces split beyond whitespace words
+      assert(f > 1.0, s"${r.getAs[String]("lang")}: fertility $f should exceed 1")
+      assert(r.getAs[Double]("bytes_per_piece") > 0)
+    }
+  }
 }
