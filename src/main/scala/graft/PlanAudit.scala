@@ -75,11 +75,13 @@ object PlanAudit {
     // (corpus token total / binding mixture capacity)
     // q_gap_fill crosses the ONE-ROW day-bounds aggregate into the
     // distinct-user set to generate the spine — bounded by construction
+    // q_llm_pipeline_v2 embeds the unigram-score + tail-cut stages, so
+    // it inherits their one-row crosses (corpus total, percentile cuts)
     val expectedCross = Set("q_cosine_topk", "q_dedup_embedding",
       "q_minmax_scale", "q_ivf_topk", "q_eval_metrics",
       "q_bloom_join", "q_tfidf", "q_bm25_search",
       "q_quality_unigram", "q_domain_mix", "q_quality_tails",
-      "q_gap_fill")
+      "q_gap_fill", "q_llm_pipeline_v2")
 
     println(f"${"query"}%-24s ${"exch"}%5s ${"bcast"}%5s ${"sort"}%5s ${"wscg"}%5s  flags")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
