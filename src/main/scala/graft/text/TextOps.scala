@@ -941,18 +941,33 @@ object TextOps {
     val quality = round((nDistinct / nTok) * 0.5 + (lit(1.0) - nStop / nTok) * 0.5, 6)
     val isEval = Sampling.inSample(col("doc_id"), decontamEvalFraction)
 
-    // gates — each the gate key's own relational shape over the
-    // scrubbed corpus; tail cuts span the WHOLE corpus distribution
-    // (gating changes the percentile basis, so cuts come first)
-    val gopherOk = gopherRules(scrubbed).filter(col("keep")).select("doc_id")
+    // Gopher gate: pure per-row arithmetic, so it fuses INLINE into the
+    // survivor filter — the exact expressions of [[gopherRules]] (same
+    // 6-dp rounding, so the decision is bit-identical to the gate key),
+    // without the separate scan + doc_id semi-join a report-shaped gate
+    // would cost. Measured: the fused filter removes one full pass over
+    // the scrubbed corpus from the pipeline's critical path.
+    val n = size(toks)
+    val meanLen = round(
+      aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+        .cast("double") / nTok, 6)
+    val stopHits = size(filter(toks, t => array_contains(typedLit(stopwords), t)))
+    val dr = round(size(array_distinct(toks)).cast("double") / nTok, 6)
+    val gopherKeep = n >= gopherMinTokens && n <= gopherMaxTokens &&
+      meanLen >= gopherMeanLenMin && meanLen <= gopherMeanLenMax &&
+      stopHits >= gopherMinStopHits && dr >= gopherMinDistinctRatio
+
+    // aggregation-shaped gates — each the gate key's own relational
+    // shape over the scrubbed corpus; tail cuts span the WHOLE corpus
+    // distribution (gating changes the percentile basis, so cuts come
+    // first)
     val tailOk = qualityTails(scrubbed).filter(col("tail") === "mid").select("doc_id")
     val repOk = repetitionReport(scrubbed).filter(!col("flagged")).select("doc_id")
     val deconOk = decontaminationReport(scrubbed, isEval, 3,
         threshold = pipelineContamMax, cp = cp)
       .filter(!col("flagged")).select("doc_id")
     val cleaned = cp(scrubbed
-      .filter(!isEval && quality >= pipelineMinQuality)
-      .join(gopherOk, Seq("doc_id"), "left_semi")
+      .filter(!isEval && quality >= pipelineMinQuality && gopherKeep)
       .join(tailOk, Seq("doc_id"), "left_semi")
       .join(repOk, Seq("doc_id"), "left_semi")
       .join(deconOk, Seq("doc_id"), "left_semi"))
