@@ -24,22 +24,20 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
-  /** events.ts is nanosecond-precision parquet (FIXTURES.md hazard 1),
-    * which Spark's reader only accepts as a raw long
-    * (spark.sql.legacy.parquet.nanosAsLong). Normalize to a µs
-    * TIMESTAMP_NTZ column — the same truncation DuckDB applies with
-    * `CAST(ts AS TIMESTAMP)`, so oracle comparisons line up exactly. */
+  /** events.ts has shipped as both ns-precision parquet (read as a raw
+    * long under spark.sql.legacy.parquet.nanosAsLong) and plain µs
+    * timestamp[us]. Branch on the dtype the reader actually produced and
+    * normalize either shape to a µs TIMESTAMP_NTZ column — the same
+    * truncation DuckDB applies with `CAST(ts AS TIMESTAMP)`, so oracle
+    * comparisons line up exactly. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    // Require the config at session-build time (GraftSession/Verify/Bench
-    // set it) instead of mutating the live session here: a conf.set inside
-    // a loader is a hidden global side effect, races with concurrent
-    // queries, and lands too late for already-resolved readers.
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet stores ns-precision timestamps: build the session with " +
-        "spark.sql.legacy.parquet.nanosAsLong=true (graft.GraftSession does)")
-    apply(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+    val raw = apply(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")

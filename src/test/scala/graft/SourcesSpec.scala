@@ -108,11 +108,16 @@ class SourcesSpec extends SparkSpec {
     assert(math.abs(approx - exact) <= 1.0, s"approx $approx vs exact $exact")
   }
 
-  test("Tables.events fails fast when nanosAsLong is unset") {
+  test("Tables.events yields µs TIMESTAMP_NTZ regardless of source precision") {
+    import org.apache.spark.sql.types.TimestampNTZType
+    val ev = Tables.events(spark, sfDir)
+    assert(ev.schema("ts").dataType == TimestampNTZType, ev.schema("ts").dataType.toString)
+    assert(ev.filter($"ts".isNotNull).count() > 0)
+    // Also works without the ns legacy flag now that testdata ships µs.
     spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     try {
-      val e = intercept[IllegalArgumentException] { Tables.events(spark, sfDir) }
-      assert(e.getMessage.contains("nanosAsLong"))
+      val ev2 = Tables.events(spark, sfDir)
+      assert(ev2.schema("ts").dataType == TimestampNTZType)
     } finally spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 
