@@ -154,17 +154,25 @@ object Bench {
       case (k, _, ts, _) if ts.size >= 2 && ts.max > 2.5 * ts.min => k
     }
     def r3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    // an erroring key is `null` in every timing map, EXCLUDED from the
+    // total and from n_queries, counted in n_errors, and fails the run's
+    // exit code (round-9 verdict ask #4: 9 erroring keys recorded as
+    // 0.000 inside a rc-0 "success" made BENCH_r09 read fully green)
+    def keyVal(k: String, m: Double, err: Option[String]): String =
+      "\"" + k + "\":" + (if (err.isDefined) "null" else r3(m))
     // ascending by median: the harness keeps only the LAST ~2000 output
     // chars of the run, so the expensive (interesting) keys and the
     // headline total must sit at the END of the line to survive truncation
     val byTime = results.sortBy(_._2)
-    val qs = byTime.map { case (k, m, _, _) => "\"" + k + "\":" + r3(m) }
+    val qs = byTime.map { case (k, m, _, e) => keyVal(k, m, e) }
       .mkString("{", ",", "}")
     val runs = byTime.map { case (k, _, ts, _) => "\"" + k + "\":" + ts.map(r3).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val ok = results.filter(_._4.isEmpty)
+    val nErrors = results.size - ok.size
+    val total = ok.map(_._2).sum
     val method = s"median of $reps noop-format writes per query after $warmup untimed warm-up rep (steady-state: codegen compile paid before timing; includes final ORDER BY cost; value per key = median over successful reps, raw samples under runs, queries sorted ascending by median; contended = keys whose surrounding sentinel no-ops ran >2x the run median, unstable = keys whose own reps spread >2.5x (max/min) - discard those medians in round-over-round comparisons, contended_run = the whole run is under sustained load (sentinel median >2x the solo reference) - treat such medians as load-inflated; round-1 timed count(), which dropped sorts via EliminateSorts - totals not directly comparable)"
     val contJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
     val unstJson = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -173,7 +181,7 @@ object Bench {
     // COMPACT line instead — rounds 1-4 all show "parsed": null in
     // BENCH_r*.json because the full ~5 kB line overflowed the harness's
     // ~2000-char stdout tail and could never be json.loads'd whole
-    val fullJson = s"""{"method":"$method","runs":$runs,"queries":$qs,"errors":$errs,"sentinel":$sentJson,"contended":$contJson,"unstable":$unstJson,"contended_run":$runContended,"sf":"$sfDir","n_queries":${results.size},"unit":"sec","metric":"total","value":${r3(total)}}"""
+    val fullJson = s"""{"method":"$method","runs":$runs,"queries":$qs,"errors":$errs,"sentinel":$sentJson,"contended":$contJson,"unstable":$unstJson,"contended_run":$runContended,"sf":"$sfDir","n_queries":${ok.size},"n_errors":$nErrors,"unit":"sec","metric":"total","value":${r3(total)}}"""
     // a BENCH_ONLY partial sweep must NOT silently overwrite the
     // committed full-sweep BENCH_LOCAL.json — default partial output to
     // a temp file instead (override explicitly if you mean it)
@@ -190,9 +198,12 @@ object Bench {
     // compact stdout line: slowest 25 keys only (the rest are sub-second
     // scheduling-floor keys), headline fields last; ~900 chars total so the
     // whole line survives inside the tail window alongside sbt's epilogue
-    val topQs = byTime.takeRight(25).map { case (k, m, _, _) => "\"" + k + "\":" + r3(m) }
+    val topQs = byTime.takeRight(25).map { case (k, m, _, e) => keyVal(k, m, e) }
       .mkString("{", ",", "}")
-    println(s"""{"full":"$outFile","queries":$topQs,"errors":$errs,"n_contended":${contended.size},"n_unstable":${unstable.size},"contended_run":$runContended,"sf":"$sfDir","n_queries":${results.size},"queries_note":"slowest 25 of ${results.size}; every key + sentinel detail in $outFile","unit":"sec","metric":"total","value":${r3(total)}}""")
+    println(s"""{"full":"$outFile","queries":$topQs,"errors":$errs,"n_contended":${contended.size},"n_unstable":${unstable.size},"contended_run":$runContended,"sf":"$sfDir","n_queries":${ok.size},"n_errors":$nErrors,"queries_note":"slowest 25 of ${results.size}; every key + sentinel detail in $outFile","unit":"sec","metric":"total","value":${r3(total)}}""")
     spark.stop()
+    // any erroring key fails the whole run — a partial sweep must never
+    // exit 0 and masquerade as a full one downstream
+    if (nErrors > 0) sys.exit(1)
   }
 }

@@ -77,10 +77,13 @@ object PlanAudit {
     // distinct-user set to generate the spine — bounded by construction
     // q_llm_pipeline_v2 embeds the unigram-score + tail-cut stages, so
     // it inherits their one-row crosses (corpus total, percentile cuts)
+    // q_domain_mix_temp crosses its TWO one-row aggregates (corpus
+    // total, √p normalizer); q_ivf_topk_fixed inherits the IVF
+    // K-centroid broadcast crosses
     val expectedCross = Set("q_cosine_topk", "q_dedup_embedding",
-      "q_minmax_scale", "q_ivf_topk", "q_eval_metrics",
+      "q_minmax_scale", "q_ivf_topk", "q_ivf_topk_fixed", "q_eval_metrics",
       "q_bloom_join", "q_tfidf", "q_bm25_search",
-      "q_quality_unigram", "q_domain_mix", "q_quality_tails",
+      "q_quality_unigram", "q_domain_mix", "q_domain_mix_temp", "q_quality_tails",
       "q_gap_fill", "q_llm_pipeline_v2")
 
     println(f"${"query"}%-24s ${"exch"}%5s ${"bcast"}%5s ${"sort"}%5s ${"wscg"}%5s  flags")

@@ -120,6 +120,8 @@ object SparkEntry {
     "q_stratified_sample" -> (text.Sampling.qStratifiedSample _),
     "q_shuffle_order" -> (text.Sampling.qShuffleOrder _),
     "q_domain_mix" -> (text.Sampling.qDomainMix _),
+    "q_domain_mix_temp" -> (text.Sampling.qDomainMixTemperature _),
+    "q_dedup_url" -> (TextOps.qDedupUrl _),
     "q_dedup_cluster" -> ((s: SparkSession, d: String) => TextOps.qDedupCluster(s, d)),
     "q_decontaminate" -> (TextOps.qDecontaminate _),
     "q_quality_repetition" -> (TextOps.qQualityRepetition _),
@@ -151,8 +153,18 @@ object SparkEntry {
     "q_ann_topk" -> (Similarity.qAnnTopK _),
     "q_dedup_simhash" -> (TextOps.qDedupSimhash _),
     "q_dedup_simhash_banded" -> (TextOps.qDedupSimhashBanded _),
+    // oracled non-adaptive cores of the two adaptive keys below
+    // (round-9 verdict asks #6/#7): fixed plane count / fixed seeds
+    "q_dedup_embedding_lsh_capped_fixed" -> (Similarity.qDedupEmbeddingLshCappedFixed _),
+    "q_ivf_topk_fixed" -> (Similarity.qIvfTopKFixed _),
     // non-SQL-expressible (runtime-adaptive / sketch-internal) —
-    // rows-only check by the driver; behavior covered in ScalaTest
+    // rows-only check by the driver; behavior covered in ScalaTest.
+    // q_dedup_embedding_lsh_capped: plane count + refinement depth are
+    // data-driven (corpus count, per-round hot-bucket sets); its
+    // non-adaptive core is oracled at q_dedup_embedding_lsh_capped_fixed.
+    // q_ivf_topk: centroids are xxhash64-sampled then Lloyd-refined —
+    // the float vector average is not addition-order-reproducible in
+    // SQL; its probe/assignment core is oracled at q_ivf_topk_fixed.
     "q_dedup_embedding_lsh_capped" -> (Similarity.qDedupEmbeddingLshCapped _),
     "q_ivf_topk" -> (Similarity.qIvfTopK _),
     "q_approx_distinct" -> (RelQueries.approxDistinct _),
@@ -685,6 +697,36 @@ object SparkEntry {
     // with a portable char-class regex, www-stripped/lowercased, then
     // exact + suffix blocklists — all literals interpolated from the
     // same TextOps constants the Spark side reads
+    // temperature mix (α pinned at 0.5 → sqrt, correctly rounded in
+    // IEEE on both engines unlike general pow): natural shares rounded
+    // to 6 dp, √p terms summed as exact DECIMAL(18,6) (addition-order-
+    // free), ONE double division per domain, boost from the two already-
+    // rounded columns — every number bit-identical across engines
+    "q_domain_mix_temp" ->
+      ("WITH avail AS (SELECT lang AS domain, COUNT(*) AS n_docs FROM documents GROUP BY lang), " +
+        "tot AS (SELECT SUM(n_docs) AS n_total FROM avail), " +
+        "p AS (SELECT domain, n_docs, ROUND(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS p_nat FROM avail CROSS JOIN tot), " +
+        "pa AS (SELECT domain, n_docs, p_nat, CAST(ROUND(sqrt(p_nat), 6) AS DECIMAL(18,6)) AS pa FROM p), " +
+        "z AS (SELECT SUM(pa) AS z FROM pa) " +
+        "SELECT domain, n_docs, p_nat, ROUND(CAST(pa AS DOUBLE) / CAST(z AS DOUBLE), 6) AS q_mix, " +
+        "ROUND(ROUND(CAST(pa AS DOUBLE) / CAST(z AS DOUBLE), 6) / p_nat, 6) AS boost " +
+        "FROM pa CROSS JOIN z ORDER BY domain"),
+    // URL canonicalization dedup: the synthetic variant arm and the
+    // regex chain mirror TextOps.canonicalUrl step for step (every
+    // pattern anchored, so Spark replace-all ≡ DuckDB replace-first;
+    // backref spelled $1 in Spark, \1 in DuckDB)
+    "q_dedup_url" -> {
+      val pool = TextOps.domainPool.map(d => s"'$d'").mkString("([", ", ", "])")
+      s"WITH h AS (SELECT doc_id, $pool[CAST(doc_id % 100 % ${TextOps.domainPool.size} + 1 AS INTEGER)] AS host, '/p/' || CAST(doc_id % 100 AS VARCHAR) AS path FROM documents), " +
+        "u AS (SELECT doc_id, CASE (doc_id // 100) % 4 " +
+        "WHEN 1 THEN 'https://' || host || path || '?utm_source=feed&utm_campaign=sync' " +
+        "WHEN 2 THEN 'https://' || host || path || '/' " +
+        "WHEN 3 THEN 'HTTPS://' || upper(host) || path || '#ref' " +
+        "ELSE 'https://' || host || path END AS url FROM h), " +
+        "n2 AS (SELECT doc_id, url, regexp_replace(regexp_replace(url, '#.*$', ''), '[?]utm_[^#]*$', '') AS nu FROM u), " +
+        "c AS (SELECT doc_id, url, regexp_replace(lower(regexp_extract(nu, '^([A-Za-z]+://[^/?#]+)', 1)), '^(https?://)www[.]', '\\1') || regexp_replace(regexp_replace(nu, '^[A-Za-z]+://[^/?#]+', ''), '/$', '') AS url_canon FROM n2) " +
+        "SELECT url_canon, COUNT(*) AS n_docs, COUNT(DISTINCT url) AS n_raw_forms, MIN(doc_id) AS keep_doc_id FROM c GROUP BY url_canon ORDER BY url_canon"
+    },
     "q_filter_domains" -> {
       val pool = TextOps.domainPool.map(d => s"'$d'").mkString("([", ", ", "])")
       val blocked = TextOps.blockedDomains.map(d => s"'$d'").mkString(", ")
@@ -713,6 +755,40 @@ object SparkEntry {
         "edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p), " +
         "comp(id, lbl) AS (SELECT vec_id, vec_id FROM embeddings UNION SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.id) " +
         "SELECT id AS vec_id, MIN(lbl) AS cluster_id, (id = MIN(lbl)) AS keep FROM comp GROUP BY id ORDER BY vec_id"
+    },
+    // non-adaptive core of the capped LSH near-dup: two fixed plane
+    // families (offsets 0/101, the adaptive key's table layout), hot =
+    // bucket population > 64, cold buckets pair within-bucket, hot
+    // buckets star-expand against their min-id member; pairs dedup
+    // across tables before the unrounded score filter. Bucket ids via
+    // the same generated lshBucketSql mirror as the other LSH keys.
+    "q_dedup_embedding_lsh_capped_fixed" -> {
+      val t = (i: Int) => {
+        val b = Similarity.lshBucketSql("embedding", 4, 64, i * 101)
+        s"wb$i AS (SELECT vec_id, embedding, $b AS bucket FROM embeddings), " +
+          s"cn$i AS (SELECT bucket, COUNT(*) > 64 AS hot FROM wb$i GROUP BY bucket), " +
+          s"tg$i AS (SELECT vec_id, embedding, wb$i.bucket, hot FROM wb$i JOIN cn$i ON wb$i.bucket = cn$i.bucket), " +
+          s"cp$i AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM tg$i a JOIN tg$i b ON a.bucket = b.bucket AND a.vec_id < b.vec_id WHERE NOT a.hot AND NOT b.hot), " +
+          s"rp$i AS (SELECT bucket, MIN(vec_id) AS id_a FROM tg$i WHERE hot GROUP BY bucket), " +
+          s"sp$i AS (SELECT r.id_a, h.vec_id AS id_b FROM tg$i h JOIN rp$i r ON h.bucket = r.bucket AND h.vec_id <> r.id_a WHERE h.hot)"
+      }
+      s"WITH ${t(0)}, ${t(1)}, " +
+        "pairs AS (SELECT DISTINCT id_a, id_b FROM (SELECT id_a, id_b FROM cp0 UNION ALL SELECT id_a, id_b FROM sp0 UNION ALL SELECT id_a, id_b FROM cp1 UNION ALL SELECT id_a, id_b FROM sp1)), " +
+        s"s AS (SELECT id_a, id_b, ${dotSql("ea.embedding", "eb.embedding")} AS score FROM pairs JOIN embeddings ea ON ea.vec_id = id_a JOIN embeddings eb ON eb.vec_id = id_b) " +
+        "SELECT id_a, id_b, ROUND(score, 6) AS score FROM s WHERE score > 0.25 ORDER BY id_a, id_b"
+    },
+    // fixed-seed IVF: the 16 lowest candidate ids seed the quantizer
+    // (no hash sample, no Lloyd), so assignment, probe choice and the
+    // final ranking are all the shared sequential dot fold — window
+    // ranks mirror the Spark row_number tie-breaks exactly
+    "q_ivf_topk_fixed" -> {
+      "WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8), " +
+        "q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8), " +
+        "ctr AS (SELECT cid AS centroid_id, ce AS centroid FROM c WHERE cid IN (SELECT cid FROM c ORDER BY cid LIMIT 16)), " +
+        s"asg AS (SELECT cid, ce, centroid_id FROM (SELECT c.cid, c.ce, ctr.centroid_id, ROW_NUMBER() OVER (PARTITION BY c.cid ORDER BY ${dotSql("c.ce", "ctr.centroid")} DESC, ctr.centroid_id) AS r FROM c CROSS JOIN ctr) WHERE r = 1), " +
+        s"probes AS (SELECT qid, qe, centroid_id FROM (SELECT q.qid, q.qe, ctr.centroid_id, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY ${dotSql("q.qe", "ctr.centroid")} DESC, ctr.centroid_id) AS r FROM q CROSS JOIN ctr) WHERE r <= 4), " +
+        s"s AS (SELECT qid, cid, ${dotSql("qe", "ce")} AS score FROM asg JOIN probes USING (centroid_id)) " +
+        "SELECT qid, cid, ROUND(score, 6) AS score, rn FROM (SELECT qid, cid, score, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS INTEGER) AS rn FROM s) WHERE rn <= 3 ORDER BY qid, rn"
     },
     // LSH-bucketed all-pairs near-dup: same generated bucket mirror;
     // one-bit multi-probe on the probe side only (pairs are unique by

@@ -23,11 +23,25 @@ object Verify {
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
+    // every registered key must leave a visible trace (round-9 verdict
+    // ask #3: erroring keys VANISHED from CORRECTNESS_r08/r09 because no
+    // parquet was written, and the driver silently drops absent dirs).
+    // A failing key now writes a one-row marker parquet — column
+    // `__graft_error` — so the driver's compare surfaces it as an
+    // explicit schema/hash FAIL instead of dropping it, and the failure
+    // list also lands in <outDir>/errors.json for the artifact trail.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = Option(e.toString).getOrElse("unknown").take(500)
+        try {
+          import spark.implicits._
+          Seq(failures(name)).toDF("__graft_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
       // free blocks the query left pinned (localCheckpoint streams) —
       // the ContextCleaner's periodic GC is 30 min, far longer than
@@ -49,6 +63,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} of ${SparkEntry.queries.size} keys FAILED: ${failures.keys.mkString(", ")}")
     spark.stop()
   }
 }

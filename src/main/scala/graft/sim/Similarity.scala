@@ -347,6 +347,92 @@ object Similarity {
     embeddingNearDupPairsCapped(Tables.embeddings(spark, dir), 0.25,
       targetBucketSize = 64L, cap = 256L)
 
+  /** The NON-ADAPTIVE core of [[embeddingNearDupPairsCapped]], with the
+    * plane count fixed instead of derived from a corpus count: one
+    * bucketing level per table, hot = population > cap, cold buckets
+    * pair within-bucket, hot buckets star-expand against their min-id
+    * representative, tables union + pair-dedup before scoring. This is
+    * exactly one refinement round of the capped operator (maxDepth = 0
+    * semantics), so it is fully SQL-expressible and oracled via the
+    * [[lshBucketSql]] generated mirror — the adaptive wrapper
+    * ([[qDedupEmbeddingLshCapped]]) stays rows-only because its plane
+    * count and refinement depth are data-driven at runtime.
+    *
+    * Scale: identical shapes to the adaptive form — bucket equi-joins
+    * (never all-pairs), O(|b|) star expansion for skew piles, a
+    * broadcast of the ≤2^nPlanes bucket-count rows. */
+  def embeddingNearDupPairsCappedFixed(emb: DataFrame, threshold: Double,
+                                       nPlanes: Int, dim: Int = 64,
+                                       cap: Long = 64L, nTables: Int = 2): DataFrame = {
+    val tables = (0 until nTables).map { t =>
+      val bk = emb.select(col("vec_id"), col("embedding"),
+        lshBuckets(col("embedding"), hyperplanes(nPlanes, dim, t * 101)).as("bucket"))
+      // ≤ 2^nPlanes rows — broadcast, so tagging hot is a map-side join
+      val counts = bk.groupBy(col("bucket"))
+        .agg((count(lit(1)) > cap).as("hot"))
+      val tagged = bk.join(broadcast(counts), Seq("bucket"))
+      val cold = tagged.filter(!col("hot"))
+      val coldPairs = cold
+        .select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+        .join(cold.select(col("bucket"), col("vec_id").as("id_b"),
+          col("embedding").as("eb")), Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("ea"), col("eb"))
+      val hotRows = tagged.filter(col("hot"))
+      val reps = hotRows.groupBy(col("bucket")).agg(min(col("vec_id")).as("id_a"))
+      val repVecs = reps.join(hotRows.select(col("bucket"),
+        col("vec_id").as("id_a"), col("embedding").as("ea")), Seq("bucket", "id_a"))
+      // min-id rep < every other member: (rep, member) is already canonical
+      val starPairs = hotRows.join(repVecs, Seq("bucket"))
+        .filter(col("vec_id") =!= col("id_a"))
+        .select(col("id_a"), col("vec_id").as("id_b"),
+          col("ea"), col("embedding").as("eb"))
+      coldPairs.unionAll(starPairs)
+    }
+    tables.reduce(_ unionAll _)
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        VectorOps.dot(col("ea"), col("eb")).as("score"))
+      .filter(col("score") > threshold)
+      .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Oracled driver-gate form of the capped operator's non-adaptive core
+    * (round-9 verdict ask #6): nPlanes fixed at 4 (profiled so both the
+    * cold-pair and star-expansion paths carry rows at every test SF),
+    * same threshold/cap/table layout as the adaptive key. */
+  def qDedupEmbeddingLshCappedFixed(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupPairsCappedFixed(Tables.embeddings(spark, dir), 0.25,
+      nPlanes = 4, cap = 64L)
+
+  /** IVF probe with SQL-expressible seeding (round-9 verdict ask #7):
+    * the first `nCentroids` candidate ids seed the coarse quantizer
+    * directly — no hash-ordered sample, no Lloyd re-centering — so
+    * assignment, probe selection and final ranking are all dot-product
+    * folds over stored vectors, bit-reproducible in DuckDB via
+    * [[dotSqlExpr]]. The production path ([[qIvfTopK]]) keeps the
+    * hash-seeded + Lloyd-refined build; this fixed-seed form pins the
+    * probe/assignment machinery under the oracle. */
+  def ivfTopKFixedSeeds(queries: DataFrame, candidates: DataFrame, k: Int,
+                        nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val seeds = candidates
+      .orderBy(col("cid")).limit(nCentroids)
+      .select(col("cid").as("centroid_id"), col("ce").as("centroid"))
+    val lists = nearestCentroid(seeds, candidates, "ce")
+      .select(col("centroid_id"), col("cid"), col("ce"))
+    ivfProbe(queries, seeds, lists, k, nProbe)
+  }
+
+  def qIvfTopKFixed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cands = emb.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    ivfTopKFixedSeeds(queries, cands, 3)
+  }
+
   // ------------------------------- capped LSH (auto-sized + skew-guarded)
 
   /** LSH bucketing with a hard per-bucket population cap — the df-cap

@@ -240,6 +240,40 @@ object Sampling {
     domainMixPlan(Tables.documents(spark, dir), col("lang"), domainMixTargets)
       .orderBy("domain")
 
+  /** Temperature-scaled mixture (the XLM-R / mT5 multilingual-sampling
+    * rule): sampling share q_d ∝ p_d^α where p_d is the natural share
+    * and α ∈ (0,1] — α=1 keeps the natural mix, α→0 approaches uniform,
+    * lifting low-resource domains without drowning the head.
+    *
+    * Engine-parity design: p^α in general is pow(), which is NOT
+    * correctly-rounded in IEEE and can differ across engines in the
+    * last ulp — so the oracled gate key pins α = 0.5, where p^α = sqrt
+    * (correctly rounded everywhere). The normalizer Σ p_d^α is summed
+    * as DECIMAL(18,6) over the 6-dp-rounded terms — exact and
+    * addition-order-free — then ONE double division per domain. Scale
+    * shape: domain-keyed hash agg (domains ≪ rows) + two one-row
+    * broadcasts; the per-row application step is
+    * [[stratifiedHashSample]] with the emitted rates. */
+  def temperatureMixPlan(docs: DataFrame, stratum: Column): DataFrame = {
+    val avail = docs.groupBy(stratum.as("domain")).agg(count(lit(1)).as("n_docs"))
+    val tot = avail.agg(sum(col("n_docs")).as("n_total"))
+    val withP = avail.crossJoin(broadcast(tot))
+      .withColumn("p_nat",
+        round(col("n_docs").cast("double") / col("n_total").cast("double"), 6))
+      .withColumn("pa", round(sqrt(col("p_nat")), 6).cast("decimal(18,6)"))
+    val z = withP.agg(sum(col("pa")).as("z"))
+    withP.crossJoin(broadcast(z))
+      .withColumn("q_mix",
+        round(col("pa").cast("double") / col("z").cast("double"), 6))
+      .withColumn("boost", round(col("q_mix") / col("p_nat"), 6))
+      .select(col("domain"), col("n_docs"), col("p_nat"), col("q_mix"), col("boost"))
+  }
+
+  /** Gate key: α=0.5 temperature mix over documents by language. */
+  def qDomainMixTemperature(spark: SparkSession, dir: String): DataFrame =
+    temperatureMixPlan(Tables.documents(spark, dir), col("lang"))
+      .orderBy("domain")
+
   /** Gate key: 80/10/10 split assignment, aggregated per (split, lang) —
     * proves disjoint-and-exhaustive assignment in one oracled shape. */
   def qSplitAssign(spark: SparkSession, dir: String): DataFrame =

@@ -1237,4 +1237,59 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
       .orderBy("domain")
   }
+
+  // ------------------------------------------------- URL canonicalization
+
+  /** Canonical form of a URL — the normalization every web-crawl dedup
+    * runs before exact URL dedup (the same page is recrawled under
+    * fragment/tracking-param/case/trailing-slash variants):
+    * fragment stripped, an all-`utm_` query string stripped, scheme+host
+    * lowercased with a leading `www.` dropped, trailing path slash
+    * removed. Path case is preserved (paths are case-sensitive; hosts
+    * are not). Pure codegen'd regex chain — zero shuffles per row, and
+    * every pattern is anchored so Spark's replace-all and DuckDB's
+    * replace-first semantics agree. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noUtm = regexp_replace(noFrag, "[?]utm_[^#]*$", "")
+    val schemeHost = regexp_replace(
+      lower(regexp_extract(noUtm, "^([A-Za-z]+://[^/?#]+)", 1)),
+      "^(https?://)www[.]", "$1")
+    val rest = regexp_replace(
+      regexp_replace(noUtm, "^[A-Za-z]+://[^/?#]+", ""), "/$", "")
+    concat(schemeHost, rest)
+  }
+
+  /** Exact URL dedup after canonicalization: group on the canonical
+    * form, count members and distinct raw spellings, keep the min
+    * doc_id — the crawl-frontier dedup step. Scale shape: one regex
+    * pass + a canonical-url-keyed hash agg; at 100 TB the canonical
+    * string (or its 16-byte digest) is the shuffle key, never the page.
+    *
+    * Gate key: synthetic doc_id-derived URL variants over the domain
+    * pool — the page id collides mod 100 (and the host derives from the
+    * page id, not the doc id) so every canonical URL has ~n_docs/100
+    * recrawls at every SF, and the variant arm ((doc_id DIV 100) % 4)
+    * walks WITHIN a collision group: plain / +utm-params /
+    * +trailing-slash / uppercased-with-fragment spellings of the same
+    * canonical URL. */
+  def qDedupUrl(spark: SparkSession, dir: String): DataFrame = {
+    val host = element_at(typedLit(domainPool),
+      ((col("doc_id") % 100) % domainPool.size).cast("int") + 1)
+    val path = concat(lit("/p/"), (col("doc_id") % 100).cast("string"))
+    val base = concat(lit("https://"), host, path)
+    val variant = expr("(doc_id DIV 100) % 4")
+    val url = when(variant === 1, concat(base, lit("?utm_source=feed&utm_campaign=sync")))
+      .when(variant === 2, concat(base, lit("/")))
+      .when(variant === 3, concat(lit("HTTPS://"), upper(host), path, lit("#ref")))
+      .otherwise(base)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("url_canon", canonicalUrl(col("url")))
+      .groupBy(col("url_canon"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_raw_forms"),
+        min(col("doc_id")).as("keep_doc_id"))
+      .orderBy("url_canon")
+  }
 }

@@ -157,4 +157,30 @@ class SamplingSpec extends SparkSpec {
       assert(math.abs(plan(s)._5 / total - f) < 0.01, s"$s mixture off-target")
     }
   }
+
+  test("temperatureMixPlan: q sums to ~1, flattens toward uniform, boosts the tail") {
+    val rows = Sampling.qDomainMixTemperature(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("domain"), r.getAs[Long]("n_docs"),
+        r.getAs[Double]("p_nat"), r.getAs[Double]("q_mix"), r.getAs[Double]("boost")))
+    assert(rows.nonEmpty)
+    // shares are distributions (up to 6-dp rounding per domain)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
+    // α<1 compresses the mix: every below-average domain is boosted,
+    // every above-average one damped, and ordering is preserved
+    val sorted = rows.sortBy(_._3)
+    assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(identity).toSeq,
+      "temperature scaling must preserve the size ordering")
+    val (head, tail) = (sorted.last, sorted.head)
+    assert(tail._5 > 1.0, s"smallest domain not boosted: $tail")
+    assert(head._5 < 1.0, s"largest domain not damped: $head")
+    // exact per-row relation: q = round(round(sqrt(p),6)/Z, 6)
+    val z = rows.map(r => BigDecimal(math.rint(math.sqrt(r._3) * 1e6) / 1e6)).sum
+    rows.foreach { case (d, _, p, q, boost) =>
+      val expect = math.rint((math.rint(math.sqrt(p) * 1e6) / 1e6) / z.toDouble * 1e6) / 1e6
+      assert(math.abs(q - expect) < 1e-12, s"$d q_mix $q vs $expect")
+      val expB = math.rint(q / p * 1e6) / 1e6
+      assert(math.abs(boost - expB) < 1e-12, s"$d boost $boost vs $expB")
+    }
+  }
 }

@@ -272,6 +272,53 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("fixed capped LSH: precision exact, both cold and star paths carry rows") {
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val a = emb.select($"vec_id".as("id_a"), $"embedding".as("ea"))
+    val b = emb.select($"vec_id".as("id_b"), $"embedding".as("eb"))
+    val brute = b.crossJoin(broadcast(a))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", graft.vec.VectorOps.dot($"ea", $"eb").as("score"))
+      .filter($"score" > 0.25)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val fixed = Similarity.qDedupEmbeddingLshCappedFixed(spark, sfDir)
+    val rows = fixed.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Double]("score") > 0.25)
+    }
+    val pairs = rows.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.subsetOf(brute), s"false positives: ${pairs.diff(brute)}")
+    // the profiled constants (nPlanes=4, cap=64) must exercise BOTH
+    // branches on the shipped data, or the oracle only tests one path:
+    // at least one bucket in table 0 is hot and at least one is cold
+    val bk = emb.select($"vec_id",
+      Similarity.lshBuckets($"embedding", Similarity.hyperplanes(4, 64)).as("bucket"))
+      .groupBy("bucket").count().select("count").as[Long].collect()
+    assert(bk.exists(_ > 64), "no hot bucket — star path untested")
+    assert(bk.exists(_ <= 64), "no cold bucket — pair path untested")
+  }
+
+  test("q_ivf_topk_fixed: matches brute force restricted to probed lists, full top-k") {
+    val df = Similarity.qIvfTopKFixed(spark, sfDir)
+    assert(df.count() == 8 * 3)
+    val rows = df.collect()
+    // ranks contiguous per query, scores descend
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rn"))
+      assert(sorted.map(_.getAs[Int]("rn")).toSeq == Seq(1, 2, 3))
+      val scores = sorted.map(_.getAs[Double]("score")).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+    // no global window in the fixed-seed plan either
+    val globalWindows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty)
+  }
+
   test("q_ivf_topk: full top-k rows and NO global (empty-partition) window") {
     val df = Similarity.qIvfTopK(spark, sfDir)
     val globalWindows = df.queryExecution.optimizedPlan.collect {

@@ -533,4 +533,39 @@ class TextOpsSpec extends SparkSpec {
       assert(r.getAs[Double]("bytes_per_piece") > 0)
     }
   }
+
+  test("canonicalUrl normalizes fragment/utm/case/www/trailing-slash variants") {
+    import spark.implicits._
+    val urls = Seq(
+      "https://example.com/p/1",
+      "https://example.com/p/1?utm_source=feed&utm_campaign=x",
+      "https://example.com/p/1/",
+      "HTTPS://EXAMPLE.COM/p/1#ref",
+      "https://www.example.com/p/1",
+      // non-variants that must NOT collapse into the above
+      "https://example.com/p/1?page=2",     // real query survives
+      "https://example.com/P/1")            // path case is significant
+    val got = urls.toDF("url")
+      .select(TextOps.canonicalUrl(col("url")).as("c")).as[String].collect()
+    assert(got.take(5).toSet == Set("https://example.com/p/1"), got.take(5).mkString(", "))
+    assert(got(5) == "https://example.com/p/1?page=2")
+    assert(got(6) == "https://example.com/P/1")
+  }
+
+  test("q_dedup_url: recrawl groups collapse, canonical invariants hold") {
+    val rows = TextOps.qDedupUrl(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs, "groups must partition the corpus")
+    // path ids collide mod 1000, so recrawl groups exist at every SF —
+    // and at least one group collapses DISTINCT raw spellings
+    assert(rows.exists(_.getAs[Long]("n_docs") > 1), "no recrawl groups")
+    assert(rows.exists(_.getAs[Long]("n_raw_forms") > 1), "no multi-spelling group")
+    rows.foreach { r =>
+      val c = r.getAs[String]("url_canon")
+      assert(c.matches("https://[a-z0-9.-]+/p/[0-9]+"), s"non-canonical: $c")
+      assert(!c.contains("://www."), s"www survived: $c")
+      assert(r.getAs[Long]("n_raw_forms") <= r.getAs[Long]("n_docs"))
+    }
+  }
 }
