@@ -122,6 +122,7 @@ object SparkEntry {
     "q_domain_mix" -> (text.Sampling.qDomainMix _),
     "q_domain_mix_temp" -> (text.Sampling.qDomainMixTemperature _),
     "q_dedup_url" -> (TextOps.qDedupUrl _),
+    "q_dedup_paragraph" -> (TextOps.qDedupParagraph _),
     "q_dedup_cluster" -> ((s: SparkSession, d: String) => TextOps.qDedupCluster(s, d)),
     "q_decontaminate" -> (TextOps.qDecontaminate _),
     "q_quality_repetition" -> (TextOps.qQualityRepetition _),
@@ -711,6 +712,20 @@ object SparkEntry {
         "SELECT domain, n_docs, p_nat, ROUND(CAST(pa AS DOUBLE) / CAST(z AS DOUBLE), 6) AS q_mix, " +
         "ROUND(ROUND(CAST(pa AS DOUBLE) / CAST(z AS DOUBLE), 6) / p_nat, 6) AS boost " +
         "FROM pa CROSS JOIN z ORDER BY domain"),
+    // paragraph dedup: 10-token windows, first occurrence = min doc
+    // then min index within it (two exact aggregates — no struct min),
+    // reassembly order restored by seg_idx (string_agg ORDER BY ↔
+    // array_sort(collect_list(struct))), md5('') for fully-deduped docs
+    "q_dedup_paragraph" ->
+      ("WITH d AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'terms of service apply to this content please read carefully ' || text ELSE text END AS text FROM documents), " +
+        "tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d), " +
+        "b AS (SELECT doc_id, toks, CAST((len(toks) + 9) // 10 AS BIGINT) AS n_segments FROM tok), " +
+        "seg AS (SELECT doc_id, i AS seg_idx, array_to_string(toks[CAST(i * 10 + 1 AS INTEGER):CAST(i * 10 + 10 AS INTEGER)], ' ') AS seg FROM (SELECT doc_id, toks, UNNEST(range(0, n_segments)) AS i FROM b)), " +
+        "f1 AS (SELECT seg, MIN(doc_id) AS d0 FROM seg GROUP BY seg), " +
+        "f2 AS (SELECT s.seg, f1.d0, MIN(s.seg_idx) AS i0 FROM f1 JOIN seg s ON s.seg = f1.seg AND s.doc_id = f1.d0 GROUP BY s.seg, f1.d0), " +
+        "kept AS (SELECT s.doc_id, s.seg_idx, s.seg FROM seg s JOIN f2 ON s.seg = f2.seg AND s.doc_id = f2.d0 AND s.seg_idx = f2.i0), " +
+        "ka AS (SELECT doc_id, COUNT(*) AS n_kept, md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS kept_md5 FROM kept GROUP BY doc_id) " +
+        "SELECT b.doc_id, n_segments, COALESCE(n_kept, 0) AS n_kept, COALESCE(kept_md5, md5('')) AS kept_md5 FROM b LEFT JOIN ka ON b.doc_id = ka.doc_id ORDER BY b.doc_id"),
     // URL canonicalization dedup: the synthetic variant arm and the
     // regex chain mirror TextOps.canonicalUrl step for step (every
     // pattern anchored, so Spark replace-all ≡ DuckDB replace-first;

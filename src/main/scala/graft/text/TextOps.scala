@@ -1260,6 +1260,64 @@ object TextOps {
     concat(schemeHost, rest)
   }
 
+  /** CCNet/RefinedWeb-style PARAGRAPH-level dedup: unlike document
+    * dedup, the repeated unit (boilerplate header, nav bar, license
+    * block) is removed from every document EXCEPT its first occurrence
+    * and the survivors are reassembled — docs are cleaned, not dropped.
+    * Segments here are fixed `segTokens`-token windows (the corpus has
+    * no newlines; a real crawl splits on '\n'). First occurrence is the
+    * corpus-wide lexicographic min (doc_id, seg_idx), resolved in two
+    * exact aggregates: min doc per segment, then min index within that
+    * doc — no struct-min, so the same plan expresses in ANSI SQL.
+    *
+    * Output per document: segment count, surviving-segment count, and
+    * the md5 of the reassembled text (order restored by seg_idx) — the
+    * narrow row a verification pass ships; callers wanting the cleaned
+    * text drop the md5. Scale shape: segment-keyed hash aggs + an
+    * equi-join back, the q_dedup_substring digest-join shape plus
+    * reassembly; at 100 TB the shuffle key is md5(segment) (16 bytes)
+    * instead of the raw ~60-byte window. */
+  def paragraphDedup(docs: DataFrame, segTokens: Int = 10): DataFrame = {
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_segments",
+        expr(s"(size(toks) + ${segTokens - 1}) DIV $segTokens").cast("long"))
+    val segs = base.select(col("doc_id"),
+      posexplode(when(col("n_segments") === 0, expr("array()"))
+        .otherwise(expr(
+          s"transform(sequence(0, int(n_segments) - 1), " +
+            s"i -> array_join(slice(toks, i * $segTokens + 1, $segTokens), ' '))")))
+        .as(Seq("seg_idx", "seg")))
+    val f1 = segs.groupBy(col("seg")).agg(min(col("doc_id")).as("d0"))
+    val f2 = segs.join(f1, Seq("seg")).where(col("doc_id") === col("d0"))
+      .groupBy(col("seg"), col("d0")).agg(min(col("seg_idx")).as("i0"))
+    val kept = segs.join(f2, Seq("seg"))
+      .where(col("doc_id") === col("d0") && col("seg_idx") === col("i0"))
+    val ka = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      expr("md5(array_join(transform(array_sort(collect_list(struct(seg_idx, seg))), x -> x.seg), ' '))")
+        .as("kept_md5"))
+    base.select(col("doc_id"), col("n_segments"))
+      .join(ka, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_md5"), md5(lit("").cast("binary"))).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Gate key: 10-token-window paragraph dedup. The synthetic corpus
+    * has no naturally repeated windows, so every third doc gets an
+    * EXACTLY-10-token boilerplate header injected (the q_scrub_pii
+    * device) — one shared segment per injected doc, original windows
+    * left aligned: the first injected doc keeps the header, every
+    * later one sheds exactly that segment. */
+  def qDedupParagraph(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).withColumn("text",
+      when(col("doc_id") % 3 === 0,
+        concat(lit("terms of service apply to this content please read carefully "),
+          col("text"))).otherwise(col("text")))
+    paragraphDedup(docs)
+  }
+
   /** Exact URL dedup after canonicalization: group on the canonical
     * form, count members and distinct raw spellings, keep the min
     * doc_id — the crawl-frontier dedup step. Scale shape: one regex

@@ -80,7 +80,17 @@ class PlanRegressionSpec extends SparkSpec {
     // activity distinct + (cohort,offset) agg + output sort
     ("q_gap_fill", 4, 2),
     ("q_funnel", 9, 1),
-    ("q_cohort", 4, 1))
+    ("q_cohort", 4, 1),
+    // round-10 keys: capped_fixed = 2 tables x (signature agg + bucket
+    // self-join with broadcast counts) + cross-table pair dedup + output
+    // sort; dedup_url = countDistinct two-phase agg + output sort;
+    // mix_temp = domain agg + two one-row broadcast crosses + sort;
+    // ivf_fixed = assignment/probe windows keyed on cid/qid (broadcast
+    // centroids — no corpus exchange beyond the keyed windows)
+    ("q_dedup_embedding_lsh_capped_fixed", 6, 3),
+    ("q_dedup_url", 3, 1),
+    ("q_domain_mix_temp", 4, 1),
+    ("q_ivf_topk_fixed", 4, 7))
 
   pins.foreach { case (name, maxExch, maxSort) =>
     test(s"$name plan stays within $maxExch exchanges / $maxSort sorts") {

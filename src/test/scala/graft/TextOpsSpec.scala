@@ -534,6 +534,63 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("paragraphDedup: first occurrence survives, later copies shed, reassembly ordered") {
+    import spark.implicits._
+    // 2-token segments on a toy corpus: "x y" is doc 1's first segment
+    // and appears again in doc 1 (idx 2), doc 2 (idx 0) and doc 3 (idx 1)
+    val docs = Seq(
+      (1L, "x y a b x y"),   // segs: [x y][a b][x y] -> keeps idx 0,1
+      (2L, "x y c d"),       // segs: [x y][c d]      -> keeps idx 1
+      (3L, "e f x y"))       // segs: [e f][x y]      -> keeps idx 0
+      .toDF("doc_id", "text")
+    val got = TextOps.paragraphDedup(docs, segTokens = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_segments"), r.getAs[Long]("n_kept"), r.getAs[String]("kept_md5"))).toMap
+    assert(got(1L) == (3L, 2L, md5Hex("x y a b")), got(1L).toString)
+    assert(got(2L) == (2L, 1L, md5Hex("c d")))
+    assert(got(3L) == (2L, 1L, md5Hex("e f")))
+  }
+
+  test("q_dedup_paragraph matches a sequential reference implementation exactly") {
+    // the corpus deliberately contains exact AND near duplicates (the
+    // dedup-fixture families share whole texts and long spans), so no
+    // per-doc shortcut assumption holds — compute the expected answer
+    // sequentially over the collected corpus and compare every row
+    val header = "terms of service apply to this content please read carefully "
+    val docs = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (if (r.getAs[Long]("doc_id") % 3 == 0) header else "") + r.getAs[String]("text")))
+      .sortBy(_._1)
+    val segs = docs.flatMap { case (id, text) =>
+      text.split(" ", -1).grouped(10).zipWithIndex
+        .map { case (w, i) => (id, i, w.mkString(" ")) }
+    }
+    val firstOwner = segs.groupBy(_._3)
+      .map { case (s, occ) => s -> occ.map(o => (o._1, o._2)).min }
+    val expected = docs.map { case (id, text) =>
+      val mine = segs.filter(_._1 == id)
+      val kept = mine.filter(o => firstOwner(o._3) == ((o._1, o._2)))
+      id -> (mine.length.toLong, kept.length.toLong,
+        md5Hex(kept.sortBy(_._2).map(_._3).mkString(" ")))
+    }.toMap
+    val rows = TextOps.qDedupParagraph(spark, sfDir).collect()
+    assert(rows.length == docs.length, "every doc must appear, even fully-deduped ones")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val got = (r.getAs[Long]("n_segments"), r.getAs[Long]("n_kept"),
+        r.getAs[String]("kept_md5"))
+      assert(got == expected(id), s"doc $id: got $got expected ${expected(id)}")
+    }
+    // the fixture must actually exercise shedding
+    assert(rows.exists(r => r.getAs[Long]("n_kept") < r.getAs[Long]("n_segments")))
+    assert(rows.exists(r => r.getAs[Long]("n_kept") == 0L), "no fully-shed duplicate")
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   test("canonicalUrl normalizes fragment/utm/case/www/trailing-slash variants") {
     import spark.implicits._
     val urls = Seq(
