@@ -153,6 +153,47 @@ object Bench {
     val unstable = results.collect {
       case (k, _, ts, _) if ts.size >= 2 && ts.max > 2.5 * ts.min => k
     }
+    // third contention signature (round-10 verdict ask #3): steady load
+    // covering a key's entire window inflates all reps AND both
+    // sentinels uniformly, so neither flag above fires (q_agg_grouping_
+    // sets ran 8x solo with clean sentinels in r10). The committed solo
+    // BENCH_LOCAL.json is the reference the other two signals lack: flag
+    // any key whose median exceeds 2x its last committed clean-solo
+    // value (with floors — sub-0.15 s keys sit on the scheduler noise
+    // floor, and a 2x of 0.2 s is still noise, so also require +0.5 s
+    // absolute). Baseline comes from git HEAD, not the working tree, so
+    // an earlier contaminated overwrite of the file can't poison the
+    // check; a baseline that was itself contended_run, or a key flagged
+    // contended/unstable in it, is skipped.
+    val baselineSrc: Option[String] =
+      sys.env.get("SPARK_GRAFT_BENCH_BASELINE").flatMap { p =>
+        try Some(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8"))
+        catch { case _: Throwable => None }
+      }.orElse {
+        try {
+          val pr = new ProcessBuilder("git", "show", "HEAD:BENCH_LOCAL.json").start()
+          val out = new String(pr.getInputStream.readAllBytes(), "UTF-8")
+          if (pr.waitFor() == 0 && out.trim.nonEmpty) Some(out) else None
+        } catch { case _: Throwable => None }
+      }
+    def jsonObjNums(json: String, field: String): Map[String, Double] =
+      ("\"" + field + "\":\\{([^}]*)\\}").r.findFirstMatchIn(json).map(_.group(1)).map { body =>
+        "\"([^\"]+)\":([0-9][0-9.eE+-]*)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+    def jsonArrStrs(json: String, field: String): Set[String] =
+      ("\"" + field + "\":\\[([^\\]]*)\\]").r.findFirstMatchIn(json).map(_.group(1)).map { body =>
+        "\"([^\"]+)\"".r.findAllMatchIn(body).map(_.group(1)).toSet
+      }.getOrElse(Set.empty)
+    val baseClean = baselineSrc.exists(_.contains("\"contended_run\":false"))
+    val baseQ = if (baseClean) baselineSrc.map(jsonObjNums(_, "queries")).getOrElse(Map.empty)
+                else Map.empty[String, Double]
+    val baseBad = baselineSrc.map(s => jsonArrStrs(s, "contended") ++ jsonArrStrs(s, "unstable"))
+      .getOrElse(Set.empty)
+    val regressed = results.collect {
+      case (k, m, _, None) if baseQ.get(k).exists(b =>
+        !baseBad(k) && b >= 0.15 && m > 2 * b && m - b > 0.5) => k
+    }
     def r3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     // an erroring key is `null` in every timing map, EXCLUDED from the
     // total and from n_queries, counted in n_errors, and fails the run's
@@ -173,15 +214,16 @@ object Bench {
     val ok = results.filter(_._4.isEmpty)
     val nErrors = results.size - ok.size
     val total = ok.map(_._2).sum
-    val method = s"median of $reps noop-format writes per query after $warmup untimed warm-up rep (steady-state: codegen compile paid before timing; includes final ORDER BY cost; value per key = median over successful reps, raw samples under runs, queries sorted ascending by median; contended = keys whose surrounding sentinel no-ops ran >2x the run median, unstable = keys whose own reps spread >2.5x (max/min) - discard those medians in round-over-round comparisons, contended_run = the whole run is under sustained load (sentinel median >2x the solo reference) - treat such medians as load-inflated; round-1 timed count(), which dropped sorts via EliminateSorts - totals not directly comparable)"
+    val method = s"median of $reps noop-format writes per query after $warmup untimed warm-up rep (steady-state: codegen compile paid before timing; includes final ORDER BY cost; value per key = median over successful reps, raw samples under runs, queries sorted ascending by median; contended = keys whose surrounding sentinel no-ops ran >2x the run median, unstable = keys whose own reps spread >2.5x (max/min), regressed = keys whose median exceeds 2x (and +0.5s) their value in the clean solo BENCH_LOCAL.json at git HEAD (catches sustained load the sentinels miss; empty if no clean committed baseline) - discard flagged medians in round-over-round comparisons, contended_run = the whole run is under sustained load (sentinel median >2x the solo reference) - treat such medians as load-inflated; round-1 timed count(), which dropped sorts via EliminateSorts - totals not directly comparable)"
     val contJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
     val unstJson = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val regrJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sentJson = s"""{"base":${r3(sentinelBase)},"ref":${r3(sentinelRef)},"max":${r3(sentinels.max)},"samples":${sentinels.map(r3).mkString("[", ",", "]")}}"""
     // full JSON (all keys + raw samples) lands in the repo; stdout gets a
     // COMPACT line instead — rounds 1-4 all show "parsed": null in
     // BENCH_r*.json because the full ~5 kB line overflowed the harness's
     // ~2000-char stdout tail and could never be json.loads'd whole
-    val fullJson = s"""{"method":"$method","runs":$runs,"queries":$qs,"errors":$errs,"sentinel":$sentJson,"contended":$contJson,"unstable":$unstJson,"contended_run":$runContended,"sf":"$sfDir","n_queries":${ok.size},"n_errors":$nErrors,"unit":"sec","metric":"total","value":${r3(total)}}"""
+    val fullJson = s"""{"method":"$method","runs":$runs,"queries":$qs,"errors":$errs,"sentinel":$sentJson,"contended":$contJson,"unstable":$unstJson,"regressed":$regrJson,"baseline_checked":${baseQ.nonEmpty},"contended_run":$runContended,"sf":"$sfDir","n_queries":${ok.size},"n_errors":$nErrors,"unit":"sec","metric":"total","value":${r3(total)}}"""
     // a BENCH_ONLY partial sweep must NOT silently overwrite the
     // committed full-sweep BENCH_LOCAL.json — default partial output to
     // a temp file instead (override explicitly if you mean it)
@@ -200,7 +242,7 @@ object Bench {
     // whole line survives inside the tail window alongside sbt's epilogue
     val topQs = byTime.takeRight(25).map { case (k, m, _, e) => keyVal(k, m, e) }
       .mkString("{", ",", "}")
-    println(s"""{"full":"$outFile","queries":$topQs,"errors":$errs,"n_contended":${contended.size},"n_unstable":${unstable.size},"contended_run":$runContended,"sf":"$sfDir","n_queries":${ok.size},"n_errors":$nErrors,"queries_note":"slowest 25 of ${results.size}; every key + sentinel detail in $outFile","unit":"sec","metric":"total","value":${r3(total)}}""")
+    println(s"""{"full":"$outFile","queries":$topQs,"errors":$errs,"n_contended":${contended.size},"n_unstable":${unstable.size},"n_regressed":${regressed.size},"contended_run":$runContended,"sf":"$sfDir","n_queries":${ok.size},"n_errors":$nErrors,"queries_note":"slowest 25 of ${results.size}; every key + sentinel detail in $outFile","unit":"sec","metric":"total","value":${r3(total)}}""")
     spark.stop()
     // any erroring key fails the whole run — a partial sweep must never
     // exit 0 and masquerade as a full one downstream

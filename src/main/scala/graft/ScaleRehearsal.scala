@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 100× rehearsal (round-10 verdict ask #8): synthesize an sf1-equivalent
+  * corpus by unioning sf0.1 FACTOR× with consistent id offsets, then run
+  * the historically-slowest keys at both scales in one session and report
+  * the per-key scale ratio — the first empirical check of the "survives
+  * 100×" claims (CC round counts, capped-LSH hot-bucket path, pipeline v2
+  * end-to-end). A key is flagged super-linear when its time grows more
+  * than 1.5× faster than the data did.
+  *
+  * Honest caveats, also recorded in the output JSON:
+  *  - id offsets keep FK fanouts identical per copy (l_orderkey/o_custkey
+  *    etc. are shifted by the same per-keyspace stride), so join plans see
+  *    a faithful 10× keyspace;
+  *  - text/embedding payloads are NOT perturbed, so every document gains
+  *    FACTOR−1 exact twins — dedup keys face a corpus whose duplicate
+  *    rate is inflated ~FACTOR×. That is the adversarially-HEAVY case for
+  *    the dedup family (bigger buckets, bigger CC components), which is
+  *    exactly what a blowup check wants; absolute ratios for those keys
+  *    overstate a real corpus's cost.
+  *  - single timed rep per scale (after an sf0.1 warm-up that compiles
+  *    the shared codegen), so ±10% noise; the signal sought is 10× vs
+  *    100×, not 1.1×.
+  */
+object ScaleRehearsal {
+  private val IdStrides: Map[String, Seq[(String, String)]] = Map(
+    // table -> (column, keyspace) pairs; stride per keyspace = max+1 at src
+    "customer" -> Seq("c_custkey" -> "cust"),
+    "orders" -> Seq("o_orderkey" -> "order", "o_custkey" -> "cust"),
+    "lineitem" -> Seq("l_orderkey" -> "order", "l_partkey" -> "part", "l_suppkey" -> "supp"),
+    "part" -> Seq("p_partkey" -> "part"),
+    "supplier" -> Seq("s_suppkey" -> "supp"),
+    "events" -> Seq("event_id" -> "event", "user_id" -> "user"),
+    "documents" -> Seq("doc_id" -> "doc"),
+    "embeddings" -> Seq("vec_id" -> "vec"))
+  private val CopyOnly = Seq("region", "nation")
+
+  private val DefaultKeys = Seq(
+    "q_dedup_cluster", "q_dedup_cluster_star", "q_dedup_cluster_banded",
+    "q_llm_pipeline", "q_llm_pipeline_v2", "q_dedup_embedding_lsh_capped",
+    "q_dedup_minhash", "q_dedup_embedding_cluster", "q_quality_repetition",
+    "q_dedup_substring")
+
+  def synthesize(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+    // stride per keyspace: max(id)+1 over every column mapped to it, so
+    // shifted copies can never collide across tables sharing the space
+    val strides: Map[String, Long] = IdStrides.toSeq
+      .flatMap { case (t, cols) =>
+        val df = spark.read.parquet(s"$src/$t.parquet")
+        cols.map { case (c, ks) =>
+          ks -> (df.agg(max(col(c))).head().getLong(0) + 1L)
+        }
+      }
+      .groupMapReduce(_._1)(_._2)(math.max)
+    for (t <- CopyOnly)
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    for ((t, cols) <- IdStrides) {
+      val base = spark.read.parquet(s"$src/$t.parquet")
+      val scaled = (0 until factor).map { i =>
+        cols.foldLeft(base) { case (df, (c, ks)) =>
+          df.withColumn(c, (col(c) + lit(i * strides(ks))).cast(df.schema(c).dataType))
+        }
+      }.reduce(_ union _)
+      scaled.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val dst = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/testdata_sf1")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_SF1_SAMPLE.json")
+    val keys = sys.env.get("SPARK_GRAFT_SCALE_KEYS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(DefaultKeys)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val unknown = keys.filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown keys: ${unknown.mkString(", ")}")
+    val marker = java.nio.file.Paths.get(dst, "_SYNTH_OK")
+    if (!java.nio.file.Files.exists(marker) ||
+        sys.env.contains("SPARK_GRAFT_SCALE_REBUILD")) {
+      System.err.println(s"[scale] synthesizing $dst = $src x$factor ...")
+      synthesize(spark, src, dst, factor)
+      java.nio.file.Files.write(marker, s"$src x$factor\n".getBytes("UTF-8"))
+    } else System.err.println(s"[scale] reusing $dst (${new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim})")
+
+    def time(key: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(key)(spark, dir).write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      dt
+    }
+    def r3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val rows = keys.map { k =>
+      try {
+        time(k, src) // warm-up: compiles the key's codegen against the same schema
+        val base = time(k, src)
+        System.err.println(s"[scale] $k base ${r3(base)} s, running x$factor ...")
+        val scaled = time(k, dst)
+        val ratio = if (base > 0) scaled / base else Double.NaN
+        System.err.println(s"[scale] $k scaled ${r3(scaled)} s ratio ${r3(ratio)}")
+        (k, Some((base, scaled, ratio)), None: Option[String])
+      } catch { case t: Throwable =>
+        (k, None, Some(t.toString.replaceAll("[^\\x20-\\x7e]", " ").replace("\\", " ").replace("\"", " ").take(160)))
+      }
+    }
+    val superLinear = rows.collect { case (k, Some((_, _, r)), _) if r > factor * 1.5 => k }
+    val keysJson = rows.map {
+      case (k, Some((b, s, r)), _) =>
+        s""""$k":{"base_sec":${r3(b)},"scaled_sec":${r3(s)},"ratio":${r3(r)}}"""
+      case (k, None, Some(e)) => s""""$k":{"error":"$e"}"""
+      case (k, _, _) => s""""$k":{}"""
+    }.mkString("{", ",", "}")
+    val note = s"scaled corpus = $src unioned x$factor with per-keyspace id strides; payloads unperturbed so dedup keys see ~${factor}x duplicate rate (adversarially heavy); 1 timed rep per scale after warm-up; super_linear = ratio > 1.5x the data growth"
+    val json = s"""{"note":"$note","factor":$factor,"src":"$src","scaled_dir":"$dst","keys":$keysJson,"super_linear":${superLinear.map("\"" + _ + "\"").mkString("[", ",", "]")},"n_keys":${keys.size},"n_errors":${rows.count(_._3.isDefined)}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile), (json + "\n").getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+    if (rows.exists(_._3.isDefined)) sys.exit(1)
+  }
+}

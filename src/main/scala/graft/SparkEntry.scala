@@ -168,6 +168,9 @@ object SparkEntry {
     // SQL; its probe/assignment core is oracled at q_ivf_topk_fixed.
     "q_dedup_embedding_lsh_capped" -> (Similarity.qDedupEmbeddingLshCapped _),
     "q_ivf_topk" -> (Similarity.qIvfTopK _),
+    // oracled since round 11: output = exact distinct (DuckDB recomputes)
+    // + an int flag pinning |approx − exact| ≤ 5% — the HLL property is
+    // now part of the hashed result instead of a private spec check
     "q_approx_distinct" -> (RelQueries.approxDistinct _),
   )
 
@@ -334,6 +337,11 @@ object SparkEntry {
       "SELECT l_orderkey, l_linenumber, metric, value FROM (SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount' AS metric, l_discount AS value FROM lineitem) ORDER BY l_orderkey, l_linenumber, metric, value",
     "q_percentile" ->
       "SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.9) AS p90, quantile_cont(l_quantity, 0.99) AS p99 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    // the Spark side emits exact distinct + an int flag that its HLL
+    // estimate landed within 5%; DuckDB recomputes the exact side and
+    // asserts the flag is 1 — the sketch itself never enters the hash
+    "q_approx_distinct" ->
+      "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, COUNT(*) AS n, CAST(1 AS INTEGER) AS within_5pct FROM events GROUP BY event_type ORDER BY event_type",
     "q_window_tumbling" ->
       "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type",
     "q_window_sliding" ->

@@ -180,17 +180,18 @@ object RelQueries {
       .agg(count(lit(1)).as("n"), sumDec(col("o_totalprice")).as("sum_price"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
-  /** Explicit GROUPING SETS ((status),(priority),()) via SQL (the
-    * canonical surface for this op; Catalyst plans a single Expand). */
-  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
-    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders_gs")
-    spark.sql(
-      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        |FROM graft_orders_gs
-        |GROUP BY GROUPING SETS ((o_orderstatus),(o_orderpriority),())
-        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
-  }
+  /** Explicit GROUPING SETS ((status),(priority),()) via the Spark 4
+    * Dataset `groupingSets` API (Catalyst plans a single Expand). The
+    * earlier temp-view + SQL-string form was the one piece of
+    * session-global mutable state in the query library — the declarative
+    * call produces the identical plan with no shared session state. */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sumDec(col("o_totalprice")).as("sum_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
   // --------------------------------------------------------------- windows
 
@@ -456,15 +457,30 @@ object RelQueries {
         expr("percentile(l_quantity, 0.99)").as("p99"))
       .orderBy("l_returnflag")
 
-  /** HLL approximate distinct (no oracle — sketch-dependent; property
-    * check in SourcesSpec: within 5% of exact). At 100 TB this is the
-    * only sane distinct-count: fixed-size sketch, one pass, mergeable. */
+  /** HLL approximate distinct, made oracle-checkable: the sketch value
+    * itself is not SQL-reproducible (DuckDB's HLL differs), so the output
+    * carries the EXACT distinct count (which DuckDB recomputes) plus an
+    * int flag asserting |approx − exact| ≤ 5%·exact — the 5% property
+    * the spec used to check privately is now part of the hashed result,
+    * so a sketch regression fails the oracle gate. The exact side exists
+    * only for the gate; at 100 TB the production call is the plain
+    * approx_count_distinct (fixed-size sketch, one pass, mergeable),
+    * documented here rather than re-keyed. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
+        // rsd 0.02 (not the 0.05 default): the flag asserts a 5% bound,
+        // and a sketch whose *standard deviation* is 5% breaches it
+        // routinely (measured: |err| > 5% at cardinality 1500). 2%
+        // rsd = 2^12 registers — still a fixed-size mergeable sketch
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n"))
+      .select(
+        col("event_type"), col("exact_users"), col("n"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= col("exact_users") * lit(0.05)).cast("int").as("within_5pct"))
       .orderBy("event_type")
 
   // ------------------------------------------- time windows (batch equiv)

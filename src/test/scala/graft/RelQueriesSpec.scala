@@ -29,11 +29,13 @@ class RelQueriesSpec extends SparkSpec {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracle-only keys: ${os -- qs}")
-    assert((qs -- os) == Set("q_approx_distinct",
+    assert((qs -- os) == Set(
       // remaining rows-only keys: runtime-adaptive capped LSH
-      // (hot-bucket refinement depends on observed counts), IVF
-      // (iterative centroid refinement), HLL sketch internals — each
-      // carries named ScalaTest properties
+      // (hot-bucket refinement depends on observed counts) and IVF
+      // (iterative centroid refinement) — each carries named ScalaTest
+      // properties, and their fixed-parameter cores are oracled.
+      // q_approx_distinct graduated to oracled in round 11: its output
+      // now carries the exact count plus the ≤5% bound as an int flag.
       "q_dedup_embedding_lsh_capped", "q_ivf_topk"))
   }
 

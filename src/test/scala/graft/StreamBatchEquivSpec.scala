@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.rel.RelQueries
+import graft.stream.StreamOps
+
+/** Batch ≡ streaming on the REAL testdata (round-10 verdict ask #6):
+  * StreamOpsSpec proves the streaming operators against synthetic
+  * fixtures; this suite closes the remaining gap by running the actual
+  * `events` table through MemoryStream and asserting byte-equality with
+  * the ORACLED batch keys (q_window_tumbling / q_window_sliding /
+  * q_window_session from RelQueries) — so the DuckDB oracle transitively
+  * vouches for the streaming plans too.
+  *
+  * Mechanics: every real event goes in micro-batch 1 (the watermark only
+  * advances between batches, so no real row can be late-dropped), then a
+  * far-future flush sentinel in batch 2 forces all real windows past the
+  * watermark so append mode emits them. Timestamps are compared as
+  * strings because the batch loader yields timestamp_ntz while the
+  * MemoryStream encoder yields timestamp — identical wall-clock values
+  * under the suite's UTC session. */
+class StreamBatchEquivSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val realEvents: Seq[Ev] =
+    graft.Tables.events(spark, sfDir)
+      .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Ev].collect().toSeq
+
+  private lazy val maxTs: Timestamp = realEvents.map(_.ts).max(Ordering.by[Timestamp, Long](_.getTime))
+
+  /** Sentinel 2 days past the data: closes every real window under any
+    * watermark ≤ 1 day; uses a user_id/type no real row carries. */
+  private lazy val flush =
+    Ev(new Timestamp(maxTs.getTime + 2L * 24 * 3600 * 1000), 999999L, "__flush", 0.0)
+
+  private def runFlushed(q: DataFrame, mem: MemoryStream[Ev], name: String): DataFrame = {
+    val query = q.writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName(name).trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(realEvents: _*)
+    query.processAllAvailable()
+    mem.addData(flush)
+    query.processAllAvailable()
+    query.stop()
+    spark.table(name)
+  }
+
+  private def rows(df: DataFrame, order: String*): Seq[String] =
+    df.orderBy(order.map(asc): _*)
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+
+  test("streaming tumbling over real events == oracled q_window_tumbling") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val streamed = runFlushed(
+      StreamOps.tumbling(mem.toDF(), watermark = Some("10 minutes")), mem, "eq_tumbling")
+      .filter(col("event_type") =!= "__flush")
+      .withColumn("hour", col("hour").cast("string"))
+    val batch = RelQueries.windowTumbling(spark, sfDir)
+      .withColumn("hour", col("hour").cast("string"))
+    val (s, b) = (rows(streamed, "hour", "event_type"), rows(batch, "hour", "event_type"))
+    assert(b.nonEmpty && s == b, s"streamed ${s.size} rows vs batch ${b.size}")
+  }
+
+  test("streaming sliding over real events == oracled q_window_sliding") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val streamed = runFlushed(
+      StreamOps.sliding(mem.toDF(), watermark = Some("10 minutes")), mem, "eq_sliding")
+      // drop the two windows that contain only the flush sentinel (they
+      // start ≥ flush − 30 min, > 1 day past any real window start)
+      .filter(col("wstart") < lit(new Timestamp(maxTs.getTime + 24L * 3600 * 1000)))
+      .withColumn("wstart", col("wstart").cast("string"))
+    val batch = RelQueries.windowSliding(spark, sfDir)
+      .withColumn("wstart", col("wstart").cast("string"))
+    val (s, b) = (rows(streamed, "wstart"), rows(batch, "wstart"))
+    assert(b.nonEmpty && s == b, s"streamed ${s.size} rows vs batch ${b.size}")
+  }
+
+  test("streaming sessions over real events == oracled q_window_session") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val streamed = runFlushed(
+      StreamOps.sessions(mem.toDF(), watermark = Some("10 minutes")), mem, "eq_sessions")
+      .filter(col("user_id") =!= flush.user_id)
+      .withColumn("session_start", col("session_start").cast("string"))
+    val batch = RelQueries.windowSession(spark, sfDir)
+      .withColumn("session_start", col("session_start").cast("string"))
+    val (s, b) = (rows(streamed, "user_id", "session_start"),
+                  rows(batch, "user_id", "session_start"))
+    assert(b.nonEmpty && s == b, s"streamed ${s.size} rows vs batch ${b.size}")
+  }
+}
