@@ -102,29 +102,61 @@ object ScaleRehearsal {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       dt
     }
+    def outRows(key: String, dir: String): Long = {
+      val n = SparkEntry.queries(key)(spark, dir).count()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      n
+    }
     def r3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    final case class K(base: Double, scaled: Double, ratio: Double,
+                       rows: Option[(Long, Long, Double)])
     val rows = keys.map { k =>
       try {
         time(k, src) // warm-up: compiles the key's codegen against the same schema
-        val base = time(k, src)
+        // base = median of 3 (cheap at sf0.1, and a single GC-hit rep
+        // otherwise poisons the ratio — observed an 18 s outlier on a
+        // 7 s-median key); scaled stays 1 rep (it's the expensive side)
+        val base = {
+          val ts = Vector.fill(3)(time(k, src)).sorted
+          ts(1)
+        }
         System.err.println(s"[scale] $k base ${r3(base)} s, running x$factor ...")
         val scaled = time(k, dst)
         val ratio = if (base > 0) scaled / base else Double.NaN
         System.err.println(s"[scale] $k scaled ${r3(scaled)} s ratio ${r3(ratio)}")
-        (k, Some((base, scaled, ratio)), None: Option[String])
+        // a time ratio outrunning the data growth is only a defect if it
+        // also outruns the OUTPUT growth — pair-emitting keys are
+        // Ω(result rows) by contract (e.g. exact-dup groups of size g
+        // owe C(g,2) pairs), so adjudicate flagged keys by counting
+        // their result at both scales (measured: q_dedup_minhash time
+        // x27 vs pairs x966 on the x10 corpus — output-bound)
+        val counts = if (ratio > factor) {
+          val (rb, rs) = (outRows(k, src), outRows(k, dst))
+          val or = if (rb > 0) rs.toDouble / rb else Double.NaN
+          System.err.println(s"[scale] $k output rows $rb -> $rs (x${r3(or)})")
+          Some((rb, rs, or))
+        } else None
+        (k, Some(K(base, scaled, ratio, counts)), None: Option[String])
       } catch { case t: Throwable =>
         (k, None, Some(t.toString.replaceAll("[^\\x20-\\x7e]", " ").replace("\\", " ").replace("\"", " ").take(160)))
       }
     }
-    val superLinear = rows.collect { case (k, Some((_, _, r)), _) if r > factor * 1.5 => k }
+    // flagged keys split by the adjudication: output-bound (time grew no
+    // faster than the result did — intrinsic, not a plan defect) vs
+    // genuinely super-linear in work
+    val flagged = rows.collect { case (k, Some(v), _) if v.ratio > factor => (k, v) }
+    val outputBound = flagged.collect { case (k, v) if v.rows.exists(r => v.ratio <= r._3) => k }
+    val superLinear = flagged.map(_._1).filterNot(outputBound.contains)
     val keysJson = rows.map {
-      case (k, Some((b, s, r)), _) =>
-        s""""$k":{"base_sec":${r3(b)},"scaled_sec":${r3(s)},"ratio":${r3(r)}}"""
+      case (k, Some(v), _) =>
+        val rj = v.rows.fold("") { case (rb, rs, or) =>
+          s""","rows_base":$rb,"rows_scaled":$rs,"rows_ratio":${r3(or)}""" }
+        s""""$k":{"base_sec":${r3(v.base)},"scaled_sec":${r3(v.scaled)},"ratio":${r3(v.ratio)}$rj}"""
       case (k, None, Some(e)) => s""""$k":{"error":"$e"}"""
       case (k, _, _) => s""""$k":{}"""
     }.mkString("{", ",", "}")
-    val note = s"scaled corpus = $src unioned x$factor with per-keyspace id strides; payloads unperturbed so dedup keys see ~${factor}x duplicate rate (adversarially heavy); 1 timed rep per scale after warm-up; super_linear = ratio > 1.5x the data growth"
-    val json = s"""{"note":"$note","factor":$factor,"src":"$src","scaled_dir":"$dst","keys":$keysJson,"super_linear":${superLinear.map("\"" + _ + "\"").mkString("[", ",", "]")},"n_keys":${keys.size},"n_errors":${rows.count(_._3.isDefined)}}"""
+    val note = s"scaled corpus = $src unioned x$factor with per-keyspace id strides; payloads unperturbed so dedup keys see ~${factor}x duplicate rate (adversarially heavy); base = median of 3 reps at $src, scaled = 1 rep after warm-up; keys with time ratio > the data growth are adjudicated against their OUTPUT growth: output_bound = result grew at least as fast as time (intrinsic, production mitigation = exact-dedup-first composition as in q_llm_pipeline*), super_linear = work genuinely outran both"
+    val json = s"""{"note":"$note","factor":$factor,"src":"$src","scaled_dir":"$dst","keys":$keysJson,"output_bound":${outputBound.map("\"" + _ + "\"").mkString("[", ",", "]")},"super_linear":${superLinear.map("\"" + _ + "\"").mkString("[", ",", "]")},"n_keys":${keys.size},"n_errors":${rows.count(_._3.isDefined)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile), (json + "\n").getBytes("UTF-8"))
     println(json)
     spark.stop()

@@ -48,6 +48,7 @@ object SparkEntry {
     "q_join_semi" -> (RelQueries.joinSemi _),
     "q_join_anti" -> (RelQueries.joinAnti _),
     "q_join_range" -> (RelQueries.joinRange _),
+    "q_join_bucketed" -> (RelQueries.joinBucketed _),
     "q_join_asof" -> (RelQueries.joinAsOf _),
     "q_agg_groupby" -> (RelQueries.aggGroupBy _),
     "q_agg_distinct" -> (RelQueries.aggDistinct _),
@@ -289,6 +290,10 @@ object SparkEntry {
       "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
     "q_join_range" ->
       "SELECT l_orderkey, l_linenumber, p_partkey, p_name FROM lineitem JOIN part ON l_partkey = p_partkey AND l_extendedprice/l_quantity BETWEEN p_retailprice*0.9 AND p_retailprice*1.1 ORDER BY l_orderkey, l_linenumber, p_partkey",
+    // bucketing only relocates the shuffle (ingest-time layout), so the
+    // oracle is the ordinary join — identical rows prove that
+    "q_join_bucketed" ->
+      "SELECT o_orderpriority, CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue, COUNT(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority",
     "q_join_asof" ->
       "SELECT e.event_id, e.user_id, CAST(b.d AS TIMESTAMP) AS o_date, b.okey FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tss FROM events) e ASOF JOIN (SELECT o_custkey, o_orderdate AS d, MAX(o_orderkey) AS okey FROM orders GROUP BY o_custkey, o_orderdate) b ON e.user_id = b.o_custkey AND e.tss >= b.d ORDER BY e.event_id",
     "q_agg_groupby" ->

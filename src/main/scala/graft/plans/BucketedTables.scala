@@ -1,0 +1,62 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Storage bucketing — the co-located-join technique the rest of the
+  * join family doesn't show: both fact tables are written ONCE bucketed
+  * (and sorted) by the join key, so every subsequent join on that key
+  * reads bucket i against bucket i directly — a SortMergeJoin with NO
+  * shuffle exchange on either side, verified in BucketedJoinSpec by
+  * walking the executed adaptive plan.
+  *
+  * This is the 100 TB pattern for repeated fact-fact joins: a petabyte
+  * fact table joined nightly pays its shuffle once at layout time, not
+  * per query; bucket count is chosen at write time to keep
+  * rows-per-bucket bounded as data grows (here 8, matching the harness's
+  * partition count — on a 1000-executor cluster it would be thousands).
+  * Bucketing is Spark-native (Hive-compatible layout): bucket id =
+  * `pmod(hashExpr(key), n)` recorded in table metadata, honored by the
+  * scan planner when both sides agree on (key, count).
+  *
+  * Tables are external (explicit path under the JVM temp dir, keyed by a
+  * digest of the source dir so different SFs never collide) and built
+  * lazily once per session — Bench's untimed warm-up rep absorbs the
+  * build, so timed reps measure the join itself, which is the honest
+  * split: layout cost is paid at ingest in production, not per query. */
+object BucketedTables {
+  val Buckets = 8
+
+  private def tag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+
+  /** Ensures bucketed lineitem/orders tables for `dir` exist in the
+    * session catalog; returns (lineitemTable, ordersTable). */
+  def ensure(spark: SparkSession, dir: String): (String, String) = {
+    val t = tag(dir)
+    val (li, ord) = (s"graft_bkt_lineitem_$t", s"graft_bkt_orders_$t")
+    val base = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_bucketed", t).toString
+    if (!spark.catalog.tableExists(li))
+      graft.Tables.lineitem(spark, dir).write.format("parquet")
+        .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/lineitem").mode("overwrite").saveAsTable(li)
+    if (!spark.catalog.tableExists(ord))
+      graft.Tables.orders(spark, dir).write.format("parquet")
+        .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/orders").mode("overwrite").saveAsTable(ord)
+    (li, ord)
+  }
+
+  /** lineitem ⋈ orders on the bucket key. The merge hint pins
+    * SortMergeJoin (broadcast would be legal at test SFs and hide the
+    * point); with both sides bucketed by the join key the planner feeds
+    * the join from the bucketed scans directly — zero exchanges below
+    * the join, asserted in BucketedJoinSpec. */
+  def join(spark: SparkSession, dir: String) = {
+    val (li, ord) = ensure(spark, dir)
+    spark.table(li).hint("merge")
+      .join(spark.table(ord), col("l_orderkey") === col("o_orderkey"))
+  }
+}

@@ -114,6 +114,22 @@ object RelQueries {
       .select(col("c_custkey"), col("c_name"))
       .orderBy("c_custkey")
 
+  /** Fact-fact join fed from storage-bucketed tables (r11): both sides
+    * were written `bucketBy(8, key).sortBy(key)` once, so the
+    * SortMergeJoin reads bucket i ⋈ bucket i with ZERO shuffle below the
+    * join — the layout-amortized shape for a petabyte fact table joined
+    * every night (see [[graft.plans.BucketedTables]]; exchange-free
+    * subtree asserted in BucketedJoinSpec). Result ≡ the plain join, so
+    * the oracle is the ordinary SQL join — bucketing only moves WHERE
+    * the shuffle happens (ingest, not query). */
+  def joinBucketed(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.BucketedTables.join(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sumDec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
   /** Equi key + range residual: the partkey equality keeps this a hash
     * join (never a nested-loop cross product) with the price band applied
     * as a post-join filter — the only scalable shape for band joins. */
