@@ -130,7 +130,7 @@ object ScaleRehearsal {
         // owe C(g,2) pairs), so adjudicate flagged keys by counting
         // their result at both scales (measured: q_dedup_minhash time
         // x27 vs pairs x966 on the x10 corpus — output-bound)
-        val counts = if (ratio > factor) {
+        val counts = if (ratio > factor * 1.25) {
           val (rb, rs) = (outRows(k, src), outRows(k, dst))
           val or = if (rb > 0) rs.toDouble / rb else Double.NaN
           System.err.println(s"[scale] $k output rows $rb -> $rs (x${r3(or)})")
@@ -143,9 +143,13 @@ object ScaleRehearsal {
     }
     // flagged keys split by the adjudication: output-bound (time grew no
     // faster than the result did — intrinsic, not a plan defect) vs
-    // genuinely super-linear in work
-    val flagged = rows.collect { case (k, Some(v), _) if v.ratio > factor => (k, v) }
-    val outputBound = flagged.collect { case (k, v) if v.rows.exists(r => v.ratio <= r._3) => k }
+    // genuinely super-linear in work. The 1.25 tolerance keeps single-rep
+    // scaled-timing noise (a measured 11.2x on a 10x corpus with exactly
+    // 10x output) from masquerading as a blowup — the signal sought is
+    // 10x vs 100x, not 1.1x.
+    val flagged = rows.collect { case (k, Some(v), _) if v.ratio > factor * 1.25 => (k, v) }
+    val outputBound = flagged.collect {
+      case (k, v) if v.rows.exists(r => v.ratio <= r._3 * 1.25) => k }
     val superLinear = flagged.map(_._1).filterNot(outputBound.contains)
     val keysJson = rows.map {
       case (k, Some(v), _) =>
@@ -155,7 +159,7 @@ object ScaleRehearsal {
       case (k, None, Some(e)) => s""""$k":{"error":"$e"}"""
       case (k, _, _) => s""""$k":{}"""
     }.mkString("{", ",", "}")
-    val note = s"scaled corpus = $src unioned x$factor with per-keyspace id strides; payloads unperturbed so dedup keys see ~${factor}x duplicate rate (adversarially heavy); base = median of 3 reps at $src, scaled = 1 rep after warm-up; keys with time ratio > the data growth are adjudicated against their OUTPUT growth: output_bound = result grew at least as fast as time (intrinsic, production mitigation = exact-dedup-first composition as in q_llm_pipeline*), super_linear = work genuinely outran both"
+    val note = s"scaled corpus = $src unioned x$factor with per-keyspace id strides; payloads unperturbed so dedup keys see ~${factor}x duplicate rate (adversarially heavy); base = median of 3 reps at $src, scaled = 1 rep after warm-up; keys with time ratio > 1.25x the data growth are adjudicated against their OUTPUT growth: output_bound = result grew at least as fast as time (within the same 1.25 noise tolerance; intrinsic, production mitigation = exact-dedup-first composition as in q_llm_pipeline*), super_linear = work genuinely outran both"
     val json = s"""{"note":"$note","factor":$factor,"src":"$src","scaled_dir":"$dst","keys":$keysJson,"output_bound":${outputBound.map("\"" + _ + "\"").mkString("[", ",", "]")},"super_linear":${superLinear.map("\"" + _ + "\"").mkString("[", ",", "]")},"n_keys":${keys.size},"n_errors":${rows.count(_._3.isDefined)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile), (json + "\n").getBytes("UTF-8"))
     println(json)

@@ -76,6 +76,12 @@ object SparkEntry {
     "q_window_tumbling" -> (RelQueries.windowTumbling _),
     "q_window_sliding" -> (RelQueries.windowSliding _),
     "q_window_session" -> (RelQueries.windowSession _),
+    // streaming engine under the oracle gate (r11): the same windows
+    // executed by Structured Streaming (file source → AvailableNow →
+    // memory sink), oracled by the IDENTICAL SQL as the batch twins
+    "q_stream_tumbling" -> (graft.stream.StreamQueries.qStreamTumbling _),
+    "q_stream_sliding" -> (graft.stream.StreamQueries.qStreamSliding _),
+    "q_stream_session" -> (graft.stream.StreamQueries.qStreamSession _),
     "q_dedup_latest" -> (RelQueries.dedupLatest _),
     "q_join_skew_salted" -> (graft.plans.SkewJoin.qJoinSkewSalted _),
     "q_bloom_join" -> (graft.plans.BloomFilter.qBloomJoin _),
@@ -145,6 +151,9 @@ object SparkEntry {
     "q_bm25_search" -> (text.Relevance.qBm25Search _),
     "q_cosine_topk" -> (Similarity.qCosineTopK _),
     "q_dedup_embedding" -> (Similarity.qDedupEmbedding _),
+    // int8 embedding compression + serving-shape ANN over the codes (r11)
+    "q_embedding_quantize" -> (Similarity.qEmbeddingQuantize _),
+    "q_ann_topk_int8" -> (Similarity.qAnnTopKInt8 _),
     // md5/generated-SQL-mirror oracled (engine-portable hashing)
     "q_dedup_minhash" -> (TextOps.qDedupMinhash _),
     "q_dedup_cluster_banded" -> (TextOps.qDedupClusterBanded _),
@@ -182,6 +191,14 @@ object SparkEntry {
   /** The 64-element sequential dot-product fold both engines share. */
   private def dotSql(a: String, b: String): String =
     s"list_aggregate(list_transform(range(1,65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),'sum')"
+
+  /** Shared int8-quantization fragments (mirror Similarity.quantized):
+    * inner SELECT computes the per-vector scale, outer applies the
+    * floor(x·scale + 0.5) code map. */
+  private val quantizeScaleSql: String =
+    "SELECT vec_id, embedding, CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0 THEN 127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) ELSE 0.0 END AS scale"
+  private val quantizeQSql: String =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INTEGER)) AS q"
 
   /** Shared CTE prefix for the ngram-dedup oracles: distinct trigram
     * shingle rows per document (s0), the df-capped subset (s1 — mirrors
@@ -353,6 +370,14 @@ object SparkEntry {
       "SELECT wstart, COUNT(*) AS n FROM (SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) - i * INTERVAL 30 MINUTE AS wstart FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS i) t) GROUP BY wstart ORDER BY wstart",
     "q_window_session" ->
       "SELECT user_id, session_start, n_events FROM (SELECT user_id, MIN(tss) AS session_start, COUNT(*) AS n_events FROM (SELECT user_id, tss, SUM(CASE WHEN prev IS NULL OR tss - prev >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY tss, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tss, LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev FROM events)) GROUP BY user_id, sid) ORDER BY user_id, session_start",
+    // streaming keys: oracle = the batch twin's SQL verbatim — DuckDB
+    // can't tell which engine produced the rows, which is the point
+    "q_stream_tumbling" ->
+      "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type",
+    "q_stream_sliding" ->
+      "SELECT wstart, COUNT(*) AS n FROM (SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) - i * INTERVAL 30 MINUTE AS wstart FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS i) t) GROUP BY wstart ORDER BY wstart",
+    "q_stream_session" ->
+      "SELECT user_id, session_start, n_events FROM (SELECT user_id, MIN(tss) AS session_start, COUNT(*) AS n_events FROM (SELECT user_id, tss, SUM(CASE WHEN prev IS NULL OR tss - prev >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY tss, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tss, LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev FROM events)) GROUP BY user_id, sid) ORDER BY user_id, session_start",
     // §2.A
     "q_minmax_scale" ->
       "SELECT l_orderkey, l_linenumber, ROUND((l_quantity - MIN(l_quantity) OVER ()) / (MAX(l_quantity) OVER () - MIN(l_quantity) OVER ()), 6) AS scaled FROM lineitem ORDER BY l_orderkey, l_linenumber, scaled",
@@ -518,6 +543,12 @@ object SparkEntry {
       "SELECT media_id, CAST(i AS INTEGER) AS frame_idx FROM (SELECT doc_id AS media_id, UNNEST(range(0, n_chars % 240 + 1)) AS i FROM documents) WHERE i % 10 = 0 ORDER BY media_id, frame_idx",
     "q_cosine_topk" ->
       s"WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8), c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8), s AS (SELECT qid, cid, ${dotSql("qe", "ce")} AS score FROM c CROSS JOIN q) SELECT qid, cid, ROUND(score, 6) AS score, rn FROM (SELECT qid, cid, score, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS INTEGER) AS rn FROM s) WHERE rn <= 3 ORDER BY qid, rn",
+    // int8 quantization: floor(x*scale + 0.5) — floor is engine-identical
+    // on doubles where round-half ties are not; all math in double
+    "q_embedding_quantize" ->
+      s"SELECT vec_id, ROUND(scale, 6) AS scale, array_to_string(q, ',') AS q_codes FROM (SELECT vec_id, scale, $quantizeQSql FROM ($quantizeScaleSql FROM embeddings)) ORDER BY vec_id",
+    "q_ann_topk_int8" ->
+      s"WITH qz AS (SELECT vec_id AS cid, scale, $quantizeQSql FROM ($quantizeScaleSql FROM embeddings WHERE vec_id >= 8)), qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8), s AS (SELECT qid, cid, CASE WHEN scale > 0 THEN ${dotSql("qe", "q")} / scale ELSE 0.0 END AS score FROM qz CROSS JOIN qs) SELECT qid, cid, ROUND(score, 6) AS score, rn FROM (SELECT qid, cid, score, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS INTEGER) AS rn FROM s) WHERE rn <= 3 ORDER BY qid, rn",
     "q_dedup_embedding" ->
       s"WITH a AS (SELECT vec_id AS id_a, embedding AS ea FROM embeddings WHERE vec_id < 100), b AS (SELECT vec_id AS id_b, embedding AS eb FROM embeddings) SELECT id_a, id_b, ROUND(score, 6) AS score FROM (SELECT id_a, id_b, ${dotSql("ea", "eb")} AS score FROM b CROSS JOIN a WHERE id_a < id_b) WHERE score > 0.25 ORDER BY id_a, id_b",
     // MinHash/LSH near-dup: md5-derived permutations are engine-

@@ -593,4 +593,63 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
       .orderBy("id_a", "id_b")
   }
+
+  // ------------------------------------------------- int8 quantization
+
+  /** Per-vector symmetric int8 quantization (r11): scale = 127/max|x|,
+    * q_i = ⌊x_i·scale + 0.5⌋ ∈ [−127, 127]. At 100 TB this is a 4×
+    * storage/scan-IO cut on the embedding column (float32 → int8 + one
+    * double per vector) — the standard first step before ANN serving.
+    * `floor(x·s + 0.5)` instead of `round()`: both engines define floor
+    * identically on doubles, while round-half ties differ by engine.
+    * All arithmetic in double (exact float widening both engines), so
+    * the oracle reproduces q bit-for-bit. Zero vectors quantize to a
+    * zero scale and all-zero codes rather than killing the job. */
+  private[graft] def quantized(emb: DataFrame): DataFrame = {
+    val mx = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    emb.select(col("vec_id"), col("embedding"), mx.as("mx"))
+      .withColumn("scale",
+        when(col("mx") > 0, lit(127.0) / col("mx")).otherwise(lit(0.0)))
+      .select(col("vec_id"), col("scale"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * col("scale") + lit(0.5)).cast("int")).as("q"))
+  }
+
+  def qEmbeddingQuantize(spark: SparkSession, dir: String): DataFrame =
+    quantized(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        // serialized codes, not a raw array column: the driver's hash
+        // compare sorts rows with pandas over all columns, which crashes
+        // on ndarray cells — a round-1 lesson baked into preflight
+        concat_ws(",", transform(col("q"), _.cast("string"))).as("q_codes"))
+      .orderBy("vec_id")
+
+  /** Cosine top-k where the CANDIDATE side is the int8-quantized table —
+    * the serving shape after [[qEmbeddingQuantize]]'s layout: score =
+    * dot(qe, q)/scale (the scale factors out of the integer fold, so the
+    * sum accumulates exact small integers × query doubles — same
+    * sequential fold as [[VectorOps.dot]], mirrored in SQL). Recall loss
+    * vs exact cosine comes only from the ≤ 0.5/127 per-element rounding;
+    * the spec pins top-1 agreement with the float path. */
+  def qAnnTopKInt8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cands = quantized(emb.filter(col("vec_id") >= 8))
+      .select(col("vec_id").as("cid"), col("scale"), col("q"))
+    val scored = cands.crossJoin(broadcast(queries))
+      .select(col("qid"), col("cid"),
+        // int→double cast is exact, so the fused codegen fold applies;
+        // dividing by scale AFTER the fold keeps the sum over exact
+        // small integers × query doubles (sequential, oracle-mirrored)
+        when(col("scale") > 0,
+          VectorOps.dot(col("qe"), col("q").cast("array<double>")) / col("scale"))
+          .otherwise(lit(0.0)).as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("cid"), round(col("score"), 6).as("score"), col("rn"))
+      .orderBy("qid", "rn")
+  }
 }

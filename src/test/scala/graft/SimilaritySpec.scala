@@ -330,4 +330,32 @@ class SimilaritySpec extends SparkSpec {
         "reducer exchange over the corpus at scale")
     assert(df.count() == 8 * 3)
   }
+
+  test("int8 quantization: codes in range, reconstruction within 0.5/127 per element") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val qz = Similarity.quantized(emb) // array form; the key serializes q
+    assert(Similarity.qEmbeddingQuantize(spark, sfDir).count() == emb.count())
+    // max |x − q/scale| over every element of every vector: quantization
+    // error is bounded by half a code step = 0.5/scale ≤ 0.5/127 · max|x|
+    val err = qz.join(emb, "vec_id")
+      .select(max(array_max(zip_with(col("embedding"), col("q"),
+        (x, q) => abs(x.cast("double") - q.cast("double") / col("scale"))))).as("e"))
+      .head().getDouble(0)
+    assert(err <= 0.5 / 127 + 1e-9, s"max reconstruction error $err")
+    val bounds = qz.select(
+      max(array_max(col("q"))).as("hi"), min(array_min(col("q"))).as("lo")).head()
+    assert(bounds.getInt(0) <= 127 && bounds.getInt(1) >= -127)
+  }
+
+  test("int8 ANN agrees with the float path on top-1 per query") {
+    val exact = Similarity.qCosineTopK(spark, sfDir).filter(col("rn") === 1)
+      .select(col("qid"), col("cid")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val int8 = Similarity.qAnnTopKInt8(spark, sfDir).filter(col("rn") === 1)
+      .select(col("qid"), col("cid")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == int8.keySet)
+    // ≤ 0.4% per-element rounding error: top-1 must survive quantization
+    // on every query (ties between near-identical scores would be a data
+    // accident; none exist in the fixture corpus)
+    assert(exact == int8, s"top-1 drift: ${exact.toSeq.diff(int8.toSeq)}")
+  }
 }
