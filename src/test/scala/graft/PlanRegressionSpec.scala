@@ -90,7 +90,19 @@ class PlanRegressionSpec extends SparkSpec {
     ("q_dedup_embedding_lsh_capped_fixed", 6, 3),
     ("q_dedup_url", 3, 1),
     ("q_domain_mix_temp", 4, 1),
-    ("q_ivf_topk_fixed", 4, 7))
+    ("q_ivf_topk_fixed", 4, 7),
+    // round-11 keys: bucketed join = agg exchange + output sort only
+    // (bucketed scans feed the SMJ sorts directly, NO join exchange —
+    // the exchange-free-subtree claim itself is BucketedJoinSpec's);
+    // grouping_sets (Dataset API) = Expand + 2-phase agg + output sort;
+    // quantize = pure map pass + output sort; ann_int8 = bounded probe
+    // cross + per-query window + output sort; approx_distinct = HLL +
+    // exact countDistinct expand (2-phase x partial) + output sort
+    ("q_join_bucketed", 2, 3),
+    ("q_agg_grouping_sets", 2, 1),
+    ("q_embedding_quantize", 1, 1),
+    ("q_ann_topk_int8", 2, 3),
+    ("q_approx_distinct", 3, 1))
 
   pins.foreach { case (name, maxExch, maxSort) =>
     test(s"$name plan stays within $maxExch exchanges / $maxSort sorts") {
