@@ -143,6 +143,9 @@ object SparkEntry {
     "q_dedup_substring" -> (TextOps.qDedupSubstring _),
     "q_quality_unigram" -> (TextOps.qQualityUnigram _),
     "q_quality_tails" -> (TextOps.qQualityTails _),
+    // r11: bigram LM (one step past unigram) + RAG-style chunking
+    "q_quality_bigram" -> (TextOps.qQualityBigram _),
+    "q_chunk_overlap" -> (TextOps.qChunkOverlap _),
     "q_quality_gopher" -> (TextOps.qQualityGopher _),
     "q_quality_entropy" -> (TextOps.qQualityEntropy _),
     "q_token_bpe" -> (TextOps.qTokenBpe _),
@@ -583,6 +586,20 @@ object SparkEntry {
       (s"$unigramCte, sc AS (SELECT doc_id, ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll FROM cost GROUP BY doc_id), " +
         "cuts AS (SELECT ROUND(quantile_cont(avg_nll, 0.1), 6) AS p10, ROUND(quantile_cont(avg_nll, 0.9), 6) AS p90 FROM sc) " +
         "SELECT doc_id, avg_nll, CASE WHEN avg_nll <= p10 THEN 'low' WHEN avg_nll >= p90 THEN 'high' ELSE 'mid' END AS tail FROM sc CROSS JOIN cuts ORDER BY doc_id"),
+    // bigram LM: same device one level up — p(b|a) = c(a,b)/c(a,·) from
+    // the corpus bigram table (every scored bigram has c ≥ 1, so no
+    // smoothing); aligned double-UNNEST zips the shifted token slices
+    "q_quality_bigram" ->
+      ("WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents), " +
+        "bg AS (SELECT doc_id, UNNEST(l[1:len(l)-1]) AS a, UNNEST(l[2:len(l)]) AS b FROM tk), " +
+        "bf AS (SELECT a, b, COUNT(*) AS cab FROM bg GROUP BY a, b), " +
+        "af AS (SELECT a, COUNT(*) AS ca FROM bg GROUP BY a), " +
+        "cost AS (SELECT doc_id, CAST(ROUND(-ln(CAST(cab AS DOUBLE) / CAST(ca AS DOUBLE)), 6) AS DECIMAL(18,6)) AS nll FROM bg JOIN bf USING (a, b) JOIN af USING (a)) " +
+        "SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll FROM cost GROUP BY doc_id ORDER BY doc_id"),
+    // overlapping chunking: start offsets via stepped range, chunk =
+    // 1-based 50-token slice re-joined to text
+    "q_chunk_overlap" ->
+      "WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), ch AS (SELECT doc_id, l, UNNEST(range(0, greatest(len(l), 1), 40)) AS st FROM tk) SELECT doc_id, CAST(st / 40 AS INTEGER) AS chunk_id, CAST(len(l[st+1:least(st+50, len(l))]) AS INTEGER) AS n_tokens, array_to_string(l[st+1:least(st+50, len(l))], ' ') AS chunk_text FROM ch ORDER BY doc_id, chunk_id",
     // exact-substring dedup: the w=20 form of the shingle CTE (span
     // length + df cap interpolated from TextOps constants)
     "q_dedup_substring" -> {

@@ -597,6 +597,72 @@ object TextOps {
   def qQualityTails(spark: SparkSession, dir: String): DataFrame =
     qualityTails(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** Bigram-LM quality score (r11) — one modeling step past
+    * [[unigramScores]], the same step CCNet-style pipelines take before
+    * paying for a real LM: score each document by the mean −ln p(b|a)
+    * of its token bigrams under the corpus bigram distribution, with
+    * p(b|a) = c(a,b)/c(a,·) estimated from the corpus itself (so every
+    * scored bigram has c ≥ 1 — no smoothing needed, as with the unigram
+    * key). Repetitive text (predictable continuations) scores LOW; word
+    * salad scores HIGH — and unlike the unigram score this catches
+    * scrambled-but-common-words junk, which unigrams can't.
+    *
+    * Scale shape: identical to [[unigramScores]] one level up — the
+    * bigram table is a corpus-wide hash aggregate keyed on (a,b), the
+    * history marginal on (a); per-token costs come from two equi-joins
+    * of the bigram stream, DECIMAL-summed per doc so the score is
+    * addition-order-proof. Single-token docs have no bigrams and drop
+    * out (both engines). */
+  def bigramScores(docs: DataFrame): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val pairs = docs
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val bf = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val af = pairs.groupBy(col("a")).agg(count(lit(1)).as("ca"))
+    val cost = pairs.join(bf, Seq("a", "b")).join(af, Seq("a"))
+      .select(col("doc_id"),
+        round(-log(col("cab").cast("double") / col("ca").cast("double")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("nll"))
+    cost.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("snll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("snll").cast("double") / col("n_bigrams"), 6).as("avg_nll"))
+  }
+
+  def qQualityBigram(spark: SparkSession, dir: String): DataFrame =
+    bigramScores(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** Overlapping token-window chunking (r11) — the retrieval/embedding
+    * prep step: split each document into `window`-token chunks every
+    * `stride` tokens (overlap = window − stride keeps context across
+    * boundaries). One row per (doc, chunk) with the chunk text
+    * re-joined — the unit a downstream embedder consumes.
+    *
+    * Scale shape: pure per-row expression work (split → explode of the
+    * start-offset sequence → slice), no joins, no corpus state — the
+    * shuffle is only the output ORDER BY; chunk count per doc is
+    * ⌈len/stride⌉ so output size is corpus-linear. */
+  def chunkOverlap(docs: DataFrame, window: Int = 50, stride: Int = 40): DataFrame = {
+    val toks = tokens(col("text"))
+    docs
+      .select(col("doc_id"), toks.as("l"))
+      .select(col("doc_id"), col("l"),
+        explode(sequence(lit(0), greatest(size(col("l")) - 1, lit(0)), lit(stride))).as("st"))
+      .select(
+        col("doc_id"),
+        (col("st") / stride).cast("int").as("chunk_id"),
+        size(slice(col("l"), col("st") + 1, lit(window))).as("n_tokens"),
+        concat_ws(" ", slice(col("l"), col("st") + 1, lit(window))).as("chunk_text"))
+  }
+
+  def qChunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    chunkOverlap(Tables.documents(spark, dir)).orderBy("doc_id", "chunk_id")
+
   // ------------------------------------------------------- PII scrubbing
 
   /** Portable PII regexes: plain character classes only — no

@@ -625,4 +625,54 @@ class TextOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_raw_forms") <= r.getAs[Long]("n_docs"))
     }
   }
+
+  test("bigram LM: predictable continuations score lower than diverse ones") {
+    // shared history "x": doc 10 always continues x→a (3 of the 7 x-
+    // bigrams), doc 11 continues x→{b,c,d,e} once each — every scored
+    // bigram of doc 10 is more probable, so its mean −ln p is smaller
+    val docs = Seq(
+      (10L, "x a x a x a"),
+      (11L, "x b x c x d x e")).toDF("doc_id", "text")
+    val out = TextOps.bigramScores(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_nll"))).toMap
+    assert(out(10L)._1 == 5 && out(11L)._1 == 7) // len−1 bigrams each
+    assert(out(10L)._2 < out(11L)._2,
+      s"repetitive doc should score lower: $out")
+  }
+
+  test("bigram LM: single-token docs drop out; all-unique corpus scores 0") {
+    val docs = Seq((1L, "solo"), (2L, "p q r s")).toDF("doc_id", "text")
+    val out = TextOps.bigramScores(docs).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(2L))
+    // every history occurs once → p(b|a)=1 → −ln p = 0
+    assert(out.head.getAs[Double]("avg_nll") == 0.0)
+  }
+
+  test("chunk overlap: windows cover the doc, overlap by window−stride, reassemble") {
+    val w = 50; val s = 40
+    val docs = graft.Tables.documents(spark, sfDir).limit(50)
+    val chunks = TextOps.chunkOverlap(docs, w, s)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    val texts = docs.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(chunks.keySet == texts.keySet)
+    for ((id, cs) <- chunks) {
+      val toks = texts(id).split(" ", -1).toSeq
+      val sorted = cs.sortBy(_.getAs[Int]("chunk_id"))
+      assert(sorted.map(_.getAs[Int]("chunk_id")).toSeq == sorted.indices)
+      assert(sorted.size == math.max(1, math.ceil(toks.size / s.toDouble).toInt),
+        s"doc $id: ${sorted.size} chunks for ${toks.size} tokens")
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        val expect = toks.slice(i * s, i * s + w)
+        assert(c.getAs[Int]("n_tokens") == expect.size)
+        assert(c.getAs[String]("chunk_text") == expect.mkString(" "),
+          s"doc $id chunk $i text mismatch")
+      }
+      // stride-prefix reassembly: first s tokens of each chunk + the
+      // final chunk's tail reproduce the document exactly
+      val rebuilt = sorted.init.flatMap(_.getAs[String]("chunk_text").split(" ", -1).take(s)) ++
+        sorted.last.getAs[String]("chunk_text").split(" ", -1)
+      assert(rebuilt.toSeq == toks, s"doc $id reassembly mismatch")
+    }
+  }
 }
