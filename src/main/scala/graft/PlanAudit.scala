@@ -80,8 +80,10 @@ object PlanAudit {
     // q_domain_mix_temp crosses its TWO one-row aggregates (corpus
     // total, √p normalizer); q_ivf_topk_fixed inherits the IVF
     // K-centroid broadcast crosses
-    // q_ann_topk_int8 shares q_cosine_topk's bounded 8-query broadcast
-    val expectedCross = Set("q_cosine_topk", "q_ann_topk_int8", "q_dedup_embedding",
+    // q_ann_topk_int8 shares q_cosine_topk's bounded 8-query broadcast;
+    // q_dsir_weights crosses its one-row (ns, nt) totals frame
+    val expectedCross = Set("q_cosine_topk", "q_ann_topk_int8", "q_dsir_weights",
+      "q_dedup_embedding",
       "q_minmax_scale", "q_ivf_topk", "q_ivf_topk_fixed", "q_eval_metrics",
       "q_bloom_join", "q_tfidf", "q_bm25_search",
       "q_quality_unigram", "q_domain_mix", "q_domain_mix_temp", "q_quality_tails",

@@ -143,9 +143,11 @@ object SparkEntry {
     "q_dedup_substring" -> (TextOps.qDedupSubstring _),
     "q_quality_unigram" -> (TextOps.qQualityUnigram _),
     "q_quality_tails" -> (TextOps.qQualityTails _),
-    // r11: bigram LM (one step past unigram) + RAG-style chunking
+    // r11: bigram LM (one step past unigram) + RAG-style chunking +
+    // DSIR-lite hashed-n-gram importance weighting
     "q_quality_bigram" -> (TextOps.qQualityBigram _),
     "q_chunk_overlap" -> (TextOps.qChunkOverlap _),
+    "q_dsir_weights" -> (TextOps.qDsirWeights _),
     "q_quality_gopher" -> (TextOps.qQualityGopher _),
     "q_quality_entropy" -> (TextOps.qQualityEntropy _),
     "q_token_bpe" -> (TextOps.qTokenBpe _),
@@ -600,6 +602,18 @@ object SparkEntry {
     // 1-based 50-token slice re-joined to text
     "q_chunk_overlap" ->
       "WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), ch AS (SELECT doc_id, l, UNNEST(range(0, greatest(len(l), 1), 40)) AS st FROM tk) SELECT doc_id, CAST(st / 40 AS INTEGER) AS chunk_id, CAST(len(l[st+1:least(st+50, len(l))]) AS INTEGER) AS n_tokens, array_to_string(l[st+1:least(st+50, len(l))], ' ') AS chunk_text FROM ch ORDER BY doc_id, chunk_id",
+    // DSIR-lite: token → 60-bit md5 hash → bucket (% 256, non-negative
+    // so % ≡ pmod); add-1-smoothed target/source bucket rates; per-token
+    // ln-ratio rounded 6 dp, DECIMAL-summed per doc (order-proof)
+    "q_dsir_weights" ->
+      (s"WITH tk AS (SELECT doc_id, lang, UNNEST(string_split(lower(text), ' ')) AS t FROM documents), " +
+        "tm AS (SELECT doc_id, lang, md5(t) AS m FROM tk), " +
+        s"tb AS (SELECT doc_id, lang, (${hex60Sql("m")}) % 256 AS b FROM tm), " +
+        "src AS (SELECT b, COUNT(*) AS cs FROM tb GROUP BY b), " +
+        "tgt AS (SELECT b, COUNT(*) AS ct FROM tb WHERE lang = 'en' GROUP BY b), " +
+        "tot AS (SELECT (SELECT CAST(SUM(cs) AS BIGINT) FROM src) AS ns, (SELECT CAST(SUM(ct) AS BIGINT) FROM tgt) AS nt), " +
+        "rates AS (SELECT b, CAST(ROUND(ln((CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (nt + 256)) / (CAST(cs + 1 AS DOUBLE) / (ns + 256))), 6) AS DECIMAL(18,6)) AS llr_b FROM src LEFT JOIN tgt USING (b) CROSS JOIN tot) " +
+        "SELECT doc_id, COUNT(*) AS n_tokens, ROUND(CAST(SUM(llr_b) AS DOUBLE), 6) AS llr, CAST(SUM(llr_b) > 0 AS INTEGER) AS selected FROM tb JOIN rates USING (b) GROUP BY doc_id ORDER BY doc_id"),
     // exact-substring dedup: the w=20 form of the shingle CTE (span
     // length + df cap interpolated from TextOps constants)
     "q_dedup_substring" -> {

@@ -663,6 +663,49 @@ object TextOps {
   def qChunkOverlap(spark: SparkSession, dir: String): DataFrame =
     chunkOverlap(Tables.documents(spark, dir)).orderBy("doc_id", "chunk_id")
 
+  /** DSIR-lite importance weighting (r11) — hashed-n-gram data selection
+    * (the DSIR recipe: importance weight = likelihood ratio between a
+    * target and the raw-source distribution over hashed n-gram feature
+    * buckets). Here: unigram tokens hashed into `buckets` via the
+    * engine-portable [[baseHash60]], target = the corpus's `lang='en'`
+    * slice, source = the whole corpus, add-1 smoothing over the bucket
+    * domain. Per-doc log-weight = Σ ln(p_t(b)/p_s(b)) over its tokens,
+    * per-bucket terms rounded to 6 dp and summed as DECIMAL so the
+    * weight is addition-order-proof; `selected` = weight > 0 (doc looks
+    * more target-like than source-like).
+    *
+    * Scale shape: the bucket tables are FIXED-width corpus aggregates
+    * (≤ `buckets` rows — broadcast-joined back to the token stream), so
+    * the only corpus-sized shuffles are the token-bucket agg and the
+    * per-doc sum; at 100 TB swap the target slice for a curated seed
+    * corpus, same plan. */
+  def dsirWeights(docs: DataFrame, buckets: Int = 256): DataFrame = {
+    val tk = docs
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(lower(col("text")))).as("t"))
+      .withColumn("b", pmod(baseHash60(col("t")), lit(buckets.toLong)))
+    val src = tk.groupBy(col("b")).agg(count(lit(1)).as("cs"))
+    val tgt = tk.filter(col("lang") === "en").groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val totals = src.agg(sum(col("cs")).as("ns"))
+      .crossJoin(tgt.agg(sum(col("ct")).as("nt"))) // one row × one row
+    val rates = src.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(log(
+          ((coalesce(col("ct"), lit(0L)) + 1).cast("double") / (col("nt") + buckets)) /
+            ((col("cs") + 1).cast("double") / (col("ns") + buckets))), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("llr_b"))
+    tk.join(broadcast(rates), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("llr_b")).as("sllr"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sllr").cast("double"), 6).as("llr"),
+        (col("sllr") > 0).cast("int").as("selected"))
+  }
+
+  def qDsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeights(Tables.documents(spark, dir)).orderBy("doc_id")
+
   // ------------------------------------------------------- PII scrubbing
 
   /** Portable PII regexes: plain character classes only — no

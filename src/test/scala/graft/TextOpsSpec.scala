@@ -649,6 +649,22 @@ class TextOpsSpec extends SparkSpec {
     assert(out.head.getAs[Double]("avg_nll") == 0.0)
   }
 
+  test("DSIR weights: target-language docs weigh positive, others negative") {
+    val docs = Seq(
+      (1L, "the quick brown fox", "en"),
+      (2L, "jumps over lazy dog", "en"),
+      (3L, "uno dos tres cuatro", "es"),
+      (4L, "cinco seis siete ocho", "es")).toDF("doc_id", "text", "lang")
+    val out = TextOps.dsirWeights(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("llr"), r.getAs[Int]("selected"))).toMap
+    // every en token sits in the target slice (ratio > 1), every es
+    // token only in the source (ratio < 1) — so the weights separate
+    // cleanly and the selected flag matches the sign
+    for (id <- Seq(1L, 2L)) assert(out(id)._1 > 0 && out(id)._2 == 1, s"doc $id: $out")
+    for (id <- Seq(3L, 4L)) assert(out(id)._1 < 0 && out(id)._2 == 0, s"doc $id: $out")
+  }
+
   test("chunk overlap: windows cover the doc, overlap by window−stride, reassemble") {
     val w = 50; val s = 40
     val docs = graft.Tables.documents(spark, sfDir).limit(50)
