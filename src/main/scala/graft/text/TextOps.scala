@@ -684,15 +684,18 @@ object TextOps {
       .select(col("doc_id"), col("lang"),
         explode(tokens(lower(col("text")))).as("t"))
       .withColumn("b", pmod(baseHash60(col("t")), lit(buckets.toLong)))
-    val src = tk.groupBy(col("b")).agg(count(lit(1)).as("cs"))
-    val tgt = tk.filter(col("lang") === "en").groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val totals = src.agg(sum(col("cs")).as("ns"))
-      .crossJoin(tgt.agg(sum(col("ct")).as("nt"))) // one row × one row
-    val rates = src.join(tgt, Seq("b"), "left")
+    // ONE corpus pass builds both distributions: source count + target
+    // count per bucket as a conditional aggregate (a separate filtered
+    // agg would re-explode and re-shuffle the whole token stream)
+    val stats = tk.groupBy(col("b")).agg(
+      count(lit(1)).as("cs"),
+      count(when(col("lang") === "en", lit(1))).as("ct"))
+    val totals = stats.agg(sum(col("cs")).as("ns"), sum(col("ct")).as("nt")) // ≤`buckets` rows in
+    val rates = stats
       .crossJoin(broadcast(totals))
       .select(col("b"),
         round(log(
-          ((coalesce(col("ct"), lit(0L)) + 1).cast("double") / (col("nt") + buckets)) /
+          ((col("ct") + 1).cast("double") / (col("nt") + buckets)) /
             ((col("cs") + 1).cast("double") / (col("ns") + buckets))), 6)
           .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("llr_b"))
     tk.join(broadcast(rates), Seq("b"))

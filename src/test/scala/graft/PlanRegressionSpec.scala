@@ -102,7 +102,14 @@ class PlanRegressionSpec extends SparkSpec {
     ("q_agg_grouping_sets", 2, 1),
     ("q_embedding_quantize", 1, 1),
     ("q_ann_topk_int8", 2, 3),
-    ("q_approx_distinct", 3, 1))
+    ("q_approx_distinct", 3, 1),
+    // bigram = (a,b)+(a) corpus aggs + two equi-joins + doc agg + sort;
+    // chunk = pure map pass (1 exch = output sort); dsir = ONE
+    // conditional corpus agg (src+tgt in a single pass) + 256-row stats
+    // agg + broadcast rates join + doc agg + sort
+    ("q_quality_bigram", 4, 1),
+    ("q_chunk_overlap", 1, 1),
+    ("q_dsir_weights", 5, 1))
 
   pins.foreach { case (name, maxExch, maxSort) =>
     test(s"$name plan stays within $maxExch exchanges / $maxSort sorts") {
