@@ -42,7 +42,10 @@ object ScaleRehearsal {
     "q_dedup_cluster", "q_dedup_cluster_star", "q_dedup_cluster_banded",
     "q_llm_pipeline", "q_llm_pipeline_v2", "q_dedup_embedding_lsh_capped",
     "q_dedup_minhash", "q_dedup_embedding_cluster", "q_quality_repetition",
-    "q_dedup_substring")
+    "q_dedup_substring",
+    // r11 token-stream-heavy additions: bigram's (a,b) corpus agg, the
+    // DSIR bucket pass, and chunking's corpus-linear output
+    "q_quality_bigram", "q_dsir_weights", "q_chunk_overlap")
 
   def synthesize(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
     // stride per keyspace: max(id)+1 over every column mapped to it, so
