@@ -159,6 +159,8 @@ object SparkEntry {
     // int8 embedding compression + serving-shape ANN over the codes (r11)
     "q_embedding_quantize" -> (Similarity.qEmbeddingQuantize _),
     "q_ann_topk_int8" -> (Similarity.qAnnTopKInt8 _),
+    // PQ ANN: 8x4-bit codes per vector, ADC lookup-table scoring (r11)
+    "q_pq_topk" -> (Similarity.qPqTopK _),
     // md5/generated-SQL-mirror oracled (engine-portable hashing)
     "q_dedup_minhash" -> (TextOps.qDedupMinhash _),
     "q_dedup_cluster_banded" -> (TextOps.qDedupClusterBanded _),
@@ -554,6 +556,21 @@ object SparkEntry {
       s"SELECT vec_id, ROUND(scale, 6) AS scale, array_to_string(q, ',') AS q_codes FROM (SELECT vec_id, scale, $quantizeQSql FROM ($quantizeScaleSql FROM embeddings)) ORDER BY vec_id",
     "q_ann_topk_int8" ->
       s"WITH qz AS (SELECT vec_id AS cid, scale, $quantizeQSql FROM ($quantizeScaleSql FROM embeddings WHERE vec_id >= 8)), qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8), s AS (SELECT qid, cid, CASE WHEN scale > 0 THEN ${dotSql("qe", "q")} / scale ELSE 0.0 END AS score FROM qz CROSS JOIN qs) SELECT qid, cid, ROUND(score, 6) AS score, rn FROM (SELECT qid, cid, score, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS INTEGER) AS rn FROM s) WHERE rn <= 3 ORDER BY qid, rn",
+    // PQ: codebooks = first-16 candidates' 8-dim subvectors; code
+    // assignment ties break on min k (the ORDER BY dist, k window ≡
+    // Spark's struct-min); ADC partials rounded 6 dp then DECIMAL-summed
+    "q_pq_topk" ->
+      ("WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8), " +
+        "c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8), " +
+        "ms AS (SELECT UNNEST(range(0, 8)) AS m), " +
+        "book AS (SELECT m, CAST(vec_id - 8 AS INTEGER) AS k, list_transform(embedding[m*8+1 : m*8+8], x -> CAST(x AS DOUBLE)) AS cv FROM embeddings CROSS JOIN ms WHERE vec_id >= 8 AND vec_id < 24), " +
+        "csub AS (SELECT cid, m, list_transform(ce[m*8+1 : m*8+8], x -> CAST(x AS DOUBLE)) AS sv FROM c CROSS JOIN ms), " +
+        "dists AS (SELECT cid, m, k, list_aggregate(list_transform(range(1, 9), i -> (sv[i] - cv[i]) * (sv[i] - cv[i])), 'sum') AS dist FROM csub JOIN book USING (m)), " +
+        "codes AS (SELECT cid, m, k FROM (SELECT cid, m, k, ROW_NUMBER() OVER (PARTITION BY cid, m ORDER BY dist, k) AS rn FROM dists) WHERE rn = 1), " +
+        "qsub AS (SELECT qid, m, list_transform(qe[m*8+1 : m*8+8], x -> CAST(x AS DOUBLE)) AS qv FROM q CROSS JOIN ms), " +
+        "lut AS (SELECT qid, m, k, CAST(ROUND(list_aggregate(list_transform(range(1, 9), i -> qv[i] * cv[i]), 'sum'), 6) AS DECIMAL(18,6)) AS pdot FROM qsub JOIN book USING (m)), " +
+        "sc AS (SELECT qid, cid, CAST(SUM(pdot) AS DOUBLE) AS score FROM codes JOIN lut USING (m, k) GROUP BY qid, cid) " +
+        "SELECT qid, cid, ROUND(score, 6) AS score, rn FROM (SELECT qid, cid, score, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS INTEGER) AS rn FROM sc) WHERE rn <= 3 ORDER BY qid, rn"),
     "q_dedup_embedding" ->
       s"WITH a AS (SELECT vec_id AS id_a, embedding AS ea FROM embeddings WHERE vec_id < 100), b AS (SELECT vec_id AS id_b, embedding AS eb FROM embeddings) SELECT id_a, id_b, ROUND(score, 6) AS score FROM (SELECT id_a, id_b, ${dotSql("ea", "eb")} AS score FROM b CROSS JOIN a WHERE id_a < id_b) WHERE score > 0.25 ORDER BY id_a, id_b",
     // MinHash/LSH near-dup: md5-derived permutations are engine-

@@ -624,6 +624,81 @@ object Similarity {
         concat_ws(",", transform(col("q"), _.cast("string"))).as("q_codes"))
       .orderBy("vec_id")
 
+  // ---------------------------------------------- product quantization
+
+  private val pqM = 8  // subspaces (64-dim embedding → 8 × 8-dim)
+  private val pqD = 8  // dims per subspace
+  private val pqK = 16 // centroids per subspace
+
+  /** m-th subvector (0-based) of a 64-dim embedding, widened to double. */
+  private def pqSubvec(e: Column, m: Int): Column =
+    transform(slice(e, m * pqD + 1, pqD), _.cast("double"))
+
+  /** PQ-compressed ANN with asymmetric-distance scoring (r11) — the
+    * third rung of the compression ladder after float
+    * ([[qCosineTopK]]) and int8 ([[qAnnTopKInt8]]): each candidate is
+    * stored as 8 four-bit codes (64 floats → 8 codebook ids, a 64×
+    * compression), and queries score candidates WITHOUT decompressing:
+    * score = Σ_m ⟨q_m, centroid(m, code_m)⟩ via a per-query lookup
+    * table. Codebooks are the first [[pqK]] candidates' subvectors —
+    * deterministic/relational rather than k-means-trained, which is
+    * what keeps the whole key DuckDB-oracle-able (the Lloyd-trained
+    * variant would join this plan unchanged; only the codebook rows
+    * differ — the IVF key already demonstrates that trade).
+    *
+    * Determinism devices: sub-distances and partial dots are the
+    * sequential fold (engine-identical); code assignment breaks dist
+    * ties by min k via a struct-min aggregate (no window over the
+    * corpus); ADC partials are rounded to 6 dp and summed as DECIMAL so
+    * the score never depends on float addition order (the BM25 device).
+    *
+    * Scale shape: the codebook (M·K = 128 rows) and per-query LUT
+    * (8·128 rows) are broadcasts; encoding is one corpus-linear
+    * explode + broadcast join + keyed argmin agg; scoring is a
+    * broadcast join + (qid,cid)-keyed sum. No corpus-sized window, no
+    * cross join. */
+  def qPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cands = emb.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val codebook = emb.filter(col("vec_id") >= 8 && col("vec_id") < 8 + pqK)
+      .select(explode(array((0 until pqM).map(m =>
+        struct(lit(m).as("m"), (col("vec_id") - 8).cast("int").as("k"),
+          pqSubvec(col("embedding"), m).as("cv"))): _*)).as("e"))
+      .select(col("e.m").as("m"), col("e.k").as("k"), col("e.cv").as("cv"))
+    val candSub = cands
+      .select(col("cid"), explode(array((0 until pqM).map(m =>
+        struct(lit(m).as("m"), pqSubvec(col("ce"), m).as("sv"))): _*)).as("e"))
+      .select(col("cid"), col("e.m").as("m"), col("e.sv").as("sv"))
+    val codes = candSub.join(broadcast(codebook), Seq("m"))
+      .select(col("cid"), col("m"), col("k"),
+        aggregate(zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x).as("dist"))
+      .groupBy(col("cid"), col("m"))
+      .agg(min(struct(col("dist"), col("k"))).as("best"))
+      .select(col("cid"), col("m"), col("best.k").as("k"))
+    val lut = queries
+      .select(col("qid"), explode(array((0 until pqM).map(m =>
+        struct(lit(m).as("m"), pqSubvec(col("qe"), m).as("qv"))): _*)).as("e"))
+      .select(col("qid"), col("e.m").as("m"), col("e.qv").as("qv"))
+      .join(broadcast(codebook), Seq("m"))
+      .select(col("qid"), col("m"), col("k"),
+        round(aggregate(zip_with(col("qv"), col("cv"), (x, y) => x * y),
+          lit(0.0), (a, x) => a + x), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("pdot"))
+    val scored = codes.join(broadcast(lut), Seq("m", "k"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("pdot")).cast("double").as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("cid"), round(col("score"), 6).as("score"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
   /** Cosine top-k where the CANDIDATE side is the int8-quantized table —
     * the serving shape after [[qEmbeddingQuantize]]'s layout: score =
     * dot(qe, q)/scale (the scale factors out of the integer fold, so the

@@ -109,7 +109,10 @@ class PlanRegressionSpec extends SparkSpec {
     // agg + broadcast rates join + doc agg + sort
     ("q_quality_bigram", 4, 1),
     ("q_chunk_overlap", 1, 1),
-    ("q_dsir_weights", 5, 1))
+    ("q_dsir_weights", 5, 1),
+    // pq = encode argmin agg + ADC (qid,cid) agg + per-qid window +
+    // output sort; no corpus window, no cross (codebook/LUT broadcast)
+    ("q_pq_topk", 4, 5))
 
   pins.foreach { case (name, maxExch, maxSort) =>
     test(s"$name plan stays within $maxExch exchanges / $maxSort sorts") {

@@ -347,6 +347,32 @@ class SimilaritySpec extends SparkSpec {
     assert(bounds.getInt(0) <= 127 && bounds.getInt(1) >= -127)
   }
 
+  test("PQ ANN: structural contract + recall against the exact top-3") {
+    val pq = Similarity.qPqTopK(spark, sfDir).collect()
+    val byQ = pq.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 8)
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rn"))
+      assert(sorted.map(_.getAs[Int]("rn")).toSeq == Seq(1, 2, 3))
+      val scores = sorted.map(_.getAs[Double]("score")).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+    // lossy by design — and the fixture corpus (500 near-orthogonal
+    // unit vectors, no cluster structure) is PQ's WORST case for a
+    // 16-centroid sampled codebook. The property worth pinning is that
+    // ADC ranking still carries signal: exact top-3 ∩ PQ top-3 nonempty
+    // for ≥ 2 of 8 queries (measured 3/8 here; random overlap of two
+    // 3-sets among 492 candidates would hit ~0.15 queries of 8, so 2 is
+    // far outside chance). Real embedding corpora cluster, where both
+    // recall and the trained-codebook variant do far better.
+    val exact = Similarity.qCosineTopK(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("cid")).toSet }
+    val hits = byQ.count { case (q, rs) =>
+      rs.map(_.getAs[Long]("cid")).toSet.intersect(exact(q)).nonEmpty }
+    assert(hits >= 2, s"PQ top-3 disjoint from exact top-3 on ${8 - hits}/8 queries")
+  }
+
   test("int8 ANN agrees with the float path on top-1 per query") {
     val exact = Similarity.qCosineTopK(spark, sfDir).filter(col("rn") === 1)
       .select(col("qid"), col("cid")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
