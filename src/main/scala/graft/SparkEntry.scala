@@ -161,6 +161,9 @@ object SparkEntry {
     "q_ann_topk_int8" -> (Similarity.qAnnTopKInt8 _),
     // PQ ANN: 8x4-bit codes per vector, ADC lookup-table scoring (r11)
     "q_pq_topk" -> (Similarity.qPqTopK _),
+    // composed ANN serving key (r12): IVF coarse pruning feeding PQ ADC
+    // rescoring — scored candidates come ONLY from probed lists
+    "q_ivf_pq_topk" -> (Similarity.qIvfPqTopK _),
     // md5/generated-SQL-mirror oracled (engine-portable hashing)
     "q_dedup_minhash" -> (TextOps.qDedupMinhash _),
     "q_dedup_cluster_banded" -> (TextOps.qDedupClusterBanded _),
@@ -183,8 +186,13 @@ object SparkEntry {
     // q_ivf_topk: centroids are xxhash64-sampled then Lloyd-refined —
     // the float vector average is not addition-order-reproducible in
     // SQL; its probe/assignment core is oracled at q_ivf_topk_fixed.
+    // q_pq_topk_trained: Lloyd-trained PQ codebook (the same float-
+    // average declaration); its encode/LUT/ADC plan is the oracled
+    // q_pq_topk verbatim — only the codebook rows differ — and
+    // SimilaritySpec pins recall >= the deterministic-codebook key.
     "q_dedup_embedding_lsh_capped" -> (Similarity.qDedupEmbeddingLshCapped _),
     "q_ivf_topk" -> (Similarity.qIvfTopK _),
+    "q_pq_topk_trained" -> (Similarity.qPqTopKTrained _),
     // oracled since round 11: output = exact distinct (DuckDB recomputes)
     // + an int flag pinning |approx − exact| ≤ 5% — the HLL property is
     // now part of the hashed result instead of a private spec check
@@ -896,6 +904,30 @@ object SparkEntry {
         s"probes AS (SELECT qid, qe, centroid_id FROM (SELECT q.qid, q.qe, ctr.centroid_id, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY ${dotSql("q.qe", "ctr.centroid")} DESC, ctr.centroid_id) AS r FROM q CROSS JOIN ctr) WHERE r <= 4), " +
         s"s AS (SELECT qid, cid, ${dotSql("qe", "ce")} AS score FROM asg JOIN probes USING (centroid_id)) " +
         "SELECT qid, cid, ROUND(score, 6) AS score, rn FROM (SELECT qid, cid, score, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS INTEGER) AS rn FROM s) WHERE rn <= 3 ORDER BY qid, rn"
+    },
+    // composed IVF->PQ serving key: the fixed-seed IVF CTEs (ctr/asg/
+    // probes, q_ivf_topk_fixed verbatim) feed the PQ CTEs (book/csub/
+    // dists/codes/lut, q_pq_topk verbatim) — with the one structural
+    // difference that IS the operator: codes carry their centroid_id and
+    // the scoring join goes codes ⋈ probes (pruning) before the LUT, so
+    // only probed lists are ever scored. Same determinism devices:
+    // min-id tie-breaks, 6-dp DECIMAL ADC partials.
+    "q_ivf_pq_topk" -> {
+      "WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8), " +
+        "q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8), " +
+        "ctr AS (SELECT cid AS centroid_id, ce AS centroid FROM c WHERE cid IN (SELECT cid FROM c ORDER BY cid LIMIT 16)), " +
+        s"asg AS (SELECT cid, ce, centroid_id FROM (SELECT c.cid, c.ce, ctr.centroid_id, ROW_NUMBER() OVER (PARTITION BY c.cid ORDER BY ${dotSql("c.ce", "ctr.centroid")} DESC, ctr.centroid_id) AS r FROM c CROSS JOIN ctr) WHERE r = 1), " +
+        s"probes AS (SELECT qid, centroid_id FROM (SELECT q.qid, ctr.centroid_id, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY ${dotSql("q.qe", "ctr.centroid")} DESC, ctr.centroid_id) AS r FROM q CROSS JOIN ctr) WHERE r <= 4), " +
+        "ms AS (SELECT UNNEST(range(0, 8)) AS m), " +
+        "book AS (SELECT m, CAST(vec_id - 8 AS INTEGER) AS k, list_transform(embedding[m*8+1 : m*8+8], x -> CAST(x AS DOUBLE)) AS cv FROM embeddings CROSS JOIN ms WHERE vec_id >= 8 AND vec_id < 24), " +
+        "csub AS (SELECT centroid_id, cid, m, list_transform(ce[m*8+1 : m*8+8], x -> CAST(x AS DOUBLE)) AS sv FROM asg CROSS JOIN ms), " +
+        "dists AS (SELECT centroid_id, cid, m, k, list_aggregate(list_transform(range(1, 9), i -> (sv[i] - cv[i]) * (sv[i] - cv[i])), 'sum') AS dist FROM csub JOIN book USING (m)), " +
+        "codes AS (SELECT centroid_id, cid, m, k FROM (SELECT centroid_id, cid, m, k, ROW_NUMBER() OVER (PARTITION BY cid, m ORDER BY dist, k) AS rn FROM dists) WHERE rn = 1), " +
+        "pruned AS (SELECT qid, cid, m, k FROM codes JOIN probes USING (centroid_id)), " +
+        "qsub AS (SELECT qid, m, list_transform(qe[m*8+1 : m*8+8], x -> CAST(x AS DOUBLE)) AS qv FROM q CROSS JOIN ms), " +
+        "lut AS (SELECT qid, m, k, CAST(ROUND(list_aggregate(list_transform(range(1, 9), i -> qv[i] * cv[i]), 'sum'), 6) AS DECIMAL(18,6)) AS pdot FROM qsub JOIN book USING (m)), " +
+        "sc AS (SELECT qid, cid, CAST(SUM(pdot) AS DOUBLE) AS score FROM pruned JOIN lut USING (qid, m, k) GROUP BY qid, cid) " +
+        "SELECT qid, cid, ROUND(score, 6) AS score, rn FROM (SELECT qid, cid, score, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS INTEGER) AS rn FROM sc) WHERE rn <= 3 ORDER BY qid, rn"
     },
     // LSH-bucketed all-pairs near-dup: same generated bucket mirror;
     // one-bit multi-probe on the probe side only (pairs are unique by

@@ -31,7 +31,13 @@ object Verify {
     // explicit schema/hash FAIL instead of dropping it, and the failure
     // list also lands in <outDir>/errors.json for the artifact trail.
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-loop filter: SPARK_GRAFT_VERIFY_KEYS=q_a,q_b dumps only those
+    // keys (the driver never sets it, so its run stays the full sweep)
+    val keyFilter = sys.env.get("SPARK_GRAFT_VERIFY_KEYS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = keyFilter.fold(SparkEntry.queries)(ks =>
+      SparkEntry.queries.view.filterKeys(ks).toMap)
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -634,6 +634,71 @@ object Similarity {
   private def pqSubvec(e: Column, m: Int): Column =
     transform(slice(e, m * pqD + 1, pqD), _.cast("double"))
 
+  /** Deterministic PQ codebook: the first [[pqK]] candidates' subvectors
+    * (relational rather than k-means-trained — SQL-reproducible; the
+    * Lloyd-trained variant [[pqCodebookTrained]] joins the same plans).
+    * Schema (m, k, cv: array<double>). */
+  private def pqCodebook(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") >= 8 && col("vec_id") < 8 + pqK)
+      .select(explode(array((0 until pqM).map(m =>
+        struct(lit(m).as("m"), (col("vec_id") - 8).cast("int").as("k"),
+          pqSubvec(col("embedding"), m).as("cv"))): _*)).as("e"))
+      .select(col("e.m").as("m"), col("e.k").as("k"), col("e.cv").as("cv"))
+
+  /** PQ-encode candidates against a codebook: each (cid, subspace m) maps
+    * to its nearest codeword k (squared-L2 argmin, ties to min k via a
+    * struct-min agg — no corpus window). `carry` columns (e.g. the IVF
+    * centroid_id) ride along through the explode and the keyed agg.
+    * Corpus-linear: one explode (×[[pqM]]) + a broadcast-codebook join +
+    * a (cid, m)-keyed aggregate. */
+  private def pqEncode(cands: DataFrame, codebook: DataFrame,
+                       carry: Seq[String] = Nil): DataFrame = {
+    val carryCols = carry.map(col)
+    val sub = cands
+      .select(carryCols :+ col("cid") :+ explode(array((0 until pqM).map(m =>
+        struct(lit(m).as("m"), pqSubvec(col("ce"), m).as("sv"))): _*)).as("e"): _*)
+      .select(carryCols :+ col("cid") :+ col("e.m").as("m") :+ col("e.sv").as("sv"): _*)
+    sub.join(broadcast(codebook), Seq("m"))
+      .select(carryCols :+ col("cid") :+ col("m") :+ col("k") :+
+        aggregate(zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x).as("dist"): _*)
+      .groupBy(carryCols :+ col("cid") :+ col("m"): _*)
+      .agg(min(struct(col("dist"), col("k"))).as("best"))
+      .select(carryCols :+ col("cid") :+ col("m") :+ col("best.k").as("k"): _*)
+  }
+
+  /** Per-query ADC lookup table: pdot(q, m, k) = ⟨q_m, codeword(m,k)⟩,
+    * rounded to 6 dp and carried as DECIMAL so the final per-candidate
+    * sum never depends on float addition order (the BM25 device).
+    * [[pqM]]·[[pqK]] rows per query — broadcast at the scoring join. */
+  private def pqLut(queries: DataFrame, codebook: DataFrame): DataFrame =
+    queries
+      .select(col("qid"), explode(array((0 until pqM).map(m =>
+        struct(lit(m).as("m"), pqSubvec(col("qe"), m).as("qv"))): _*)).as("e"))
+      .select(col("qid"), col("e.m").as("m"), col("e.qv").as("qv"))
+      .join(broadcast(codebook), Seq("m"))
+      .select(col("qid"), col("m"), col("k"),
+        round(aggregate(zip_with(col("qv"), col("cv"), (x, y) => x * y),
+          lit(0.0), (a, x) => a + x), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("pdot"))
+
+  /** ADC-score encoded candidates against per-query LUT rows and rank:
+    * score(q, c) = Σ_m pdot(q, m, code_m(c)), summed as DECIMAL then cast
+    * back. `codes` must carry (cid, m, k) and — when pre-pruned — a qid
+    * column restricting which queries score which candidates. */
+  private def pqScoreTopK(codes: DataFrame, lut: DataFrame, k: Int,
+                          joinKeys: Seq[String]): DataFrame = {
+    val scored = codes.join(broadcast(lut), joinKeys)
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("pdot")).cast("double").as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), round(col("score"), 6).as("score"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
   /** PQ-compressed ANN with asymmetric-distance scoring (r11) — the
     * third rung of the compression ladder after float
     * ([[qCosineTopK]]) and int8 ([[qAnnTopKInt8]]): each candidate is
@@ -663,40 +728,125 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val cands = emb.filter(col("vec_id") >= 8)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    val codebook = emb.filter(col("vec_id") >= 8 && col("vec_id") < 8 + pqK)
-      .select(explode(array((0 until pqM).map(m =>
-        struct(lit(m).as("m"), (col("vec_id") - 8).cast("int").as("k"),
-          pqSubvec(col("embedding"), m).as("cv"))): _*)).as("e"))
-      .select(col("e.m").as("m"), col("e.k").as("k"), col("e.cv").as("cv"))
-    val candSub = cands
-      .select(col("cid"), explode(array((0 until pqM).map(m =>
-        struct(lit(m).as("m"), pqSubvec(col("ce"), m).as("sv"))): _*)).as("e"))
-      .select(col("cid"), col("e.m").as("m"), col("e.sv").as("sv"))
-    val codes = candSub.join(broadcast(codebook), Seq("m"))
-      .select(col("cid"), col("m"), col("k"),
-        aggregate(zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (a, x) => a + x).as("dist"))
-      .groupBy(col("cid"), col("m"))
-      .agg(min(struct(col("dist"), col("k"))).as("best"))
-      .select(col("cid"), col("m"), col("best.k").as("k"))
-    val lut = queries
-      .select(col("qid"), explode(array((0 until pqM).map(m =>
-        struct(lit(m).as("m"), pqSubvec(col("qe"), m).as("qv"))): _*)).as("e"))
-      .select(col("qid"), col("e.m").as("m"), col("e.qv").as("qv"))
-      .join(broadcast(codebook), Seq("m"))
-      .select(col("qid"), col("m"), col("k"),
-        round(aggregate(zip_with(col("qv"), col("cv"), (x, y) => x * y),
-          lit(0.0), (a, x) => a + x), 6)
-          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("pdot"))
-    val scored = codes.join(broadcast(lut), Seq("m", "k"))
-      .groupBy(col("qid"), col("cid"))
-      .agg(sum(col("pdot")).cast("double").as("score"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
-    scored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("qid"), col("cid"), round(col("score"), 6).as("score"), col("rn"))
-      .orderBy("qid", "rn")
+    val codebook = pqCodebook(emb)
+    val codes = pqEncode(cands, codebook)
+    val lut = pqLut(queries, codebook)
+    // un-pruned: every candidate scores against every query's LUT rows
+    pqScoreTopK(codes, lut, 3, Seq("m", "k"))
+  }
+
+  /** The composed ANN SERVING key (r12, verdict ask #1): IVF coarse
+    * pruning feeding PQ asymmetric-distance rescoring — the production
+    * 100 TB serving pipeline the ladder keys individually gesture at.
+    *
+    * Index-build side (once per corpus): fixed-seed coarse quantizer
+    * (the [[ivfTopKFixedSeeds]] shape — SQL-expressible, which is what
+    * keeps the whole key under the DuckDB oracle), every candidate
+    * assigned to its nearest centroid, then PQ-encoded IN PLACE with the
+    * centroid id carried on the code rows — on disk this is the lists
+    * layout of [[saveIvfIndex]] with 8 four-bit codes per row instead of
+    * 64 floats (a 64× scan-IO cut on the probe path).
+    *
+    * Serving side (per query batch): each query picks its `nProbe`
+    * nearest centroids (broadcast of K centroid rows), and the scored
+    * candidate set comes ONLY from the probed lists — the probe frame
+    * (|Q|·nProbe rows) broadcasts into an equi-join on centroid_id
+    * against the code rows, so no stage after the probe join touches the
+    * full corpus (asserted structurally and by candidate-set equality in
+    * SimilaritySpec). ADC scoring then joins the per-query LUT on
+    * (qid, m, k) — pruned first, so LUT rows only meet candidates their
+    * own query probed. Determinism devices inherited from [[qPqTopK]]
+    * (DECIMAL ADC sums) and [[ivfTopKFixedSeeds]] (min-id tie-breaks). */
+  /** The IVF side of the composed key, exposed for the spec's pruning
+    * proof: (inverted lists with centroid assignment, per-query probe
+    * set). Fixed seeds = first `nCentroids` candidate ids. */
+  private[graft] def ivfPqParts(queries: DataFrame, candidates: DataFrame,
+                                nCentroids: Int, nProbe: Int): (DataFrame, DataFrame) = {
+    val seeds = candidates
+      .orderBy(col("cid")).limit(nCentroids)
+      .select(col("cid").as("centroid_id"), col("ce").as("centroid"))
+    val lists = nearestCentroid(seeds, candidates, "ce")
+      .select(col("centroid_id"), col("cid"), col("ce"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("__s").desc, col("centroid_id"))
+    val probes = queries.crossJoin(broadcast(seeds))
+      .withColumn("__s", VectorOps.dot(col("qe"), col("centroid")))
+      .withColumn("__r", row_number().over(wProbe))
+      .filter(col("__r") <= nProbe)
+      .select(col("qid"), col("centroid_id"))
+    (lists, probes)
+  }
+
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val (lists, probes) = ivfPqParts(queries, candidates, nCentroids, nProbe)
+    val codebook = pqCodebook(
+      candidates.select(col("cid").as("vec_id"), col("ce").as("embedding")))
+    val codes = pqEncode(lists, codebook, carry = Seq("centroid_id"))
+    // the pruning join: code rows survive only when their centroid is
+    // probed by some query — |Q|·nProbe rows broadcast, equi-keyed
+    val pruned = codes.join(broadcast(probes), Seq("centroid_id"))
+      .select(col("qid"), col("cid"), col("m"), col("k"))
+    val lut = pqLut(queries, codebook)
+    pqScoreTopK(pruned, lut, k, Seq("qid", "m", "k"))
+  }
+
+  def qIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cands = emb.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    ivfPqTopK(queries, cands, 3)
+  }
+
+  /** Lloyd-trained PQ codebook (r12, verdict ask #5): per-subspace
+    * k-means — seeds are the deterministic [[pqCodebook]] codewords,
+    * refined by `iters` Lloyd rounds (assign every candidate subvector to
+    * its nearest codeword, re-center each codeword as the distributed
+    * [[graft.vec.VectorAverage]] mean — the exact machinery
+    * [[buildIvfIndex]] uses one level down). Emptied codewords keep
+    * their seed (left join + coalesce), so k never collapses.
+    *
+    * Scale: each round is one corpus-linear encode (explode + broadcast
+    * codebook join + keyed argmin) and one (m, k)-keyed average of 8-dim
+    * subvectors — no window over the corpus, no collect. */
+  def pqCodebookTrained(cands: DataFrame, iters: Int = 2): DataFrame = {
+    val seeds = pqCodebook(
+      cands.select(col("cid").as("vec_id"), col("ce").as("embedding")))
+    (1 to iters).foldLeft(seeds) { case (book, _) =>
+      val assigned = pqEncode(cands, book)
+      val sub = cands
+        .select(col("cid"), explode(array((0 until pqM).map(m =>
+          struct(lit(m).as("m"), pqSubvec(col("ce"), m).as("sv"))): _*)).as("e"))
+        .select(col("cid"), col("e.m").as("m"), col("e.sv").as("sv"))
+      val means = assigned.join(sub, Seq("cid", "m"))
+        .groupBy(col("m"), col("k"))
+        .agg(graft.vec.VectorAverage.avgVec(col("sv")).as("cv_new"))
+      book.join(means, Seq("m", "k"), "left")
+        .select(col("m"), col("k"), coalesce(col("cv_new"), col("cv")).as("cv"))
+    }
+  }
+
+  /** PQ ANN over the TRAINED codebook — rows-only on the driver gate by
+    * the same declaration as q_ivf_topk: the Lloyd re-centering is a
+    * float vector average, not addition-order-reproducible in SQL; the
+    * encode/LUT/ADC plan is identical to the oracled [[qPqTopK]] (only
+    * the codebook rows differ), and SimilaritySpec pins recall ≥ the
+    * deterministic-codebook key on the fixture corpus. */
+  def qPqTopKTrained(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cands = emb.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    // train once, reuse for encode + LUT: the codebook is M·K = 128 tiny
+    // rows consumed by two broadcasts — localCheckpoint cuts the 2×
+    // re-execution of the iterative training subtree, the same device as
+    // Checkpointer.Local in the CC keys
+    val codebook = pqCodebookTrained(cands).localCheckpoint(eager = true)
+    val codes = pqEncode(cands, codebook)
+    val lut = pqLut(queries, codebook)
+    pqScoreTopK(codes, lut, 3, Seq("m", "k"))
   }
 
   /** Cosine top-k where the CANDIDATE side is the int8-quantized table —

@@ -11,6 +11,7 @@ import datetime
 import decimal
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -58,8 +59,14 @@ def main(sf_dir, out_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_ok = n_bad = n_skip = 0
+    n_ok = n_bad = n_skip = n_absent = 0
     for name, sql in sorted(oracle.items()):
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            # only possible under the dev-loop SPARK_GRAFT_VERIFY_KEYS
+            # filter (a FAILING key still writes a marker parquet);
+            # counted and reported so a partial dump can't read as green
+            n_absent += 1
+            continue
         try:
             got = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
@@ -101,8 +108,19 @@ def main(sf_dir, out_dir):
         else:
             print(f"ok   {name} ({len(gr)} rows)")
             n_ok += 1
-    print(f"\n{n_ok} ok, {n_bad} failed" + (f", {n_skip} oracle-resource-skipped" if n_skip else ""))
-    return 1 if n_bad else 0
+    print(f"\n{n_ok} ok, {n_bad} failed"
+          + (f", {n_skip} oracle-resource-skipped" if n_skip else "")
+          + (f", {n_absent} not dumped (key filter)" if n_absent else ""))
+    # machine-readable summary + distinct exit codes so automation can
+    # tell "all compared" (0) from "some oracles never ran" (2) from
+    # "mismatch" (1) — a resource-skipped run must not read as fully green
+    print("PREFLIGHT_SUMMARY " + json.dumps(
+        {"n_ok": n_ok, "n_bad": n_bad, "n_skip": n_skip, "n_absent": n_absent}))
+    if n_bad:
+        return 1
+    if n_skip:
+        return 2
+    return 0
 
 
 if __name__ == "__main__":
