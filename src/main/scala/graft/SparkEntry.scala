@@ -82,6 +82,12 @@ object SparkEntry {
     "q_stream_tumbling" -> (graft.stream.StreamQueries.qStreamTumbling _),
     "q_stream_sliding" -> (graft.stream.StreamQueries.qStreamSliding _),
     "q_stream_session" -> (graft.stream.StreamQueries.qStreamSession _),
+    // r12: the append/watermark path — two chronological microbatches,
+    // windows emitted only once the watermark closes them (oracle = the
+    // batch SQL restricted to closed windows); and stream-static
+    // incremental dedup under the batch twin's oracle verbatim
+    "q_stream_append" -> (graft.stream.StreamQueries.qStreamAppend _),
+    "q_stream_dedup_incremental" -> (graft.stream.StreamQueries.qStreamDedupIncremental _),
     "q_dedup_latest" -> (RelQueries.dedupLatest _),
     "q_join_skew_salted" -> (graft.plans.SkewJoin.qJoinSkewSalted _),
     "q_bloom_join" -> (graft.plans.BloomFilter.qBloomJoin _),
@@ -393,6 +399,18 @@ object SparkEntry {
       "SELECT wstart, COUNT(*) AS n FROM (SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) - i * INTERVAL 30 MINUTE AS wstart FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS i) t) GROUP BY wstart ORDER BY wstart",
     "q_stream_session" ->
       "SELECT user_id, session_start, n_events FROM (SELECT user_id, MIN(tss) AS session_start, COUNT(*) AS n_events FROM (SELECT user_id, tss, SUM(CASE WHEN prev IS NULL OR tss - prev >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY tss, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tss, LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev FROM events)) GROUP BY user_id, sid) ORDER BY user_id, session_start",
+    // append/watermark path: the batch tumbling SQL restricted to the
+    // windows the final watermark CLOSED — window end ≤ ms-floor(max ts)
+    // − 1h, mirroring Spark's millisecond watermark arithmetic (the
+    // ms floor matters only when max ts − 2h lands inside the first
+    // millisecond past an hour boundary, but mirror it exactly anyway)
+    "q_stream_append" ->
+      ("SELECT hour, event_type, n, sum_value FROM (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY 1, 2) " +
+        "WHERE hour + INTERVAL 1 HOUR <= (SELECT date_trunc('milliseconds', MAX(CAST(ts AS TIMESTAMP))) - INTERVAL 1 HOUR FROM events) ORDER BY hour, event_type"),
+    // stream-static incremental dedup: the batch twin's oracle verbatim
+    // (same eval-fraction split, md5 digests, min-doc_id keep)
+    "q_stream_dedup_incremental" ->
+      s"WITH newb AS (SELECT doc_id, md5(text) AS h FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(text.TextOps.decontamEvalFraction)}'), corp AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE NOT substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(text.TextOps.decontamEvalFraction)}'), keep AS (SELECT MIN(doc_id) AS doc_id, h FROM newb GROUP BY h) SELECT k.doc_id, k.h FROM keep k LEFT JOIN corp c ON k.h = c.h WHERE c.h IS NULL ORDER BY k.doc_id",
     // §2.A
     "q_minmax_scale" ->
       "SELECT l_orderkey, l_linenumber, ROUND((l_quantity - MIN(l_quantity) OVER ()) / (MAX(l_quantity) OVER () - MIN(l_quantity) OVER ()), 6) AS scaled FROM lineitem ORDER BY l_orderkey, l_linenumber, scaled",

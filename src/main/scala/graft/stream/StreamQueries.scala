@@ -57,14 +57,22 @@ object StreamQueries {
 
   /** Runs a streaming DataFrame to a fresh memory sink with
     * AvailableNow and returns the materialized result table. */
-  private def runToTable(spark: SparkSession, streamed: DataFrame): DataFrame = {
+  private def runToTable(spark: SparkSession, streamed: DataFrame,
+                         mode: OutputMode = OutputMode.Complete): DataFrame = {
     val id = runId.incrementAndGet()
     val name = s"graft_stream_q_$id"
     val query = streamed.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow()).start()
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     query.awaitTermination()
-    val prev = s"graft_stream_q_${id - 1}"
-    if (spark.catalog.tableExists(prev)) spark.catalog.dropTempView(prev)
+    // drop EVERY stale graft_stream_q_* view, not just id-1 (r11 advice:
+    // a run that throws between the id increment and sink registration
+    // would otherwise leak its predecessor forever, and a caller that
+    // builds two stream results before consuming the first would read a
+    // dropped view under the old id-1 scheme)
+    spark.catalog.listTables().collect()
+      .map(_.name)
+      .filter(t => t.startsWith("graft_stream_q_") && t != name)
+      .foreach(spark.catalog.dropTempView)
     spark.table(name)
   }
 
@@ -85,4 +93,111 @@ object StreamQueries {
   def qStreamSession(spark: SparkSession, dir: String): DataFrame =
     runToTable(spark, StreamOps.sessions(eventsStream(spark, dir)))
       .orderBy("user_id", "session_start")
+
+  // ------------------------------------------ append/watermark path (r12)
+
+  /** Stages `df` as one sorted single-part parquet file under `dir`/`sub`
+    * and pins the part file's mtime so the file stream source's
+    * oldest-first listing order is deterministic across filesystems. */
+  private def stageFile(df: DataFrame, dir: String, sub: String,
+                        sortCol: String, mtimeMs: Long): Unit = {
+    val path = s"$dir/$sub"
+    df.coalesce(1).sortWithinPartitions(sortCol).write.parquet(path)
+    java.nio.file.Files.list(java.nio.file.Paths.get(path)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .foreach(p => java.nio.file.Files.setLastModifiedTime(
+        p, java.nio.file.attribute.FileTime.fromMillis(mtimeMs)))
+  }
+
+  /** The APPEND-mode + watermark path — what 100 TB streaming actually
+    * runs, now under the DuckDB gate (r12, verdict ask #4). The r11
+    * `q_stream_*` keys run Complete mode because a bounded run's
+    * watermark can't pass the corpus tail; this key embraces that
+    * instead: the events table is staged as two chronological files, the
+    * file source replays them as two microbatches (maxFilesPerTrigger=1,
+    * mtime-pinned listing order), and AvailableNow's final no-data batch
+    * advances the watermark to max(ts) − 1h — verified empirically:
+    * 3 batches run, final watermark = ms-floor(max ts) − 1h, and the
+    * emitted window set equals the batch answer restricted to closed
+    * windows exactly (row-level set equality at sf0.01).
+    *
+    * Oracle = the batch tumbling SQL restricted to windows the watermark
+    * closed: hour + 1h ≤ ms-floor(max ts) − 1h (the ms floor mirrors
+    * Spark's millisecond watermark arithmetic). Late windows are HELD
+    * BACK, which is the semantic difference from q_stream_tumbling that
+    * this key exists to pin.
+    *
+    * Event time is TIMESTAMP (watermarks reject TIMESTAMP_NTZ); the
+    * session runs UTC so wall-clock values match the batch twin, and the
+    * output hour is cast back to ntz for driver-compare parity. State is
+    * windows × types with eviction below the watermark — bounded, the
+    * production contract. The staged copy + checkpoint are per-invocation
+    * temp dirs, deleted after the memory sink holds the result. */
+  def qStreamAppend(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val mm = ev.agg(min("ts"), max("ts")).head()
+    val (tMin, tMax) = (mm.getAs[java.sql.Timestamp](0).toLocalDateTime,
+      mm.getAs[java.sql.Timestamp](1).toLocalDateTime)
+    val cut = tMin.plusSeconds(java.time.Duration.between(tMin, tMax).getSeconds / 2)
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_append").toString
+    try {
+      stageFile(ev.filter(col("ts") < lit(cut.toString).cast("timestamp")),
+        stage, "f0", "ts", 1000000L)
+      stageFile(ev.filter(col("ts") >= lit(cut.toString).cast("timestamp")),
+        stage, "f1", "ts", 2000000L)
+      val src = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$stage/f*/part-*.parquet")
+      runToTable(spark, StreamOps.tumbling(src, watermark = Some("1 hour")),
+        OutputMode.Append)
+        .select(col("hour").cast("timestamp_ntz").as("hour"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("hour", "event_type")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    }
+  }
+
+  /** Stream-static incremental dedup on the driver gate (r12): the
+    * [[StreamOps.incrementalDedupStream]] operator — new documents
+    * stream in, in-stream duplicate digests collapse within the
+    * watermark, and a STATIC corpus digest table anti-joins the rest —
+    * run end-to-end by the streaming engine and oracled by the batch
+    * twin's SQL verbatim (q_dedup_incremental: same eval-fraction
+    * new/corpus split, same md5 digests, keep = min doc_id per digest).
+    *
+    * Determinism device for "first seen = min doc_id": the new docs are
+    * staged sorted by doc_id in ONE parquet part file, so the single map
+    * partition feeds each state-store partition its rows in doc_id order
+    * and the dedup state keeps exactly the min-id row per digest —
+    * arrival order is the stream's tie-break, made reproducible by
+    * construction (a real ingest's arrival order is its own truth).
+    * Event time is a doc_id-derived timestamp: the dedup needs a
+    * watermark column for state GC; its value only bounds state life. */
+  def qStreamDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val isNew = graft.text.Sampling.inSample(col("doc_id"),
+      graft.text.TextOps.decontamEvalFraction)
+    val corpusDigests = docs.filter(!isNew)
+      .select(md5(col("text")).as("h")).distinct()
+    val newDocs = docs.filter(isNew)
+      .select(col("doc_id"), col("text"),
+        timestamp_seconds(col("doc_id")).as("ts"))
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
+    try {
+      stageFile(newDocs, stage, "f0", "doc_id", 1000000L)
+      val src = spark.readStream.schema(newDocs.schema)
+        .parquet(s"$stage/f0/part-*.parquet")
+      runToTable(spark,
+        StreamOps.incrementalDedupStream(src, corpusDigests)
+          .select(col("doc_id"), md5(col("text")).as("h")),
+        OutputMode.Append)
+        .orderBy("doc_id")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    }
+  }
 }

@@ -112,7 +112,12 @@ class PlanRegressionSpec extends SparkSpec {
     ("q_dsir_weights", 5, 1),
     // pq = encode argmin agg + ADC (qid,cid) agg + per-qid window +
     // output sort; no corpus window, no cross (codebook/LUT broadcast)
-    ("q_pq_topk", 4, 5))
+    ("q_pq_topk", 4, 5),
+    // r12 composed serving key: IVF assignment window (cid-keyed) +
+    // encode argmin agg + probe broadcast join + pruned ADC agg +
+    // per-qid window + output sort — the centroid/probe/codebook/LUT
+    // sides are all broadcasts, so exchanges stay corpus-keyed
+    ("q_ivf_pq_topk", 4, 8))
 
   pins.foreach { case (name, maxExch, maxSort) =>
     test(s"$name plan stays within $maxExch exchanges / $maxSort sorts") {

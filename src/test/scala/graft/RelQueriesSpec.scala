@@ -36,7 +36,10 @@ class RelQueriesSpec extends SparkSpec {
       // properties, and their fixed-parameter cores are oracled.
       // q_approx_distinct graduated to oracled in round 11: its output
       // now carries the exact count plus the ≤5% bound as an int flag.
-      "q_dedup_embedding_lsh_capped", "q_ivf_topk"))
+      // q_pq_topk_trained (r12) shares the IVF declaration: its Lloyd
+      // codebook is a float average; the encode/LUT/ADC plan is the
+      // oracled q_pq_topk verbatim and SimilaritySpec pins recall.
+      "q_dedup_embedding_lsh_capped", "q_ivf_topk", "q_pq_topk_trained"))
   }
 
   test("q_filter pushes predicates into the parquet scan") {
