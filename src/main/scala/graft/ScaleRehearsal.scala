@@ -33,7 +33,11 @@ object ScaleRehearsal {
     "lineitem" -> Seq("l_orderkey" -> "order", "l_partkey" -> "part", "l_suppkey" -> "supp"),
     "part" -> Seq("p_partkey" -> "part"),
     "supplier" -> Seq("s_suppkey" -> "supp"),
-    "events" -> Seq("event_id" -> "event", "user_id" -> "user"),
+    // user_id REFERENCES custkeys (q_join_asof joins events.user_id =
+    // orders.o_custkey), so it must share the 'cust' keyspace stride —
+    // a private 'user' stride would break the FK in the scaled copies
+    // and distort any events-to-orders join fanout (r11 advice)
+    "events" -> Seq("event_id" -> "event", "user_id" -> "cust"),
     "documents" -> Seq("doc_id" -> "doc"),
     "embeddings" -> Seq("vec_id" -> "vec"))
   private val CopyOnly = Seq("region", "nation")
@@ -45,7 +49,18 @@ object ScaleRehearsal {
     "q_dedup_substring",
     // r11 token-stream-heavy additions: bigram's (a,b) corpus agg, the
     // DSIR bucket pass, and chunking's corpus-linear output
-    "q_quality_bigram", "q_dsir_weights", "q_chunk_overlap")
+    "q_quality_bigram", "q_dsir_weights", "q_chunk_overlap",
+    // r12 (verdict ask #3): the heaviest never-rehearsed plans by
+    // exchange count × clean-solo time — token-stream aggs, the window
+    // family, funnel's 9 exchanges, relevance scoring, the remaining
+    // dedups, and the new composed ANN serving key; q_join_asof joins
+    // events→orders, rehearsable now that user_id shares the cust stride
+    "q_quality_unigram", "q_agg_multi_distinct", "q_decontaminate",
+    "q_dedup_ngram", "q_profile", "q_histogram", "q_window_tumbling",
+    "q_window_sliding", "q_window_session", "q_funnel", "q_tfidf",
+    "q_bm25_search", "q_dedup_simhash_banded", "q_dedup_paragraph",
+    "q_agg_rollup", "q_agg_groupby", "q_dedup_embedding_lsh_capped_fixed",
+    "q_join_asof", "q_ivf_pq_topk")
 
   def synthesize(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
     // stride per keyspace: max(id)+1 over every column mapped to it, so
@@ -90,13 +105,19 @@ object ScaleRehearsal {
     spark.sparkContext.setLogLevel("WARN")
     val unknown = keys.filterNot(SparkEntry.queries.keySet)
     require(unknown.isEmpty, s"unknown keys: ${unknown.mkString(", ")}")
+    // the marker carries src, factor AND a synth-layout version — the
+    // content is CHECKED, not just the existence, so a stride-mapping
+    // change (e.g. r12's events.user_id → cust keyspace) invalidates a
+    // stale corpus instead of silently rehearsing against it
+    val synthStamp = s"$src x$factor synth-v2 (events.user_id in cust keyspace)"
     val marker = java.nio.file.Paths.get(dst, "_SYNTH_OK")
-    if (!java.nio.file.Files.exists(marker) ||
-        sys.env.contains("SPARK_GRAFT_SCALE_REBUILD")) {
-      System.err.println(s"[scale] synthesizing $dst = $src x$factor ...")
+    val stale = !java.nio.file.Files.exists(marker) ||
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim != synthStamp
+    if (stale || sys.env.contains("SPARK_GRAFT_SCALE_REBUILD")) {
+      System.err.println(s"[scale] synthesizing $dst = $synthStamp ...")
       synthesize(spark, src, dst, factor)
-      java.nio.file.Files.write(marker, s"$src x$factor\n".getBytes("UTF-8"))
-    } else System.err.println(s"[scale] reusing $dst (${new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim})")
+      java.nio.file.Files.write(marker, (synthStamp + "\n").getBytes("UTF-8"))
+    } else System.err.println(s"[scale] reusing $dst ($synthStamp)")
 
     def time(key: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -132,8 +153,13 @@ object ScaleRehearsal {
         // Ω(result rows) by contract (e.g. exact-dup groups of size g
         // owe C(g,2) pairs), so adjudicate flagged keys by counting
         // their result at both scales (measured: q_dedup_minhash time
-        // x27 vs pairs x966 on the x10 corpus — output-bound)
-        val counts = if (ratio > factor * 1.25) {
+        // x27 vs pairs x966 on the x10 corpus — output-bound).
+        // Counts are recorded for EVERY key above 1.0x the data factor
+        // (r12, verdict ask #2): r11's banded-CC key sat at 11.45x —
+        // under the flag cutoff's noise floor but with no output-growth
+        // evidence in the artifact; now the evidence is always there
+        // for any key that outran the data at all
+        val counts = if (ratio > factor) {
           val (rb, rs) = (outRows(k, src), outRows(k, dst))
           val or = if (rb > 0) rs.toDouble / rb else Double.NaN
           System.err.println(s"[scale] $k output rows $rb -> $rs (x${r3(or)})")
@@ -162,7 +188,7 @@ object ScaleRehearsal {
       case (k, None, Some(e)) => s""""$k":{"error":"$e"}"""
       case (k, _, _) => s""""$k":{}"""
     }.mkString("{", ",", "}")
-    val note = s"scaled corpus = $src unioned x$factor with per-keyspace id strides; payloads unperturbed so dedup keys see ~${factor}x duplicate rate (adversarially heavy); base = median of 3 reps at $src, scaled = 1 rep after warm-up; keys with time ratio > 1.25x the data growth are adjudicated against their OUTPUT growth: output_bound = result grew at least as fast as time (within the same 1.25 noise tolerance; intrinsic, production mitigation = exact-dedup-first composition as in q_llm_pipeline*), super_linear = work genuinely outran both"
+    val note = s"scaled corpus = $src unioned x$factor with per-keyspace id strides (events.user_id shares the cust stride so events-to-orders FK fanout is faithful); payloads unperturbed so dedup keys see ~${factor}x duplicate rate (adversarially heavy); base = median of 3 reps at $src, scaled = 1 rep after warm-up; output rows_base/rows_scaled recorded for EVERY key whose time ratio exceeds the data factor; keys with time ratio > 1.25x the data growth are adjudicated against that OUTPUT growth: output_bound = result grew at least as fast as time (within the same 1.25 noise tolerance; intrinsic, production mitigation = exact-dedup-first composition as in q_llm_pipeline*), super_linear = work genuinely outran both"
     val json = s"""{"note":"$note","factor":$factor,"src":"$src","scaled_dir":"$dst","keys":$keysJson,"output_bound":${outputBound.map("\"" + _ + "\"").mkString("[", ",", "]")},"super_linear":${superLinear.map("\"" + _ + "\"").mkString("[", ",", "]")},"n_keys":${keys.size},"n_errors":${rows.count(_._3.isDefined)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile), (json + "\n").getBytes("UTF-8"))
     println(json)

@@ -19,11 +19,17 @@ import org.apache.spark.sql.functions.col
   * `pmod(hashExpr(key), n)` recorded in table metadata, honored by the
   * scan planner when both sides agree on (key, count).
   *
-  * Tables are external (explicit path under the JVM temp dir, keyed by a
-  * digest of the source dir so different SFs never collide) and built
-  * lazily once per session — Bench's untimed warm-up rep absorbs the
-  * build, so timed reps measure the join itself, which is the honest
-  * split: layout cost is paid at ingest in production, not per query. */
+  * Tables are external (explicit path under the JVM temp dir, keyed by
+  * a digest of the source dir so different SFs never collide, plus the
+  * JVM pid so two concurrent JVMs — sbt test and a bench run — can
+  * never race on the same path with mode overwrite; r11 advice) and
+  * built lazily once per session — Bench's untimed warm-up rep absorbs
+  * the build, so timed reps measure the join itself, which is the
+  * honest split: layout cost is paid at ingest in production, not per
+  * query. A shutdown hook deletes this JVM's layout directory, so
+  * repeated cross-SF sessions leave no durable state (r11 verdict ask
+  * #6); the catalog entries die with the session, and the session's
+  * `spark-warehouse/` metadata dir is gitignored. */
 object BucketedTables {
   val Buckets = 8
 
@@ -31,13 +37,21 @@ object BucketedTables {
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
 
+  private lazy val jvmRoot: String = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_bucketed", s"jvm-${ProcessHandle.current().pid()}").toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+      catch { case _: Throwable => () }))
+    p
+  }
+
   /** Ensures bucketed lineitem/orders tables for `dir` exist in the
     * session catalog; returns (lineitemTable, ordersTable). */
   def ensure(spark: SparkSession, dir: String): (String, String) = {
     val t = tag(dir)
     val (li, ord) = (s"graft_bkt_lineitem_$t", s"graft_bkt_orders_$t")
-    val base = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_bucketed", t).toString
+    val base = s"$jvmRoot/$t"
     if (!spark.catalog.tableExists(li))
       graft.Tables.lineitem(spark, dir).write.format("parquet")
         .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
