@@ -88,6 +88,7 @@ object SparkEntry {
     // incremental dedup under the batch twin's oracle verbatim
     "q_stream_append" -> (graft.stream.StreamQueries.qStreamAppend _),
     "q_stream_dedup_incremental" -> (graft.stream.StreamQueries.qStreamDedupIncremental _),
+    "q_stream_join" -> (graft.stream.StreamQueries.qStreamJoin _),
     "q_dedup_latest" -> (RelQueries.dedupLatest _),
     "q_join_skew_salted" -> (graft.plans.SkewJoin.qJoinSkewSalted _),
     "q_bloom_join" -> (graft.plans.BloomFilter.qBloomJoin _),
@@ -407,6 +408,16 @@ object SparkEntry {
     "q_stream_append" ->
       ("SELECT hour, event_type, n, sum_value FROM (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY 1, 2) " +
         "WHERE hour + INTERVAL 1 HOUR <= (SELECT date_trunc('milliseconds', MAX(CAST(ts AS TIMESTAMP))) - INTERVAL 1 HOUR FROM events) ORDER BY hour, event_type"),
+    // stream-stream banded join: oracle = the equivalent batch range
+    // join (clicks × purchases on user_id, purchase within 30 min after
+    // the click); event ids keep output rows unique
+    "q_stream_join" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS tss, value FROM events), " +
+        "c AS (SELECT event_id AS click_id, user_id, tss AS click_ts, value AS click_value FROM e WHERE event_type = 'click'), " +
+        "p AS (SELECT event_id AS purchase_id, user_id, tss AS purchase_ts, value AS purchase_value FROM e WHERE event_type = 'purchase') " +
+        "SELECT user_id, click_id, purchase_id, click_ts, purchase_ts, click_value, purchase_value " +
+        "FROM c JOIN p USING (user_id) WHERE purchase_ts >= click_ts AND purchase_ts <= click_ts + INTERVAL 30 MINUTE " +
+        "ORDER BY user_id, click_id, purchase_id"),
     // stream-static incremental dedup: the batch twin's oracle verbatim
     // (same eval-fraction split, md5 digests, min-doc_id keep)
     "q_stream_dedup_incremental" ->

@@ -50,19 +50,27 @@ object StreamOps {
   /** Stream-stream inner join on user_id within a ±30-minute event-time
     * band. Both sides carry watermarks so the join state is bounded —
     * without the time bound and watermarks a stream-stream join buffers
-    * both streams forever. */
-  def streamStreamJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    * both streams forever. `carry` names extra input columns to pass
+    * through prefixed per side (e.g. event_id → click_event_id /
+    * purchase_event_id — the driver-gate key carries ids so output rows
+    * are unique and the DuckDB compare is unambiguous). */
+  def streamStreamJoin(clicks: DataFrame, purchases: DataFrame,
+                       carry: Seq[String] = Nil): DataFrame = {
     val l = clicks.withWatermark("ts", "10 minutes")
-      .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+      .select(col("user_id") +: col("ts").as("click_ts") +:
+        col("value").as("click_value") +:
+        carry.map(c => col(c).as(s"click_$c")): _*)
     val r = purchases.withWatermark("ts", "10 minutes")
-      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
-        col("value").as("purchase_value"))
+      .select(col("user_id").as("p_user") +: col("ts").as("purchase_ts") +:
+        col("value").as("purchase_value") +:
+        carry.map(c => col(c).as(s"purchase_$c")): _*)
     l.join(r,
       col("user_id") === col("p_user") &&
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
-      .select(col("user_id"), col("click_ts"), col("purchase_ts"),
-        col("click_value"), col("purchase_value"))
+      .select(col("user_id") +: col("click_ts") +: col("purchase_ts") +:
+        col("click_value") +: col("purchase_value") +:
+        carry.flatMap(c => Seq(col(s"click_$c"), col(s"purchase_$c"))): _*)
   }
 
   /** Streaming exact dedup: drop rows whose key was already seen within

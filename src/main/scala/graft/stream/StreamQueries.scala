@@ -161,6 +161,46 @@ object StreamQueries {
     }
   }
 
+  /** Stream-STREAM banded join on the driver gate (r12): the
+    * [[StreamOps.streamStreamJoin]] operator — clicks and purchases as
+    * two independent file streams, inner-joined on user_id within a
+    * [click, click + 30 min] event-time band, watermarks bounding both
+    * sides' state — run end-to-end by the streaming engine and oracled
+    * by the equivalent batch range join in DuckDB. Both staged sides are
+    * fully available to the single AvailableNow microbatch, so the
+    * watermark (which only advances BETWEEN batches) can't late-drop any
+    * row and the emitted set is exactly the batch join — the completeness
+    * argument, pinned by the oracle. Event ids are carried so output
+    * rows are unique. At 100 TB the same plan runs continuously with
+    * state eviction below the watermark — the bounded-state contract is
+    * the watermark lines, already proven in StreamOpsSpec with genuinely
+    * late rows. */
+  def qStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_join").toString
+    try {
+      stageFile(ev.filter(col("event_type") === "click"), stage, "clicks", "ts", 1000000L)
+      stageFile(ev.filter(col("event_type") === "purchase"), stage, "purchases", "ts", 1000000L)
+      def src(sub: String) = spark.readStream.schema(ev.schema)
+        .parquet(s"$stage/$sub/part-*.parquet")
+      runToTable(spark,
+        StreamOps.streamStreamJoin(src("clicks"), src("purchases"),
+          carry = Seq("event_id")),
+        OutputMode.Append)
+        .select(col("user_id"),
+          col("click_event_id").as("click_id"),
+          col("purchase_event_id").as("purchase_id"),
+          col("click_ts").cast("timestamp_ntz").as("click_ts"),
+          col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+          col("click_value"), col("purchase_value"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    }
+  }
+
   /** Stream-static incremental dedup on the driver gate (r12): the
     * [[StreamOps.incrementalDedupStream]] operator — new documents
     * stream in, in-stream duplicate digests collapse within the

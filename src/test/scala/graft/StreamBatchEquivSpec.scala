@@ -104,6 +104,28 @@ class StreamBatchEquivSpec extends SparkSpec {
     assert(s.size < all.count(), "no window held back — append gate is vacuous")
   }
 
+  test("q_stream_join == the equivalent batch banded range join") {
+    val streamed = graft.stream.StreamQueries.qStreamJoin(spark, sfDir)
+      .withColumn("click_ts", col("click_ts").cast("string"))
+      .withColumn("purchase_ts", col("purchase_ts").cast("string"))
+    val ev = graft.Tables.events(spark, sfDir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    val batch = c.join(p, col("user_id") === col("pu") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts").cast("string"), col("purchase_ts").cast("string"),
+        col("click_value"), col("purchase_value"))
+    val (s, b) = (rows(streamed, "user_id", "click_id", "purchase_id"),
+                  rows(batch, "user_id", "click_id", "purchase_id"))
+    assert(b.nonEmpty && s == b, s"streamed ${s.size} rows vs batch ${b.size}")
+  }
+
   test("q_stream_dedup_incremental == the oracled batch twin") {
     val streamed = graft.stream.StreamQueries.qStreamDedupIncremental(spark, sfDir)
     val batch = graft.text.TextOps.qDedupIncremental(spark, sfDir)
