@@ -799,6 +799,55 @@ object Similarity {
     ivfPqTopK(queries, cands, 3)
   }
 
+  /** Persist the composed IVF+PQ index — the literal on-disk serving
+    * layout [[ivfPqTopK]] computes inline: centroids (K rows), the PQ
+    * codebook (M·K rows), and the code table PARTITIONED BY centroid_id
+    * so a probe of nProbe centroids reads nProbe directories of 8
+    * four-bit codes per row and leaves the rest of the corpus untouched
+    * — a 64× scan-IO cut on top of the inverted-file pruning. Build
+    * once at ingest; every query batch after pays only the probe. */
+  def saveIvfPqIndex(candidates: DataFrame, dir: String,
+                     nCentroids: Int = 16): Unit = {
+    val seeds = candidates
+      .orderBy(col("cid")).limit(nCentroids)
+      .select(col("cid").as("centroid_id"), col("ce").as("centroid"))
+    val lists = nearestCentroid(seeds, candidates, "ce")
+      .select(col("centroid_id"), col("cid"), col("ce"))
+    val codebook = pqCodebook(
+      candidates.select(col("cid").as("vec_id"), col("ce").as("embedding")))
+    val codes = pqEncode(lists, codebook, carry = Seq("centroid_id"))
+    seeds.write.mode("overwrite").parquet(s"$dir/centroids")
+    codebook.write.mode("overwrite").parquet(s"$dir/codebook")
+    codes.write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/codes")
+  }
+
+  /** Load a persisted IVF+PQ index as (centroids, codebook, codes). */
+  def loadIvfPqIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val codebook = spark.read.parquet(s"$dir/codebook")
+    val codes = spark.read.parquet(s"$dir/codes")
+      .select(col("centroid_id").cast("long"), col("cid"), col("m"), col("k"))
+    (centroids, codebook, codes)
+  }
+
+  /** Probe a persisted IVF+PQ index: identical serving plan to the
+    * inline [[ivfPqTopK]] — probe selection over broadcast centroids,
+    * probes broadcast into the code scan (partition-prunable on disk),
+    * ADC scoring over the per-query LUT. */
+  def ivfPqProbe(queries: DataFrame, centroids: DataFrame, codebook: DataFrame,
+                 codes: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("__s").desc, col("centroid_id"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("__s", VectorOps.dot(col("qe"), col("centroid")))
+      .withColumn("__r", row_number().over(wProbe))
+      .filter(col("__r") <= nProbe)
+      .select(col("qid"), col("centroid_id"))
+    val pruned = codes.join(broadcast(probes), Seq("centroid_id"))
+      .select(col("qid"), col("cid"), col("m"), col("k"))
+    val lut = pqLut(queries, codebook)
+    pqScoreTopK(pruned, lut, k, Seq("qid", "m", "k"))
+  }
+
   /** Lloyd-trained PQ codebook (r12, verdict ask #5): per-subspace
     * k-means — seeds are the deterministic [[pqCodebook]] codewords,
     * refined by `iters` Lloyd rounds (assign every candidate subvector to

@@ -423,6 +423,28 @@ class SimilaritySpec extends SparkSpec {
     assert(globalWindows.isEmpty)
   }
 
+  test("IVF+PQ index persists: save/load/probe == inline serving, codes partitioned by centroid") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cands = emb.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    Similarity.saveIvfPqIndex(cands, dir)
+    // the inverted-file layout is real: one directory per centroid list
+    val parts = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.startsWith("centroid_id="))
+    assert(parts.nonEmpty && parts.length <= 16,
+      s"expected <=16 centroid_id= partition dirs, found ${parts.length}")
+    val (centroids, codebook, codes) = Similarity.loadIvfPqIndex(spark, dir)
+    assert(codebook.count() == 8 * 16)
+    val fromDisk = Similarity.ivfPqProbe(queries, centroids, codebook, codes, 3)
+      .collect().map(_.toString).sorted.toSeq
+    val inline = Similarity.qIvfPqTopK(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fromDisk == inline, "persisted-index probe diverged from the inline serving plan")
+  }
+
   test("q_pq_topk_trained: Lloyd codebook keeps k codewords and beats the sampled book") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val cands = emb.filter(col("vec_id") >= 8)
