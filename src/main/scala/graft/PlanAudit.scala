@@ -82,9 +82,12 @@ object PlanAudit {
     // K-centroid broadcast crosses
     // q_ann_topk_int8 shares q_cosine_topk's bounded 8-query broadcast;
     // q_dsir_weights crosses its one-row (ns, nt) totals frame
+    // q_ivf_pq_topk inherits q_ivf_topk_fixed's K-centroid assignment/
+    // probe broadcast crosses (the PQ side adds only equi-joins)
     val expectedCross = Set("q_cosine_topk", "q_ann_topk_int8", "q_dsir_weights",
       "q_dedup_embedding",
-      "q_minmax_scale", "q_ivf_topk", "q_ivf_topk_fixed", "q_eval_metrics",
+      "q_minmax_scale", "q_ivf_topk", "q_ivf_topk_fixed", "q_ivf_pq_topk",
+      "q_eval_metrics",
       "q_bloom_join", "q_tfidf", "q_bm25_search",
       "q_quality_unigram", "q_domain_mix", "q_domain_mix_temp", "q_quality_tails",
       "q_gap_fill", "q_llm_pipeline_v2")
