@@ -204,6 +204,10 @@ object SparkEntry {
     // + an int flag pinning |approx − exact| ≤ 5% — the HLL property is
     // now part of the hashed result instead of a private spec check
     "q_approx_distinct" -> (RelQueries.approxDistinct _),
+    // r12: approximate percentile by the same exact+bound-flag device —
+    // the GK sketch's rank-error contract pinned against the exact
+    // quantiles DuckDB recomputes
+    "q_approx_percentile" -> (RelQueries.approxPercentile _),
   )
 
   /** DuckDB-side literal for the q_linear_predict demo weights. */
@@ -386,6 +390,10 @@ object SparkEntry {
     // asserts the flag is 1 — the sketch itself never enters the hash
     "q_approx_distinct" ->
       "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, COUNT(*) AS n, CAST(1 AS INTEGER) AS within_5pct FROM events GROUP BY event_type ORDER BY event_type",
+    // approx percentile: DuckDB recomputes the exact quantiles and
+    // expects the Spark-computed rank-window flags to hold (= 1)
+    "q_approx_percentile" ->
+      "SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50, quantile_cont(l_extendedprice, 0.95) AS p95, CAST(1 AS INTEGER) AS ok50, CAST(1 AS INTEGER) AS ok95 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q_window_tumbling" ->
       "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type",
     "q_window_sliding" ->

@@ -499,6 +499,35 @@ object RelQueries {
           <= col("exact_users") * lit(0.05)).cast("int").as("within_5pct"))
       .orderBy("event_type")
 
+  /** Approximate percentile under the oracle, by the q_approx_distinct
+    * device: at 100 TB an exact percentile needs a full sort (or the
+    * two-pass exact `percentile`), while `approx_percentile` is a
+    * fixed-size mergeable GK sketch with a HARD rank-error contract
+    * (≤ 1/accuracy, independent of partitioning/merge order — which is
+    * why the flag is stable where the sketch VALUE is not). Output =
+    * the exact p50/p95 (DuckDB recomputes via quantile_cont, the
+    * q_percentile-proven interpolation parity) + int flags asserting the
+    * sketch landed inside the exact ±1% rank window — 10× looser than
+    * the sketch's 1/1000 contract, so the flag pins the property without
+    * flaking. */
+  def approxPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("a50"),
+        expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("a95"),
+        expr("percentile(l_extendedprice, 0.49)").as("lo50"),
+        expr("percentile(l_extendedprice, 0.51)").as("hi50"),
+        expr("percentile(l_extendedprice, 0.94)").as("lo95"),
+        expr("percentile(l_extendedprice, 0.96)").as("hi95"))
+      .select(
+        col("l_returnflag"), col("p50"), col("p95"),
+        (col("a50") >= col("lo50") && col("a50") <= col("hi50")).cast("int").as("ok50"),
+        (col("a95") >= col("lo95") && col("a95") <= col("hi95")).cast("int").as("ok95"))
+      .orderBy("l_returnflag")
+
   // ------------------------------------------- time windows (batch equiv)
 
   /** Tumbling 1-hour window — the batch-equivalent of the Structured
