@@ -651,13 +651,23 @@ object Similarity {
     * centroid_id) ride along through the explode and the keyed agg.
     * Corpus-linear: one explode (×[[pqM]]) + a broadcast-codebook join +
     * a (cid, m)-keyed aggregate. */
-  private def pqEncode(cands: DataFrame, codebook: DataFrame,
-                       carry: Seq[String] = Nil): DataFrame = {
+  /** (carry..., cid, m, sv): the per-subspace exploded form of a
+    * candidate table — the one corpus-linear explode every PQ pass
+    * shares. Callers that encode repeatedly (Lloyd training) checkpoint
+    * this once instead of re-exploding per round. */
+  private def pqSubvecs(cands: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val carryCols = carry.map(col)
-    val sub = cands
+    cands
       .select(carryCols :+ col("cid") :+ explode(array((0 until pqM).map(m =>
         struct(lit(m).as("m"), pqSubvec(col("ce"), m).as("sv"))): _*)).as("e"): _*)
       .select(carryCols :+ col("cid") :+ col("e.m").as("m") :+ col("e.sv").as("sv"): _*)
+  }
+
+  /** Encode pre-exploded subvectors ([[pqSubvecs]] shape) against a
+    * codebook: broadcast join + squared-L2 + (cid, m)-keyed argmin. */
+  private def pqEncodeSub(sub: DataFrame, codebook: DataFrame,
+                          carry: Seq[String] = Nil): DataFrame = {
+    val carryCols = carry.map(col)
     sub.join(broadcast(codebook), Seq("m"))
       .select(carryCols :+ col("cid") :+ col("m") :+ col("k") :+
         aggregate(zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
@@ -666,6 +676,10 @@ object Similarity {
       .agg(min(struct(col("dist"), col("k"))).as("best"))
       .select(carryCols :+ col("cid") :+ col("m") :+ col("best.k").as("k"): _*)
   }
+
+  private def pqEncode(cands: DataFrame, codebook: DataFrame,
+                       carry: Seq[String] = Nil): DataFrame =
+    pqEncodeSub(pqSubvecs(cands, carry), codebook, carry)
 
   /** Per-query ADC lookup table: pdot(q, m, k) = ⟨q_m, codeword(m,k)⟩,
     * rounded to 6 dp and carried as DECIMAL so the final per-candidate
@@ -859,15 +873,26 @@ object Similarity {
     * Scale: each round is one corpus-linear encode (explode + broadcast
     * codebook join + keyed argmin) and one (m, k)-keyed average of 8-dim
     * subvectors — no window over the corpus, no collect. */
-  def pqCodebookTrained(cands: DataFrame, iters: Int = 2): DataFrame = {
+  def pqCodebookTrained(cands: DataFrame, iters: Int = 2,
+                        trainFraction: Double = 1.0): DataFrame = {
     val seeds = pqCodebook(
       cands.select(col("cid").as("vec_id"), col("ce").as("embedding")))
+    // trainFraction is the 100 TB knob: production PQ fits the codebook
+    // on a bounded deterministic content-hash SAMPLE (training cost
+    // decouples from corpus size — train on ~10⁵ vectors, encode
+    // everything; the sampled path is property-tested in
+    // SimilaritySpec). Default 1.0 because the test fixture is 500
+    // near-random clusterless vectors, where a 25% sample measurably
+    // loses recall — real embedding corpora cluster and sample well.
+    // The training set is exploded ONCE and materialized so every Lloyd
+    // round's encode and re-centering join read the same blocks
+    // instead of re-exploding per round.
+    val train =
+      if (trainFraction >= 1.0) cands
+      else cands.filter(graft.text.Sampling.inSample(col("cid"), trainFraction))
+    val sub = pqSubvecs(train).localCheckpoint(eager = true)
     (1 to iters).foldLeft(seeds) { case (book, _) =>
-      val assigned = pqEncode(cands, book)
-      val sub = cands
-        .select(col("cid"), explode(array((0 until pqM).map(m =>
-          struct(lit(m).as("m"), pqSubvec(col("ce"), m).as("sv"))): _*)).as("e"))
-        .select(col("cid"), col("e.m").as("m"), col("e.sv").as("sv"))
+      val assigned = pqEncodeSub(sub, book)
       val means = assigned.join(sub, Seq("cid", "m"))
         .groupBy(col("m"), col("k"))
         .agg(graft.vec.VectorAverage.avgVec(col("sv")).as("cv_new"))
