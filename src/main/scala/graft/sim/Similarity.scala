@@ -846,8 +846,14 @@ object Similarity {
 
   /** Probe a persisted IVF+PQ index: identical serving plan to the
     * inline [[ivfPqTopK]] — probe selection over broadcast centroids,
-    * probes broadcast into the code scan (partition-prunable on disk),
-    * ADC scoring over the per-query LUT. */
+    * probes broadcast into the code scan, ADC scoring over the per-query
+    * LUT — plus the reason the index is partitioned at all: the probed
+    * centroid ids (bounded by |Q|·nProbe ≤ K — the hot-bucket-ids
+    * device, a driver collect of ids only, never data) are pushed as a
+    * STATIC partition filter on the code scan, so the probe job lists
+    * and reads only the probed `centroid_id=` directories and the rest
+    * of the on-disk corpus is never opened (PartitionFilters asserted in
+    * SimilaritySpec — join-side pruning alone would need DPP to fire). */
   def ivfPqProbe(queries: DataFrame, centroids: DataFrame, codebook: DataFrame,
                  codes: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("__s").desc, col("centroid_id"))
@@ -856,7 +862,11 @@ object Similarity {
       .withColumn("__r", row_number().over(wProbe))
       .filter(col("__r") <= nProbe)
       .select(col("qid"), col("centroid_id"))
-    val pruned = codes.join(broadcast(probes), Seq("centroid_id"))
+    val probedIds = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val pruned = codes
+      .filter(col("centroid_id").isin(probedIds: _*))
+      .join(broadcast(probes), Seq("centroid_id"))
       .select(col("qid"), col("cid"), col("m"), col("k"))
     val lut = pqLut(queries, codebook)
     pqScoreTopK(pruned, lut, k, Seq("qid", "m", "k"))

@@ -438,11 +438,21 @@ class SimilaritySpec extends SparkSpec {
       s"expected <=16 centroid_id= partition dirs, found ${parts.length}")
     val (centroids, codebook, codes) = Similarity.loadIvfPqIndex(spark, dir)
     assert(codebook.count() == 8 * 16)
-    val fromDisk = Similarity.ivfPqProbe(queries, centroids, codebook, codes, 3)
-      .collect().map(_.toString).sorted.toSeq
+    val probe = Similarity.ivfPqProbe(queries, centroids, codebook, codes, 3)
+    val fromDisk = probe.collect().map(_.toString).sorted.toSeq
     val inline = Similarity.qIvfPqTopK(spark, sfDir)
       .collect().map(_.toString).sorted.toSeq
     assert(fromDisk == inline, "persisted-index probe diverged from the inline serving plan")
+    // the probed-ids partition filter must reach the code scan: the
+    // probe job lists/reads ONLY the probed centroid_id= directories —
+    // this static pruning is the point of the partitioned layout
+    val codeScans = PlanAudit.nodes(PlanAudit.executedPlan(probe)).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("codes")) => f
+    }
+    assert(codeScans.nonEmpty, "no file scan over the codes table found")
+    assert(codeScans.forall(_.partitionFilters.nonEmpty),
+      s"codes scan has no partition filters: ${codeScans.map(_.partitionFilters)}")
   }
 
   test("q_pq_topk_trained: Lloyd codebook keeps k codewords and beats the sampled book") {
