@@ -206,17 +206,29 @@ object Similarity {
 
   /** Probe a (built or loaded) IVF index: each query scores only its
     * `nProbe` nearest centroids' lists — an equi-join on centroid_id,
-    * never a corpus scan per query. */
+    * never a corpus scan per query. `staticPrune` (used on the persisted
+    * path, where lists are PARTITIONED BY centroid_id on disk) collects
+    * the bounded probed-id set and pushes it as a partition filter so
+    * the probe job reads only the probed directories — the same device
+    * as [[ivfPqProbe]]; off by default because the inline build gains
+    * nothing from an extra driver action. */
   def ivfProbe(queries: DataFrame, centroids: DataFrame, lists: DataFrame,
-               k: Int, nProbe: Int = 4): DataFrame = {
+               k: Int, nProbe: Int = 4, staticPrune: Boolean = false): DataFrame = {
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("__s").desc, col("centroid_id"))
     val probes = queries.crossJoin(broadcast(centroids))
       .withColumn("__s", VectorOps.dot(col("qe"), col("centroid")))
       .withColumn("__r", row_number().over(wProbe))
       .filter(col("__r") <= nProbe)
       .select(col("qid"), col("qe"), col("centroid_id"))
+    val probedLists =
+      if (!staticPrune) lists
+      else {
+        val ids = probes.select(col("centroid_id")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        lists.filter(col("centroid_id").isin(ids: _*))
+      }
     val wTop = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
-    lists.join(probes, Seq("centroid_id"))
+    probedLists.join(probes, Seq("centroid_id"))
       .select(col("qid"), col("cid"), VectorOps.dot(col("qe"), col("ce")).as("score"))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= k)

@@ -64,10 +64,20 @@ class SimilaritySpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
     Similarity.saveIvfIndex(cands, dir, nCentroids = 8)
     val (centroids, lists) = Similarity.loadIvfIndex(spark, dir)
-    val fromDisk = Similarity.ivfProbe(queries, centroids, lists, 3, nProbe = 3).collect()
+    val probe = Similarity.ivfProbe(queries, centroids, lists, 3, nProbe = 3,
+      staticPrune = true)
+    val fromDisk = probe.collect()
     val inline = Similarity.ivfTopK(queries, cands, 3, nCentroids = 8, nProbe = 3).collect()
     assert(fromDisk.sameElements(inline),
       "probing the persisted index must equal the inline build")
+    // the probed-ids partition filter reaches the lists scan (static
+    // pruning — the probe reads only the probed centroid directories)
+    val listScans = PlanAudit.nodes(PlanAudit.executedPlan(probe)).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("lists")) => f
+    }
+    assert(listScans.nonEmpty && listScans.forall(_.partitionFilters.nonEmpty),
+      s"lists scan not partition-pruned: ${listScans.map(_.partitionFilters)}")
     // the on-disk layout IS the inverted file: one directory per centroid
     val parts = new java.io.File(s"$dir/lists").listFiles()
       .filter(_.getName.startsWith("centroid_id="))
