@@ -90,6 +90,10 @@ object SparkEntry {
     "q_stream_dedup_incremental" -> (graft.stream.StreamQueries.qStreamDedupIncremental _),
     "q_stream_join" -> (graft.stream.StreamQueries.qStreamJoin _),
     "q_dedup_latest" -> (RelQueries.dedupLatest _),
+    // r12: the CDC family's other two shapes — SCD2 validity intervals
+    // (what compaction throws away) and rolling z-score anomaly flags
+    "q_scd2_history" -> (RelQueries.scd2History _),
+    "q_anomaly_zscore" -> (RelQueries.anomalyZscore _),
     "q_join_skew_salted" -> (graft.plans.SkewJoin.qJoinSkewSalted _),
     "q_bloom_join" -> (graft.plans.BloomFilter.qBloomJoin _),
     "q_zorder_layout" -> (graft.plans.ZOrder.qZorderLayout _),
@@ -537,6 +541,26 @@ object SparkEntry {
     // hash cut as q_decontaminate; digests compared, never documents
     "q_dedup_incremental" ->
       s"WITH newb AS (SELECT doc_id, md5(text) AS h FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(text.TextOps.decontamEvalFraction)}'), corp AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE NOT substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(text.TextOps.decontamEvalFraction)}'), keep AS (SELECT MIN(doc_id) AS doc_id, h FROM newb GROUP BY h) SELECT k.doc_id, k.h FROM keep k LEFT JOIN corp c ON k.h = c.h WHERE c.h IS NULL ORDER BY k.doc_id",
+    // SCD2: lead(ts) over the same total key order as q_dedup_latest;
+    // the open current row is the NULL valid_to
+    "q_scd2_history" ->
+      ("SELECT user_id, event_type, event_id, value, valid_from, valid_to, (valid_to IS NULL) AS is_current " +
+        "FROM (SELECT user_id, event_type, event_id, value, CAST(ts AS TIMESTAMP) AS valid_from, " +
+        "LEAD(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id, event_type ORDER BY CAST(ts AS TIMESTAMP), event_id) AS valid_to FROM events) " +
+        "ORDER BY user_id, event_type, valid_from, event_id"),
+    // rolling z-score: the two DECIMAL power sums over the trailing
+    // 20-row frame (19-wide operands force DuckDB's exact int128
+    // product — the q_stats_moments device), mean/var derived in ONE
+    // fixed expression order, var floored at 0 before sqrt
+    "q_anomaly_zscore" ->
+      ("WITH s AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value, " +
+        "COUNT(*) OVER w AS n_prior, " +
+        "CAST(SUM(CAST(value AS DECIMAL(19,2))) OVER w AS DOUBLE) AS sx, " +
+        "CAST(SUM(CAST(CAST(value AS DECIMAL(19,2)) * CAST(value AS DECIMAL(19,2)) AS DECIMAL(30,8))) OVER w AS DOUBLE) AS sxx " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) " +
+        "SELECT user_id, event_id, ts, value, ROUND(sx / n_prior, 6) AS mu, " +
+        "(abs(value - sx / n_prior) > 3.0 * sqrt(greatest((sxx - sx * sx / n_prior) / n_prior, 0.0))) AS is_anomaly " +
+        "FROM s WHERE n_prior >= 10 ORDER BY user_id, event_id"),
     // salted skew join: the salt is result-invisible, so the oracle is
     // the PLAIN join — any drift means the salting changed semantics
     "q_join_skew_salted" ->

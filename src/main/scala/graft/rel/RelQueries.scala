@@ -575,6 +575,67 @@ object RelQueries {
       .orderBy("user_id", "event_type")
   }
 
+  /** q_scd2_history — the slowly-changing-dimension (type 2) builder
+    * q_dedup_latest's compaction throws away: instead of keeping ONLY
+    * the newest record per key, keep every record as a validity
+    * interval [valid_from, valid_to) with the current row open-ended
+    * (null valid_to) and an is_current flag — the changelog → history
+    * table materialization every warehouse runs nightly. valid_to =
+    * lead(ts) over the same (user_id, event_type) key ordered by
+    * (ts, event_id) (total order, deterministic under ties).
+    *
+    * Scale: ONE hash exchange on the key + an in-partition sort — the
+    * exact q_dedup_latest shape; no self-join (the lag/lead formulation
+    * replaces the classic ts-between self-join, which shuffles twice
+    * and breaks on duplicate timestamps). */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("value"), col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "event_type", "valid_from", "event_id")
+  }
+
+  /** q_anomaly_zscore — rolling z-score anomaly flags over the event
+    * stream: each event scored against the mean/stddev of its user's
+    * TRAILING 20 events (current row excluded — scoring a point against
+    * a window that contains it dampens the signal), flagged when
+    * |x − μ| > 3σ. The ops-monitoring shape: one keyed window, no
+    * self-join, no global pass.
+    *
+    * Determinism devices: population stddev from the two DECIMAL power
+    * sums in ONE fixed expression order (the q_stats_moments device —
+    * built-in stddev folds floats in partition order); z rounded to
+    * 6 dp; windows ordered by (ts, event_id) so frames are total. */
+  def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-20, -1)
+    val vDec = col("value").cast(DecimalType(18, 2))
+    val v2Dec = (vDec * vDec).cast(DecimalType(30, 8))
+    val n = count(lit(1)).over(w).cast("double")
+    val sx = sum(vDec).over(w).cast("double")
+    val sxx = sum(v2Dec).over(w).cast("double")
+    Tables.events(spark, dir)
+      .withColumn("n_prior", count(lit(1)).over(w))
+      .withColumn("mu", sx / n)
+      // greatest(·, 0): an all-equal window cancels to a tiny NEGATIVE
+      // var in float — sqrt would go NaN, and NaN comparison semantics
+      // differ across engines (Spark orders NaN largest)
+      .withColumn("var", greatest((sxx - sx * sx / n) / n, lit(0.0)))
+      .filter(col("n_prior") >= 10)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("value"), round(col("mu"), 6).as("mu"),
+        (abs(col("value") - col("mu")) > lit(3.0) * sqrt(col("var")))
+          .as("is_anomaly"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** q_window_range — VALUE-based window frame (RANGE BETWEEN), the
     * frame kind q_window_frame's ROWS cannot express: each order's
     * trailing-30-day revenue per customer — the frame holds every row
