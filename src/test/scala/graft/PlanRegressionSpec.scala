@@ -117,7 +117,11 @@ class PlanRegressionSpec extends SparkSpec {
     // encode argmin agg + probe broadcast join + pruned ADC agg +
     // per-qid window + output sort — the centroid/probe/codebook/LUT
     // sides are all broadcasts, so exchanges stay corpus-keyed
-    ("q_ivf_pq_topk", 4, 8))
+    ("q_ivf_pq_topk", 4, 8),
+    // CDC family additions: each is ONE keyed window exchange + its
+    // window sort + the output sort — the q_dedup_latest shape
+    ("q_scd2_history", 2, 2),
+    ("q_anomaly_zscore", 2, 2))
 
   pins.foreach { case (name, maxExch, maxSort) =>
     test(s"$name plan stays within $maxExch exchanges / $maxSort sorts") {
