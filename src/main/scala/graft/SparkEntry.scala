@@ -137,6 +137,9 @@ object SparkEntry {
     "q_split_assign" -> (text.Sampling.qSplitAssign _),
     "q_stratified_sample" -> (text.Sampling.qStratifiedSample _),
     "q_shuffle_order" -> (text.Sampling.qShuffleOrder _),
+    // r12: per-source hard cap in hash order — the balancing step
+    // before domain mixing (absolute row budget, not a rate)
+    "q_domain_cap" -> (text.Sampling.qDomainCap _),
     "q_domain_mix" -> (text.Sampling.qDomainMix _),
     "q_domain_mix_temp" -> (text.Sampling.qDomainMixTemperature _),
     "q_dedup_url" -> (TextOps.qDedupUrl _),
@@ -517,6 +520,9 @@ object SparkEntry {
     // Spark side must reproduce it from the bucketed two-phase plan
     "q_shuffle_order" ->
       "SELECT doc_id, ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos FROM documents ORDER BY doc_id",
+    // per-source cap: same md5 order, ranked within source
+    "q_domain_cap" ->
+      "SELECT doc_id, source FROM (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) WHERE rn <= 15 ORDER BY doc_id",
     // domain mix: targets interpolated as CAST(x AS DOUBLE) literals
     // (bare 0.5 would be DECIMAL in DuckDB and break double parity);
     // rate/keep arithmetic is a single IEEE chain, same order both sides

@@ -160,6 +160,37 @@ object Sampling {
       .select(col("doc_id"), col("pos"))
       .orderBy("doc_id")
 
+  /** Per-group deterministic cap (r12): keep at most `cap` rows per
+    * group, chosen by md5-hash order — the balancing step a mixture
+    * pipeline runs BEFORE [[qDomainMix]]'s weighting: an over-represented
+    * crawl domain gets hard-capped at N documents while small domains
+    * keep everything, and the kept set is a uniform, reproducible sample
+    * (hash order ≡ random order, stable across runs/engines/partition-
+    * ings — the [[hashSample]] argument, here as a top-k instead of a
+    * fraction, which is what you want when the budget is an absolute
+    * row count rather than a rate).
+    *
+    * Scale: one hash exchange on the group key + in-partition rank —
+    * the q_topk_per_group shape; no global sort, skew handled by AQE
+    * like any keyed window. Tie-break on the key itself (md5 collisions
+    * on distinct inputs are not a practical concern, but the ORDER must
+    * be total for determinism). */
+  def groupCap(df: DataFrame, group: Column, key: Column, cap: Int): DataFrame = {
+    val w = Window.partitionBy(group)
+      .orderBy(md5(key.cast("string").cast("binary")), key)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
+  /** Gate key: cap every source at 15 documents — the corpus has 20
+    * uniform sources (25 docs each at sf0.001/sf0.01, 250 at sf0.1), so
+    * the cap genuinely bites at every test SF. */
+  def qDomainCap(spark: SparkSession, dir: String): DataFrame =
+    groupCap(Tables.documents(spark, dir), col("source"), col("doc_id"), 15)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
   /** Materialize the shuffled order as SHARDED parquet — the write path
     * that closes [[shufflePositions]]' 100 TB claim: each shard
     * directory holds exactly one contiguous `pos` range (shard =
