@@ -84,7 +84,11 @@ object PlanAudit {
     // q_dsir_weights crosses its one-row (ns, nt) totals frame
     // q_ivf_pq_topk inherits q_ivf_topk_fixed's K-centroid assignment/
     // probe broadcast crosses (the PQ side adds only equi-joins)
+    // q_domain_shift crosses two agg-derived frames bounded by
+    // construction: distinct sources × the fixed 256-bucket axis, plus
+    // the one-row corpus grand total
     val expectedCross = Set("q_cosine_topk", "q_ann_topk_int8", "q_dsir_weights",
+      "q_domain_shift",
       "q_dedup_embedding",
       "q_minmax_scale", "q_ivf_topk", "q_ivf_topk_fixed", "q_ivf_pq_topk",
       "q_eval_metrics",

@@ -149,6 +149,8 @@ object SparkEntry {
     "q_quality_repetition" -> (TextOps.qQualityRepetition _),
     "q_pack_chunks" -> (TextOps.qPackChunks _),
     "q_dedup_incremental" -> (TextOps.qDedupIncremental _),
+    // r12: snapshot-to-snapshot change manifest (digest full-outer join)
+    "q_snapshot_diff" -> (TextOps.qSnapshotDiff _),
     "q_llm_pipeline" -> (TextOps.qLlmPipeline _),
     "q_llm_pipeline_v2" -> (TextOps.qLlmPipelineV2 _),
     "q_filter_domains" -> (TextOps.qFilterDomains _),
@@ -162,6 +164,10 @@ object SparkEntry {
     "q_quality_bigram" -> (TextOps.qQualityBigram _),
     "q_chunk_overlap" -> (TextOps.qChunkOverlap _),
     "q_dsir_weights" -> (TextOps.qDsirWeights _),
+    // r12: per-source KL drift over the DSIR bucket space + one BPE
+    // training iteration (merge-pair counting over the distinct vocab)
+    "q_domain_shift" -> (TextOps.qDomainShift _),
+    "q_bpe_merge" -> (TextOps.qBpeMerge _),
     "q_quality_gopher" -> (TextOps.qQualityGopher _),
     "q_quality_entropy" -> (TextOps.qQualityEntropy _),
     "q_token_bpe" -> (TextOps.qTokenBpe _),
@@ -547,6 +553,41 @@ object SparkEntry {
     // hash cut as q_decontaminate; digests compared, never documents
     "q_dedup_incremental" ->
       s"WITH newb AS (SELECT doc_id, md5(text) AS h FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(text.TextOps.decontamEvalFraction)}'), corp AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE NOT substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(text.TextOps.decontamEvalFraction)}'), keep AS (SELECT MIN(doc_id) AS doc_id, h FROM newb GROUP BY h) SELECT k.doc_id, k.h FROM keep k LEFT JOIN corp c ON k.h = c.h WHERE c.h IS NULL ORDER BY k.doc_id",
+    // snapshot diff: bucket assignment + the every-5th edit reproduce
+    // verbatim (md5-derived buckets are engine-identical); the compare
+    // is digest-only, like the Spark side
+    "q_snapshot_diff" ->
+      (s"WITH h AS (SELECT doc_id, text, (${hex60Sql("md5('snap:' || CAST(doc_id AS VARCHAR))")}) % 10 AS hb, " +
+        s"(${hex60Sql("md5('mod:' || CAST(doc_id AS VARCHAR))")}) % 5 AS mb FROM documents), " +
+        "o AS (SELECT doc_id, md5(text) AS d FROM h WHERE hb < 8), " +
+        "n AS (SELECT doc_id, md5(CASE WHEN mb = 0 THEN text || ' rev2' ELSE text END) AS d FROM h WHERE hb >= 2) " +
+        "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, " +
+        "CASE WHEN o.doc_id IS NULL THEN 'added' WHEN n.doc_id IS NULL THEN 'removed' " +
+        "WHEN o.d <> n.d THEN 'changed' ELSE 'unchanged' END AS status " +
+        "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id ORDER BY doc_id"),
+    // per-source KL drift: the DSIR bucket space, add-1 smoothed over
+    // the full source × bucket grid; per-term ROUND(,9) + DECIMAL sum
+    "q_domain_shift" ->
+      ("WITH tk AS (SELECT source, UNNEST(string_split(lower(text), ' ')) AS t FROM documents), " +
+        "tm AS (SELECT source, md5(t) AS m FROM tk), " +
+        s"tb AS (SELECT source, (${hex60Sql("m")}) % 256 AS b FROM tm), " +
+        "per AS (SELECT source, b, COUNT(*) AS c FROM tb GROUP BY source, b), " +
+        "corpus AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cc FROM per GROUP BY b), " +
+        "tots AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM per GROUP BY source), " +
+        "grand AS (SELECT CAST(SUM(cc) AS BIGINT) AS n FROM corpus), " +
+        "corpusf AS (SELECT ab.b, COALESCE(cc, 0) AS cc FROM (SELECT UNNEST(range(0, 256)) AS b) ab LEFT JOIN corpus ON corpus.b = ab.b), " +
+        "grid AS (SELECT s.source, corpusf.b, corpusf.cc FROM (SELECT DISTINCT source FROM per) s CROSS JOIN corpusf), " +
+        "t AS (SELECT g.source, n_s, CAST(ROUND(((COALESCE(p.c, 0) + 1.0) / (n_s + 256)) * ln(((COALESCE(p.c, 0) + 1.0) / (n_s + 256)) / ((g.cc + 1.0) / (n + 256))), 9) AS DECIMAL(18,9)) AS term " +
+        "FROM grid g LEFT JOIN per p ON p.source = g.source AND p.b = g.b JOIN tots ON tots.source = g.source CROSS JOIN grand) " +
+        "SELECT source, n_s AS n_tokens, ROUND(CAST(SUM(term) AS DOUBLE), 6) AS kl FROM t GROUP BY source, n_s ORDER BY source"),
+    // BPE merge-pair counting: pair explode over the DISTINCT vocab,
+    // weighted by word count; DuckDB slice w[i:i+1] ≡ Spark substr(i, 2)
+    "q_bpe_merge" ->
+      ("WITH w AS (SELECT UNNEST(string_split(lower(text), ' ')) AS w FROM documents), " +
+        "v AS (SELECT w, COUNT(*) AS wc FROM w WHERE len(w) >= 2 GROUP BY w), " +
+        "p AS (SELECT w[i:i+1] AS pair, wc FROM (SELECT w, wc, UNNEST(range(1, len(w))) AS i FROM v)), " +
+        "a AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS pc FROM p GROUP BY pair) " +
+        "SELECT pair, pc, rank FROM (SELECT pair, pc, CAST(ROW_NUMBER() OVER (ORDER BY pc DESC, pair) AS INTEGER) AS rank FROM a) WHERE rank <= 50 ORDER BY rank"),
     // SCD2: lead(ts) over the same total key order as q_dedup_latest;
     // the open current row is the NULL valid_to
     "q_scd2_history" ->

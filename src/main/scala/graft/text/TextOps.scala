@@ -709,6 +709,57 @@ object TextOps {
   def qDsirWeights(spark: SparkSession, dir: String): DataFrame =
     dsirWeights(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  // --------------------------------------------- per-source KL drift
+
+  /** Per-source distribution drift — the mixing diagnostic a corpus
+    * team watches when a new crawl lands: KL(source ‖ corpus) over the
+    * same 256-bucket hashed-unigram space as [[dsirWeights]] (add-1
+    * smoothed on both sides, so empty buckets are defined). A source
+    * whose KL jumps between snapshots changed character (spam influx,
+    * template shift) before any quality score moves.
+    *
+    * Scale shape: ONE corpus token pass ends at the (source, bucket)
+    * hash aggregate — map-side combine caps each mapper's output at
+    * |sources|·256 narrow rows, and everything after (corpus marginals,
+    * source totals, the 256-term KL sum) runs on that ≤ |sources|·256-row
+    * frame; nothing rejoins the corpus. Per-term ROUND(·, 9) then
+    * DECIMAL(18,9) summation makes the 256-term sum addition-order-proof
+    * (the [[dsirWeights]] device, one digit-budget finer because KL
+    * terms carry a p·ln p factor that 6 dp would flatten). */
+  def domainShift(docs: DataFrame, buckets: Int = 256): DataFrame = {
+    val nb = buckets.toLong
+    val per = docs
+      .select(col("source"), explode(tokens(lower(col("text")))).as("t"))
+      .withColumn("b", pmod(baseHash60(col("t")), lit(nb)))
+      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
+    val corpus = per.groupBy(col("b")).agg(sum(col("c")).as("cc"))
+    val totals = per.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val grand = corpus.agg(sum(col("cc")).as("n"))
+    // smoothed KL needs the FULL source × 256-bucket grid: an empty
+    // bucket still contributes p_s·ln(p_s/p) > 0 on BOTH sides (dropping
+    // corpus-absent buckets biases KL negative on sparse fixtures), so
+    // the bucket axis is range(0, 256), not the observed bucket set
+    val allB = docs.sparkSession.range(0, buckets.toLong)
+      .select(col("id").as("b"))
+      .join(corpus, Seq("b"), "left").na.fill(0L, Seq("cc"))
+    val grid = per.select(col("source")).distinct().crossJoin(broadcast(allB))
+    val ps = ((coalesce(col("c"), lit(0L)) + 1).cast("double") / (col("n_s") + nb))
+    val pc = ((col("cc") + 1).cast("double") / (col("n") + nb))
+    grid
+      .join(per, Seq("source", "b"), "left")
+      .join(broadcast(totals), Seq("source"))
+      .crossJoin(broadcast(grand))
+      .select(col("source"), col("n_s"),
+        round(ps * log(ps / pc), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("term"))
+      .groupBy(col("source"), col("n_s"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("kl"))
+      .select(col("source"), col("n_s").as("n_tokens"), col("kl"))
+  }
+
+  def qDomainShift(spark: SparkSession, dir: String): DataFrame =
+    domainShift(Tables.documents(spark, dir)).orderBy("source")
+
   // ------------------------------------------------------- PII scrubbing
 
   /** Portable PII regexes: plain character classes only — no
@@ -915,6 +966,47 @@ object TextOps {
     val docs = Tables.documents(spark, dir)
     val isNew = Sampling.inSample(col("doc_id"), decontamEvalFraction)
     incrementalDedup(docs.filter(isNew), docs.filter(!isNew))
+      .orderBy("doc_id")
+  }
+
+  // ----------------------------------------------- corpus snapshot diff
+
+  /** Snapshot diff — the audit step between two crawls of the same
+    * corpus: classify every doc_id as added / removed / changed /
+    * unchanged by comparing content digests across snapshots. This is
+    * what an incremental ingest publishes as its change manifest (and
+    * what [[incrementalDedup]] / CDC compaction consume downstream).
+    *
+    * Scale shape: each side reduces to (doc_id, 16-byte digest) AT THE
+    * SCAN — the full-outer join shuffles two narrow digest streams, never
+    * text; keyed on doc_id it is uniform and skew-free, and with both
+    * snapshots stored doc_id-bucketed it runs shuffle-free (the
+    * q_join_bucketed layout, plans/BucketedTables.scala). */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val o = oldSnap.select(col("doc_id"), md5(col("text")).as("d_old"))
+    val n = newSnap.select(col("doc_id"), md5(col("text")).as("d_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("d_old").isNull, "added")
+          .when(col("d_new").isNull, "removed")
+          .when(col("d_old") =!= col("d_new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  /** Gate key: two deterministic hash-derived snapshots of `documents`
+    * (old = buckets 0–7, new = buckets 2–9 of a doc_id-keyed md5 hash —
+    * 60% overlap, so all four statuses occur), with every 5th
+    * overlapping doc "edited" in the new snapshot by a content-visible
+    * suffix. Both the bucket assignment and the edit reproduce verbatim
+    * in the oracle SQL. */
+  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val snapB = pmod(baseHash60(concat(lit("snap:"), col("doc_id").cast("string"))), lit(10L))
+    val modB = pmod(baseHash60(concat(lit("mod:"), col("doc_id").cast("string"))), lit(5L))
+    val edited = when(modB === 0, concat(col("text"), lit(" rev2"))).otherwise(col("text"))
+    snapshotDiff(
+      docs.filter(snapB < 8),
+      docs.filter(snapB >= 2).withColumn("text", edited))
       .orderBy("doc_id")
   }
 
@@ -1253,6 +1345,43 @@ object TextOps {
       concat(lit("id="), col("doc_id").cast("string"), lit(" v1.2, cost $"),
         (col("doc_id") % 97).cast("string"), lit("! "), col("text")))
       .otherwise(col("text"))
+
+  // ----------------------------------------- BPE merge-pair counting
+
+  /** One BPE training iteration — the adjacent-symbol-pair count that
+    * picks the next merge when training a tokenizer on the corpus
+    * ([[bpePieces]] is inference with a FIXED vocab; this is the step
+    * that builds one). Returns the top `topN` character pairs by
+    * frequency, weighted by word count.
+    *
+    * Scale shape: the 100 TB trick is that pair counting runs over the
+    * DISTINCT VOCABULARY, not the corpus — the corpus-linear pass is a
+    * word-frequency hash aggregate (map-side combined, shuffle carries
+    * one narrow (word, count) row per distinct word per mapper), and the
+    * pair explode + re-aggregate then touch only |vocab| rows with
+    * counts as weights. The final frame is ≤ |alphabet|² rows, so the
+    * unpartitioned rank window is a one-partition sort over a frame
+    * that CANNOT grow with the data. */
+  def bpeMergePairs(docs: DataFrame, topN: Int = 50): DataFrame = {
+    val vocab = docs
+      .select(explode(tokens(lower(col("text")))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    val pairs = vocab
+      .select(col("wc"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("pc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pc").desc, col("pair"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("pair"), col("pc"), col("rank"))
+  }
+
+  def qBpeMerge(spark: SparkSession, dir: String): DataFrame =
+    bpeMergePairs(Tables.documents(spark, dir)).orderBy("rank")
 
   // ------------------------------------------- tokenizer fertility stats
 

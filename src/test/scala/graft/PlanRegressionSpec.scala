@@ -121,7 +121,14 @@ class PlanRegressionSpec extends SparkSpec {
     // CDC family additions: each is ONE keyed window exchange + its
     // window sort + the output sort — the q_dedup_latest shape
     ("q_scd2_history", 2, 2),
-    ("q_anomaly_zscore", 2, 2))
+    ("q_anomaly_zscore", 2, 2),
+    // r12 additions: snapshot diff is digest-narrow (scan → full-outer
+    // SMJ → output sort); KL drift's single corpus-sized exchange is the
+    // (source, bucket) agg — the other nine move ≤ |sources|·256-row
+    // frames; BPE pairs shuffle the distinct vocab, then ≤ alphabet²
+    ("q_snapshot_diff", 3, 3),
+    ("q_domain_shift", 10, 1),
+    ("q_bpe_merge", 2, 1))
 
   pins.foreach { case (name, maxExch, maxSort) =>
     test(s"$name plan stays within $maxExch exchanges / $maxSort sorts") {

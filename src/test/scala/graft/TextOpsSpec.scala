@@ -691,4 +691,45 @@ class TextOpsSpec extends SparkSpec {
       assert(rebuilt.toSeq == toks, s"doc $id reassembly mismatch")
     }
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged by digest") {
+    val oldSnap = Seq((1L, "a text"), (2L, "b text"), (3L, "c text")).toDF("doc_id", "text")
+    val newSnap = Seq((2L, "b text"), (3L, "c text CHANGED"), (4L, "d text")).toDF("doc_id", "text")
+    val st = TextOps.snapshotDiff(oldSnap, newSnap)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(st == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("q_snapshot_diff gate key: every doc_id appears once, all statuses occur") {
+    val out = TextOps.qSnapshotDiff(spark, sfDir).collect()
+    val ids = out.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == ids.length)
+    val statuses = out.map(_.getAs[String]("status")).toSet
+    assert(statuses == Set("added", "removed", "changed", "unchanged"), s"$statuses")
+  }
+
+  test("domainShift: identical sources share KL, an alien source scores higher") {
+    val common = sentence(7, 120)
+    val docs = Seq(
+      (1L, "sa", common), (2L, "sb", common),          // same distribution
+      (3L, "sc", Vector.fill(120)("qqqzz").mkString(" ")) // alien tokens
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.domainShift(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("kl"))).toMap
+    assert(out("sa") == out("sb"))                      // identical text → identical KL
+    assert(out("sc")._2 > out("sa")._2, s"$out")        // alien source drifts more
+    assert(out("sa")._1 == 120L && out("sc")._1 == 120L)
+    assert(out.values.forall(_._2 >= 0.0))              // KL is non-negative
+  }
+
+  test("bpeMergePairs counts occurrence-weighted adjacent pairs over the vocab") {
+    val docs = Seq(
+      (1L, "aaab aaab"), (2L, "aaab zz")
+    ).toDF("doc_id", "text")
+    val out = TextOps.bpeMergePairs(docs).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("pc"), r.getAs[Int]("rank")))
+    // "aaab" ×3 yields pairs aa,aa,ab per occurrence → aa:6, ab:3; "zz" ×1 → zz:1
+    assert(out.toList == List(("aa", 6L, 1), ("ab", 3L, 2), ("zz", 1L, 3)), s"${out.toList}")
+  }
 }
