@@ -133,6 +133,8 @@ object SparkEntry {
     "q_quality_score" -> (TextOps.qQualityScore _),
     "q_fingerprint" -> (TextOps.qFingerprint _),
     "q_dedup_ngram" -> (TextOps.qDedupNgram _),
+    // r12: asymmetric containment (excerpt ⊂ original, Jaccard-blind)
+    "q_dedup_containment" -> (TextOps.qDedupContainment _),
     "q_sample_hash" -> (text.Sampling.qSampleHash _),
     "q_split_assign" -> (text.Sampling.qSplitAssign _),
     "q_stratified_sample" -> (text.Sampling.qStratifiedSample _),
@@ -506,6 +508,22 @@ object SparkEntry {
     "q_split_assign" ->
       s"SELECT split, lang, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id FROM (SELECT doc_id, lang, CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(0.8)}' THEN 'train' WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(0.9)}' THEN 'val' ELSE 'test' END AS split FROM documents) GROUP BY split, lang ORDER BY split, lang",
     // relational shingle form with the df cap (HAVING df <=
+    // containment: same shingle chain over the AUGMENTED corpus
+    // (documents ∪ 25-token-prefix twins of every 31st doc); min-side
+    // normalization instead of the union
+    "q_dedup_containment" -> {
+      val aug = "aug AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 1000000, array_to_string((string_split(text, ' '))[1:25], ' ') " +
+        "FROM documents WHERE doc_id % 31 = 0)"
+      s"WITH $aug, ${shingleChain(5, "aug", "")} " +
+        "SELECT id_a, id_b, containment, jaccard FROM (SELECT id_a, id_b, " +
+        "ROUND(CAST(ni AS DOUBLE) / least(ca.n, cb.n), 6) AS containment, " +
+        "ROUND(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 6) AS jaccard " +
+        "FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni " +
+        "FROM s1 a JOIN s1 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) i " +
+        "JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b) " +
+        "WHERE containment >= 0.9 ORDER BY id_a, id_b"
+    },
     // TextOps.shingleDfCap, interpolated), the exact mirror of
     // TextOps.shingleRows + ngramJaccardPairs
     "q_dedup_ngram" ->

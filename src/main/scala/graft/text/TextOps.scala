@@ -412,6 +412,55 @@ object TextOps {
       Some(col("doc_id") < 50))
       .orderBy("id_a", "id_b")
 
+  /** Containment near-dup — the asymmetric regime Jaccard misses by
+    * construction: a short document fully CONTAINED in a longer one
+    * (quoted article, excerpt, truncated recrawl) has containment
+    * |S(A)∩S(B)| / min(|S(A)|,|S(B)|) ≈ 1 while its Jaccard drowns in
+    * the long side's union. Output keeps both scores so the gap is
+    * visible per pair.
+    *
+    * Scale: the SAME df-capped shingle equi-join as [[ngramJaccardPairs]]
+    * (never a cross product; hot boilerplate shingles dropped by the
+    * broadcast anti-join before fan-out); with the cap active the
+    * shingle stream is checkpointed once inside [[shingleRows]] and its
+    * three consumers re-read cheap blocks. */
+  def containmentPairs(docs: DataFrame, w: Int = 3,
+                       minContainment: Double = 0.9,
+                       maxDf: Long = shingleDfCap,
+                       cp: Checkpointer = Checkpointer.Local): DataFrame = {
+    val sh = shingleRows(docs, w, maxDf, cp)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("id_a"), col("s"))
+      .join(sh.select(col("doc_id").as("id_b"), col("s")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
+    inter
+      .join(counts.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(counts.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("ni").cast("double") / least(col("na"), col("nb")), 6)
+          .as("containment"),
+        round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 6)
+          .as("jaccard"))
+      .filter(col("containment") >= minContainment)
+  }
+
+  /** Gate key: every 31st document gets a planted 25-token-prefix twin
+    * (doc_id + 1 000 000) — an excerpt whose shingles are a strict
+    * subset of the original's, so containment = 1.0 while jaccard stays
+    * low. The derivation reproduces verbatim in the oracle SQL. */
+  def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val prefixes = docs.filter(col("doc_id") % 31 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(tokens(col("text")), 1, 25)).as("text"))
+    // w = 5: an excerpt still shares ALL its 5-shingles with the
+    // original (containment unchanged at 1.0), but 5-grams are far
+    // rarer than trigrams, so the self-join pair fan-out — the only
+    // corpus-quadratic term — collapses (measured 3.9 → ~1 s at sf0.1)
+    containmentPairs(docs.union(prefixes), w = 5).orderBy("id_a", "id_b")
+  }
+
   /** Span length (tokens) for exact-substring dedup. */
   val substringSpanTokens = 20
 

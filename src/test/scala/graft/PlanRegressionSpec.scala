@@ -128,7 +128,10 @@ class PlanRegressionSpec extends SparkSpec {
     // frames; BPE pairs shuffle the distinct vocab, then ≤ alphabet²
     ("q_snapshot_diff", 3, 3),
     ("q_domain_shift", 10, 1),
-    ("q_bpe_merge", 2, 1))
+    ("q_bpe_merge", 2, 1),
+    // df-capped 5-shingle equi-join (the ngram family shape); the two
+    // broadcasts are the hot-set anti-join + a count side
+    ("q_dedup_containment", 3, 1))
 
   pins.foreach { case (name, maxExch, maxSort) =>
     test(s"$name plan stays within $maxExch exchanges / $maxSort sorts") {

@@ -723,6 +723,30 @@ class TextOpsSpec extends SparkSpec {
     assert(out.values.forall(_._2 >= 0.0))              // KL is non-negative
   }
 
+  test("containmentPairs flags an excerpt Jaccard misses") {
+    val base = sentence(5, 80)
+    val excerpt = base.split(" ").take(20).mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, excerpt), (3L, sentence(42, 80))
+    ).toDF("doc_id", "text")
+    val out = TextOps.containmentPairs(docs).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("containment"), r.getAs[Double]("jaccard")))
+    assert(out.length == 1)
+    val (a, b, c, j) = out.head
+    assert((a, b) == (1L, 2L))
+    assert(c == 1.0, s"containment $c")        // excerpt shingles ⊂ base
+    assert(j < 0.5, s"jaccard $j misses what containment catches")
+  }
+
+  test("q_dedup_containment gate key: planted prefix twins surface at containment 1") {
+    val out = TextOps.qDedupContainment(spark, sfDir).collect()
+    val planted = out.filter(r => r.getAs[Long]("id_b") >= 1000000L &&
+      r.getAs[Long]("id_b") - 1000000L == r.getAs[Long]("id_a"))
+    assert(planted.nonEmpty)
+    assert(planted.forall(_.getAs[Double]("containment") == 1.0))
+  }
+
   test("bpeMergePairs counts occurrence-weighted adjacent pairs over the vocab") {
     val docs = Seq(
       (1L, "aaab aaab"), (2L, "aaab zz")
