@@ -87,8 +87,9 @@ object PlanAudit {
     // q_domain_shift crosses two agg-derived frames bounded by
     // construction: distinct sources × the fixed 256-bucket axis, plus
     // the one-row corpus grand total
+    // q_knn_label_noise shares q_cosine_topk's bounded 64-probe broadcast
     val expectedCross = Set("q_cosine_topk", "q_ann_topk_int8", "q_dsir_weights",
-      "q_domain_shift",
+      "q_domain_shift", "q_knn_label_noise",
       "q_dedup_embedding",
       "q_minmax_scale", "q_ivf_topk", "q_ivf_topk_fixed", "q_ivf_pq_topk",
       "q_eval_metrics",

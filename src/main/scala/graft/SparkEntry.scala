@@ -153,6 +153,8 @@ object SparkEntry {
     "q_dedup_incremental" -> (TextOps.qDedupIncremental _),
     // r12: snapshot-to-snapshot change manifest (digest full-outer join)
     "q_snapshot_diff" -> (TextOps.qSnapshotDiff _),
+    // r12: exact-dup content straddling train/val/test (leakage audit)
+    "q_split_leakage" -> (TextOps.qSplitLeakage _),
     "q_llm_pipeline" -> (TextOps.qLlmPipeline _),
     "q_llm_pipeline_v2" -> (TextOps.qLlmPipelineV2 _),
     "q_filter_domains" -> (TextOps.qFilterDomains _),
@@ -177,6 +179,8 @@ object SparkEntry {
     "q_tfidf" -> (text.Relevance.qTfidf _),
     "q_bm25_search" -> (text.Relevance.qBm25Search _),
     "q_cosine_topk" -> (Similarity.qCosineTopK _),
+    // r12: kNN label-noise audit (majority-vote disagreement flags)
+    "q_knn_label_noise" -> (Similarity.qKnnLabelNoise _),
     "q_dedup_embedding" -> (Similarity.qDedupEmbedding _),
     // int8 embedding compression + serving-shape ANN over the codes (r11)
     "q_embedding_quantize" -> (Similarity.qEmbeddingQuantize _),
@@ -571,6 +575,16 @@ object SparkEntry {
     // hash cut as q_decontaminate; digests compared, never documents
     "q_dedup_incremental" ->
       s"WITH newb AS (SELECT doc_id, md5(text) AS h FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(text.TextOps.decontamEvalFraction)}'), corp AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE NOT substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(text.TextOps.decontamEvalFraction)}'), keep AS (SELECT MIN(doc_id) AS doc_id, h FROM newb GROUP BY h) SELECT k.doc_id, k.h FROM keep k LEFT JOIN corp c ON k.h = c.h WHERE c.h IS NULL ORDER BY k.doc_id",
+    // split leakage: the q_split_assign md5 cut + a digest-keyed agg;
+    // membership flags via MAX(CASE), cast to INTEGER to match Spark
+    "q_split_leakage" ->
+      (s"WITH d AS (SELECT doc_id, md5(CASE WHEN doc_id % 17 = 0 THEN 'standard license boilerplate variant ' || CAST(doc_id % 3 AS VARCHAR) ELSE text END) AS h, CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(0.8)}' THEN 'train' WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(0.9)}' THEN 'val' ELSE 'test' END AS split FROM documents) " +
+        "SELECT h, n_docs, n_splits, min_id, in_train, in_val, in_test FROM (" +
+        "SELECT h, COUNT(*) AS n_docs, COUNT(DISTINCT split) AS n_splits, MIN(doc_id) AS min_id, " +
+        "CAST(MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS INTEGER) AS in_train, " +
+        "CAST(MAX(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS INTEGER) AS in_val, " +
+        "CAST(MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS INTEGER) AS in_test " +
+        "FROM d GROUP BY h) WHERE n_splits > 1 ORDER BY h"),
     // snapshot diff: bucket assignment + the every-5th edit reproduce
     // verbatim (md5-derived buckets are engine-identical); the compare
     // is digest-only, like the Spark side
@@ -684,6 +698,18 @@ object SparkEntry {
       "SELECT media_id, CAST(i AS INTEGER) AS frame_idx FROM (SELECT doc_id AS media_id, UNNEST(range(0, n_chars % 240 + 1)) AS i FROM documents) WHERE i % 10 = 0 ORDER BY media_id, frame_idx",
     "q_cosine_topk" ->
       s"WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8), c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8), s AS (SELECT qid, cid, ${dotSql("qe", "ce")} AS score FROM c CROSS JOIN q) SELECT qid, cid, ROUND(score, 6) AS score, rn FROM (SELECT qid, cid, score, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS INTEGER) AS rn FROM s) WHERE rn <= 3 ORDER BY qid, rn",
+    // kNN label noise: the cosine-topk window shape + two vote aggs;
+    // majority ties break on smallest label (ORDER BY v DESC, clabel)
+    "q_knn_label_noise" ->
+      (s"WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel FROM embeddings WHERE vec_id < 64), " +
+        "c AS (SELECT vec_id AS cid, embedding AS ce, label AS clabel FROM embeddings WHERE vec_id >= 64), " +
+        s"s AS (SELECT qid, qlabel, cid, clabel, ${dotSql("qe", "ce")} AS score FROM c CROSS JOIN q), " +
+        "nn AS (SELECT qid, qlabel, clabel FROM (SELECT qid, qlabel, clabel, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn FROM s) WHERE rn <= 5), " +
+        "agree AS (SELECT qid, qlabel, CAST(SUM(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS INTEGER) AS n_agree FROM nn GROUP BY qid, qlabel), " +
+        "votes AS (SELECT qid, clabel, COUNT(*) AS v FROM nn GROUP BY qid, clabel), " +
+        "maj AS (SELECT qid, clabel AS majority_label FROM (SELECT qid, clabel, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY v DESC, clabel) AS vr FROM votes) WHERE vr = 1) " +
+        "SELECT a.qid, qlabel AS label, majority_label, n_agree, CAST(majority_label <> qlabel AS INTEGER) AS flagged " +
+        "FROM agree a JOIN maj m ON a.qid = m.qid ORDER BY a.qid"),
     // int8 quantization: floor(x*scale + 0.5) — floor is engine-identical
     // on doubles where round-half ties are not; all math in double
     "q_embedding_quantize" ->

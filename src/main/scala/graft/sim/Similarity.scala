@@ -47,6 +47,48 @@ object Similarity {
     cosineTopK(queries, cands, 3)
   }
 
+  /** kNN label-noise audit (confident-learning-lite) — the label-quality
+    * pass a labeled-embedding corpus gets before training: each probe's
+    * label is compared against the majority label of its k nearest
+    * neighbors; disagreement flags a likely mislabel. Output keeps the
+    * agreement count so reviewers can rank by confidence.
+    *
+    * Scale shape: the bounded probe batch broadcasts over one candidate
+    * scan (the q_cosine_topk serving shape); every aggregate after the
+    * top-k window runs on ≤ probes·k rows. A FULL-corpus audit swaps the
+    * probe broadcast for the IVF/LSH bucket join (q_ivf_topk's shape) —
+    * the voting tail is identical. */
+  def knnLabelNoise(emb: DataFrame, probeBound: Long = 64, k: Int = 5): DataFrame = {
+    val probes = emb.filter(col("vec_id") < probeBound)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val cands = emb.filter(col("vec_id") >= probeBound)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("label").as("clabel"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    val nn = cands.crossJoin(broadcast(probes))
+      .select(col("qid"), col("qlabel"), col("cid"), col("clabel"),
+        VectorOps.dot(col("qe"), col("ce")).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+    val agree = nn.groupBy(col("qid"), col("qlabel"))
+      .agg(sum(when(col("clabel") === col("qlabel"), 1).otherwise(0))
+        .cast("int").as("n_agree"))
+    val wv = Window.partitionBy(col("qid")).orderBy(col("votes").desc, col("clabel"))
+    val maj = nn.groupBy(col("qid"), col("clabel"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wv))
+      .filter(col("vr") === 1)
+      .select(col("qid"), col("clabel").as("majority_label"))
+    agree.join(maj, Seq("qid"))
+      .select(col("qid"), col("qlabel").as("label"), col("majority_label"),
+        col("n_agree"),
+        (col("majority_label") =!= col("qlabel")).cast("int").as("flagged"))
+  }
+
+  def qKnnLabelNoise(spark: SparkSession, dir: String): DataFrame =
+    knnLabelNoise(Tables.embeddings(spark, dir)).orderBy("qid")
+
   /** Embedding-cosine near-duplicate pairs: probe block (vec_id < 100)
     * against all candidates, keep pairs above threshold. The probe bound
     * keeps the demo linear; the production path for all-pairs near-dup is

@@ -1018,6 +1018,49 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------ split-leakage audit
+
+  /** Split-leakage audit — the check run after split assignment and
+    * before training: exact-duplicate content that landed in MORE THAN
+    * ONE of train/val/test (val/test scores on leaked content measure
+    * memorization, not generalization). Splits are the same
+    * deterministic md5 cut as `q_split_assign`, so the audit composes
+    * with the real assignment, not a mock. One row per leaked content
+    * digest with its split membership flags.
+    *
+    * Scale shape: ONE digest-keyed hash aggregate (the q_dedup_exact
+    * class) — the shuffle carries (16-byte digest, split, id), never
+    * text; uniform, skew-free, no joins. */
+  def splitLeakage(docs: DataFrame): DataFrame = {
+    val split = Sampling.splitAssign(col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    docs
+      .select(col("doc_id"), md5(col("text")).as("h"), split.as("split"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("split")).as("n_splits"),
+        min(col("doc_id")).as("min_id"),
+        max(when(col("split") === "train", 1).otherwise(0)).as("in_train"),
+        max(when(col("split") === "val", 1).otherwise(0)).as("in_val"),
+        max(when(col("split") === "test", 1).otherwise(0)).as("in_test"))
+      .filter(col("n_splits") > 1)
+  }
+
+  /** Gate key: the corpus has no exact dups below sf0.1, so every 17th
+    * document collapses to one of 3 canonical boilerplate texts
+    * (deterministic doc_id-derived injection, the q_scrub_pii device) —
+    * each canonical group spans many doc_ids, so leakage across the
+    * 80/10/10 split occurs at every SF. Identical expression in the
+    * oracle SQL. */
+  def qSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val injected = when(col("doc_id") % 17 === 0,
+      concat(lit("standard license boilerplate variant "),
+        (col("doc_id") % 3).cast("string")))
+      .otherwise(col("text"))
+    splitLeakage(Tables.documents(spark, dir).withColumn("text", injected))
+      .orderBy("h")
+  }
+
   // ----------------------------------------------- corpus snapshot diff
 
   /** Snapshot diff — the audit step between two crawls of the same

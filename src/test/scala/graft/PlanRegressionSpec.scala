@@ -131,7 +131,11 @@ class PlanRegressionSpec extends SparkSpec {
     ("q_bpe_merge", 2, 1),
     // df-capped 5-shingle equi-join (the ngram family shape); the two
     // broadcasts are the hot-set anti-join + a count side
-    ("q_dedup_containment", 3, 1))
+    ("q_dedup_containment", 3, 1),
+    // leakage = one digest-keyed agg + output sort; knn's sorts are the
+    // top-k + vote windows over ≤ probes·k rows
+    ("q_split_leakage", 3, 1),
+    ("q_knn_label_noise", 3, 6))
 
   pins.foreach { case (name, maxExch, maxSort) =>
     test(s"$name plan stays within $maxExch exchanges / $maxSort sorts") {

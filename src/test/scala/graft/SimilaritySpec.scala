@@ -20,6 +20,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnLabelNoise: planted mislabel flagged, clean labels pass") {
+    // two tight clusters on orthogonal axes; probe 0 sits in cluster A
+    // with the right label, probe 1 sits in cluster A mislabeled as B
+    def v(axis: Int, eps: Double) =
+      Seq.tabulate(4)(i => (if (i == axis) 1.0f else 0.0f) + (if (i == 3) eps.toFloat else 0.0f))
+    val emb = (Seq(
+      (0L, v(0, 0.01), 7), (1L, v(0, 0.02), 9)) ++      // probes (bound 64)
+      (64L to 69L).map(i => (i, v(0, 0.001 * i), 7)) ++  // cluster A, label 7
+      (70L to 75L).map(i => (i, v(1, 0.001 * i), 9))     // cluster B, label 9
+      ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelNoise(emb).collect()
+      .map(r => r.getAs[Long]("qid") ->
+        (r.getAs[Int]("majority_label"), r.getAs[Int]("n_agree"), r.getAs[Int]("flagged"))).toMap
+    assert(out(0L) == ((7, 5, 0)), s"${out(0L)}")   // clean: 5/5 agree
+    assert(out(1L) == ((7, 0, 1)), s"${out(1L)}")   // mislabel: majority 7, flagged
+  }
+
   test("ANN via LSH recalls most brute-force neighbors (multi-probe)") {
     val exact = Similarity.qCosineTopK(spark, sfDir)
       .select("qid", "cid").as[(Long, Long)].collect().toSet

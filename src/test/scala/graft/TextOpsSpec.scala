@@ -723,6 +723,35 @@ class TextOpsSpec extends SparkSpec {
     assert(out.values.forall(_._2 >= 0.0))              // KL is non-negative
   }
 
+  test("splitLeakage flags only dup content crossing split boundaries") {
+    // find two doc_ids landing in different splits under the real cut
+    val split = text.Sampling.splitAssign(col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val assigns = spark.range(0, 200).select(col("id"), split.as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val trainId = assigns.collectFirst { case (i, "train") => i }.get
+    val valId = assigns.collectFirst { case (i, "val") => i }.get
+    val Array(_, train2, train3) = assigns.collect { case (i, "train") => i }.take(3)
+    val docs = Seq(
+      (trainId, "leaked body"), (valId, "leaked body"),     // crosses train/val
+      (train2, "train-only dup"), (train3, "train-only dup"), // same-split dup: NOT leakage
+      (trainId + 1000, "unique text")
+    ).toDF("doc_id", "text")
+    val out = TextOps.splitLeakage(docs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_docs") == 2 && r.getAs[Long]("n_splits") == 2)
+    assert(r.getAs[Int]("in_train") == 1 && r.getAs[Int]("in_val") == 1
+      && r.getAs[Int]("in_test") == 0)
+    assert(r.getAs[Long]("min_id") == math.min(trainId, valId))
+  }
+
+  test("q_split_leakage gate key: corpus dups do leak across the real splits") {
+    val out = TextOps.qSplitLeakage(spark, sfDir).collect()
+    assert(out.nonEmpty, "no cross-split dups at sf0.001 - gate key is vacuous")
+    assert(out.forall(_.getAs[Long]("n_splits") > 1))
+  }
+
   test("containmentPairs flags an excerpt Jaccard misses") {
     val base = sentence(5, 80)
     val excerpt = base.split(" ").take(20).mkString(" ")
