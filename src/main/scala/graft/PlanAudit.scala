@@ -95,6 +95,7 @@ object PlanAudit {
       "q_eval_metrics",
       "q_bloom_join", "q_tfidf", "q_bm25_search",
       "q_quality_unigram", "q_domain_mix", "q_domain_mix_temp", "q_quality_tails",
+      "q_quality_tails_by_source", // inherits the unigram one-row totals cross
       "q_gap_fill", "q_llm_pipeline_v2")
 
     println(f"${"query"}%-24s ${"exch"}%5s ${"bcast"}%5s ${"sort"}%5s ${"wscg"}%5s  flags")

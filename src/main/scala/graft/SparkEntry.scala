@@ -163,6 +163,8 @@ object SparkEntry {
     "q_dedup_substring" -> (TextOps.qDedupSubstring _),
     "q_quality_unigram" -> (TextOps.qQualityUnigram _),
     "q_quality_tails" -> (TextOps.qQualityTails _),
+    // r12: per-source adaptive tail cuts (grouped percentile)
+    "q_quality_tails_by_source" -> (TextOps.qQualityTailsBySource _),
     // r11: bigram LM (one step past unigram) + RAG-style chunking +
     // DSIR-lite hashed-n-gram importance weighting
     "q_quality_bigram" -> (TextOps.qQualityBigram _),
@@ -765,6 +767,15 @@ object SparkEntry {
       (s"$unigramCte, sc AS (SELECT doc_id, ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll FROM cost GROUP BY doc_id), " +
         "cuts AS (SELECT ROUND(quantile_cont(avg_nll, 0.1), 6) AS p10, ROUND(quantile_cont(avg_nll, 0.9), 6) AS p90 FROM sc) " +
         "SELECT doc_id, avg_nll, CASE WHEN avg_nll <= p10 THEN 'low' WHEN avg_nll >= p90 THEN 'high' ELSE 'mid' END AS tail FROM sc CROSS JOIN cuts ORDER BY doc_id"),
+    // per-source adaptive cuts: same unigram scores, quantile_cont
+    // GROUPED BY source (≡ Spark exact percentile, the q_percentile
+    // parity), cuts rejoined on source
+    "q_quality_tails_by_source" ->
+      (s"$unigramCte, sc AS (SELECT doc_id, ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll FROM cost GROUP BY doc_id), " +
+        "ss AS (SELECT sc.doc_id, d.source, avg_nll FROM sc JOIN documents d ON d.doc_id = sc.doc_id), " +
+        "cuts AS (SELECT source, ROUND(quantile_cont(avg_nll, 0.1), 6) AS p10, ROUND(quantile_cont(avg_nll, 0.9), 6) AS p90 FROM ss GROUP BY source) " +
+        "SELECT doc_id, ss.source, avg_nll, p10, p90, CASE WHEN avg_nll <= p10 THEN 'low' WHEN avg_nll >= p90 THEN 'high' ELSE 'mid' END AS tail " +
+        "FROM ss JOIN cuts ON cuts.source = ss.source ORDER BY doc_id"),
     // bigram LM: same device one level up — p(b|a) = c(a,b)/c(a,·) from
     // the corpus bigram table (every scored bigram has c ≥ 1, so no
     // smoothing); aligned double-UNNEST zips the shifted token slices

@@ -646,6 +646,35 @@ object TextOps {
   def qQualityTails(spark: SparkSession, dir: String): DataFrame =
     qualityTails(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** Per-source adaptive tail cuts — [[qualityTails]] with the p10/p90
+    * thresholds computed PER SOURCE instead of globally: a global cut
+    * systematically guts whichever domain scores high (legalese reads
+    * as "bad" next to chat text), so production gates adapt thresholds
+    * to each domain's own score distribution. The cuts are emitted per
+    * row so the adaptive thresholds are visible in the output.
+    *
+    * Scale shape: the grouped exact-percentile aggregate shuffles one
+    * narrow (source, avg_nll) row per doc; the cuts frame is |sources|
+    * rows broadcast back over the score stream. At 100 TB swap the
+    * exact percentile for the q_approx_percentile GK sketch — the plan
+    * shape (grouped agg + broadcast rejoin) is unchanged. */
+  def qualityTailsBySource(docs: DataFrame): DataFrame = {
+    val scores = unigramScores(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val cuts = scores.groupBy(col("source")).agg(
+      round(expr("percentile(avg_nll, 0.1)"), 6).as("p10"),
+      round(expr("percentile(avg_nll, 0.9)"), 6).as("p90"))
+    scores.join(broadcast(cuts), Seq("source"))
+      .select(col("doc_id"), col("source"), col("avg_nll"),
+        col("p10"), col("p90"),
+        when(col("avg_nll") <= col("p10"), "low")
+          .when(col("avg_nll") >= col("p90"), "high")
+          .otherwise("mid").as("tail"))
+  }
+
+  def qQualityTailsBySource(spark: SparkSession, dir: String): DataFrame =
+    qualityTailsBySource(Tables.documents(spark, dir)).orderBy("doc_id")
+
   /** Bigram-LM quality score (r11) — one modeling step past
     * [[unigramScores]], the same step CCNet-style pipelines take before
     * paying for a real LM: score each document by the mean −ln p(b|a)

@@ -135,7 +135,9 @@ class PlanRegressionSpec extends SparkSpec {
     // leakage = one digest-keyed agg + output sort; knn's sorts are the
     // top-k + vote windows over ≤ probes·k rows
     ("q_split_leakage", 3, 1),
-    ("q_knn_label_noise", 3, 6))
+    ("q_knn_label_noise", 3, 6),
+    // unigram scores + grouped exact percentile + |sources|-row rejoin
+    ("q_quality_tails_by_source", 5, 1))
 
   pins.foreach { case (name, maxExch, maxSort) =>
     test(s"$name plan stays within $maxExch exchanges / $maxSort sorts") {

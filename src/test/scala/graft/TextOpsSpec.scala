@@ -723,6 +723,28 @@ class TextOpsSpec extends SparkSpec {
     assert(out.values.forall(_._2 >= 0.0))              // KL is non-negative
   }
 
+  test("qualityTailsBySource adapts cuts per source where a global cut cannot") {
+    val out = TextOps.qQualityTailsBySource(spark, sfDir).collect()
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+    assert(bySrc.size > 1)
+    for ((_, rows) <- bySrc) {
+      // per-source cuts are constant within the source and consistent
+      val p10s = rows.map(_.getAs[Double]("p10")).distinct
+      val p90s = rows.map(_.getAs[Double]("p90")).distinct
+      assert(p10s.length == 1 && p90s.length == 1)
+      assert(p10s.head <= p90s.head)
+      rows.foreach { r =>
+        val (s, t) = (r.getAs[Double]("avg_nll"), r.getAs[String]("tail"))
+        val expect = if (s <= p10s.head) "low" else if (s >= p90s.head) "high" else "mid"
+        assert(t == expect, s"score $s cut (${p10s.head},${p90s.head}) got $t")
+      }
+      // the tail mass is per-source: every source has scores at/below
+      // its own p10 and at/above its own p90
+      assert(rows.exists(_.getAs[String]("tail") == "low"))
+      assert(rows.exists(_.getAs[String]("tail") == "high"))
+    }
+  }
+
   test("splitLeakage flags only dup content crossing split boundaries") {
     // find two doc_ids landing in different splits under the real cut
     val split = text.Sampling.splitAssign(col("id"),
