@@ -96,6 +96,8 @@ object SparkEntry {
     "q_anomaly_zscore" -> (RelQueries.anomalyZscore _),
     "q_join_skew_salted" -> (graft.plans.SkewJoin.qJoinSkewSalted _),
     "q_bloom_join" -> (graft.plans.BloomFilter.qBloomJoin _),
+    // r12: JSONL ingest round-trip (multi-format ETL entry point)
+    "q_ingest_jsonl" -> (graft.sources.Sources.qIngestJsonl _),
     "q_zorder_layout" -> (graft.plans.ZOrder.qZorderLayout _),
     "q_histogram" -> (RelQueries.histogramQ _),
     "q_profile" -> (RelQueries.profileQ _),
@@ -650,6 +652,12 @@ object SparkEntry {
     // the shuffle; the oracle is the plain semi-join it must equal
     "q_bloom_join" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0) ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice",
+    // JSONL ingest round-trip: the oracle aggregates the PARQUET
+    // directly — matching checksums prove the write→read cycle lossless
+    "q_ingest_jsonl" ->
+      (s"SELECT source, COUNT(*) AS n_docs, CAST(SUM(len(text)) AS BIGINT) AS n_chars, " +
+        s"CAST(SUM((${hex60Sql("md5(text)")}) % 1000000007) AS BIGINT) AS content_sum, " +
+        "CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM documents GROUP BY source ORDER BY source"),
     // z-order clustering key: bit-interleave generated by
     // ZOrder.zvalueSql from the SAME (cols, bits) as the Spark side
     "q_zorder_layout" ->

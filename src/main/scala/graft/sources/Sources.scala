@@ -43,6 +43,48 @@ object Sources {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Per-JVM scratch dir for the ingest round-trip key, recursively
+    * deleted on JVM exit (the BucketedTables lesson: per-JVM paths,
+    * never a shared fixed tmp path two processes can race on). */
+  private lazy val ingestScratch: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_jsonl_").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(d)
+    }))
+    d.getAbsolutePath
+  }
+
+  /** Multi-format ingest round-trip — the reference's ETL entry point
+    * was CSV/JSON scans, so the engine must prove text formats survive
+    * a write→read cycle losslessly: documents are written as JSONL and
+    * read back with an EXPLICIT schema (schema inference is a second
+    * full scan at 100 TB and can silently flip types between runs),
+    * then checksum-aggregated per source. The oracle computes the SAME
+    * aggregate straight from parquet — any row the round-trip dropped,
+    * duplicated or mangled (ids, lengths, content bytes) breaks the
+    * hash match.
+    *
+    * Scale shape: one write + one scan, then a source-keyed hash agg of
+    * narrow derived columns; the checksum is an order-insensitive SUM
+    * of per-row md5-derived 60-bit hashes mod a prime. */
+  def qIngestJsonl(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val path = s"$ingestScratch/docs_jsonl"
+    docs.write.mode("overwrite").json(path)
+    readJsonl(spark, path, docs.schema)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        sum(pmod(graft.text.TextOps.baseHash60(col("text")), lit(1000000007L)))
+          .as("content_sum"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy("source")
+  }
+
   /** Random row reshuffle — `utils.shuffle(df)` (`distkeras/utils.py
     * ~L60-75 [H]`), used by the reference before training so partitions
     * see i.i.d. data. Deterministic given the seed; implemented as a

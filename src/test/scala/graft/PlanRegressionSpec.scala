@@ -137,7 +137,9 @@ class PlanRegressionSpec extends SparkSpec {
     ("q_split_leakage", 3, 1),
     ("q_knn_label_noise", 3, 6),
     // unigram scores + grouped exact percentile + |sources|-row rejoin
-    ("q_quality_tails_by_source", 5, 1))
+    ("q_quality_tails_by_source", 5, 1),
+    // JSONL scan → source-keyed agg (the write is eager, pre-plan)
+    ("q_ingest_jsonl", 2, 1))
 
   pins.foreach { case (name, maxExch, maxSort) =>
     test(s"$name plan stays within $maxExch exchanges / $maxSort sorts") {

@@ -71,6 +71,20 @@ class SourcesSpec extends SparkSpec {
       Seq((1L, "a", 0.5), (2L, "b", 1.5)))
   }
 
+  test("q_ingest_jsonl gate key: checksums equal the parquet-direct aggregate") {
+    val direct = graft.Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        sum(pmod(graft.text.TextOps.baseHash60(col("text")), lit(1000000007L)))
+          .as("content_sum"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy("source").collect().toSeq
+    val roundTrip = Sources.qIngestJsonl(spark, sfDir).collect().toSeq
+    assert(roundTrip == direct, "JSONL round-trip changed the corpus")
+    assert(roundTrip.nonEmpty)
+  }
+
   test("orc round-trips with pushdown intact") {
     val out = Files.createTempDirectory("graft_orc").toString
     val li = Tables.lineitem(spark, sfDir)
