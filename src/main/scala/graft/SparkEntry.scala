@@ -521,7 +521,7 @@ object SparkEntry {
     // normalization instead of the union
     "q_dedup_containment" -> {
       val aug = "aug AS (SELECT doc_id, text FROM documents UNION ALL " +
-        "SELECT doc_id + 1000000, array_to_string((string_split(text, ' '))[1:25], ' ') " +
+        s"SELECT doc_id + ${text.TextOps.containmentTwinOffset}, array_to_string((string_split(text, ' '))[1:25], ' ') " +
         "FROM documents WHERE doc_id % 31 = 0)"
       s"WITH $aug, ${shingleChain(5, "aug", "")} " +
         "SELECT id_a, id_b, containment, jaccard FROM (SELECT id_a, id_b, " +
@@ -599,7 +599,7 @@ object SparkEntry {
         "n AS (SELECT doc_id, md5(CASE WHEN mb = 0 THEN text || ' rev2' ELSE text END) AS d FROM h WHERE hb >= 2) " +
         "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, " +
         "CASE WHEN o.doc_id IS NULL THEN 'added' WHEN n.doc_id IS NULL THEN 'removed' " +
-        "WHEN o.d <> n.d THEN 'changed' ELSE 'unchanged' END AS status " +
+        "WHEN o.d IS DISTINCT FROM n.d THEN 'changed' ELSE 'unchanged' END AS status " +
         "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id ORDER BY doc_id"),
     // per-source KL drift: the DSIR bucket space, add-1 smoothed over
     // the full source × bucket grid; per-term ROUND(,9) + DECIMAL sum

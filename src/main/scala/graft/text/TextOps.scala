@@ -445,14 +445,23 @@ object TextOps {
       .filter(col("containment") >= minContainment)
   }
 
+  /** Twin-id offset for [[qDedupContainment]]'s planted excerpts. 2^40
+    * so twin ids cannot collide with real doc_ids on any corpus this
+    * demo key would run on (a collision would silently merge two docs'
+    * shingle sets IDENTICALLY in both engines — the oracle can't catch
+    * it); [[containmentPairs]] itself takes caller ids as-is and has no
+    * collision hazard. */
+  val containmentTwinOffset: Long = 1L << 40
+
   /** Gate key: every 31st document gets a planted 25-token-prefix twin
-    * (doc_id + 1 000 000) — an excerpt whose shingles are a strict
-    * subset of the original's, so containment = 1.0 while jaccard stays
-    * low. The derivation reproduces verbatim in the oracle SQL. */
+    * (doc_id + [[containmentTwinOffset]]) — an excerpt whose shingles
+    * are a strict subset of the original's, so containment = 1.0 while
+    * jaccard stays low. The derivation reproduces verbatim in the
+    * oracle SQL. */
   def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val prefixes = docs.filter(col("doc_id") % 31 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
+      .select((col("doc_id") + containmentTwinOffset).as("doc_id"),
         concat_ws(" ", slice(tokens(col("text")), 1, 25)).as("text"))
     // w = 5: an excerpt still shares ALL its 5-shingles with the
     // original (containment unchanged at 1.0), but 5-grams are far
@@ -1104,13 +1113,19 @@ object TextOps {
     * snapshots stored doc_id-bucketed it runs shuffle-free (the
     * q_join_bucketed layout, plans/BucketedTables.scala). */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
-    val o = oldSnap.select(col("doc_id"), md5(col("text")).as("d_old"))
-    val n = newSnap.select(col("doc_id"), md5(col("text")).as("d_new"))
+    // presence is keyed on explicit side markers, NOT digest nullity —
+    // md5(NULL text) is NULL, so a null-text doc present in both
+    // snapshots must not read as added/removed; the digest compare is
+    // null-safe (<=>) for the same reason (oracle: IS DISTINCT FROM)
+    val o = oldSnap.select(col("doc_id"), md5(col("text")).as("d_old"),
+      lit(true).as("in_old"))
+    val n = newSnap.select(col("doc_id"), md5(col("text")).as("d_new"),
+      lit(true).as("in_new"))
     o.join(n, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("d_old").isNull, "added")
-          .when(col("d_new").isNull, "removed")
-          .when(col("d_old") =!= col("d_new"), "changed")
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          .when(!(col("d_old") <=> col("d_new")), "changed")
           .otherwise("unchanged").as("status"))
   }
 

@@ -700,6 +700,14 @@ class TextOpsSpec extends SparkSpec {
     assert(st == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
   }
 
+  test("snapshotDiff: null text is presence, not absence (md5(NULL) must not read as added)") {
+    val oldSnap = Seq((1L, null: String), (2L, null: String), (3L, "x")).toDF("doc_id", "text")
+    val newSnap = Seq((1L, null: String), (2L, "y"), (3L, null: String)).toDF("doc_id", "text")
+    val st = TextOps.snapshotDiff(oldSnap, newSnap)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(st == Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed"), s"$st")
+  }
+
   test("q_snapshot_diff gate key: every doc_id appears once, all statuses occur") {
     val out = TextOps.qSnapshotDiff(spark, sfDir).collect()
     val ids = out.map(_.getAs[Long]("doc_id"))
@@ -792,8 +800,9 @@ class TextOpsSpec extends SparkSpec {
 
   test("q_dedup_containment gate key: planted prefix twins surface at containment 1") {
     val out = TextOps.qDedupContainment(spark, sfDir).collect()
-    val planted = out.filter(r => r.getAs[Long]("id_b") >= 1000000L &&
-      r.getAs[Long]("id_b") - 1000000L == r.getAs[Long]("id_a"))
+    val off = TextOps.containmentTwinOffset
+    val planted = out.filter(r => r.getAs[Long]("id_b") >= off &&
+      r.getAs[Long]("id_b") - off == r.getAs[Long]("id_a"))
     assert(planted.nonEmpty)
     assert(planted.forall(_.getAs[Double]("containment") == 1.0))
   }
