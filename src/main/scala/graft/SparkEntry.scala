@@ -96,8 +96,14 @@ object SparkEntry {
     "q_anomaly_zscore" -> (RelQueries.anomalyZscore _),
     "q_join_skew_salted" -> (graft.plans.SkewJoin.qJoinSkewSalted _),
     "q_bloom_join" -> (graft.plans.BloomFilter.qBloomJoin _),
-    // r12: JSONL ingest round-trip (multi-format ETL entry point)
+    // r12: JSONL + CSV ingest round-trips (multi-format ETL entry point)
     "q_ingest_jsonl" -> (graft.sources.Sources.qIngestJsonl _),
+    "q_ingest_csv" -> (graft.sources.Sources.qIngestCsv _),
+    // r12: blocked edit-distance linkage (entity resolution)
+    "q_join_fuzzy" -> (RelQueries.joinFuzzy _),
+    // r12: second iterative graph primitive next to the CC family —
+    // fixed-iteration damped PageRank over the order↔part incidence
+    "q_pagerank" -> (graft.graph.PageRank.qPageRank _),
     "q_zorder_layout" -> (graft.plans.ZOrder.qZorderLayout _),
     "q_histogram" -> (RelQueries.histogramQ _),
     "q_profile" -> (RelQueries.profileQ _),
@@ -658,6 +664,27 @@ object SparkEntry {
       (s"SELECT source, COUNT(*) AS n_docs, CAST(SUM(len(text)) AS BIGINT) AS n_chars, " +
         s"CAST(SUM((${hex60Sql("md5(text)")}) % 1000000007) AS BIGINT) AS content_sum, " +
         "CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM documents GROUP BY source ORDER BY source"),
+    // CSV round-trip: same parquet-direct checksum contract as JSONL —
+    // the Spark side differs (format, RFC-4180 quoting), the proof of
+    // losslessness is identical by design
+    "q_ingest_csv" ->
+      (s"SELECT source, COUNT(*) AS n_docs, CAST(SUM(len(text)) AS BIGINT) AS n_chars, " +
+        s"CAST(SUM((${hex60Sql("md5(text)")}) % 1000000007) AS BIGINT) AS content_sum, " +
+        "CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM documents GROUP BY source ORDER BY source"),
+    // blocked Levenshtein linkage: DISTINCT names → block on the second
+    // token → edit distance ≤ threshold (interpolated); levenshtein is
+    // the textbook DP on both engines so distances agree exactly
+    "q_join_fuzzy" ->
+      (s"WITH nm AS (SELECT p_name, COUNT(*) AS n FROM part GROUP BY p_name), " +
+        "k AS (SELECT p_name, n, split_part(p_name, ' ', 2) AS blk FROM nm) " +
+        "SELECT a.p_name AS name_a, b.p_name AS name_b, " +
+        "CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist, " +
+        "a.n AS n_a, b.n AS n_b FROM k a JOIN k b ON a.blk = b.blk AND a.p_name < b.p_name " +
+        s"WHERE levenshtein(a.p_name, b.p_name) <= ${RelQueries.fuzzyMaxDist} " +
+        "ORDER BY name_a, name_b"),
+    // PageRank: the oracle unrolls the same 3 damped iterations as
+    // chained CTEs (generated from the SAME constants — see PageRank)
+    "q_pagerank" -> graft.graph.PageRank.oracleSql,
     // z-order clustering key: bit-interleave generated by
     // ZOrder.zvalueSql from the SAME (cols, bits) as the Spark side
     "q_zorder_layout" ->

@@ -859,4 +859,40 @@ object RelQueries {
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
       .orderBy("c_custkey")
   }
+
+  /** Edit-distance threshold for [[joinFuzzy]] (shared with the oracle). */
+  val fuzzyMaxDist = 2
+
+  /** Fuzzy self-join (record linkage): part-name pairs within
+    * Levenshtein distance ≤ [[fuzzyMaxDist]] — the entity-resolution
+    * primitive (catalog dedup, noisy-source linkage) that exact and
+    * shingle dedup both miss (a 2-char typo changes most shingles of a
+    * short string).
+    *
+    * Scale shape, in order: (1) DISTINCT names first — linkage runs on
+    * the entity vocabulary, never the row stream (identical names would
+    * otherwise pair quadratically); (2) a BLOCKING key (the name's
+    * second token) turns the all-pairs O(V²) comparison into per-block
+    * equi-join candidates — the standard record-linkage device; at
+    * 100 TB the block key comes from a domain attribute (phonetic code,
+    * sorted-token prefix) and hot blocks get the capped-LSH treatment;
+    * (3) `levenshtein` — codegen'd Catalyst expression, O(len²) per
+    * candidate only. Row counts per name are joined back so survivors
+    * carry their support. The `a < b` canonical ordering emits each
+    * pair once. */
+  def joinFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val nm = Tables.part(spark, dir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n"))
+      .select(col("p_name"), col("n"),
+        split_part(col("p_name"), lit(" "), lit(2)).as("blk"))
+    val a = nm.select(col("p_name").as("name_a"), col("n").as("n_a"), col("blk"))
+    val b = nm.select(col("p_name").as("name_b"), col("n").as("n_b"), col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= fuzzyMaxDist)
+      .select(col("name_a"), col("name_b"), col("dist"),
+        col("n_a"), col("n_b"))
+      .orderBy("name_a", "name_b")
+  }
 }

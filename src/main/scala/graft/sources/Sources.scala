@@ -85,6 +85,32 @@ object Sources {
       .orderBy("source")
   }
 
+  /** CSV twin of [[qIngestJsonl]] — same checksum contract, same
+    * parquet-direct oracle, RFC-4180 quoting (escape = the quote char,
+    * so embedded quotes double rather than backslash-escape — the
+    * dialect every external CSV consumer expects). Explicit schema on
+    * the read-back: CSV carries no types at all, so inference is both a
+    * second scan AND a semantics risk (a numeric-looking text column
+    * silently becomes BIGINT). */
+  def qIngestCsv(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val path = s"$ingestScratch/docs_csv"
+    docs.write.mode("overwrite")
+      .option("header", "true").option("quote", "\"").option("escape", "\"")
+      .csv(path)
+    spark.read.schema(docs.schema)
+      .option("header", "true").option("quote", "\"").option("escape", "\"")
+      .csv(path)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        sum(pmod(graft.text.TextOps.baseHash60(col("text")), lit(1000000007L)))
+          .as("content_sum"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy("source")
+  }
+
   /** Random row reshuffle — `utils.shuffle(df)` (`distkeras/utils.py
     * ~L60-75 [H]`), used by the reference before training so partitions
     * see i.i.d. data. Deterministic given the seed; implemented as a

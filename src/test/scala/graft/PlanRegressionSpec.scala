@@ -139,7 +139,14 @@ class PlanRegressionSpec extends SparkSpec {
     // unigram scores + grouped exact percentile + |sources|-row rejoin
     ("q_quality_tails_by_source", 5, 1),
     // JSONL scan → source-keyed agg (the write is eager, pre-plan)
-    ("q_ingest_jsonl", 2, 1))
+    ("q_ingest_jsonl", 2, 1),
+    // CSV twin: identical post-write plan shape
+    ("q_ingest_csv", 2, 1),
+    // blocked linkage: name-vocab agg + block equi-join + output sort
+    ("q_join_fuzzy", 2, 1),
+    // pagerank's rounds are checkpoint-materialized (the CC device), so
+    // the final composed plan is ranks → kind/round select → output sort
+    ("q_pagerank", 1, 1))
 
   pins.foreach { case (name, maxExch, maxSort) =>
     test(s"$name plan stays within $maxExch exchanges / $maxSort sorts") {

@@ -314,4 +314,33 @@ class RelQueriesSpec extends SparkSpec {
     assert(deco == sql)
     assert(deco.nonEmpty)
   }
+
+  test("q_join_fuzzy: within-threshold pairs surface once, distant and cross-block pairs don't") {
+    val rows = RelQueries.joinFuzzy(spark, sfDir).collect()
+    assert(rows.nonEmpty, "fixture vocabulary must contain near-miss names")
+    val pairs = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "canonical a<b ordering, each pair once")
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= RelQueries.fuzzyMaxDist)
+      // blocking key respected: matched names share their second token
+      assert(r.getString(0).split(" ")(1) == r.getString(1).split(" ")(1))
+      assert(r.getLong(3) > 0 && r.getLong(4) > 0, "support counts joined back")
+    }
+    // ground truth on the distinct vocabulary: every same-block pair
+    // within the threshold is found (driver-side reference levenshtein)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = Tables.part(spark, sfDir).select("p_name").distinct()
+      .collect().map(_.getString(0)).sorted
+    val expected = (for {
+      a <- names; b <- names
+      if a < b && a.split(" ")(1) == b.split(" ")(1) && lev(a, b) <= RelQueries.fuzzyMaxDist
+    } yield (a, b)).toSet
+    assert(pairs == expected)
+  }
 }

@@ -83,6 +83,28 @@ class SourcesSpec extends SparkSpec {
     val roundTrip = Sources.qIngestJsonl(spark, sfDir).collect().toSeq
     assert(roundTrip == direct, "JSONL round-trip changed the corpus")
     assert(roundTrip.nonEmpty)
+    // CSV twin: same contract, RFC-4180 dialect — and the quoting must
+    // survive content the fixture happens not to exercise (see below)
+    val csvTrip = Sources.qIngestCsv(spark, sfDir).collect().toSeq
+    assert(csvTrip == direct, "CSV round-trip changed the corpus")
+  }
+
+  test("CSV ingest dialect survives quotes, commas and unicode in text") {
+    import spark.implicits._
+    val tricky = Seq(
+      (1L, """he said "hi", twice""", "en", "src0", 19L),
+      (2L, "commas, every, where", "en", "src0", 20L),
+      (3L, "ünïcodé–content", "de", "src1", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Files.createTempDirectory("graft_csvq").toString
+    tricky.write.mode("overwrite")
+      .option("header", "true").option("quote", "\"").option("escape", "\"")
+      .csv(out)
+    val back = spark.read.schema(tricky.schema)
+      .option("header", "true").option("quote", "\"").option("escape", "\"")
+      .csv(out)
+    assert(back.orderBy("doc_id").collect().toSeq ==
+      tricky.orderBy("doc_id").collect().toSeq)
   }
 
   test("orc round-trips with pushdown intact") {
