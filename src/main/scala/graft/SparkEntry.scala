@@ -150,6 +150,9 @@ object SparkEntry {
     // r12: per-source hard cap in hash order — the balancing step
     // before domain mixing (absolute row budget, not a rate)
     "q_domain_cap" -> (text.Sampling.qDomainCap _),
+    // r12: weighted sampling without replacement (DLT priority sample —
+    // the selection step that consumes a quality/importance weight)
+    "q_sample_weighted" -> (text.Sampling.qSampleWeighted _),
     "q_domain_mix" -> (text.Sampling.qDomainMix _),
     "q_domain_mix_temp" -> (text.Sampling.qDomainMixTemperature _),
     "q_dedup_url" -> (TextOps.qDedupUrl _),
@@ -561,6 +564,15 @@ object SparkEntry {
     // per-source cap: same md5 order, ranked within source
     "q_domain_cap" ->
       "SELECT doc_id, source FROM (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) WHERE rn <= 15 ORDER BY doc_id",
+    // DLT priority sample: priority = w/u is a pure IEEE division chain
+    // of exactly-representable integers (no ln/pow in the sort key) and
+    // the output carries NO float — priorities only order the window
+    "q_sample_weighted" ->
+      (s"WITH s AS (SELECT source, doc_id, n_chars, " +
+        s"CAST(greatest(n_chars, 1) AS DOUBLE) / (CAST((${hex60Sql("md5('ws:' || CAST(doc_id AS VARCHAR))")}) % 999983 + 1 AS DOUBLE) / CAST(999984 AS DOUBLE)) AS priority FROM documents) " +
+        "SELECT source, doc_id, n_chars, rn FROM (SELECT source, doc_id, n_chars, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY priority DESC, doc_id) AS INTEGER) AS rn FROM s) " +
+        s"WHERE rn <= ${text.Sampling.weightedK} ORDER BY source, rn"),
     // domain mix: targets interpolated as CAST(x AS DOUBLE) literals
     // (bare 0.5 would be DECIMAL in DuckDB and break double parity);
     // rate/keep arithmetic is a single IEEE chain, same order both sides

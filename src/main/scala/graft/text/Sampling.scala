@@ -191,6 +191,47 @@ object Sampling {
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
 
+  /** Per-stratum sample size for [[qSampleWeighted]]. */
+  val weightedK = 5
+
+  /** Weighted sampling without replacement by PRIORITY SAMPLING
+    * (Duffield, Lund & Thorup, "Priority sampling for estimation of
+    * arbitrary subset sums", JACM 2007): each row gets priority
+    * q = w / u with u uniform in (0,1], and the top-k priorities per
+    * stratum are the sample — inclusion probability rises with weight,
+    * repeated runs agree exactly. This is the selection step that
+    * CONSUMES a quality/importance weight (q_quality_score,
+    * q_dsir_weights): sample training docs ∝ weight instead of
+    * hard-thresholding. Weight here = doc length (chars) as the
+    * stand-in quality mass.
+    *
+    * Determinism device: u is md5-hash-derived (the q_sample_hash
+    * family), so priorities are pure IEEE division chains of
+    * exactly-representable integers — bit-identical on both engines
+    * with NO transcendental (the classic u^(1/w) exponential-key scheme
+    * would put ln/pow in the sort key, whose last-ulp behavior is
+    * libm-dependent) — and the OUTPUT carries no float at all: the
+    * priority only orders the per-stratum window, the emitted columns
+    * are (source, doc_id, n_chars, rn).
+    *
+    * Scale shape: one per-row codegen pass + one source-keyed window —
+    * the q_domain_cap plan; at 100 TB the top-k-per-group window swaps
+    * for the bounded-heap TopKPerGroup physical operator. */
+  def qSampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val u = (pmod(graft.text.TextOps.baseHash60(
+      concat(lit("ws:"), col("doc_id").cast("string"))), lit(999983L)) + 1L)
+      .cast("double") / lit(999984.0)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("priority",
+        greatest(col("n_chars"), lit(1L)).cast("double") / u)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= weightedK)
+      .select(col("source"), col("doc_id"), col("n_chars"), col("rn"))
+      .orderBy("source", "rn")
+  }
+
   /** Materialize the shuffled order as SHARDED parquet — the write path
     * that closes [[shufflePositions]]' 100 TB claim: each shard
     * directory holds exactly one contiguous `pos` range (shard =

@@ -144,6 +144,9 @@ class PlanRegressionSpec extends SparkSpec {
     ("q_ingest_csv", 2, 1),
     // blocked linkage: name-vocab agg + block equi-join + output sort
     ("q_join_fuzzy", 2, 1),
+    // DLT priority sample: per-row codegen + one source-keyed window
+    // (window sort + output sort) — the q_domain_cap shape
+    ("q_sample_weighted", 2, 3),
     // pagerank's 3 rounds run as ONE composed lazy plan over the
     // src-pre-partitioned checkpointed edge list: per round the ranks
     // frame shuffles to the edge layout + the dst contribution agg

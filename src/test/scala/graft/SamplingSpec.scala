@@ -183,4 +183,32 @@ class SamplingSpec extends SparkSpec {
       assert(math.abs(boost - expB) < 1e-12, s"$d boost $boost vs $expB")
     }
   }
+
+  test("q_sample_weighted: DLT priorities match a driver-side recompute; heavy docs overrepresented") {
+    val got = Sampling.qSampleWeighted(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.nonEmpty)
+    // driver-side reference: same md5-derived u, same w/u priority
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def u(id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ws:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16) % 999983L + 1L).toDouble / 999984.0
+    }
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      rows.sortBy { case (_, id, nc) => (-(math.max(nc, 1L).toDouble / u(id)), id) }
+        .take(Sampling.weightedK).zipWithIndex
+        .map { case ((s, id, nc), i) => (s, id, nc, i + 1) }
+    }.sortBy(r => (r._1, r._4))
+    assert(got.toSeq == expected)
+    // weight bias: the sampled docs' mean length must exceed the corpus
+    // mean (priority rises with weight — that is the operator's point)
+    val corpusMean = docs.map(_._3).sum.toDouble / docs.length
+    val sampleMean = got.map(_._3).sum.toDouble / got.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean")
+  }
 }
