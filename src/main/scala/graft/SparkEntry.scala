@@ -105,6 +105,9 @@ object SparkEntry {
     // fixed-iteration damped PageRank over the order↔part incidence
     "q_pagerank" -> (graft.graph.PageRank.qPageRank _),
     "q_zorder_layout" -> (graft.plans.ZOrder.qZorderLayout _),
+    // r12: small-file compaction planner (the OPTIMIZE bin-packing
+    // step — sorted cumulative first-fit over the file manifest)
+    "q_compaction_plan" -> (graft.plans.Compaction.qCompactionPlan _),
     "q_histogram" -> (RelQueries.histogramQ _),
     "q_profile" -> (RelQueries.profileQ _),
     "q_join_null_safe" -> (RelQueries.joinNullSafe _),
@@ -164,6 +167,9 @@ object SparkEntry {
     "q_dedup_incremental" -> (TextOps.qDedupIncremental _),
     // r12: snapshot-to-snapshot change manifest (digest full-outer join)
     "q_snapshot_diff" -> (TextOps.qSnapshotDiff _),
+    // r12: MERGE-INTO apply — consumes the changeset the snapshot diff
+    // ships (delete + upsert onto a base snapshot; CDC loop closed)
+    "q_cdc_merge" -> (TextOps.qCdcMerge _),
     // r12: exact-dup content straddling train/val/test (leakage audit)
     "q_split_leakage" -> (TextOps.qSplitLeakage _),
     "q_llm_pipeline" -> (TextOps.qLlmPipeline _),
@@ -619,6 +625,21 @@ object SparkEntry {
         "CASE WHEN o.doc_id IS NULL THEN 'added' WHEN n.doc_id IS NULL THEN 'removed' " +
         "WHEN o.d IS DISTINCT FROM n.d THEN 'changed' ELSE 'unchanged' END AS status " +
         "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id ORDER BY doc_id"),
+    // MERGE apply: same snap/mod buckets as the diff; the changeset is
+    // the digest-filtered full-outer join, the merge an anti join +
+    // upsert union — all compares digest-level, null-text-safe
+    "q_cdc_merge" ->
+      (s"WITH h AS (SELECT doc_id, text, (${hex60Sql("md5('snap:' || CAST(doc_id AS VARCHAR))")}) % 10 AS hb, " +
+        s"(${hex60Sql("md5('mod:' || CAST(doc_id AS VARCHAR))")}) % 5 AS mb FROM documents), " +
+        "o AS (SELECT doc_id, text FROM h WHERE hb < 8), " +
+        "n AS (SELECT doc_id, CASE WHEN mb = 0 THEN text || ' rev2' ELSE text END AS text FROM h WHERE hb >= 2), " +
+        "chg AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, " +
+        "CASE WHEN n.doc_id IS NULL THEN 'delete' ELSE 'upsert' END AS op, n.text AS text " +
+        "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id " +
+        "WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR md5(o.text) IS DISTINCT FROM md5(n.text)) " +
+        "SELECT o.doc_id, md5(o.text) AS digest, 'base' AS src FROM o ANTI JOIN chg ON o.doc_id = chg.doc_id " +
+        "UNION ALL SELECT doc_id, md5(text) AS digest, 'merged' AS src FROM chg WHERE op = 'upsert' " +
+        "ORDER BY doc_id"),
     // per-source KL drift: the DSIR bucket space, add-1 smoothed over
     // the full source × bucket grid; per-term ROUND(,9) + DECIMAL sum
     "q_domain_shift" ->
@@ -701,6 +722,17 @@ object SparkEntry {
     // ZOrder.zvalueSql from the SAME (cols, bits) as the Spark side
     "q_zorder_layout" ->
       s"SELECT p_partkey, p_size, p_partkey % 256 AS kb, ${graft.plans.ZOrder.zvalueSql(Seq("p_size", "p_partkey % 256"), graft.plans.ZOrder.zBits)} AS zval FROM part ORDER BY zval, p_partkey",
+    // compaction planner: same md5 file buckets, same scale-free
+    // per-source target (ceil(total/4) via FLOOR(+3 / 4.0)), same
+    // cumsum first-fit bin — all BIGINT + one exact IEEE division
+    "q_compaction_plan" -> {
+      import graft.plans.Compaction.{gateFilesPerPart => nf, gateBinsPerPart => nb}
+      s"WITH m AS (SELECT source AS part, (${hex60Sql("md5('cf:' || CAST(doc_id AS VARCHAR))")}) % $nf AS file_id, " +
+        "COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS bytes FROM documents GROUP BY 1, 2), " +
+        s"t AS (SELECT *, CAST(FLOOR((CAST(SUM(bytes) OVER (PARTITION BY part) AS DOUBLE) + ${nb - 1}) / $nb) AS BIGINT) AS target_bytes FROM m), " +
+        "b AS (SELECT part, file_id, n_rows, bytes, CAST(FLOOR(CAST(SUM(bytes) OVER (PARTITION BY part ORDER BY file_id) - bytes AS DOUBLE) / CAST(target_bytes AS DOUBLE)) AS BIGINT) AS bin FROM t) " +
+        "SELECT part AS source, file_id, n_rows, bytes, bin FROM b ORDER BY source, file_id"
+    },
     // value-based RANGE frame over epoch seconds (numeric RANGE is
     // engine-identical; ties share one frame so no tiebreak needed)
     "q_window_range" ->

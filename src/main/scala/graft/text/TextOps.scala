@@ -1129,6 +1129,72 @@ object TextOps {
           .otherwise("unchanged").as("status"))
   }
 
+  /** Changeset extraction — the manifest an incremental ingest SHIPS
+    * (vs [[snapshotDiff]]'s audit view): one row per doc_id whose
+    * content differs between snapshots, `op` = upsert (added/changed,
+    * carrying the NEW text) or delete (removed, text null). Unchanged
+    * rows are deliberately absent — the manifest is proportional to the
+    * churn, not the corpus, which is the whole economy of CDC at
+    * 100 TB (a 0.1% daily churn ships 100 GB, not 100 TB).
+    *
+    * Scale shape: identical to [[snapshotDiff]] — digest-narrowed
+    * full-outer join on doc_id; only changed rows keep their text. */
+  def cdcChangeset(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val o = oldSnap.select(col("doc_id"), md5(col("text")).as("d_old"),
+      lit(true).as("in_old"))
+    val n = newSnap.select(col("doc_id"), col("text"),
+      md5(col("text")).as("d_new"), lit(true).as("in_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .filter(col("in_old").isNull || col("in_new").isNull ||
+        !(col("d_old") <=> col("d_new")))
+      .select(col("doc_id"),
+        when(col("in_new").isNull, "delete").otherwise("upsert").as("op"),
+        col("text"))
+  }
+
+  /** MERGE-INTO apply — the step that CONSUMES a changeset: rows of the
+    * base snapshot whose doc_id appears in the manifest are dropped
+    * (delete, or about to be replaced), upserts are appended with their
+    * new content. Applying [[cdcChangeset]](old, new) onto old
+    * reconstructs new EXACTLY — the round-trip CdcMergeSpec pins.
+    * Output carries the 16-byte content digest (never the text — the
+    * merged text lives in the table files; the digest is the manifest's
+    * verification column) plus provenance `src` ∈ base|merged.
+    *
+    * Scale shape: ONE doc_id-keyed anti join (narrow: base ships
+    * digests, the probe side ships bare keys) + a union with the
+    * changeset — the same two-exchange bill a lakehouse MERGE pays
+    * before its write; keyed on uniform doc_id it is skew-free, and
+    * under the doc_id-bucketed layout (plans/BucketedTables.scala) the
+    * anti join runs shuffle-free, leaving the manifest-sized union as
+    * the only moved data. */
+  def cdcMerge(base: DataFrame, changes: DataFrame): DataFrame = {
+    val survivors = base
+      .join(changes.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), md5(col("text")).as("digest"),
+        lit("base").as("src"))
+    val upserts = changes.filter(col("op") === "upsert")
+      .select(col("doc_id"), md5(col("text")).as("digest"),
+        lit("merged").as("src"))
+    survivors.unionByName(upserts)
+  }
+
+  /** Gate key: the [[qSnapshotDiff]] scenario driven end-to-end through
+    * manifest extraction + merge apply — old/new snapshots from the
+    * same hash buckets and every-5th edit, changeset derived, merge
+    * applied onto old. The output therefore equals the NEW snapshot
+    * row-for-row (CdcMergeSpec asserts it), with `src` recording which
+    * rows moved. Same buckets/edit/digests verbatim in the oracle. */
+  def qCdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val snapB = pmod(baseHash60(concat(lit("snap:"), col("doc_id").cast("string"))), lit(10L))
+    val modB = pmod(baseHash60(concat(lit("mod:"), col("doc_id").cast("string"))), lit(5L))
+    val edited = when(modB === 0, concat(col("text"), lit(" rev2"))).otherwise(col("text"))
+    val oldSnap = docs.filter(snapB < 8)
+    val newSnap = docs.filter(snapB >= 2).withColumn("text", edited)
+    cdcMerge(oldSnap, cdcChangeset(oldSnap, newSnap)).orderBy("doc_id")
+  }
+
   /** Gate key: two deterministic hash-derived snapshots of `documents`
     * (old = buckets 0–7, new = buckets 2–9 of a doc_id-keyed md5 hash —
     * 60% overlap, so all four statuses occur), with every 5th

@@ -147,6 +147,13 @@ class PlanRegressionSpec extends SparkSpec {
     // DLT priority sample: per-row codegen + one source-keyed window
     // (window sort + output sort) — the q_domain_cap shape
     ("q_sample_weighted", 2, 3),
+    // compaction planner: manifest agg + the part-keyed target/bin
+    // windows (shared exchange) + output sort — data never moves
+    ("q_compaction_plan", 3, 3),
+    // MERGE apply: the diff's full-outer SMJ builds the changeset, one
+    // doc_id-keyed anti join drops replaced/deleted base rows, the
+    // upsert union rides free; + output sort
+    ("q_cdc_merge", 5, 3),
     // pagerank's 3 rounds run as ONE composed lazy plan over the
     // src-pre-partitioned checkpointed edge list: per round the ranks
     // frame shuffles to the edge layout + the dst contribution agg

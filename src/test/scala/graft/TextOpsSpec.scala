@@ -708,6 +708,41 @@ class TextOpsSpec extends SparkSpec {
     assert(st == Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed"), s"$st")
   }
 
+  test("cdcMerge(old, cdcChangeset(old, new)) reconstructs new exactly; manifest ships only churn") {
+    val oldSnap = Seq((1L, "a text"), (2L, "b text"), (3L, "c text"), (5L, null: String))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((2L, "b text"), (3L, "c text CHANGED"), (4L, "d text"), (5L, null: String))
+      .toDF("doc_id", "text")
+    val chg = TextOps.cdcChangeset(oldSnap, newSnap)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("op"))).sorted
+    // only churn: removed 1, changed 3, added 4 — unchanged 2 and the
+    // null-text 5 (present both sides, digest-equal) never ship
+    assert(chg.toSeq == Seq((1L, "delete"), (3L, "upsert"), (4L, "upsert")))
+    val merged = TextOps.cdcMerge(oldSnap, TextOps.cdcChangeset(oldSnap, newSnap))
+    val got = merged.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("digest"), r.getAs[String]("src")))
+    val want = newSnap.select(col("doc_id"), md5(col("text")).as("digest")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("digest")))
+    assert(got.map(t => (t._1, t._2)).sortBy(_._1).toSeq == want.sortBy(_._1).toSeq)
+    assert(got.map(_._1).distinct.length == got.length) // unique ids
+    assert(got.collect { case (id, _, "merged") => id }.toSet == Set(3L, 4L))
+  }
+
+  test("q_cdc_merge gate key: output equals the edited new snapshot digest-for-digest") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val snapB = pmod(TextOps.baseHash60(concat(lit("snap:"), col("doc_id").cast("string"))), lit(10L))
+    val modB = pmod(TextOps.baseHash60(concat(lit("mod:"), col("doc_id").cast("string"))), lit(5L))
+    val edited = when(modB === 0, concat(col("text"), lit(" rev2"))).otherwise(col("text"))
+    val newSnap = docs.filter(snapB >= 2).withColumn("text", edited)
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("digest"))).sortBy(_._1)
+    val got = TextOps.qCdcMerge(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("digest"), r.getAs[String]("src")))
+    assert(got.map(t => (t._1, t._2)).toSeq == newSnap.toSeq)
+    // both provenances occur (base survivors and merged upserts)
+    assert(got.map(_._3).toSet == Set("base", "merged"))
+  }
+
   test("q_snapshot_diff gate key: every doc_id appears once, all statuses occur") {
     val out = TextOps.qSnapshotDiff(spark, sfDir).collect()
     val ids = out.map(_.getAs[Long]("doc_id"))
