@@ -101,6 +101,10 @@ object SparkEntry {
     "q_ingest_csv" -> (graft.sources.Sources.qIngestCsv _),
     // r12: blocked edit-distance linkage (entity resolution)
     "q_join_fuzzy" -> (RelQueries.joinFuzzy _),
+    // r12: golden-record election over the fuzzy-linkage graph (CC
+    // clusters + most-supported-variant rule — entity resolution's
+    // canonicalization step)
+    "q_survivorship" -> (RelQueries.survivorship _),
     // r12: second iterative graph primitive next to the CC family —
     // fixed-iteration damped PageRank over the order↔part incidence
     "q_pagerank" -> (graft.graph.PageRank.qPageRank _),
@@ -715,6 +719,21 @@ object SparkEntry {
         "a.n AS n_a, b.n AS n_b FROM k a JOIN k b ON a.blk = b.blk AND a.p_name < b.p_name " +
         s"WHERE levenshtein(a.p_name, b.p_name) <= ${RelQueries.fuzzyMaxDist} " +
         "ORDER BY name_a, name_b"),
+    // survivorship: same vocab/block/threshold as the linkage key,
+    // clusters via the recursive-CTE transitive closure over md5-derived
+    // node ids (the q_dedup_cluster device), election = (n DESC, name)
+    "q_survivorship" ->
+      (s"WITH RECURSIVE nm AS (SELECT p_name, COUNT(*) AS n, split_part(p_name, ' ', 2) AS blk, " +
+        s"(${hex60Sql("md5(p_name)")}) AS id FROM part GROUP BY p_name), " +
+        "pairs AS (SELECT a.id AS ida, b.id AS idb FROM nm a JOIN nm b ON a.blk = b.blk AND a.p_name < b.p_name " +
+        s"WHERE levenshtein(a.p_name, b.p_name) <= ${RelQueries.fuzzyMaxDist}), " +
+        "edges AS (SELECT ida AS src, idb AS dst FROM pairs UNION ALL SELECT idb, ida FROM pairs), " +
+        "comp(id, lbl) AS (SELECT id, id FROM nm UNION SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.id), " +
+        "lab AS (SELECT id, MIN(lbl) AS lbl FROM comp GROUP BY id), " +
+        "mem AS (SELECT lab.lbl, nm.p_name, nm.n FROM lab JOIN nm USING (id)), " +
+        "ag AS (SELECT lbl, MIN(p_name) AS cluster_name, COUNT(*) AS n_variants, CAST(SUM(n) AS BIGINT) AS support_total FROM mem GROUP BY lbl HAVING COUNT(*) > 1), " +
+        "g AS (SELECT lbl, p_name AS golden_name, n AS support_golden FROM (SELECT lbl, p_name, n, ROW_NUMBER() OVER (PARTITION BY lbl ORDER BY n DESC, p_name) AS rn FROM mem) WHERE rn = 1) " +
+        "SELECT cluster_name, golden_name, n_variants, support_total, support_golden FROM ag JOIN g USING (lbl) ORDER BY cluster_name"),
     // PageRank: the oracle unrolls the same 3 damped iterations as
     // chained CTEs (generated from the SAME constants — see PageRank)
     "q_pagerank" -> graft.graph.PageRank.oracleSql,

@@ -880,11 +880,17 @@ object RelQueries {
     * candidate only. Row counts per name are joined back so survivors
     * carry their support. The `a < b` canonical ordering emits each
     * pair once. */
-  def joinFuzzy(spark: SparkSession, dir: String): DataFrame = {
-    val nm = Tables.part(spark, dir)
+  /** Entity vocabulary for the record-linkage keys: distinct part
+    * names with their row support and the blocking key ([[joinFuzzy]]'s
+    * step 1-2; shared verbatim with [[survivorship]]). */
+  private def fuzzyVocabOf(parts: DataFrame): DataFrame =
+    parts
       .groupBy(col("p_name")).agg(count(lit(1)).as("n"))
       .select(col("p_name"), col("n"),
         split_part(col("p_name"), lit(" "), lit(2)).as("blk"))
+
+  def joinFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val nm = fuzzyVocabOf(Tables.part(spark, dir))
     val a = nm.select(col("p_name").as("name_a"), col("n").as("n_a"), col("blk"))
     val b = nm.select(col("p_name").as("name_b"), col("n").as("n_b"), col("blk"))
     a.join(b, Seq("blk"))
@@ -894,5 +900,60 @@ object RelQueries {
       .select(col("name_a"), col("name_b"), col("dist"),
         col("n_a"), col("n_b"))
       .orderBy("name_a", "name_b")
+  }
+
+  /** Golden-record election (survivorship) — the step AFTER
+    * [[joinFuzzy]] in entity resolution: fuzzy pairs only SAY two
+    * variants co-refer; a catalog still needs ONE canonical record per
+    * entity. Variants are clustered by connected components over the
+    * linkage graph (typo chains a→b→c must land in one cluster even
+    * when levenshtein(a,c) exceeds the pair threshold — pairwise
+    * output alone cannot express that), then each cluster elects its
+    * golden name by the most-supported-variant rule (max row support,
+    * ties to the lexicographically smallest name). Output: one row per
+    * MERGED entity (singleton names are not survivorship's business).
+    *
+    * Scale shape: the linkage part is [[joinFuzzy]]'s (vocab agg +
+    * blocked equi-join); clustering is the checkpointed min-label CC
+    * core (graph/ConnectedComponents.scala) over hash-derived 60-bit
+    * node ids — edges are variant pairs, so the iterated set is the
+    * touched vocabulary, not the row stream; election is one keyed agg
+    * + one bounded window over cluster members. Nothing here ever
+    * rescans `part` after the vocab agg.
+    *
+    * Determinism: node ids are md5-derived ([[graft.text.TextOps.baseHash60]]),
+    * so cluster labels (min id) and the recursive-CTE oracle agree
+    * exactly; the election sort key (n DESC, p_name) is a total order. */
+  def survivorship(spark: SparkSession, dir: String): DataFrame =
+    survivorshipOf(Tables.part(spark, dir))
+
+  /** [[survivorship]] over any frame with a `p_name` column. */
+  def survivorshipOf(parts: DataFrame): DataFrame = {
+    val nm = fuzzyVocabOf(parts)
+      .withColumn("id", graft.text.TextOps.baseHash60(col("p_name")))
+    val a = nm.select(col("p_name").as("name_a"), col("id").as("src"), col("blk"))
+    val b = nm.select(col("p_name").as("name_b"), col("id").as("dst"), col("blk"))
+    val edges = a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= fuzzyMaxDist)
+      .select(col("src"), col("dst"))
+    val labels = graft.graph.ConnectedComponents.run(edges, nm.select(col("id")))
+    val mem = labels.join(nm, Seq("id"))
+      .select(col("lbl"), col("p_name"), col("n"))
+    val ag = mem.groupBy(col("lbl"))
+      .agg(min(col("p_name")).as("cluster_name"),
+        count(lit(1)).as("n_variants"),
+        sum(col("n")).as("support_total"))
+      .filter(col("n_variants") > 1)
+    val g = mem
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lbl")).orderBy(col("n").desc, col("p_name"))))
+      .filter(col("rn") === 1)
+      .select(col("lbl"), col("p_name").as("golden_name"),
+        col("n").as("support_golden"))
+    ag.join(g, Seq("lbl"))
+      .select(col("cluster_name"), col("golden_name"), col("n_variants"),
+        col("support_total"), col("support_golden"))
+      .orderBy("cluster_name")
   }
 }

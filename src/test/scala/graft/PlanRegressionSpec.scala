@@ -144,6 +144,9 @@ class PlanRegressionSpec extends SparkSpec {
     ("q_ingest_csv", 2, 1),
     // blocked linkage: name-vocab agg + block equi-join + output sort
     ("q_join_fuzzy", 2, 1),
+    // survivorship: post-CC plan only (rounds are checkpoint-roots) —
+    // member join + election window + cluster agg + golden join + sort
+    ("q_survivorship", 5, 5),
     // DLT priority sample: per-row codegen + one source-keyed window
     // (window sort + output sort) — the q_domain_cap shape
     ("q_sample_weighted", 2, 3),
