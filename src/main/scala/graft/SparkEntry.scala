@@ -99,6 +99,8 @@ object SparkEntry {
     // r12: JSONL + CSV ingest round-trips (multi-format ETL entry point)
     "q_ingest_jsonl" -> (graft.sources.Sources.qIngestJsonl _),
     "q_ingest_csv" -> (graft.sources.Sources.qIngestCsv _),
+    // r12: ORC round-trip — the second columnar/pushdown storage path
+    "q_ingest_orc" -> (graft.sources.Sources.qIngestOrc _),
     // r12: blocked edit-distance linkage (entity resolution)
     "q_join_fuzzy" -> (RelQueries.joinFuzzy _),
     // r12: golden-record election over the fuzzy-linkage graph (CC
@@ -705,6 +707,12 @@ object SparkEntry {
     // the Spark side differs (format, RFC-4180 quoting), the proof of
     // losslessness is identical by design
     "q_ingest_csv" ->
+      (s"SELECT source, COUNT(*) AS n_docs, CAST(SUM(len(text)) AS BIGINT) AS n_chars, " +
+        s"CAST(SUM((${hex60Sql("md5(text)")}) % 1000000007) AS BIGINT) AS content_sum, " +
+        "CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM documents GROUP BY source ORDER BY source"),
+    // ORC round-trip: the second columnar/pushdown storage path under
+    // the same parquet-direct checksum contract
+    "q_ingest_orc" ->
       (s"SELECT source, COUNT(*) AS n_docs, CAST(SUM(len(text)) AS BIGINT) AS n_chars, " +
         s"CAST(SUM((${hex60Sql("md5(text)")}) % 1000000007) AS BIGINT) AS content_sum, " +
         "CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM documents GROUP BY source ORDER BY source"),

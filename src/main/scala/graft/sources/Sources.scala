@@ -111,6 +111,29 @@ object Sources {
       .orderBy("source")
   }
 
+  /** ORC twin of [[qIngestJsonl]] — the other COLUMNAR format under
+    * the same checksum contract and parquet-direct oracle. Unlike the
+    * text twins, ORC carries schema + types + min/max stripe stats of
+    * its own, so this round-trip proves the engine's second
+    * predicate-pushdown-capable storage path (a lakehouse migrating
+    * ORC↔parquet needs exactly this guarantee); the explicit schema on
+    * read-back is still applied for the same drift-proofing as the
+    * text formats. */
+  def qIngestOrc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val path = s"$ingestScratch/docs_orc"
+    writeOrc(docs, path)
+    spark.read.schema(docs.schema).orc(path)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        sum(pmod(graft.text.TextOps.baseHash60(col("text")), lit(1000000007L)))
+          .as("content_sum"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy("source")
+  }
+
   /** Random row reshuffle — `utils.shuffle(df)` (`distkeras/utils.py
     * ~L60-75 [H]`), used by the reference before training so partitions
     * see i.i.d. data. Deterministic given the seed; implemented as a

@@ -142,6 +142,8 @@ class PlanRegressionSpec extends SparkSpec {
     ("q_ingest_jsonl", 2, 1),
     // CSV twin: identical post-write plan shape
     ("q_ingest_csv", 2, 1),
+    // ORC twin: identical post-write plan shape (columnar scan)
+    ("q_ingest_orc", 2, 1),
     // blocked linkage: name-vocab agg + block equi-join + output sort
     ("q_join_fuzzy", 2, 1),
     // survivorship: post-CC plan only (rounds are checkpoint-roots) —

@@ -87,6 +87,9 @@ class SourcesSpec extends SparkSpec {
     // survive content the fixture happens not to exercise (see below)
     val csvTrip = Sources.qIngestCsv(spark, sfDir).collect().toSeq
     assert(csvTrip == direct, "CSV round-trip changed the corpus")
+    // ORC twin: the second columnar path under the same contract
+    val orcTrip = Sources.qIngestOrc(spark, sfDir).collect().toSeq
+    assert(orcTrip == direct, "ORC round-trip changed the corpus")
   }
 
   test("CSV ingest dialect survives quotes, commas and unicode in text") {
