@@ -176,6 +176,10 @@ object SparkEntry {
     // r12: MERGE-INTO apply — consumes the changeset the snapshot diff
     // ships (delete + upsert onto a base snapshot; CDC loop closed)
     "q_cdc_merge" -> (TextOps.qCdcMerge _),
+    // r12: incremental view maintenance — per-source aggregates
+    // refreshed from the churn deltas alone (oracle = direct recompute,
+    // so hash parity proves the maintenance algebra)
+    "q_agg_incremental" -> (TextOps.qAggIncremental _),
     // r12: exact-dup content straddling train/val/test (leakage audit)
     "q_split_leakage" -> (TextOps.qSplitLeakage _),
     "q_llm_pipeline" -> (TextOps.qLlmPipeline _),
@@ -646,6 +650,16 @@ object SparkEntry {
         "SELECT o.doc_id, md5(o.text) AS digest, 'base' AS src FROM o ANTI JOIN chg ON o.doc_id = chg.doc_id " +
         "UNION ALL SELECT doc_id, md5(text) AS digest, 'merged' AS src FROM chg WHERE op = 'upsert' " +
         "ORDER BY doc_id"),
+    // IVM: the oracle is the DIRECT recompute over the new snapshot —
+    // hash parity with the incrementally-maintained Spark output is the
+    // view-maintenance invariant itself (all-integer algebra)
+    "q_agg_incremental" ->
+      (s"WITH h AS (SELECT doc_id, source, text, (${hex60Sql("md5('snap:' || CAST(doc_id AS VARCHAR))")}) % 10 AS hb, " +
+        s"(${hex60Sql("md5('mod:' || CAST(doc_id AS VARCHAR))")}) % 5 AS mb FROM documents), " +
+        "n AS (SELECT doc_id, source, CASE WHEN mb = 0 THEN text || ' rev2' ELSE text END AS text FROM h WHERE hb >= 2) " +
+        "SELECT source, COUNT(*) AS n_docs, CAST(SUM(len(text)) AS BIGINT) AS n_chars, " +
+        s"CAST(SUM((${hex60Sql("md5(text)")}) % 1000000007) AS BIGINT) AS content_sum " +
+        "FROM n GROUP BY source ORDER BY source"),
     // per-source KL drift: the DSIR bucket space, add-1 smoothed over
     // the full source × bucket grid; per-term ROUND(,9) + DECIMAL sum
     "q_domain_shift" ->

@@ -1195,6 +1195,74 @@ object TextOps {
     cdcMerge(oldSnap, cdcChangeset(oldSnap, newSnap)).orderBy("doc_id")
   }
 
+  /** Incremental view maintenance — refresh a per-source aggregate
+    * view from the CHURN alone: each changed doc contributes signed
+    * deltas (+new, −old), summed per source and applied onto the
+    * base view. At 100 TB this is the difference between a stats
+    * refresh that costs O(churn) and one that rescans the corpus —
+    * 0.1% daily churn means the maintained view updates from a 100 GB
+    * delta stream while the recompute reads 100 TB.
+    *
+    * The maintained aggregates are the COUNT/SUM family (count, char
+    * sum, md5-derived content checksum) — the self-maintainable class
+    * (every SUM-like aggregate maintains from deltas alone; MIN/MAX
+    * would need the base detail on deletes, the classic IVM asymmetry).
+    * All-integer arithmetic, so maintained ≡ recomputed EXACTLY — and
+    * the DuckDB oracle IS the direct recompute over the new snapshot,
+    * making the correctness gate itself the IVM invariant.
+    *
+    * Scale shape: base view = one source-keyed agg (already
+    * materialized in practice); delta = the [[snapshotDiff]] digest
+    * join restricted to churn rows, aggregated per source (manifest-
+    * sized); apply = a |sources|-row outer join. Nothing rescans the
+    * corpus after the base view exists. */
+  def aggIncremental(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val p = 1000000007L
+    def f(t: Column): Column = pmod(baseHash60(t), lit(p))
+    val baseAgg = oldSnap.groupBy(col("source"))
+      .agg(count(lit(1)).as("b_docs"),
+        sum(length(col("text")).cast("long")).as("b_chars"),
+        sum(f(col("text"))).as("b_content"))
+    val o = oldSnap.select(col("doc_id"), col("source").as("src_o"),
+      col("text").as("t_o"), lit(true).as("in_o"))
+    val n = newSnap.select(col("doc_id"), col("source").as("src_n"),
+      col("text").as("t_n"), lit(true).as("in_n"))
+    val delta = o.join(n, Seq("doc_id"), "full_outer")
+      .filter(col("in_o").isNull || col("in_n").isNull ||
+        !(md5(col("t_o")) <=> md5(col("t_n"))))
+      .groupBy(coalesce(col("src_n"), col("src_o")).as("source"))
+      .agg(
+        sum(when(col("in_o").isNull, 1L).when(col("in_n").isNull, -1L)
+          .otherwise(0L)).as("d_docs"),
+        sum(coalesce(length(col("t_n")).cast("long"), lit(0L)) -
+          coalesce(length(col("t_o")).cast("long"), lit(0L))).as("d_chars"),
+        sum(coalesce(when(col("in_n").isNotNull, f(col("t_n"))), lit(0L)) -
+          coalesce(when(col("in_o").isNotNull, f(col("t_o"))), lit(0L)))
+          .as("d_content"))
+    baseAgg.join(delta, Seq("source"), "full_outer")
+      .select(col("source"),
+        (coalesce(col("b_docs"), lit(0L)) + coalesce(col("d_docs"), lit(0L))).as("n_docs"),
+        (coalesce(col("b_chars"), lit(0L)) + coalesce(col("d_chars"), lit(0L))).as("n_chars"),
+        (coalesce(col("b_content"), lit(0L)) + coalesce(col("d_content"), lit(0L))).as("content_sum"))
+      .filter(col("n_docs") > 0)
+      .orderBy("source")
+  }
+
+  /** Gate key: the [[qSnapshotDiff]] snapshots again; the output is the
+    * INCREMENTALLY maintained per-source view, the oracle the direct
+    * recompute over the new snapshot — parity proves the maintenance
+    * algebra, not just the plumbing. */
+  def qAggIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val snapB = pmod(baseHash60(concat(lit("snap:"), col("doc_id").cast("string"))), lit(10L))
+    val modB = pmod(baseHash60(concat(lit("mod:"), col("doc_id").cast("string"))), lit(5L))
+    val edited = when(modB === 0, concat(col("text"), lit(" rev2"))).otherwise(col("text"))
+    aggIncremental(
+      docs.filter(snapB < 8).select(col("doc_id"), col("source"), col("text")),
+      docs.filter(snapB >= 2).withColumn("text", edited)
+        .select(col("doc_id"), col("source"), col("text")))
+  }
+
   /** Gate key: two deterministic hash-derived snapshots of `documents`
     * (old = buckets 0–7, new = buckets 2–9 of a doc_id-keyed md5 hash —
     * 60% overlap, so all four statuses occur), with every 5th

@@ -159,6 +159,9 @@ class PlanRegressionSpec extends SparkSpec {
     // doc_id-keyed anti join drops replaced/deleted base rows, the
     // upsert union rides free; + output sort
     ("q_cdc_merge", 5, 3),
+    // IVM: base-view agg + churn full-outer SMJ + delta agg + the
+    // |sources|-row apply join + output sort
+    ("q_agg_incremental", 5, 5),
     // pagerank's 3 rounds run as ONE composed lazy plan over the
     // src-pre-partitioned checkpointed edge list: per round the ranks
     // frame shuffles to the edge layout + the dst contribution agg

@@ -728,6 +728,34 @@ class TextOpsSpec extends SparkSpec {
     assert(got.collect { case (id, _, "merged") => id }.toSet == Set(3L, 4L))
   }
 
+  test("aggIncremental: maintained view equals direct recompute, incl. vanishing/appearing sources") {
+    val oldSnap = Seq(
+      (1L, "sa", "one two"), (2L, "sa", "three"), (3L, "sb", "gone away"),
+      (5L, "sc", "kept text"))
+      .toDF("doc_id", "source", "text")
+    val newSnap = Seq(
+      (1L, "sa", "one two"),          // unchanged
+      (2L, "sa", "three CHANGED"),    // changed
+      (4L, "sd", "brand new"),        // added, NEW source
+      (5L, "sc", "kept text"))        // unchanged; sb fully deleted
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.aggIncremental(oldSnap, newSnap).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val p = 1000000007L
+    def h(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % p
+    }
+    val direct = Seq(
+      ("sa", 2L, 7L + 13L, h("one two") + h("three CHANGED")),
+      ("sc", 1L, 9L, h("kept text")),
+      ("sd", 1L, 9L, h("brand new")))
+    assert(got.toSeq == direct, s"got ${got.toSeq}")
+    // sb must NOT appear (all its docs deleted -> n_docs would be 0)
+    assert(!got.exists(_._1 == "sb"))
+  }
+
   test("q_cdc_merge gate key: output equals the edited new snapshot digest-for-digest") {
     val docs = graft.Tables.documents(spark, sfDir)
     val snapB = pmod(TextOps.baseHash60(concat(lit("snap:"), col("doc_id").cast("string"))), lit(10L))
