@@ -94,6 +94,7 @@ object PlanAudit {
       "q_minmax_scale", "q_ivf_topk", "q_ivf_topk_fixed", "q_ivf_pq_topk",
       "q_eval_metrics",
       "q_bloom_join", "q_tfidf", "q_bm25_search",
+      "q_rank_fusion", // inherits bm25's + vsm's one-row corpus-stat crosses
       "q_quality_unigram", "q_domain_mix", "q_domain_mix_temp", "q_quality_tails",
       "q_quality_tails_by_source", // inherits the unigram one-row totals cross
       "q_gap_fill", "q_llm_pipeline_v2")

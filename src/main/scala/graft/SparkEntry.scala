@@ -207,6 +207,9 @@ object SparkEntry {
     "q_frame_sample" -> (graft.mm.Multimodal.qFrameSample _),
     "q_tfidf" -> (text.Relevance.qTfidf _),
     "q_bm25_search" -> (text.Relevance.qBm25Search _),
+    // r12: reciprocal-rank fusion — the hybrid-retrieval primitive RAG
+    // serving runs (BM25 list ⊕ VSM list over the candidate union)
+    "q_rank_fusion" -> (text.Relevance.qRankFusion _),
     "q_cosine_topk" -> (Similarity.qCosineTopK _),
     // r12: kNN label-noise audit (majority-vote disagreement flags)
     "q_knn_label_noise" -> (Similarity.qKnnLabelNoise _),
@@ -804,6 +807,29 @@ object SparkEntry {
       import text.Relevance.{bm25B => b, bm25K1 => k1, demoQuery}
       val terms = demoQuery.map(t => s"'$t'").mkString(", ")
       s"WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), dl AS (SELECT doc_id, len(toks) AS dl FROM tok), st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (SELECT doc_id, UNNEST(toks) AS term FROM tok) WHERE term IN ($terms) GROUP BY doc_id, term), dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), w AS (SELECT doc_id, CAST(ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * ${k1 + 1.0}) / (tf + $k1 * (${1.0 - b} + $b * dl / (CAST(sum_dl AS DOUBLE) / n_docs))), 6) AS DECIMAL(18,6)) AS wd FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st) SELECT doc_id, CAST(SUM(wd) AS DOUBLE) AS score, COUNT(*) AS n_terms_matched FROM w GROUP BY doc_id ORDER BY SUM(wd) DESC, doc_id LIMIT 10"
+    },
+    // RRF fusion: the bm25 CTE verbatim (LIMIT rrfPerList) + the VSM
+    // tf·idf² list under the same 6-dp DECIMAL device; rrf = two
+    // one-shot divisions added in fixed order, ROUND(,9)
+    "q_rank_fusion" -> {
+      import text.Relevance.{bm25B => b, bm25K1 => k1, demoQuery, rrfK, rrfPerList, rrfTopK}
+      val terms = demoQuery.map(t => s"'$t'").mkString(", ")
+      s"WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), " +
+        "dl AS (SELECT doc_id, len(toks) AS dl FROM tok), " +
+        "st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl), " +
+        s"tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (SELECT doc_id, UNNEST(toks) AS term FROM tok) WHERE term IN ($terms) GROUP BY doc_id, term), " +
+        "dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), " +
+        s"w AS (SELECT doc_id, CAST(ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * ${k1 + 1.0}) / (tf + $k1 * (${1.0 - b} + $b * dl / (CAST(sum_dl AS DOUBLE) / n_docs))), 6) AS DECIMAL(18,6)) AS wd FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st), " +
+        s"bm AS (SELECT doc_id, CAST(SUM(wd) AS DOUBLE) AS score FROM w GROUP BY doc_id ORDER BY SUM(wd) DESC, doc_id LIMIT $rrfPerList), " +
+        "lex AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank_lex FROM bm), " +
+        "vw AS (SELECT doc_id, CAST(ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS DECIMAL(18,6)) AS wd FROM tf JOIN dft USING (term) CROSS JOIN st), " +
+        s"vs AS (SELECT doc_id, CAST(SUM(wd) AS DOUBLE) AS score FROM vw GROUP BY doc_id ORDER BY SUM(wd) DESC, doc_id LIMIT $rrfPerList), " +
+        "vsm AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank_vsm FROM vs), " +
+        "f AS (SELECT COALESCE(lex.doc_id, vsm.doc_id) AS doc_id, rank_lex, rank_vsm, " +
+        s"ROUND(COALESCE(1.0 / ($rrfK + rank_lex), 0.0) + COALESCE(1.0 / ($rrfK + rank_vsm), 0.0), 9) AS rrf " +
+        "FROM lex FULL OUTER JOIN vsm ON lex.doc_id = vsm.doc_id) " +
+        "SELECT doc_id, rank_lex, rank_vsm, rrf, rn FROM (SELECT f.*, CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS rn FROM f) " +
+        s"WHERE rn <= $rrfTopK ORDER BY rn"
     },
     // latest-record compaction: total order inside each key via
     // (ts DESC, event_id DESC); ns ts cast to µs TIMESTAMP both engines

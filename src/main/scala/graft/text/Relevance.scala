@@ -100,4 +100,79 @@ object Relevance {
 
   def qBm25Search(spark: SparkSession, dir: String): DataFrame =
     bm25Search(Tables.documents(spark, dir), demoQuery, 10)
+
+  /** RRF constant (Cormack/Clarke/Buettcher 2009's k = 60) and list
+    * depth for [[rankFusion]]. */
+  val rrfK = 60
+  val rrfPerList = 20
+  val rrfTopK = 10
+
+  /** Vector-space-model ranking for [[rankFusion]]'s second list:
+    * score = Σ_t tf·idf² (query tf = 1, sklearn-smoothed idf) — the
+    * classic dot-product relevance WITHOUT BM25's saturation or length
+    * normalization, so the two lists genuinely disagree and fusion has
+    * something to reconcile. Same determinism device as BM25: per-term
+    * contributions rounded to 6 dp, summed as DECIMAL(18,6). */
+  private def vsmSearch(docs: DataFrame, query: Seq[String], k: Int): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("term"))
+      .where(col("term").isin(query: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTable = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = log((col("n_docs") + lit(1)).cast("double") / (col("df") + lit(1)).cast("double")) + lit(1.0)
+    tf
+      .join(broadcast(dfTable), "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"),
+        round(col("tf").cast("double") * idf * idf, 6).cast(DecimalType(18, 6)).as("wd"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("wd")).as("score_dec"))
+      .orderBy(col("score_dec").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("score_dec").cast("double").as("score"))
+  }
+
+  /** Reciprocal-rank fusion — the HYBRID retrieval primitive RAG
+    * serving runs (lexical list ⊕ second-signal list →
+    * rrf = Σ 1/(k₀+rank) over the candidate union): fuses [[bm25Search]]
+    * with [[vsmSearch]] here; in a full deployment the second list is
+    * the ANN top-k (q_ann_topk/q_ivf_pq_topk) and fusion joins the SAME
+    * bounded per-query frames, so this plan shape IS the production
+    * one.
+    *
+    * Scale shape: each list is its own bounded top-k (the heavy
+    * lifting); fusion itself touches ≤ 2·perList rows per query — a
+    * full-outer join on doc_id + one window. Missing-in-one-list
+    * candidates contribute 0 from that list (standard RRF over the
+    * union).
+    *
+    * Determinism: ranks are ROW_NUMBER over (6-dp-rounded score DESC,
+    * doc_id); rrf = two one-shot IEEE divisions added in fixed
+    * expression order then ROUND(,9) — no aggregation-order float sums
+    * anywhere. */
+  def rankFusion(docs: DataFrame, query: Seq[String]): DataFrame = {
+    val lex = bm25Search(docs, query, rrfPerList)
+      .withColumn("rank_lex", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank_lex"))
+    val vsm = vsmSearch(docs, query, rrfPerList)
+      .withColumn("rank_vsm", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank_vsm"))
+    val rrf = round(
+      coalesce(lit(1.0) / (lit(rrfK) + col("rank_lex")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK) + col("rank_vsm")), lit(0.0)), 9)
+    lex.join(vsm, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", rrf)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))).cast("int"))
+      .where(col("rn") <= rrfTopK)
+      .select(col("doc_id"), col("rank_lex"), col("rank_vsm"), col("rrf"), col("rn"))
+      .orderBy("rn")
+  }
+
+  def qRankFusion(spark: SparkSession, dir: String): DataFrame =
+    rankFusion(Tables.documents(spark, dir), demoQuery)
 }

@@ -149,6 +149,9 @@ class PlanRegressionSpec extends SparkSpec {
     // survivorship: post-CC plan only (rounds are checkpoint-roots) —
     // member join + election window + cluster agg + golden join + sort
     ("q_survivorship", 5, 5),
+    // RRF fusion: two bounded ranking pipelines (each explode → keyed
+    // aggs → top-k) + the ≤2·perList-row fusion join and windows
+    ("q_rank_fusion", 10, 5),
     // DLT priority sample: per-row codegen + one source-keyed window
     // (window sort + output sort) — the q_domain_cap shape
     ("q_sample_weighted", 2, 3),

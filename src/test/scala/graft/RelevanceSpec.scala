@@ -49,6 +49,29 @@ class RelevanceSpec extends SparkSpec {
     assert(out.head._1 == 1L || score(1L) > score(0L))
   }
 
+  test("q_rank_fusion: rrf recomputes from the member ranks; union semantics; top-k bounded") {
+    val out = Relevance.qRankFusion(spark, sfDir).collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Int]),
+        Option(r.get(2)).map(_.asInstanceOf[Int]),
+        r.getDouble(3), r.getInt(4)))
+    assert(out.nonEmpty && out.length <= Relevance.rrfTopK)
+    assert(out.map(_._5).toSeq == (1 to out.length), "rn is a dense 1..k")
+    out.foreach { case (id, rl, rv, rrf, _) =>
+      assert(rl.isDefined || rv.isDefined, s"doc $id in neither list")
+      val exp = rl.map(r => 1.0 / (Relevance.rrfK + r)).getOrElse(0.0) +
+        rv.map(r => 1.0 / (Relevance.rrfK + r)).getOrElse(0.0)
+      assert(math.abs(rrf - BigDecimal(exp).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12,
+        s"doc $id rrf $rrf vs $exp")
+    }
+    // fusion order is rrf desc (ties by doc_id — monotone rn already asserted)
+    val rrfs = out.map(_._4)
+    assert(rrfs.sameElements(rrfs.sortBy(-_: Double)))
+    // a doc ranked #1 in BOTH lists must be fused #1
+    out.find(o => o._2.contains(1) && o._3.contains(1))
+      .foreach(o => assert(o._5 == 1))
+  }
+
   test("bm25 gate key is deterministic across runs and bounded by k") {
     val d = Tables.documents(spark, sfDir)
     val a = Relevance.bm25Search(d, Relevance.demoQuery, 10).collect()
