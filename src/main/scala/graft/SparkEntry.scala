@@ -114,6 +114,10 @@ object SparkEntry {
     // r12: small-file compaction planner (the OPTIMIZE bin-packing
     // step — sorted cumulative first-fit over the file manifest)
     "q_compaction_plan" -> (graft.plans.Compaction.qCompactionPlan _),
+    // r12: min/max file-skipping audit — the same rows in arrival vs
+    // value-clustered layouts, classified skipped/full/partial (the
+    // measured ROI of clustering)
+    "q_manifest_prune" -> (graft.plans.Pruning.qManifestPrune _),
     "q_histogram" -> (RelQueries.histogramQ _),
     "q_profile" -> (RelQueries.profileQ _),
     "q_join_null_safe" -> (RelQueries.joinNullSafe _),
@@ -776,6 +780,19 @@ object SparkEntry {
         s"t AS (SELECT *, CAST(FLOOR((CAST(SUM(bytes) OVER (PARTITION BY part) AS DOUBLE) + ${nb - 1}) / $nb) AS BIGINT) AS target_bytes FROM m), " +
         "b AS (SELECT part, file_id, n_rows, bytes, CAST(FLOOR(CAST(SUM(bytes) OVER (PARTITION BY part ORDER BY file_id) - bytes AS DOUBLE) / CAST(target_bytes AS DOUBLE)) AS BIGINT) AS bin FROM t) " +
         "SELECT part AS source, file_id, n_rows, bytes, bin FROM b ORDER BY source, file_id"
+    },
+    // manifest pruning: NTILE over identical total orders builds the
+    // same balanced files; money min/max are exact 2-dp doubles so the
+    // band classification cannot diverge
+    "q_manifest_prune" -> {
+      import graft.plans.Pruning.{pruneFiles => nf, pruneLo => lo, pruneHi => hi}
+      s"WITH a AS (SELECT o_totalprice, NTILE($nf) OVER (ORDER BY o_orderkey) AS file_id, 'arrival' AS layout FROM orders), " +
+        s"c AS (SELECT o_totalprice, NTILE($nf) OVER (ORDER BY o_totalprice, o_orderkey) AS file_id, 'clustered' AS layout FROM orders), " +
+        "u AS (SELECT * FROM a UNION ALL SELECT * FROM c), " +
+        "m AS (SELECT layout, file_id, COUNT(*) AS n_rows, MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM u GROUP BY layout, file_id) " +
+        s"SELECT layout, CAST(file_id AS INTEGER) AS file_id, n_rows, mn, mx, " +
+        s"CASE WHEN mx < $lo OR mn > $hi THEN 'skipped' WHEN mn >= $lo AND mx <= $hi THEN 'full' ELSE 'partial' END AS status " +
+        "FROM m ORDER BY layout, file_id"
     },
     // value-based RANGE frame over epoch seconds (numeric RANGE is
     // engine-identical; ties share one frame so no tiebreak needed)

@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Min/max file-skipping audit — the scan-planning primitive behind
+  * parquet footer stats, ORC stripe stats, and Iceberg/Delta manifest
+  * pruning: a predicate consults each file's (min, max) and classifies
+  * it SKIPPED (no overlap — never opened), FULL (file range inside the
+  * predicate — metadata-only count, no row filtering) or PARTIAL
+  * (opened and row-filtered).
+  *
+  * The operator makes the LAYOUT argument measurable: the same rows are
+  * laid out twice — `arrival` (insertion order, values scattered, every
+  * file overlaps the predicate) vs `clustered` (value order, the
+  * repartitionByRange layout [[ZOrder.clusterBy]] writes) — and the
+  * classification shows clustered scans skipping almost every file
+  * while arrival scans open all of them. This delta IS the ROI
+  * calculation a 100 TB table's OPTIMIZE/CLUSTER BY decision rests on,
+  * computed from manifest-sized metadata, never the data.
+  *
+  * Scale shape: two balanced-ntile window passes simulate the layouts
+  * (a real table reads (file, min, max, rows) straight from its
+  * manifest — row-count-free), then one (layout, file) agg and a
+  * per-row CASE. Money min/max are exact 2-dp doubles, so both engines
+  * classify identically.
+  */
+object Pruning {
+
+  /** Files per simulated layout (balanced via ntile — no one-row count
+    * broadcast needed). */
+  val pruneFiles = 16
+  /** Predicate band [lo, hi] on o_totalprice for the gate key — chosen
+    * to cover a narrow value slice so clustering has something to
+    * prove. */
+  val pruneLo = 100000.0
+  val pruneHi = 150000.0
+
+  /** Classify each simulated file of both layouts against the
+    * predicate band. Output: (layout, file_id, n_rows, mn, mx, status),
+    * 2·[[pruneFiles]] rows. */
+  def qManifestPrune(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    val arrival = o.withColumn("file_id",
+      ntile(pruneFiles).over(Window.orderBy(col("o_orderkey"))))
+      .withColumn("layout", lit("arrival"))
+    val clustered = o.withColumn("file_id",
+      ntile(pruneFiles).over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+      .withColumn("layout", lit("clustered"))
+    val manifest = arrival.unionByName(clustered)
+      .groupBy(col("layout"), col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"))
+    manifest
+      .withColumn("status",
+        when(col("mx") < pruneLo || col("mn") > pruneHi, "skipped")
+          .when(col("mn") >= pruneLo && col("mx") <= pruneHi, "full")
+          .otherwise("partial"))
+      .select(col("layout"), col("file_id"), col("n_rows"),
+        col("mn"), col("mx"), col("status"))
+      .orderBy("layout", "file_id")
+  }
+}
