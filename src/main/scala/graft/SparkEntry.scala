@@ -103,6 +103,9 @@ object SparkEntry {
     "q_ingest_orc" -> (graft.sources.Sources.qIngestOrc _),
     // r12: blocked edit-distance linkage (entity resolution)
     "q_join_fuzzy" -> (RelQueries.joinFuzzy _),
+    // r12: keyless interval-overlap join via bin-explode + equi-join +
+    // exact-overlap postfilter (the recipe that avoids the nested loop)
+    "q_join_interval" -> (RelQueries.joinInterval _),
     // r12: golden-record election over the fuzzy-linkage graph (CC
     // clusters + most-supported-variant rule — entity resolution's
     // canonicalization step)
@@ -748,6 +751,21 @@ object SparkEntry {
         "a.n AS n_a, b.n AS n_b FROM k a JOIN k b ON a.blk = b.blk AND a.p_name < b.p_name " +
         s"WHERE levenshtein(a.p_name, b.p_name) <= ${RelQueries.fuzzyMaxDist} " +
         "ORDER BY name_a, name_b"),
+    // interval join: FLOORED epoch seconds (DuckDB epoch() keeps the
+    // µs fraction — a bare BIGINT cast would round where Spark's
+    // timestamp→long floors); range() is exclusive-high → +1
+    "q_join_interval" -> {
+      import RelQueries.{intervalBinSecs => w, intervalUserMod => m}
+      s"WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s FROM events), " +
+        s"a AS (SELECT user_id, CAST(ts AS DATE) AS d, MIN(s) AS a_start, MAX(s) AS a_end FROM e WHERE user_id % $m = 0 GROUP BY 1, 2), " +
+        "b AS (SELECT event_type, date_trunc('hour', ts) AS h, MIN(s) AS b_start, MAX(s) AS b_end FROM e GROUP BY 1, 2), " +
+        s"ab AS (SELECT a.*, UNNEST(range(a_start // $w, a_end // $w + 1)) AS bin FROM a), " +
+        s"bb AS (SELECT b.*, UNNEST(range(b_start // $w, b_end // $w + 1)) AS bin FROM b), " +
+        "c AS (SELECT DISTINCT user_id, d, event_type, h, a_start, a_end, b_start, b_end FROM ab JOIN bb USING (bin)) " +
+        "SELECT user_id, CAST(d AS TIMESTAMP) AS d, event_type, h, least(a_end, b_end) - greatest(a_start, b_start) AS overlap_secs " +
+        "FROM c WHERE a_start <= b_end AND b_start <= a_end " +
+        "ORDER BY user_id, d, event_type, h"
+    },
     // survivorship: same vocab/block/threshold as the linkage key,
     // clusters via the recursive-CTE transitive closure over md5-derived
     // node ids (the q_dedup_cluster device), election = (n DESC, name)

@@ -144,6 +144,59 @@ object RelQueries {
       .orderBy("l_orderkey", "l_linenumber", "p_partkey")
   }
 
+  /** Bin width (seconds) for [[joinInterval]]'s candidate generation. */
+  val intervalBinSecs = 3600L
+  /** Deterministic user sample for the interval-join gate key (bounds
+    * the demo output; the recipe is sample-free). */
+  val intervalUserMod = 23L
+
+  /** Interval-overlap join WITHOUT an equi-key — the temporal/record
+    * primitive Spark has no native operator for (a naive formulation
+    * is a cross join with a range predicate → BroadcastNestedLoop or
+    * cartesian). The scale recipe: explode each interval into the
+    * fixed-width BINS it covers, equi-join on bin (hash-shuffled,
+    * skew-managed like any other equi-join), DISTINCT the candidate
+    * pairs (an interval pair meets once per shared bin), then verify
+    * TRUE overlap with the exact predicate — bins only generate
+    * candidates, they never decide. Per-row fan-out is
+    * interval_length/bin_width, so pathological long intervals are
+    * handled by bin-splitting themselves rather than by stalling a
+    * nested loop.
+    *
+    * Fixture semantics: A = each sampled user's daily activity span
+    * [first event, last event]; B = each event type's per-hour burst
+    * span; output = which bursts each user-day overlapped, with the
+    * overlap length. All time math in FLOORED epoch seconds (µs
+    * timestamps truncate identically on both engines only under an
+    * explicit floor — DuckDB's epoch() keeps the fraction and a bare
+    * BIGINT cast would round). */
+  def joinInterval(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    // NTZ has no direct long cast; via TIMESTAMP under the UTC session
+    // this is the floored epoch second (micros floor-divided)
+    val secs = col("ts").cast("timestamp").cast("long")
+    val a = ev.filter(pmod(col("user_id"), lit(intervalUserMod)) === 0)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(min(secs).as("a_start"), max(secs).as("a_end"))
+    val b = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(min(secs).as("b_start"), max(secs).as("b_end"))
+    val binned = (df: DataFrame, s: String, e: String) => df.withColumn("bin",
+      explode(sequence(floor(col(s) / intervalBinSecs).cast("long"),
+        floor(col(e) / intervalBinSecs).cast("long"))))
+    binned(a, "a_start", "a_end")
+      .join(binned(b, "b_start", "b_end"), Seq("bin"))
+      .select(col("user_id"), col("d"), col("event_type"), col("h"),
+        col("a_start"), col("a_end"), col("b_start"), col("b_end"))
+      .distinct()
+      .filter(col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+      .select(col("user_id"), col("d").cast("timestamp_ntz").as("d"),
+        col("event_type"), col("h"),
+        (least(col("a_end"), col("b_end")) -
+          greatest(col("a_start"), col("b_start"))).as("overlap_secs"))
+      .orderBy("user_id", "d", "event_type", "h")
+  }
+
   /** Keyed backward as-of join (events → latest order of that customer at
     * or before the event time), via the keyed-window construction in
     * [[graft.plans.AsOfJoin]]. Build side pre-aggregated to one row per

@@ -146,6 +146,9 @@ class PlanRegressionSpec extends SparkSpec {
     ("q_ingest_orc", 2, 1),
     // blocked linkage: name-vocab agg + block equi-join + output sort
     ("q_join_fuzzy", 2, 1),
+    // interval join: two interval aggs + the bin equi-join + the
+    // candidate DISTINCT + output sort — no nested loop anywhere
+    ("q_join_interval", 3, 1),
     // survivorship: post-CC plan only (rounds are checkpoint-roots) —
     // member join + election window + cluster agg + golden join + sort
     ("q_survivorship", 5, 5),

@@ -345,6 +345,38 @@ class RelQueriesSpec extends SparkSpec {
     assert(pairs == expected)
   }
 
+  test("q_join_interval: binning misses no true overlap, postfilter admits no false one (driver recompute)") {
+    val out = RelQueries.joinInterval(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime]("d"),
+        r.getString(2),
+        // date_trunc returns LTZ TIMESTAMP even for NTZ input; UTC
+        // session makes the wall time identical
+        r.getAs[java.sql.Timestamp]("h").toLocalDateTime,
+        r.getLong(4)))
+    assert(out.nonEmpty)
+    // driver-side reference straight from the raw events
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[java.time.LocalDateTime](2)))
+    def secs(t: java.time.LocalDateTime): Long =
+      t.toEpochSecond(java.time.ZoneOffset.UTC) // truncates sub-second like both engines' floor
+    val a = ev.filter(_._1 % RelQueries.intervalUserMod == 0)
+      .groupBy(e => (e._1, e._3.toLocalDate))
+      .map { case ((u, d), es) =>
+        (u, d, es.map(e => secs(e._3)).min, es.map(e => secs(e._3)).max) }
+    val b = ev.groupBy(e => (e._2, e._3.withMinute(0).withSecond(0).withNano(0)))
+      .map { case ((t, h), es) =>
+        (t, h, es.map(e => secs(e._3)).min, es.map(e => secs(e._3)).max) }
+    val expected = (for {
+      (u, d, as_, ae) <- a; (t, h, bs, be) <- b
+      if as_ <= be && bs <= ae
+    } yield (u, d.atStartOfDay, t, h, math.min(ae, be) - math.max(as_, bs)))
+      .toSeq.sortBy(x => (x._1, x._2.toString, x._3, x._4.toString))
+    assert(out.toSeq == expected,
+      s"sizes got=${out.length} want=${expected.length}")
+  }
+
   test("survivorshipOf: typo chains merge transitively; golden = most-supported, ties to smallest") {
     // chain aa~ab~abcd: adjacent dists 1 and 2, but the ENDS are dist 3
     // (beyond fuzzyMaxDist) — pairwise linkage alone cannot merge them,
