@@ -189,6 +189,9 @@ object SparkEntry {
     "q_agg_incremental" -> (TextOps.qAggIncremental _),
     // r12: exact-dup content straddling train/val/test (leakage audit)
     "q_split_leakage" -> (TextOps.qSplitLeakage _),
+    // r12: corpus-wide repeated-ngram mining (boilerplate blocklist
+    // builder — aggregation direction of the shingle machinery)
+    "q_boilerplate_ngrams" -> (TextOps.qBoilerplateNgrams _),
     "q_llm_pipeline" -> (TextOps.qLlmPipeline _),
     "q_llm_pipeline_v2" -> (TextOps.qLlmPipelineV2 _),
     "q_filter_domains" -> (TextOps.qFilterDomains _),
@@ -633,6 +636,16 @@ object SparkEntry {
         "CAST(MAX(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS INTEGER) AS in_val, " +
         "CAST(MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS INTEGER) AS in_test " +
         "FROM d GROUP BY h) WHERE n_splits > 1 ORDER BY h"),
+    // boilerplate mining: same footer injection + the dedup_cluster
+    // oracle's shingle slicing; ties ordered (df, occ, gram)
+    "q_boilerplate_ngrams" -> {
+      import text.TextOps.{boilerW => w, boilerMinDf => mdf, boilerTopK => k}
+      s"WITH tok AS (SELECT doc_id, string_split(CASE WHEN doc_id % 17 = 0 THEN text || ' copyright example corp all rights reserved' ELSE text END, ' ') AS toks FROM documents), " +
+        s"sh AS (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + $w AS INTEGER)], ' ') AS g FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - $w, 0) + 1)) AS i FROM tok)), " +
+        "pd AS (SELECT g, doc_id, COUNT(*) AS c FROM sh GROUP BY g, doc_id) " +
+        "SELECT g, n_docs, n_occ FROM (SELECT g, COUNT(*) AS n_docs, CAST(SUM(c) AS BIGINT) AS n_occ FROM pd GROUP BY g) " +
+        s"WHERE n_docs >= $mdf ORDER BY n_docs DESC, n_occ DESC, g LIMIT $k"
+    },
     // snapshot diff: bucket assignment + the every-5th edit reproduce
     // verbatim (md5-derived buckets are engine-identical); the compare
     // is digest-only, like the Spark side

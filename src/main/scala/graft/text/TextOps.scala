@@ -1099,6 +1099,52 @@ object TextOps {
       .orderBy("h")
   }
 
+  // ------------------------------------------- boilerplate n-gram mining
+
+  /** Shingle width / df floor / result size for [[qBoilerplateNgrams]]. */
+  val boilerW = 5
+  val boilerMinDf = 5
+  val boilerTopK = 20
+
+  /** Corpus-wide repeated n-gram mining — the EXPLORATION step that
+    * builds a boilerplate blocklist (headers, license footers, cookie
+    * banners) before paragraph dedup consumes it: every [[boilerW]]-gram
+    * counted by document frequency and raw occurrences, df-floored,
+    * top-k. This is the other direction from the dedup keys — they JOIN
+    * on shingles to pair documents; this AGGREGATES shingles to find
+    * what the whole corpus keeps repeating.
+    *
+    * Scale shape: explode → per-(gram, doc) collapse → per-gram agg —
+    * two map-side-combined keyed aggregations, no join anywhere; the
+    * df floor keeps the final top-k frame tiny. At 100 TB the same
+    * plan holds (the explode is absorbed map-side exactly like TF-IDF's
+    * term counts); if only an approximate blocklist is needed, the
+    * second agg swaps for a count-min/heavy-hitters sketch, but the
+    * exact two-phase agg is itself shuffle-light because phase 1
+    * already collapsed per-document repeats. */
+  def boilerplateNgrams(docs: DataFrame): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), boilerW)).as("g"))
+      .groupBy(col("g"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    perDoc.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("n_occ"))
+      .filter(col("n_docs") >= boilerMinDf)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("g"))
+      .limit(boilerTopK)
+  }
+
+  /** Gate key: every 17th document gets a canonical 7-word license
+    * footer appended (the q_split_leakage injection device, append
+    * flavor), so the footer's interior 5-grams provably dominate the
+    * mined list at every SF; identical injection in the oracle. */
+  def qBoilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val injected = when(col("doc_id") % 17 === 0,
+      concat(col("text"), lit(" copyright example corp all rights reserved")))
+      .otherwise(col("text"))
+    boilerplateNgrams(Tables.documents(spark, dir).withColumn("text", injected))
+  }
+
   // ----------------------------------------------- corpus snapshot diff
 
   /** Snapshot diff — the audit step between two crawls of the same

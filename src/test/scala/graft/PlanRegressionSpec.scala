@@ -132,6 +132,9 @@ class PlanRegressionSpec extends SparkSpec {
     // df-capped 5-shingle equi-join (the ngram family shape); the two
     // broadcasts are the hot-set anti-join + a count side
     ("q_dedup_containment", 3, 1),
+    // boilerplate mining: explode → (gram, doc) collapse → gram agg →
+    // bounded top-k sort; no join anywhere
+    ("q_boilerplate_ngrams", 2, 0),
     // leakage = one digest-keyed agg + output sort; knn's sorts are the
     // top-k + vote windows over ≤ probes·k rows
     ("q_split_leakage", 3, 1),

@@ -692,6 +692,27 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("boilerplateNgrams: injected footer grams dominate with exact df; df floor holds") {
+    val out = TextOps.qBoilerplateNgrams(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty && out.length <= TextOps.boilerTopK)
+    assert(out.forall(_._2 >= TextOps.boilerMinDf))
+    // ordered by (df desc, occ desc, gram)
+    assert(out.sliding(2).forall {
+      case Array(a, b) =>
+        a._2 > b._2 || (a._2 == b._2 && (a._3 > b._3 || (a._3 == b._3 && a._1 < b._1)))
+      case _ => true
+    })
+    // the footer's interior 5-grams carry df == |{doc_id % 17 == 0}| exactly
+    val nInjected = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 17 === 0).count()
+    val byGram = out.map(t => t._1 -> t._2).toMap
+    Seq("copyright example corp all rights", "example corp all rights reserved")
+      .foreach { g =>
+        assert(byGram.get(g).contains(nInjected), s"'$g' df ${byGram.get(g)} != $nInjected")
+      }
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged by digest") {
     val oldSnap = Seq((1L, "a text"), (2L, "b text"), (3L, "c text")).toDF("doc_id", "text")
     val newSnap = Seq((2L, "b text"), (3L, "c text CHANGED"), (4L, "d text")).toDF("doc_id", "text")
