@@ -192,6 +192,9 @@ object SparkEntry {
     // r12: corpus-wide repeated-ngram mining (boilerplate blocklist
     // builder — aggregation direction of the shingle machinery)
     "q_boilerplate_ngrams" -> (TextOps.qBoilerplateNgrams _),
+    // r12: canonical text form via the custom codegen NFC expression
+    // (composed ≡ decomposed before any digest-based operator)
+    "q_text_normalize" -> (TextOps.qTextNormalize _),
     "q_llm_pipeline" -> (TextOps.qLlmPipeline _),
     "q_llm_pipeline_v2" -> (TextOps.qLlmPipelineV2 _),
     "q_filter_domains" -> (TextOps.qFilterDomains _),
@@ -636,6 +639,14 @@ object SparkEntry {
         "CAST(MAX(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS INTEGER) AS in_val, " +
         "CAST(MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS INTEGER) AS in_test " +
         "FROM d GROUP BY h) WHERE n_splits > 1 ORDER BY h"),
+    // NFC canonicalization: decomposed marks injected via chr(769)/
+    // chr(771) (the Spark literal carries the same decomposed bytes);
+    // java.text.Normalizer and nfc_normalize agree byte-for-byte, the
+    // whitespace regex is ASCII \s on both engines, 'g' = replace-all
+    "q_text_normalize" ->
+      ("WITH d AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' cafe' || chr(769) || '  nin' || chr(771) || 'o' ELSE text END AS ti FROM documents), " +
+        "n AS (SELECT doc_id, ti, trim(regexp_replace(lower(nfc_normalize(ti)), '\\s+', ' ', 'g')) AS norm FROM d) " +
+        "SELECT doc_id, CAST(len(ti) AS BIGINT) AS n_raw, CAST(len(norm) AS BIGINT) AS n_norm, md5(norm) AS digest FROM n ORDER BY doc_id"),
     // boilerplate mining: same footer injection + the dedup_cluster
     // oracle's shingle slicing; ties ordered (df, occ, gram)
     "q_boilerplate_ngrams" -> {

@@ -1099,6 +1099,39 @@ object TextOps {
       .orderBy("h")
   }
 
+  // ------------------------------------------ text canonicalization (NFC)
+
+  /** Decomposed-unicode suffix injected by [[qTextNormalize]]: é as
+    * e+U+0301, ñ as n+U+0303, plus a double space — NFC composes the
+    * marks, the whitespace pass collapses the gap. Mirrored in the
+    * oracle via chr(769)/chr(771). */
+  private[graft] val normSuffix = " café  niño"
+
+  /** Canonical text form — the normalization EVERY digest-based
+    * operator needs first (the same visible string arrives composed or
+    * decomposed from different crawls; md5 sees different bytes until
+    * NFC collapses them): NFC ([[graft.functions.NfcNormalize]], a
+    * custom codegen Catalyst expression — Spark has no normalization
+    * builtin) → lowercase → whitespace collapse → trim. Pure per-row
+    * codegen, zero shuffles added to any pipeline that prepends it. */
+  def normalizeText(t: Column): Column =
+    trim(regexp_replace(lower(graft.functions.Normalize.nfc(t)), "\\s+", " "))
+
+  /** Gate key: every 13th doc gets [[normSuffix]] appended, so the
+    * corpus genuinely exercises composition + collapse; output carries
+    * before/after codepoint counts and the canonical digest. */
+  def qTextNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val injected = when(col("doc_id") % 13 === 0,
+      concat(col("text"), lit(normSuffix))).otherwise(col("text"))
+    Tables.documents(spark, dir)
+      .withColumn("ti", injected)
+      .select(col("doc_id"),
+        length(col("ti")).cast("long").as("n_raw"),
+        length(normalizeText(col("ti"))).cast("long").as("n_norm"),
+        md5(normalizeText(col("ti"))).as("digest"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------- boilerplate n-gram mining
 
   /** Shingle width / df floor / result size for [[qBoilerplateNgrams]]. */

@@ -132,6 +132,8 @@ class PlanRegressionSpec extends SparkSpec {
     // df-capped 5-shingle equi-join (the ngram family shape); the two
     // broadcasts are the hot-set anti-join + a count side
     ("q_dedup_containment", 3, 1),
+    // NFC canonicalization: pure per-row codegen + output sort
+    ("q_text_normalize", 1, 1),
     // boilerplate mining: explode → (gram, doc) collapse → gram agg →
     // bounded top-k sort; no join anywhere
     ("q_boilerplate_ngrams", 2, 0),
