@@ -106,6 +106,9 @@ object SparkEntry {
     // r12: keyless interval-overlap join via bin-explode + equi-join +
     // exact-overlap postfilter (the recipe that avoids the nested loop)
     "q_join_interval" -> (RelQueries.joinInterval _),
+    // r12: degree-ordered triangle counting over the part co-order
+    // graph (the last-reducer-proof wedge recipe)
+    "q_triangle_count" -> (graft.graph.Triangles.qTriangleCount _),
     // r12: golden-record election over the fuzzy-linkage graph (CC
     // clusters + most-supported-variant rule — entity resolution's
     // canonicalization step)
@@ -778,6 +781,21 @@ object SparkEntry {
         "a.n AS n_a, b.n AS n_b FROM k a JOIN k b ON a.blk = b.blk AND a.p_name < b.p_name " +
         s"WHERE levenshtein(a.p_name, b.p_name) <= ${RelQueries.fuzzyMaxDist} " +
         "ORDER BY name_a, name_b"),
+    // triangle counting: same sample, same (degree, id) orientation,
+    // same id-canonical closure probe; counts are pure integers
+    "q_triangle_count" -> {
+      import graft.graph.Triangles.{triPartMod => m, triTopK => k}
+      s"WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_partkey % $m = 0 GROUP BY 1, 2), " +
+        "e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a JOIN li b ON a.o = b.o AND a.p < b.p), " +
+        "deg AS (SELECT n, COUNT(*) AS d FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n), " +
+        "o AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS s, " +
+        "CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS t " +
+        "FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v), " +
+        "w AS (SELECT x.s AS tu, x.t AS tv, y.t AS tw FROM o x JOIN o y ON x.s = y.s AND x.t < y.t), " +
+        "tri AS (SELECT tu, tv, tw FROM w WHERE EXISTS (SELECT 1 FROM e WHERE e.u = w.tv AND e.v = w.tw)), " +
+        "c AS (SELECT part_id, COUNT(*) AS n_triangles FROM (SELECT UNNEST([tu, tv, tw]) AS part_id FROM tri) GROUP BY part_id) " +
+        s"SELECT part_id, n_triangles FROM c ORDER BY n_triangles DESC, part_id LIMIT $k"
+    },
     // interval join: FLOORED epoch seconds (DuckDB epoch() keeps the
     // µs fraction — a bare BIGINT cast would round where Spark's
     // timestamp→long floors); range() is exclusive-high → +1

@@ -154,6 +154,9 @@ class PlanRegressionSpec extends SparkSpec {
     ("q_ingest_orc", 2, 1),
     // blocked linkage: name-vocab agg + block equi-join + output sort
     ("q_join_fuzzy", 2, 1),
+    // triangle counting: co-order pair join + degree agg + orientation
+    // joins + wedge self-join + semi closure + corner agg + top-k
+    ("q_triangle_count", 4, 0),
     // interval join: two interval aggs + the bin equi-join + the
     // candidate DISTINCT + output sort — no nested loop anywhere
     ("q_join_interval", 3, 1),
