@@ -138,6 +138,12 @@ object SparkEntry {
     "q_gap_fill" -> (TimeSeries.gapFill _),
     "q_funnel" -> (TimeSeries.funnel _),
     "q_cohort" -> (TimeSeries.cohort _),
+    // r12 close-out wave 2: sessionization / transition matrix /
+    // experiment readout / Pareto frontier
+    "q_sessionize" -> (TimeSeries.sessionize _),
+    "q_markov_transitions" -> (TimeSeries.markovTransitions _),
+    "q_ab_test" -> (TimeSeries.abTest _),
+    "q_skyline" -> (RelQueries.skyline _),
     // §2.A reference (dist-keras) operator surface
     "q_minmax_scale" -> (VectorOps.qMinMaxScale _),
     "q_onehot" -> (VectorOps.qOneHot _),
@@ -1455,5 +1461,47 @@ object SparkEntry {
         "a AS (SELECT DISTINCT o.o_custkey, cohort_month, month FROM o JOIN f USING (o_custkey)) " +
         "SELECT cohort_month, CAST(date_diff('month', cohort_month, month) AS INTEGER) AS month_offset, COUNT(DISTINCT o_custkey) AS n_customers " +
         "FROM a GROUP BY cohort_month, month_offset ORDER BY cohort_month, month_offset"),
+    // sessionization: lag/flag/cumsum with event_id tiebreak; gap
+    // interpolated from TimeSeries.sessionGapHours; duration in exact
+    // integer µs (epoch_us ≡ unix_micros)
+    "q_sessionize" -> {
+      val g = s"INTERVAL ${TimeSeries.sessionGapHours} HOUR"
+      "WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tss, value FROM events), " +
+        "l AS (SELECT *, lag(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS prev_ts FROM e), " +
+        s"f AS (SELECT *, CASE WHEN prev_ts IS NULL OR tss > prev_ts + $g THEN 1 ELSE 0 END AS new_sess FROM l), " +
+        "s AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS BIGINT) AS session_idx FROM f) " +
+        "SELECT user_id, session_idx, MIN(tss) AS session_start, MAX(tss) AS session_end, " +
+        "epoch_us(MAX(tss)) - epoch_us(MIN(tss)) AS duration_us, COUNT(*) AS n_events, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value " +
+        "FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx"
+    },
+    // transition matrix: integer counts, prob = ROUND(n/rowtotal, 6)
+    "q_markov_transitions" ->
+      ("WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tss, event_type FROM events), " +
+        "l AS (SELECT event_type AS next_type, lag(event_type) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS prev_type FROM e), " +
+        "c AS (SELECT prev_type, next_type, COUNT(*) AS n FROM l WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type) " +
+        "SELECT prev_type, next_type, n, ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6) AS prob " +
+        "FROM c ORDER BY prev_type, next_type"),
+    // Welch t-test: md5-bucket arm assignment (cut literal from
+    // Sampling.cutHex — same decision value as q_split_assign), DECIMAL
+    // power sums, t/df arithmetic mirrored term for term
+    "q_ab_test" -> {
+      val cut = text.Sampling.cutHex(0.5)
+      s"WITH e AS (SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)),1,2) < '$cut' THEN 'A' ELSE 'B' END AS arm, CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS x FROM events), " +
+        "a AS (SELECT arm, COUNT(*) AS n, CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(CAST(x*x AS DECIMAL(30,8))) AS DOUBLE) AS sxx FROM e GROUP BY arm), " +
+        "p AS (SELECT arm, n, sx / CAST(n AS DOUBLE) AS m, (sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS v FROM a), " +
+        "w AS (SELECT MAX(CASE WHEN arm='A' THEN n END) AS n_a, MAX(CASE WHEN arm='A' THEN m END) AS m_a, MAX(CASE WHEN arm='A' THEN v END) AS v_a, " +
+        "MAX(CASE WHEN arm='B' THEN n END) AS n_b, MAX(CASE WHEN arm='B' THEN m END) AS m_b, MAX(CASE WHEN arm='B' THEN v END) AS v_b FROM p) " +
+        "SELECT n_a, n_b, ROUND(m_a, 6) AS mean_a, ROUND(m_b, 6) AS mean_b, " +
+        "ROUND((m_a - m_b) / sqrt(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE)), 6) AS t_stat, " +
+        "ROUND(pow(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE), 2) / " +
+        "(pow(v_a / CAST(n_a AS DOUBLE), 2) / (CAST(n_a AS DOUBLE) - 1) + pow(v_b / CAST(n_b AS DOUBLE), 2) / (CAST(n_b AS DOUBLE) - 1)), 6) AS welch_df FROM w"
+    },
+    // Pareto frontier: the oracle states raw NOT EXISTS dominance — an
+    // independent O(n²) definition the per-size-sweep plan must equal
+    "q_skyline" ->
+      ("SELECT p_partkey, p_name, p_size, CAST(p_retailprice AS DECIMAL(18,2)) AS price FROM part p " +
+        "WHERE NOT EXISTS (SELECT 1 FROM part q WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice " +
+        "AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice)) ORDER BY p_partkey"),
   )
 }

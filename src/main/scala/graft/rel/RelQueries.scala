@@ -1009,4 +1009,39 @@ object RelQueries {
         col("support_total"), col("support_golden"))
       .orderBy("cluster_name")
   }
+
+  /** q_skyline — 2-d Pareto frontier over part (maximize p_size,
+    * minimize p_retailprice): the multi-criteria shortlist operator
+    * (cheapest-per-capability). A part survives iff no other part is
+    * ≥ size AND ≤ price with at least one strict — the textbook
+    * dominance definition, which the oracle states verbatim as
+    * NOT EXISTS.
+    *
+    * The O(n²) dominance join is avoided entirely: collapse to the
+    * per-size price minimum (≤ |distinct sizes| rows — BOUNDED by the
+    * attribute domain, not the data), sweep that tiny frame once with a
+    * running-min window ordered by size descending (a point survives
+    * iff its per-size min price is strictly below every larger size's
+    * best price), then semi-join the surviving (size, price) frontier
+    * back to the full table broadcast-style to recover ties. At 100 TB
+    * the only wide work is the groupBy(size) map-side-combined
+    * aggregate; the single-partition window runs over ≤ 50 rows.
+    * Equal (size, price) twins dominate neither way, so both stay —
+    * the back-join keeps them naturally. */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_size"),
+        dec(col("p_retailprice")).as("price"))
+    val perSize = p.groupBy(col("p_size")).agg(min(col("price")).as("min_price"))
+    val sweep = Window.orderBy(col("p_size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perSize
+      .withColumn("best_larger", min(col("min_price")).over(sweep))
+      .filter(col("best_larger").isNull || col("min_price") < col("best_larger"))
+      .select(col("p_size").as("f_size"), col("min_price").as("f_price"))
+    p.join(broadcast(frontier),
+        col("p_size") === col("f_size") && col("price") === col("f_price"))
+      .select(col("p_partkey"), col("p_name"), col("p_size"), col("price"))
+      .orderBy("p_partkey")
+  }
 }

@@ -112,4 +112,119 @@ object TimeSeries {
       .agg(count_distinct(col("o_custkey")).as("n_customers"))
       .orderBy("cohort_month", "month_offset")
   }
+
+  /** Inactivity gap that closes a session (hours). 6 h bites at every
+    * test SF: the per-user gap distribution has median ~7.4 h and p25
+    * ~3.1 h, so roughly half the gaps split and sessions average a
+    * handful of events — neither all-singletons nor one-mega-session.
+    * Interpolated into the oracle SQL from here. */
+  val sessionGapHours = 6
+
+  /** q_sessionize — gap-based sessionization: the lag/flag/cumsum
+    * recipe that assigns explicit session ids, unlike the built-in
+    * `session_window` (q_window_session) which only merges into opaque
+    * time ranges. Session boundary = inactivity > [[sessionGapHours]];
+    * output is one row per session with start/end, event count, value
+    * sum, and exact µs duration.
+    *
+    * Scale shape: ONE hash exchange on user_id feeds both windows and
+    * the final aggregate (same key), so at 100 TB this is a single
+    * shuffle regardless of event volume; no global window anywhere.
+    * Ordering ties broken by the unique event_id so lag() is
+    * engine-deterministic; duration is unix_micros(end)-unix_micros(
+    * start) (exact integer µs in both engines — a seconds-granularity
+    * cast could round end/start differently than their difference). */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gap = expr(s"interval $sessionGapHours hours")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull || col("ts") > col("prev_ts") + gap, lit(1L)).otherwise(lit(0L)))
+      .withColumn("session_idx", sum(col("new_sess")).over(byUser))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast(DecimalType(18, 2)).as("sum_value"))
+      .withColumn("duration_us",
+        unix_micros(col("session_end").cast("timestamp")) -
+          unix_micros(col("session_start").cast("timestamp")))
+      .select(col("user_id"), col("session_idx"), col("session_start"),
+        col("session_end"), col("duration_us"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** q_markov_transitions — first-order event-type transition matrix:
+    * for every (prev → next) pair of consecutive events within a user's
+    * timeline, the transition count and row-normalized probability.
+    * This is the Markov-chain estimate behind next-event prediction and
+    * behavioral anomaly scoring.
+    *
+    * Scale shape: one keyed exchange for the lag window, then the
+    * (prev, next) aggregate collapses to ≤ |types|² rows — at 100 TB the
+    * transition matrix itself is tiny, so the row-normalizing window
+    * over it is free. Probability = exact integer counts divided then
+    * ROUND(,6), the established cross-engine device. */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prob",
+        round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("prev_type"))), 6))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** q_ab_test — Welch two-sample t-test between hash-assigned
+    * experiment arms: users split A/B by the [[graft.text.Sampling]]
+    * md5-bucket device (so assignment is reproducible and joins nothing),
+    * then per-arm mean/variance of event value via DECIMAL power sums
+    * (the q_stats_moments device) and the Welch t statistic +
+    * Satterthwaite degrees of freedom, all ROUND(,6).
+    *
+    * Scale shape: the split is a per-row hash expression (no join), and
+    * the whole test reduces to ONE 2-row aggregate — a map-side-combined
+    * shuffle of 2 groups at any data volume. The t/df arithmetic runs on
+    * the 2-row frame after a self-pivot via conditional aggregation, so
+    * nothing wide happens after the first exchange. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Sampling
+    val arm = Sampling.splitAssign(col("user_id"), Seq("A" -> 0.5, "B" -> 0.5))
+    val x = dec(col("value")).cast(DecimalType(18, 4))
+    val arms = Tables.events(spark, dir)
+      .select(arm.as("arm"), x.as("x"))
+      .groupBy(col("arm"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum((col("x") * col("x")).cast(DecimalType(30, 8))).cast("double").as("sxx"))
+    val nd = col("n").cast("double")
+    val mean = col("sx") / nd
+    val sampleVar = (col("sxx") - col("sx") * col("sx") / nd) / (nd - lit(1.0))
+    val perArm = arms.select(col("arm"), col("n"), mean.as("m"), sampleVar.as("v"))
+    val wide = perArm.agg(
+      max(when(col("arm") === "A", col("n"))).as("n_a"),
+      max(when(col("arm") === "A", col("m"))).as("m_a"),
+      max(when(col("arm") === "A", col("v"))).as("v_a"),
+      max(when(col("arm") === "B", col("n"))).as("n_b"),
+      max(when(col("arm") === "B", col("m"))).as("m_b"),
+      max(when(col("arm") === "B", col("v"))).as("v_b"))
+    val se2a = col("v_a") / col("n_a").cast("double")
+    val se2b = col("v_b") / col("n_b").cast("double")
+    wide.select(
+      col("n_a"), col("n_b"),
+      round(col("m_a"), 6).as("mean_a"),
+      round(col("m_b"), 6).as("mean_b"),
+      round((col("m_a") - col("m_b")) / sqrt(se2a + se2b), 6).as("t_stat"),
+      round(pow(se2a + se2b, 2) /
+        (pow(se2a, 2) / (col("n_a").cast("double") - 1) +
+          pow(se2b, 2) / (col("n_b").cast("double") - 1)), 6).as("welch_df"))
+  }
 }

@@ -411,4 +411,33 @@ class RelQueriesSpec extends SparkSpec {
     // no name is golden in two clusters
     assert(out.map(_._2).distinct.length == out.length)
   }
+
+  test("skyline equals the brute-force dominance frontier") {
+    val out = rel.RelQueries.skyline(spark, sfDir)
+      .select("p_partkey", "p_size", "price").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDecimal(2)))
+    // brute-force over the full (small at sf0.001) part table
+    val all = Tables.part(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("p_partkey"),
+        org.apache.spark.sql.functions.col("p_size"),
+        org.apache.spark.sql.functions.col("p_retailprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("price"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDecimal(2)))
+    val expected = all.filter { case (_, s, pr) =>
+      !all.exists { case (_, s2, pr2) =>
+        s2 >= s && pr2.compareTo(pr) <= 0 && (s2 > s || pr2.compareTo(pr) < 0)
+      }
+    }.map(_._1).toSet
+    assert(out.map(_._1).toSet == expected, "frontier mismatch vs brute force")
+    assert(out.nonEmpty)
+    // frontier is a proper antichain: a smaller size survives only by
+    // being strictly cheaper, so sorted by size asc prices strictly rise
+    val sorted = out.sortBy(_._2)
+    sorted.sliding(2).foreach {
+      case Array((_, s1, p1), (_, s2, p2)) if s1 != s2 =>
+        assert(p2.compareTo(p1) > 0,
+          s"price must strictly rise with size: ${sorted.mkString(",")}")
+      case _ => ()
+    }
+  }
 }

@@ -62,4 +62,59 @@ class TimeSeriesSpec extends SparkSpec {
         .filter(col("n_customers") > col("size")).count() == 0)
     } finally out.unpersist()
   }
+
+  test("sessionize partitions every event into exactly one session and respects the gap") {
+    val out = TimeSeries.sessionize(spark, sfDir).cache()
+    try {
+      // session event counts sum to the raw event count (a partition of events)
+      val nEvents = Tables.events(spark, sfDir).count()
+      assert(out.agg(sum("n_events")).head().getLong(0) == nEvents)
+      // durations are non-negative and single-event sessions have zero duration
+      assert(out.filter(col("duration_us") < 0).count() == 0)
+      assert(out.filter(col("n_events") === 1 && col("duration_us") =!= 0).count() == 0)
+      // consecutive sessions of one user are separated by MORE than the gap
+      val gapUs = TimeSeries.sessionGapHours.toLong * 3600L * 1000000L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("session_idx")
+      val gaps = out
+        .withColumn("prev_end", lag(unix_micros(col("session_end").cast("timestamp")), 1).over(w))
+        .filter(col("prev_end").isNotNull)
+        .filter(unix_micros(col("session_start").cast("timestamp")) - col("prev_end") <= gapUs)
+      assert(gaps.count() == 0, "adjacent sessions must be > gap apart")
+      // session ids are dense 1..k per user
+      val dense = out.groupBy("user_id")
+        .agg(min("session_idx").as("lo"), max("session_idx").as("hi"), count(lit(1)).as("k"))
+        .filter(col("lo") =!= 1 || col("hi") =!= col("k"))
+      assert(dense.count() == 0, "session_idx must be dense per user")
+    } finally out.unpersist()
+  }
+
+  test("markov transition probabilities row-normalize to 1 and counts cover all gaps") {
+    val out = TimeSeries.markovTransitions(spark, sfDir).cache()
+    try {
+      // each prev_type row sums to ~1.0 (6-dp rounding slack per cell)
+      val rows = out.groupBy("prev_type").agg(sum("prob").as("p"), count(lit(1)).as("k")).collect()
+      rows.foreach { r =>
+        assert(math.abs(r.getDouble(1) - 1.0) <= r.getLong(2) * 1e-6,
+          s"row ${r.getString(0)} sums to ${r.getDouble(1)}")
+      }
+      // total transitions = events - distinct users (one lag-null per user)
+      val e = Tables.events(spark, sfDir)
+      val expected = e.count() - e.select("user_id").distinct().count()
+      assert(out.agg(sum("n")).head().getLong(0) == expected)
+    } finally out.unpersist()
+  }
+
+  test("abTest arms cover all events and t statistic is finite") {
+    val r = TimeSeries.abTest(spark, sfDir).head()
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == nEvents)
+    assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0,
+      "both arms must be populated by the hash split")
+    assert(!r.getAs[Double]("t_stat").isNaN && !r.getAs[Double]("t_stat").isInfinite)
+    // Welch df lies between min(n)-1 and n_a+n_b-2
+    val df = r.getAs[Double]("welch_df")
+    val lo = math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")).toDouble - 1
+    assert(df >= lo - 1e-6 && df <= (nEvents - 2).toDouble + 1e-6, s"df=$df out of range")
+  }
 }
