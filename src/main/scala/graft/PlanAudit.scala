@@ -88,7 +88,10 @@ object PlanAudit {
     // construction: distinct sources × the fixed 256-bucket axis, plus
     // the one-row corpus grand total
     // q_knn_label_noise shares q_cosine_topk's bounded 64-probe broadcast
+    // q_hll_merge crosses its ONE-ROW exact-corpus-distinct aggregate
+    // into the one-row merged-sketch frame — bounded by construction
     val expectedCross = Set("q_cosine_topk", "q_ann_topk_int8", "q_dsir_weights",
+      "q_hll_merge",
       "q_domain_shift", "q_knn_label_noise",
       "q_dedup_embedding",
       "q_minmax_scale", "q_ivf_topk", "q_ivf_topk_fixed", "q_ivf_pq_topk",

@@ -109,6 +109,10 @@ object SparkEntry {
     // r12: degree-ordered triangle counting over the part co-order
     // graph (the last-reducer-proof wedge recipe)
     "q_triangle_count" -> (graft.graph.Triangles.qTriangleCount _),
+    "q_label_propagation" -> (graft.graph.LabelProp.qLabelPropagation _),
+    "q_hll_merge" -> (RelQueries.hllMerge _),
+    "q_rolling_median" -> (RelQueries.rollingMedian _),
+    "q_feature_hashing" -> (text.Relevance.qFeatureHashing _),
     // r12: golden-record election over the fuzzy-linkage graph (CC
     // clusters + most-supported-variant rule — entity resolution's
     // canonicalization step)
@@ -1496,6 +1500,50 @@ object SparkEntry {
         "ROUND((m_a - m_b) / sqrt(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE)), 6) AS t_stat, " +
         "ROUND(pow(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE), 2) / " +
         "(pow(v_a / CAST(n_a AS DOUBLE), 2) / (CAST(n_a AS DOUBLE) - 1) + pow(v_b / CAST(n_b AS DOUBLE), 2) / (CAST(n_b AS DOUBLE) - 1)), 6) AS welch_df FROM w"
+    },
+    // mergeable HLL sketches: exact+bound-flag device (oracle recomputes
+    // exact distincts, expects the sketch-union flags to hold = 1)
+    "q_hll_merge" ->
+      ("WITH d AS (SELECT source, md5(text) AS h FROM documents), " +
+        "per AS (SELECT source, COUNT(DISTINCT h) AS exact_distinct, COUNT(*) AS n_docs FROM d GROUP BY source), " +
+        "allr AS (SELECT '__all__' AS source, COUNT(DISTINCT h) AS exact_distinct, COUNT(*) AS n_docs FROM d) " +
+        "SELECT source, exact_distinct, n_docs, CAST(1 AS INTEGER) AS within_5pct " +
+        "FROM (SELECT * FROM per UNION ALL SELECT * FROM allr) ORDER BY source"),
+    // rolling median: windowed exact quantile; dev subtracts the ROUNDED
+    // median so both engines difference identical values
+    "q_rolling_median" -> {
+      val k = RelQueries.rollingMedianWindow - 1
+      s"WITH m AS (SELECT user_id, event_id, value, ROUND(quantile_cont(value, 0.5) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id ROWS BETWEEN $k PRECEDING AND CURRENT ROW), 6) AS med FROM events) " +
+        "SELECT user_id, event_id, med, ROUND(value - med, 6) AS dev FROM m ORDER BY user_id, event_id"
+    },
+    // hashing-trick vectorizer: bucket/sign from the hex60 positional
+    // sum (exact BIGINT both engines); integer div ≡ shiftright on the
+    // non-negative 60-bit hash
+    "q_feature_hashing" -> {
+      val b = text.Relevance.featureHashBuckets
+      s"WITH tk AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term FROM documents), " +
+        s"h AS (SELECT doc_id, (${hex60Sql("md5('fh:' || term)")}) AS hv FROM tk), " +
+        s"f AS (SELECT doc_id, CAST(hv % $b AS INTEGER) AS bucket, ((hv // $b) % 2) * 2 - 1 AS sign FROM h) " +
+        "SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS feature_val, COUNT(*) AS n_terms " +
+        "FROM f GROUP BY doc_id, bucket ORDER BY doc_id, bucket"
+    },
+    // one LP round: seed cut from Sampling.cutHex, majority vote with
+    // (count DESC, label) total-order tiebreak
+    "q_label_propagation" -> {
+      import graft.graph.LabelProp.{lpPartMod => m, lpSeedFraction => f}
+      val cut = text.Sampling.cutHex(f)
+      s"WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_partkey % $m = 0), " +
+        "e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a JOIN li b ON a.o = b.o AND a.p < b.p), " +
+        "bi AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e), " +
+        "nodes AS (SELECT DISTINCT src AS id FROM bi), " +
+        s"lab AS (SELECT p_partkey AS id, p_brand AS label FROM part WHERE p_partkey % $m = 0), " +
+        "ing AS (SELECT lab.id, label FROM lab JOIN nodes USING (id)), " +
+        s"seeded AS (SELECT id, label, substring(md5('lp:' || CAST(id AS VARCHAR)),1,2) < '$cut' AS is_seed FROM ing), " +
+        "votes AS (SELECT bi.src, s.label AS voted, COUNT(*) AS n_votes FROM bi JOIN (SELECT id, label FROM seeded WHERE is_seed) s ON bi.dst = s.id JOIN (SELECT id FROM seeded WHERE NOT is_seed) u ON bi.src = u.id GROUP BY bi.src, s.label), " +
+        "el AS (SELECT src AS part_id, voted AS label, 'prop' AS origin, n_votes AS n_support, ROW_NUMBER() OVER (PARTITION BY src ORDER BY n_votes DESC, voted) AS rn FROM votes) " +
+        "SELECT part_id, label, origin, n_support FROM (" +
+        "SELECT id AS part_id, label, 'seed' AS origin, CAST(0 AS BIGINT) AS n_support FROM seeded WHERE is_seed " +
+        "UNION ALL SELECT part_id, label, origin, n_support FROM el WHERE rn = 1) ORDER BY part_id"
     },
     // Pareto frontier: the oracle states raw NOT EXISTS dominance — an
     // independent O(n²) definition the per-size-sweep plan must equal

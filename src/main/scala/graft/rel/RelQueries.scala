@@ -1010,6 +1010,67 @@ object RelQueries {
       .orderBy("cluster_name")
   }
 
+  /** q_hll_merge — mergeable-sketch algebra: per-source HLL sketches of
+    * distinct content digests, then the CORPUS estimate computed by
+    * unioning the 20 source sketches (`hll_union_agg`) — never
+    * re-scanning the data. This is the property that makes HLL the
+    * 100 TB distinct-count tool: per-partition/per-day sketches persist
+    * tiny (2^12 registers) and roll up associatively, so "distinct over
+    * any source subset" is a sketch union, not a rescan.
+    *
+    * Oracle device = q_approx_distinct's exact+bound-flag: output the
+    * exact distinct (DuckDB recomputes it) plus an int flag asserting
+    * the sketch estimate landed within 5% — lgK=12 gives ~1.6% standard
+    * error, same margin reasoning as approxDistinct's rsd choice. The
+    * merged row proves the union path end-to-end against the exact
+    * corpus-wide distinct. */
+  def hllMerge(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("source"), md5(col("text")).as("h"))
+    val per = d.groupBy(col("source")).agg(
+      expr("hll_sketch_agg(h, 12)").as("sk"),
+      count_distinct(col("h")).as("exact_distinct"),
+      count(lit(1)).as("n_docs"))
+    def flag(est: Column, exact: Column): Column =
+      (abs(est - exact) <= exact * lit(0.05)).cast("int")
+    val perOut = per.select(
+      col("source"), col("exact_distinct"), col("n_docs"),
+      flag(expr("hll_sketch_estimate(sk)"), col("exact_distinct")).as("within_5pct"))
+    // merged row: estimate ONLY from the unioned per-source sketches;
+    // the exact corpus distinct is a separate 1-row agg (broadcast)
+    val merged = per.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("est_all"),
+      sum(col("n_docs")).as("n_docs"))
+    val exactAll = d.agg(count_distinct(col("h")).as("exact_distinct"))
+    val mergedOut = merged.crossJoin(broadcast(exactAll)).select(
+      lit("__all__").as("source"), col("exact_distinct"), col("n_docs"),
+      flag(col("est_all"), col("exact_distinct")).as("within_5pct"))
+    perOut.unionAll(mergedOut).orderBy("source")
+  }
+
+  /** Trailing window width for the rolling median (events). */
+  val rollingMedianWindow = 20
+
+  /** q_rolling_median — exact rolling median of event value over a
+    * trailing [[rollingMedianWindow]]-event keyed frame: the
+    * outlier-robust twin of q_anomaly_zscore's rolling mean (one wild
+    * value shifts a mean by 1/n but leaves the median untouched —
+    * which is why monitoring baselines prefer it). Runs as a windowed
+    * exact `percentile` aggregate: ONE hash exchange on user_id, then
+    * a bounded 20-row frame per row — no global sort, no state beyond
+    * the frame. Interpolation parity (avg of the two middle values) is
+    * the q_percentile-proven quantile_cont equivalence; ROUND(,6) on
+    * top. Ordering ties broken by the unique event_id. */
+  def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(rollingMedianWindow - 1), Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("med", round(expr("percentile(value, 0.5)").over(w), 6))
+      .withColumn("dev", round(col("value") - col("med"), 6))
+      .select(col("user_id"), col("event_id"), col("med"), col("dev"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** q_skyline — 2-d Pareto frontier over part (maximize p_size,
     * minimize p_retailprice): the multi-criteria shortlist operator
     * (cheapest-per-capability). A part survives iff no other part is

@@ -175,4 +175,42 @@ object Relevance {
 
   def qRankFusion(spark: SparkSession, dir: String): DataFrame =
     rankFusion(Tables.documents(spark, dir), demoQuery)
+
+  /** Hashed feature space width (buckets). */
+  val featureHashBuckets = 64
+
+  /** q_feature_hashing — the hashing-trick vectorizer (Weinberger et
+    * al., ICML'09): each token maps to bucket `h(t) mod B` with a sign
+    * drawn from an independent hash bit, and a document's feature
+    * vector is the signed count per bucket. Unlike TF-IDF this needs
+    * NO vocabulary pass, no term table, and no join — the feature id
+    * is a pure per-row expression, which is the whole point at 100 TB:
+    * a fixed-width, collision-tolerant, join-free vectorizer whose
+    * output width is independent of corpus vocabulary. The sign bit
+    * makes collisions cancel in expectation instead of accumulating.
+    *
+    * One map-side-combined aggregate on (doc_id, bucket); hash =
+    * [[TextOps.baseHash60]] (the cross-engine md5-prefix device), sign
+    * from the next bit above the bucket field. Zero-sum buckets are
+    * kept (they are real vector coordinates). */
+  def featureHashing(docs: DataFrame): DataFrame = {
+    require(Integer.bitCount(featureHashBuckets) == 1, "bucket count must be a power of 2")
+    val b = lit(featureHashBuckets)
+    val signShift = Integer.numberOfTrailingZeros(featureHashBuckets)
+    val h = TextOps.baseHash60(concat(lit("fh:"), col("term")))
+    docs
+      .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("term"))
+      .select(col("doc_id"),
+        pmod(h, b).cast("int").as("bucket"),
+        // sign = the bit just above the bucket field; shiftright keeps
+        // the arithmetic exact on the 60-bit hash (a double division
+        // would lose low bits above 2^53)
+        (pmod(shiftright(h, signShift), lit(2L)) * lit(2L) - lit(1L)).as("sign"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sign")).as("feature_val"), count(lit(1)).as("n_terms"))
+      .orderBy("doc_id", "bucket")
+  }
+
+  def qFeatureHashing(spark: SparkSession, dir: String): DataFrame =
+    featureHashing(Tables.documents(spark, dir))
 }

@@ -412,6 +412,39 @@ class RelQueriesSpec extends SparkSpec {
     assert(out.map(_._2).distinct.length == out.length)
   }
 
+  test("hll_merge sketch flags hold and the merged row matches the exact corpus distinct") {
+    val rows = rel.RelQueries.hllMerge(spark, sfDir).collect()
+    // every flag (per-source AND merged) must assert the 5% bound held
+    assert(rows.forall(_.getAs[Int]("within_5pct") == 1),
+      "an HLL estimate breached the 5% bound")
+    val all = rows.filter(_.getString(0) == "__all__")
+    assert(all.length == 1)
+    // merged n_docs = sum of per-source n_docs
+    val perDocs = rows.filter(_.getString(0) != "__all__").map(_.getAs[Long]("n_docs")).sum
+    assert(all.head.getAs[Long]("n_docs") == perDocs)
+    // exact distincts: corpus-wide <= sum of per-source (dups can straddle sources)
+    val perEx = rows.filter(_.getString(0) != "__all__").map(_.getAs[Long]("exact_distinct")).sum
+    assert(all.head.getAs[Long]("exact_distinct") <= perEx)
+  }
+
+  test("rolling median stays inside its window and deviations reconcile") {
+    val out = rel.RelQueries.rollingMedian(spark, sfDir).cache()
+    try {
+      val n = Tables.events(spark, sfDir).count()
+      assert(out.count() == n, "one output row per event")
+      // med + dev reconstructs value to 1e-6
+      val joined = out.join(
+        Tables.events(spark, sfDir).select(col("event_id"), col("value")), "event_id")
+      assert(joined.filter(abs(col("med") + col("dev") - col("value")) > 1e-6).count() == 0)
+      // median bounded by the per-user global min/max (a fortiori window bounds)
+      val bounds = Tables.events(spark, sfDir).groupBy("user_id")
+        .agg(min("value").as("lo"), max("value").as("hi"))
+      assert(out.join(bounds, "user_id")
+        .filter(col("med") < col("lo") - 1e-6 || col("med") > col("hi") + 1e-6)
+        .count() == 0)
+    } finally out.unpersist()
+  }
+
   test("skyline equals the brute-force dominance frontier") {
     val out = rel.RelQueries.skyline(spark, sfDir)
       .select("p_partkey", "p_size", "price").collect()

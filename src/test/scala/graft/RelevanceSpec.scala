@@ -81,4 +81,26 @@ class RelevanceSpec extends SparkSpec {
     val scores = a.map(_.getDouble(1))
     assert(scores.sameElements(scores.sortBy(-_: Double)))
   }
+
+  test("feature hashing: fixed-width signed counts that conserve tokens") {
+    import graft.text.Relevance
+    val out = Relevance.qFeatureHashing(spark, sfDir).cache()
+    try {
+      // buckets live in [0, B)
+      assert(out.filter(col("bucket") < 0 || col("bucket") >= Relevance.featureHashBuckets)
+        .count() == 0)
+      // |signed sum| <= n_terms and they share parity (sum of ±1s)
+      assert(out.filter(abs(col("feature_val")) > col("n_terms")).count() == 0)
+      assert(out.filter(pmod(abs(col("feature_val")), lit(2)) =!= pmod(col("n_terms"), lit(2)))
+        .count() == 0)
+      // token conservation: per-doc n_terms sums to the doc's token count
+      val toks = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), size(split(lower(col("text")), " ")).cast("long").as("nt"))
+      val sums = out.groupBy("doc_id").agg(sum("n_terms").as("s"))
+      assert(sums.join(toks, "doc_id").filter(col("s") =!= col("nt")).count() == 0)
+      // same token always lands in the same bucket: deterministic re-run
+      val again = Relevance.qFeatureHashing(spark, sfDir)
+      assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    } finally out.unpersist()
+  }
 }
