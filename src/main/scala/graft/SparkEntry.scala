@@ -148,6 +148,9 @@ object SparkEntry {
     "q_markov_transitions" -> (TimeSeries.markovTransitions _),
     "q_ab_test" -> (TimeSeries.abTest _),
     "q_skyline" -> (RelQueries.skyline _),
+    "q_scd2_join" -> (RelQueries.scd2Join _),
+    "q_mad" -> (RelQueries.mad _),
+    "q_islands" -> (TimeSeries.islands _),
     // §2.A reference (dist-keras) operator surface
     "q_minmax_scale" -> (VectorOps.qMinMaxScale _),
     "q_onehot" -> (VectorOps.qOneHot _),
@@ -1500,6 +1503,33 @@ object SparkEntry {
         "ROUND((m_a - m_b) / sqrt(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE)), 6) AS t_stat, " +
         "ROUND(pow(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE), 2) / " +
         "(pow(v_a / CAST(n_a AS DOUBLE), 2) / (CAST(n_a AS DOUBLE) - 1) + pow(v_b / CAST(n_b AS DOUBLE), 2) / (CAST(n_b AS DOUBLE) - 1)), 6) AS welch_df FROM w"
+    },
+    // PIT join: half-open validity intervals partition each key's
+    // timeline, so every purchase matches at most one signup version
+    "q_scd2_join" ->
+      ("WITH d AS (SELECT user_id, event_id AS version_id, value AS version_value, CAST(ts AS TIMESTAMP) AS valid_from, " +
+        "lead(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS valid_to " +
+        "FROM events WHERE event_type = 'signup'), " +
+        "f AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tss, value FROM events WHERE event_type = 'purchase') " +
+        "SELECT f.user_id, f.event_id, f.tss AS ts, CAST(f.value AS DECIMAL(18,2)) AS purchase_value, " +
+        "version_id, CAST(version_value AS DECIMAL(18,2)) AS version_value " +
+        "FROM f JOIN d ON f.user_id = d.user_id AND f.tss >= d.valid_from AND (d.valid_to IS NULL OR f.tss < d.valid_to) " +
+        "ORDER BY f.user_id, f.event_id"),
+    // MAD: deviations rounded BEFORE the second median; quantile_cont
+    // interpolation parity as in q_percentile
+    "q_mad" ->
+      ("WITH m AS (SELECT user_id, ROUND(quantile_cont(value, 0.5), 6) AS med, COUNT(*) AS n FROM events GROUP BY user_id), " +
+        "d AS (SELECT e.user_id, med, n, ROUND(abs(value - med), 6) AS adev FROM events e JOIN m USING (user_id)) " +
+        "SELECT user_id, ANY_VALUE(med) AS med, ANY_VALUE(n) AS n, ROUND(quantile_cont(adev, 0.5), 6) AS mad " +
+        "FROM d GROUP BY user_id ORDER BY user_id"),
+    // gaps-and-islands: run id = rn_overall - rn_within_type
+    "q_islands" -> {
+      val k = TimeSeries.islandMinRun
+      "WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tss, event_type FROM events), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tss, event_id) - " +
+        "ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY tss, event_id) AS run FROM e) " +
+        "SELECT user_id, event_type, MIN(tss) AS run_start, MAX(tss) AS run_end, COUNT(*) AS run_len " +
+        s"FROM r GROUP BY user_id, event_type, run HAVING COUNT(*) >= $k ORDER BY user_id, run_start, event_type"
     },
     // mergeable HLL sketches: exact+bound-flag device (oracle recomputes
     // exact distincts, expects the sketch-union flags to hold = 1)

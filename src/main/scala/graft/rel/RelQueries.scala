@@ -653,6 +653,66 @@ object RelQueries {
       .orderBy("user_id", "event_type", "valid_from", "event_id")
   }
 
+  /** q_scd2_join — the point-in-time (temporal) dimension join that
+    * consumes [[scd2History]]'s validity intervals: every purchase
+    * event is attributed to the signup VERSION active at purchase time
+    * (`valid_from <= ts < valid_to`, open-ended current rows). This is
+    * the classic warehouse PIT join — fact rows must see the dimension
+    * as it WAS, not as it is.
+    *
+    * Scale shape: an equi-join on the entity key (user_id) with the
+    * interval predicate as a join filter — per-key version counts are
+    * bounded, so the join fans out per key by history depth, never by
+    * fact volume × dim volume. Intervals half-open partition each
+    * key's timeline, so every probe matches AT MOST one version (no
+    * dedup needed, asserted in the spec). One hash exchange per side.
+    * At 100 TB both sides hash-partition by user_id; a broadcast is
+    * wrong here (the dimension history is fact-scale wide), which is
+    * exactly why this key exists next to q_join_broadcast. */
+  def scd2Join(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val dim = Tables.events(spark, dir)
+      .filter(col("event_type") === "signup")
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id").as("version_id"),
+        col("value").as("version_value"), col("ts").as("valid_from"), col("valid_to"))
+    val fact = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    fact.join(dim, Seq("user_id"))
+      .filter(col("ts") >= col("valid_from") &&
+        (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        dec(col("value")).as("purchase_value"),
+        col("version_id"), dec(col("version_value")).as("version_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** q_mad — median absolute deviation per user: the robust dispersion
+    * estimate (breakdown point 50%) that pairs with q_rolling_median
+    * the way stddev pairs with the mean; outlier gates at 100 TB use
+    * MAD because one corrupt value cannot move it. Two exact grouped
+    * percentiles: per-user median, join back (keyed, bounded 1 row per
+    * user), then the median of absolute deviations — both aggregates
+    * hash-partition on user_id, nothing global. Deviations are rounded
+    * BEFORE the second median so both engines aggregate identical
+    * values; interpolation parity is the proven quantile_cont
+    * equivalence. */
+  def mad(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("user_id"), col("value"))
+    val med = e.groupBy(col("user_id"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"),
+        count(lit(1)).as("n"))
+    e.join(med, "user_id")
+      .select(col("user_id"), col("med"), col("n"),
+        round(abs(col("value") - col("med")), 6).as("adev"))
+      .groupBy(col("user_id"))
+      .agg(first(col("med")).as("med"), first(col("n")).as("n"),
+        round(expr("percentile(adev, 0.5)"), 6).as("mad"))
+      .orderBy("user_id")
+  }
+
   /** q_anomaly_zscore — rolling z-score anomaly flags over the event
     * stream: each event scored against the mean/stddev of its user's
     * TRAILING 20 events (current row excluded — scoring a point against

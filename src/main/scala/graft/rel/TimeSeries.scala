@@ -182,6 +182,39 @@ object TimeSeries {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Minimum run length reported by q_islands. 3 bites on 5 uniform
+    * event types (P(run≥3 starting at a row) ≈ 1/25 — hundreds of runs
+    * at sf0.01, none degenerate). */
+  val islandMinRun = 3
+
+  /** q_islands — gaps-and-islands: maximal runs of CONSECUTIVE
+    * same-type events per user (the error-burst / retry-storm detector;
+    * also the canonical two-row_number SQL idiom). Run id = rn_overall
+    * − rn_within_type, constant exactly while the type repeats; runs of
+    * length ≥ [[islandMinRun]] are reported with their span.
+    *
+    * Scale shape: the (user_id, event_type) window's clustering is
+    * satisfied by the user_id hash partitioning (subset rule), so BOTH
+    * windows run off one keyed exchange — Spark only inserts a second
+    * sort, not a second shuffle (plan-audited: 2 exchanges total
+    * including the run aggregate's). Ordering ties broken by the
+    * unique event_id. */
+  def islands(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("run", row_number().over(byUser) - row_number().over(byUserType))
+      .groupBy(col("user_id"), col("event_type"), col("run"))
+      .agg(min(col("ts")).as("run_start"), max(col("ts")).as("run_end"),
+        count(lit(1)).as("run_len"))
+      .filter(col("run_len") >= islandMinRun)
+      .select(col("user_id"), col("event_type"), col("run_start"),
+        col("run_end"), col("run_len"))
+      .orderBy("user_id", "run_start", "event_type")
+  }
+
   /** q_ab_test — Welch two-sample t-test between hash-assigned
     * experiment arms: users split A/B by the [[graft.text.Sampling]]
     * md5-bucket device (so assignment is reproducible and joins nothing),

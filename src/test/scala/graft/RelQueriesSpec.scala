@@ -412,6 +412,45 @@ class RelQueriesSpec extends SparkSpec {
     assert(out.map(_._2).distinct.length == out.length)
   }
 
+  test("scd2 PIT join attributes every eligible purchase to exactly one version") {
+    val out = rel.RelQueries.scd2Join(spark, sfDir).cache()
+    try {
+      // at most one version per purchase (intervals partition the timeline)
+      assert(out.groupBy("event_id").count().filter(col("count") > 1).count() == 0)
+      // attribution window is respected: version starts before the purchase
+      val dim = Tables.events(spark, sfDir).filter(col("event_type") === "signup")
+        .select(col("event_id").as("version_id"), col("ts").as("vfrom"))
+      assert(out.join(dim, "version_id").filter(col("ts") < col("vfrom")).count() == 0)
+      // coverage: purchases after their user's FIRST signup all match
+      val firstSignup = Tables.events(spark, sfDir).filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("first_signup"))
+      val eligible = Tables.events(spark, sfDir).filter(col("event_type") === "purchase")
+        .join(firstSignup, "user_id").filter(col("ts") >= col("first_signup")).count()
+      assert(out.count() == eligible, "every post-first-signup purchase must attribute")
+    } finally out.unpersist()
+  }
+
+  test("mad is robust: zero on constant data, unmoved by a single outlier") {
+    import spark.implicits._
+    val base = Seq.fill(21)((1L, 10.0)) // constant
+    val withOutlier = (2L, 1e6) +: Seq.fill(21)((2L, 10.0))
+    // drive the same algebra as the operator via a local frame
+    val df = (base ++ withOutlier).toDF("user_id", "value")
+    val med = df.groupBy("user_id").agg(
+      round(expr("percentile(value, 0.5)"), 6).as("med"), count(lit(1)).as("n"))
+    val out = df.join(med, "user_id")
+      .select(col("user_id"), col("med"), round(abs(col("value") - col("med")), 6).as("adev"))
+      .groupBy("user_id").agg(first("med").as("med"),
+        round(expr("percentile(adev, 0.5)"), 6).as("mad"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 10.0 && out(1L)._2 == 0.0) // constant: med 10, MAD 0
+    // one 1e6 outlier among 22 rows: median and MAD do not move
+    assert(out(2L)._1 == 10.0 && out(2L)._2 == 0.0, s"MAD not robust: ${out(2L)}")
+    // and the real operator runs end-to-end with one row per user
+    val real = rel.RelQueries.mad(spark, sfDir)
+    assert(real.count() == Tables.events(spark, sfDir).select("user_id").distinct().count())
+  }
+
   test("hll_merge sketch flags hold and the merged row matches the exact corpus distinct") {
     val rows = rel.RelQueries.hllMerge(spark, sfDir).collect()
     // every flag (per-source AND merged) must assert the 5% bound held

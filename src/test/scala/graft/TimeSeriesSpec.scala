@@ -105,6 +105,33 @@ class TimeSeriesSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("islands are maximal same-type runs above the cutoff") {
+    val out = TimeSeries.islands(spark, sfDir).cache()
+    try {
+      assert(out.filter(col("run_len") < TimeSeries.islandMinRun).count() == 0)
+      assert(out.filter(col("run_end") < col("run_start")).count() == 0)
+      // recompute one user's runs imperatively and compare
+      val someUser = out.select("user_id").head().getLong(0)
+      val seq = Tables.events(spark, sfDir).filter(col("user_id") === someUser)
+        .select("ts", "event_id", "event_type")
+        .collect().sortBy(r => (
+          r.getAs[java.time.LocalDateTime](0)
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli,
+          r.getLong(1)))
+        .map(_.getString(2))
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+      seq.foreach { t =>
+        if (runs.nonEmpty && runs.last._1 == t) runs(runs.length - 1) = (t, runs.last._2 + 1)
+        else runs += ((t, 1))
+      }
+      val expected = runs.filter(_._2 >= TimeSeries.islandMinRun).toSeq
+      val got = out.filter(col("user_id") === someUser)
+        .orderBy("run_start").collect()
+        .map(r => (r.getString(1), r.getLong(4).toInt)).toSeq
+      assert(got == expected, s"user $someUser: got $got expected $expected")
+    } finally out.unpersist()
+  }
+
   test("abTest arms cover all events and t statistic is finite") {
     val r = TimeSeries.abTest(spark, sfDir).head()
     val nEvents = Tables.events(spark, sfDir).count()
