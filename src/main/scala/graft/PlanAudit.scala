@@ -90,8 +90,10 @@ object PlanAudit {
     // q_knn_label_noise shares q_cosine_topk's bounded 64-probe broadcast
     // q_hll_merge crosses its ONE-ROW exact-corpus-distinct aggregate
     // into the one-row merged-sketch frame — bounded by construction
+    // q_retention_curve / q_cooccur_lift cross a ONE-ROW total
+    // (user count / distinct-order count) into a tiny scored frame
     val expectedCross = Set("q_cosine_topk", "q_ann_topk_int8", "q_dsir_weights",
-      "q_hll_merge",
+      "q_hll_merge", "q_retention_curve", "q_cooccur_lift",
       "q_domain_shift", "q_knn_label_noise",
       "q_dedup_embedding",
       "q_minmax_scale", "q_ivf_topk", "q_ivf_topk_fixed", "q_ivf_pq_topk",

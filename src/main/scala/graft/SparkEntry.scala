@@ -151,6 +151,10 @@ object SparkEntry {
     "q_scd2_join" -> (RelQueries.scd2Join _),
     "q_mad" -> (RelQueries.mad _),
     "q_islands" -> (TimeSeries.islands _),
+    "q_time_to_convert" -> (TimeSeries.timeToConvert _),
+    "q_retention_curve" -> (TimeSeries.retentionCurve _),
+    "q_cusum" -> (TimeSeries.cusum _),
+    "q_cooccur_lift" -> (RelQueries.cooccurLift _),
     // §2.A reference (dist-keras) operator surface
     "q_minmax_scale" -> (VectorOps.qMinMaxScale _),
     "q_onehot" -> (VectorOps.qOneHot _),
@@ -1503,6 +1507,47 @@ object SparkEntry {
         "ROUND((m_a - m_b) / sqrt(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE)), 6) AS t_stat, " +
         "ROUND(pow(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE), 2) / " +
         "(pow(v_a / CAST(n_a AS DOUBLE), 2) / (CAST(n_a AS DOUBLE) - 1) + pow(v_b / CAST(n_b AS DOUBLE), 2) / (CAST(n_b AS DOUBLE) - 1)), 6) AS welch_df FROM w"
+    },
+    // conversion latency: keyed MINs then floor-of-µs-difference to
+    // hours (floor of the DIFFERENCE — engine-safe)
+    "q_time_to_convert" ->
+      ("WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS tss FROM events), " +
+        "v AS (SELECT user_id, MIN(tss) AS t_view FROM e WHERE event_type = 'view' GROUP BY user_id), " +
+        "p AS (SELECT e.user_id, t_view, MIN(tss) AS t_buy FROM e JOIN v USING (user_id) WHERE event_type = 'purchase' AND tss > t_view GROUP BY e.user_id, t_view) " +
+        "SELECT (epoch_us(t_buy) - epoch_us(t_view)) // 3600000000 AS hours_bucket, COUNT(*) AS n_users " +
+        "FROM p GROUP BY hours_bucket ORDER BY hours_bucket"),
+    // retention: per-user span histogram -> suffix sum over <= |days| rows
+    "q_retention_curve" ->
+      ("WITH s AS (SELECT user_id, CAST(date_diff('day', MIN(date_trunc('day', CAST(ts AS TIMESTAMP))), MAX(date_trunc('day', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS span_days FROM events GROUP BY user_id), " +
+        "t AS (SELECT COUNT(*) AS n_users FROM s), " +
+        "h AS (SELECT span_days, COUNT(*) AS n_at_span FROM s GROUP BY span_days) " +
+        "SELECT span_days AS day_offset, CAST(SUM(n_at_span) OVER (ORDER BY span_days DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_surviving, " +
+        "ROUND(CAST(SUM(n_at_span) OVER (ORDER BY span_days DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / n_users, 6) AS retention " +
+        "FROM h CROSS JOIN t ORDER BY day_offset"),
+    // CUSUM control chart: exact scaled deviations (value*n - sum), n
+    // divides out only inside ROUND(,6); k interpolated from cusumK
+    "q_cusum" -> {
+      val k = TimeSeries.cusumK
+      "WITH s AS (SELECT user_id, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sx_dec, " +
+        "CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(30,8))) AS DOUBLE) AS sxx FROM events GROUP BY user_id), " +
+        "st AS (SELECT user_id, n, sx_dec, sqrt(greatest((sxx - CAST(sx_dec AS DOUBLE) * CAST(sx_dec AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 0.0)) AS sigma FROM s), " +
+        "e AS (SELECT ev.user_id, event_id, CAST(ts AS TIMESTAMP) AS tss, CAST(CAST(value AS DECIMAL(18,2)) * n - sx_dec AS DECIMAL(28,2)) AS dev_n, n, sigma FROM events ev JOIN st USING (user_id)), " +
+        "c AS (SELECT user_id, event_id, CAST(SUM(dev_n) OVER w AS DECIMAL(38,2)) AS cusum_n, n, sigma, ROW_NUMBER() OVER w AS rn FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)) " +
+        "SELECT user_id, event_id, cusum_n, n, " +
+        s"CAST(CAST(abs(cusum_n) AS DOUBLE) > $k * sigma * sqrt(CAST(rn AS DOUBLE)) * CAST(n AS DOUBLE) AS INTEGER) AS flag " +
+        "FROM c ORDER BY user_id, event_id"
+    },
+    // market-basket lift: exact BIGINT counts divided then ROUND(,6);
+    // support floor interpolated from cooccurMinSupport
+    "q_cooccur_lift" -> {
+      val ms = RelQueries.cooccurMinSupport
+      "WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "m AS (SELECT p, COUNT(*) AS c FROM li GROUP BY p), " +
+        "n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM li), " +
+        s"pr AS (SELECT a.p AS pa, b.p AS pb, COUNT(*) AS c_ab FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p HAVING COUNT(*) >= $ms) " +
+        "SELECT pa, pb, c_ab, ma.c AS c_a, mb.c AS c_b, " +
+        "ROUND(CAST(c_ab AS DOUBLE) * CAST(n_orders AS DOUBLE) / (CAST(ma.c AS DOUBLE) * CAST(mb.c AS DOUBLE)), 6) AS lift " +
+        "FROM pr JOIN m ma ON ma.p = pr.pa JOIN m mb ON mb.p = pr.pb CROSS JOIN n ORDER BY pa, pb"
     },
     // PIT join: half-open validity intervals partition each key's
     // timeline, so every purchase matches at most one signup version

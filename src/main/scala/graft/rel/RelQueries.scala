@@ -1131,6 +1131,47 @@ object RelQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Minimum pair support for q_cooccur_lift. 2 keeps the output
+    * healthy at every SF (433/63/2 pairs at support 3 across
+    * sf0.001/0.01/0.1 — larger catalogs dilute pair counts; support 2
+    * yields 2324/3445/3573, measured). */
+  val cooccurMinSupport = 2L
+
+  /** q_cooccur_lift — market-basket co-occurrence with lift scoring:
+    * part pairs appearing in the same order, kept above a support
+    * floor, scored by lift = N·c(a,b) / (c(a)·c(b)) — >1 means the
+    * pair co-occurs more than independence predicts. The
+    * recommendation/affinity operator: triangles (q_triangle_count)
+    * measure the graph's SHAPE; this scores individual edges for
+    * serving.
+    *
+    * Scale shape: the pair explosion is the same id-ordered self-join
+    * as the co-order graph (per-order fanout C(k,2), bounded by basket
+    * size, never by catalog size); margins c(a) are a part-keyed agg
+    * joined back keyed; N is a one-row broadcast. The support floor
+    * prunes the long tail BEFORE the margin joins, so the scored frame
+    * is small. Lift divides exact BIGINT counts then ROUND(,6) — the
+    * established cross-engine device. */
+  def cooccurLift(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val margins = li.groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val nOrders = li.select(col("o")).distinct().agg(count(lit(1)).as("n_orders"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= cooccurMinSupport)
+    pairs
+      .join(margins.select(col("p").as("pa"), col("c").as("c_a")), "pa")
+      .join(margins.select(col("p").as("pb"), col("c").as("c_b")), "pb")
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("c_ab"), col("c_a"), col("c_b"),
+        round(col("c_ab").cast("double") * col("n_orders").cast("double") /
+          (col("c_a").cast("double") * col("c_b").cast("double")), 6).as("lift"))
+      .orderBy("pa", "pb")
+  }
+
   /** q_skyline — 2-d Pareto frontier over part (maximize p_size,
     * minimize p_retailprice): the multi-criteria shortlist operator
     * (cheapest-per-capability). A part survives iff no other part is

@@ -215,6 +215,105 @@ object TimeSeries {
       .orderBy("user_id", "run_start", "event_type")
   }
 
+  /** q_time_to_convert — conversion-latency distribution: for every
+    * user whose funnel converts (first view, then first purchase after
+    * it), the latency bucketed to whole hours with user counts — the
+    * "how long does conversion take" histogram that prices attribution
+    * windows (q_funnel's 24 h cutoff came from exactly this readout).
+    * Two keyed min-aggregates (order-insensitive) and a tiny histogram
+    * aggregate; nothing wide after the first exchanges. Latency is an
+    * exact integer µs difference floored to hours — floor-of-difference
+    * is engine-safe where difference-of-floors is not. */
+  def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(v, "user_id").where(col("ts") > col("t_view"))
+      .groupBy(col("user_id"), col("t_view")).agg(min(col("ts")).as("t_buy"))
+    p.select(((unix_micros(col("t_buy").cast("timestamp")) -
+        unix_micros(col("t_view").cast("timestamp"))) / lit(3600000000L))
+        .cast("long").as("hours_bucket"))
+      .groupBy(col("hours_bucket"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("hours_bucket")
+  }
+
+  /** q_retention_curve — survival-style activity retention: for each
+    * day offset d, how many users were still active AT LEAST d days
+    * after their first event (activity span >= d), plus the surviving
+    * fraction. The anti-churn readout next to q_cohort's calendar
+    * matrix. One keyed span aggregate, then the tiny span histogram is
+    * turned into a suffix sum by an ordered window over <= |days| rows
+    * (bounded by the observed range, not the data) — the
+    * count-ge-per-offset form needs no per-user explode. */
+  def retentionCurve(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("user_id"))
+      .agg(datediff(max(col("day")), min(col("day"))).cast("long").as("span_days"))
+    val nUsers = spans.agg(count(lit(1)).as("n_users"))
+    val hist = spans.groupBy(col("span_days")).agg(count(lit(1)).as("n_at_span"))
+    // suffix sum: users surviving >= d = sum of histogram at span >= d
+    val w = Window.orderBy(col("span_days").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("n_surviving", sum(col("n_at_span")).over(w))
+      .crossJoin(broadcast(nUsers))
+      .select(col("span_days").as("day_offset"), col("n_surviving"),
+        round(col("n_surviving").cast("double") / col("n_users"), 6).as("retention"))
+      .orderBy("day_offset")
+  }
+
+  /** CUSUM threshold in sigma units. */
+  val cusumK = 5.0
+
+  /** q_cusum — change-point flags via the cumulative-sum control chart
+    * (Page 1954): per user, the running sum of deviations from the
+    * USER-LEVEL mean, flagged where |CUSUM| crosses k·sigma·sqrt(n) —
+    * the drift detector for metric streams where a rolling z-score
+    * (q_anomaly_zscore) only sees point outliers.
+    *
+    * Determinism: the deviation is mean-centered WITHOUT ever rounding
+    * a mean — each row accumulates `value·n − Σx` (the deviation scaled
+    * by n), which is exact DECIMAL arithmetic end to end, so the
+    * cumulative sum — the one place accumulation order could diverge —
+    * is exact in both engines; n divides back out only in the ROUND(,6)
+    * display/flag step. Sigma comes from the DECIMAL power sums in one
+    * fixed expression order. One keyed exchange total: the per-user
+    * stats join back keyed, the window shares its partitioning. */
+  def cusum(spark: SparkSession, dir: String): DataFrame = {
+    val vDec = col("value").cast(DecimalType(18, 2))
+    val stats = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(vDec).cast(DecimalType(18, 2)).as("sx_dec"),
+        sum((vDec * vDec).cast(DecimalType(30, 8))).cast("double").as("sxx"))
+      .withColumn("sx", col("sx_dec").cast("double"))
+      .select(col("user_id"), col("n"), col("sx_dec"),
+        sqrt(greatest(
+          (col("sxx") - col("sx") * col("sx") / col("n").cast("double"))
+            / col("n").cast("double"), lit(0.0))).as("sigma"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .join(stats, "user_id")
+      .withColumn("dev_n",
+        (vDec * col("n") - col("sx_dec")).cast(DecimalType(28, 2)))
+      .withColumn("cusum_n", sum(col("dev_n")).over(w).cast(DecimalType(38, 2)))
+      .withColumn("rn", row_number().over(w))
+      // flag compares unrounded doubles built in ONE mirrored expression
+      // order — identical inputs through identical IEEE ops land on the
+      // identical double, so > is engine-stable without a ROUND (whose
+      // tie behavior at the last kept digit is NOT engine-stable: the
+      // divided form measurably differed by 1 ulp at sf0.01)
+      .withColumn("flag",
+        (abs(col("cusum_n")).cast("double") >
+          lit(cusumK) * col("sigma") * sqrt(col("rn").cast("double")) *
+            col("n").cast("double")).cast("int"))
+      .select(col("user_id"), col("event_id"), col("cusum_n"), col("n"), col("flag"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** q_ab_test — Welch two-sample t-test between hash-assigned
     * experiment arms: users split A/B by the [[graft.text.Sampling]]
     * md5-bucket device (so assignment is reproducible and joins nothing),

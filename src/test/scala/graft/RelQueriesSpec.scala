@@ -412,6 +412,23 @@ class RelQueriesSpec extends SparkSpec {
     assert(out.map(_._2).distinct.length == out.length)
   }
 
+  test("cooccur lift agrees with independence algebra on margins") {
+    val out = rel.RelQueries.cooccurLift(spark, sfDir).cache()
+    try {
+      assert(out.filter(col("c_ab") < rel.RelQueries.cooccurMinSupport).count() == 0)
+      // pair count can never exceed either margin
+      assert(out.filter(col("c_ab") > col("c_a") || col("c_ab") > col("c_b")).count() == 0)
+      // recompute lift for one row from its own exact counts
+      val n = Tables.lineitem(spark, sfDir).select("l_orderkey").distinct().count()
+      val r = out.head()
+      val expect = BigDecimal(r.getAs[Long]("c_ab").toDouble * n /
+        (r.getAs[Long]("c_a").toDouble * r.getAs[Long]("c_b").toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("lift") - expect) < 1e-9)
+      assert(out.count() > 0)
+    } finally out.unpersist()
+  }
+
   test("scd2 PIT join attributes every eligible purchase to exactly one version") {
     val out = rel.RelQueries.scd2Join(spark, sfDir).cache()
     try {

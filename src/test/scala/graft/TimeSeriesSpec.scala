@@ -132,6 +132,51 @@ class TimeSeriesSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("timeToConvert counts converted users once and buckets are sane") {
+    val out = TimeSeries.timeToConvert(spark, sfDir).cache()
+    try {
+      assert(out.filter(col("hours_bucket") < 0).count() == 0)
+      // total converted users = users with a purchase after their first view
+      val e = Tables.events(spark, sfDir)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val converted = e.filter(col("event_type") === "purchase")
+        .join(v, "user_id").filter(col("ts") > col("t_view"))
+        .select("user_id").distinct().count()
+      assert(out.agg(sum("n_users")).head().getLong(0) == converted)
+    } finally out.unpersist()
+  }
+
+  test("retention curve is monotone non-increasing from all users to a positive tail") {
+    val rows = TimeSeries.retentionCurve(spark, sfDir).collect()
+    val n = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    // the smallest observed span's suffix sum covers everyone (the
+    // curve is sampled at observed spans; offset 0 appears only if some
+    // user's span is 0)
+    assert(rows.head.getLong(1) == n && rows.head.getDouble(2) == 1.0)
+    val surv = rows.map(_.getLong(1))
+    assert(surv.zip(surv.tail).forall { case (a, b) => a >= b }, "must be non-increasing")
+    assert(rows.forall(r => r.getDouble(2) > 0 && r.getDouble(2) <= 1.0))
+  }
+
+  test("cusum telescopes to ~zero at each user's last event and flags are consistent") {
+    val out = TimeSeries.cusum(spark, sfDir).cache()
+    try {
+      // sum of deviations over the FULL series is zero by construction:
+      // the last cusum_n per user must be exactly 0.00
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        .orderBy(col("event_id").desc)
+      val last = out.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      assert(last.filter(col("cusum_n") =!= 0).count() == 0,
+        "CUSUM must telescope to exactly zero at the series end")
+      // flags exist both ways at this k (drift-heavy synthetic values)
+      assert(out.filter(col("flag") === 0).count() > 0)
+      // re-run determinism (window + decimal accumulation)
+      val again = TimeSeries.cusum(spark, sfDir)
+      assert(out.exceptAll(again).count() == 0)
+    } finally out.unpersist()
+  }
+
   test("abTest arms cover all events and t statistic is finite") {
     val r = TimeSeries.abTest(spark, sfDir).head()
     val nEvents = Tables.events(spark, sfDir).count()
