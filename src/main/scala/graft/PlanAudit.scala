@@ -92,8 +92,10 @@ object PlanAudit {
     // into the one-row merged-sketch frame — bounded by construction
     // q_retention_curve / q_cooccur_lift cross a ONE-ROW total
     // (user count / distinct-order count) into a tiny scored frame
+    // q_npmi_collocations crosses its TWO one-row corpus totals
+    // (token count, pair count) into the small surviving bigram table
     val expectedCross = Set("q_cosine_topk", "q_ann_topk_int8", "q_dsir_weights",
-      "q_hll_merge", "q_retention_curve", "q_cooccur_lift",
+      "q_hll_merge", "q_retention_curve", "q_cooccur_lift", "q_npmi_collocations",
       "q_domain_shift", "q_knn_label_noise",
       "q_dedup_embedding",
       "q_minmax_scale", "q_ivf_topk", "q_ivf_topk_fixed", "q_ivf_pq_topk",

