@@ -155,6 +155,10 @@ object SparkEntry {
     "q_retention_curve" -> (TimeSeries.retentionCurve _),
     "q_cusum" -> (TimeSeries.cusum _),
     "q_cooccur_lift" -> (RelQueries.cooccurLift _),
+    "q_attribution" -> (TimeSeries.attribution _),
+    "q_trend_per_user" -> (TimeSeries.trendPerUser _),
+    "q_funnel_paths" -> (TimeSeries.funnelPaths _),
+    "q_k_anonymity" -> (RelQueries.kAnonymity _),
     // §2.A reference (dist-keras) operator surface
     "q_minmax_scale" -> (VectorOps.qMinMaxScale _),
     "q_onehot" -> (VectorOps.qOneHot _),
@@ -1511,6 +1515,39 @@ object SparkEntry {
         "ROUND((m_a - m_b) / sqrt(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE)), 6) AS t_stat, " +
         "ROUND(pow(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE), 2) / " +
         "(pow(v_a / CAST(n_a AS DOUBLE), 2) / (CAST(n_a AS DOUBLE) - 1) + pow(v_b / CAST(n_b AS DOUBLE), 2) / (CAST(n_b AS DOUBLE) - 1)), 6) AS welch_df FROM w"
+    },
+    // linear attribution: per-purchase credit 1/n as ROUND(,9)->DECIMAL
+    // terms so the channel sum folds engine-exact
+    "q_attribution" -> {
+      val lb = s"INTERVAL ${TimeSeries.attributionWindowHours} HOUR"
+      "WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS tss FROM events), " +
+        "p AS (SELECT user_id, event_id AS p_id, tss AS p_ts FROM e WHERE event_type = 'purchase'), " +
+        "t AS (SELECT user_id, event_type AS channel, tss AS t_ts FROM e WHERE event_type IN ('view','click')), " +
+        s"m AS (SELECT p_id, channel FROM p JOIN t USING (user_id) WHERE t_ts < p_ts AND t_ts >= p_ts - $lb), " +
+        "c AS (SELECT p_id, channel, CAST(ROUND(CAST(1.0 AS DOUBLE) / COUNT(*) OVER (PARTITION BY p_id), 9) AS DECIMAL(18,9)) AS credit FROM m) " +
+        "SELECT channel, COUNT(*) AS n_touches, COUNT(DISTINCT p_id) AS n_purchases_touched, " +
+        "ROUND(CAST(SUM(credit) AS DOUBLE), 6) AS credit FROM c GROUP BY channel ORDER BY channel"
+    },
+    // per-user trend: grouped power sums over (exact hours, DECIMAL
+    // value); slope mirrored term for term
+    "q_trend_per_user" ->
+      ("WITH o AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t0 FROM events GROUP BY user_id), " +
+        "d AS (SELECT e.user_id, CAST(ROUND(CAST(epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(t0) AS DOUBLE) / 3600000000.0, 6) AS DECIMAL(18,6)) AS x, CAST(value AS DECIMAL(18,2)) AS y FROM events e JOIN o USING (user_id)), " +
+        "s AS (SELECT user_id, COUNT(*) AS n, CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(CAST(x*y AS DECIMAL(30,8))) AS DOUBLE) AS sxy, CAST(SUM(CAST(x*x AS DECIMAL(30,12))) AS DOUBLE) AS sxx FROM d GROUP BY user_id) " +
+        "SELECT user_id, n, ROUND((sxy - sx * sy / CAST(n AS DOUBLE)) / (sxx - sx * sx / CAST(n AS DOUBLE)), 6) AS slope_per_hour FROM s ORDER BY user_id"),
+    // entry paths: rank-filtered prefix, in-order list join, path count
+    "q_funnel_paths" -> {
+      val k = TimeSeries.pathLen
+      "WITH r AS (SELECT user_id, event_type, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn FROM events), " +
+        s"f AS (SELECT user_id, array_to_string(list(event_type ORDER BY rn), '>') AS path, COUNT(*) AS k FROM r WHERE rn <= $k GROUP BY user_id) " +
+        s"SELECT path, COUNT(*) AS n_users FROM f WHERE k = $k GROUP BY path ORDER BY n_users DESC, path"
+    },
+    // k-anonymity: QI equivalence classes with an at-risk flag
+    "q_k_anonymity" -> {
+      val k = RelQueries.kAnonK
+      "SELECT c_nationkey, c_mktsegment, CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS bal_sign, " +
+        s"COUNT(*) AS class_size, CAST(COUNT(*) < $k AS INTEGER) AS at_risk FROM customer " +
+        "GROUP BY c_nationkey, c_mktsegment, bal_sign ORDER BY c_nationkey, c_mktsegment, bal_sign"
     },
     // soft dedup: weight = 1/cluster_size, exact BIGINT then ROUND(,6)
     "q_soft_dedup" ->

@@ -1131,6 +1131,34 @@ object RelQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** k-anonymity threshold. */
+  val kAnonK = 5L
+
+  /** q_k_anonymity — privacy audit over quasi-identifiers: every
+    * (nation, segment, balance-sign) equivalence class with its size
+    * and an at-risk flag for classes smaller than k — rows in such a
+    * class are re-identifiable by their QI combination alone, and a
+    * release pipeline must suppress or generalize them. The
+    * data-governance gate a training-data engine runs BEFORE export
+    * (the PII scrub removes direct identifiers; this catches the
+    * indirect ones). QI choice measured to bite at every SF (98/76/2
+    * at-risk classes at sf0.001/0.01/0.1).
+    *
+    * Scale shape: one map-side-combined aggregate over the QI tuple —
+    * class count bounded by the QI domain, not the data — plus a
+    * one-row risk summary cross (bounded). */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val classes = Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        when(col("c_acctbal") < 0, lit("neg")).otherwise(lit("pos")).as("bal_sign"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_sign"))
+      .agg(count(lit(1)).as("class_size"))
+    classes
+      .select(col("c_nationkey"), col("c_mktsegment"), col("bal_sign"),
+        col("class_size"), (col("class_size") < kAnonK).cast("int").as("at_risk"))
+      .orderBy("c_nationkey", "c_mktsegment", "bal_sign")
+  }
+
   /** Minimum pair support for q_cooccur_lift. 2 keeps the output
     * healthy at every SF (433/63/2 pairs at support 3 across
     * sf0.001/0.01/0.1 — larger catalogs dilute pair counts; support 2

@@ -314,6 +314,106 @@ object TimeSeries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Attribution lookback window (hours). 48 h over ~7 h median
+    * inter-event gaps gives most purchases several touches. */
+  val attributionWindowHours = 48
+
+  /** q_attribution — linear multi-touch attribution: every purchase
+    * splits one unit of credit equally across the user's view/click
+    * touches in the preceding [[attributionWindowHours]] lookback;
+    * output is total credit and touch counts per channel (event_type).
+    * The marketing-science sibling of q_join_asof: asof keeps ONE
+    * latest match, attribution aggregates over ALL matches with credit
+    * algebra.
+    *
+    * Scale shape: a keyed equi-join on user_id with the time-window
+    * predicate as join filter (per-purchase fanout bounded by the
+    * lookback, not the history), credit = 1/n via a purchase-keyed
+    * window count, then a channel-level aggregate of exact 1/BIGINT
+    * fractions — summed as ROUND(,9)→DECIMAL terms (the domain_shift
+    * device) so the fold order cannot wiggle the total. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val look = expr(s"interval $attributionWindowHours hours")
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val touches = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_type").as("channel"), col("ts").as("t_ts"))
+    val matched = purchases.join(touches, Seq("user_id"))
+      .filter(col("t_ts") < col("p_ts") && col("t_ts") >= col("p_ts") - look)
+    val perPurchase = Window.partitionBy(col("p_id"))
+    matched
+      .withColumn("n_touches", count(lit(1)).over(perPurchase))
+      .withColumn("credit",
+        round(lit(1.0) / col("n_touches").cast("double"), 9).cast(DecimalType(18, 9)))
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n_touches"),
+        count_distinct(col("p_id")).as("n_purchases_touched"),
+        round(sum(col("credit")).cast("double"), 6).as("credit"))
+      .orderBy("channel")
+  }
+
+  /** q_trend_per_user — per-entity linear trend: the least-squares
+    * slope of value on elapsed-hours for every user (the fleet-wide
+    * drift screen; q_cusum flags WHERE a series breaks, this ranks WHO
+    * is drifting). The q_stats_moments grouped power-sum device with x
+    * = exact µs-derived hours rounded to 6 dp then DECIMAL-fixed, so
+    * every per-group sum is engine-exact before the slope's double
+    * arithmetic. ONE keyed aggregate; the per-user origin (first ts)
+    * comes from the same exchange via a min aggregate joined back
+    * keyed. */
+  def trendPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+    val origin = e.groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    val x = round((unix_micros(col("ts").cast("timestamp")) -
+        unix_micros(col("t0").cast("timestamp"))).cast("double") / lit(3600000000.0), 6)
+      .cast(DecimalType(18, 6))
+    val y = col("value").cast(DecimalType(18, 2))
+    val sums = e.join(origin, "user_id")
+      .select(col("user_id"), x.as("x"), y.as("y"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast(DecimalType(30, 8))).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast(DecimalType(30, 12))).cast("double").as("sxx"))
+    val nd = col("n").cast("double")
+    sums.select(
+      col("user_id"), col("n"),
+      round((col("sxy") - col("sx") * col("sy") / nd) /
+        (col("sxx") - col("sx") * col("sx") / nd), 6).as("slope_per_hour"))
+      .orderBy("user_id")
+  }
+
+  /** Path prefix length for q_funnel_paths. */
+  val pathLen = 3
+
+  /** q_funnel_paths — top entry paths: the first [[pathLen]] event
+    * types of every user's timeline joined into a path string, counted
+    * across users (the "how do users start" readout behind funnel
+    * DESIGN — q_funnel then measures one chosen path). Rank-filter to
+    * the first k events (keyed window), then an in-order keyed
+    * collect via the (rn, type) struct sort — deterministic because rn
+    * is total per user — and a path-level count. All exchanges keyed;
+    * the path table is at most |types|^k rows. */
+  def funnelPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= pathLen)
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("rn"), col("event_type")))).as("steps"),
+        count(lit(1)).as("k"))
+      .filter(col("k") === pathLen) // only complete prefixes
+      .select(concat_ws(">", transform(col("steps"), s => s("event_type"))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+  }
+
   /** q_ab_test — Welch two-sample t-test between hash-assigned
     * experiment arms: users split A/B by the [[graft.text.Sampling]]
     * md5-bucket device (so assignment is reproducible and joins nothing),

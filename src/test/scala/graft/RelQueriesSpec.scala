@@ -412,6 +412,20 @@ class RelQueriesSpec extends SparkSpec {
     assert(out.map(_._2).distinct.length == out.length)
   }
 
+  test("k-anonymity classes partition the table and flag small classes") {
+    val out = rel.RelQueries.kAnonymity(spark, sfDir).cache()
+    try {
+      assert(out.agg(sum("class_size")).head().getLong(0) ==
+        Tables.customer(spark, sfDir).count(), "classes must partition the table")
+      assert(out.filter(col("class_size") < rel.RelQueries.kAnonK &&
+        col("at_risk") =!= 1).count() == 0)
+      assert(out.filter(col("class_size") >= rel.RelQueries.kAnonK &&
+        col("at_risk") =!= 0).count() == 0)
+      assert(out.filter(col("at_risk") === 1).count() > 0,
+        "QI choice must bite (measured at every SF)")
+    } finally out.unpersist()
+  }
+
   test("cooccur lift agrees with independence algebra on margins") {
     val out = rel.RelQueries.cooccurLift(spark, sfDir).cache()
     try {

@@ -177,6 +177,60 @@ class TimeSeriesSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("attribution credit conserves: total credit = purchases with any touch") {
+    val out = TimeSeries.attribution(spark, sfDir).collect()
+    assert(out.map(_.getString(0)).toSet.subsetOf(Set("view", "click")))
+    // every purchase with >= 1 touch distributes exactly 1 unit of credit
+    val look = expr(s"interval ${TimeSeries.attributionWindowHours} hours")
+    val e = Tables.events(spark, sfDir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val t = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts").as("t_ts"))
+    val touched = p.join(t, Seq("user_id"))
+      .filter(col("t_ts") < col("p_ts") && col("t_ts") >= col("p_ts") - look)
+      .select("p_id").distinct().count()
+    val totalCredit = out.map(_.getAs[Double]("credit")).sum
+    assert(math.abs(totalCredit - touched) < 0.01,
+      s"credit $totalCredit must equal touched purchases $touched")
+  }
+
+  test("trend slope matches a local per-user regression") {
+    val out = TimeSeries.trendPerUser(spark, sfDir).cache()
+    try {
+      assert(out.count() ==
+        Tables.events(spark, sfDir).select("user_id").distinct().count())
+      // recompute one user locally
+      val uid = out.select("user_id").head().getLong(0)
+      val rows = Tables.events(spark, sfDir).filter(col("user_id") === uid)
+        .select(unix_micros(col("ts").cast("timestamp")).as("us"), col("value"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val t0 = rows.map(_._1).min
+      val pts = rows.map { case (us, v) =>
+        (math.rint((us - t0) / 3600e6 * 1e6) / 1e6, math.rint(v * 100) / 100) }
+      val n = pts.length.toDouble
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val expect = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+      val got = out.filter(col("user_id") === uid).head().getAs[Double]("slope_per_hour")
+      assert(math.abs(got - expect) < 1e-4, s"$got vs $expect")
+    } finally out.unpersist()
+  }
+
+  test("funnel paths cover every user with a full prefix") {
+    val out = TimeSeries.funnelPaths(spark, sfDir).cache()
+    try {
+      val complete = Tables.events(spark, sfDir)
+        .groupBy("user_id").count()
+        .filter(col("count") >= TimeSeries.pathLen).count()
+      assert(out.agg(sum("n_users")).head().getLong(0) == complete)
+      // paths have exactly pathLen steps
+      assert(out.filter(
+        size(split(col("path"), ">")) =!= TimeSeries.pathLen).count() == 0)
+    } finally out.unpersist()
+  }
+
   test("abTest arms cover all events and t statistic is finite") {
     val r = TimeSeries.abTest(spark, sfDir).head()
     val nEvents = Tables.events(spark, sfDir).count()
