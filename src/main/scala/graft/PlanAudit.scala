@@ -94,7 +94,11 @@ object PlanAudit {
     // (user count / distinct-order count) into a tiny scored frame
     // q_npmi_collocations crosses its TWO one-row corpus totals
     // (token count, pair count) into the small surviving bigram table
+    // q_rfm crosses its ONE-ROW anchor-date aggregate; q_target_encoding
+    // its ONE-ROW global-prior aggregate; q_heavy_hitters its ONE-ROW
+    // corpus token total — all bounded by construction
     val expectedCross = Set("q_cosine_topk", "q_ann_topk_int8", "q_dsir_weights",
+      "q_rfm", "q_target_encoding", "q_heavy_hitters",
       "q_hll_merge", "q_retention_curve", "q_cooccur_lift", "q_npmi_collocations",
       "q_domain_shift", "q_knn_label_noise",
       "q_dedup_embedding",

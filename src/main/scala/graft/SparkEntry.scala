@@ -159,6 +159,10 @@ object SparkEntry {
     "q_trend_per_user" -> (TimeSeries.trendPerUser _),
     "q_funnel_paths" -> (TimeSeries.funnelPaths _),
     "q_k_anonymity" -> (RelQueries.kAnonymity _),
+    "q_rfm" -> (RelQueries.rfm _),
+    "q_dq_audit" -> (RelQueries.dqAudit _),
+    "q_target_encoding" -> (RelQueries.targetEncoding _),
+    "q_heavy_hitters" -> (TextOps.heavyHitters _),
     // §2.A reference (dist-keras) operator surface
     "q_minmax_scale" -> (VectorOps.qMinMaxScale _),
     "q_onehot" -> (VectorOps.qOneHot _),
@@ -1548,6 +1552,59 @@ object SparkEntry {
       "SELECT c_nationkey, c_mktsegment, CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS bal_sign, " +
         s"COUNT(*) AS class_size, CAST(COUNT(*) < $k AS INTEGER) AS at_risk FROM customer " +
         "GROUP BY c_nationkey, c_mktsegment, bal_sign ORDER BY c_nationkey, c_mktsegment, bal_sign"
+    },
+    // RFM: anchored recency + quintile ntiles totally ordered by the
+    // custkey tie-break, so scores reproduce on both engines
+    "q_rfm" -> {
+      val k = RelQueries.rfmBuckets
+      "WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, CAST(o_totalprice AS DECIMAL(18,2)) AS tp FROM orders), " +
+        "a AS (SELECT MAX(d) AS anchor FROM o), " +
+        "b AS (SELECT o_custkey, CAST(date_diff('day', MAX(d), (SELECT anchor FROM a)) AS INTEGER) AS recency_days, COUNT(*) AS frequency, SUM(tp) AS monetary FROM o GROUP BY o_custkey) " +
+        "SELECT o_custkey, recency_days, frequency, ROUND(CAST(monetary AS DOUBLE), 2) AS monetary, " +
+        s"CAST(NTILE($k) OVER (ORDER BY recency_days DESC, o_custkey) AS INTEGER) AS r_score, " +
+        s"CAST(NTILE($k) OVER (ORDER BY frequency, o_custkey) AS INTEGER) AS f_score, " +
+        s"CAST(NTILE($k) OVER (ORDER BY monetary, o_custkey) AS INTEGER) AS m_score " +
+        "FROM b ORDER BY o_custkey"
+    },
+    // DQ audit: each check one conditional aggregate / distinct-parent
+    // left join, mirrored branch for branch
+    "q_dq_audit" ->
+      ("WITH pk AS (SELECT 'pk_unique_lineitem' AS check_name, 'lineitem' AS table_name, COUNT(*) AS n_rows, CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS n_violations FROM lineitem), " +
+        "f1 AS (SELECT 'fk_lineitem_orders', 'lineitem', COUNT(*), CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o ON l.l_orderkey = o.o_orderkey), " +
+        "f2 AS (SELECT 'fk_orders_customer', 'orders', COUNT(*), CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o.o_custkey = c.c_custkey), " +
+        "bal AS (SELECT 'nonneg_c_acctbal', 'customer', COUNT(*), CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) FROM customer), " +
+        "disc AS (SELECT 'range_l_discount', 'lineitem', COUNT(*), CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem), " +
+        "fresh AS (SELECT 'fresh_o_orderdate', 'orders', COUNT(*), CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) > DATE '2001-01-01' THEN 1 ELSE 0 END) AS BIGINT) FROM orders), " +
+        "txt AS (SELECT 'nonempty_text', 'documents', COUNT(*), CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM documents), " +
+        "u AS (SELECT * FROM pk UNION ALL SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM bal UNION ALL SELECT * FROM disc UNION ALL SELECT * FROM fresh UNION ALL SELECT * FROM txt) " +
+        "SELECT check_name, table_name, n_rows, n_violations, CAST(n_violations = 0 AS INTEGER) AS pass FROM u ORDER BY check_name"),
+    // target encoding: DECIMAL-exact category sums, the LOO shrinkage
+    // expression mirrored term for term
+    "q_target_encoding" -> {
+      val m = RelQueries.teSmoothing
+      "WITH s AS (SELECT o_orderpriority AS category, COUNT(*) AS n_cat, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_cat FROM orders GROUP BY o_orderpriority), " +
+        "p AS (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS prior FROM orders) " +
+        "SELECT o_orderkey, o_orderpriority AS category, " +
+        s"ROUND((CAST(sum_cat AS DOUBLE) - o_totalprice + $m * prior) / (CAST(n_cat AS DOUBLE) - 1.0 + $m), 6) AS te " +
+        "FROM orders JOIN s ON s.category = orders.o_orderpriority CROSS JOIN p " +
+        "ORDER BY o_orderkey, category"
+    },
+    // CMS heavy hitters: counters rebuilt bucket-for-bucket from the
+    // hex60 hash mirror; flags pin both sketch guarantees
+    "q_heavy_hitters" -> {
+      import text.TextOps.{cmsDepth, cmsWidth, hhTopK}
+      "WITH tok AS (SELECT string_split(lower(text), ' ') AS toks FROM documents), " +
+        "tk AS (SELECT array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS t FROM (SELECT toks, UNNEST(range(0, greatest(len(toks) - 2, 0) + 1)) AS i FROM tok)), " +
+        "cnts AS (SELECT t, COUNT(*) AS n FROM tk WHERE t <> '' GROUP BY t), " +
+        "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM cnts), " +
+        s"kb AS (SELECT t, n, r, (${hex60Sql("md5('cms' || CAST(r AS VARCHAR) || ':' || t)")}) % $cmsWidth AS b FROM cnts CROSS JOIN (SELECT UNNEST(range(0, $cmsDepth)) AS r) rr), " +
+        "ctr AS (SELECT r, b, CAST(SUM(n) AS BIGINT) AS cnt FROM kb GROUP BY r, b), " +
+        s"top AS (SELECT t, n FROM cnts ORDER BY n DESC, t LIMIT $hhTopK), " +
+        "est AS (SELECT kb.t, kb.n, MIN(ctr.cnt) AS cms_est FROM top JOIN kb ON kb.t = top.t JOIN ctr ON ctr.r = kb.r AND ctr.b = kb.b GROUP BY kb.t, kb.n) " +
+        "SELECT t AS token, n AS n_exact, cms_est, " +
+        "CAST(cms_est >= n AS INTEGER) AS overcount_ok, " +
+        s"CAST(cms_est <= n + ceil(2.0 * CAST(n_total AS DOUBLE) / $cmsWidth.0) AS INTEGER) AS within_bound " +
+        "FROM est CROSS JOIN tot ORDER BY n_exact DESC, token"
     },
     // soft dedup: weight = 1/cluster_size, exact BIGINT then ROUND(,6)
     "q_soft_dedup" ->

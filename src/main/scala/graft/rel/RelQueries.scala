@@ -1234,4 +1234,140 @@ object RelQueries {
       .select(col("p_partkey"), col("p_name"), col("p_size"), col("price"))
       .orderBy("p_partkey")
   }
+
+  /** RFM quantile buckets (the classic quintile scoring). */
+  val rfmBuckets = 5
+
+  /** q_rfm — recency/frequency/monetary customer segmentation: per
+    * customer, days since last order (vs the corpus-wide anchor = max
+    * order date, so the key is reproducible without wall-clock),
+    * order count, and lifetime spend, each scored into quintiles
+    * (5 = most recent / most frequent / highest spend). The marketing
+    * segmentation every behavioral pipeline ships; composes with
+    * q_cohort (acquisition view) and q_retention_curve (decay view).
+    *
+    * Scale shape: ONE map-side-combined aggregate over orders reduces
+    * the corpus to a narrow per-customer frame; the anchor is a one-row
+    * broadcast cross (the in-plan scalar device). The three ntile
+    * windows are global sorts — over the AGGREGATED frame (|customers|
+    * narrow rows, range-partitioned skew-free); at 100 TB swap ntile
+    * for broadcast approx_percentile cut points (the
+    * q_quality_tails_by_source device), same output contract modulo
+    * boundary ties. Ties inside a window are totally ordered by
+    * custkey, so scores are deterministic on both engines. */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"),
+        dec(col("o_totalprice")).as("tp"))
+    val anchor = o.agg(max(col("d")).as("anchor"))
+    val base = o.groupBy(col("o_custkey"))
+      .agg(max(col("d")).as("last_d"), count(lit(1)).as("frequency"),
+        sum(col("tp")).as("monetary"))
+      .crossJoin(broadcast(anchor))
+      .select(col("o_custkey"),
+        datediff(col("anchor"), col("last_d")).as("recency_days"),
+        col("frequency"), col("monetary"))
+    val rW = Window.orderBy(col("recency_days").desc, col("o_custkey"))
+    val fW = Window.orderBy(col("frequency"), col("o_custkey"))
+    val mW = Window.orderBy(col("monetary"), col("o_custkey"))
+    base.select(col("o_custkey"), col("recency_days"), col("frequency"),
+        round(col("monetary").cast("double"), 2).as("monetary"),
+        ntile(rfmBuckets).over(rW).as("r_score"),
+        ntile(rfmBuckets).over(fW).as("f_score"),
+        ntile(rfmBuckets).over(mW).as("m_score"))
+      .orderBy("o_custkey")
+  }
+
+  /** q_dq_audit — declarative data-quality gate (the dbt-test/Deequ
+    * class): one row per constraint with row/violation counts and a
+    * pass flag. Checks uniqueness (lineitem's (l_orderkey,
+    * l_linenumber) "PK" — genuinely violated in this corpus, so the
+    * audit BITES), referential integrity (lineitem→orders,
+    * orders→customer — clean, which is the invariant worth shipping),
+    * domain checks (non-negative balance — bites; discount range —
+    * clean), freshness (orders past the cutoff — bites), and
+    * non-emptiness (documents.text — clean). The release gate a
+    * training-data pipeline runs between ingest and export, next to
+    * [[kAnonymity]]'s privacy gate and q_split_leakage's split gate.
+    *
+    * Scale shape: every check is either ONE map-side-combined
+    * conditional aggregate over its table (count + violation sum in
+    * the same pass) or ONE keyed left join against a distinct parent
+    * key set (narrow key streams, never payloads); the union is
+    * |constraints| one-row frames. Nothing global, nothing quadratic. */
+  def dqAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val d = Tables.documents(spark, dir)
+    def shape(name: String, table: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("check_name"), lit(table).as("table_name"),
+        col("n_rows"), col("n_violations"),
+        (col("n_violations") === 0L).cast("int").as("pass"))
+    def vio(cond: Column): Column = sum(cond.cast("long")).as("n_violations")
+    val pk = li.agg(count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count_distinct(col("l_orderkey"), col("l_linenumber")))
+        .as("n_violations"))
+    val fkLiO = li.select(col("l_orderkey"))
+      .join(o.select(col("o_orderkey")).distinct(),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("n_rows"), vio(col("o_orderkey").isNull))
+    val fkOC = o.select(col("o_custkey"))
+      .join(c.select(col("c_custkey")).distinct(),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("n_rows"), vio(col("c_custkey").isNull))
+    val bal = c.agg(count(lit(1)).as("n_rows"), vio(col("c_acctbal") < 0))
+    val disc = li.agg(count(lit(1)).as("n_rows"),
+      vio(!col("l_discount").between(0.0, 0.1)))
+    val fresh = o.agg(count(lit(1)).as("n_rows"),
+      vio(col("o_orderdate").cast("date") > lit("2001-01-01").cast("date")))
+    val txt = d.agg(count(lit(1)).as("n_rows"),
+      vio(col("text").isNull || length(col("text")) === 0))
+    shape("pk_unique_lineitem", "lineitem", pk)
+      .unionAll(shape("fk_lineitem_orders", "lineitem", fkLiO))
+      .unionAll(shape("fk_orders_customer", "orders", fkOC))
+      .unionAll(shape("nonneg_c_acctbal", "customer", bal))
+      .unionAll(shape("range_l_discount", "lineitem", disc))
+      .unionAll(shape("fresh_o_orderdate", "orders", fresh))
+      .unionAll(shape("nonempty_text", "documents", txt))
+      .orderBy("check_name")
+  }
+
+  /** Smoothing pseudo-count for [[targetEncoding]] (the m in the
+    * empirical-Bayes shrinkage toward the global prior). */
+  val teSmoothing = 10.0
+
+  /** q_target_encoding — smoothed leave-one-out mean-target encoding:
+    * each order's priority category is replaced by the mean total
+    * price of the OTHER orders in that category, shrunk toward the
+    * global mean by [[teSmoothing]] pseudo-observations —
+    * enc = (sum_cat − y + m·prior) / (n_cat − 1 + m). The feature-
+    * engineering step that turns a high-cardinality categorical into
+    * one dense column WITHOUT leaking the row's own target (the
+    * leave-one-out term) — a training-data op q_string_index/q_onehot
+    * deliberately don't cover.
+    *
+    * Scale shape: category stats are ONE map-side-combined aggregate
+    * (≤ |categories| rows, broadcast back); the prior is a one-row
+    * broadcast cross; the encode itself is per-row codegen arithmetic.
+    * Determinism: sums are DECIMAL-exact before the single double
+    * division; the expression tree is mirrored term for term in the
+    * oracle so IEEE evaluation is identical. */
+  def targetEncoding(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority").as("category"),
+        col("o_totalprice"))
+    val catStats = o.groupBy(col("category"))
+      .agg(count(lit(1)).as("n_cat"), sum(dec(col("o_totalprice"))).as("sum_cat"))
+    val prior = o.agg((sum(dec(col("o_totalprice"))).cast("double") /
+      count(lit(1)).cast("double")).as("prior"))
+    o.join(broadcast(catStats), "category")
+      .crossJoin(broadcast(prior))
+      .select(col("o_orderkey"), col("category"),
+        round((col("sum_cat").cast("double") - col("o_totalprice") +
+            lit(teSmoothing) * col("prior")) /
+          (col("n_cat").cast("double") - lit(1.0) + lit(teSmoothing)), 6)
+          .as("te"))
+      .orderBy("o_orderkey", "category")
+  }
 }

@@ -2079,4 +2079,65 @@ object TextOps {
           .as("fk_grade"))
       .orderBy("doc_id")
   }
+
+  // ------------------------------------------ Count-Min heavy hitters
+
+  /** Count-Min sketch depth (independent hash rows). */
+  val cmsDepth = 4
+  /** Count-Min sketch width (buckets per row). Sized so the sketch
+    * genuinely collides on this corpus (the unigram vocabulary is only
+    * 31 tokens — over BIGRAMS at w=256, 17–19 of the top 20 overcount
+    * at every SF) while the ⌈2N/w⌉ bound still holds with ~2×
+    * headroom (measured max excess 105/1145 vs bounds 209/2076 at
+    * sf0.01/sf0.1). */
+  val cmsWidth = 256
+  /** Heavy hitters reported. */
+  val hhTopK = 20
+
+  /** q_heavy_hitters — Count-Min-sketch frequent bigrams: the top
+    * [[hhTopK]] corpus bigrams with their exact counts AND the CMS
+    * estimate read from a [[cmsDepth]]×[[cmsWidth]] counter table,
+    * plus int flags pinning both sketch guarantees (est ≥ exact —
+    * CMS never undercounts; est ≤ exact + ⌈2N/w⌉ — the collision-mass
+    * bound, 2× the expected N/w so it is not knife-edge). The sketched
+    * sibling of q_npmi_collocations' exact pair counts, under the
+    * q_approx_distinct device: the exact side exists for the oracle
+    * gate; at 100 TB the production call keeps ONLY the fixed-size
+    * mergeable counter table (d·w cells per partition, merged by
+    * addition — no vocabulary state), the reason CMS beats an exact
+    * count when the key universe (all bigrams) won't fit.
+    *
+    * Scale shape: the corpus-linear pass ends at the map-side-combined
+    * bigram count (distinct-vocab frame, sub-linear by Heaps' law);
+    * counters are ONE keyed agg over vocab×depth; top-k is
+    * TakeOrdered (no global sort); estimates join the 20-row top set
+    * against the ≤ d·w-row broadcast counter table. Hashes are
+    * md5-derived ([[baseHash60]]) so the oracle recomputes them
+    * positionally. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(shingles(tokens(lower(col("text"))), 2)).as("t"))
+      .filter(col("t") =!= "")
+    val counts = toks.groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("n_total"))
+    def bucketed(df: DataFrame): DataFrame = df
+      .select(col("t"), col("n"),
+        explode(sequence(lit(0), lit(cmsDepth - 1))).as("r"))
+      .withColumn("b", pmod(
+        baseHash60(concat(lit("cms"), col("r").cast("string"), lit(":"), col("t"))),
+        lit(cmsWidth.toLong)))
+    val counters = bucketed(counts).groupBy(col("r"), col("b"))
+      .agg(sum(col("n")).as("cnt"))
+    val top = counts.orderBy(col("n").desc, col("t")).limit(hhTopK)
+    bucketed(top)
+      .join(broadcast(counters), Seq("r", "b"))
+      .groupBy(col("t"), col("n")).agg(min(col("cnt")).as("cms_est"))
+      .crossJoin(broadcast(total))
+      .select(col("t").as("token"), col("n").as("n_exact"), col("cms_est"),
+        (col("cms_est") >= col("n")).cast("int").as("overcount_ok"),
+        (col("cms_est") <= col("n") +
+          ceil(lit(2.0) * col("n_total").cast("double") / lit(cmsWidth.toDouble)))
+          .cast("int").as("within_bound"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
 }

@@ -426,6 +426,58 @@ class RelQueriesSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("rfm scores are balanced quintiles over every customer with orders") {
+    val out = rel.RelQueries.rfm(spark, sfDir).cache()
+    try {
+      assert(out.count() ==
+        Tables.orders(spark, sfDir).select("o_custkey").distinct().count())
+      for (s <- Seq("r_score", "f_score", "m_score")) {
+        assert(out.filter(col(s) < 1 || col(s) > rel.RelQueries.rfmBuckets).count() == 0)
+        // ntile balance: bucket sizes differ by at most one
+        val sizes = out.groupBy(col(s)).count().collect().map(_.getLong(1))
+        assert(sizes.max - sizes.min <= 1, s"$s buckets unbalanced: ${sizes.toSeq}")
+      }
+      assert(out.filter(col("recency_days") < 0).count() == 0)
+      assert(out.filter(col("monetary") <= 0).count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("dq audit bites on the known violations and clears the clean checks") {
+    val rows = rel.RelQueries.dqAudit(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.size == 7)
+    // every pass flag is consistent with its violation count
+    rows.values.foreach { r =>
+      assert((r.getAs[Long]("n_violations") == 0L) == (r.getAs[Int]("pass") == 1)) }
+    // the corpus genuinely violates these three (measured at every SF)
+    assert(rows("pk_unique_lineitem").getAs[Long]("n_violations") > 0)
+    assert(rows("nonneg_c_acctbal").getAs[Long]("n_violations") > 0)
+    assert(rows("fresh_o_orderdate").getAs[Long]("n_violations") > 0)
+    // and keeps these invariants (the FK graph is clean)
+    assert(rows("fk_lineitem_orders").getAs[Long]("n_violations") == 0)
+    assert(rows("fk_orders_customer").getAs[Long]("n_violations") == 0)
+    assert(rows("fk_lineitem_orders").getAs[Long]("n_rows") ==
+      Tables.lineitem(spark, sfDir).count())
+  }
+
+  test("target encoding matches a local leave-one-out recompute") {
+    val out = rel.RelQueries.targetEncoding(spark, sfDir).cache()
+    try {
+      val o = Tables.orders(spark, sfDir)
+      assert(out.count() == o.count())
+      val all = o.select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      val prior = all.map(x => BigDecimal(x._3).setScale(2)).sum.toDouble / all.length
+      val (key, cat, y) = all.head
+      val inCat = all.filter(_._2 == cat)
+      val sumCat = inCat.map(x => BigDecimal(x._3).setScale(2)).sum.toDouble
+      val m = rel.RelQueries.teSmoothing
+      val expect = (sumCat - y + m * prior) / (inCat.length - 1.0 + m)
+      val got = out.filter(col("o_orderkey") === key).head().getAs[Double]("te")
+      assert(math.abs(got - expect) < 1e-4, s"$got vs $expect")
+    } finally out.unpersist()
+  }
+
   test("cooccur lift agrees with independence algebra on margins") {
     val out = rel.RelQueries.cooccurLift(spark, sfDir).cache()
     try {

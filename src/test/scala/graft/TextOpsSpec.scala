@@ -970,4 +970,24 @@ class TextOpsSpec extends SparkSpec {
         "every token costs at least one syllable")
     } finally out.unpersist()
   }
+
+  test("CMS heavy hitters: both sketch guarantees hold and the sketch bites") {
+    val out = text.TextOps.heavyHitters(spark, sfDir).collect()
+    assert(out.length == text.TextOps.hhTopK)
+    assert(out.forall(_.getAs[Int]("overcount_ok") == 1),
+      "CMS must never undercount")
+    assert(out.forall(_.getAs[Int]("within_bound") == 1),
+      "CMS estimates must stay within the 2N/w collision bound")
+    // the width is sized so collisions actually occur on this corpus —
+    // an all-exact sketch would demonstrate nothing
+    assert(out.count(r => r.getAs[Long]("cms_est") > r.getAs[Long]("n_exact")) > 5,
+      "sketch should overcount most of the top-20 at w=256 over bigrams")
+    // exact side cross-check: recount the #1 bigram from the raw corpus
+    val top = out.head
+    val recount = Tables.documents(spark, sfDir)
+      .select(explode(text.TextOps.shingles(
+        text.TextOps.tokens(lower(col("text"))), 2)).as("t"))
+      .filter(col("t") === top.getAs[String]("token")).count()
+    assert(recount == top.getAs[Long]("n_exact"))
+  }
 }
