@@ -96,9 +96,10 @@ object PlanAudit {
     // (token count, pair count) into the small surviving bigram table
     // q_rfm crosses its ONE-ROW anchor-date aggregate; q_target_encoding
     // its ONE-ROW global-prior aggregate; q_heavy_hitters its ONE-ROW
-    // corpus token total — all bounded by construction
+    // corpus token total; q_seasonal_profile its ONE-ROW global-mean
+    // aggregate — all bounded by construction
     val expectedCross = Set("q_cosine_topk", "q_ann_topk_int8", "q_dsir_weights",
-      "q_rfm", "q_target_encoding", "q_heavy_hitters",
+      "q_rfm", "q_target_encoding", "q_heavy_hitters", "q_seasonal_profile",
       "q_hll_merge", "q_retention_curve", "q_cooccur_lift", "q_npmi_collocations",
       "q_domain_shift", "q_knn_label_noise",
       "q_dedup_embedding",

@@ -163,6 +163,10 @@ object SparkEntry {
     "q_dq_audit" -> (RelQueries.dqAudit _),
     "q_target_encoding" -> (RelQueries.targetEncoding _),
     "q_heavy_hitters" -> (TextOps.heavyHitters _),
+    "q_corr_matrix" -> (RelQueries.corrMatrix _),
+    "q_seasonal_profile" -> (TimeSeries.seasonalProfile _),
+    "q_calibration" -> (VectorOps.qCalibration _),
+    "q_partition_audit" -> (graft.plans.Pruning.qPartitionAudit _),
     // §2.A reference (dist-keras) operator surface
     "q_minmax_scale" -> (VectorOps.qMinMaxScale _),
     "q_onehot" -> (VectorOps.qOneHot _),
@@ -1606,6 +1610,64 @@ object SparkEntry {
         s"CAST(cms_est <= n + ceil(2.0 * CAST(n_total AS DOUBLE) / $cmsWidth.0) AS INTEGER) AS within_bound " +
         "FROM est CROSS JOIN tot ORDER BY n_exact DESC, token"
     },
+    // correlation matrix: the one-pass DECIMAL power sums rebuilt in a
+    // CTE, each pair's cov/corr mirrored term for term
+    "q_corr_matrix" -> {
+      val vars = Seq("discount" -> "l_discount", "price" -> "l_extendedprice",
+        "quantity" -> "l_quantity", "tax" -> "l_tax")
+      def d4(c: String) = s"CAST($c AS DECIMAL(18,4))"
+      // width 19 operands force DuckDB's hugeint multiply path — the
+      // (18,4)x(18,4) int64 path overflows on price*price
+      def d19(c: String) = s"CAST($c AS DECIMAL(19,4))"
+      val sums = vars.map { case (nm, c) =>
+        s"CAST(SUM(${d4(c)}) AS DOUBLE) AS s_$nm" }
+      val prods = for {
+        i <- vars.indices; j <- i until vars.size
+      } yield s"CAST(SUM(CAST(${d19(vars(i)._2)} * ${d19(vars(j)._2)} AS DECIMAL(30,8))) AS DOUBLE) AS s_${vars(i)._1}_${vars(j)._1}"
+      def ss(a: String, b: String) = s"(s_${a}_$b - s_$a * s_$b / CAST(n AS DOUBLE))"
+      val branches = for {
+        i <- vars.indices; j <- (i + 1) until vars.size
+      } yield {
+        val (a, b) = (vars(i)._1, vars(j)._1)
+        s"SELECT '$a' AS var_a, '$b' AS var_b, n, " +
+          s"ROUND(${ss(a, b)} / CAST(n AS DOUBLE), 6) AS cov, " +
+          s"ROUND(${ss(a, b)} / sqrt(${ss(a, a)} * ${ss(b, b)}), 6) AS corr FROM s"
+      }
+      s"WITH s AS (SELECT COUNT(*) AS n, ${(sums ++ prods).mkString(", ")} FROM lineitem) " +
+        branches.mkString("", " UNION ALL ", " ORDER BY var_a, var_b")
+    },
+    // seasonality grid: ISO dow on both engines; DECIMAL value sums
+    "q_seasonal_profile" ->
+      ("WITH c AS (SELECT CAST(isodow(CAST(ts AS TIMESTAMP)) - 1 AS INTEGER) AS dow, CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hod, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sv FROM events GROUP BY dow, hod), " +
+        "g AS (SELECT CAST(SUM(sv) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS g_mean FROM c) " +
+        "SELECT dow, hod, n, ROUND(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_value, " +
+        "ROUND(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) - g_mean, 6) AS dev_from_global " +
+        "FROM c CROSS JOIN g ORDER BY dow, hod"),
+    // calibration: the q_eval_metrics scoring verbatim, then per-bin
+    // DECIMAL(18,6) prob sums (the rounded prob is exactly representable)
+    "q_calibration" -> {
+      val k = VectorOps.calibBins
+      s"WITH s AS (SELECT ROUND(1.0/(1.0+exp(-(${dotSql("embedding", wLit)} + ${VectorOps.demoBias}))), 6) AS p, CAST((list_position(embedding, list_max(embedding)) - 1) % 2 AS INTEGER) AS y FROM embeddings), " +
+        s"b AS (SELECT CAST(least(floor(p * $k), ${k - 1}) AS INTEGER) AS bin, p, y FROM s), " +
+        "a AS (SELECT bin, COUNT(*) AS n, SUM(CAST(p AS DECIMAL(18,6))) AS sp, CAST(SUM(y) AS BIGINT) AS sy FROM b GROUP BY bin) " +
+        "SELECT bin, n, ROUND(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_p, " +
+        "ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos, " +
+        "ROUND(abs(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS gap " +
+        "FROM a ORDER BY bin"
+    },
+    // partition audit: per-candidate keyed count then a one-row summary
+    "q_partition_audit" ->
+      ("WITH a1 AS (SELECT COUNT(*) AS n_partitions, CAST(SUM(c) AS BIGINT) AS n_rows, CAST(MAX(c) AS BIGINT) AS max_rows FROM (SELECT CAST(o_orderdate AS DATE) AS k, COUNT(*) AS c FROM orders GROUP BY k)), " +
+        "a2 AS (SELECT COUNT(*) AS n_partitions, CAST(SUM(c) AS BIGINT) AS n_rows, CAST(MAX(c) AS BIGINT) AS max_rows FROM (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS k, COUNT(*) AS c FROM events GROUP BY k)), " +
+        "a3 AS (SELECT COUNT(*) AS n_partitions, CAST(SUM(c) AS BIGINT) AS n_rows, CAST(MAX(c) AS BIGINT) AS max_rows FROM (SELECT event_type AS k, COUNT(*) AS c FROM events GROUP BY k)), " +
+        "a4 AS (SELECT COUNT(*) AS n_partitions, CAST(SUM(c) AS BIGINT) AS n_rows, CAST(MAX(c) AS BIGINT) AS max_rows FROM (SELECT CAST(l_shipdate AS DATE) AS k, COUNT(*) AS c FROM lineitem GROUP BY k)), " +
+        "u AS (SELECT 'orders' AS table_name, 'o_orderdate_day' AS candidate, * FROM a1 " +
+        "UNION ALL SELECT 'events', 'event_day', * FROM a2 " +
+        "UNION ALL SELECT 'events', 'event_type', * FROM a3 " +
+        "UNION ALL SELECT 'lineitem', 'l_shipdate_day', * FROM a4) " +
+        "SELECT table_name, candidate, n_partitions, n_rows, max_rows, " +
+        "ROUND(CAST(max_rows AS DOUBLE) / (CAST(n_rows AS DOUBLE) / CAST(n_partitions AS DOUBLE)), 6) AS skew " +
+        "FROM u ORDER BY table_name, candidate"),
     // soft dedup: weight = 1/cluster_size, exact BIGINT then ROUND(,6)
     "q_soft_dedup" ->
       ("WITH d AS (SELECT doc_id, md5(text) AS h FROM documents), " +

@@ -65,4 +65,42 @@ object Pruning {
         col("mn"), col("mx"), col("status"))
       .orderBy("layout", "file_id")
   }
+
+  /** q_partition_audit — partition-key candidate screening: for each
+    * candidate partitioning column, the numbers that decide whether
+    * `PARTITIONED BY (candidate)` survives at 100 TB — distinct
+    * partition count (too low → partitions bigger than an executor;
+    * too high → the small-file problem and a metastore-sized listing),
+    * rows in the largest partition, and the max/avg skew ratio (a hot
+    * partition serializes every downstream scan and straggles every
+    * shuffle that aligns with the key). The measurement behind the
+    * layout choices the rest of this repo ASSERTS (q_join_bucketed's
+    * bucket count, q_zorder_layout's cluster key, q_manifest_prune's
+    * ROI): partitioning decisions should be read off a profile, not
+    * guessed.
+    *
+    * Scale shape: one map-side-combined (candidate-key) count per
+    * candidate — the shuffle carries one narrow row per distinct key —
+    * then a one-row summary agg per candidate; the union is
+    * |candidates| rows. Nothing touches payloads. */
+  def qPartitionAudit(spark: SparkSession, dir: String): DataFrame = {
+    def audit(table: String, candidate: String, keyed: DataFrame): DataFrame =
+      keyed.groupBy(col("k")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_partitions"), sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_rows"))
+        .select(lit(table).as("table_name"), lit(candidate).as("candidate"),
+          col("n_partitions"), col("n_rows"), col("max_rows"),
+          round(col("max_rows").cast("double") /
+            (col("n_rows").cast("double") / col("n_partitions").cast("double")), 6)
+            .as("skew"))
+    audit("orders", "o_orderdate_day",
+        Tables.orders(spark, dir).select(col("o_orderdate").cast("date").as("k")))
+      .unionAll(audit("events", "event_day",
+        Tables.events(spark, dir).select(col("ts").cast("date").as("k"))))
+      .unionAll(audit("events", "event_type",
+        Tables.events(spark, dir).select(col("event_type").as("k"))))
+      .unionAll(audit("lineitem", "l_shipdate_day",
+        Tables.lineitem(spark, dir).select(col("l_shipdate").cast("date").as("k"))))
+      .orderBy("table_name", "candidate")
+  }
 }

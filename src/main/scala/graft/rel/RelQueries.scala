@@ -1333,6 +1333,49 @@ object RelQueries {
       .orderBy("check_name")
   }
 
+  /** q_corr_matrix — the pairwise Pearson correlation matrix over the
+    * lineitem measures (quantity, price, discount, tax): the feature-
+    * correlation screen run before training (collinear features waste
+    * model capacity and destabilize linear fits) and the
+    * multi-variable generalization of q_stats_moments' single grouped
+    * pair. All 4 variable sums, 4 squares, and 6 cross products are
+    * computed in ONE map-side-combined aggregate pass as exact DECIMAL
+    * power sums (the established device: addition order cannot wiggle
+    * them); the 6 output rows are then EXPLODED from a literal struct
+    * array over the one-row sums frame — no per-pair rescan, no union
+    * of six aggregate subtrees. At 100 TB this is one corpus pass
+    * shuffling a single 15-column row. */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val vars = Seq(
+      "discount" -> dec4(col("l_discount")),
+      "price" -> dec4(col("l_extendedprice")),
+      "quantity" -> dec4(col("l_quantity")),
+      "tax" -> dec4(col("l_tax")))
+    def prod(a: Column, b: Column): Column = (a * b).cast(DecimalType(30, 8))
+    val sumAggs = vars.map { case (nm, c) => sum(c).cast("double").as(s"s_$nm") }
+    val prodAggs = for {
+      i <- vars.indices; j <- i until vars.size
+    } yield sum(prod(vars(i)._2, vars(j)._2)).cast("double")
+      .as(s"s_${vars(i)._1}_${vars(j)._1}")
+    val aggs = (count(lit(1)).as("n") +: sumAggs) ++ prodAggs
+    val sums = Tables.lineitem(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val nd = col("n").cast("double")
+    def ss(a: String, b: String): Column =
+      col(s"s_${a}_$b") - col(s"s_$a") * col(s"s_$b") / nd
+    val pairs = for {
+      i <- vars.indices; j <- (i + 1) until vars.size
+    } yield {
+      val (a, b) = (vars(i)._1, vars(j)._1)
+      struct(lit(a).as("var_a"), lit(b).as("var_b"),
+        round(ss(a, b) / nd, 6).as("cov"),
+        round(ss(a, b) / sqrt(ss(a, a) * ss(b, b)), 6).as("corr"))
+    }
+    sums.select(col("n"), explode(array(pairs: _*)).as("p"))
+      .select(col("p.var_a").as("var_a"), col("p.var_b").as("var_b"),
+        col("n"), col("p.cov").as("cov"), col("p.corr").as("corr"))
+      .orderBy("var_a", "var_b")
+  }
+
   /** Smoothing pseudo-count for [[targetEncoding]] (the m in the
     * empirical-Bayes shrinkage toward the global prior). */
   val teSmoothing = 10.0

@@ -459,4 +459,32 @@ object TimeSeries {
         (pow(se2a, 2) / (col("n_a").cast("double") - 1) +
           pow(se2b, 2) / (col("n_b").cast("double") - 1)), 6).as("welch_df"))
   }
+
+  /** q_seasonal_profile — the (day-of-week × hour-of-day) seasonality
+    * grid over events: per cell, event count, mean value, and the
+    * deviation from the corpus-wide mean — the decomposition that
+    * separates "traffic is always low at 4am Sunday" from a genuine
+    * anomaly, and the baseline q_anomaly_zscore/q_cusum should be read
+    * against. dow is ISO (0 = Monday … 6 = Sunday) on both engines.
+    *
+    * Scale shape: one map-side-combined aggregate collapses the corpus
+    * to ≤ 168 cells; the global mean is derived FROM those cells (a
+    * second tiny agg) and crossed back as a one-row broadcast. Value
+    * sums are DECIMAL-exact before the final double divisions. */
+  def seasonalProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(((dayofweek(col("ts")) + 5) % 7).as("dow"),
+        hour(col("ts")).as("hod"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+      .groupBy(col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val g = cells.agg(
+      (sum(col("sv")).cast("double") / sum(col("n")).cast("double")).as("g_mean"))
+    val mean = col("sv").cast("double") / col("n").cast("double")
+    cells.crossJoin(broadcast(g))
+      .select(col("dow"), col("hod"), col("n"),
+        round(mean, 6).as("mean_value"),
+        round(mean - col("g_mean"), 6).as("dev_from_global"))
+      .orderBy("dow", "hod")
+  }
 }

@@ -328,4 +328,43 @@ object VectorOps {
       .groupBy(col("label"), (col("pos") + 1).as("idx"))
       .agg(round(avg(col("v").cast("double")), 6).as("avg_v"))
       .orderBy("label", "idx")
+
+  /** Calibration bins (equal-width over [0, 1]). */
+  val calibBins = 10
+
+  /** q_calibration — the reliability diagram behind [[qEvalMetrics]]'s
+    * AUC: scores bucketed into [[calibBins]] equal-width bins, each
+    * bin reporting its size, mean predicted probability, observed
+    * positive rate, and the |gap| between them (the per-bin term of
+    * expected calibration error). AUC measures RANKING; this measures
+    * whether 0.8 MEANS 80% — the property a downstream filter
+    * thresholding on model scores (quality gates, q_knn_label_noise
+    * adjudication) actually depends on. Same deterministic scoring as
+    * q_eval_metrics: prob = sigmoid(linear demo model) rounded to
+    * 6 dp, label = argmax(embedding) mod 2.
+    *
+    * Scale shape: per-row codegen scoring, then ONE map-side-combined
+    * aggregate into ≤ [[calibBins]] rows; probability sums are
+    * DECIMAL(18,6)-exact (the rounded prob is exactly representable)
+    * before the final double divisions. */
+  def qCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val margin = dotLit(col("embedding"), demoWeights) + lit(demoBias)
+    val scored = Tables.embeddings(spark, dir).select(
+      round(lit(1.0) / (lit(1.0) + exp(-margin)), 6).as("p"),
+      (argMax(col("embedding")) % 2).cast("int").as("y"))
+    val nd = col("n").cast("double")
+    scored
+      .select(least(floor(col("p") * calibBins), lit((calibBins - 1).toDouble))
+        .cast("int").as("bin"), col("p"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p").cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("sp"),
+        sum(col("y").cast("long")).as("sy"))
+      .select(col("bin"), col("n"),
+        round(col("sp").cast("double") / nd, 6).as("mean_p"),
+        round(col("sy").cast("double") / nd, 6).as("frac_pos"),
+        round(abs(col("sp").cast("double") / nd - col("sy").cast("double") / nd), 6)
+          .as("gap"))
+      .orderBy("bin")
+  }
 }

@@ -36,4 +36,22 @@ class PruningSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("partition audit accounts for every row and ranks candidates sanely") {
+    val out = plans.Pruning.qPartitionAudit(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size == 4)
+    out.values.foreach { r =>
+      assert(r.getAs[Double]("skew") >= 1.0 - 1e-9, "max >= avg by definition")
+      assert(r.getAs[Long]("max_rows") * r.getAs[Long]("n_partitions") >=
+        r.getAs[Long]("n_rows"), "max * parts bounds the total")
+    }
+    assert(out(("orders", "o_orderdate_day")).getAs[Long]("n_rows") ==
+      Tables.orders(spark, sfDir).count())
+    assert(out(("events", "event_type")).getAs[Long]("n_partitions") ==
+      Tables.events(spark, sfDir).select("event_type").distinct().count())
+    // a day key yields far more partitions than the low-cardinality type
+    assert(out(("events", "event_day")).getAs[Long]("n_partitions") >
+      out(("events", "event_type")).getAs[Long]("n_partitions"))
+  }
 }

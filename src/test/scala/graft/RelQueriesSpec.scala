@@ -478,6 +478,21 @@ class RelQueriesSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("corr matrix agrees with Spark's built-in corr on every pair") {
+    val out = rel.RelQueries.corrMatrix(spark, sfDir).collect()
+    assert(out.length == 6)
+    val cols = Map("discount" -> "l_discount", "price" -> "l_extendedprice",
+      "quantity" -> "l_quantity", "tax" -> "l_tax")
+    val li = Tables.lineitem(spark, sfDir)
+    out.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val c = r.getAs[Double]("corr")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      val ref = li.agg(corr(col(cols(a)), col(cols(b)))).head().getDouble(0)
+      assert(math.abs(c - ref) < 1e-5, s"corr($a,$b)=$c vs built-in $ref")
+    }
+  }
+
   test("cooccur lift agrees with independence algebra on margins") {
     val out = rel.RelQueries.cooccurLift(spark, sfDir).cache()
     try {

@@ -243,4 +243,18 @@ class TimeSeriesSpec extends SparkSpec {
     val lo = math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")).toDouble - 1
     assert(df >= lo - 1e-6 && df <= (nEvents - 2).toDouble + 1e-6, s"df=$df out of range")
   }
+
+  test("seasonal profile covers every event and deviations average out") {
+    val out = TimeSeries.seasonalProfile(spark, sfDir).collect()
+    assert(out.length <= 168)
+    assert(out.map(_.getAs[Long]("n")).sum == Tables.events(spark, sfDir).count())
+    out.foreach { r =>
+      val (dow, hod) = (r.getAs[Int]("dow"), r.getAs[Int]("hod"))
+      assert(dow >= 0 && dow <= 6 && hod >= 0 && hod <= 23)
+    }
+    // count-weighted mean deviation is ~0 by construction of the grid
+    val wdev = out.map(r => r.getAs[Long]("n") * r.getAs[Double]("dev_from_global")).sum
+    val n = out.map(_.getAs[Long]("n")).sum
+    assert(math.abs(wdev / n) < 1e-5, s"weighted mean dev ${wdev / n}")
+  }
 }

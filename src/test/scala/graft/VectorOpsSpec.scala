@@ -241,4 +241,21 @@ class VectorOpsSpec extends SparkSpec {
       .groupBy("label").count().as[(Int, Long)].collect()
     assert(counts.nonEmpty && counts.forall(_._2 == 64L))
   }
+
+  test("calibration bins cover every row and the gap reconciles") {
+    val out = VectorOps.qCalibration(spark, sfDir).collect()
+    assert(out.map(_.getAs[Long]("n")).sum ==
+      Tables.embeddings(spark, sfDir).count())
+    out.foreach { r =>
+      val bin = r.getAs[Int]("bin")
+      assert(bin >= 0 && bin < VectorOps.calibBins)
+      val (mp, fp, gap) = (r.getAs[Double]("mean_p"),
+        r.getAs[Double]("frac_pos"), r.getAs[Double]("gap"))
+      assert(math.abs(gap - math.abs(mp - fp)) < 2e-6, s"gap $gap vs |$mp-$fp|")
+      assert(fp >= 0.0 && fp <= 1.0)
+      // mean predicted prob must sit inside (or within rounding of)
+      // its own bin's range — the binning is consistent with the score
+      assert(mp >= bin / 10.0 - 1e-6 && mp <= (bin + 1) / 10.0 + 1e-6)
+    }
+  }
 }
