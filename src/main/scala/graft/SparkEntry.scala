@@ -167,6 +167,10 @@ object SparkEntry {
     "q_seasonal_profile" -> (TimeSeries.seasonalProfile _),
     "q_calibration" -> (VectorOps.qCalibration _),
     "q_partition_audit" -> (graft.plans.Pruning.qPartitionAudit _),
+    "q_ema_smoothing" -> (TimeSeries.emaSmoothing _),
+    "q_benford" -> (RelQueries.benford _),
+    "q_bootstrap_se" -> (text.Sampling.qBootstrapSe _),
+    "q_psi" -> (TextOps.qPsi _),
     // §2.A reference (dist-keras) operator surface
     "q_minmax_scale" -> (VectorOps.qMinMaxScale _),
     "q_onehot" -> (VectorOps.qOneHot _),
@@ -1654,6 +1658,68 @@ object SparkEntry {
         "ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos, " +
         "ROUND(abs(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS gap " +
         "FROM a ORDER BY bin"
+    },
+    // EMA: the truncated kernel as lag() reads; Scala-computed weight
+    // doubles interpolated verbatim, the weighted chain left-assoc on
+    // both engines
+    "q_ema_smoothing" -> {
+      import rel.TimeSeries.{emaAlpha, emaLags}
+      val wts = (0 until emaLags).map(k => math.pow(emaAlpha, k))
+      val over = "OVER (PARTITION BY user_id ORDER BY tss, event_id)"
+      def lagK(k: Int) = if (k == 0) "value" else s"lag(value, $k) $over"
+      val num = (0 until emaLags)
+        .map(k => s"COALESCE(${wts(k)} * ${lagK(k)}, 0.0)").mkString(" + ")
+      val den = (0 until emaLags)
+        .map(k => s"CASE WHEN ${lagK(k)} IS NULL THEN 0.0 ELSE ${wts(k)} END")
+        .mkString(" + ")
+      "WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tss, value FROM events) " +
+        s"SELECT user_id, event_id, value, ROUND(($num) / ($den), 6) AS ema " +
+        "FROM e ORDER BY user_id, event_id"
+    },
+    // Benford: digit read from the canonical DECIMAL string; chi2 from
+    // the ROUNDED frequencies so both engines compute identical terms
+    "q_benford" -> {
+      val obs = "ROUND(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 6)"
+      val exp = "ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)"
+      "WITH d AS (SELECT TRY_CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM orders), " +
+        "g AS (SELECT digit, COUNT(*) AS n FROM d WHERE digit BETWEEN 1 AND 9 GROUP BY digit), " +
+        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM g) " +
+        s"SELECT digit, n, $obs AS obs_freq, $exp AS benford_freq, " +
+        s"ROUND(CAST(n_total AS DOUBLE) * ($obs - $exp) * ($obs - $exp) / $exp, 6) AS chi2_term " +
+        "FROM g CROSS JOIN t ORDER BY digit"
+    },
+    // Poisson bootstrap: integer thresholds on the integer hash uniform
+    // (no floats in the weights); replicate means ROUND(,9)->DECIMAL;
+    // width-19 cast forces the hugeint multiply path for m*m
+    "q_bootstrap_se" -> {
+      import text.Sampling.{bootReps, poissonCuts}
+      val wCase = "CASE " + poissonCuts.zipWithIndex
+        .map { case (c, k) => s"WHEN u < $c THEN $k" }
+        .mkString(" ") + s" ELSE ${poissonCuts.size} END"
+      s"WITH r AS (SELECT doc_id, source, n_chars, UNNEST(range(0, $bootReps)) AS rep FROM documents), " +
+        s"w AS (SELECT source, rep, n_chars, $wCase AS w FROM (SELECT source, rep, n_chars, (${hex60Sql("md5('boot' || CAST(rep AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))")}) % 1000000 AS u FROM r)), " +
+        "m AS (SELECT source, rep, CAST(ROUND(CAST(SUM(w * n_chars) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 9) AS DECIMAL(18,9)) AS m FROM w GROUP BY source, rep), " +
+        "e AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sx FROM documents GROUP BY source), " +
+        "s AS (SELECT source, CAST(SUM(m) AS DOUBLE) AS sm, CAST(SUM(CAST(CAST(m AS DECIMAL(19,9)) * CAST(m AS DECIMAL(19,9)) AS DECIMAL(38,18))) AS DOUBLE) AS smm FROM m GROUP BY source) " +
+        s"SELECT s.source, n_docs, ROUND(CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS mean_chars, " +
+        s"ROUND(sqrt((smm - sm * sm / $bootReps.0) / ($bootReps.0 - 1.0)), 6) AS boot_se " +
+        "FROM s JOIN e ON e.source = s.source ORDER BY s.source"
+    },
+    // PSI: the q_split_assign md5 cut, fixed bin spine, add-0.5
+    // smoothing; terms ROUND(,9)->DECIMAL so the total is order-proof
+    "q_psi" -> {
+      import text.TextOps.{psiBins, psiBinWidth}
+      val c80 = text.Sampling.cutHex(0.8)
+      val c90 = text.Sampling.cutHex(0.9)
+      val pT = s"(CAST(n_train AS DOUBLE) + 0.5) / (CAST(nt AS DOUBLE) + ${0.5 * psiBins})"
+      val pV = s"(CAST(n_val AS DOUBLE) + 0.5) / (CAST(nv AS DOUBLE) + ${0.5 * psiBins})"
+      s"WITH d AS (SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '$c80' THEN 'train' WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '$c90' THEN 'val' ELSE 'test' END AS split, CAST(least(floor(length(text) / $psiBinWidth), ${psiBins - 1}) AS INTEGER) AS bin FROM documents), " +
+        "c AS (SELECT bin, CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train, CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val FROM d WHERE split IN ('train', 'val') GROUP BY bin), " +
+        s"f AS (SELECT CAST(s.b AS INTEGER) AS bin, COALESCE(n_train, 0) AS n_train, COALESCE(n_val, 0) AS n_val FROM (SELECT UNNEST(range(0, $psiBins)) AS b) s LEFT JOIN c ON c.bin = s.b), " +
+        "t AS (SELECT CAST(SUM(n_train) AS BIGINT) AS nt, CAST(SUM(n_val) AS BIGINT) AS nv FROM f), " +
+        s"x AS (SELECT bin, n_train, n_val, ROUND($pT, 6) AS p_train, ROUND($pV, 6) AS p_val, CAST(ROUND(($pT - $pV) * ln(($pT) / ($pV)), 9) AS DECIMAL(18,9)) AS term FROM f CROSS JOIN t), " +
+        "g AS (SELECT ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi_total FROM x) " +
+        "SELECT bin, n_train, n_val, p_train, p_val, CAST(term AS DOUBLE) AS psi_term, psi_total FROM x CROSS JOIN g ORDER BY bin"
     },
     // partition audit: per-candidate keyed count then a one-row summary
     "q_partition_audit" ->

@@ -1333,6 +1333,37 @@ object RelQueries {
       .orderBy("check_name")
   }
 
+  /** q_benford — first-digit (Benford) audit over order totals: per
+    * leading digit 1–9, observed count and frequency vs the Benford
+    * expectation log10(1 + 1/d), with the chi-square contribution —
+    * the forensic-accounting screen for fabricated or truncated
+    * numeric columns (synthetic data rarely follows Benford, and the
+    * audit SHOWS that rather than assuming it). The digit is read from
+    * the DECIMAL(18,2) string form — both engines print the same
+    * canonical decimal, where log10/pow on the raw double would be
+    * last-ulp fragile.
+    *
+    * Scale shape: one per-row codegen digit extraction into a
+    * map-side-combined 9-row aggregate; the total is derived from
+    * those 9 rows and crossed back as a one-row broadcast. The
+    * chi-square terms are computed from the ROUNDED frequencies so
+    * the arithmetic is engine-identical. */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.orders(spark, dir)
+      .select(substring(dec(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .filter(col("digit").between(1, 9))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("n_total"))
+    val obs = round(col("n").cast("double") / col("n_total").cast("double"), 6)
+    val exp = round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"), obs.as("obs_freq"), exp.as("benford_freq"),
+        round(col("n_total").cast("double") * (obs - exp) * (obs - exp) / exp, 6)
+          .as("chi2_term"))
+      .orderBy("digit")
+  }
+
   /** q_corr_matrix — the pairwise Pearson correlation matrix over the
     * lineitem measures (quantity, price, discount, tax): the feature-
     * correlation screen run before training (collinear features waste

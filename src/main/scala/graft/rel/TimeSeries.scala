@@ -471,6 +471,43 @@ object TimeSeries {
     * to ≤ 168 cells; the global mean is derived FROM those cells (a
     * second tiny agg) and crossed back as a one-row broadcast. Value
     * sums are DECIMAL-exact before the final double divisions. */
+  /** EMA decay factor and truncation length. 8 lags at 0.8 keep ~83%
+    * of the untruncated kernel mass (1 − 0.8⁸); the truncation is the
+    * price of an ORDER-FREE formulation — see below. */
+  val emaAlpha = 0.8
+  val emaLags = 8
+
+  /** q_ema_smoothing — truncated exponential moving average of each
+    * user's value stream: ema_t = Σₖ aᵏ·v_{t−k} / Σₖ aᵏ over the last
+    * [[emaLags]] events (k over present lags only, so early rows
+    * renormalize instead of biasing toward 0). The classic recursive
+    * EMA is a SEQUENTIAL fold (each row needs the previous row's
+    * result — a one-partition scan at 100 TB); the truncated kernel
+    * re-expresses it as [[emaLags]] independent lag() reads inside ONE
+    * keyed window sort, fully parallel across users. The smoothing
+    * baseline q_anomaly_zscore-style detectors subtract.
+    *
+    * Determinism: the weights aᵏ are Scala-computed doubles whose
+    * shortest-round-trip decimal forms are interpolated into the
+    * oracle, and the weighted sum folds left in the same literal order
+    * on both engines; v is 2-dp-exact money-class doubles. */
+  def emaSmoothing(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val weights = (0 until emaLags).map(k => math.pow(emaAlpha, k))
+    val terms = (0 until emaLags).map { k =>
+      val v = if (k == 0) col("value") else lag(col("value"), k).over(w)
+      (coalesce(lit(weights(k)) * v, lit(0.0)),
+        when(v.isNull, lit(0.0)).otherwise(lit(weights(k))))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("ema", round(num / den, 6))
+      .select(col("user_id"), col("event_id"), col("value"), col("ema"))
+      .orderBy("user_id", "event_id")
+  }
+
   def seasonalProfile(spark: SparkSession, dir: String): DataFrame = {
     val cells = Tables.events(spark, dir)
       .select(((dayofweek(col("ts")) + 5) % 7).as("dow"),

@@ -357,4 +357,63 @@ object Sampling {
       .agg(count(lit(1)).as("n"),
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
       .orderBy("split", "lang")
+
+  /** Bootstrap replicate count. */
+  val bootReps = 8
+  /** Poisson(1) CDF cut points scaled to the 10⁶-resolution hash
+    * uniform — ⌊CDF(k)·10⁶⌋ for k = 0..5 (k = 6 is the ELSE arm).
+    * Integer thresholds on an integer uniform: the replicate weights
+    * involve NO floating point at all. */
+  val poissonCuts: Seq[Int] = Seq(367879, 735758, 919698, 981011, 996340, 999405)
+
+  /** q_bootstrap_se — Poisson-bootstrap standard errors: the per-source
+    * mean document length with an 8-replicate bootstrap SE, computed in
+    * ONE pass. Classical bootstrap resampling (draw n rows with
+    * replacement, B times) is unrunnable at 100 TB; the Poisson
+    * approximation gives every row an independent Poisson(1) weight
+    * per replicate — here hash-derived, so the "randomness" is
+    * content-addressed and reproducible across runs, engines, and
+    * partitionings (the whole point of this module). The uncertainty
+    * readout every point estimate in this repo (means, rates, drift
+    * scores) should be published with.
+    *
+    * Scale shape: the corpus-linear work is one explode(×[[bootReps]])
+    * of a narrow (source, n_chars, weight) stream into a map-side-
+    * combined (source, rep) aggregate of exact BIGINT sums; replicate
+    * means are ROUND(,9)→DECIMAL so the 8-row fold per source is
+    * addition-order-proof; everything after runs on ≤ |sources|·8
+    * rows. */
+  def qBootstrapSe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val u = pmod(TextOps.baseHash60(
+      concat(lit("boot"), col("rep").cast("string"), lit(":"),
+        col("doc_id").cast("string"))), lit(1000000L))
+    val wCase = poissonCuts.zipWithIndex.foldRight(lit(poissonCuts.size)) {
+      case ((cut, k), elseCol) => when(u < cut, lit(k)).otherwise(elseCol)
+    }
+    val reps = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        explode(sequence(lit(0), lit(bootReps - 1))).as("rep"))
+      .select(col("source"), col("rep"), col("n_chars"), wCase.as("w"))
+      .groupBy(col("source"), col("rep"))
+      .agg(sum(col("w").cast("long")).as("sw"),
+        sum((col("w") * col("n_chars")).cast("long")).as("swx"))
+      .select(col("source"),
+        round(col("swx").cast("double") / col("sw").cast("double"), 9)
+          .cast(DecimalType(18, 9)).as("m"))
+    val exact = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars").cast("long")).as("sx"))
+    val nb = lit(bootReps.toDouble)
+    reps.groupBy(col("source"))
+      .agg(sum(col("m")).cast("double").as("sm"),
+        sum((col("m") * col("m")).cast(DecimalType(38, 18))).cast("double").as("smm"))
+      .join(exact, "source")
+      .select(col("source"), col("n_docs"),
+        round(col("sx").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_chars"),
+        round(sqrt((col("smm") - col("sm") * col("sm") / nb) / (nb - lit(1.0))), 6)
+          .as("boot_se"))
+      .orderBy("source")
+  }
 }

@@ -848,6 +848,57 @@ object TextOps {
   def qDomainShift(spark: SparkSession, dir: String): DataFrame =
     domainShift(Tables.documents(spark, dir)).orderBy("source")
 
+  /** PSI bins (equal-width over document length) and bin width. */
+  val psiBins = 10
+  val psiBinWidth = 64
+
+  /** q_psi — population stability index between the REAL train and val
+    * splits (the q_split_assign md5 cut) over document-length bins:
+    * per bin, both split counts, smoothed frequencies, and the PSI
+    * term (p_t − p_v)·ln(p_t/p_v), plus the total. The industry twin
+    * of q_domain_shift's KL — domain_shift asks "did a SOURCE change
+    * character between crawls", PSI asks "do my SPLITS still look like
+    * each other" (rule of thumb: > 0.2 = the split is stale or the
+    * assignment broke). Add-0.5 smoothing keeps empty bins finite on a
+    * fixed [[psiBins]]-bin spine so both engines pair every bin.
+    *
+    * Scale shape: one corpus pass ends at the ≤ 2·[[psiBins]]-cell
+    * conditional aggregate; the bin spine, split totals, and the
+    * DECIMAL-exact PSI total are all bounded broadcasts. */
+  def qPsi(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(
+        Sampling.splitAssign(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"),
+        least(floor(length(col("text")) / psiBinWidth), lit((psiBins - 1).toLong))
+          .cast("int").as("bin"))
+      .filter(col("split").isin("train", "val"))
+      .groupBy(col("bin"))
+      .agg(sum((col("split") === "train").cast("long")).as("n_train"),
+        sum((col("split") === "val").cast("long")).as("n_val"))
+    val spine = spark.range(psiBins).select(col("id").cast("int").as("bin"))
+    val filled = spine.join(broadcast(counts), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_train"), lit(0L)).as("n_train"),
+        coalesce(col("n_val"), lit(0L)).as("n_val"))
+    val totals = filled.agg(sum(col("n_train")).as("nt"), sum(col("n_val")).as("nv"))
+    val pT = (col("n_train").cast("double") + lit(0.5)) /
+      (col("nt").cast("double") + lit(0.5 * psiBins))
+    val pV = (col("n_val").cast("double") + lit(0.5)) /
+      (col("nv").cast("double") + lit(0.5 * psiBins))
+    val terms = filled.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_train"), col("n_val"),
+        round(pT, 6).as("p_train"), round(pV, 6).as("p_val"),
+        round((pT - pV) * log(pT / pV), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("term"))
+    val total = terms.agg(round(sum(col("term")).cast("double"), 6).as("psi_total"))
+    terms
+      .select(col("bin"), col("n_train"), col("n_val"), col("p_train"),
+        col("p_val"), col("term").cast("double").as("psi_term"))
+      .crossJoin(broadcast(total))
+      .orderBy("bin")
+  }
+
   // ------------------------------------------------------- PII scrubbing
 
   /** Portable PII regexes: plain character classes only — no

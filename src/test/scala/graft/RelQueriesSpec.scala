@@ -478,6 +478,22 @@ class RelQueriesSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("benford audit covers every order and frequencies reconcile") {
+    val out = rel.RelQueries.benford(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= 9)
+    assert(out.map(_.getAs[Long]("n")).sum ==
+      Tables.orders(spark, sfDir).count(), "every positive total has a digit")
+    val obsSum = out.map(_.getAs[Double]("obs_freq")).sum
+    assert(math.abs(obsSum - 1.0) < 1e-4, s"observed freqs sum to $obsSum")
+    out.foreach { r =>
+      val d = r.getAs[Int]("digit")
+      assert(d >= 1 && d <= 9)
+      assert(math.abs(r.getAs[Double]("benford_freq") -
+        math.log10(1.0 + 1.0 / d)) < 1e-5)
+      assert(r.getAs[Double]("chi2_term") >= 0.0)
+    }
+  }
+
   test("corr matrix agrees with Spark's built-in corr on every pair") {
     val out = rel.RelQueries.corrMatrix(spark, sfDir).collect()
     assert(out.length == 6)

@@ -211,4 +211,25 @@ class SamplingSpec extends SparkSpec {
     assert(sampleMean > corpusMean,
       s"sample mean $sampleMean not above corpus mean $corpusMean")
   }
+
+  test("bootstrap SE: point estimate exact, SE positive and plausibly scaled") {
+    val out = text.Sampling.qBootstrapSe(spark, sfDir).collect()
+    val srcStats = Tables.documents(spark, sfDir)
+      .groupBy("source").agg(count(lit(1)).as("n"), avg(col("n_chars")).as("m"),
+        stddev(col("n_chars")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(out.length == srcStats.size)
+    out.foreach { r =>
+      val (n, m, s) = srcStats(r.getString(0))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(math.abs(r.getAs[Double]("mean_chars") - m) < 1e-4)
+      val se = r.getAs[Double]("boot_se")
+      // the bootstrap SE estimates s/sqrt(n); with 8 replicates allow a
+      // wide band, but it must be positive and the right order of
+      // magnitude (not ~s, not ~s/n)
+      val ref = s / math.sqrt(n.toDouble)
+      assert(se > 0.0 && se > ref / 4 && se < ref * 4, s"se $se vs s/sqrt(n) $ref")
+    }
+  }
 }

@@ -971,6 +971,31 @@ class TextOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("psi terms are non-negative and bins account for both splits") {
+    val out = text.TextOps.qPsi(spark, sfDir).collect()
+    assert(out.length == text.TextOps.psiBins)
+    // (p-q)ln(p/q) >= 0 for every term, hence for the total
+    out.foreach { r =>
+      assert(r.getAs[Double]("psi_term") >= -1e-12)
+      assert(r.getAs[Double]("psi_total") >= 0.0)
+    }
+    val splits = Tables.documents(spark, sfDir)
+      .select(text.Sampling.splitAssign(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.map(_.getAs[Long]("n_train")).sum == splits("train"))
+    assert(out.map(_.getAs[Long]("n_val")).sum == splits("val"))
+    // identical-distribution sanity: both splits draw from one corpus,
+    // so PSI should sit near its small-sample bias, E[PSI] ≈
+    // (B−1)(1/n_train + 1/n_val) (the chi-square expectation — with a
+    // 50-doc val split that is ~0.2 all by itself, so the absolute 0.2
+    // rule of thumb only applies to production-sized splits)
+    val bias = (text.TextOps.psiBins - 1) *
+      (1.0 / splits("train") + 1.0 / splits("val"))
+    assert(out.head.getAs[Double]("psi_total") < bias * 3,
+      s"psi ${out.head.getAs[Double]("psi_total")} vs bias $bias")
+  }
+
   test("CMS heavy hitters: both sketch guarantees hold and the sketch bites") {
     val out = text.TextOps.heavyHitters(spark, sfDir).collect()
     assert(out.length == text.TextOps.hhTopK)

@@ -244,6 +244,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(df >= lo - 1e-6 && df <= (nEvents - 2).toDouble + 1e-6, s"df=$df out of range")
   }
 
+  test("ema matches a local truncated-kernel recompute for one user") {
+    val out = TimeSeries.emaSmoothing(spark, sfDir).cache()
+    try {
+      assert(out.count() == Tables.events(spark, sfDir).count())
+      val uid = out.select("user_id").head().getLong(0)
+      val rows = Tables.events(spark, sfDir).filter(col("user_id") === uid)
+        .select(unix_micros(col("ts").cast("timestamp")), col("event_id"), col("value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(r => (r._1, r._2))
+      val a = TimeSeries.emaAlpha
+      val expect = rows.indices.map { t =>
+        val ks = (0 until TimeSeries.emaLags).filter(_ <= t)
+        val num = ks.map(k => math.pow(a, k) * rows(t - k)._3).sum
+        val den = ks.map(k => math.pow(a, k)).sum
+        rows(t)._2 -> num / den
+      }.toMap
+      val got = out.filter(col("user_id") === uid)
+        .select("event_id", "ema").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // first event's EMA is its own value
+      assert(math.abs(got(rows.head._2) - rows.head._3) < 1e-6)
+      expect.foreach { case (eid, e) =>
+        assert(math.abs(got(eid) - e) < 1e-5, s"event $eid: ${got(eid)} vs $e") }
+    } finally out.unpersist()
+  }
+
   test("seasonal profile covers every event and deviations average out") {
     val out = TimeSeries.seasonalProfile(spark, sfDir).collect()
     assert(out.length <= 168)
