@@ -171,6 +171,10 @@ object SparkEntry {
     "q_benford" -> (RelQueries.benford _),
     "q_bootstrap_se" -> (text.Sampling.qBootstrapSe _),
     "q_psi" -> (TextOps.qPsi _),
+    "q_mutual_info" -> (RelQueries.mutualInfo _),
+    "q_dp_counts" -> (RelQueries.dpCounts _),
+    "q_gains_curve" -> (VectorOps.qGainsCurve _),
+    "q_vocab_growth" -> (TextOps.qVocabGrowth _),
     // §2.A reference (dist-keras) operator surface
     "q_minmax_scale" -> (VectorOps.qMinMaxScale _),
     "q_onehot" -> (VectorOps.qOneHot _),
@@ -1720,6 +1724,51 @@ object SparkEntry {
         s"x AS (SELECT bin, n_train, n_val, ROUND($pT, 6) AS p_train, ROUND($pV, 6) AS p_val, CAST(ROUND(($pT - $pV) * ln(($pT) / ($pV)), 9) AS DECIMAL(18,9)) AS term FROM f CROSS JOIN t), " +
         "g AS (SELECT ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi_total FROM x) " +
         "SELECT bin, n_train, n_val, p_train, p_val, CAST(term AS DOUBLE) AS psi_term, psi_total FROM x CROSS JOIN g ORDER BY bin"
+    },
+    // mutual information: the contingency grid rebuilt verbatim, PMI
+    // terms ROUND(,9)->DECIMAL so the MI total is order-proof
+    "q_mutual_info" -> {
+      import rel.RelQueries.{miBinWidth, miBins}
+      val pmi = "ln(CAST(n_xy AS DOUBLE) * CAST(n_total AS DOUBLE) / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)))"
+      s"WITH g AS (SELECT o_orderpriority AS x, CAST(least(floor(o_totalprice / $miBinWidth), ${miBins - 1}) AS INTEGER) AS y, COUNT(*) AS n_xy FROM orders GROUP BY x, y), " +
+        "mx AS (SELECT x, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM g GROUP BY x), " +
+        "my AS (SELECT y, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM g GROUP BY y), " +
+        "t AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n_total FROM g), " +
+        s"cells AS (SELECT g.x, g.y, n_xy, ROUND($pmi, 6) AS pmi, CAST(ROUND((CAST(n_xy AS DOUBLE) / CAST(n_total AS DOUBLE)) * $pmi, 9) AS DECIMAL(18,9)) AS term FROM g JOIN mx ON mx.x = g.x JOIN my ON my.y = g.y CROSS JOIN t), " +
+        "s AS (SELECT ROUND(CAST(SUM(term) AS DOUBLE), 6) AS mi_total FROM cells) " +
+        "SELECT x, y, n_xy, pmi, CAST(term AS DOUBLE) AS mi_term, mi_total FROM cells CROSS JOIN s ORDER BY x, y"
+    },
+    // DP counts: hash-uniform inverse-CDF Laplace noise, ln ROUND-pinned
+    "q_dp_counts" -> {
+      val b = 1.0 / rel.RelQueries.dpEps
+      val noise = s"-$b * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))"
+      "WITH c AS (SELECT c_nationkey, COUNT(*) AS n_true FROM customer GROUP BY c_nationkey), " +
+        s"n AS (SELECT c_nationkey, n_true, (CAST((${hex60Sql("md5('dp:' || CAST(c_nationkey AS VARCHAR))")}) % 1000000 AS DOUBLE) + 0.5) / 1000000.0 AS u FROM c) " +
+        s"SELECT c_nationkey, n_true, ROUND($noise, 6) AS noise, " +
+        s"ROUND(CAST(n_true AS DOUBLE) + $noise, 6) AS n_noisy " +
+        "FROM n ORDER BY c_nationkey"
+    },
+    // gains curve: the calibration scoring + a total decile rank and a
+    // 10-row cumulative window
+    "q_gains_curve" ->
+      (s"WITH s AS (SELECT vec_id, ROUND(1.0/(1.0+exp(-(${dotSql("embedding", wLit)} + ${VectorOps.demoBias}))), 6) AS p, CAST((list_position(embedding, list_max(embedding)) - 1) % 2 AS INTEGER) AS y FROM embeddings), " +
+        "d AS (SELECT CAST(NTILE(10) OVER (ORDER BY p DESC, vec_id) AS INTEGER) AS decile, y FROM s), " +
+        "a AS (SELECT decile, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos FROM d GROUP BY decile), " +
+        "c AS (SELECT decile, n, n_pos, CAST(SUM(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / CAST(SUM(n_pos) OVER () AS DOUBLE) AS capture FROM a) " +
+        "SELECT decile, n, n_pos, ROUND(capture, 6) AS cum_capture, " +
+        "ROUND(capture / (CAST(decile AS DOUBLE) / 10.0), 6) AS lift FROM c ORDER BY decile"),
+    // vocab growth: first-appearance min-agg + 10-row cumulative sums
+    "q_vocab_growth" -> {
+      val vb = text.TextOps.vocabBuckets
+      s"WITH tk AS (SELECT CAST((${hex60Sql("md5('vg:' || CAST(doc_id AS VARCHAR))")}) % $vb AS INTEGER) AS hb, UNNEST(string_split(lower(text), ' ')) AS t FROM documents), " +
+        "tk2 AS (SELECT hb, t FROM tk WHERE t <> ''), " +
+        "pt AS (SELECT t, MIN(hb) AS first_hb FROM tk2 GROUP BY t), " +
+        "tb AS (SELECT hb, COUNT(*) AS n_tokens FROM tk2 GROUP BY hb), " +
+        "nb AS (SELECT first_hb AS hb, COUNT(*) AS n_new_vocab FROM pt GROUP BY first_hb), " +
+        "f AS (SELECT tb.hb, n_tokens, COALESCE(n_new_vocab, 0) AS n_new_vocab FROM tb LEFT JOIN nb ON nb.hb = tb.hb), " +
+        "c AS (SELECT hb, n_tokens, n_new_vocab, CAST(SUM(n_tokens) OVER (ORDER BY hb ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens, CAST(SUM(n_new_vocab) OVER (ORDER BY hb ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab FROM f) " +
+        "SELECT hb AS bucket, n_tokens, n_new_vocab, cum_tokens, cum_vocab, " +
+        "ROUND(ln(CAST(cum_vocab AS DOUBLE)) / ln(CAST(cum_tokens AS DOUBLE)), 6) AS heaps_beta FROM c ORDER BY bucket"
     },
     // partition audit: per-candidate keyed count then a one-row summary
     "q_partition_audit" ->

@@ -1333,6 +1333,87 @@ object RelQueries {
       .orderBy("check_name")
   }
 
+  /** Price-bin width for [[mutualInfo]]'s Y axis. */
+  val miBinWidth = 50000
+  val miBins = 10
+
+  /** q_mutual_info — mutual information between a categorical feature
+    * (order priority) and the binned target (total price): the
+    * dependence screen that catches what [[corrMatrix]] cannot —
+    * Pearson sees only LINEAR relations between numerics, MI sees any
+    * statistical dependence between any pair of discrete views, which
+    * is the feature-relevance question as a training pipeline actually
+    * asks it. Output: the full (x, y) contingency grid with per-cell
+    * PMI terms, plus the MI total.
+    *
+    * Scale shape: ONE map-side-combined aggregate collapses the corpus
+    * to the ≤ |X|·|Y| grid; margins and totals are derived FROM the
+    * grid (tiny re-aggs, broadcast back) — the corpus is scanned once.
+    * Terms are ROUND(,9)→DECIMAL so the grid fold is order-proof; empty
+    * cells contribute 0 by absence (the 0·ln0 convention). */
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("x"),
+        least(floor(col("o_totalprice") / miBinWidth), lit((miBins - 1).toLong))
+          .cast("int").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+    val mx = grid.groupBy(col("x")).agg(sum(col("n_xy")).as("n_x"))
+    val my = grid.groupBy(col("y")).agg(sum(col("n_xy")).as("n_y"))
+    val nT = grid.agg(sum(col("n_xy")).as("n_total"))
+    val nd = col("n_total").cast("double")
+    val pmi = log(col("n_xy").cast("double") * nd /
+      (col("n_x").cast("double") * col("n_y").cast("double")))
+    val terms = grid.join(broadcast(mx), "x").join(broadcast(my), "y")
+      .crossJoin(broadcast(nT))
+      .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
+        round(pmi, 6).as("pmi"),
+        round((col("n_xy").cast("double") / nd) * pmi, 9)
+          .cast(DecimalType(18, 9)).as("term"))
+    val total = terms.agg(round(sum(col("term")).cast("double"), 6).as("mi_total"))
+    terms
+      .select(col("x"), col("y"), col("n_xy"), col("pmi"),
+        col("term").cast("double").as("mi_term"))
+      .crossJoin(broadcast(total))
+      .orderBy("x", "y")
+  }
+
+  /** Laplace scale for [[dpCounts]] (b = 1/ε, ε = 0.5 per count,
+    * sensitivity 1). */
+  val dpEps = 0.5
+
+  /** q_dp_counts — differentially-private release counts: per-nation
+    * customer counts with Laplace(1/ε) noise whose "randomness" is
+    * hash-derived (the content-addressed determinism of the Sampling
+    * module: reproducible across runs, engines, partitionings — and
+    * oracle-checkable, which true randomness never is). The OTHER
+    * privacy gate next to [[kAnonymity]]: k-anonymity audits the
+    * quasi-identifier classes you keep, DP noise protects the
+    * aggregate counts you publish. The true count is emitted ONLY for
+    * the gate (the q_approx_distinct device) — a production release
+    * ships the noisy column alone.
+    *
+    * Scale shape: one map-side-combined keyed count, then per-row
+    * codegen noise — the inverse-CDF ln is the only transcendental,
+    * ROUND(,6)-pinned on both engines. */
+  def dpCounts(spark: SparkSession, dir: String): DataFrame = {
+    val b = 1.0 / dpEps
+    val counts = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_true"))
+    // u in (0,1): integer hash uniform at 1e-6 resolution, +0.5 offset
+    // keeps the inverse CDF off both singularities
+    val u = (pmod(graft.text.TextOps.baseHash60(
+        concat(lit("dp:"), col("c_nationkey").cast("string"))), lit(1000000L))
+      .cast("double") + lit(0.5)) / lit(1000000.0)
+    val centered = u - lit(0.5)
+    val noise = -lit(b) * signum(centered) *
+      log(lit(1.0) - lit(2.0) * abs(centered))
+    counts
+      .select(col("c_nationkey"), col("n_true"),
+        round(noise, 6).as("noise"),
+        round(col("n_true").cast("double") + noise, 6).as("n_noisy"))
+      .orderBy("c_nationkey")
+  }
+
   /** q_benford — first-digit (Benford) audit over order totals: per
     * leading digit 1–9, observed count and frequency vs the Benford
     * expectation log10(1 + 1/d), with the chi-square contribution —

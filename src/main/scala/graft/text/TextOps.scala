@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -897,6 +898,50 @@ object TextOps {
         col("p_val"), col("term").cast("double").as("psi_term"))
       .crossJoin(broadcast(total))
       .orderBy("bin")
+  }
+
+  /** Ingest-prefix buckets for [[qVocabGrowth]]. */
+  val vocabBuckets = 10
+
+  /** q_vocab_growth — Heaps'-law vocabulary growth curve: distinct
+    * vocabulary size after each tenth of the corpus (hash-order
+    * "ingest"), with cumulative token counts — the capacity-planning
+    * curve behind every vocabulary-keyed structure in this repo (CMS
+    * width, DSIR buckets, BPE merge tables): does vocab saturate or
+    * keep growing? The one-pass trick: a prefix-cumulative distinct
+    * needs no 10 rescans — each token's FIRST-appearance bucket is one
+    * min-aggregate over the vocab, and V(k) is then a 10-row
+    * cumulative sum of first-appearance counts.
+    *
+    * Scale shape: the corpus pass ends at the (token) min/count agg;
+    * everything after runs on ≤ |vocab| then ≤ [[vocabBuckets]] rows.
+    * Buckets are md5-derived (the snapshot-diff device), so "ingest
+    * order" is reproducible on both engines. */
+  def qVocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val hb = pmod(baseHash60(concat(lit("vg:"), col("doc_id").cast("string"))),
+      lit(vocabBuckets.toLong)).cast("int")
+    val tok = Tables.documents(spark, dir)
+      .select(hb.as("hb"), explode(tokens(lower(col("text")))).as("t"))
+      .filter(col("t") =!= "")
+    val perTok = tok.groupBy(col("t"))
+      .agg(min(col("hb")).as("first_hb"), count(lit(1)).as("n"))
+    // tokens-per-bucket needs the raw stream (a token's occurrences span
+    // buckets); new-vocab-per-bucket reads the first-appearance agg
+    val tokPerB = tok.groupBy(col("hb")).agg(count(lit(1)).as("n_tokens"))
+    val newPerB = perTok.groupBy(col("first_hb").as("hb"))
+      .agg(count(lit(1)).as("n_new_vocab"))
+    val w = Window.orderBy(col("hb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokPerB.join(newPerB, Seq("hb"), "left")
+      .select(col("hb"), col("n_tokens"),
+        coalesce(col("n_new_vocab"), lit(0L)).as("n_new_vocab"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_vocab", sum(col("n_new_vocab")).over(w))
+      .select(col("hb").as("bucket"), col("n_tokens"), col("n_new_vocab"),
+        col("cum_tokens"), col("cum_vocab"),
+        round(log(col("cum_vocab").cast("double")) /
+          log(col("cum_tokens").cast("double")), 6).as("heaps_beta"))
+      .orderBy("bucket")
   }
 
   // ------------------------------------------------------- PII scrubbing

@@ -347,6 +347,44 @@ object VectorOps {
     * aggregate into ≤ [[calibBins]] rows; probability sums are
     * DECIMAL(18,6)-exact (the rounded prob is exactly representable)
     * before the final double divisions. */
+  /** q_gains_curve — cumulative-gains (lift) table over the demo
+    * scorer: rows ranked by predicted probability, cut into deciles,
+    * each reporting its positive count, the cumulative share of ALL
+    * positives captured so far, and the lift vs random targeting —
+    * [[qCalibration]] asks whether scores are honest probabilities;
+    * this asks the deployment question ("contact the top 20%, catch
+    * what fraction?"). Decile ties are broken by vec_id so the rank is
+    * total on both engines.
+    *
+    * Scale shape: per-row codegen scoring; the decile ntile is a
+    * global sort over (p, id) — narrow rows, range-partitioned; the
+    * cumulative window then runs over the 10-row decile aggregate
+    * only. */
+  def qGainsCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val margin = dotLit(col("embedding"), demoWeights) + lit(demoBias)
+    val scored = Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      round(lit(1.0) / (lit(1.0) + exp(-margin)), 6).as("p"),
+      (argMax(col("embedding")) % 2).cast("int").as("y"))
+    val deciles = scored
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(col("p").desc, col("vec_id"))))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("y").cast("long")).as("n_pos"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val capture = sum(col("n_pos")).over(w).cast("double") /
+      sum(col("n_pos")).over(all).cast("double")
+    deciles
+      .select(col("decile"), col("n"), col("n_pos"),
+        round(capture, 6).as("cum_capture"),
+        round(capture / (col("decile").cast("double") / lit(10.0)), 6).as("lift"))
+      .orderBy("decile")
+  }
+
   def qCalibration(spark: SparkSession, dir: String): DataFrame = {
     val margin = dotLit(col("embedding"), demoWeights) + lit(demoBias)
     val scored = Tables.embeddings(spark, dir).select(

@@ -478,6 +478,36 @@ class RelQueriesSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("mutual information is non-negative and the grid partitions orders") {
+    val out = rel.RelQueries.mutualInfo(spark, sfDir).collect()
+    assert(out.map(_.getAs[Long]("n_xy")).sum ==
+      Tables.orders(spark, sfDir).count())
+    val mi = out.head.getAs[Double]("mi_total")
+    assert(mi >= 0.0, s"MI must be non-negative, got $mi")
+    // every cell's term reconciles with its own pmi and cell mass
+    val n = out.map(_.getAs[Long]("n_xy")).sum.toDouble
+    out.foreach { r =>
+      val expect = r.getAs[Long]("n_xy") / n * r.getAs[Double]("pmi")
+      assert(math.abs(r.getAs[Double]("mi_term") - expect) < 1e-5)
+    }
+  }
+
+  test("dp counts: noise reconciles and is Laplace-bounded") {
+    val out = rel.RelQueries.dpCounts(spark, sfDir).collect()
+    assert(out.length == Tables.customer(spark, sfDir)
+      .select("c_nationkey").distinct().count())
+    val b = 1.0 / rel.RelQueries.dpEps
+    out.foreach { r =>
+      val (t, nz, ny) = (r.getAs[Long]("n_true"), r.getAs[Double]("noise"),
+        r.getAs[Double]("n_noisy"))
+      assert(math.abs(ny - (t + nz)) < 2e-6)
+      // inverse-CDF at 1e-6-resolution uniform caps |noise| at b*ln(1e6)
+      assert(math.abs(nz) <= b * math.log(1e6) + 1e-6)
+    }
+    // noise must actually perturb (not all zeros)
+    assert(out.count(r => math.abs(r.getAs[Double]("noise")) > 0.01) > 0)
+  }
+
   test("benford audit covers every order and frequencies reconcile") {
     val out = rel.RelQueries.benford(spark, sfDir).collect()
     assert(out.nonEmpty && out.length <= 9)

@@ -971,6 +971,27 @@ class TextOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("vocab growth: cumulative counts reconcile with corpus totals") {
+    val out = text.TextOps.qVocabGrowth(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("bucket"))
+    assert(out.length <= text.TextOps.vocabBuckets)
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(text.TextOps.tokens(lower(col("text")))).as("t"))
+      .filter(col("t") =!= "")
+    assert(out.last.getAs[Long]("cum_tokens") == toks.count())
+    assert(out.last.getAs[Long]("cum_vocab") == toks.distinct().count())
+    // cumulative columns are monotone and vocab never outruns tokens
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("cum_tokens") > a.getAs[Long]("cum_tokens"))
+      assert(b.getAs[Long]("cum_vocab") >= a.getAs[Long]("cum_vocab"))
+    }
+    out.foreach { r =>
+      assert(r.getAs[Long]("cum_vocab") <= r.getAs[Long]("cum_tokens"))
+      val beta = r.getAs[Double]("heaps_beta")
+      assert(beta > 0.0 && beta <= 1.0, s"heaps beta $beta out of range")
+    }
+  }
+
   test("psi terms are non-negative and bins account for both splits") {
     val out = text.TextOps.qPsi(spark, sfDir).collect()
     assert(out.length == text.TextOps.psiBins)

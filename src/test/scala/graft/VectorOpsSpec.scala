@@ -242,6 +242,19 @@ class VectorOpsSpec extends SparkSpec {
     assert(counts.nonEmpty && counts.forall(_._2 == 64L))
   }
 
+  test("gains curve: capture is monotone to 1.0 and deciles cover the corpus") {
+    val out = VectorOps.qGainsCurve(spark, sfDir).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getAs[Long]("n")).sum ==
+      Tables.embeddings(spark, sfDir).count())
+    val caps = out.sortBy(_.getAs[Int]("decile")).map(_.getAs[Double]("cum_capture"))
+    caps.sliding(2).foreach { case Array(a, b) => assert(b >= a - 1e-9) }
+    assert(math.abs(caps.last - 1.0) < 1e-6, "all positives captured by decile 10")
+    // lift at decile 10 is exactly 1 (capture/1.0)
+    val d10 = out.find(_.getAs[Int]("decile") == 10).get
+    assert(math.abs(d10.getAs[Double]("lift") - 1.0) < 1e-6)
+  }
+
   test("calibration bins cover every row and the gap reconciles") {
     val out = VectorOps.qCalibration(spark, sfDir).collect()
     assert(out.map(_.getAs[Long]("n")).sum ==
