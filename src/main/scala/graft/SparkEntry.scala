@@ -175,6 +175,9 @@ object SparkEntry {
     "q_dp_counts" -> (RelQueries.dpCounts _),
     "q_gains_curve" -> (VectorOps.qGainsCurve _),
     "q_vocab_growth" -> (TextOps.qVocabGrowth _),
+    "q_graph_jaccard" -> (RelQueries.graphJaccard _),
+    "q_stream_sessionize" -> (stream.StreamQueries.qStreamSessionize _),
+    "q_stream_counters" -> (stream.StreamQueries.qStreamCounters _),
     // §2.A reference (dist-keras) operator surface
     "q_minmax_scale" -> (VectorOps.qMinMaxScale _),
     "q_onehot" -> (VectorOps.qOneHot _),
@@ -1725,6 +1728,31 @@ object SparkEntry {
         "g AS (SELECT ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi_total FROM x) " +
         "SELECT bin, n_train, n_val, p_train, p_val, CAST(term AS DOUBLE) AS psi_term, psi_total FROM x CROSS JOIN g ORDER BY bin"
     },
+    // graph Jaccard: the cooccur incidence chain with the set-overlap
+    // normalization
+    "q_graph_jaccard" ->
+      (s"WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "deg AS (SELECT p, COUNT(*) AS d FROM li GROUP BY p), " +
+        s"pr AS (SELECT a.p AS pa, b.p AS pb, COUNT(*) AS c_ab FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p HAVING COUNT(*) >= ${RelQueries.cooccurMinSupport}) " +
+        "SELECT pa, pb, c_ab, da.d AS deg_a, db.d AS deg_b, " +
+        "ROUND(CAST(c_ab AS DOUBLE) / CAST(da.d + db.d - c_ab AS DOUBLE), 6) AS jaccard " +
+        "FROM pr JOIN deg da ON da.p = pa JOIN deg db ON db.p = pb ORDER BY pa, pb"),
+    // stateful-stream keys: oracle = the batch SQL the state machine
+    // must reproduce (sessionize verbatim; counters = plain GROUP BY)
+    "q_stream_sessionize" -> {
+      val g = s"INTERVAL ${rel.TimeSeries.sessionGapHours} HOUR"
+      "WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tss, value FROM events), " +
+        "l AS (SELECT *, lag(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS prev_ts FROM e), " +
+        s"f AS (SELECT *, CASE WHEN prev_ts IS NULL OR tss > prev_ts + $g THEN 1 ELSE 0 END AS new_sess FROM l), " +
+        "s AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS BIGINT) AS session_idx FROM f) " +
+        "SELECT user_id, session_idx, MIN(tss) AS session_start, MAX(tss) AS session_end, " +
+        "epoch_us(MAX(tss)) - epoch_us(MIN(tss)) AS duration_us, COUNT(*) AS n_events, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value " +
+        "FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx"
+    },
+    "q_stream_counters" ->
+      ("SELECT user_id, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
     // mutual information: the contingency grid rebuilt verbatim, PMI
     // terms ROUND(,9)->DECIMAL so the MI total is order-proof
     "q_mutual_info" -> {

@@ -1200,6 +1200,36 @@ object RelQueries {
       .orderBy("pa", "pb")
   }
 
+  /** q_graph_jaccard — neighbor-set Jaccard similarity over the part
+    * co-order graph: J(a,b) = |orders(a) ∩ orders(b)| / |orders(a) ∪
+    * orders(b)| for every co-ordered part pair with min support — the
+    * link-prediction / item-similarity normalization next to
+    * [[cooccurLift]]'s independence ratio (lift rewards rare
+    * coincidences, Jaccard rewards shared NEIGHBORHOODS; recommenders
+    * ship both). Same plan family: the distinct incidence list joined
+    * on the order key with a support filter, margins joined back keyed
+    * — never an all-pairs product; hot parts at 100 TB get the df-cap
+    * treatment the shingle joins use.
+    */
+  def graphJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val deg = li.groupBy(col("p")).agg(count(lit(1)).as("d"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= cooccurMinSupport)
+    pairs
+      .join(deg.select(col("p").as("pa"), col("d").as("deg_a")), "pa")
+      .join(deg.select(col("p").as("pb"), col("d").as("deg_b")), "pb")
+      .select(col("pa"), col("pb"), col("c_ab"), col("deg_a"), col("deg_b"),
+        round(col("c_ab").cast("double") /
+          (col("deg_a") + col("deg_b") - col("c_ab")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy("pa", "pb")
+  }
+
   /** q_skyline — 2-d Pareto frontier over part (maximize p_size,
     * minimize p_retailprice): the multi-criteria shortlist operator
     * (cheapest-per-capability). A part survives iff no other part is

@@ -122,6 +122,95 @@ object StreamOps {
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
   final case class UserCounter(user_id: Long, n_events: Long, total_value: Double)
 
+  /** Micro-second/cents event row for the exact stateful ops ([[
+    * sessionizeStateful]] / [[countersStateful]]) — money is carried as
+    * cents BIGINT so per-group fold order cannot wiggle a sum. */
+  final case class SessEvent(user_id: Long, event_id: Long, ts_us: Long,
+                             cents: Long)
+  /** One closed (or, at end of input, final) session. */
+  final case class SessionRow(user_id: Long, session_idx: Long,
+                              start_us: Long, end_us: Long, n_events: Long,
+                              sum_cents: Long)
+  /** The open tail session a group carries ACROSS micro-batches. */
+  final case class OpenSession(session_idx: Long, start_us: Long,
+                               end_us: Long, n_events: Long, sum_cents: Long)
+
+  /** Pure session fold — the state-machine core of
+    * [[sessionizeStateful]], factored out so the cross-batch stitching
+    * logic is unit-testable without an engine: merge the carried open
+    * session with this batch's (sorted) events, close a session whenever
+    * the gap exceeds `gapUs`, return (closed sessions, new open tail).
+    * An event landing within the gap of the carried tail EXTENDS it —
+    * that is the stitch a naive per-batch sessionizer gets wrong. */
+  def foldSessions(open: Option[OpenSession], sorted: Seq[SessEvent],
+                   gapUs: Long): (Vector[SessionRow], Option[OpenSession]) = {
+    var closed = Vector.empty[SessionRow]
+    var cur = open
+    sorted.foreach { e =>
+      cur match {
+        case Some(o) if e.ts_us <= o.end_us + gapUs =>
+          cur = Some(o.copy(end_us = math.max(o.end_us, e.ts_us),
+            n_events = o.n_events + 1, sum_cents = o.sum_cents + e.cents))
+        case Some(o) =>
+          closed :+= SessionRow(e.user_id, o.session_idx, o.start_us, o.end_us,
+            o.n_events, o.sum_cents)
+          cur = Some(OpenSession(o.session_idx + 1, e.ts_us, e.ts_us, 1L, e.cents))
+        case None =>
+          cur = Some(OpenSession(1L, e.ts_us, e.ts_us, 1L, e.cents))
+      }
+    }
+    (closed, cur)
+  }
+
+  /** Custom stateful sessionization — the flatMapGroupsWithState STATE
+    * MACHINE (vs [[sessions]]' built-in session_window): per user, the
+    * open tail session lives in keyed state between micro-batches, new
+    * events either extend it or close it, and closed sessions stream
+    * out in Append mode. `finalFlush` (the bounded-gate mode) also
+    * emits the still-open tail EVERY micro-batch — exact only for a
+    * single-batch AvailableNow run (the driver-key shape), so
+    * multi-batch callers pass false; a production continuous run would
+    * use an event-time timeout instead (state evicts one gap past the
+    * watermark), same state layout. Rows inside one micro-batch arrive
+    * unordered, so each group call sorts ITS OWN batch slice by
+    * (ts, event_id) — per-user-per-batch memory, never global. */
+  def sessionizeStateful(events: Dataset[SessEvent], gapUs: Long,
+                         finalFlush: Boolean = true): Dataset[SessionRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[SessEvent], state: GroupState[OpenSession]) =>
+          val sorted = rows.toVector.sortBy(e => (e.ts_us, e.event_id))
+          val (closed, open) = foldSessions(state.getOption, sorted, gapUs)
+          open.fold(state.remove())(state.update)
+          val tail = if (finalFlush) open.map(o =>
+            SessionRow(uid, o.session_idx, o.start_us, o.end_us, o.n_events,
+              o.sum_cents)).toVector
+          else Vector.empty
+          (closed ++ tail).iterator
+      }
+  }
+
+  /** Exact running counters in Update mode — [[runningCounters]] with
+    * the cents device so the per-group fold is order-proof (a Double
+    * accumulation varies with iterator order; BIGINT cents cannot). */
+  final case class UserTotals(user_id: Long, n_events: Long, sum_cents: Long)
+  def countersStateful(events: Dataset[SessEvent]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotals, UserTotals](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[SessEvent], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0L))
+          val next = rows.foldLeft(prev) { (acc, e) =>
+            UserTotals(uid, acc.n_events + 1, acc.sum_cents + e.cents)
+          }
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
   /** Custom keyed state — the `flatMapGroupsWithState` path
     * (SURVEY.md §2.B "streaming: stateful ops"): a running per-user
     * counter that emits an updated snapshot per micro-batch. State is

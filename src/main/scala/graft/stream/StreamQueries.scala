@@ -240,4 +240,56 @@ object StreamQueries {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
     }
   }
+
+  /** Events as the exact-arithmetic stateful-op input: epoch-µs longs
+    * and cents BIGINT (the [[StreamOps.SessEvent]] shape), so a group's
+    * fold order cannot wiggle any output. */
+  private def sessEvents(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    eventsStream(spark, dir).select(
+      col("user_id"), col("event_id"),
+      unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+      round(col("value") * 100).cast("long").as("cents"))
+      .as[StreamOps.SessEvent]
+  }
+
+  private def centsAsValue(cents: org.apache.spark.sql.Column) =
+    (cents.cast("decimal(18,0)") / 100)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 2))
+
+  /** q_stream_sessionize — the custom flatMapGroupsWithState session
+    * STATE MACHINE run by the streaming engine (keyed state store,
+    * encoder round-trip, Append emission of closed sessions), under the
+    * batch q_sessionize oracle verbatim. The built-in session_window
+    * key (q_stream_session) proves the engine's session MERGE; this key
+    * proves the CUSTOM-STATE path a production pipeline reaches for
+    * when session logic outgrows a gap parameter (carts, funnels,
+    * fraud windows). Bounded-gate mode flushes the open tail at end of
+    * input; the cross-batch stitch itself is pinned in StreamOpsSpec on
+    * a two-batch MemoryStream. */
+  def qStreamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = graft.rel.TimeSeries.sessionGapHours * 3600L * 1000000L
+    runToTable(spark,
+      StreamOps.sessionizeStateful(sessEvents(spark, dir), gapUs).toDF(),
+      OutputMode.Append)
+      .select(col("user_id"), col("session_idx"),
+        timestamp_micros(col("start_us")).cast("timestamp_ntz").as("session_start"),
+        timestamp_micros(col("end_us")).cast("timestamp_ntz").as("session_end"),
+        (col("end_us") - col("start_us")).as("duration_us"),
+        col("n_events"), centsAsValue(col("sum_cents")).as("sum_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** q_stream_counters — running per-user totals through the
+    * flatMapGroupsWithState UPDATE path (each micro-batch emits the
+    * refreshed snapshot; the memory sink holds one row per user for a
+    * bounded run): the exact-cents twin of StreamOps.runningCounters,
+    * oracled by the plain batch GROUP BY. */
+  def qStreamCounters(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark,
+      StreamOps.countersStateful(sessEvents(spark, dir)).toDF(),
+      OutputMode.Update)
+      .select(col("user_id"), col("n_events"),
+        centsAsValue(col("sum_cents")).as("sum_value"))
+      .orderBy("user_id")
 }

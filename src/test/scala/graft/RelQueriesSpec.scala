@@ -478,6 +478,20 @@ class RelQueriesSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("graph jaccard is bounded and consistent with the cooccur pair set") {
+    val jac = rel.RelQueries.graphJaccard(spark, sfDir).cache()
+    try {
+      assert(jac.count() > 0)
+      assert(jac.filter(col("jaccard") <= 0.0 || col("jaccard") > 1.0).count() == 0)
+      // intersection never exceeds either neighborhood
+      assert(jac.filter(col("c_ab") > least(col("deg_a"), col("deg_b"))).count() == 0)
+      // same support filter as cooccur lift -> identical pair set
+      val lift = rel.RelQueries.cooccurLift(spark, sfDir).select("pa", "pb")
+      assert(jac.select("pa", "pb").except(lift).count() == 0)
+      assert(lift.except(jac.select("pa", "pb")).count() == 0)
+    } finally jac.unpersist()
+  }
+
   test("mutual information is non-negative and the grid partitions orders") {
     val out = rel.RelQueries.mutualInfo(spark, sfDir).collect()
     assert(out.map(_.getAs[Long]("n_xy")).sum ==

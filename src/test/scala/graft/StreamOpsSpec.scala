@@ -207,4 +207,51 @@ class StreamOpsSpec extends SparkSpec {
       .select(col("hour"), col("event_type"), col("n"))
     assert(viaRel.except(viaStream).isEmpty && viaStream.except(viaRel).isEmpty)
   }
+
+  test("foldSessions stitches a session across the batch cut") {
+    import StreamOps.{SessEvent, OpenSession, foldSessions}
+    val h = 3600L * 1000000L
+    def e(id: Long, tUs: Long, c: Long) = SessEvent(7L, id, tUs, c)
+    // batch 1: two events 1h apart -> one open session
+    val (c1, o1) = foldSessions(None, Seq(e(1, 0, 100), e(2, h, 50)), 6 * h)
+    assert(c1.isEmpty && o1.contains(OpenSession(1, 0, h, 2, 150)))
+    // batch 2: one event INSIDE the gap (stitch), one far past it (close)
+    val (c2, o2) = foldSessions(o1, Seq(e(3, 3 * h, 25), e(4, 20 * h, 10)), 6 * h)
+    assert(c2 == Vector(StreamOps.SessionRow(7, 1, 0, 3 * h, 3, 175)),
+      s"stitched session must close with batch-2's early event folded in: $c2")
+    assert(o2.contains(OpenSession(2, 20 * h, 20 * h, 1, 10)))
+    // a naive per-batch sessionizer would have emitted TWO sessions for
+    // the first three events; the stitch makes it one — that is the
+    // cross-batch property the driver key's single-batch run can't show
+  }
+
+  test("sessionizeStateful stitches across two real micro-batches") {
+    import StreamOps.SessEvent
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessEvent]
+    val h = 3600L * 1000000L
+    // finalFlush=false: the flush emits the open tail EVERY micro-batch
+    // (NoTimeout has no end-of-input signal), which is exact only for
+    // single-batch gate runs; a multi-batch run reads closed sessions
+    val out = StreamOps.sessionizeStateful(mem.toDS(), gapUs = 6 * h,
+      finalFlush = false)
+    val query = out.writeStream.format("memory").queryName("sess_stitch")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(SessEvent(1, 1, 0, 100), SessEvent(1, 2, h, 50))
+      query.processAllAvailable()
+      assert(spark.table("sess_stitch").count() == 0, "tail stays open in state")
+      mem.addData(SessEvent(1, 3, 3 * h, 25), SessEvent(1, 4, 20 * h, 10))
+      query.processAllAvailable()
+      val rows = spark.table("sess_stitch")
+        .select("user_id", "session_idx", "start_us", "end_us", "n_events", "sum_cents")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+      // the first session spans the batch cut: 3 events, cents 175
+      assert(rows.toSeq == Seq((1L, 1L, 0L, 3 * h, 3L, 175L)), rows.toSeq.toString)
+    } finally {
+      query.stop()
+      spark.catalog.dropTempView("sess_stitch")
+    }
+  }
 }
