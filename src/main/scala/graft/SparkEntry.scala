@@ -178,6 +178,10 @@ object SparkEntry {
     "q_graph_jaccard" -> (RelQueries.graphJaccard _),
     "q_stream_sessionize" -> (stream.StreamQueries.qStreamSessionize _),
     "q_stream_counters" -> (stream.StreamQueries.qStreamCounters _),
+    "q_lateness_audit" -> (TimeSeries.latenessAudit _),
+    "q_source_concentration" -> (TextOps.qSourceConcentration _),
+    "q_robust_scale" -> (VectorOps.qRobustScale _),
+    "q_leakage_corr" -> (VectorOps.qLeakageCorr _),
     // §2.A reference (dist-keras) operator surface
     "q_minmax_scale" -> (VectorOps.qMinMaxScale _),
     "q_onehot" -> (VectorOps.qOneHot _),
@@ -1728,6 +1732,42 @@ object SparkEntry {
         "g AS (SELECT ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi_total FROM x) " +
         "SELECT bin, n_train, n_val, p_train, p_val, CAST(term AS DOUBLE) AS psi_term, psi_total FROM x CROSS JOIN g ORDER BY bin"
     },
+    // lateness audit: per-user running high-water mark, one summary row;
+    // every 7th event's ts injected 3h earlier (corpus arrives in order)
+    "q_lateness_audit" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) - CASE WHEN event_id % 7 = 0 THEN 10800000000 ELSE 0 END AS ts_us FROM events), " +
+        "h AS (SELECT greatest(COALESCE(MAX(ts_us) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - ts_us, 0), 0) AS late_us FROM e) " +
+        "SELECT COUNT(*) AS n_events, CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late, " +
+        "ROUND(AVG(CASE WHEN late_us > 0 THEN 1.0 ELSE 0.0 END), 6) AS frac_late, " +
+        "ROUND(quantile_cont(CASE WHEN late_us > 0 THEN late_us END, 0.5), 2) AS p50_late_us, " +
+        "ROUND(quantile_cont(CASE WHEN late_us > 0 THEN late_us END, 0.95), 2) AS p95_late_us, " +
+        "MAX(late_us) AS max_late_us FROM h"),
+    // source concentration: ROUND(,9)->DECIMAL HHI/entropy terms
+    "q_source_concentration" -> {
+      val sh = "(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE))"
+      "WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source), " +
+        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM c), " +
+        s"x AS (SELECT source, n, ROUND($sh, 6) AS share, " +
+        s"CAST(ROUND($sh * $sh, 9) AS DECIMAL(18,9)) AS hhi_term, " +
+        s"CAST(ROUND(-$sh * ln($sh), 9) AS DECIMAL(18,9)) AS ent_term FROM c CROSS JOIN t), " +
+        "s AS (SELECT ROUND(CAST(SUM(hhi_term) AS DOUBLE), 6) AS hhi, ROUND(CAST(SUM(ent_term) AS DOUBLE), 6) AS entropy, ROUND(exp(CAST(SUM(ent_term) AS DOUBLE)), 6) AS effective_sources FROM x) " +
+        "SELECT source, n, share, hhi, entropy, effective_sources FROM x CROSS JOIN s ORDER BY source"
+    },
+    // robust scaler: exact interpolated percentiles broadcast back
+    "q_robust_scale" ->
+      ("WITH c AS (SELECT quantile_cont(o_totalprice, 0.25) AS p25, quantile_cont(o_totalprice, 0.5) AS p50, quantile_cont(o_totalprice, 0.75) AS p75 FROM orders) " +
+        "SELECT o_orderkey, o_totalprice, ROUND((o_totalprice - p50) / (p75 - p25), 6) AS scaled " +
+        "FROM orders CROSS JOIN c ORDER BY o_orderkey"),
+    // leakage screen: embedding floats ROUND(,6)->DECIMAL power sums per
+    // dim; width-19 products force the hugeint multiply path
+    "q_leakage_corr" ->
+      ("WITH d AS (SELECT CAST(label AS DECIMAL(18,0)) AS y, CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim, CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE), 6) AS DECIMAL(18,6)) AS x FROM embeddings), " +
+        "s AS (SELECT dim, COUNT(*) AS n, CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy, " +
+        "CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)) AS DECIMAL(30,12))) AS DOUBLE) AS sxx, " +
+        "CAST(SUM(CAST(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)) AS DECIMAL(30,0))) AS DOUBLE) AS syy, " +
+        "CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,0)) AS DECIMAL(30,6))) AS DOUBLE) AS sxy FROM d GROUP BY dim) " +
+        "SELECT dim, n, ROUND((sxy - sx * sy / CAST(n AS DOUBLE)) / sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) * (syy - sy * sy / CAST(n AS DOUBLE))), 6) AS corr_with_label " +
+        "FROM s ORDER BY dim"),
     // graph Jaccard: the cooccur incidence chain with the set-overlap
     // normalization
     "q_graph_jaccard" ->

@@ -471,6 +471,52 @@ object TimeSeries {
     * to ≤ 168 cells; the global mean is derived FROM those cells (a
     * second tiny agg) and crossed back as a one-row broadcast. Value
     * sums are DECIMAL-exact before the final double divisions. */
+  /** q_lateness_audit — event-time lateness profile: treating event_id
+    * as arrival order, how far behind the per-user running event-time
+    * high-water mark does each event arrive? Emits ONE summary row —
+    * event count, late count/fraction, and the exact p50/p95/max
+    * lateness — which is precisely the measurement that PICKS a
+    * streaming watermark delay (`withWatermark(ts, X)`: X below p95
+    * drops data, X far above it holds state; every `q_stream_*` key
+    * here hardcodes a delay this audit would justify from data).
+    *
+    * Scale shape: one keyed window (running max over arrival order)
+    * then a single global aggregate; the exact percentiles become the
+    * GK sketch at 100 TB (the q_approx_percentile swap), identical
+    * plan otherwise.
+    *
+    * The synthetic corpus arrives perfectly in order (measured: zero
+    * late events at every SF), so the gate key injects deterministic
+    * disorder — every 7th event's timestamp is shifted 3 h earlier
+    * (the q_scrub_pii injection device, mirrored in the oracle) —
+    * exactly the shape a replayed partition or a delayed producer
+    * shows. */
+  def latenessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tsUs = unix_micros(col("ts").cast("timestamp")) -
+      when(col("event_id") % 7 === 0, lit(3L * 3600L * 1000000L)).otherwise(lit(0L))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), tsUs.as("ts_us"))
+      .withColumn("hwm", max(col("ts_us")).over(w))
+      .select(greatest(coalesce(col("hwm") - col("ts_us"), lit(0L)), lit(0L))
+        .as("late_us"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum((col("late_us") > 0).cast("long")).as("n_late"),
+        round(avg((col("late_us") > 0).cast("double")), 6).as("frac_late"),
+        // percentiles over LATE events only (97% arrive on time, so the
+        // unconditional p95 is degenerately 0 — the watermark designer
+        // asks "how late are the late ones"); ROUND(,2) doubles, not a
+        // long cast: Spark casts double→long by truncation while DuckDB
+        // CAST rounds — interpolated .5 percentiles would diverge
+        round(percentile(when(col("late_us") > 0, col("late_us")), lit(0.5)), 2)
+          .as("p50_late_us"),
+        round(percentile(when(col("late_us") > 0, col("late_us")), lit(0.95)), 2)
+          .as("p95_late_us"),
+        max(col("late_us")).as("max_late_us"))
+  }
+
   /** EMA decay factor and truncation length. 8 lags at 0.8 keep ~83%
     * of the untruncated kernel mass (1 − 0.8⁸); the truncation is the
     * price of an ORDER-FREE formulation — see below. */

@@ -900,6 +900,38 @@ object TextOps {
       .orderBy("bin")
   }
 
+  /** q_source_concentration — corpus mixing health in one readout: per
+    * source its document share, plus the corpus-level concentration
+    * scalars repeated on every row — Herfindahl–Hirschman index
+    * (Σ share²), Shannon entropy (−Σ share·ln share) and the effective
+    * source count (e^entropy). The ONE-GLANCE diagnostic behind the
+    * q_domain_mix/q_domain_cap machinery: a pipeline whose effective
+    * source count collapses toward 1 is training on a single domain no
+    * matter how many sources its manifest lists.
+    *
+    * Scale shape: one map-side-combined source count; every scalar
+    * derives from the ≤ |sources| frame with ROUND(,9)→DECIMAL terms so
+    * the folds are order-proof; one-row broadcast back. */
+  def qSourceConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("n_total"))
+    val share = col("n").cast("double") / col("n_total").cast("double")
+    val terms = counts.crossJoin(broadcast(total))
+      .select(col("source"), col("n"), round(share, 6).as("share"),
+        round(share * share, 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("hhi_term"),
+        round(-share * log(share), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("ent_term"))
+    val scalars = terms.agg(
+      round(sum(col("hhi_term")).cast("double"), 6).as("hhi"),
+      round(sum(col("ent_term")).cast("double"), 6).as("entropy"),
+      round(exp(sum(col("ent_term")).cast("double")), 6).as("effective_sources"))
+    terms.select(col("source"), col("n"), col("share"))
+      .crossJoin(broadcast(scalars))
+      .orderBy("source")
+  }
+
   /** Ingest-prefix buckets for [[qVocabGrowth]]. */
   val vocabBuckets = 10
 

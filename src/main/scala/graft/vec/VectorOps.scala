@@ -329,6 +329,63 @@ object VectorOps {
       .agg(round(avg(col("v").cast("double")), 6).as("avg_v"))
       .orderBy("label", "idx")
 
+  /** q_robust_scale — median/IQR robust scaling of order totals: the
+    * outlier-immune sibling of q_minmax_scale (a single fat-finger row
+    * drags min/max and flattens everything else; the median and IQR do
+    * not move). scaled = (x − median) / (p75 − p25). The §2.A
+    * transformer family's robust member.
+    *
+    * Scale shape: ONE exact-percentile aggregate (the GK sketch at
+    * 100 TB, q_approx_percentile's swap) broadcast back over a per-row
+    * codegen transform. Money is 2-dp-exact; interpolated percentiles
+    * of 2-dp values are exact at ≤ 6 dp, so ROUND(,6) is stable. */
+  def qRobustScale(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    val cuts = o.agg(
+      percentile(col("o_totalprice"), lit(0.25)).as("p25"),
+      percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+      percentile(col("o_totalprice"), lit(0.75)).as("p75"))
+    o.crossJoin(broadcast(cuts))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        round((col("o_totalprice") - col("p50")) / (col("p75") - col("p25")), 6)
+          .as("scaled"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q_leakage_corr — per-dimension feature↔target correlation screen
+    * over the embeddings: the train-time leakage audit (a feature
+    * correlating suspiciously hard with the label is either leakage or
+    * the whole model; either way you look BEFORE training). The
+    * q_corr_matrix power-sum device grouped by dimension — embedding
+    * floats are ROUND(,6)→DECIMAL before summing so the 64 per-dim
+    * folds are addition-order-proof (floats are NOT 2-dp money; raw
+    * double sums would wiggle with partitioning).
+    *
+    * Scale shape: one posexplode (×64 of narrow rows) into a
+    * map-side-combined 64-group aggregate; everything after runs on 64
+    * rows. */
+  def qLeakageCorr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val x = round(col("v").cast("double"), 6).cast(DecimalType(18, 6))
+    val y = col("label").cast("long").cast(DecimalType(18, 0))
+    val sums = Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim"), x.as("x"), y.as("y"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum((col("x") * col("x")).cast(DecimalType(30, 12))).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast(DecimalType(30, 0))).cast("double").as("syy"),
+        sum((col("x") * col("y")).cast(DecimalType(30, 6))).cast("double").as("sxy"))
+    val nd = col("n").cast("double")
+    sums.select(col("dim"), col("n"),
+        round((col("sxy") - col("sx") * col("sy") / nd) /
+          sqrt((col("sxx") - col("sx") * col("sx") / nd) *
+            (col("syy") - col("sy") * col("sy") / nd)), 6).as("corr_with_label"))
+      .orderBy("dim")
+  }
+
   /** Calibration bins (equal-width over [0, 1]). */
   val calibBins = 10
 

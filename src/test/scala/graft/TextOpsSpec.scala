@@ -971,6 +971,18 @@ class TextOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("source concentration: shares sum to 1 and scalars reconcile") {
+    val out = text.TextOps.qSourceConcentration(spark, sfDir).collect()
+    val k = out.length
+    assert(math.abs(out.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    val (hhi, ent, eff) = (out.head.getAs[Double]("hhi"),
+      out.head.getAs[Double]("entropy"), out.head.getAs[Double]("effective_sources"))
+    // HHI bounded by [1/k, 1]; effective count by [1, k]; exp(H) = eff
+    assert(hhi >= 1.0 / k - 1e-6 && hhi <= 1.0 + 1e-9)
+    assert(eff >= 1.0 - 1e-6 && eff <= k + 1e-6)
+    assert(math.abs(math.exp(ent) - eff) < 1e-3)
+  }
+
   test("vocab growth: cumulative counts reconcile with corpus totals") {
     val out = text.TextOps.qVocabGrowth(spark, sfDir).collect()
       .sortBy(_.getAs[Int]("bucket"))

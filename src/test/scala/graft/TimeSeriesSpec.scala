@@ -244,6 +244,18 @@ class TimeSeriesSpec extends SparkSpec {
     assert(df >= lo - 1e-6 && df <= (nEvents - 2).toDouble + 1e-6, s"df=$df out of range")
   }
 
+  test("lateness audit is internally consistent and bites on this corpus") {
+    val r = TimeSeries.latenessAudit(spark, sfDir).head()
+    assert(r.getAs[Long]("n_events") == Tables.events(spark, sfDir).count())
+    val (n, nl) = (r.getAs[Long]("n_events"), r.getAs[Long]("n_late"))
+    assert(math.abs(r.getAs[Double]("frac_late") - nl.toDouble / n) < 1e-6)
+    // event_id order is not ts order in this corpus, so lateness exists
+    assert(nl > 0, "the audit must bite (events arrive out of ts order)")
+    val (p50, p95, mx) = (r.getAs[Double]("p50_late_us"),
+      r.getAs[Double]("p95_late_us"), r.getAs[Long]("max_late_us"))
+    assert(p50 <= p95 + 1e-9 && p95 <= mx + 1e-9)
+  }
+
   test("ema matches a local truncated-kernel recompute for one user") {
     val out = TimeSeries.emaSmoothing(spark, sfDir).cache()
     try {

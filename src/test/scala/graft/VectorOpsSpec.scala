@@ -242,6 +242,42 @@ class VectorOpsSpec extends SparkSpec {
     assert(counts.nonEmpty && counts.forall(_._2 == 64L))
   }
 
+  test("robust scale: median maps to zero, IQR to one, order preserved") {
+    val out = VectorOps.qRobustScale(spark, sfDir).cache()
+    try {
+      val o = Tables.orders(spark, sfDir)
+      assert(out.count() == o.count())
+      val cuts = o.agg(
+        percentile(col("o_totalprice"), lit(0.25)),
+        percentile(col("o_totalprice"), lit(0.5)),
+        percentile(col("o_totalprice"), lit(0.75))).head()
+      val (p25, p50, p75) = (cuts.getDouble(0), cuts.getDouble(1), cuts.getDouble(2))
+      // a row at the median scales to ~0; quartile width normalizes to 1
+      val near = out.filter(abs(col("o_totalprice") - p50) < 1.0)
+        .select("scaled").collect()
+      near.foreach(r => assert(math.abs(r.getDouble(0)) < 0.001))
+      assert(math.abs((p75 - p50) / (p75 - p25) + (p50 - p25) / (p75 - p25) - 1.0) < 1e-9)
+      // monotone: scaled preserves the value order
+      assert(out.agg(corr(col("o_totalprice"), col("scaled"))).head().getDouble(0) > 0.999999)
+    } finally out.unpersist()
+  }
+
+  test("leakage corr agrees with the built-in corr per dimension") {
+    val out = VectorOps.qLeakageCorr(spark, sfDir).collect()
+    assert(out.length == 64)
+    out.foreach(r => assert(math.abs(r.getAs[Double]("corr_with_label")) <= 1.0 + 1e-9))
+    // spot-check three dims against Spark's built-in corr on raw floats
+    val raw = Tables.embeddings(spark, sfDir)
+      .select(col("label").cast("double").as("y"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+    for (d <- Seq(0, 17, 63)) {
+      val ref = raw.filter(col("dim") === d)
+        .agg(corr(col("v").cast("double"), col("y"))).head().getDouble(0)
+      val got = out.find(_.getAs[Int]("dim") == d).get.getAs[Double]("corr_with_label")
+      assert(math.abs(got - ref) < 1e-3, s"dim $d: $got vs $ref")
+    }
+  }
+
   test("gains curve: capture is monotone to 1.0 and deciles cover the corpus") {
     val out = VectorOps.qGainsCurve(spark, sfDir).collect()
     assert(out.length == 10)
