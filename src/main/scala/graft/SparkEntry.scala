@@ -182,6 +182,10 @@ object SparkEntry {
     "q_source_concentration" -> (TextOps.qSourceConcentration _),
     "q_robust_scale" -> (VectorOps.qRobustScale _),
     "q_leakage_corr" -> (VectorOps.qLeakageCorr _),
+    "q_twap" -> (TimeSeries.twap _),
+    "q_user_entropy" -> (TimeSeries.userEntropy _),
+    "q_trending" -> (RelQueries.trending _),
+    "q_embedding_norm_audit" -> (VectorOps.qEmbeddingNormAudit _),
     // §2.A reference (dist-keras) operator surface
     "q_minmax_scale" -> (VectorOps.qMinMaxScale _),
     "q_onehot" -> (VectorOps.qOneHot _),
@@ -1732,6 +1736,38 @@ object SparkEntry {
         "g AS (SELECT ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi_total FROM x) " +
         "SELECT bin, n_train, n_val, p_train, p_val, CAST(term AS DOUBLE) AS psi_term, psi_total FROM x CROSS JOIN g ORDER BY bin"
     },
+    // TWAP: exact integer cents*µs sums, one final double division
+    "q_twap" ->
+      ("WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tss, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events), " +
+        "l AS (SELECT user_id, cents, epoch_us(lead(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id)) - epoch_us(tss) AS dt_us FROM e), " +
+        "f AS (SELECT * FROM l WHERE dt_us IS NOT NULL) " +
+        "SELECT user_id, COUNT(*) AS n_intervals, CAST(SUM(dt_us) AS BIGINT) AS total_us, " +
+        "ROUND(CAST(SUM(cents * dt_us) AS DOUBLE) / (100.0 * CAST(SUM(dt_us) AS DOUBLE)), 6) AS twap " +
+        "FROM f GROUP BY user_id ORDER BY user_id"),
+    // user entropy: per-user fold of <=|types| ROUND(,9)->DECIMAL terms
+    "q_user_entropy" -> {
+      val sh = "(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+      "WITH c AS (SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY user_id, event_type), " +
+        "w AS (SELECT user_id, c, CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS n FROM c), " +
+        s"t AS (SELECT user_id, n, CAST(ROUND(-$sh * ln($sh), 9) AS DECIMAL(18,9)) AS term FROM w) " +
+        "SELECT user_id, MAX(n) AS n_events, COUNT(*) AS n_types, ROUND(CAST(SUM(term) AS DOUBLE), 6) AS entropy " +
+        "FROM t GROUP BY user_id ORDER BY user_id"
+    },
+    // trending: one conditional agg per part, TakeOrdered top-k
+    "q_trending" -> {
+      import rel.RelQueries.{trendCutDate, trendTopK}
+      s"SELECT l_partkey, n_early, n_late, ROUND((CAST(n_late AS DOUBLE) + 1.0) / (CAST(n_early AS DOUBLE) + 1.0), 6) AS rise FROM (" +
+        s"SELECT l_partkey, CAST(SUM(CASE WHEN CAST(l_shipdate AS DATE) >= DATE '$trendCutDate' THEN 0 ELSE 1 END) AS BIGINT) AS n_early, " +
+        s"CAST(SUM(CASE WHEN CAST(l_shipdate AS DATE) >= DATE '$trendCutDate' THEN 1 ELSE 0 END) AS BIGINT) AS n_late FROM lineitem GROUP BY l_partkey) " +
+        s"ORDER BY rise DESC, l_partkey LIMIT $trendTopK"
+    },
+    // norm audit: sequential HOF fold on both engines (bit-identical
+    // float sums), then the DECIMAL device
+    "q_embedding_norm_audit" ->
+      ("WITH n AS (SELECT label, CAST(ROUND(sqrt(list_aggregate(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')), 6) AS DECIMAL(18,6)) AS nrm FROM embeddings) " +
+        "SELECT label, COUNT(*) AS n, ROUND(CAST(SUM(nrm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_norm, " +
+        "CAST(MIN(nrm) AS DOUBLE) AS min_norm, CAST(MAX(nrm) AS DOUBLE) AS max_norm " +
+        "FROM n GROUP BY label ORDER BY label"),
     // lateness audit: per-user running high-water mark, one summary row;
     // every 7th event's ts injected 3h earlier (corpus arrives in order)
     "q_lateness_audit" ->

@@ -1200,6 +1200,35 @@ object RelQueries {
       .orderBy("pa", "pb")
   }
 
+  /** Chronological cut and result size for [[trending]]. The cut is a
+    * FIXED literal (mid-range of the 1995–2001 ship dates) so the key
+    * needs no anchor scan; both halves are non-empty at every SF. */
+  val trendCutDate = "1998-05-01"
+  val trendTopK = 25
+
+  /** q_trending — frequency-shift risers: parts whose shipment count
+    * grew most between the early and late halves of the timeline,
+    * scored by the add-1-smoothed ratio (late+1)/(early+1) — the
+    * trending-topics shape (momentum detection over any keyed count:
+    * products, queries, n-grams). Smoothing keeps new arrivals finite
+    * and mutes one-hit noise.
+    *
+    * Scale shape: ONE map-side-combined conditional aggregate per part
+    * key (both halves in the same pass — no self-join of two period
+    * scans), then TakeOrdered for the top-k. */
+  def trending(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit(trendCutDate).cast("date")
+    val late = (col("l_shipdate").cast("date") >= cut).cast("long")
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(lit(1L) - late).as("n_early"), sum(late).as("n_late"))
+      .select(col("l_partkey"), col("n_early"), col("n_late"),
+        round((col("n_late").cast("double") + lit(1.0)) /
+          (col("n_early").cast("double") + lit(1.0)), 6).as("rise"))
+      .orderBy(col("rise").desc, col("l_partkey"))
+      .limit(trendTopK)
+  }
+
   /** q_graph_jaccard — neighbor-set Jaccard similarity over the part
     * co-order graph: J(a,b) = |orders(a) ∩ orders(b)| / |orders(a) ∪
     * orders(b)| for every co-ordered part pair with min support — the

@@ -471,6 +471,59 @@ object TimeSeries {
     * to ≤ 168 cells; the global mean is derived FROM those cells (a
     * second tiny agg) and crossed back as a one-row broadcast. Value
     * sums are DECIMAL-exact before the final double divisions. */
+  /** q_twap — time-weighted average value per user: each reading is
+    * weighted by how long it REMAINED CURRENT (µs until the next
+    * event), the metrics/finance staple a plain mean gets wrong on
+    * irregular sampling (a value held for a week counts more than ten
+    * ticks in a minute). The last reading has no successor and drops
+    * out — the standard right-open convention.
+    *
+    * Determinism: value is 2-dp money → cents BIGINT; dt is exact µs
+    * BIGINT; Σ(cents·dt) and Σ(dt) are exact integer sums (order-proof
+    * by construction — no DECIMAL device even needed); ONE double
+    * division at the end. One keyed window + one keyed agg. */
+  def twap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tsUs = unix_micros(col("ts").cast("timestamp"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("dt_us", lead(tsUs, 1).over(w) - tsUs)
+      .filter(col("dt_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt_us")).as("total_us"),
+        sum(col("cents") * col("dt_us")).as("cents_us"))
+      .select(col("user_id"), col("n_intervals"), col("total_us"),
+        round(col("cents_us").cast("double") /
+          (lit(100.0) * col("total_us").cast("double")), 6).as("twap"))
+      .orderBy("user_id")
+  }
+
+  /** q_user_entropy — behavioral diversity per user: Shannon entropy of
+    * the user's event-type mix (a bot hammering one endpoint scores
+    * ~0; an organic user spreads mass). The per-entity sibling of
+    * q_source_concentration's corpus scalar, and a standard bot/fraud
+    * screen feature.
+    *
+    * Scale shape: one (user, type) keyed agg, then a user-keyed fold of
+    * ≤ |types| ROUND(,9)→DECIMAL terms — order-proof. */
+  def userEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("c"))
+    val perUser = Window.partitionBy(col("user_id"))
+    val share = col("c").cast("double") / col("n").cast("double")
+    byType
+      .withColumn("n", sum(col("c")).over(perUser))
+      .select(col("user_id"), col("n"),
+        round(-share * log(share), 9)
+          .cast(DecimalType(18, 9)).as("term"))
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("n_events"), count(lit(1)).as("n_types"),
+        round(sum(col("term")).cast("double"), 6).as("entropy"))
+      .orderBy("user_id")
+  }
+
   /** q_lateness_audit — event-time lateness profile: treating event_id
     * as arrival order, how far behind the per-user running event-time
     * high-water mark does each event arrive? Emits ONE summary row —

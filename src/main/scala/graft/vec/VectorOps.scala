@@ -329,6 +329,32 @@ object VectorOps {
       .agg(round(avg(col("v").cast("double")), 6).as("avg_v"))
       .orderBy("label", "idx")
 
+  /** q_embedding_norm_audit — L2-norm hygiene per label: count, mean,
+    * min and max vector norm — the collapsed/exploding-embedding screen
+    * run before any cosine machinery trusts the vectors (a near-zero
+    * norm makes cosine meaningless; an outlier norm dominates dot
+    * products). Norms are computed with a SEQUENTIAL higher-order fold
+    * (both engines reduce the array left-to-right, so the float sum is
+    * bit-identical), rounded to 6 dp, then aggregated through the
+    * DECIMAL device.
+    *
+    * Scale shape: pure per-row codegen + one map-side-combined
+    * ≤ |labels|-row aggregate. */
+  def qEmbeddingNormAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val norm = round(sqrt(aggregate(col("embedding"), lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double"))), 6)
+    Tables.embeddings(spark, dir)
+      .select(col("label"), norm.cast(DecimalType(18, 6)).as("nrm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("nrm")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("mean_norm"),
+        min(col("nrm")).cast("double").as("min_norm"),
+        max(col("nrm")).cast("double").as("max_norm"))
+      .orderBy("label")
+  }
+
   /** q_robust_scale — median/IQR robust scaling of order totals: the
     * outlier-immune sibling of q_minmax_scale (a single fat-finger row
     * drags min/max and flattens everything else; the median and IQR do

@@ -478,6 +478,17 @@ class RelQueriesSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("trending risers are rank-ordered and the ratio reconciles") {
+    val out = rel.RelQueries.trending(spark, sfDir).collect()
+    assert(out.length == rel.RelQueries.trendTopK)
+    val rises = out.map(_.getAs[Double]("rise"))
+    rises.sliding(2).foreach { case Array(a, b) => assert(b <= a + 1e-9) }
+    out.foreach { r =>
+      val expect = (r.getAs[Long]("n_late") + 1.0) / (r.getAs[Long]("n_early") + 1.0)
+      assert(math.abs(r.getAs[Double]("rise") - expect) < 1e-6)
+    }
+  }
+
   test("graph jaccard is bounded and consistent with the cooccur pair set") {
     val jac = rel.RelQueries.graphJaccard(spark, sfDir).cache()
     try {

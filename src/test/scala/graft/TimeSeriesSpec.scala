@@ -244,6 +244,37 @@ class TimeSeriesSpec extends SparkSpec {
     assert(df >= lo - 1e-6 && df <= (nEvents - 2).toDouble + 1e-6, s"df=$df out of range")
   }
 
+  test("twap stays inside the user's value range and matches a local fold") {
+    val out = TimeSeries.twap(spark, sfDir).cache()
+    try {
+      val uid = out.select("user_id").head().getLong(0)
+      val rows = Tables.events(spark, sfDir).filter(col("user_id") === uid)
+        .select(unix_micros(col("ts").cast("timestamp")), col("event_id"), col("value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(r => (r._1, r._2))
+      val cents = rows.map(r => math.rint(r._3 * 100).toLong)
+      val dts = rows.sliding(2).map { case Array(a, b) => b._1 - a._1 }.toArray
+      val expect = dts.zip(cents).map { case (dt, c) => c * dt }.sum.toDouble /
+        (100.0 * dts.sum)
+      val r = out.filter(col("user_id") === uid).head()
+      assert(math.abs(r.getAs[Double]("twap") - expect) < 1e-5)
+      assert(r.getAs[Long]("n_intervals") == rows.length - 1)
+      val (lo, hi) = (rows.map(_._3).min, rows.map(_._3).max)
+      assert(r.getAs[Double]("twap") >= lo - 1e-9 && r.getAs[Double]("twap") <= hi + 1e-9)
+    } finally out.unpersist()
+  }
+
+  test("user entropy is bounded by ln(n_types) and covers every user") {
+    val out = TimeSeries.userEntropy(spark, sfDir).collect()
+    assert(out.length ==
+      Tables.events(spark, sfDir).select("user_id").distinct().count())
+    out.foreach { r =>
+      val (h, k) = (r.getAs[Double]("entropy"), r.getAs[Long]("n_types"))
+      assert(h >= -1e-9 && h <= math.log(k.toDouble) + 1e-6,
+        s"entropy $h outside [0, ln($k)]")
+    }
+  }
+
   test("lateness audit is internally consistent and bites on this corpus") {
     val r = TimeSeries.latenessAudit(spark, sfDir).head()
     assert(r.getAs[Long]("n_events") == Tables.events(spark, sfDir).count())

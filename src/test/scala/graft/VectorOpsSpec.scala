@@ -242,6 +242,24 @@ class VectorOpsSpec extends SparkSpec {
     assert(counts.nonEmpty && counts.forall(_._2 == 64L))
   }
 
+  test("norm audit: bounds hold and one label's mean matches a local fold") {
+    val out = VectorOps.qEmbeddingNormAudit(spark, sfDir).collect()
+    assert(out.map(_.getAs[Long]("n")).sum ==
+      Tables.embeddings(spark, sfDir).count())
+    out.foreach { r =>
+      assert(r.getAs[Double]("min_norm") <= r.getAs[Double]("mean_norm") + 1e-9)
+      assert(r.getAs[Double]("mean_norm") <= r.getAs[Double]("max_norm") + 1e-9)
+      assert(r.getAs[Double]("min_norm") > 0.0, "no collapsed vectors expected")
+    }
+    val lbl = out.head.getAs[Int]("label")
+    val local = Tables.embeddings(spark, sfDir).filter(col("label") === lbl)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble))
+      .map(s => math.rint(math.sqrt(s) * 1e6) / 1e6)
+    val expect = local.sum / local.length
+    assert(math.abs(out.head.getAs[Double]("mean_norm") - expect) < 1e-5)
+  }
+
   test("robust scale: median maps to zero, IQR to one, order preserved") {
     val out = VectorOps.qRobustScale(spark, sfDir).cache()
     try {
