@@ -103,7 +103,7 @@ object PlanAudit {
     val expectedCross = Set("q_cosine_topk", "q_ann_topk_int8", "q_dsir_weights",
       "q_rfm", "q_target_encoding", "q_heavy_hitters", "q_seasonal_profile",
       "q_benford", "q_psi", "q_mutual_info",
-      "q_source_concentration", "q_robust_scale",
+      "q_source_concentration", "q_robust_scale", "q_cuped", "q_winsorized_mean",
       "q_hll_merge", "q_retention_curve", "q_cooccur_lift", "q_npmi_collocations",
       "q_domain_shift", "q_knn_label_noise",
       "q_dedup_embedding",

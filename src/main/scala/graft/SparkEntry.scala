@@ -186,6 +186,10 @@ object SparkEntry {
     "q_user_entropy" -> (TimeSeries.userEntropy _),
     "q_trending" -> (RelQueries.trending _),
     "q_embedding_norm_audit" -> (VectorOps.qEmbeddingNormAudit _),
+    "q_cuped" -> (TimeSeries.cuped _),
+    "q_confusion_matrix" -> (VectorOps.qConfusionMatrix _),
+    "q_winsorized_mean" -> (RelQueries.winsorizedMean _),
+    "q_kfold" -> (text.Sampling.qKfold _),
     // §2.A reference (dist-keras) operator surface
     "q_minmax_scale" -> (VectorOps.qMinMaxScale _),
     "q_onehot" -> (VectorOps.qOneHot _),
@@ -1735,6 +1739,44 @@ object SparkEntry {
         s"x AS (SELECT bin, n_train, n_val, ROUND($pT, 6) AS p_train, ROUND($pV, 6) AS p_val, CAST(ROUND(($pT - $pV) * ln(($pT) / ($pV)), 9) AS DECIMAL(18,9)) AS term FROM f CROSS JOIN t), " +
         "g AS (SELECT ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi_total FROM x) " +
         "SELECT bin, n_train, n_val, p_train, p_val, CAST(term AS DOUBLE) AS psi_term, psi_total FROM x CROSS JOIN g ORDER BY bin"
+    },
+    // CUPED: per-user DECIMAL-exact (X, Y) conditional sums, one
+    // power-sum pass for theta, arm aggregates crossed with scalars
+    "q_cuped" -> {
+      val cut = rel.TimeSeries.cupedCutDate
+      val arm50 = text.Sampling.cutHex(0.5)
+      val nD = "CAST(n AS DOUBLE)"
+      def d19(c: String) = s"CAST($c AS DECIMAL(19,2))"
+      def p(a: String, b: String) =
+        s"CAST(SUM(CAST(${d19(a)} * ${d19(b)} AS DECIMAL(30,8))) AS DOUBLE)"
+      s"WITH u AS (SELECT user_id, SUM(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '$cut 00:00:00' THEN CAST(0 AS DECIMAL(18,2)) ELSE CAST(value AS DECIMAL(18,2)) END) AS x, SUM(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '$cut 00:00:00' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS y FROM events GROUP BY user_id), " +
+        s"a AS (SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)),1,2) < '$arm50' THEN 'A' ELSE 'B' END AS arm, x, y FROM u), " +
+        s"g AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy, ${p("x", "x")} AS sxx, ${p("y", "y")} AS syy, ${p("x", "y")} AS sxy FROM a), " +
+        s"s AS (SELECT (sxy - sx * sy / $nD) / (sxx - sx * sx / $nD) AS theta, sx / $nD AS gmx, ((sxy - sx * sy / $nD) * (sxy - sx * sy / $nD)) / ((sxx - sx * sx / $nD) * (syy - sy * sy / $nD)) AS var_reduction FROM g), " +
+        "r AS (SELECT arm, COUNT(*) AS n, CAST(SUM(x) AS DOUBLE) AS asx, CAST(SUM(y) AS DOUBLE) AS asy FROM a GROUP BY arm) " +
+        s"SELECT arm, n, ROUND(asy / $nD, 6) AS mean_y, " +
+        s"ROUND(asy / $nD - theta * (asx / $nD - gmx), 6) AS mean_y_adj, " +
+        "ROUND(theta, 6) AS theta, ROUND(var_reduction, 6) AS var_reduction " +
+        "FROM r CROSS JOIN s ORDER BY arm"
+    },
+    // confusion matrix: mod-10 scoring grid + per-true-label shares
+    "q_confusion_matrix" ->
+      ("WITH g AS (SELECT CAST(label AS BIGINT) AS label, CAST((list_position(embedding, list_max(embedding)) - 1) % 10 AS BIGINT) AS pred, COUNT(*) AS n FROM embeddings GROUP BY label, pred) " +
+        "SELECT label, pred, n, ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY label) AS DOUBLE), 6) AS row_share " +
+        "FROM g ORDER BY label, pred"),
+    // winsorized mean: global clip percentiles, ROUND->DECIMAL folds
+    "q_winsorized_mean" ->
+      ("WITH c AS (SELECT quantile_cont(o_totalprice, 0.05) AS p05, quantile_cont(o_totalprice, 0.95) AS p95 FROM orders), " +
+        "w AS (SELECT o_orderpriority AS category, CAST(o_totalprice AS DECIMAL(18,2)) AS raw, CAST(ROUND(least(greatest(o_totalprice, p05), p95), 6) AS DECIMAL(18,6)) AS w FROM orders CROSS JOIN c) " +
+        "SELECT category, COUNT(*) AS n, ROUND(CAST(SUM(raw) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_raw, " +
+        "ROUND(CAST(SUM(w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_winsorized " +
+        "FROM w GROUP BY category ORDER BY category"),
+    // k-fold audit: md5 folds, per-language shares over the tiny grid
+    "q_kfold" -> {
+      val k = text.Sampling.kFolds
+      s"WITH g AS (SELECT CAST((${hex60Sql("md5('fold:' || CAST(doc_id AS VARCHAR))")}) % $k AS INTEGER) AS fold, lang, COUNT(*) AS n FROM documents GROUP BY fold, lang) " +
+        "SELECT fold, lang, n, ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE), 6) AS lang_share " +
+        "FROM g ORDER BY fold, lang"
     },
     // TWAP: exact integer cents*µs sums, one final double division
     "q_twap" ->

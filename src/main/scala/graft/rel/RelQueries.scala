@@ -1200,6 +1200,37 @@ object RelQueries {
       .orderBy("pa", "pb")
   }
 
+  /** q_winsorized_mean — robust per-group means after GLOBAL p05/p95
+    * clipping of order totals: the outlier-taming mean that keeps every
+    * row (vs q_quality_tails, which DROPS the tails; vs [[mad]], which
+    * only measures dispersion) — clip at the corpus percentiles, then
+    * average per priority group. The standard recipe for KPI means a
+    * single fat-finger order would otherwise own.
+    *
+    * Scale shape: ONE exact-percentile aggregate (GK sketch at 100 TB)
+    * broadcast over a per-row codegen clip, then a map-side-combined
+    * group agg; clipped values are ROUND(,6)→DECIMAL so group folds
+    * are order-proof (the clip result inherits the percentile's
+    * interpolated double). */
+  def winsorizedMean(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("category"), col("o_totalprice"))
+    val cuts = o.agg(
+      percentile(col("o_totalprice"), lit(0.05)).as("p05"),
+      percentile(col("o_totalprice"), lit(0.95)).as("p95"))
+    val clipped = round(least(greatest(col("o_totalprice"), col("p05")), col("p95")), 6)
+      .cast(DecimalType(18, 6))
+    o.crossJoin(broadcast(cuts))
+      .select(col("category"), dec(col("o_totalprice")).as("raw"), clipped.as("w"))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("raw")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("mean_raw"),
+        round(sum(col("w")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("mean_winsorized"))
+      .orderBy("category")
+  }
+
   /** Chronological cut and result size for [[trending]]. The cut is a
     * FIXED literal (mid-range of the 1995–2001 ship dates) so the key
     * needs no anchor scan; both halves are non-empty at every SF. */

@@ -1,6 +1,6 @@
 package graft.rel
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -471,6 +471,66 @@ object TimeSeries {
     * to ≤ 168 cells; the global mean is derived FROM those cells (a
     * second tiny agg) and crossed back as a one-row broadcast. Value
     * sums are DECIMAL-exact before the final double divisions. */
+  /** CUPED pre/post cut (events span 2024-01-01..01-30; the cut splits
+    * the month). */
+  val cupedCutDate = "2024-01-16"
+
+  /** q_cuped — CUPED variance reduction for the A/B readout
+    * (Deng et al., WSDM'13): each user's PRE-period activity is used as
+    * a control covariate, adjusted metric = Y − θ(X − X̄) with
+    * θ = cov(X,Y)/var(X) — same expectation, variance shrunk by the
+    * X↔Y correlation², which is why every mature experimentation
+    * platform runs it. Arms are the q_ab_test hash assignment; output
+    * is per-arm raw and adjusted means plus θ and the variance-
+    * reduction factor. q_ab_test asks "is there a difference"; CUPED
+    * is how the same answer is reached with a fraction of the sample.
+    *
+    * Scale shape: one corpus pass to per-user (X, Y) DECIMAL-exact
+    * sums (conditional agg — no period self-join), ONE power-sum agg
+    * over users for θ, one arm-keyed agg, one-row broadcasts back. */
+  def cuped(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Sampling
+    val arm = Sampling.splitAssign(col("user_id"), Seq("A" -> 0.5, "B" -> 0.5))
+    val isPost = col("ts").cast("timestamp") >=
+      lit(cupedCutDate).cast("timestamp")
+    val zero = lit(0).cast(DecimalType(18, 2))
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(!isPost, dec(col("value"))).otherwise(zero)).as("x"),
+        sum(when(isPost, dec(col("value"))).otherwise(zero)).as("y"))
+      .select(arm.as("arm"), col("x"), col("y"))
+    def prod(a: Column, b: Column): Column = (a * b).cast(DecimalType(30, 8))
+    val g = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(prod(col("x"), col("x"))).cast("double").as("sxx"),
+      sum(prod(col("y"), col("y"))).cast("double").as("syy"),
+      sum(prod(col("x"), col("y"))).cast("double").as("sxy"))
+    val nd = col("n").cast("double")
+    val theta = (col("sxy") - col("sx") * col("sy") / nd) /
+      (col("sxx") - col("sx") * col("sx") / nd)
+    val scalars = g.select(theta.as("theta"),
+      (col("sx") / nd).as("gmx"),
+      (((col("sxy") - col("sx") * col("sy") / nd) *
+        (col("sxy") - col("sx") * col("sy") / nd)) /
+        ((col("sxx") - col("sx") * col("sx") / nd) *
+          (col("syy") - col("sy") * col("sy") / nd))).as("var_reduction"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("asx"),
+        sum(col("y")).cast("double").as("asy"))
+    val and = col("n").cast("double")
+    arms.crossJoin(broadcast(scalars))
+      .select(col("arm"), col("n"),
+        round(col("asy") / and, 6).as("mean_y"),
+        round(col("asy") / and - col("theta") * (col("asx") / and - col("gmx")), 6)
+          .as("mean_y_adj"),
+        round(col("theta"), 6).as("theta"),
+        round(col("var_reduction"), 6).as("var_reduction"))
+      .orderBy("arm")
+  }
+
   /** q_twap — time-weighted average value per user: each reading is
     * weighted by how long it REMAINED CURRENT (µs until the next
     * event), the metrics/finance staple a plain mean gets wrong on

@@ -358,6 +358,35 @@ object Sampling {
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
       .orderBy("split", "lang")
 
+  /** k for [[qKfold]]. */
+  val kFolds = 5
+
+  /** q_kfold — cross-validation fold assignment audit: every document
+    * hashed into one of [[kFolds]] folds, reported per (fold, lang)
+    * with the fold's share of that language — the check that
+    * content-addressed folds are BALANCED (each fold ≈ 1/k of every
+    * stratum) before anyone trusts a CV estimate from them. The CV
+    * sibling of q_split_assign's one-shot split; same md5 device, so
+    * folds are reproducible across runs, engines and partitionings.
+    *
+    * Scale shape: per-row codegen hash + ONE map-side-combined
+    * (fold, lang) aggregate; language totals derive from the tiny grid. */
+  def qKfold(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fold = pmod(TextOps.baseHash60(
+      concat(lit("fold:"), col("doc_id").cast("string"))), lit(kFolds.toLong))
+      .cast("int")
+    val grid = Tables.documents(spark, dir)
+      .select(fold.as("fold"), col("lang"))
+      .groupBy(col("fold"), col("lang")).agg(count(lit(1)).as("n"))
+    val perLang = Window.partitionBy(col("lang"))
+    grid
+      .select(col("fold"), col("lang"), col("n"),
+        round(col("n").cast("double") /
+          sum(col("n")).over(perLang).cast("double"), 6).as("lang_share"))
+      .orderBy("fold", "lang")
+  }
+
   /** Bootstrap replicate count. */
   val bootReps = 8
   /** Poisson(1) CDF cut points scaled to the 10⁶-resolution hash

@@ -329,6 +329,30 @@ object VectorOps {
       .agg(round(avg(col("v").cast("double")), 6).as("avg_v"))
       .orderBy("label", "idx")
 
+  /** q_confusion_matrix — the full (label × prediction) contingency
+    * grid for the deterministic mod-10 demo predictor, with per-row
+    * (true-label) recall shares: the standard eval artifact q_accuracy
+    * collapses to one number and q_eval_metrics to binary P/R/F1 —
+    * multiclass error STRUCTURE (which classes confuse with which)
+    * lives here.
+    *
+    * Scale shape: per-row codegen scoring into one map-side-combined
+    * ≤ |labels|²-cell aggregate; the row totals are a window over that
+    * tiny grid. */
+  def qConfusionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        (argMax(col("embedding")) % 10).as("pred"))
+      .groupBy(col("label"), col("pred")).agg(count(lit(1)).as("n"))
+    val rowT = Window.partitionBy(col("label"))
+    grid
+      .select(col("label"), col("pred"), col("n"),
+        round(col("n").cast("double") /
+          sum(col("n")).over(rowT).cast("double"), 6).as("row_share"))
+      .orderBy("label", "pred")
+  }
+
   /** q_embedding_norm_audit — L2-norm hygiene per label: count, mean,
     * min and max vector norm — the collapsed/exploding-embedding screen
     * run before any cosine machinery trusts the vectors (a near-zero

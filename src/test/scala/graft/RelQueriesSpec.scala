@@ -478,6 +478,21 @@ class RelQueriesSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("winsorized means are pulled toward the center and cover every group") {
+    val out = rel.RelQueries.winsorizedMean(spark, sfDir).collect()
+    assert(out.map(_.getAs[Long]("n")).sum == Tables.orders(spark, sfDir).count())
+    val gRaw = out.map(r => r.getAs[Long]("n") * r.getAs[Double]("mean_raw")).sum /
+      out.map(_.getAs[Long]("n")).sum
+    out.foreach { r =>
+      val (mr, mw) = (r.getAs[Double]("mean_raw"), r.getAs[Double]("mean_winsorized"))
+      // clipping both tails moves each group mean by a bounded amount,
+      // and winsorized != raw (the clip must actually fire)
+      assert(math.abs(mw - mr) < math.abs(gRaw) * 0.2)
+    }
+    assert(out.exists(r => math.abs(r.getAs[Double]("mean_winsorized") -
+      r.getAs[Double]("mean_raw")) > 1e-6), "the clip must bite somewhere")
+  }
+
   test("trending risers are rank-ordered and the ratio reconciles") {
     val out = rel.RelQueries.trending(spark, sfDir).collect()
     assert(out.length == rel.RelQueries.trendTopK)

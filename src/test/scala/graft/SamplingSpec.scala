@@ -212,6 +212,22 @@ class SamplingSpec extends SparkSpec {
       s"sample mean $sampleMean not above corpus mean $corpusMean")
   }
 
+  test("kfold covers every doc and folds are roughly balanced per language") {
+    val out = text.Sampling.qKfold(spark, sfDir).collect()
+    assert(out.map(_.getAs[Long]("n")).sum ==
+      Tables.documents(spark, sfDir).count())
+    out.foreach { r =>
+      val f = r.getAs[Int]("fold")
+      assert(f >= 0 && f < text.Sampling.kFolds)
+    }
+    // each (fold, lang) share should sit near 1/k — wide tolerance for
+    // small strata, but no fold may swallow a language
+    out.foreach { r =>
+      assert(r.getAs[Double]("lang_share") < 0.5,
+        s"fold ${r.getAs[Int]("fold")} owns ${r.getAs[Double]("lang_share")} of ${r.getString(1)}")
+    }
+  }
+
   test("bootstrap SE: point estimate exact, SE positive and plausibly scaled") {
     val out = text.Sampling.qBootstrapSe(spark, sfDir).collect()
     val srcStats = Tables.documents(spark, sfDir)

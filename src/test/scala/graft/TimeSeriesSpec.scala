@@ -244,6 +244,21 @@ class TimeSeriesSpec extends SparkSpec {
     assert(df >= lo - 1e-6 && df <= (nEvents - 2).toDouble + 1e-6, s"df=$df out of range")
   }
 
+  test("cuped preserves arm means in expectation and reduces variance") {
+    val out = TimeSeries.cuped(spark, sfDir).collect()
+    assert(out.length == 2)
+    val vr = out.head.getAs[Double]("var_reduction")
+    assert(vr >= 0.0 && vr <= 1.0, s"variance reduction $vr outside [0,1]")
+    // theta identical on both rows (a global scalar)
+    assert(out.map(_.getAs[Double]("theta")).distinct.length == 1)
+    // the adjustment is mean-preserving ACROSS arms: the n-weighted mean
+    // of adjusted Y equals that of raw Y (sum theta*(x - gmx) = 0)
+    val wRaw = out.map(r => r.getAs[Long]("n") * r.getAs[Double]("mean_y")).sum
+    val wAdj = out.map(r => r.getAs[Long]("n") * r.getAs[Double]("mean_y_adj")).sum
+    assert(math.abs(wRaw - wAdj) / math.abs(wRaw) < 1e-4,
+      s"adjustment must be mean-preserving: $wRaw vs $wAdj")
+  }
+
   test("twap stays inside the user's value range and matches a local fold") {
     val out = TimeSeries.twap(spark, sfDir).cache()
     try {

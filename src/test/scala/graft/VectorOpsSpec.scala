@@ -242,6 +242,21 @@ class VectorOpsSpec extends SparkSpec {
     assert(counts.nonEmpty && counts.forall(_._2 == 64L))
   }
 
+  test("confusion matrix partitions the corpus and diagonal equals accuracy") {
+    val out = VectorOps.qConfusionMatrix(spark, sfDir).collect()
+    val total = out.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.embeddings(spark, sfDir).count())
+    // row shares sum to 1 within each true label
+    out.groupBy(_.getAs[Long]("label")).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_.getAs[Double]("row_share")).sum - 1.0) < 1e-4)
+    }
+    // diagonal mass / total == q_accuracy's scalar
+    val diag = out.filter(r => r.getAs[Long]("label") == r.getAs[Long]("pred"))
+      .map(_.getAs[Long]("n")).sum
+    val acc = VectorOps.qAccuracy(spark, sfDir).head().getAs[Double]("acc")
+    assert(math.abs(diag.toDouble / total - acc) < 1e-5)
+  }
+
   test("norm audit: bounds hold and one label's mean matches a local fold") {
     val out = VectorOps.qEmbeddingNormAudit(spark, sfDir).collect()
     assert(out.map(_.getAs[Long]("n")).sum ==
