@@ -190,6 +190,10 @@ object SparkEntry {
     "q_confusion_matrix" -> (VectorOps.qConfusionMatrix _),
     "q_winsorized_mean" -> (RelQueries.winsorizedMean _),
     "q_kfold" -> (text.Sampling.qKfold _),
+    "q_anomaly_seasonal" -> (TimeSeries.anomalySeasonal _),
+    "q_growth_accounting" -> (TimeSeries.growthAccounting _),
+    "q_mde" -> (TimeSeries.mde _),
+    "q_path_conversion" -> (TimeSeries.pathConversion _),
     // §2.A reference (dist-keras) operator surface
     "q_minmax_scale" -> (VectorOps.qMinMaxScale _),
     "q_onehot" -> (VectorOps.qOneHot _),
@@ -1739,6 +1743,50 @@ object SparkEntry {
         s"x AS (SELECT bin, n_train, n_val, ROUND($pT, 6) AS p_train, ROUND($pV, 6) AS p_val, CAST(ROUND(($pT - $pV) * ln(($pT) / ($pV)), 9) AS DECIMAL(18,9)) AS term FROM f CROSS JOIN t), " +
         "g AS (SELECT ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi_total FROM x) " +
         "SELECT bin, n_train, n_val, p_train, p_val, CAST(term AS DOUBLE) AS psi_term, psi_total FROM x CROSS JOIN g ORDER BY bin"
+    },
+    // seasonal anomaly: the seasonal-profile cells with DECIMAL power
+    // sums, scored per row, flagged tail only
+    "q_anomaly_seasonal" ->
+      ("WITH e AS (SELECT user_id, event_id, CAST(isodow(CAST(ts AS TIMESTAMP)) - 1 AS INTEGER) AS dow, CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hod, value FROM events), " +
+        "c AS (SELECT dow, hod, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv, CAST(SUM(CAST(CAST(value AS DECIMAL(19,2)) * CAST(value AS DECIMAL(19,2)) AS DECIMAL(30,8))) AS DOUBLE) AS svv FROM e GROUP BY dow, hod), " +
+        "s AS (SELECT dow, hod, sv / CAST(n AS DOUBLE) AS cell_mean, sqrt(greatest((svv - sv * sv / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 0.0)) AS cell_sd FROM c) " +
+        "SELECT user_id, event_id, e.dow, e.hod, value, ROUND((value - cell_mean) / cell_sd, 6) AS z " +
+        "FROM e JOIN s ON s.dow = e.dow AND s.hod = e.hod " +
+        "WHERE cell_sd > 0 AND abs((value - cell_mean) / cell_sd) > 3.0 " +
+        "ORDER BY user_id, event_id"),
+    // growth accounting: distinct (user, week) lag classification
+    "q_growth_accounting" ->
+      ("WITH uw AS (SELECT DISTINCT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk FROM events), " +
+        "l AS (SELECT wk, lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev FROM uw), " +
+        "c AS (SELECT wk, CASE WHEN prev IS NULL THEN 'new' WHEN date_diff('day', prev, wk) = 7 THEN 'retained' ELSE 'resurrected' END AS cls FROM l), " +
+        "w AS (SELECT wk, COUNT(*) AS n_active, CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new, CAST(SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained, CAST(SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected FROM c GROUP BY wk) " +
+        "SELECT wk, n_active, n_new, n_retained, n_resurrected, " +
+        "COALESCE(lag(n_active) OVER (ORDER BY wk), 0) - n_retained AS n_churned_from_prev " +
+        "FROM w ORDER BY wk"),
+    // MDE: the ab_test power sums + fixed z literals, one row
+    "q_mde" -> {
+      val cut = text.Sampling.cutHex(0.5)
+      val z = rel.TimeSeries.mdeZAlpha + rel.TimeSeries.mdeZPower
+      val se = "sqrt(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE))"
+      s"WITH e AS (SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)),1,2) < '$cut' THEN 'A' ELSE 'B' END AS arm, CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS x FROM events), " +
+        "a AS (SELECT arm, COUNT(*) AS n, CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(CAST(x*x AS DECIMAL(30,8))) AS DOUBLE) AS sxx FROM e GROUP BY arm), " +
+        "p AS (SELECT arm, n, sx / CAST(n AS DOUBLE) AS m, (sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS v FROM a), " +
+        "w AS (SELECT MAX(CASE WHEN arm='A' THEN n END) AS n_a, MAX(CASE WHEN arm='A' THEN m END) AS m_a, MAX(CASE WHEN arm='A' THEN v END) AS v_a, " +
+        "MAX(CASE WHEN arm='B' THEN n END) AS n_b, MAX(CASE WHEN arm='B' THEN v END) AS v_b FROM p) " +
+        s"SELECT n_a, n_b, ROUND(m_a, 6) AS mean_a, ROUND($z * $se, 6) AS mde_abs, " +
+        s"ROUND($z * $se / m_a, 6) AS mde_rel FROM w"
+    },
+    // path conversion: the funnel_paths prefix + a distinct-purchaser join
+    "q_path_conversion" -> {
+      val k = rel.TimeSeries.pathLen
+      "WITH r AS (SELECT user_id, event_type, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn FROM events), " +
+        s"f AS (SELECT user_id, array_to_string(list(event_type ORDER BY rn), '>') AS path, COUNT(*) AS k FROM r WHERE rn <= $k GROUP BY user_id), " +
+        s"p AS (SELECT user_id, path FROM f WHERE k = $k), " +
+        "cv AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') " +
+        "SELECT path, COUNT(*) AS n_users, CAST(SUM(CASE WHEN cv.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_converted, " +
+        "ROUND(CAST(SUM(CASE WHEN cv.user_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS conversion_rate " +
+        "FROM p LEFT JOIN cv ON cv.user_id = p.user_id GROUP BY path " +
+        "ORDER BY n_users DESC, path"
     },
     // CUPED: per-user DECIMAL-exact (X, Y) conditional sums, one
     // power-sum pass for theta, arm aggregates crossed with scalars

@@ -471,6 +471,151 @@ object TimeSeries {
     * to ≤ 168 cells; the global mean is derived FROM those cells (a
     * second tiny agg) and crossed back as a one-row broadcast. Value
     * sums are DECIMAL-exact before the final double divisions. */
+  /** q_anomaly_seasonal — seasonality-aware anomaly flags: each event's
+    * value is z-scored against ITS OWN (dow × hour) cell's mean/sd
+    * (the [[seasonalProfile]] baseline in action — "low for 4am
+    * Sunday" is normal, "high for 4am Sunday" is the anomaly), and
+    * only |z| > 3 rows are emitted. The composition q_anomaly_zscore
+    * (trailing window) and q_cusum (drift) don't cover: a POINT
+    * anomaly relative to the seasonal norm.
+    *
+    * Scale shape: cells = one map-side-combined agg with DECIMAL power
+    * sums (≤ 168 rows, broadcast back); the scoring join is a per-row
+    * broadcast lookup; output is only the flagged tail. */
+  def anomalySeasonal(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        ((dayofweek(col("ts")) + 5) % 7).as("dow"),
+        hour(col("ts")).as("hod"), col("value"))
+    def prod(a: Column, b: Column): Column = (a * b).cast(DecimalType(30, 8))
+    val v = col("value").cast(DecimalType(18, 2))
+    val cells = e.groupBy(col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n"),
+        sum(v).cast("double").as("sv"),
+        sum(prod(v, v)).cast("double").as("svv"))
+    val nd = col("n").cast("double")
+    // variance floored at 0 before sqrt (the q_anomaly_zscore device):
+    // a single-event cell's svv - sv²/n is a tiny NEGATIVE under IEEE,
+    // where Spark's sqrt returns NaN silently but DuckDB's ERRORS
+    val stats = cells.select(col("dow"), col("hod"),
+      (col("sv") / nd).as("cell_mean"),
+      sqrt(greatest((col("svv") - col("sv") * col("sv") / nd) / nd, lit(0.0)))
+        .as("cell_sd"))
+    val z = (col("value") - col("cell_mean")) / col("cell_sd")
+    e.join(broadcast(stats), Seq("dow", "hod"))
+      .filter(col("cell_sd") > 0 && abs(z) > 3.0)
+      .select(col("user_id"), col("event_id"), col("dow"), col("hod"),
+        col("value"), round(z, 6).as("z"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** q_growth_accounting — weekly new / retained / resurrected /
+    * churned user accounting (the canonical product-growth ledger):
+    * per ISO week, actives split by whether they were active the
+    * previous week (retained), earlier only (resurrected), or never
+    * before (new); churn = last week's actives who did not return.
+    * Identity: active(w) = new + retained + resurrected and
+    * churned(w) = active(w−1) − retained(w) — both spec-pinned.
+    *
+    * Scale shape: distinct (user, week) → one user-keyed lag window →
+    * one week agg; the churn column is a lag over the ≤ |weeks|-row
+    * weekly frame. */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+    val classed = uw
+      .withColumn("prev", lag(col("wk"), 1).over(byUser))
+      .select(col("wk"),
+        when(col("prev").isNull, "new")
+          .when(datediff(col("wk"), col("prev")) === 7, "retained")
+          .otherwise("resurrected").as("cls"))
+    val weekly = classed.groupBy(col("wk"))
+      .agg(count(lit(1)).as("n_active"),
+        sum((col("cls") === "new").cast("long")).as("n_new"),
+        sum((col("cls") === "retained").cast("long")).as("n_retained"),
+        sum((col("cls") === "resurrected").cast("long")).as("n_resurrected"))
+    val wOrd = Window.orderBy(col("wk"))
+    weekly
+      .withColumn("n_churned_from_prev",
+        coalesce(lag(col("n_active"), 1).over(wOrd), lit(0L)) -
+          col("n_retained"))
+      .orderBy("wk")
+  }
+
+  /** Two-sided α = 0.05 and power = 0.80 z-scores for [[mde]]. */
+  val mdeZAlpha = 1.959963984540054
+  val mdeZPower = 0.8416212335729143
+
+  /** q_mde — minimum detectable effect for the running experiment: the
+    * smallest true lift the [[abTest]] design could detect at α = 0.05
+    * / 80% power given the observed per-arm sizes and variances —
+    * (z_{α/2} + z_{power})·√(v_a/n_a + v_b/n_b), absolute and relative
+    * to the control mean. The question a team asks BEFORE shipping an
+    * experiment ("can this test even see a 1% lift?"), closing the
+    * experimentation set (assignment → test → CUPED → power).
+    *
+    * Scale shape: the abTest per-arm DECIMAL power sums, one row out. */
+  def mde(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Sampling
+    val arm = Sampling.splitAssign(col("user_id"), Seq("A" -> 0.5, "B" -> 0.5))
+    val x = dec(col("value")).cast(DecimalType(18, 4))
+    val arms = Tables.events(spark, dir)
+      .select(arm.as("arm"), x.as("x"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum((col("x") * col("x")).cast(DecimalType(30, 8))).cast("double").as("sxx"))
+    val nd = col("n").cast("double")
+    val sVar = (col("sxx") - col("sx") * col("sx") / nd) / (nd - lit(1.0))
+    val wide = arms
+      .select(col("arm"), col("n"), (col("sx") / nd).as("m"), sVar.as("v"))
+      .agg(max(when(col("arm") === "A", col("n"))).as("n_a"),
+        max(when(col("arm") === "A", col("m"))).as("m_a"),
+        max(when(col("arm") === "A", col("v"))).as("v_a"),
+        max(when(col("arm") === "B", col("n"))).as("n_b"),
+        max(when(col("arm") === "B", col("v"))).as("v_b"))
+    val se = sqrt(col("v_a") / col("n_a").cast("double") +
+      col("v_b") / col("n_b").cast("double"))
+    val mdeAbs = lit(mdeZAlpha + mdeZPower) * se
+    wide.select(col("n_a"), col("n_b"),
+      round(col("m_a"), 6).as("mean_a"),
+      round(mdeAbs, 6).as("mde_abs"),
+      round(mdeAbs / col("m_a"), 6).as("mde_rel"))
+  }
+
+  /** q_path_conversion — entry-path conversion rates: for every
+    * [[funnelPaths]] 3-event entry path, the share of its users who
+    * ever purchase — turning "how do users start" into "which starts
+    * WORK" (the readout that ranks onboarding flows). Keyed joins
+    * only; the path table stays ≤ |types|³.
+    */
+  def pathConversion(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val paths = e
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= pathLen)
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("rn"), col("event_type")))).as("steps"),
+        count(lit(1)).as("k"))
+      .filter(col("k") === pathLen)
+      .select(col("user_id"),
+        concat_ws(">", transform(col("steps"), s => s("event_type"))).as("path"))
+    val converted = e.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().withColumn("conv", lit(1L))
+    paths.join(converted, Seq("user_id"), "left")
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(coalesce(col("conv"), lit(0L))).as("n_converted"))
+      .select(col("path"), col("n_users"), col("n_converted"),
+        round(col("n_converted").cast("double") / col("n_users").cast("double"), 6)
+          .as("conversion_rate"))
+      .orderBy(col("n_users").desc, col("path"))
+  }
+
   /** CUPED pre/post cut (events span 2024-01-01..01-30; the cut splits
     * the month). */
   val cupedCutDate = "2024-01-16"

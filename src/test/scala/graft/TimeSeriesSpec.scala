@@ -244,6 +244,51 @@ class TimeSeriesSpec extends SparkSpec {
     assert(df >= lo - 1e-6 && df <= (nEvents - 2).toDouble + 1e-6, s"df=$df out of range")
   }
 
+  test("seasonal anomalies are a sparse tail and all exceed |z| = 3") {
+    val out = TimeSeries.anomalySeasonal(spark, sfDir).collect()
+    val total = Tables.events(spark, sfDir).count()
+    assert(out.length < total * 0.05, s"${out.length} flags of $total events")
+    out.foreach(r => assert(math.abs(r.getAs[Double]("z")) > 3.0))
+  }
+
+  test("growth accounting: identities hold and new users total distinct users") {
+    val out = TimeSeries.growthAccounting(spark, sfDir).collect()
+      .sortBy(_.getAs[java.sql.Date]("wk").getTime)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_active") == r.getAs[Long]("n_new") +
+        r.getAs[Long]("n_retained") + r.getAs[Long]("n_resurrected"))
+      assert(r.getAs[Long]("n_churned_from_prev") >= 0L)
+    }
+    assert(out.map(_.getAs[Long]("n_new")).sum ==
+      Tables.events(spark, sfDir).select("user_id").distinct().count())
+    // first week: everyone is new, nobody churned from a prior week
+    assert(out.head.getAs[Long]("n_new") == out.head.getAs[Long]("n_active"))
+    assert(out.head.getAs[Long]("n_churned_from_prev") == 0L)
+  }
+
+  test("mde is positive and reconciles with its own relative form") {
+    val r = TimeSeries.mde(spark, sfDir).head()
+    val (abs0, rel0, m) = (r.getAs[Double]("mde_abs"), r.getAs[Double]("mde_rel"),
+      r.getAs[Double]("mean_a"))
+    assert(abs0 > 0.0 && rel0 > 0.0)
+    assert(math.abs(rel0 - abs0 / m) < 1e-5)
+  }
+
+  test("path conversion: purchase-starting paths convert at exactly 1") {
+    val out = TimeSeries.pathConversion(spark, sfDir).collect()
+    out.foreach { r =>
+      val rate = r.getAs[Double]("conversion_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      // a 'purchase' inside the 3-step prefix implies the user converted
+      if (r.getString(0).split(">").contains("purchase"))
+        assert(rate == 1.0, s"path ${r.getString(0)} rate $rate")
+    }
+    // path population matches funnel_paths' user totals
+    val fp = TimeSeries.funnelPaths(spark, sfDir)
+      .agg(sum("n_users")).head().getLong(0)
+    assert(out.map(_.getAs[Long]("n_users")).sum == fp)
+  }
+
   test("cuped preserves arm means in expectation and reduces variance") {
     val out = TimeSeries.cuped(spark, sfDir).collect()
     assert(out.length == 2)
