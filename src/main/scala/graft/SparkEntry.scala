@@ -1745,15 +1745,17 @@ object SparkEntry {
         "SELECT bin, n_train, n_val, p_train, p_val, CAST(term AS DOUBLE) AS psi_term, psi_total FROM x CROSS JOIN g ORDER BY bin"
     },
     // seasonal anomaly: the seasonal-profile cells with DECIMAL power
-    // sums, scored per row, flagged tail only
+    // sums, scored per row; top-100 by |z| with the |z|>3 flag (a hard
+    // threshold is structurally empty when cells are small — max |z|
+    // in a cell of n points is sqrt(n-1))
     "q_anomaly_seasonal" ->
       ("WITH e AS (SELECT user_id, event_id, CAST(isodow(CAST(ts AS TIMESTAMP)) - 1 AS INTEGER) AS dow, CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hod, value FROM events), " +
         "c AS (SELECT dow, hod, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv, CAST(SUM(CAST(CAST(value AS DECIMAL(19,2)) * CAST(value AS DECIMAL(19,2)) AS DECIMAL(30,8))) AS DOUBLE) AS svv FROM e GROUP BY dow, hod), " +
-        "s AS (SELECT dow, hod, sv / CAST(n AS DOUBLE) AS cell_mean, sqrt(greatest((svv - sv * sv / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 0.0)) AS cell_sd FROM c) " +
-        "SELECT user_id, event_id, e.dow, e.hod, value, ROUND((value - cell_mean) / cell_sd, 6) AS z " +
-        "FROM e JOIN s ON s.dow = e.dow AND s.hod = e.hod " +
-        "WHERE cell_sd > 0 AND abs((value - cell_mean) / cell_sd) > 3.0 " +
-        "ORDER BY user_id, event_id"),
+        "s AS (SELECT dow, hod, sv / CAST(n AS DOUBLE) AS cell_mean, sqrt(greatest((svv - sv * sv / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 0.0)) AS cell_sd FROM c), " +
+        "r AS (SELECT user_id, event_id, e.dow, e.hod, value, ROUND((value - cell_mean) / cell_sd, 6) AS z " +
+        "FROM e JOIN s ON s.dow = e.dow AND s.hod = e.hod WHERE cell_sd > 0) " +
+        "SELECT user_id, event_id, dow, hod, value, z, abs(z) > 3.0 AS is_anomaly " +
+        "FROM r ORDER BY abs(z) DESC, user_id, event_id LIMIT 100"),
     // growth accounting: distinct (user, week) lag classification
     "q_growth_accounting" ->
       ("WITH uw AS (SELECT DISTINCT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk FROM events), " +

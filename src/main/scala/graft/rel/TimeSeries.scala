@@ -471,17 +471,26 @@ object TimeSeries {
     * to ≤ 168 cells; the global mean is derived FROM those cells (a
     * second tiny agg) and crossed back as a one-row broadcast. Value
     * sums are DECIMAL-exact before the final double divisions. */
-  /** q_anomaly_seasonal — seasonality-aware anomaly flags: each event's
-    * value is z-scored against ITS OWN (dow × hour) cell's mean/sd
-    * (the [[seasonalProfile]] baseline in action — "low for 4am
-    * Sunday" is normal, "high for 4am Sunday" is the anomaly), and
-    * only |z| > 3 rows are emitted. The composition q_anomaly_zscore
-    * (trailing window) and q_cusum (drift) don't cover: a POINT
-    * anomaly relative to the seasonal norm.
+  /** q_anomaly_seasonal — seasonality-aware anomaly ranking: each
+    * event's value is z-scored against ITS OWN (dow × hour) cell's
+    * mean/sd (the [[seasonalProfile]] baseline in action — "low for
+    * 4am Sunday" is normal, "high for 4am Sunday" is the anomaly).
+    * Output is the TOP-100 most anomalous rows with an `is_anomaly`
+    * (|z| > 3) flag rather than the flagged tail alone: a cell of n
+    * points can never exceed |z| = sqrt(n−1) against its own sd, so a
+    * hard threshold is structurally EMPTY whenever cells are small
+    * (sf0.001 has ~6 events/cell → max |z| ≈ 2.2) — the ranked head
+    * keeps the gate semantics while staying non-degenerate at every
+    * SF. The compositions q_anomaly_zscore (trailing window) and
+    * q_cusum (drift) don't cover this: a POINT anomaly relative to
+    * the seasonal norm.
     *
     * Scale shape: cells = one map-side-combined agg with DECIMAL power
     * sums (≤ 168 rows, broadcast back); the scoring join is a per-row
-    * broadcast lookup; output is only the flagged tail. */
+    * broadcast lookup; the ranked head is TakeOrderedAndProject (k=100
+    * per partition then one driver merge — no global sort). Ordering
+    * is deterministic: |z| rounded to 6 dp, ties broken by the unique
+    * (user_id, event_id). */
   def anomalySeasonal(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"),
@@ -503,10 +512,12 @@ object TimeSeries {
         .as("cell_sd"))
     val z = (col("value") - col("cell_mean")) / col("cell_sd")
     e.join(broadcast(stats), Seq("dow", "hod"))
-      .filter(col("cell_sd") > 0 && abs(z) > 3.0)
+      .filter(col("cell_sd") > 0)
       .select(col("user_id"), col("event_id"), col("dow"), col("hod"),
         col("value"), round(z, 6).as("z"))
-      .orderBy("user_id", "event_id")
+      .withColumn("is_anomaly", abs(col("z")) > 3.0)
+      .orderBy(abs(col("z")).desc, col("user_id"), col("event_id"))
+      .limit(100)
   }
 
   /** q_growth_accounting — weekly new / retained / resurrected /

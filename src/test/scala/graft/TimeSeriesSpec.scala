@@ -244,11 +244,13 @@ class TimeSeriesSpec extends SparkSpec {
     assert(df >= lo - 1e-6 && df <= (nEvents - 2).toDouble + 1e-6, s"df=$df out of range")
   }
 
-  test("seasonal anomalies are a sparse tail and all exceed |z| = 3") {
+  test("seasonal anomalies: ranked head is non-empty, sorted by |z|, flag ≡ |z|>3") {
     val out = TimeSeries.anomalySeasonal(spark, sfDir).collect()
-    val total = Tables.events(spark, sfDir).count()
-    assert(out.length < total * 0.05, s"${out.length} flags of $total events")
-    out.foreach(r => assert(math.abs(r.getAs[Double]("z")) > 3.0))
+    assert(out.nonEmpty && out.length <= 100)
+    val zs = out.map(r => math.abs(r.getAs[Double]("z")))
+    assert(zs.zip(zs.tail).forall { case (a, b) => a >= b }, "not sorted by |z| desc")
+    out.foreach(r => assert(
+      r.getAs[Boolean]("is_anomaly") == (math.abs(r.getAs[Double]("z")) > 3.0)))
   }
 
   test("growth accounting: identities hold and new users total distinct users") {
