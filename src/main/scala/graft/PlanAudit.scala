@@ -100,7 +100,10 @@ object PlanAudit {
     // aggregate — all bounded by construction
     // q_benford crosses its ONE-ROW digit total; q_psi its ONE-ROW
     // split totals and ONE-ROW DECIMAL psi total
-    val expectedCross = Set("q_cosine_topk", "q_ann_topk_int8", "q_dsir_weights",
+    // q_ks_test crosses its ONE-ROW split-totals aggregate into the
+    // distinct-length frame; q_acf its ONE-ROW (n, S) totals into the
+    // ≤|hours| spine — both bounded by construction
+    val expectedCross = Set("q_ks_test", "q_acf","q_cosine_topk", "q_ann_topk_int8", "q_dsir_weights",
       "q_rfm", "q_target_encoding", "q_heavy_hitters", "q_seasonal_profile",
       "q_benford", "q_psi", "q_mutual_info",
       "q_source_concentration", "q_robust_scale", "q_cuped", "q_winsorized_mean",

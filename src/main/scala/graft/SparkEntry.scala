@@ -194,6 +194,11 @@ object SparkEntry {
     "q_growth_accounting" -> (TimeSeries.growthAccounting _),
     "q_mde" -> (TimeSeries.mde _),
     "q_path_conversion" -> (TimeSeries.pathConversion _),
+    "q_auc_exact" -> (VectorOps.qAucExact _),
+    "q_ks_test" -> (TextOps.qKsTest _),
+    "q_gini" -> (TimeSeries.gini _),
+    "q_survival_km" -> (TimeSeries.survivalKm _),
+    "q_acf" -> (TimeSeries.acf _),
     // §2.A reference (dist-keras) operator surface
     "q_minmax_scale" -> (VectorOps.qMinMaxScale _),
     "q_onehot" -> (VectorOps.qOneHot _),
@@ -1789,6 +1794,68 @@ object SparkEntry {
         "ROUND(CAST(SUM(CASE WHEN cv.user_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS conversion_rate " +
         "FROM p LEFT JOIN cv ON cv.user_id = p.user_id GROUP BY path " +
         "ORDER BY n_users DESC, path"
+    },
+    // exact AUC: the calibration scoring CTE grouped to distinct
+    // 6-dp scores; doubled Mann-Whitney numerator stays pure BIGINT
+    "q_auc_exact" ->
+      (s"WITH s AS (SELECT ROUND(1.0/(1.0+exp(-(${dotSql("embedding", wLit)} + ${VectorOps.demoBias}))), 6) AS p, CAST((list_position(embedding, list_max(embedding)) - 1) % 2 AS INTEGER) AS y FROM embeddings), " +
+        "g AS (SELECT p, CAST(SUM(y) AS BIGINT) AS n1, CAST(SUM(1 - y) AS BIGINT) AS n0 FROM s GROUP BY p), " +
+        "c AS (SELECT n1, n0, COALESCE(SUM(n0) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0 FROM g) " +
+        "SELECT CAST(SUM(n1) AS BIGINT) AS n_pos, CAST(SUM(n0) AS BIGINT) AS n_neg, " +
+        "ROUND(CAST(SUM(n1 * (2 * cum0 + n0)) AS DOUBLE) / (2.0 * CAST(SUM(n1) AS DOUBLE) * CAST(SUM(n0) AS DOUBLE)), 9) AS auc FROM c"),
+    // KS: the psi split CTE, distinct-length cumulative counts; the
+    // argmax is selected on the integer cross-product, ties to the
+    // smaller length
+    "q_ks_test" -> {
+      val c80 = text.Sampling.cutHex(0.8)
+      val c90 = text.Sampling.cutHex(0.9)
+      s"WITH d AS (SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '$c80' THEN 'train' WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '$c90' THEN 'val' ELSE 'test' END AS split, length(text) AS len FROM documents), " +
+        "g AS (SELECT len, CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS a, CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS b FROM d WHERE split IN ('train', 'val') GROUP BY len), " +
+        "c AS (SELECT len, SUM(a) OVER w AS ca, SUM(b) OVER w AS cb FROM g WINDOW w AS (ORDER BY len ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "t AS (SELECT CAST(SUM(a) AS BIGINT) AS n_train, CAST(SUM(b) AS BIGINT) AS n_val FROM g), " +
+        "x AS (SELECT len, n_train, n_val, abs(CAST(ca AS HUGEINT) * CAST(n_val AS HUGEINT) - CAST(cb AS HUGEINT) * CAST(n_train AS HUGEINT)) AS diff2 FROM c CROSS JOIN t) " +
+        "SELECT n_train, n_val, len AS at_len, " +
+        "ROUND(CAST(diff2 AS DOUBLE) / (CAST(n_train AS DOUBLE) * CAST(n_val AS DOUBLE)), 9) AS d_stat " +
+        "FROM x ORDER BY diff2 DESC, len LIMIT 1"
+    },
+    // Gini: rank-weighted identity over the per-customer cents
+    // aggregate; hugeint products, one final double division
+    "q_gini" ->
+      ("WITH s AS (SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents FROM orders GROUP BY o_custkey), " +
+        "r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i FROM s) " +
+        "SELECT COUNT(*) AS n_customers, CAST(SUM(cents) AS BIGINT) AS total_cents, " +
+        "ROUND((2.0 * CAST(SUM(CAST(i AS HUGEINT) * CAST(cents AS HUGEINT)) AS DOUBLE) - CAST(COUNT(*) + 1 AS DOUBLE) * CAST(SUM(cents) AS DOUBLE)) / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE)), 9) AS gini FROM r"),
+    // Kaplan-Meier: censored time-to-conversion; at-risk = suffix sum
+    // over distinct hours; survival = exp of cumulative
+    // ROUND(,9)->DECIMAL ln terms; a terminal all-convert row
+    // (d = n_risk) emits 0 via the same branch
+    "q_survival_km" -> {
+      val h = rel.TimeSeries.kmFollowupHours
+      s"WITH u AS (SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us, MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS purch_us FROM events GROUP BY user_id), " +
+        "dh AS (SELECT CAST(floor(CAST(purch_us - first_us AS DOUBLE) / 3600000000.0) AS BIGINT) AS dur_h, purch_us FROM u), " +
+        s"lab AS (SELECT CASE WHEN purch_us IS NOT NULL AND dur_h <= $h THEN dur_h ELSE $h END AS t, CASE WHEN purch_us IS NOT NULL AND dur_h <= $h THEN 1 ELSE 0 END AS converted FROM dh), " +
+        "bt AS (SELECT t, COUNT(*) AS m, CAST(SUM(converted) AS BIGINT) AS d FROM lab GROUP BY t), " +
+        "nr AS (SELECT t, d, CAST(SUM(m) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk FROM bt), " +
+        "f AS (SELECT t, d, n_risk, CASE WHEN d < n_risk THEN CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)), 9) AS DECIMAL(18,9)) ELSE NULL END AS term FROM nr WHERE d > 0) " +
+        "SELECT t AS t_hours, n_risk, d AS d_converted, " +
+        "CASE WHEN d < n_risk THEN ROUND(exp(CAST(SUM(term) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6) ELSE 0.0 END AS survival " +
+        "FROM f ORDER BY t_hours"
+    },
+    // ACF: zero-filled hourly spine; integer residuals n·x − S so
+    // every product is exact; per-lag shift via an index equi-join
+    "q_acf" -> {
+      val maxLag = rel.TimeSeries.acfMaxLagHours
+      s"WITH hc AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, COUNT(*) AS x FROM events GROUP BY h), " +
+        "bd AS (SELECT MIN(h) AS hmin, MAX(h) AS hmax FROM hc), " +
+        "sp AS (SELECT UNNEST(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS h FROM bd), " +
+        "f AS (SELECT sp.h, COALESCE(hc.x, 0) AS x, CAST(date_diff('hour', bd.hmin, sp.h) AS BIGINT) AS t FROM sp LEFT JOIN hc ON hc.h = sp.h CROSS JOIN bd), " +
+        "tot AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s FROM f), " +
+        "g AS (SELECT t, CAST(n * x - s AS HUGEINT) AS r, n FROM f CROSS JOIN tot), " +
+        s"ks AS (SELECT CAST(UNNEST(range(1, ${maxLag + 1})) AS INTEGER) AS lag_h), " +
+        "p AS (SELECT ks.lag_h, a.r AS r, g2.r AS rlag, a.n FROM ks CROSS JOIN g a LEFT JOIN g g2 ON g2.t = a.t - ks.lag_h) " +
+        "SELECT lag_h, CAST(MAX(n) AS BIGINT) AS n_hours, " +
+        "ROUND(CAST(SUM(r * rlag) AS DOUBLE) / CAST(SUM(r * r) AS DOUBLE), 9) AS r_k " +
+        "FROM p GROUP BY lag_h ORDER BY lag_h"
     },
     // CUPED: per-user DECIMAL-exact (X, Y) conditional sums, one
     // power-sum pass for theta, arm aggregates crossed with scalars

@@ -823,6 +823,161 @@ object TimeSeries {
       .orderBy("user_id", "event_id")
   }
 
+  /** q_gini — Gini coefficient of customer spend concentration (the
+    * inequality audit next to q_source_concentration's HHI: HHI asks
+    * "how concentrated are SOURCES", Gini asks "how unequal are
+    * CUSTOMERS" — the classic whale-dependence readout). Uses the
+    * rank-weighted identity G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over
+    * spend sorted ascending, which needs ONE pass over the ranked
+    * aggregate instead of the textbook all-pairs |xᵢ−xⱼ| double sum.
+    *
+    * Scale shape: the corpus pass ends at the per-customer aggregate
+    * (≪ orders); the rank is a global sort over that NARROW aggregate
+    * only (range-partitioned at scale, the q_rfm ntile shape). All
+    * terms are integer cents × BIGINT ranks in DECIMAL(38,0) — exact
+    * until the one final double division. Ties broken by custkey so
+    * the rank (and hence the identity's Σ i·xᵢ) is total on both
+    * engines — Gini itself is tie-invariant, the determinism is for
+    * the hash gate. */
+  def gini(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("cents"))
+    val ranked = spend.withColumn("i",
+      row_number().over(Window.orderBy(col("cents"), col("o_custkey"))).cast("long"))
+    val d38 = DecimalType(38, 0)
+    ranked.agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("total_cents"),
+        sum(col("i").cast(d38) * col("cents").cast(d38)).as("iw"))
+      .select(col("n_customers"), col("total_cents"),
+        round((lit(2.0) * col("iw").cast("double")
+            - (col("n_customers") + 1).cast("double") * col("total_cents").cast("double"))
+          / (col("n_customers").cast("double") * col("total_cents").cast("double")),
+          9).as("gini"))
+  }
+
+  /** Administrative follow-up window (hours) behind [[survivalKm]]:
+    * each user is observed for exactly this long after their first
+    * event; a first purchase inside the window is the EVENT, no
+    * purchase by then is a right-CENSORING at the window edge (the
+    * clinical-trial design — deliberate, deterministic, and honest:
+    * this corpus is 30 days of dense activity where every user both
+    * stays active and eventually purchases, so neither churn-
+    * inactivity nor never-purchasing produces natural censoring at
+    * ANY threshold; measured, not guessed). 48 h censors 20-25% of
+    * users at every test SF while leaving ~49 distinct event hours. */
+  val kmFollowupHours = 48
+
+  /** q_survival_km — Kaplan-Meier time-to-conversion curve WITH
+    * right-censoring: t = whole hours from a user's first event to
+    * their first purchase, censored at [[kmFollowupHours]]. The
+    * estimator q_time_to_convert cannot be: that key conditions on
+    * conversion having HAPPENED (survivorship bias — it overstates
+    * conversion speed); KM keeps censored users in every at-risk set
+    * they survived through and removes them at their censoring time
+    * instead of counting them as conversions or dropping them. Emits
+    * one row per distinct conversion hour: at-risk count, conversion
+    * count, and S(t) = ∏_{s≤t}(1 − dₛ/nₛ) — the probability of still
+    * being unconverted t hours in.
+    *
+    * Scale shape: the corpus pass ends at the per-user (first event,
+    * first purchase) conditional min-aggregate; everything after runs
+    * on frames bounded by |distinct hours| ≤ [[kmFollowupHours]]+1.
+    * The running product is exp∘Σln with each ln term
+    * ROUND(,9)→DECIMAL (the q_user_entropy order-proof device); an
+    * all-convert time (d = n_risk, ln 0 undefined) emits S = 0 via an
+    * explicit branch mirrored in the oracle — it can only be the LAST
+    * row, so no later term consumes the sentinel. */
+  def survivalKm(spark: SparkSession, dir: String): DataFrame = {
+    val usH = 3600L * 1000000L
+    val u = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts").cast("timestamp"))).as("first_us"),
+        min(when(col("event_type") === "purchase",
+          unix_micros(col("ts").cast("timestamp")))).as("purch_us"))
+    val durH = floor((col("purch_us") - col("first_us")).cast("double") /
+      lit(usH.toDouble)).cast("long")
+    val lab = u.select(
+      when(col("purch_us").isNotNull && durH <= kmFollowupHours, durH)
+        .otherwise(lit(kmFollowupHours.toLong)).as("t"),
+      when(col("purch_us").isNotNull && durH <= kmFollowupHours, lit(1L))
+        .otherwise(lit(0L)).as("converted"))
+    val byT = lab.groupBy(col("t"))
+      .agg(count(lit(1)).as("m"), sum(col("converted")).as("d"))
+    val atRisk = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val upTo = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("n_risk", sum(col("m")).over(atRisk))
+      .filter(col("d") > 0)
+      .withColumn("term",
+        when(col("d") < col("n_risk"),
+          round(log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")), 9)
+            .cast(DecimalType(18, 9)))
+          .otherwise(lit(null).cast(DecimalType(18, 9))))
+      .withColumn("survival",
+        when(col("d") < col("n_risk"),
+          round(exp(sum(col("term")).over(upTo).cast("double")), 6))
+          .otherwise(lit(0.0)))
+      .select(col("t").as("t_hours"), col("n_risk"), col("d").as("d_converted"),
+        col("survival"))
+      .orderBy("t_hours")
+  }
+
+  /** Maximum autocorrelation lag (hours) [[acf]] reports. 36 spans the
+    * daily cycle with margin so the 24 h seasonal peak is visible in
+    * context. Interpolated into the oracle from here. */
+  val acfMaxLagHours = 36
+
+  /** q_acf — sample autocorrelation function of the hourly event-count
+    * series at lags 1..[[acfMaxLagHours]] (the time-domain readout
+    * behind q_seasonal_profile's calendar grid: the grid ASSERTS a
+    * dow×hour structure, the ACF MEASURES at which lags the series
+    * actually rhymes — a 24 h peak is daily seasonality, slow decay is
+    * trend/drift). The spine is zero-filled (gap hours are real zero
+    * counts, not missing), so lags are true wall-clock hours.
+    *
+    * Scale shape: the corpus pass ends at the ≤ |hours| hourly
+    * aggregate (one map-side-combined shuffle); the spine is the
+    * gap_fill device (1-row bounds aggregate, sequence()-exploded);
+    * the per-lag products are [[acfMaxLagHours]] lag() reads in ONE
+    * window over the tiny frame, stacked and re-aggregated. Exactness:
+    * with integer counts x and S = Σx, n²·cov terms (n·xₜ − S)·
+    * (n·xₜ₊ₖ − S) are integers — summed in DECIMAL(38,0), so r_k is
+    * exact until its single final division. */
+  def acf(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h")).agg(count(lit(1)).as("x"))
+    val bounds = hourly.agg(min(col("h")).as("hmin"), max(col("h")).as("hmax"))
+    val spine = bounds
+      .select(explode(sequence(col("hmin"), col("hmax"), expr("interval 1 hour"))).as("h"))
+    val filled = spine.join(hourly, Seq("h"), "left")
+      .select(col("h"), coalesce(col("x"), lit(0L)).as("x"))
+    val tot = filled.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val d38 = DecimalType(38, 0)
+    val byH = Window.orderBy(col("h"))
+    // centered-and-scaled residual n·x − S: integer, so every product is exact
+    val g = filled.crossJoin(broadcast(tot))
+      .withColumn("r", (col("n") * col("x") - col("s")).cast(d38))
+    val lagged = g.select(
+      (Seq(col("n"), col("s"), col("r")) ++
+        (1 to acfMaxLagHours).map(k => lag(col("r"), k).over(byH).as(s"r_$k"))): _*)
+    val stacked = lagged.select(col("n"), col("s"), col("r"),
+      posexplode(array((1 to acfMaxLagHours).map(k => col(s"r_$k")): _*))
+        .as(Seq("k0", "rlag")))
+    stacked
+      .groupBy((col("k0") + 1).as("lag_h"))
+      .agg(max(col("n")).as("n_hours"),
+        sum(col("r") * col("r")).as("den"),
+        sum(when(col("rlag").isNotNull, col("r") * col("rlag"))
+          .otherwise(lit(null).cast(d38))).as("num"))
+      .select(col("lag_h"), col("n_hours"),
+        round(col("num").cast("double") / col("den").cast("double"), 9).as("r_k"))
+      .orderBy("lag_h")
+  }
+
   def seasonalProfile(spark: SparkSession, dir: String): DataFrame = {
     val cells = Tables.events(spark, dir)
       .select(((dayofweek(col("ts")) + 5) % 7).as("dow"),

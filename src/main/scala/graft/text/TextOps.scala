@@ -866,6 +866,51 @@ object TextOps {
     * Scale shape: one corpus pass ends at the ≤ 2·[[psiBins]]-cell
     * conditional aggregate; the bin spine, split totals, and the
     * DECIMAL-exact PSI total are all bounded broadcasts. */
+  /** q_ks_test — two-sample Kolmogorov-Smirnov statistic between the
+    * REAL train and val splits (the q_split_assign md5 cut) over
+    * document length: D = max |ECDF_train − ECDF_val|, with the
+    * smallest length attaining it. The bin-free sibling of [[qPsi]]:
+    * PSI fixes 10 equal-width bins a priori (a shift inside one bin is
+    * invisible), KS compares the full distributions exactly — the
+    * classic split-drift significance screen.
+    *
+    * Scale shape: the corpus pass ends at the distinct-length
+    * conditional aggregate (bounded by the length domain, the
+    * q_auc_exact device); cumulative counts are one window over that
+    * frame. Exactness: D's argmax is selected on the INTEGER
+    * cross-product |cum_a·n_b − cum_b·n_a| (DECIMAL(38,0) against
+    * overflow at extreme counts) so float division cannot reorder
+    * candidates; ties broken by the smaller length; one final double
+    * division. */
+  def qKsTest(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val byLen = Tables.documents(spark, dir)
+      .select(
+        Sampling.splitAssign(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"),
+        length(col("text")).cast("long").as("len"))
+      .filter(col("split").isin("train", "val"))
+      .groupBy(col("len"))
+      .agg(sum((col("split") === "train").cast("long")).as("a"),
+        sum((col("split") === "val").cast("long")).as("b"))
+    val upTo = Window.orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byLen.agg(sum(col("a")).as("n_train"), sum(col("b")).as("n_val"))
+    byLen
+      .withColumn("ca", sum(col("a")).over(upTo))
+      .withColumn("cb", sum(col("b")).over(upTo))
+      .crossJoin(broadcast(tot))
+      .withColumn("diff2",
+        abs(col("ca").cast(d38) * col("n_val").cast(d38)
+          - col("cb").cast(d38) * col("n_train").cast(d38)))
+      .orderBy(col("diff2").desc, col("len"))
+      .limit(1)
+      .select(col("n_train"), col("n_val"), col("len").as("at_len"),
+        round(col("diff2").cast("double") /
+          (col("n_train").cast("double") * col("n_val").cast("double")),
+          9).as("d_stat"))
+  }
+
   def qPsi(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables.documents(spark, dir)
       .select(

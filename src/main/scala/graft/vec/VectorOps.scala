@@ -492,6 +492,42 @@ object VectorOps {
       .orderBy("decile")
   }
 
+  /** q_auc_exact — EXACT ROC AUC via the tie-corrected Mann-Whitney
+    * identity (q_eval_metrics reports a 10-bin Riemann AUC — a biased
+    * estimate; this is the number it approximates). AUC = P(score⁺ >
+    * score⁻) + ½·P(tie), computed WITHOUT ranking the corpus: scores
+    * group to ≤ 10⁶+1 distinct 6-dp values, and over that bounded
+    * frame Σₚ n1ₚ·(cum_n0_below + n0ₚ/2) / (n1·n0) needs one window.
+    * Doubling every term keeps the numerator a pure BIGINT (ties
+    * contribute exact halves) — float error cannot reorder anything
+    * before the single final division.
+    *
+    * Scale shape: per-row codegen scoring → ONE map-side-combined
+    * aggregate into the distinct-score frame; the cumulative window
+    * and 1-row summary run on ≤ 10⁶ rows regardless of corpus size
+    * (the q_vocab_growth device, vs q_gains_curve's global ntile which
+    * genuinely needs the corpus-wide sort). */
+  def qAucExact(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val margin = dotLit(col("embedding"), demoWeights) + lit(demoBias)
+    val scored = Tables.embeddings(spark, dir).select(
+      round(lit(1.0) / (lit(1.0) + exp(-margin)), 6).as("p"),
+      (argMax(col("embedding")) % 2).cast("int").as("y"))
+    val byP = scored.groupBy(col("p"))
+      .agg(sum(col("y").cast("long")).as("n1"),
+        sum(lit(1L) - col("y").cast("long")).as("n0"))
+    val below = Window.orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byP
+      .withColumn("cum0", coalesce(sum(col("n0")).over(below), lit(0L)))
+      .agg(sum(col("n1")).as("n_pos"), sum(col("n0")).as("n_neg"),
+        sum(col("n1") * (lit(2L) * col("cum0") + col("n0"))).as("num2"))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("num2").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")),
+          9).as("auc"))
+  }
+
   def qCalibration(spark: SparkSession, dir: String): DataFrame = {
     val margin = dotLit(col("embedding"), demoWeights) + lit(demoBias)
     val scored = Tables.embeddings(spark, dir).select(

@@ -1048,4 +1048,29 @@ class TextOpsSpec extends SparkSpec {
       .filter(col("t") === top.getAs[String]("token")).count()
     assert(recount == top.getAs[Long]("n_exact"))
   }
+
+  test("qKsTest matches the brute-force max-ECDF-gap over collected lengths") {
+    val r = TextOps.qKsTest(spark, sfDir).head()
+    val d = r.getAs[Double]("d_stat")
+    assert(d >= 0.0 && d <= 1.0)
+    val rows = Tables.documents(spark, sfDir)
+      .select(
+        text.Sampling.splitAssign(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"),
+        length(col("text")).cast("long").as("len"))
+      .filter(col("split").isin("train", "val"))
+      .collect().map(x => (x.getAs[String]("split"), x.getAs[Long]("len")))
+    val a = rows.filter(_._1 == "train").map(_._2)
+    val b = rows.filter(_._1 == "val").map(_._2)
+    assert(r.getAs[Long]("n_train") == a.length.toLong &&
+      r.getAs[Long]("n_val") == b.length.toLong)
+    val cuts = (a ++ b).distinct.sorted
+    val gaps = cuts.map(c => (c,
+      math.abs(a.count(_ <= c).toDouble / a.length - b.count(_ <= c).toDouble / b.length)))
+    val brute = gaps.map(_._2).max
+    assert(math.abs(d - brute) < 1e-9, s"$d vs brute $brute")
+    // the reported argmax length attains the max gap
+    val atLen = r.getAs[Long]("at_len")
+    assert(math.abs(gaps.toMap.apply(atLen) - brute) < 1e-9)
+  }
 }

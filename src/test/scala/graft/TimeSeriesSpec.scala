@@ -244,6 +244,62 @@ class TimeSeriesSpec extends SparkSpec {
     assert(df >= lo - 1e-6 && df <= (nEvents - 2).toDouble + 1e-6, s"df=$df out of range")
   }
 
+  test("gini matches the brute-force mean-absolute-difference definition") {
+    val out = TimeSeries.gini(spark, sfDir).head()
+    val g = out.getAs[Double]("gini")
+    assert(g >= 0.0 && g < 1.0)
+    // Gini = Σᵢⱼ|xᵢ−xⱼ| / (2n²·x̄), computed directly on the collected spends
+    val spends = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .collect().map(_.getAs[Long]("cents"))
+    val n = spends.length.toDouble
+    val mean = spends.map(_.toDouble).sum / n
+    val mad = (for (a <- spends; b <- spends) yield math.abs(a - b).toDouble).sum
+    val brute = mad / (2.0 * n * n * mean)
+    // the rank-weighted identity is algebraically EQUAL to the
+    // all-pairs form (Σᵢⱼ|xᵢ−xⱼ| = 4Σᵢi·x₍ᵢ₎ − 2(n+1)Σx) — assert both
+    val exactIdentity = {
+      val sorted = spends.sorted
+      val iw = sorted.zipWithIndex.map { case (x, i) => (i + 1).toDouble * x }.sum
+      (2.0 * iw - (n + 1) * sorted.map(_.toDouble).sum) / (n * sorted.map(_.toDouble).sum)
+    }
+    assert(math.abs(g - exactIdentity) < 1e-6, s"$g vs identity $exactIdentity")
+    assert(math.abs(g - brute) < 1e-9, s"$g vs brute $brute")
+  }
+
+  test("survival KM: curve starts below 1, never increases, at-risk counts telescope") {
+    val rows = TimeSeries.survivalKm(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val surv = rows.map(_.getAs[Double]("survival"))
+    assert(surv.forall(s => s >= 0.0 && s <= 1.0))
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a + 1e-9 },
+      "survival must be non-increasing")
+    val nRisk = rows.map(_.getAs[Long]("n_risk"))
+    assert(nRisk.zip(nRisk.tail).forall { case (a, b) => b < a },
+      "at-risk set must strictly shrink across event times")
+    // first at-risk set is the full user population
+    val nUsers = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(nRisk.head <= nUsers &&
+      nRisk.head >= nUsers - rows.map(_.getAs[Long]("d_converted")).sum,
+      s"first at-risk ${nRisk.head} vs $nUsers users")
+    assert(rows.head.getAs[Long]("n_risk") == nUsers,
+      "t=min row must hold every user at risk")
+  }
+
+  test("acf: full lag grid, r_k in [-1,1], and lag-0 normalization is exact") {
+    val rows = TimeSeries.acf(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("lag_h")).toSeq == (1 to TimeSeries.acfMaxLagHours),
+      "every lag must be present exactly once, in order")
+    val nh = rows.map(_.getAs[Long]("n_hours")).distinct
+    assert(nh.length == 1 && nh.head > TimeSeries.acfMaxLagHours,
+      "spine length constant and longer than the max lag")
+    rows.foreach { r =>
+      val v = r.getAs[Double]("r_k")
+      assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9, s"lag ${r.getAs[Int]("lag_h")}: $v")
+    }
+  }
+
   test("seasonal anomalies: ranked head is non-empty, sorted by |z|, flag ≡ |z|>3") {
     val out = TimeSeries.anomalySeasonal(spark, sfDir).collect()
     assert(out.nonEmpty && out.length <= 100)

@@ -340,4 +340,25 @@ class VectorOpsSpec extends SparkSpec {
       assert(mp >= bin / 10.0 - 1e-6 && mp <= (bin + 1) / 10.0 + 1e-6)
     }
   }
+
+  test("qAucExact equals the brute-force tie-corrected pairwise AUC") {
+    val r = VectorOps.qAucExact(spark, sfDir).head()
+    val auc = r.getAs[Double]("auc")
+    assert(auc >= 0.0 && auc <= 1.0)
+    // brute force: P(p⁺ > p⁻) + ½·P(p⁺ = p⁻) over every (pos, neg) pair
+    val scored = graft.Tables.embeddings(spark, sfDir).select(
+      round(lit(1.0) / (lit(1.0) +
+        exp(-(VectorOps.dotLit(col("embedding"), VectorOps.demoWeights) +
+          lit(VectorOps.demoBias)))), 6).as("p"),
+      (VectorOps.argMax(col("embedding")) % 2).cast("int").as("y"))
+      .collect().map(x => (x.getAs[Double]("p"), x.getAs[Int]("y")))
+    val pos = scored.filter(_._2 == 1).map(_._1)
+    val neg = scored.filter(_._2 == 0).map(_._1)
+    assert(r.getAs[Long]("n_pos") == pos.length.toLong &&
+      r.getAs[Long]("n_neg") == neg.length.toLong)
+    val wins = (for (a <- pos; b <- neg)
+      yield if (a > b) 1.0 else if (a == b) 0.5 else 0.0).sum
+    val brute = wins / (pos.length.toDouble * neg.length.toDouble)
+    assert(math.abs(auc - brute) < 1e-9, s"$auc vs brute $brute")
+  }
 }
