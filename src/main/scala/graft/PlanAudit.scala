@@ -103,7 +103,10 @@ object PlanAudit {
     // q_ks_test crosses its ONE-ROW split-totals aggregate into the
     // distinct-length frame; q_acf its ONE-ROW (n, S) totals into the
     // ≤|hours| spine — both bounded by construction
-    val expectedCross = Set("q_ks_test", "q_acf","q_cosine_topk", "q_ann_topk_int8", "q_dsir_weights",
+    // q_theil_index crosses its ONE-ROW grand total into the
+    // ≤|regions| frame (and the ONE-ROW decomposition total back);
+    // q_kcore's per-round ledger crosses two ONE-ROW count aggregates
+    val expectedCross = Set("q_ks_test", "q_acf", "q_theil_index", "q_kcore","q_cosine_topk", "q_ann_topk_int8", "q_dsir_weights",
       "q_rfm", "q_target_encoding", "q_heavy_hitters", "q_seasonal_profile",
       "q_benford", "q_psi", "q_mutual_info",
       "q_source_concentration", "q_robust_scale", "q_cuped", "q_winsorized_mean",

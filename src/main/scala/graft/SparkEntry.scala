@@ -199,6 +199,10 @@ object SparkEntry {
     "q_gini" -> (TimeSeries.gini _),
     "q_survival_km" -> (TimeSeries.survivalKm _),
     "q_acf" -> (TimeSeries.acf _),
+    "q_srm_check" -> (TimeSeries.srmCheck _),
+    "q_did" -> (TimeSeries.did _),
+    "q_theil_index" -> (TimeSeries.theilIndex _),
+    "q_kcore" -> (graft.graph.KCore.qKCore _),
     // §2.A reference (dist-keras) operator surface
     "q_minmax_scale" -> (VectorOps.qMinMaxScale _),
     "q_onehot" -> (VectorOps.qOneHot _),
@@ -1856,6 +1860,73 @@ object SparkEntry {
         "SELECT lag_h, CAST(MAX(n) AS BIGINT) AS n_hours, " +
         "ROUND(CAST(SUM(r * rlag) AS DOUBLE) / CAST(SUM(r * r) AS DOUBLE), 9) AS r_k " +
         "FROM p GROUP BY lag_h ORDER BY lag_h"
+    },
+    // SRM: distinct-USER arm counts vs the declared 50/50, chi2 on the
+    // 1-row pivot
+    "q_srm_check" -> {
+      val c50 = text.Sampling.cutHex(0.5)
+      val crit = rel.TimeSeries.srmChi2Crit
+      val e = "(CAST(n_a + n_b AS DOUBLE) / 2.0)"
+      val chi2 = s"((CAST(n_a AS DOUBLE) - $e) * (CAST(n_a AS DOUBLE) - $e) / $e + (CAST(n_b AS DOUBLE) - $e) * (CAST(n_b AS DOUBLE) - $e) / $e)"
+      s"WITH u AS (SELECT DISTINCT user_id FROM events), " +
+        s"a AS (SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)),1,2) < '$c50' THEN 'A' ELSE 'B' END AS arm FROM u), " +
+        "c AS (SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a, CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b FROM a) " +
+        s"SELECT n_a, n_b, ROUND($chi2, 6) AS chi2, ROUND($chi2, 6) > $crit AS srm_detected FROM c"
+    },
+    // DID: one conditional pass to the 4 (arm x period) cells, all
+    // arithmetic on the 1-row pivot, DECIMAL sums
+    "q_did" -> {
+      val c50 = text.Sampling.cutHex(0.5)
+      val cut = rel.TimeSeries.cupedCutDate
+      def m(sx: String, n: String) = s"(CAST($sx AS DOUBLE) / CAST($n AS DOUBLE))"
+      s"WITH e AS (SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)),1,2) < '$c50' THEN 'A' ELSE 'B' END AS arm, (CAST(ts AS TIMESTAMP) >= TIMESTAMP '$cut 00:00:00') AS post, CAST(value AS DECIMAL(18,2)) AS x FROM events), " +
+        "c AS (SELECT arm, post, COUNT(*) AS n, SUM(x) AS sx FROM e GROUP BY arm, post), " +
+        "w AS (SELECT MAX(CASE WHEN arm = 'A' AND NOT post THEN n END) AS n_a_pre, MAX(CASE WHEN arm = 'A' AND NOT post THEN sx END) AS sx_a_pre, " +
+        "MAX(CASE WHEN arm = 'A' AND post THEN n END) AS n_a_post, MAX(CASE WHEN arm = 'A' AND post THEN sx END) AS sx_a_post, " +
+        "MAX(CASE WHEN arm = 'B' AND NOT post THEN n END) AS n_b_pre, MAX(CASE WHEN arm = 'B' AND NOT post THEN sx END) AS sx_b_pre, " +
+        "MAX(CASE WHEN arm = 'B' AND post THEN n END) AS n_b_post, MAX(CASE WHEN arm = 'B' AND post THEN sx END) AS sx_b_post FROM c) " +
+        "SELECT n_a_pre, n_a_post, n_b_pre, n_b_post, " +
+        s"ROUND(${m("sx_a_pre", "n_a_pre")}, 6) AS mean_a_pre, ROUND(${m("sx_a_post", "n_a_post")}, 6) AS mean_a_post, " +
+        s"ROUND(${m("sx_b_pre", "n_b_pre")}, 6) AS mean_b_pre, ROUND(${m("sx_b_post", "n_b_post")}, 6) AS mean_b_post, " +
+        s"ROUND((${m("sx_b_post", "n_b_post")} - ${m("sx_b_pre", "n_b_pre")}) - (${m("sx_a_post", "n_a_post")} - ${m("sx_a_pre", "n_a_pre")}), 6) AS did FROM w"
+    },
+    // Theil: per-customer income-share ln terms vs the OWN group mean
+    // (ROUND(,9)->DECIMAL), decomposition identity crossed in
+    "q_theil_index" -> {
+      val mg = "(CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE))"
+      val mAll = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+      val share = "(CAST(s_g AS DOUBLE) / CAST(s AS DOUBLE))"
+      "WITH sp AS (SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents FROM orders GROUP BY o_custkey), " +
+        "br AS (SELECT r_name AS region, cents FROM sp JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey), " +
+        "g AS (SELECT region, COUNT(*) AS n_g, CAST(SUM(cents) AS BIGINT) AS s_g FROM br GROUP BY region), " +
+        "t AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(s_g) AS BIGINT) AS s FROM g), " +
+        s"tm AS (SELECT br.region, CAST(ROUND((CAST(cents AS DOUBLE) / $mg) * ln(CAST(cents AS DOUBLE) / $mg), 9) AS DECIMAL(18,9)) AS term FROM br JOIN g ON g.region = br.region), " +
+        "ts2 AS (SELECT region, SUM(term) AS t_sum FROM tm GROUP BY region), " +
+        s"o AS (SELECT g.region, n_g AS n_customers, ROUND($share, 6) AS spend_share, ROUND(CAST(t_sum AS DOUBLE) / CAST(n_g AS DOUBLE), 6) AS t_within, " +
+        s"CAST(ROUND($share * ln($mg / $mAll), 9) AS DECIMAL(18,9)) AS t_between_term, " +
+        s"CAST(ROUND($share * (CAST(t_sum AS DOUBLE) / CAST(n_g AS DOUBLE)), 9) AS DECIMAL(18,9)) AS t_within_weighted " +
+        "FROM g JOIN ts2 ON ts2.region = g.region CROSS JOIN t), " +
+        "tt AS (SELECT ROUND(CAST(SUM(t_between_term + t_within_weighted) AS DOUBLE), 6) AS theil_total FROM o) " +
+        "SELECT region, n_customers, spend_share, t_within, CAST(t_between_term AS DOUBLE) AS t_between_term, theil_total " +
+        "FROM o CROSS JOIN tt ORDER BY region"
+    },
+    // k-core: three unrolled synchronous peels, counts only
+    "q_kcore" -> {
+      import graft.graph.KCore.{kcPartMod, kcK}
+      s"WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_partkey % $kcPartMod = 0), " +
+        "e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a JOIN li b ON a.o = b.o AND a.p < b.p), " +
+        s"d1 AS (SELECT n, COUNT(*) AS d FROM (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) GROUP BY n), " +
+        s"k1 AS (SELECT n FROM d1 WHERE d >= $kcK), " +
+        "e1 AS (SELECT u, v FROM e0 WHERE u IN (SELECT n FROM k1) AND v IN (SELECT n FROM k1)), " +
+        s"d2 AS (SELECT n, COUNT(*) AS d FROM (SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1) GROUP BY n), " +
+        s"k2 AS (SELECT n FROM d2 WHERE d >= $kcK), " +
+        "e2 AS (SELECT u, v FROM e1 WHERE u IN (SELECT n FROM k2) AND v IN (SELECT n FROM k2)), " +
+        s"d3 AS (SELECT n, COUNT(*) AS d FROM (SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2) GROUP BY n), " +
+        s"k3 AS (SELECT n FROM d3 WHERE d >= $kcK), " +
+        "e3 AS (SELECT u, v FROM e2 WHERE u IN (SELECT n FROM k3) AND v IN (SELECT n FROM k3)) " +
+        "SELECT 1 AS round, (SELECT COUNT(*) FROM k1) AS n_nodes, (SELECT COUNT(*) FROM e1) AS n_edges " +
+        "UNION ALL SELECT 2, (SELECT COUNT(*) FROM k2), (SELECT COUNT(*) FROM e2) " +
+        "UNION ALL SELECT 3, (SELECT COUNT(*) FROM k3), (SELECT COUNT(*) FROM e3) ORDER BY round"
     },
     // CUPED: per-user DECIMAL-exact (X, Y) conditional sums, one
     // power-sum pass for theta, arm aggregates crossed with scalars

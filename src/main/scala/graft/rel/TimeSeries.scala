@@ -460,6 +460,144 @@ object TimeSeries {
           pow(se2b, 2) / (col("n_b").cast("double") - 1)), 6).as("welch_df"))
   }
 
+  /** χ²(1 df, α=.05) critical value for [[srmCheck]]'s flag.
+    * Interpolated into the oracle from here. */
+  val srmChi2Crit = 3.841
+
+  /** q_srm_check — sample-ratio mismatch guardrail on the experiment
+    * assignment: are the hash arms' USER counts consistent with the
+    * declared 50/50 split? A failed SRM invalidates q_ab_test /
+    * q_cuped / q_mde before anyone reads them — it is the first gate
+    * every experimentation platform runs, and it must count units of
+    * RANDOMIZATION (users), not events (q_ab_test's per-event n is the
+    * wrong denominator here: activity imbalance is not assignment
+    * imbalance). χ² = Σ(O−E)²/E over the two arms, flagged above the
+    * 1-df critical value.
+    *
+    * Scale shape: one distinct-user pass ends at a 2-group map-side-
+    * combined aggregate; the χ² arithmetic runs on the 1-row pivot.
+    * Integer counts → the only floats are two exact-integer-derived
+    * divisions. */
+  def srmCheck(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Sampling
+    val arm = Sampling.splitAssign(col("user_id"), Seq("A" -> 0.5, "B" -> 0.5))
+    val counts = Tables.events(spark, dir)
+      .select(col("user_id")).distinct()
+      .select(arm.as("arm"))
+      .groupBy(col("arm")).agg(count(lit(1)).as("n"))
+    val wide = counts.agg(
+      max(when(col("arm") === "A", col("n"))).as("n_a"),
+      max(when(col("arm") === "B", col("n"))).as("n_b"))
+    val e = (col("n_a") + col("n_b")).cast("double") / lit(2.0)
+    val chi2 = (col("n_a").cast("double") - e) * (col("n_a").cast("double") - e) / e +
+      (col("n_b").cast("double") - e) * (col("n_b").cast("double") - e) / e
+    wide.select(col("n_a"), col("n_b"),
+      round(chi2, 6).as("chi2"),
+      (round(chi2, 6) > srmChi2Crit).as("srm_detected"))
+  }
+
+  /** q_did — difference-in-differences over the experiment frame: arm
+    * (hash 50/50) × period (pre/post the [[cupedCutDate]] cut) cell
+    * means, and DID = (B̄post − B̄pre) − (Āpost − Āpre) — the causal
+    * readout when assignment correlates with level: q_ab_test compares
+    * post-period levels (biased if arms started unequal), q_cuped
+    * shrinks variance, DID removes any constant arm-level offset by
+    * differencing each arm against its own pre-period.
+    *
+    * Scale shape: ONE conditional corpus pass to a 4-cell aggregate
+    * (both dimensions in the same pass — no period self-join); all
+    * arithmetic on the 1-row pivot. Value sums are DECIMAL-exact
+    * before the final double divisions. */
+  def did(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Sampling
+    val arm = Sampling.splitAssign(col("user_id"), Seq("A" -> 0.5, "B" -> 0.5))
+    val post = col("ts") >= lit(cupedCutDate).cast("timestamp")
+    val cells = Tables.events(spark, dir)
+      .select(arm.as("arm"), post.as("post"), dec(col("value")).as("x"))
+      .groupBy(col("arm"), col("post"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    def cell(a: String, p: Boolean, c: String) =
+      max(when(col("arm") === a && col("post") === p, col(c)))
+    val wide = cells.agg(
+      cell("A", false, "n").as("n_a_pre"), cell("A", false, "sx").as("sx_a_pre"),
+      cell("A", true, "n").as("n_a_post"), cell("A", true, "sx").as("sx_a_post"),
+      cell("B", false, "n").as("n_b_pre"), cell("B", false, "sx").as("sx_b_pre"),
+      cell("B", true, "n").as("n_b_post"), cell("B", true, "sx").as("sx_b_post"))
+    def m(sx: String, n: String) = col(sx).cast("double") / col(n).cast("double")
+    wide.select(
+      col("n_a_pre"), col("n_a_post"), col("n_b_pre"), col("n_b_post"),
+      round(m("sx_a_pre", "n_a_pre"), 6).as("mean_a_pre"),
+      round(m("sx_a_post", "n_a_post"), 6).as("mean_a_post"),
+      round(m("sx_b_pre", "n_b_pre"), 6).as("mean_b_pre"),
+      round(m("sx_b_post", "n_b_post"), 6).as("mean_b_post"),
+      round((m("sx_b_post", "n_b_post") - m("sx_b_pre", "n_b_pre"))
+        - (m("sx_a_post", "n_a_post") - m("sx_a_pre", "n_a_pre")), 6).as("did"))
+  }
+
+  /** q_theil_index — Theil T inequality of customer spend, DECOMPOSED
+    * by region: T = Σ_g s_g·T_g + Σ_g s_g·ln(x̄_g/x̄) — the property
+    * Gini famously lacks (Gini is not subgroup-decomposable; Theil
+    * splits exactly into within-group + between-group shares, which is
+    * the question a mixing audit actually asks: is spend inequality
+    * WITHIN regions or BETWEEN them?). One row per region with its
+    * customer count, spend share, within-region Theil, and
+    * between-group term; the exact decomposition identity
+    * theil_total = Σ(share·t_within + t_between) is crossed in as a
+    * column (and spec-pinned).
+    *
+    * Scale shape: the corpus pass ends at the per-customer aggregate;
+    * region stats and the grand total are tiny broadcasts back into
+    * the per-customer frame for the ln terms (ROUND(,9)→DECIMAL, the
+    * q_user_entropy order-proof device); everything after runs on
+    * ≤|regions| rows. */
+  def theilIndex(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(18, 9)
+    val spend = Tables.orders(spark, dir)
+      .select(col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("cents"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_regionkey"))
+    val reg = Tables.region(spark, dir).select(col("r_regionkey"), col("r_name"))
+    val byRegion = spend
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region"), col("cents"))
+    val gStats = byRegion.groupBy(col("region"))
+      .agg(count(lit(1)).as("n_g"), sum(col("cents")).as("s_g"))
+    val tot = gStats.agg(sum(col("n_g")).as("n"), sum(col("s_g")).as("s"))
+    val meanG = col("s_g").cast("double") / col("n_g").cast("double")
+    val mean = col("s").cast("double") / col("n").cast("double")
+    // per-customer within-group ln terms against the OWN group mean
+    val ratio = col("cents").cast("double") / meanG
+    val terms = byRegion
+      .join(broadcast(gStats), Seq("region"))
+      .select(col("region"),
+        round(ratio * log(ratio), 9).cast(d).as("term"))
+      .groupBy(col("region"))
+      .agg(sum(col("term")).as("t_sum"))
+    val out = gStats
+      .join(terms, Seq("region"))
+      .crossJoin(broadcast(tot))
+      .select(col("region"), col("n_g").as("n_customers"),
+        round(col("s_g").cast("double") / col("s").cast("double"), 6).as("spend_share"),
+        // T_g = (1/n_g)·Σ (x/x̄_g)ln(x/x̄_g)
+        round((col("t_sum").cast("double") / col("n_g").cast("double")), 6).as("t_within"),
+        round((col("s_g").cast("double") / col("s").cast("double")) * log(meanG / mean), 9)
+          .cast(d).as("t_between_term"),
+        round((col("s_g").cast("double") / col("s").cast("double")) *
+          (col("t_sum").cast("double") / col("n_g").cast("double")), 9)
+          .cast(d).as("t_within_weighted"))
+    val total = out.agg(
+      round(sum(col("t_between_term") + col("t_within_weighted")).cast("double"), 6)
+        .as("theil_total"))
+    out
+      .select(col("region"), col("n_customers"), col("spend_share"),
+        col("t_within"), col("t_between_term").cast("double").as("t_between_term"))
+      .crossJoin(broadcast(total))
+      .orderBy("region")
+  }
+
   /** q_seasonal_profile — the (day-of-week × hour-of-day) seasonality
     * grid over events: per cell, event count, mean value, and the
     * deviation from the corpus-wide mean — the decomposition that

@@ -244,6 +244,48 @@ class TimeSeriesSpec extends SparkSpec {
     assert(df >= lo - 1e-6 && df <= (nEvents - 2).toDouble + 1e-6, s"df=$df out of range")
   }
 
+  test("srm check: chi2 recomputes from the emitted counts, flag consistent, arms partition users") {
+    val r = TimeSeries.srmCheck(spark, sfDir).head()
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    val nUsers = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(na + nb == nUsers && na > 0 && nb > 0)
+    val e = (na + nb).toDouble / 2.0
+    val chi2 = math.pow(na - e, 2) / e + math.pow(nb - e, 2) / e
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-6)
+    assert(r.getAs[Boolean]("srm_detected") == (r.getAs[Double]("chi2") > TimeSeries.srmChi2Crit))
+  }
+
+  test("did: cells partition events and the estimate recomputes from cell means") {
+    val r = TimeSeries.did(spark, sfDir).head()
+    val total = Seq("n_a_pre", "n_a_post", "n_b_pre", "n_b_post")
+      .map(r.getAs[Long]).sum
+    assert(total == Tables.events(spark, sfDir).count())
+    val did = (r.getAs[Double]("mean_b_post") - r.getAs[Double]("mean_b_pre")) -
+      (r.getAs[Double]("mean_a_post") - r.getAs[Double]("mean_a_pre"))
+    assert(math.abs(r.getAs[Double]("did") - did) < 1e-5)
+  }
+
+  test("theil: decomposition identity holds and matches the direct one-group Theil") {
+    val rows = TimeSeries.theilIndex(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Double]("theil_total")).distinct
+    assert(total.length == 1)
+    assert(math.abs(rows.map(r =>
+      r.getAs[Double]("t_between_term") +
+        r.getAs[Double]("spend_share") * r.getAs[Double]("t_within")).sum
+      - total.head) < 1e-4, "within+between must reassemble the total")
+    // direct population Theil over collected spends
+    val spends = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .collect().map(_.getAs[Long]("cents").toDouble)
+    val mean = spends.sum / spends.length
+    val direct = spends.map(x => (x / spends.sum) * math.log(x / mean)).sum
+    assert(math.abs(total.head - direct) < 1e-4, s"${total.head} vs direct $direct")
+    assert(rows.forall(_.getAs[Double]("t_within") >= 0.0),
+      "within-group Theil is non-negative")
+  }
+
   test("gini matches the brute-force mean-absolute-difference definition") {
     val out = TimeSeries.gini(spark, sfDir).head()
     val g = out.getAs[Double]("gini")

@@ -42,4 +42,26 @@ class TrianglesSpec extends SparkSpec {
     assert(out.forall(_._1 % Triangles.triPartMod == 0))
     assert(out.map(_._2).sameElements(out.map(_._2).sortBy(-_: Long)))
   }
+
+  test("k-core peel: survivor counts shrink monotonically and match a driver-side peel") {
+    import graft.graph.KCore
+    val rows = KCore.qKCore(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (1 to KCore.kcRounds))
+    val nodes = rows.map(_._2); val edgesN = rows.map(_._3)
+    assert(nodes.zip(nodes.tail).forall { case (a, b) => b <= a })
+    assert(edgesN.zip(edgesN.tail).forall { case (a, b) => b <= a })
+    // brute-force the same peel on the collected edge set
+    var es = KCore.coOrderEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    for (r <- 1 to KCore.kcRounds) {
+      val deg = (es.map(_._1) ++ es.map(_._2)).groupBy(identity).map { case (n, x) => n -> x.size }
+      val keep = deg.filter(_._2 >= KCore.kcK).keySet
+      es = es.filter(e => keep(e._1) && keep(e._2))
+      assert(rows(r - 1)._2 == keep.size.toLong, s"round $r nodes")
+      assert(rows(r - 1)._3 == es.size.toLong, s"round $r edges")
+    }
+    // the peel genuinely cascades on this graph (not a one-shot filter)
+    assert(nodes.head > nodes.last, "later rounds must remove more nodes")
+  }
 }
