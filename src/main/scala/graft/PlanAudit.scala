@@ -106,7 +106,11 @@ object PlanAudit {
     // q_theil_index crosses its ONE-ROW grand total into the
     // ≤|regions| frame (and the ONE-ROW decomposition total back);
     // q_kcore's per-round ledger crosses two ONE-ROW count aggregates
-    val expectedCross = Set("q_ks_test", "q_acf", "q_theil_index", "q_kcore","q_cosine_topk", "q_ann_topk_int8", "q_dsir_weights",
+    // q_degree_powerlaw crosses its ONE-ROW d_min and ONE-ROW alpha
+    // frames into the ≤|degrees| histogram; q_fano_dispersion the
+    // ONE-ROW day-bounds aggregate (the gap_fill spine device)
+    val expectedCross = Set("q_ks_test", "q_acf", "q_theil_index", "q_kcore",
+      "q_degree_powerlaw", "q_fano_dispersion","q_cosine_topk", "q_ann_topk_int8", "q_dsir_weights",
       "q_rfm", "q_target_encoding", "q_heavy_hitters", "q_seasonal_profile",
       "q_benford", "q_psi", "q_mutual_info",
       "q_source_concentration", "q_robust_scale", "q_cuped", "q_winsorized_mean",

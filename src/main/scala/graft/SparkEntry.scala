@@ -203,6 +203,10 @@ object SparkEntry {
     "q_did" -> (TimeSeries.did _),
     "q_theil_index" -> (TimeSeries.theilIndex _),
     "q_kcore" -> (graft.graph.KCore.qKCore _),
+    "q_2hop_recs" -> (graft.graph.LinkPred.qTwoHopRecs _),
+    "q_degree_powerlaw" -> (graft.graph.GraphStats.qDegreePowerlaw _),
+    "q_fano_dispersion" -> (TimeSeries.fanoDispersion _),
+    "q_weighted_median" -> (RelQueries.weightedMedian _),
     // §2.A reference (dist-keras) operator surface
     "q_minmax_scale" -> (VectorOps.qMinMaxScale _),
     "q_onehot" -> (VectorOps.qOneHot _),
@@ -1928,6 +1932,58 @@ object SparkEntry {
         "UNION ALL SELECT 2, (SELECT COUNT(*) FROM k2), (SELECT COUNT(*) FROM e2) " +
         "UNION ALL SELECT 3, (SELECT COUNT(*) FROM k3), (SELECT COUNT(*) FROM e3) ORDER BY round"
     },
+    // 2-hop recs: same sample as triangles, FULL bidirectional wedge
+    // enumeration under the stop-hub cap (orientation would undercount
+    // common neighbors), wedge pairs minus the adjacency,
+    // row_number-capped per node
+    "q_2hop_recs" -> {
+      import graft.graph.KCore.kcPartMod
+      import graft.graph.LinkPred.{lpTopK, lpMinCommon, lpHubCap}
+      s"WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_partkey % $kcPartMod = 0), " +
+        "e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a JOIN li b ON a.o = b.o AND a.p < b.p), " +
+        "bi AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e), " +
+        "deg AS (SELECT src AS n, COUNT(*) AS d FROM bi GROUP BY src), " +
+        s"ctr AS (SELECT src, dst FROM bi WHERE src IN (SELECT n FROM deg WHERE d <= $lpHubCap)), " +
+        "w AS (SELECT x.dst AS a, y.dst AS b FROM ctr x JOIN ctr y ON x.src = y.src AND x.dst < y.dst), " +
+        s"cn AS (SELECT a, b, COUNT(*) AS common FROM w GROUP BY a, b HAVING COUNT(*) >= $lpMinCommon), " +
+        "na AS (SELECT a, b, common FROM cn WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = cn.a AND e.v = cn.b)), " +
+        "x AS (SELECT a AS part_id, b AS rec, common FROM na UNION ALL SELECT b, a, common FROM na), " +
+        "r AS (SELECT part_id, rec, common, ROW_NUMBER() OVER (PARTITION BY part_id ORDER BY common DESC, rec) AS rn FROM x) " +
+        s"SELECT part_id, rec, common, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= $lpTopK ORDER BY part_id, rn"
+    },
+    // degree power law: histogram + per-node ROUND(,9) ln terms, the
+    // CSN continuous-MLE alpha crossed into the tiny frame
+    "q_degree_powerlaw" -> {
+      import graft.graph.KCore.kcPartMod
+      s"WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_partkey % $kcPartMod = 0), " +
+        "e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a JOIN li b ON a.o = b.o AND a.p < b.p), " +
+        "deg AS (SELECT n, COUNT(*) AS d FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n), " +
+        "dm AS (SELECT MIN(d) AS d_min FROM deg), " +
+        "t AS (SELECT d_min, COUNT(*) AS n_nodes_total, SUM(CAST(ROUND(ln(CAST(d AS DOUBLE) / (CAST(d_min AS DOUBLE) - 0.5)), 9) AS DECIMAL(18,9))) AS t_sum FROM deg CROSS JOIN dm GROUP BY d_min), " +
+        "al AS (SELECT d_min, n_nodes_total, ROUND(1.0 + CAST(n_nodes_total AS DOUBLE) / CAST(t_sum AS DOUBLE), 6) AS alpha FROM t), " +
+        "h AS (SELECT d AS degree, COUNT(*) AS n_nodes FROM deg GROUP BY d) " +
+        "SELECT degree, n_nodes, n_nodes_total, d_min, alpha FROM h CROSS JOIN al ORDER BY degree"
+    },
+    // Fano: the gap_fill spine per user, integer power sums
+    "q_fano_dispersion" ->
+      ("WITH e AS (SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events), " +
+        "daily AS (SELECT user_id, day, COUNT(*) AS x FROM e GROUP BY user_id, day), " +
+        "b AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM e), " +
+        "sp AS (SELECT u.user_id, UNNEST(generate_series(dmin, dmax, INTERVAL 1 DAY)) AS day FROM (SELECT DISTINCT user_id FROM e) u CROSS JOIN b), " +
+        "f AS (SELECT sp.user_id, COALESCE(daily.x, 0) AS x FROM sp LEFT JOIN daily ON daily.user_id = sp.user_id AND daily.day = sp.day), " +
+        "a AS (SELECT user_id, COUNT(*) AS n_days, CAST(SUM(x) AS BIGINT) AS n_events, CAST(SUM(x * x) AS BIGINT) AS sxx FROM f GROUP BY user_id) " +
+        "SELECT user_id, n_days, n_events, ROUND(CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS mean_daily, " +
+        "ROUND(CAST(n_days * sxx - n_events * n_events AS DOUBLE) / CAST(n_days * n_events AS DOUBLE), 6) AS fano " +
+        "FROM a ORDER BY user_id"),
+    // weighted median: (flag, value) agg bounded by the value domain;
+    // 2*cumw >= W threshold is pure BIGINT
+    "q_weighted_median" ->
+      ("WITH li AS (SELECT l_returnflag AS flag, CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents, CAST(l_quantity AS BIGINT) AS wt FROM lineitem), " +
+        "g AS (SELECT flag, cents, CAST(SUM(wt) AS BIGINT) AS w FROM li GROUP BY flag, cents), " +
+        "c AS (SELECT flag, cents, SUM(w) OVER (PARTITION BY flag ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw FROM g), " +
+        "t AS (SELECT flag, CAST(SUM(w) AS BIGINT) AS w_total FROM g GROUP BY flag), " +
+        "m AS (SELECT c.flag, w_total, MIN(cents) AS med_cents FROM c JOIN t ON t.flag = c.flag WHERE 2 * cw >= w_total GROUP BY c.flag, w_total) " +
+        "SELECT flag, w_total, ROUND(CAST(med_cents AS DOUBLE) / 100.0, 2) AS weighted_median FROM m ORDER BY flag"),
     // CUPED: per-user DECIMAL-exact (X, Y) conditional sums, one
     // power-sum pass for theta, arm aggregates crossed with scalars
     "q_cuped" -> {

@@ -1290,6 +1290,39 @@ object RelQueries {
       .orderBy("pa", "pb")
   }
 
+  /** q_weighted_median — weight-aware quantiles: per return-flag, the
+    * quantity-weighted median of extended price (each row counts
+    * `l_quantity` times — "median unit shipped", not "median line
+    * item"). The estimator [[percentileExact]]/q_mad cannot express:
+    * row-weighted order statistics are what importance-weighted
+    * corpora (q_dsir_weights, q_soft_dedup output) need downstream.
+    * Lower weighted median: the smallest value whose cumulative weight
+    * reaches half the total.
+    *
+    * Scale shape: the corpus pass ends at the (flag, value) aggregate
+    * (bounded by the value domain — the q_auc_exact device); one keyed
+    * cumulative window over that frame; the threshold comparison
+    * 2·cumw ≥ W is pure BIGINT (no halves, no floats) so both engines
+    * pick the identical value. */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_returnflag").as("flag"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"),
+      col("l_quantity").cast("long").as("wt"))
+    val g = li.groupBy(col("flag"), col("cents")).agg(sum(col("wt")).as("w"))
+    val win = Window.partitionBy(col("flag")).orderBy(col("cents"))
+    val tot = g.groupBy(col("flag")).agg(sum(col("w")).as("w_total"))
+    g.withColumn("cw", sum(col("w")).over(win))
+      .join(tot, Seq("flag"))
+      .filter(lit(2L) * col("cw") >= col("w_total"))
+      .groupBy(col("flag"), col("w_total"))
+      .agg(min(col("cents")).as("med_cents"))
+      .select(col("flag"), col("w_total"),
+        round(col("med_cents").cast("double") / lit(100.0), 2)
+          .as("weighted_median"))
+      .orderBy("flag")
+  }
+
   /** q_skyline — 2-d Pareto frontier over part (maximize p_size,
     * minimize p_retailprice): the multi-criteria shortlist operator
     * (cheapest-per-capability). A part survives iff no other part is

@@ -460,6 +460,42 @@ object TimeSeries {
           pow(se2b, 2) / (col("n_b").cast("double") - 1)), 6).as("welch_df"))
   }
 
+  /** q_fano_dispersion — per-user Fano factor (index of dispersion,
+    * var/mean) of DAILY event counts on the zero-filled global day
+    * spine: a Poisson-rate user scores ~1, a bursty bot/batch-replay
+    * user ≫ 1, a metronome < 1. The rate-regularity screen next to
+    * [[userEntropy]]'s type-mix screen and [[cusum]]'s drift flags —
+    * three orthogonal behavioral axes. Inactive days are REAL zero
+    * observations (the spine, not the sparse aggregate, is the sample
+    * — dropping zeros would bias every quiet user toward 1).
+    *
+    * Scale shape: the gap_fill spine device (1-row bounds aggregate,
+    * sequence()-exploded per user), one keyed aggregate of integer
+    * power sums — Fano = (n·Σx² − (Σx)²)/(n·Σx) stays BIGINT-exact
+    * until the single final division. */
+  def fanoDispersion(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val daily = e.groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("x"))
+    val bounds = e.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+    val spine = e.select(col("user_id")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(sequence(col("dmin"), col("dmax"), expr("interval 1 day"))).as("day"))
+    val filled = spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), coalesce(col("x"), lit(0L)).as("x"))
+    filled.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("n_events"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("user_id"), col("n_days"), col("n_events"),
+        round(col("n_events").cast("double") / col("n_days").cast("double"), 6)
+          .as("mean_daily"),
+        round((col("n_days") * col("sxx") - col("n_events") * col("n_events"))
+          .cast("double") /
+          (col("n_days") * col("n_events")).cast("double"), 6).as("fano"))
+      .orderBy("user_id")
+  }
+
   /** χ²(1 df, α=.05) critical value for [[srmCheck]]'s flag.
     * Interpolated into the oracle from here. */
   val srmChi2Crit = 3.841

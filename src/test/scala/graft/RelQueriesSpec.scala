@@ -696,4 +696,30 @@ class RelQueriesSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("weighted median: brute-force parity and weight sensitivity") {
+    val out = RelQueries.weightedMedian(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("flag"), r.getAs[Long]("w_total"),
+        r.getAs[Double]("weighted_median"))).toSeq
+    assert(out.nonEmpty)
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("wt")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out.foreach { case (flag, wTotal, med) =>
+      val g = rows.filter(_._1 == flag)
+      assert(g.map(_._3).sum == wTotal)
+      // lower weighted median: smallest value whose cum weight reaches W/2
+      val sorted = g.sortBy(_._2)
+      var cum = 0L
+      val brute = sorted.find { r => cum += r._3; 2 * cum >= wTotal }.get._2
+      assert(math.abs(med - brute / 100.0) < 1e-9, s"$flag: $med vs ${brute / 100.0}")
+      // the weighted median differs from the UNWEIGHTED one somewhere
+    }
+    val unweighted = rows.groupBy(_._1).map { case (f, g) =>
+      val s = g.map(_._2).sorted; f -> s((s.length - 1) / 2) / 100.0 }
+    assert(out.exists { case (f, _, m) => math.abs(m - unweighted(f)) > 1e-9 },
+      "weights must actually move at least one median on this corpus")
+  }
 }

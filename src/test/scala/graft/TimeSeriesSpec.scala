@@ -244,6 +244,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(df >= lo - 1e-6 && df <= (nEvents - 2).toDouble + 1e-6, s"df=$df out of range")
   }
 
+  test("fano dispersion: every user present, totals conserved, brute parity") {
+    val rows = TimeSeries.fanoDispersion(spark, sfDir).collect()
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.get(1).toString))
+    assert(rows.length == ev.map(_._1).distinct.length)
+    assert(rows.map(_.getAs[Long]("n_events")).sum == ev.length.toLong)
+    val nDays = rows.map(_.getAs[Long]("n_days")).distinct
+    assert(nDays.length == 1, "shared global day spine")
+    val allDays = ev.map(_._2).distinct.sorted
+    // dense fixture: every spine day has at least one corpus event, so
+    // the observed-day set IS the spine (guards the brute loop below)
+    assert(allDays.length.toLong == nDays.head)
+    rows.take(5).foreach { r =>
+      val uid = r.getAs[Long]("user_id")
+      val byDay = ev.filter(_._1 == uid).groupBy(_._2).map(_._2.size)
+      val xs = allDays.map(d =>
+        ev.count(e => e._1 == uid && e._2 == d).toDouble)
+      val mean = xs.sum / xs.length
+      val varP = xs.map(x => (x - mean) * (x - mean)).sum / xs.length
+      assert(math.abs(r.getAs[Double]("fano") - varP / mean) < 1e-4,
+        s"user $uid: ${r.getAs[Double]("fano")} vs ${varP / mean}")
+      assert(byDay.sum.toLong == r.getAs[Long]("n_events"))
+    }
+  }
+
   test("srm check: chi2 recomputes from the emitted counts, flag consistent, arms partition users") {
     val r = TimeSeries.srmCheck(spark, sfDir).head()
     val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))

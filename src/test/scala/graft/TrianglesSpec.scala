@@ -64,4 +64,51 @@ class TrianglesSpec extends SparkSpec {
     // the peel genuinely cascades on this graph (not a one-shot filter)
     assert(nodes.head > nodes.last, "later rounds must remove more nodes")
   }
+
+  test("2-hop recs: never adjacent, common counts match brute force, k-capped") {
+    import graft.graph.{KCore, LinkPred}
+    val edges = KCore.coOrderEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = LinkPred.qTwoHopRecs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("part_id"), r.getAs[Long]("rec"),
+        r.getAs[Long]("common"), r.getAs[Int]("rn")))
+    assert(out.nonEmpty)
+    // no recommended pair is an existing edge (either canonical direction)
+    assert(out.forall { case (a, b, _, _) =>
+      !edges((math.min(a, b), math.max(a, b))) })
+    // per-node cap + rank ordering
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.length <= LinkPred.lpTopK)
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to rs.length))
+      assert(sorted.zip(sorted.tail).forall { case (x, y) =>
+        x._3 > y._3 || (x._3 == y._3 && x._2 < y._2) })
+    }
+    // brute-force common-neighbor counts on the collected graph; the
+    // stop-hub cap must NOT bite at fixture scale, so plain
+    // intersection is the exact expectation
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set())
+    edges.foreach { case (u, v) => adj(u) += v; adj(v) += u }
+    assert(adj.values.map(_.size).max < LinkPred.lpHubCap,
+      "fixture degrees must stay below the stop-hub cap")
+    out.foreach { case (a, b, c, _) =>
+      assert((adj(a) & adj(b)).size.toLong == c, s"pair ($a,$b)") }
+  }
+
+  test("degree power law: histogram covers every node, alpha recomputes") {
+    import graft.graph.GraphStats
+    val rows = GraphStats.qDegreePowerlaw(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.head.getAs[Long]("n_nodes_total")
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum == total)
+    val dmin = rows.head.getAs[Long]("d_min")
+    assert(rows.map(_.getAs[Long]("degree")).min == dmin)
+    // recompute the CSN alpha from the histogram itself
+    val tSum = rows.map(r => r.getAs[Long]("n_nodes") *
+      BigDecimal(math.log(r.getAs[Long]("degree").toDouble / (dmin - 0.5)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble).sum
+    val alpha = 1.0 + total.toDouble / tSum
+    assert(math.abs(rows.head.getAs[Double]("alpha") - alpha) < 1e-4,
+      s"${rows.head.getAs[Double]("alpha")} vs $alpha")
+  }
 }
