@@ -75,5 +75,12 @@ object Verify {
     if (failures.nonEmpty)
       System.err.println(s"[verify] ${failures.size} of ${SparkEntry.queries.size} keys FAILED: ${failures.keys.mkString(", ")}")
     spark.stop()
+    // Force JVM exit: after a full-registry dump that exercised the
+    // streaming keys at sf0.1, lingering non-daemon threads have been
+    // observed to hang the JVM AFTER every output (incl. oracle_sql
+    // .json) was written and spark.stop() returned — the dump is
+    // complete, only the process refuses to die. run/fork is on, so
+    // this is safe under sbt too.
+    sys.exit(if (failures.nonEmpty) 1 else 0)
   }
 }
