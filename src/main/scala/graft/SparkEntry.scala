@@ -207,6 +207,12 @@ object SparkEntry {
     "q_degree_powerlaw" -> (graft.graph.GraphStats.qDegreePowerlaw _),
     "q_fano_dispersion" -> (TimeSeries.fanoDispersion _),
     "q_weighted_median" -> (RelQueries.weightedMedian _),
+    // r12 wave P: classical statistical inference, all from one-pass
+    // map-side-combinable power sums / domain-bounded histograms
+    "q_welch_ttest" -> (TimeSeries.welchTtest _),
+    "q_chi2_independence" -> (TimeSeries.chi2Independence _),
+    "q_ols_regression" -> (TimeSeries.olsRegression _),
+    "q_decision_stump" -> (TimeSeries.decisionStump _),
     // §2.A reference (dist-keras) operator surface
     "q_minmax_scale" -> (VectorOps.qMinMaxScale _),
     "q_onehot" -> (VectorOps.qOneHot _),
@@ -1984,6 +1990,70 @@ object SparkEntry {
         "t AS (SELECT flag, CAST(SUM(w) AS BIGINT) AS w_total FROM g GROUP BY flag), " +
         "m AS (SELECT c.flag, w_total, MIN(cents) AS med_cents FROM c JOIN t ON t.flag = c.flag WHERE 2 * cw >= w_total GROUP BY c.flag, w_total) " +
         "SELECT flag, w_total, ROUND(CAST(med_cents AS DOUBLE) / 100.0, 2) AS weighted_median FROM m ORDER BY flag"),
+    // Welch t: per-user DECIMAL totals -> per-arm exact power sums
+    // (x^2 via DECIMAL(30,8), the q_cuped device) -> one-shot doubles
+    "q_welch_ttest" -> {
+      val c50 = text.Sampling.cutHex(0.5)
+      val crit = rel.TimeSeries.welchCrit
+      def nd(c: String) = s"CAST($c AS DOUBLE)"
+      def mean(s: String, n: String) = s"(${nd(s)} / ${nd(n)})"
+      def variance(sxx: String, sx: String, n: String) =
+        s"((${nd(sxx)} - ${nd(sx)} * ${nd(sx)} / ${nd(n)}) / (${nd(n)} - 1.0))"
+      val vna = s"(${variance("sxx_a", "sx_a", "n_a")} / ${nd("n_a")})"
+      val vnb = s"(${variance("sxx_b", "sx_b", "n_b")} / ${nd("n_b")})"
+      val se2 = s"($vna + $vnb)"
+      val t = s"((${mean("sx_a", "n_a")} - ${mean("sx_b", "n_b")}) / sqrt($se2))"
+      val df = s"(($se2 * $se2) / ($vna * $vna / (${nd("n_a")} - 1.0) + $vnb * $vnb / (${nd("n_b")} - 1.0)))"
+      "WITH u AS (SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS x FROM events GROUP BY user_id), " +
+        s"a AS (SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)),1,2) < '$c50' THEN 'A' ELSE 'B' END AS arm, x FROM u), " +
+        "g AS (SELECT arm, COUNT(*) AS n, SUM(x) AS sx, SUM(CAST(x * x AS DECIMAL(30,8))) AS sxx FROM a GROUP BY arm), " +
+        "w AS (SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS n_a, MAX(CASE WHEN arm = 'A' THEN sx END) AS sx_a, MAX(CASE WHEN arm = 'A' THEN sxx END) AS sxx_a, " +
+        "MAX(CASE WHEN arm = 'B' THEN n END) AS n_b, MAX(CASE WHEN arm = 'B' THEN sx END) AS sx_b, MAX(CASE WHEN arm = 'B' THEN sxx END) AS sxx_b FROM g) " +
+        s"SELECT n_a, n_b, ROUND(${mean("sx_a", "n_a")}, 6) AS mean_a, ROUND(${mean("sx_b", "n_b")}, 6) AS mean_b, " +
+        s"ROUND($t, 6) AS t_stat, ROUND($df, 4) AS df_welch, ABS(ROUND($t, 6)) > $crit AS significant FROM w"
+    },
+    // chi2 independence: domain-bounded cell agg, per-cell
+    // ROUND(,9)->DECIMAL terms, observed r/c for dof and Cramer's V
+    "q_chi2_independence" ->
+      ("WITH c AS (SELECT event_type, CAST(isodow(CAST(ts AS TIMESTAMP)) - 1 AS INTEGER) AS dow, COUNT(*) AS o FROM events GROUP BY event_type, dow), " +
+        "r AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS nr FROM c GROUP BY event_type), " +
+        "k AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS nc FROM c GROUP BY dow), " +
+        "t AS (SELECT CAST(SUM(o) AS BIGINT) AS n, CAST(COUNT(DISTINCT event_type) AS INTEGER) AS rc, CAST(COUNT(DISTINCT dow) AS INTEGER) AS cc FROM c), " +
+        "m AS (SELECT CAST(ROUND((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e, 9) AS DECIMAL(18,9)) AS term FROM (SELECT o, CAST(nr * nc AS DOUBLE) / CAST(n AS DOUBLE) AS e FROM c JOIN r USING (event_type) JOIN k USING (dow) CROSS JOIN t)), " +
+        "s AS (SELECT SUM(term) AS chi2d FROM m) " +
+        "SELECT n, rc AS n_rows, cc AS n_cols, (rc - 1) * (cc - 1) AS dof, ROUND(CAST(chi2d AS DOUBLE), 6) AS chi2, " +
+        "ROUND(sqrt(CAST(chi2d AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(LEAST(rc - 1, cc - 1) AS DOUBLE))), 6) AS cramers_v FROM s CROSS JOIN t"),
+    // OLS: exact integer/DECIMAL power sums per flag, one-shot
+    // normal-equation chains on the <=3-row pivot
+    "q_ols_regression" -> {
+      def nd(c: String) = s"CAST($c AS DOUBLE)"
+      val covN = s"(${nd("n")} * ${nd("sxy")} - ${nd("sx")} * ${nd("sy")})"
+      val varXn = s"(${nd("n")} * ${nd("sxx")} - ${nd("sx")} * ${nd("sx")})"
+      val varYn = s"(${nd("n")} * ${nd("syy")} - ${nd("sy")} * ${nd("sy")})"
+      "WITH li AS (SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q, CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents FROM lineitem), " +
+        "g AS (SELECT flag, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS sx, CAST(SUM(cents) AS BIGINT) AS sy, CAST(SUM(q * q) AS BIGINT) AS sxx, CAST(SUM(q * cents) AS BIGINT) AS sxy, SUM(CAST(cents * cents AS DECIMAL(28,0))) AS syy FROM li GROUP BY flag) " +
+        s"SELECT flag, n, ROUND($covN / $varXn / 100.0, 6) AS slope, " +
+        s"ROUND((${nd("sy")} - $covN / $varXn * ${nd("sx")}) / ${nd("n")} / 100.0, 6) AS intercept, " +
+        s"ROUND($covN * $covN / ($varXn * $varYn), 6) AS r2 FROM g ORDER BY flag"
+    },
+    // stump: feature-domain histogram + cumulative window; counts pure
+    // BIGINT, impurity a one-shot ROUND(,9) chain, argmin total order
+    "q_decision_stump" -> {
+      def nd(c: String) = s"CAST($c AS DOUBLE)"
+      def gini(pos: String, tot: String) =
+        s"(1.0 - (${nd(pos)} * ${nd(pos)} + ${nd(s"$tot - ($pos)")} * ${nd(s"$tot - ($pos)")}) / (${nd(tot)} * ${nd(tot)}))"
+      val giniL = gini("pl", "nl")
+      val giniR = gini("p - pl", "n - nl")
+      val imp = s"ROUND((${nd("nl")} * $giniL + ${nd("n - nl")} * $giniR) / ${nd("n")}, 9)"
+      val parent = s"ROUND(${gini("p", "n")}, 9)"
+      "WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS q, CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y FROM lineitem), " +
+        "h AS (SELECT q, COUNT(*) AS cnt, CAST(SUM(y) AS BIGINT) AS pos FROM li GROUP BY q), " +
+        "c AS (SELECT q, CAST(SUM(cnt) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nl, CAST(SUM(pos) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pl, CAST(SUM(cnt) OVER () AS BIGINT) AS n, CAST(SUM(pos) OVER () AS BIGINT) AS p FROM h), " +
+        "f AS (SELECT * FROM c WHERE nl < n), " +
+        s"s AS (SELECT q AS threshold, nl AS n_left, n - nl AS n_right, pl AS pos_left, p - pl AS pos_right, $imp AS impurity, ROUND($parent - $imp, 9) AS gain FROM f), " +
+        "z AS (SELECT s.*, ROW_NUMBER() OVER (ORDER BY impurity, threshold) AS rn FROM s) " +
+        "SELECT threshold, n_left, n_right, pos_left, pos_right, impurity, gain FROM z WHERE rn = 1"
+    },
     // CUPED: per-user DECIMAL-exact (X, Y) conditional sums, one
     // power-sum pass for theta, arm aggregates crossed with scalars
     "q_cuped" -> {

@@ -1152,6 +1152,191 @@ object TimeSeries {
       .orderBy("lag_h")
   }
 
+  /** Two-sided normal critical value (α=.05) for [[welchTtest]]'s flag
+    * (Welch df here is in the thousands, where t ≈ normal).
+    * Interpolated into the oracle from here. */
+  val welchCrit = 1.96
+
+  /** q_welch_ttest — Welch's unequal-variance t-test between the two
+    * hash arms on PER-USER total value (the unit of randomization,
+    * q_srm_check's lesson: event-level rows are pseudo-replicated —
+    * users with more events would be counted more). Welch over pooled
+    * Student's t deliberately: hash arms guarantee equal assignment
+    * probability, not equal variance, and Welch costs nothing here.
+    * Reports means, t, the Welch–Satterthwaite df, and a flag vs
+    * [[welchCrit]].
+    *
+    * Scale shape: the corpus pass ends at the user-keyed DECIMAL sum
+    * (the q_cuped frame); per-arm power sums are a 2-group map-side-
+    * combined aggregate over that frame (x² through DECIMAL(30,8), the
+    * q_cuped device, so arm sums are addition-order-proof); every
+    * float op runs once on the 1-row pivot in a fixed expression
+    * order. */
+  def welchTtest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Sampling
+    val d19 = DecimalType(19, 2)
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(sum(dec(col("value"))).as("xr"))
+      .select(col("user_id"), col("xr").cast(d19).as("x"))
+    val arm = Sampling.splitAssign(col("user_id"), Seq("A" -> 0.5, "B" -> 0.5))
+    val byArm = perUser
+      .select(arm.as("arm"), col("x"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum((col("x") * col("x")).cast(DecimalType(30, 8))).as("sxx"))
+    val wide = byArm.agg(
+      max(when(col("arm") === "A", col("n"))).as("n_a"),
+      max(when(col("arm") === "A", col("sx"))).as("sx_a"),
+      max(when(col("arm") === "A", col("sxx"))).as("sxx_a"),
+      max(when(col("arm") === "B", col("n"))).as("n_b"),
+      max(when(col("arm") === "B", col("sx"))).as("sx_b"),
+      max(when(col("arm") === "B", col("sxx"))).as("sxx_b"))
+    def nd(c: String) = col(c).cast("double")
+    def mean(s: String, n: String) = nd(s) / nd(n)
+    // sample variance from exact power sums: (sxx - sx*sx/n) / (n - 1)
+    def variance(sxx: String, sx: String, n: String) =
+      (nd(sxx) - nd(sx) * nd(sx) / nd(n)) / (nd(n) - lit(1.0))
+    val vOverNa = variance("sxx_a", "sx_a", "n_a") / nd("n_a")
+    val vOverNb = variance("sxx_b", "sx_b", "n_b") / nd("n_b")
+    val se2 = vOverNa + vOverNb
+    val t = (mean("sx_a", "n_a") - mean("sx_b", "n_b")) / sqrt(se2)
+    val df = (se2 * se2) /
+      (vOverNa * vOverNa / (nd("n_a") - lit(1.0)) +
+        vOverNb * vOverNb / (nd("n_b") - lit(1.0)))
+    wide.select(col("n_a"), col("n_b"),
+      round(mean("sx_a", "n_a"), 6).as("mean_a"),
+      round(mean("sx_b", "n_b"), 6).as("mean_b"),
+      round(t, 6).as("t_stat"),
+      round(df, 4).as("df_welch"),
+      (abs(round(t, 6)) > welchCrit).as("significant"))
+  }
+
+  /** q_chi2_independence — χ² test of independence over the
+    * event_type × ISO-weekday contingency table, with Cramér's V (the
+    * [0,1] effect size χ² alone is not: χ² grows with N even when the
+    * association is trivial — exactly the 100 TB trap, where
+    * everything is "significant"). dof and V's min(r−1,c−1) come from
+    * the OBSERVED distinct counts, not the nominal domains.
+    *
+    * Scale shape: ONE corpus pass ends at the (type, dow) cell
+    * aggregate — bounded by the attribute domains (≤ 5×7 here), the
+    * q_auc_exact device; margins/totals are window sums over that tiny
+    * frame; per-cell (O−E)²/E terms ROUND(,9)→DECIMAL(18,9) so the
+    * final sum is addition-order-proof. */
+  def chi2Independence(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(col("event_type"), ((dayofweek(col("ts")) + 5) % 7).as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("o"))
+    val wr = Window.partitionBy(col("event_type"))
+    val wc = Window.partitionBy(col("dow"))
+    val wAll = Window.partitionBy()
+    val m = cells
+      .withColumn("nr", sum(col("o")).over(wr))
+      .withColumn("nc", sum(col("o")).over(wc))
+      .withColumn("n", sum(col("o")).over(wAll))
+      .withColumn("r", size(collect_set(col("event_type")).over(wAll)))
+      .withColumn("c", size(collect_set(col("dow")).over(wAll)))
+    val e = (col("nr") * col("nc")).cast("double") / col("n").cast("double")
+    val term = round((col("o").cast("double") - e) * (col("o").cast("double") - e) / e, 9)
+      .cast(DecimalType(18, 9))
+    val agg = m.select(col("n"), col("r"), col("c"), term.as("term"))
+      .groupBy(col("n"), col("r"), col("c"))
+      .agg(sum(col("term")).as("chi2d"))
+    agg.select(col("n"), col("r").as("n_rows"), col("c").as("n_cols"),
+      ((col("r") - 1) * (col("c") - 1)).as("dof"),
+      round(col("chi2d").cast("double"), 6).as("chi2"),
+      round(sqrt(col("chi2d").cast("double") /
+        (col("n").cast("double") * least(col("r") - 1, col("c") - 1).cast("double"))), 6)
+        .as("cramers_v"))
+  }
+
+  /** q_ols_regression — closed-form simple OLS per return-flag:
+    * l_extendedprice (cents) regressed on l_quantity, slope/intercept
+    * back in dollars plus R². The normal-equation form needs only the
+    * five power sums — the map-side-combinable statistic that makes
+    * linear regression a one-pass distributed aggregate (the same
+    * shape MLlib's summarizer reduces; no gradient iterations, no
+    * second scan).
+    *
+    * Determinism: qty and cents are exact BIGINTs; q², q·cents sums
+    * stay BIGINT (bounded: q ≤ 50, cents ≤ ~1e7), cents² goes through
+    * DECIMAL(28,0) (6e5 rows × 1e14/row would overflow BIGINT at the
+    * ×10 rehearsal). The sums convert exactly to double once; slope/
+    * intercept/R² are one-shot fixed-order chains on the per-flag
+    * pivot (≤ 3 rows). */
+  def olsRegression(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_returnflag").as("flag"),
+      col("l_quantity").cast("long").as("q"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val g = li.groupBy(col("flag")).agg(
+      count(lit(1)).as("n"),
+      sum(col("q")).as("sx"),
+      sum(col("cents")).as("sy"),
+      sum(col("q") * col("q")).as("sxx"),
+      sum(col("q") * col("cents")).as("sxy"),
+      sum((col("cents") * col("cents")).cast(DecimalType(28, 0))).as("syy"))
+    def nd(c: String) = col(c).cast("double")
+    val covN = nd("n") * nd("sxy") - nd("sx") * nd("sy") // n·Σxy − Σx·Σy
+    val varXn = nd("n") * nd("sxx") - nd("sx") * nd("sx")
+    val varYn = nd("n") * nd("syy") - nd("sy") * nd("sy")
+    val slopeCents = covN / varXn
+    g.select(col("flag"), col("n"),
+      round(slopeCents / lit(100.0), 6).as("slope"),
+      round((nd("sy") - slopeCents * nd("sx")) / nd("n") / lit(100.0), 6)
+        .as("intercept"),
+      round(covN * covN / (varXn * varYn), 6).as("r2"))
+      .orderBy("flag")
+  }
+
+  /** q_decision_stump — exact best binary split (CART root node):
+    * predict returns (l_returnflag = 'R') from a quantity threshold by
+    * minimizing the weighted Gini impurity over EVERY candidate split,
+    * ties to the smallest threshold. The gain over the parent Gini is
+    * the feature-importance number a forest would log. One distributed
+    * histogram pass IS the classic scalable tree recipe (Panda et al.,
+    * PLANET, VLDB'09): no per-split rescan, no sort of the corpus.
+    *
+    * Scale shape: the corpus pass ends at the (value, n, n_pos)
+    * histogram — bounded by the feature domain (≤ 50 values); split
+    * search = one cumulative window + an argmin window over that tiny
+    * frame. Counts are pure BIGINT; each candidate's impurity is a
+    * one-shot double chain ROUND(,9) so the argmin total order
+    * (impurity, threshold) is exact on both engines. */
+  def decisionStump(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_quantity").cast("long").as("q"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    val hist = li.groupBy(col("q"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val w = Window.orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val cum = hist
+      .withColumn("nl", sum(col("cnt")).over(w))
+      .withColumn("pl", sum(col("pos")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("p", sum(col("pos")).over(wAll))
+      .filter(col("nl") < col("n")) // right side must be non-empty
+    def nd(c: Column) = c.cast("double")
+    def gini(pos: Column, tot: Column) =
+      lit(1.0) - (nd(pos) * nd(pos) + nd(tot - pos) * nd(tot - pos)) /
+        (nd(tot) * nd(tot))
+    val nr = col("n") - col("nl")
+    val pr = col("p") - col("pl")
+    val imp = round((nd(col("nl")) * gini(col("pl"), col("nl")) +
+      nd(nr) * gini(pr, nr)) / nd(col("n")), 9)
+    val parent = round(gini(col("p"), col("n")), 9)
+    val scored = cum.select(col("q").as("threshold"),
+      col("nl").as("n_left"), nr.as("n_right"),
+      col("pl").as("pos_left"), pr.as("pos_right"),
+      imp.as("impurity"), round(parent - imp, 9).as("gain"))
+    val rank = Window.orderBy(col("impurity"), col("threshold"))
+    scored.withColumn("rn", row_number().over(rank))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
   def seasonalProfile(spark: SparkSession, dir: String): DataFrame = {
     val cells = Tables.events(spark, dir)
       .select(((dayofweek(col("ts")) + 5) % 7).as("dow"),

@@ -512,4 +512,56 @@ class TimeSeriesSpec extends SparkSpec {
     val n = out.map(_.getAs[Long]("n")).sum
     assert(math.abs(wdev / n) < 1e-5, s"weighted mean dev ${wdev / n}")
   }
+
+  test("welch t-test: arms cover all users, df within Welch bounds") {
+    val r = TimeSeries.welchTtest(spark, sfDir).head()
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    assert(na + nb ==
+      Tables.events(spark, sfDir).select("user_id").distinct().count())
+    val df = r.getAs[Double]("df_welch")
+    // Welch df lies in [min(n)-1, n_a+n_b-2]
+    assert(df >= math.min(na, nb) - 1 - 1e-6 && df <= na + nb - 2 + 1e-6,
+      s"df $df outside [${math.min(na, nb) - 1}, ${na + nb - 2}]")
+    assert(r.getAs[Boolean]("significant") ==
+      (math.abs(r.getAs[Double]("t_stat")) > TimeSeries.welchCrit))
+  }
+
+  test("chi2 independence: nonnegative stat, V in [0,1], dof consistent") {
+    val r = TimeSeries.chi2Independence(spark, sfDir).head()
+    assert(r.getAs[Long]("n") == Tables.events(spark, sfDir).count())
+    val (rr, cc) = (r.getAs[Int]("n_rows"), r.getAs[Int]("n_cols"))
+    assert(r.getAs[Int]("dof") == (rr - 1) * (cc - 1))
+    assert(r.getAs[Double]("chi2") >= 0.0)
+    val v = r.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0, s"Cramer's V $v outside [0,1]")
+  }
+
+  test("ols regression passes through the centroid, r2 in [0,1]") {
+    val out = TimeSeries.olsRegression(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val stats = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(avg(col("l_quantity")).as("mx"),
+        avg(col("l_extendedprice")).as("my"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    out.foreach { r =>
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0, s"r2 $r2")
+      val (mx, my) = stats(r.getAs[String]("flag"))
+      val fit = r.getAs[Double]("intercept") + r.getAs[Double]("slope") * mx
+      assert(math.abs(fit - my) < math.abs(my) * 1e-3 + 1e-2,
+        s"centroid: fit $fit vs mean_y $my")
+    }
+  }
+
+  test("decision stump: exhaustive split search beats or ties the parent") {
+    val r = TimeSeries.decisionStump(spark, sfDir).head()
+    val n = Tables.lineitem(spark, sfDir).count()
+    assert(r.getAs[Long]("n_left") + r.getAs[Long]("n_right") == n)
+    assert(r.getAs[Long]("pos_left") <= r.getAs[Long]("n_left"))
+    assert(r.getAs[Long]("pos_right") <= r.getAs[Long]("n_right"))
+    // weighted child Gini never exceeds the parent's (concavity)
+    assert(r.getAs[Double]("gain") >= -1e-9, s"gain ${r.getAs[Double]("gain")}")
+    assert(r.getAs[Double]("impurity") >= 0.0 && r.getAs[Double]("impurity") <= 0.5)
+  }
 }
