@@ -213,6 +213,11 @@ object SparkEntry {
     "q_chi2_independence" -> (TimeSeries.chi2Independence _),
     "q_ols_regression" -> (TimeSeries.olsRegression _),
     "q_decision_stump" -> (TimeSeries.decisionStump _),
+    // r12 wave Q: one-pass trained text classifier, WOE/IV feature
+    // scoring, and the integer-exact hubs/authorities power method
+    "q_naive_bayes" -> (text.Relevance.qNaiveBayes _),
+    "q_woe_iv" -> (RelQueries.woeIv _),
+    "q_hits" -> (graft.graph.Hits.qHits _),
     // §2.A reference (dist-keras) operator surface
     "q_minmax_scale" -> (VectorOps.qMinMaxScale _),
     "q_onehot" -> (VectorOps.qOneHot _),
@@ -2054,6 +2059,42 @@ object SparkEntry {
         "z AS (SELECT s.*, ROW_NUMBER() OVER (ORDER BY impurity, threshold) AS rn FROM s) " +
         "SELECT threshold, n_left, n_right, pos_left, pos_right, impurity, gain FROM z WHERE rn = 1"
     },
+    // naive Bayes: add-1 likelihoods over the vocab x class grid, each
+    // ln term ROUND(,9)->DECIMAL so per-doc class scores sum exactly;
+    // argmax total order (score DESC, class) identical on both engines
+    "q_naive_bayes" -> {
+      val cut = text.Sampling.cutHex(text.Relevance.nbTrainFraction)
+      "WITH d AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h FROM documents), " +
+        s"trt AS (SELECT doc_id, lang, unnest(toks) AS tok FROM d WHERE h < '$cut'), " +
+        s"tet AS (SELECT doc_id, lang, unnest(toks) AS tok FROM d WHERE h >= '$cut'), " +
+        "ct AS (SELECT lang AS cl, tok, COUNT(*) AS c FROM trt GROUP BY lang, tok), " +
+        "cls AS (SELECT lang AS cl, COUNT(*) AS ntok, COUNT(DISTINCT doc_id) AS ndocs FROM trt GROUP BY lang), " +
+        "nt AS (SELECT CAST(SUM(ndocs) AS BIGINT) AS n_train FROM cls), " +
+        "v AS (SELECT DISTINCT tok FROM ct), " +
+        "vs AS (SELECT COUNT(*) AS vsize FROM v), " +
+        "g AS (SELECT v.tok, cls.cl, CAST(ROUND(ln((CAST(COALESCE(ct.c, 0) AS DOUBLE) + 1.0) / CAST(cls.ntok + vs.vsize AS DOUBLE)), 9) AS DECIMAL(18,9)) AS ll FROM v CROSS JOIN cls CROSS JOIN vs LEFT JOIN ct ON ct.tok = v.tok AND ct.cl = cls.cl), " +
+        "pri AS (SELECT cl, CAST(ROUND(ln(CAST(ndocs AS DOUBLE) / CAST(n_train AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lp FROM cls CROSS JOIN nt), " +
+        "sc AS (SELECT t.doc_id, t.lang, g.cl, SUM(g.ll) AS sll FROM tet t JOIN g ON g.tok = t.tok GROUP BY t.doc_id, t.lang, g.cl), " +
+        "fin AS (SELECT doc_id, lang, sc.cl, sll + lp AS score FROM sc JOIN pri ON pri.cl = sc.cl), " +
+        "r AS (SELECT fin.*, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cl) AS rn FROM fin) " +
+        "SELECT doc_id, lang AS lang_true, cl AS lang_pred, ROUND(CAST(score AS DOUBLE), 6) AS logprob, CAST(lang = cl AS INTEGER) AS correct FROM r WHERE rn = 1 ORDER BY doc_id"
+    },
+    // WOE/IV: feature-domain histogram + window totals; WOE is the
+    // ROUNDED ln (iv_term multiplies the rounded value on both
+    // engines); IV's cross-bin sum runs in DECIMAL(18,9)
+    "q_woe_iv" -> {
+      val bw = RelQueries.woeBinWidth
+      val posShare = "((CAST(pos AS DOUBLE) + 0.5) / CAST(p AS DOUBLE))"
+      val negShare = "((CAST(neg AS DOUBLE) + 0.5) / CAST(q AS DOUBLE))"
+      s"WITH li AS (SELECT CAST(floor((l_quantity - 1) / $bw) AS INTEGER) AS bin, CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y FROM lineitem), " +
+        "h AS (SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos FROM li GROUP BY bin), " +
+        "m AS (SELECT bin, n, pos, n - pos AS neg, CAST(SUM(pos) OVER () AS BIGINT) AS p, CAST(SUM(n - pos) OVER () AS BIGINT) AS q FROM h), " +
+        s"s AS (SELECT bin, n, pos, neg, ROUND(ln($posShare / $negShare), 9) AS woe, $posShare AS ps, $negShare AS ns FROM m), " +
+        "t AS (SELECT bin, n, pos, neg, woe, CAST(ROUND((ps - ns) * woe, 9) AS DECIMAL(18,9)) AS iv_term FROM s) " +
+        "SELECT bin, n, pos, neg, woe, ROUND(CAST(iv_term AS DOUBLE), 9) AS iv_term, ROUND(CAST(SUM(iv_term) OVER () AS DOUBLE), 9) AS iv FROM t ORDER BY bin"
+    },
+    // HITS: integer-exact power method — no rounding device at all
+    "q_hits" -> graft.graph.Hits.oracleSql,
     // CUPED: per-user DECIMAL-exact (X, Y) conditional sums, one
     // power-sum pass for theta, arm aggregates crossed with scalars
     "q_cuped" -> {

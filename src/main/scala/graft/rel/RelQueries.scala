@@ -1611,6 +1611,50 @@ object RelQueries {
       .orderBy("var_a", "var_b")
   }
 
+  /** Bin width for [[woeIv]]'s quantity discretization (l_quantity is
+    * 1..50, so width 10 gives 5 bins). */
+  val woeBinWidth = 10
+
+  /** q_woe_iv — weight-of-evidence encoding + information value of the
+    * binned quantity feature against the returns label (the
+    * credit-scoring standard next to [[targetEncoding]]: WOE gives each
+    * bin a log-odds score on the TARGET scale, IV = Σ (pos%−neg%)·WOE
+    * summarizes the whole feature's predictive power — the number a
+    * feature-selection pass ranks by). The +0.5 Laplace adjustment is
+    * the standard "adjusted WOE" that keeps pure bins finite.
+    *
+    * Scale shape: ONE corpus pass ends at the feature-domain histogram
+    * (≤ 5 bins here — the q_decision_stump device); totals are window
+    * sums over that tiny frame; each bin's WOE/IV term is a one-shot
+    * double chain ROUND(,9), and IV's cross-bin sum runs in
+    * DECIMAL(18,9) so it is addition-order-proof. */
+  def woeIv(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      floor((col("l_quantity") - 1) / woeBinWidth).cast("int").as("bin"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    val hist = li.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .withColumn("neg", col("n") - col("pos"))
+    val wAll = Window.partitionBy()
+    val m = hist
+      .withColumn("p", sum(col("pos")).over(wAll))
+      .withColumn("q", sum(col("neg")).over(wAll))
+    def nd(c: Column) = c.cast("double")
+    val posShare = (nd(col("pos")) + lit(0.5)) / nd(col("p"))
+    val negShare = (nd(col("neg")) + lit(0.5)) / nd(col("q"))
+    val woe = round(log(posShare / negShare), 9)
+    val ivTerm = round((posShare - negShare) * woe, 9)
+      .cast(DecimalType(18, 9))
+    val scored = m.select(col("bin"), col("n"), col("pos"), col("neg"),
+      woe.as("woe"), ivTerm.as("iv_term"))
+    scored
+      .withColumn("iv", round(sum(col("iv_term")).over(Window.partitionBy())
+        .cast("double"), 9))
+      .select(col("bin"), col("n"), col("pos"), col("neg"), col("woe"),
+        round(col("iv_term").cast("double"), 9).as("iv_term"), col("iv"))
+      .orderBy("bin")
+  }
+
   /** Smoothing pseudo-count for [[targetEncoding]] (the m in the
     * empirical-Bayes shrinkage toward the global prior). */
   val teSmoothing = 10.0

@@ -213,4 +213,80 @@ object Relevance {
 
   def qFeatureHashing(spark: SparkSession, dir: String): DataFrame =
     featureHashing(Tables.documents(spark, dir))
+
+  /** Train fraction for [[naiveBayes]]'s hash split (the
+    * [[Sampling.inSample]] 80% cut; oracle interpolates the same hex
+    * literal via [[Sampling.cutHex]]). */
+  val nbTrainFraction = 0.8
+
+  /** q_naive_bayes — multinomial Naive Bayes language classifier,
+    * trained and scored in ONE declarative plan: add-1-smoothed token
+    * likelihoods from the 80% hash-split train docs, argmax log-score
+    * over the 20% held-out docs. NB is the canonical distributed text
+    * classifier because training IS an aggregation — per-class token
+    * counts — with no iterations at all (contrast the gradient loop a
+    * logistic model needs); at 100 TB this trains in exactly one
+    * corpus pass.
+    *
+    * Scale shape: ONE tokenize/explode pass feeds both splits; train
+    * side ends at the (class, token) count agg; the likelihood grid is
+    * vocabulary × classes (vocab-sized — the q_domain_shift grid
+    * device; classes are a tiny broadcast, so the cross is bounded by
+    * construction); scoring joins test tokens to the grid on token
+    * (equi-join, corpus-linear) and ends at a (doc, class) agg over
+    * ≤ |classes| rows per doc.
+    *
+    * Determinism: each log-likelihood ln((c+1)/(nₗ+V)) and log-prior
+    * ln(n_docs/N) is ROUND(,9) → DECIMAL(18,9), so per-doc class
+    * scores are exact decimal sums (addition-order-proof) and the
+    * argmax total order (score DESC, class ASC) is identical on both
+    * engines. OOV test tokens (absent from the train vocabulary) drop
+    * from the inner grid join — the standard NB treatment, applied
+    * symmetrically to every class; a test doc with NO in-vocab tokens
+    * drops entirely (deterministic on both engines, none at the gate
+    * SFs). */
+  def naiveBayes(docs: DataFrame): DataFrame = {
+    val d9 = DecimalType(18, 9)
+    val isTrain = Sampling.inSample(col("doc_id"), nbTrainFraction)
+    val tok = docs.select(col("doc_id"), col("lang"), isTrain.as("tr"),
+      explode(TextOps.tokens(lower(col("text")))).as("tok"))
+    val trainTok = tok.filter(col("tr"))
+    val ct = trainTok.groupBy(col("lang").as("cl"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val cls = trainTok.groupBy(col("lang").as("cl"))
+      .agg(count(lit(1)).as("ntok"), countDistinct(col("doc_id")).as("ndocs"))
+    val nTrain = cls.agg(sum(col("ndocs")).as("n_train"))
+    val vocab = ct.select(col("tok")).distinct()
+    val vSize = vocab.agg(count(lit(1)).as("vsize"))
+    val grid = vocab
+      .crossJoin(broadcast(cls))
+      .crossJoin(broadcast(vSize))
+      .join(ct, Seq("tok", "cl"), "left")
+      .select(col("tok"), col("cl"),
+        round(log((coalesce(col("c"), lit(0L)).cast("double") + lit(1.0)) /
+          (col("ntok") + col("vsize")).cast("double")), 9).cast(d9).as("ll"))
+    val prior = cls.crossJoin(broadcast(nTrain))
+      .select(col("cl"),
+        round(log(col("ndocs").cast("double") / col("n_train").cast("double")), 9)
+          .cast(d9).as("lp"))
+    val scored = tok.filter(!col("tr"))
+      .join(grid, "tok")
+      .groupBy(col("doc_id"), col("lang"), col("cl"))
+      .agg(sum(col("ll")).as("sll"))
+      .join(broadcast(prior), "cl")
+      .select(col("doc_id"), col("lang"), col("cl"),
+        (col("sll") + col("lp")).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cl"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("lang_true"),
+        col("cl").as("lang_pred"),
+        round(col("score").cast("double"), 6).as("logprob"),
+        (col("lang") === col("cl")).cast("int").as("correct"))
+      .orderBy("doc_id")
+  }
+
+  def qNaiveBayes(spark: SparkSession, dir: String): DataFrame =
+    naiveBayes(Tables.documents(spark, dir))
 }

@@ -722,4 +722,27 @@ class RelQueriesSpec extends SparkSpec {
     assert(out.exists { case (f, _, m) => math.abs(m - unweighted(f)) > 1e-9 },
       "weights must actually move at least one median on this corpus")
   }
+
+  test("woe/iv: count conservation, nonnegative IV, woe sign tracks the odds") {
+    val out = RelQueries.woeIv(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val n = Tables.lineitem(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("n")).sum == n)
+    out.foreach { r =>
+      assert(r.getAs[Long]("pos") + r.getAs[Long]("neg") == r.getAs[Long]("n"))
+      // every term of IV is (a-b)·ln(a/b) with a,b the SAME adjusted
+      // shares — nonnegative by construction, so the total is too
+      assert(r.getAs[Double]("iv_term") >= -1e-12)
+      assert(r.getAs[Double]("iv") >= 0.0)
+    }
+    // woe > 0 iff the bin's adjusted positive share beats its negative share
+    val p = out.map(_.getAs[Long]("pos")).sum.toDouble
+    val q = out.map(_.getAs[Long]("neg")).sum.toDouble
+    out.foreach { r =>
+      val ps = (r.getAs[Long]("pos") + 0.5) / p
+      val ns = (r.getAs[Long]("neg") + 0.5) / q
+      assert((r.getAs[Double]("woe") > 0) == (ps > ns),
+        s"bin ${r.getAs[Int]("bin")}: woe sign vs share order")
+    }
+  }
 }

@@ -103,4 +103,39 @@ class RelevanceSpec extends SparkSpec {
       assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
     } finally out.unpersist()
   }
+
+  test("naive bayes: separable vocabularies classify perfectly") {
+    // two langs with DISJOINT vocabularies — whatever docs the 80/20
+    // hash split sends to test, their tokens only ever carry evidence
+    // for the true class (the other class sees them at smoothing mass)
+    val fixture = (0L until 100L).map { i =>
+      if (i % 2 == 0) (i, "aa", "alpha beta alpha gamma")
+      else (i, "bb", "delta epsilon delta zeta")
+    }.toDF("doc_id", "lang", "text")
+    val out = Relevance.naiveBayes(fixture).collect()
+    assert(out.nonEmpty, "hash split must land some docs in test")
+    out.foreach { r =>
+      assert(r.getAs[String]("lang_pred") == r.getAs[String]("lang_true"),
+        s"doc ${r.getAs[Long]("doc_id")} misclassified")
+      assert(r.getAs[Int]("correct") == 1)
+      assert(r.getAs[Double]("logprob") < 0.0, "log-probability must be negative")
+    }
+  }
+
+  test("naive bayes: gate key covers the held-out split, flag consistent") {
+    val out = Relevance.qNaiveBayes(spark, sfDir).collect()
+    val nTest = Tables.documents(spark, sfDir)
+      .filter(!graft.text.Sampling.inSample(col("doc_id"), Relevance.nbTrainFraction))
+      .count()
+    // every test doc appears unless ALL its tokens are OOV (none at
+    // the gate SFs — assert full coverage so a silent drop regresses)
+    assert(out.length == nTest, s"${out.length} scored vs $nTest held out")
+    val langs = Tables.documents(spark, sfDir)
+      .select("lang").distinct().as[String].collect().toSet
+    out.foreach { r =>
+      assert(langs.contains(r.getAs[String]("lang_pred")))
+      assert((r.getAs[Int]("correct") == 1) ==
+        (r.getAs[String]("lang_true") == r.getAs[String]("lang_pred")))
+    }
+  }
 }
