@@ -145,6 +145,13 @@ object ScaleRehearsal {
           ts(1)
         }
         System.err.println(s"[scale] $k base ${r3(base)} s, running x$factor ...")
+        // warm the scaled dir too: one-time durable setup (bucketed
+        // layout build, stream staging) otherwise lands in the timed
+        // rep and reads as super-linear QUERY work when it is Θ(data)
+        // amortized BUILD work (q_join_bucketed measured 17.8x with
+        // identical output before this; 1.04x after). Both sides now
+        // measure steady-state query cost.
+        time(k, dst)
         val scaled = time(k, dst)
         val ratio = if (base > 0) scaled / base else Double.NaN
         System.err.println(s"[scale] $k scaled ${r3(scaled)} s ratio ${r3(ratio)}")
