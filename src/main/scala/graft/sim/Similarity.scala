@@ -1072,6 +1072,56 @@ object Similarity {
       .orderBy("vec_id", "dim")
   }
 
+  /** Cluster count for [[qSilhouette]] — the first `silhouetteK`
+    * vec_ids seed the centroids (the [[ivfTopKFixedSeeds]] device, so
+    * the whole key stays SQL-expressible). */
+  val silhouetteK = 16
+
+  /** q_silhouette — centroid-based silhouette score per cluster: the
+    * clustering-quality audit for the IVF/SemDeDup layer. Exact
+    * silhouette is O(n²) (mean pairwise distance to every point in
+    * every cluster) — unrunnable at 100 TB; the centroid
+    * approximation (Pampalk's "simplified silhouette": a = d(x, own
+    * centroid), b = min over other centroids) keeps the separation-vs-
+    * cohesion readout at one broadcast join per point. s near 1 =
+    * tight, well-separated lists (good IVF recall/probe economics);
+    * s near 0 = boundary points that make nProbe=1 lossy.
+    *
+    * Scale shape: ONE pass — points × the K-row broadcast centroid
+    * frame (bounded cross, the q_cosine_topk class), a per-point
+    * 2-row rank window keyed on vec_id, then a K-row aggregate.
+    * Determinism: d = the sequential (x−c)² fold (the PQ ADC device);
+    * ranking ties break on centroid_id; per-point s is ROUND(,9) →
+    * DECIMAL so cluster means are addition-order-proof. */
+  def qSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val ctr = pts.orderBy(col("vec_id")).limit(silhouetteK)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    val d = aggregate(
+      zip_with(col("embedding"), col("centroid"),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("centroid_id"))
+    val ranked = pts.crossJoin(broadcast(ctr))
+      .select(col("vec_id"), col("centroid_id"), d.as("d"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+    val ab = ranked.groupBy(col("vec_id")).agg(
+      max(when(col("rn") === 1, col("centroid_id"))).as("cluster"),
+      max(when(col("rn") === 1, col("d"))).as("a"),
+      max(when(col("rn") === 2, col("d"))).as("b"))
+    val s = when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+      .otherwise((col("b") - col("a")) / greatest(col("a"), col("b")))
+    ab.select(col("cluster").as("centroid_id"),
+        round(s, 9).cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("s"))
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_points"),
+        round(sum(col("s")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("mean_silhouette"))
+      .orderBy("centroid_id")
+  }
+
   /** Oracle: the same 8 literal sign chains, same association order,
     * same fixed-point emit — generated from [[rpSigns]]. */
   def randomProjectionOracleSql: String = {

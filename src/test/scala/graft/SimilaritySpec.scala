@@ -565,4 +565,24 @@ class SimilaritySpec extends SparkSpec {
     // accident; none exist in the fixture corpus)
     assert(exact == int8, s"top-1 drift: ${exact.toSeq.diff(int8.toSeq)}")
   }
+
+  test("silhouette: every point counted once, scores in [-1,1], centroids self-assign") {
+    val out = Similarity.qSilhouette(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= Similarity.silhouetteK)
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("n_points")).sum == n,
+      "cluster sizes must partition the corpus")
+    out.foreach { r =>
+      val s = r.getAs[Double]("mean_silhouette")
+      assert(s >= -1.0 && s <= 1.0, s"mean silhouette $s outside [-1,1]")
+    }
+    // every cluster id is one of the seed vec_ids (a seed whose vector
+    // duplicates an earlier seed loses all points to the min-id twin,
+    // so subset — not equality — is the invariant)
+    val clusters = out.map(_.getAs[Long]("centroid_id")).toSet
+    val seeds = Tables.embeddings(spark, sfDir)
+      .orderBy(col("vec_id")).limit(Similarity.silhouetteK)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(clusters.subsetOf(seeds), s"clusters $clusters not within seeds $seeds")
+  }
 }

@@ -554,6 +554,59 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("ols multi: centroid identity, r2 in [0,1] and >= the univariate fit") {
+    val out = TimeSeries.olsMulti(spark, sfDir).collect()
+      .map(r => r.getAs[String]("flag") -> r).toMap
+    assert(out.nonEmpty)
+    val uni = TimeSeries.olsRegression(spark, sfDir).collect()
+      .map(r => r.getAs[String]("flag") -> r.getAs[Double]("r2")).toMap
+    val stats = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(avg(col("l_quantity")).as("mq"),
+        avg(round(col("l_discount") * 100)).as("md"),
+        avg(col("l_extendedprice")).as("my"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    out.foreach { case (flag, r) =>
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0, s"$flag r2 $r2")
+      // adding a feature can never reduce the least-squares fit
+      assert(r2 >= uni(flag) - 1e-6, s"$flag: multi $r2 < uni ${uni(flag)}")
+      val (mq, md, my) = stats(flag)
+      val fit = r.getAs[Double]("b0") + r.getAs[Double]("b1") * mq +
+        r.getAs[Double]("b2") * md
+      assert(math.abs(fit - my) < math.abs(my) * 1e-3 + 1e-2,
+        s"$flag centroid: fit $fit vs mean_y $my")
+    }
+  }
+
+  test("nn match: every treated user matched to the nearest control by pre-spend") {
+    val out = TimeSeries.nnMatch(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    import graft.text.Sampling
+    val users = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("ts").cast("timestamp") <
+          lit(TimeSeries.cupedCutDate).cast("timestamp"),
+          col("value").cast("decimal(18,2)")).otherwise(lit(0).cast("decimal(18,2)")))
+        .as("pre"))
+      .select(col("user_id"),
+        Sampling.splitAssign(col("user_id"), Seq("T" -> 0.5, "C" -> 0.5)).as("arm"),
+        col("pre").cast("double").as("pre"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val nTreated = users.count(_._2 == "T")
+    assert(out.length == nTreated, s"${out.length} matched vs $nTreated treated")
+    val controls = users.filter(_._2 == "C")
+    val ctrlIds = controls.map(_._1).toSet
+    out.take(50).foreach { r =>
+      val cid = r.getAs[Long]("ctrl_id")
+      assert(ctrlIds.contains(cid), s"matched id $cid is not a control")
+      // the matched distance is the true minimum over all controls
+      val bruteMin = controls.map(c => math.abs(c._3 - r.getAs[Double]("pre"))).min
+      assert(math.abs(r.getAs[Double]("delta_pre") - bruteMin) < 1e-9,
+        s"user ${r.getAs[Long]("user_id")}: delta ${r.getAs[Double]("delta_pre")} vs brute $bruteMin")
+    }
+  }
+
   test("decision stump: exhaustive split search beats or ties the parent") {
     val r = TimeSeries.decisionStump(spark, sfDir).head()
     val n = Tables.lineitem(spark, sfDir).count()
