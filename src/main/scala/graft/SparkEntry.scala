@@ -89,6 +89,7 @@ object SparkEntry {
     "q_stream_append" -> (graft.stream.StreamQueries.qStreamAppend _),
     "q_stream_dedup_incremental" -> (graft.stream.StreamQueries.qStreamDedupIncremental _),
     "q_stream_join" -> (graft.stream.StreamQueries.qStreamJoin _),
+    "q_stream_join_outer" -> (graft.stream.StreamQueries.qStreamJoinOuter _),
     "q_dedup_latest" -> (RelQueries.dedupLatest _),
     // r12: the CDC family's other two shapes — SCD2 validity intervals
     // (what compaction throws away) and rolling z-score anomaly flags
@@ -223,6 +224,8 @@ object SparkEntry {
     "q_ols_multi" -> (TimeSeries.olsMulti _),
     "q_nn_match" -> (TimeSeries.nnMatch _),
     "q_silhouette" -> (Similarity.qSilhouette _),
+    "q_lloyd_round" -> (Similarity.qLloydRound _),
+    "q_propensity_strata" -> (TimeSeries.propensityStrata _),
     // §2.A reference (dist-keras) operator surface
     "q_minmax_scale" -> (VectorOps.qMinMaxScale _),
     "q_onehot" -> (VectorOps.qOneHot _),
@@ -585,6 +588,18 @@ object SparkEntry {
         "SELECT user_id, click_id, purchase_id, click_ts, purchase_ts, click_value, purchase_value " +
         "FROM c JOIN p USING (user_id) WHERE purchase_ts >= click_ts AND purchase_ts <= click_ts + INTERVAL 30 MINUTE " +
         "ORDER BY user_id, click_id, purchase_id"),
+    // LEFT OUTER stream-stream join: matched rows = the batch range
+    // join; null rows = unmatched clicks the final watermark evicted
+    // (click_ts + 30min < ms-floor(min of the two stream maxima) −
+    // 10min — the q_stream_append restriction device)
+    "q_stream_join_outer" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS tss, value FROM events), " +
+        "c AS (SELECT event_id AS click_id, user_id, tss AS click_ts, value AS click_value FROM e WHERE event_type = 'click'), " +
+        "p AS (SELECT event_id AS purchase_id, user_id AS p_user, tss AS purchase_ts, value AS purchase_value FROM e WHERE event_type = 'purchase'), " +
+        "wm AS (SELECT LEAST((SELECT date_trunc('milliseconds', MAX(click_ts)) FROM c), (SELECT date_trunc('milliseconds', MAX(purchase_ts)) FROM p)) - INTERVAL 10 MINUTE AS w), " +
+        "j AS (SELECT c.user_id, c.click_id, p.purchase_id, c.click_ts, p.purchase_ts, c.click_value, p.purchase_value FROM c JOIN p ON c.user_id = p.p_user AND p.purchase_ts >= c.click_ts AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE), " +
+        "um AS (SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS purchase_id, c.click_ts, CAST(NULL AS TIMESTAMP) AS purchase_ts, c.click_value, CAST(NULL AS DOUBLE) AS purchase_value FROM c WHERE c.click_id NOT IN (SELECT click_id FROM j) AND c.click_ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)) " +
+        "SELECT * FROM j UNION ALL SELECT * FROM um ORDER BY user_id, click_id, purchase_id"),
     // stream-static incremental dedup: the batch twin's oracle verbatim
     // (same eval-fraction split, md5 digests, min-doc_id keep)
     "q_stream_dedup_incremental" ->
@@ -2136,6 +2151,42 @@ object SparkEntry {
         "CAST(ABS(pre - CASE WHEN ub THEN b_pre ELSE a_pre END) AS DOUBLE) AS delta_pre, " +
         "CAST(post - CASE WHEN ub THEN b_post ELSE a_post END AS DOUBLE) AS effect " +
         "FROM t ORDER BY user_id"
+    },
+    // Lloyd round: max-dot assignment (the IVF fixed device), per-dim
+    // means from ROUND(,9)->DECIMAL sums, movement vs the old centroid
+    "q_lloyd_round" -> {
+      import sim.Similarity.silhouetteK
+      "WITH p AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings), " +
+        s"ctr AS (SELECT cid AS centroid_id, ce AS centroid FROM p WHERE cid IN (SELECT cid FROM p ORDER BY cid LIMIT $silhouetteK)), " +
+        s"asg AS (SELECT cid, ce, centroid_id FROM (SELECT p.cid, p.ce, ctr.centroid_id, ROW_NUMBER() OVER (PARTITION BY p.cid ORDER BY ${dotSql("p.ce", "ctr.centroid")} DESC, ctr.centroid_id) AS r FROM p CROSS JOIN ctr) WHERE r = 1), " +
+        "dm AS (SELECT CAST(UNNEST(range(0, 64)) AS INTEGER) AS dim), " +
+        "terms AS (SELECT centroid_id, dim, CAST(ROUND(CAST(ce[dim + 1] AS DOUBLE), 9) AS DECIMAL(18,9)) AS t FROM asg CROSS JOIN dm), " +
+        "sums AS (SELECT centroid_id, dim, SUM(t) AS s, COUNT(*) AS n FROM terms GROUP BY centroid_id, dim), " +
+        "nc AS (SELECT centroid_id, dim, CAST(n AS BIGINT) AS n_points, ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS coord FROM sums), " +
+        "old AS (SELECT centroid_id, dim, CAST(centroid[dim + 1] AS DOUBLE) AS o FROM ctr CROSS JOIN dm), " +
+        "mt AS (SELECT nc.centroid_id, nc.dim, n_points, coord, CAST(ROUND((coord - o) * (coord - o), 9) AS DECIMAL(18,9)) AS m FROM nc JOIN old ON nc.centroid_id = old.centroid_id AND nc.dim = old.dim) " +
+        "SELECT centroid_id, dim, n_points, coord, ROUND(CAST(SUM(m) OVER (PARTITION BY centroid_id) AS DOUBLE), 6) AS movement FROM mt ORDER BY centroid_id, dim"
+    },
+    // stratified ATT: cuped per-user frame + ntile(5), per-stratum
+    // fixed-order diff chains, pooled terms ROUND(,9)->DECIMAL
+    "q_propensity_strata" -> {
+      val cT = text.Sampling.cutHex(0.5)
+      val cut = rel.TimeSeries.cupedCutDate
+      def nd(c: String) = s"CAST($c AS DOUBLE)"
+      val diff = s"CASE WHEN n_t > 0 AND n_c > 0 THEN ROUND(${nd("sp_t")} / ${nd("n_t")} - ${nd("sp_c")} / ${nd("n_c")}, 6) END"
+      "WITH u AS (SELECT user_id, " +
+        s"CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '$cut 00:00:00' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS pre, " +
+        s"CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '$cut 00:00:00' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS post " +
+        "FROM events GROUP BY user_id), " +
+        s"a AS (SELECT user_id, CASE WHEN substring(md5(CAST(user_id AS VARCHAR)),1,2) < '$cT' THEN 'T' ELSE 'C' END AS arm, pre, post FROM u), " +
+        "st AS (SELECT *, CAST(NTILE(5) OVER (ORDER BY pre, user_id) AS INTEGER) AS stratum FROM a), " +
+        "g AS (SELECT stratum, CAST(SUM(CASE WHEN arm = 'T' THEN 1 ELSE 0 END) AS BIGINT) AS n_t, CAST(SUM(CASE WHEN arm = 'C' THEN 1 ELSE 0 END) AS BIGINT) AS n_c, " +
+        "SUM(CASE WHEN arm = 'T' THEN post ELSE CAST(0 AS DECIMAL(18,2)) END) AS sp_t, SUM(CASE WHEN arm = 'C' THEN post ELSE CAST(0 AS DECIMAL(18,2)) END) AS sp_c FROM st GROUP BY stratum), " +
+        s"sc AS (SELECT stratum, n_t, n_c, $diff AS att_stratum FROM g), " +
+        "tm AS (SELECT sc.*, CAST(ROUND(att_stratum * CAST(n_t AS DOUBLE), 9) AS DECIMAL(18,9)) AS term FROM sc) " +
+        "SELECT stratum, n_t, n_c, att_stratum, " +
+        "ROUND(CAST(SUM(term) OVER () AS DOUBLE) / SUM(CASE WHEN att_stratum IS NOT NULL THEN CAST(n_t AS DOUBLE) ELSE 0.0 END) OVER (), 6) AS att_pooled " +
+        "FROM tm ORDER BY stratum"
     },
     // silhouette: the (x−c)² sequential fold (the PQ ADC device), rank
     // ties on centroid_id, per-point s ROUND(,9)->DECIMAL cluster means

@@ -1469,6 +1469,62 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** q_propensity_strata — stratified ATT: users quintiled on
+    * pre-period spend (the propensity stand-in — at 100 TB the score
+    * would come from [[olsMulti]]-style closed-form fits over more
+    * covariates, same plan downstream), treated-vs-control post-period
+    * means compared WITHIN each stratum, pooled by treated weight.
+    * Completes the causal quartet: [[cuped]] adjusts, [[nnMatch]]
+    * matches 1:1, this stratifies (the coarsened form that stays
+    * robust when exact matches are thin), [[did]] checks trends. A
+    * stratum that drew no controls contributes NULL (SUM skips it —
+    * identically on both engines).
+    *
+    * Scale shape: the corpus pass ends at the per-user DECIMAL sums
+    * (the cuped frame); the quintile is ONE ordered ntile window over
+    * that narrow aggregate (the q_rfm shape — range-partitioned at
+    * scale); everything after runs on 5 rows. Determinism: DECIMAL
+    * sums; per-stratum diff is a fixed-order double chain ROUND(,6);
+    * the pooled terms ROUND(,9) → DECIMAL so the final weighted sum is
+    * addition-order-proof. */
+  def propensityStrata(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Sampling
+    val arm = Sampling.splitAssign(col("user_id"), Seq("T" -> 0.5, "C" -> 0.5))
+    val isPost = col("ts").cast("timestamp") >=
+      lit(cupedCutDate).cast("timestamp")
+    val zero = lit(0).cast(DecimalType(18, 2))
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(!isPost, dec(col("value"))).otherwise(zero)).as("pre"),
+        sum(when(isPost, dec(col("value"))).otherwise(zero)).as("post"))
+      .select(col("user_id"), arm.as("arm"), col("pre"), col("post"))
+    val strat = perUser.withColumn("stratum",
+      ntile(5).over(Window.orderBy(col("pre"), col("user_id"))))
+    val g = strat.groupBy(col("stratum")).agg(
+      sum(when(col("arm") === "T", 1L).otherwise(0L)).as("n_t"),
+      sum(when(col("arm") === "C", 1L).otherwise(0L)).as("n_c"),
+      sum(when(col("arm") === "T", col("post")).otherwise(zero)).as("sp_t"),
+      sum(when(col("arm") === "C", col("post")).otherwise(zero)).as("sp_c"))
+    def nd(c: Column) = c.cast("double")
+    // a control-free stratum yields NULL through the 0/0 guard below
+    val diff = when(col("n_t") > 0 && col("n_c") > 0,
+      round(nd(col("sp_t")) / nd(col("n_t")) -
+        nd(col("sp_c")) / nd(col("n_c")), 6))
+    val scored = g.select(col("stratum"), col("n_t"), col("n_c"),
+      diff.as("att_stratum"))
+    val wAll = Window.partitionBy()
+    scored
+      .withColumn("term",
+        round(col("att_stratum") * nd(col("n_t")), 9).cast(DecimalType(18, 9)))
+      .withColumn("att_pooled",
+        round(sum(col("term")).over(wAll).cast("double") /
+          sum(when(col("att_stratum").isNotNull, nd(col("n_t")))
+            .otherwise(lit(0.0))).over(wAll), 6))
+      .select(col("stratum"), col("n_t"), col("n_c"), col("att_stratum"),
+        col("att_pooled"))
+      .orderBy("stratum")
+  }
+
   def seasonalProfile(spark: SparkSession, dir: String): DataFrame = {
     val cells = Tables.events(spark, dir)
       .select(((dayofweek(col("ts")) + 5) % 7).as("dow"),

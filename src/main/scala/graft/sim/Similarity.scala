@@ -1122,6 +1122,57 @@ object Similarity {
       .orderBy("centroid_id")
   }
 
+  /** q_lloyd_round — ONE Lloyd k-means iteration under the oracle:
+    * assignment (the [[ivfTopKFixedSeeds]] max-dot device over the
+    * first-[[silhouetteK]] seeds) followed by the centroid UPDATE —
+    * per-dimension means of the assigned vectors — plus the squared
+    * movement per centroid (the convergence number a k-means loop
+    * watches). This puts the TRAINING step the rows-only keys declare
+    * (`q_ivf_topk`'s Lloyd refinement, `q_pq_topk_trained`'s codebook)
+    * under the DuckDB gate: the production loop is THIS plan iterated,
+    * with [[graft.vec.VectorAverage]] replacing the decimal device
+    * once bit-parity with an external oracle is no longer the goal.
+    *
+    * Scale shape: assignment = points × K-row broadcast (the IVF
+    * contract); the update is ONE map-side-combined (centroid, dim)
+    * aggregate — the explode is absorbed before the shuffle, which
+    * carries ≤ K·64 narrow rows; movement is a window over that tiny
+    * frame. Determinism: per-dim terms ROUND(,9) → DECIMAL(18,9) so
+    * the mean's numerator is addition-order-proof (float sums in
+    * arbitrary partition order are NOT — the reason VectorAverage
+    * itself can't be oracled); all divisions and the movement chain
+    * run once per (centroid, dim) in fixed order. */
+  def qLloydRound(spark: SparkSession, dir: String): DataFrame = {
+    val d9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val pts = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val seeds = pts.orderBy(col("cid")).limit(silhouetteK)
+      .select(col("cid").as("centroid_id"), col("ce").as("centroid"))
+    val asg = nearestCentroid(seeds, pts, "ce")
+    def dims(vec: Column) = explode(zip_with(
+      sequence(lit(0), lit(63)), vec,
+      (i, x) => struct(i.cast("int").as("dim"), x.as("v"))))
+    val terms = asg.select(col("centroid_id"), dims(col("ce")).as("p"))
+      .select(col("centroid_id"), col("p.dim").as("dim"),
+        round(col("p.v").cast("double"), 9).cast(d9).as("t"))
+    val sums = terms.groupBy(col("centroid_id"), col("dim"))
+      .agg(sum(col("t")).as("s"), count(lit(1)).as("n"))
+    val nc = sums.select(col("centroid_id"), col("dim"),
+      col("n").as("n_points"),
+      round(col("s").cast("double") / col("n").cast("double"), 6).as("coord"))
+    val old = seeds.select(col("centroid_id"), dims(col("centroid")).as("p"))
+      .select(col("centroid_id"), col("p.dim").as("dim"),
+        col("p.v").cast("double").as("o"))
+    val mt = nc.join(old, Seq("centroid_id", "dim"))
+      .select(col("centroid_id"), col("dim"), col("n_points"), col("coord"),
+        round((col("coord") - col("o")) * (col("coord") - col("o")), 9)
+          .cast(d9).as("m"))
+    val wc = Window.partitionBy(col("centroid_id"))
+    mt.select(col("centroid_id"), col("dim"), col("n_points"), col("coord"),
+        round(sum(col("m")).over(wc).cast("double"), 6).as("movement"))
+      .orderBy("centroid_id", "dim")
+  }
+
   /** Oracle: the same 8 literal sign chains, same association order,
     * same fixed-point emit — generated from [[rpSigns]]. */
   def randomProjectionOracleSql: String = {

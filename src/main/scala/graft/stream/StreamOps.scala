@@ -55,7 +55,8 @@ object StreamOps {
     * purchase_event_id — the driver-gate key carries ids so output rows
     * are unique and the DuckDB compare is unambiguous). */
   def streamStreamJoin(clicks: DataFrame, purchases: DataFrame,
-                       carry: Seq[String] = Nil): DataFrame = {
+                       carry: Seq[String] = Nil,
+                       joinType: String = "inner"): DataFrame = {
     val l = clicks.withWatermark("ts", "10 minutes")
       .select(col("user_id") +: col("ts").as("click_ts") +:
         col("value").as("click_value") +:
@@ -64,10 +65,15 @@ object StreamOps {
       .select(col("user_id").as("p_user") +: col("ts").as("purchase_ts") +:
         col("value").as("purchase_value") +:
         carry.map(c => col(c).as(s"purchase_$c")): _*)
+    // leftOuter: an unmatched click's null row emits only once the
+    // watermark proves no purchase can still arrive for it (state
+    // eviction below click_ts + 30 min) — the streaming semantics a
+    // batch LEFT JOIN gets for free, bounded-state here
     l.join(r,
       col("user_id") === col("p_user") &&
         col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+      joinType)
       .select(col("user_id") +: col("click_ts") +: col("purchase_ts") +:
         col("click_value") +: col("purchase_value") +:
         carry.flatMap(c => Seq(col(s"click_$c"), col(s"purchase_$c"))): _*)

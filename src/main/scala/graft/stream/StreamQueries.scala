@@ -201,6 +201,46 @@ object StreamQueries {
     }
   }
 
+  /** LEFT OUTER stream-stream join on the driver gate: the null-side
+    * emission path — unmatched clicks surface ONLY when the watermark
+    * proves no purchase can still arrive (state eviction below
+    * click_ts + 30 min), the semantics that separate a streaming outer
+    * join from its batch twin. Both staged sides land in one
+    * AvailableNow microbatch (matches emit there); the final no-data
+    * batch advances the global watermark to
+    * ms-floor(min(max click ts, max purchase ts)) − 10 min and flushes
+    * the evictable unmatched clicks as null rows. Clicks inside the
+    * final watermark horizon stay withheld — exactly what a live
+    * stream would do — so the oracle is the batch LEFT join RESTRICTED
+    * to matched rows plus unmatched clicks with
+    * click_ts + 30 min < final watermark (the q_stream_append
+    * restriction device, interval arithmetic included). */
+  def qStreamJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_joino").toString
+    try {
+      stageFile(ev.filter(col("event_type") === "click"), stage, "clicks", "ts", 1000000L)
+      stageFile(ev.filter(col("event_type") === "purchase"), stage, "purchases", "ts", 1000000L)
+      def src(sub: String) = spark.readStream.schema(ev.schema)
+        .parquet(s"$stage/$sub/part-*.parquet")
+      runToTable(spark,
+        StreamOps.streamStreamJoin(src("clicks"), src("purchases"),
+          carry = Seq("event_id"), joinType = "leftOuter"),
+        OutputMode.Append)
+        .select(col("user_id"),
+          col("click_event_id").as("click_id"),
+          col("purchase_event_id").as("purchase_id"),
+          col("click_ts").cast("timestamp_ntz").as("click_ts"),
+          col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+          col("click_value"), col("purchase_value"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    }
+  }
+
   /** Stream-static incremental dedup on the driver gate (r12): the
     * [[StreamOps.incrementalDedupStream]] operator — new documents
     * stream in, in-stream duplicate digests collapse within the

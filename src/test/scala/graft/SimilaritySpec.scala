@@ -585,4 +585,24 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(clusters.subsetOf(seeds), s"clusters $clusters not within seeds $seeds")
   }
+
+  test("lloyd round: full 64-dim grid per cluster, points conserved, centroids move") {
+    val out = Similarity.qLloydRound(spark, sfDir).collect()
+    val byCluster = out.groupBy(_.getAs[Long]("centroid_id"))
+    assert(byCluster.nonEmpty && byCluster.size <= Similarity.silhouetteK)
+    val n = Tables.embeddings(spark, sfDir).count()
+    byCluster.foreach { case (cid, rows) =>
+      assert(rows.map(_.getAs[Int]("dim")).sorted.toSeq == (0 until 64),
+        s"cluster $cid missing dims")
+      // n_points and movement are cluster-level, identical across dims
+      assert(rows.map(_.getAs[Long]("n_points")).distinct.length == 1)
+      assert(rows.map(_.getAs[Double]("movement")).distinct.length == 1)
+      assert(rows.head.getAs[Double]("movement") >= 0.0)
+    }
+    assert(byCluster.values.map(_.head.getAs[Long]("n_points")).sum == n,
+      "cluster sizes must partition the corpus")
+    // at least one centroid must actually move (seeds are raw points,
+    // their cell means differ unless every cell is a single point)
+    assert(out.exists(_.getAs[Double]("movement") > 0.0))
+  }
 }

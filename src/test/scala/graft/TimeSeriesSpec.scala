@@ -607,6 +607,21 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("propensity strata: quintiles partition users, pooled ATT is the treated-weighted mean") {
+    val out = TimeSeries.propensityStrata(spark, sfDir).collect()
+    assert(out.length == 5, s"${out.length} strata")
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(out.map(r => r.getAs[Long]("n_t") + r.getAs[Long]("n_c")).sum == users)
+    val withC = out.filter(r => !r.isNullAt(r.fieldIndex("att_stratum")))
+    assert(withC.nonEmpty, "at least one stratum must carry both arms")
+    // pooled = Σ att_s·n_t / Σ n_t over strata that have controls
+    val num = withC.map(r => r.getAs[Double]("att_stratum") * r.getAs[Long]("n_t")).sum
+    val den = withC.map(_.getAs[Long]("n_t")).sum.toDouble
+    assert(math.abs(out.head.getAs[Double]("att_pooled") - num / den) < 1e-6)
+    // the pooled column is constant across rows
+    assert(out.map(_.getAs[Double]("att_pooled")).distinct.length == 1)
+  }
+
   test("decision stump: exhaustive split search beats or ties the parent") {
     val r = TimeSeries.decisionStump(spark, sfDir).head()
     val n = Tables.lineitem(spark, sfDir).count()
