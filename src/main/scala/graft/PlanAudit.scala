@@ -122,6 +122,7 @@ object PlanAudit {
       "q_hll_merge", "q_retention_curve", "q_cooccur_lift", "q_npmi_collocations",
       "q_domain_shift", "q_knn_label_noise", "q_naive_bayes", "q_silhouette",
       "q_lloyd_round", // the same K-row broadcast assignment cross as IVF
+      "q_quantile_normalize", // ONE-ROW corpus-count broadcast cross
       "q_dedup_embedding",
       "q_minmax_scale", "q_ivf_topk", "q_ivf_topk_fixed", "q_ivf_pq_topk",
       "q_eval_metrics",

@@ -226,6 +226,11 @@ object SparkEntry {
     "q_silhouette" -> (Similarity.qSilhouette _),
     "q_lloyd_round" -> (Similarity.qLloydRound _),
     "q_propensity_strata" -> (TimeSeries.propensityStrata _),
+    // r12 wave T: grid model selection in one scan, the PCA power
+    // step, and integer-exact cross-source quantile normalization
+    "q_ridge_grid" -> (TimeSeries.ridgeGrid _),
+    "q_pca_power" -> (Similarity.qPcaPower _),
+    "q_quantile_normalize" -> (TextOps.qQuantileNormalize _),
     // §2.A reference (dist-keras) operator surface
     "q_minmax_scale" -> (VectorOps.qMinMaxScale _),
     "q_onehot" -> (VectorOps.qOneHot _),
@@ -2152,6 +2157,44 @@ object SparkEntry {
         "CAST(post - CASE WHEN ub THEN b_post ELSE a_post END AS DOUBLE) AS effect " +
         "FROM t ORDER BY user_id"
     },
+    // ridge grid: one-scan conditional train/val power sums crossed
+    // with the lambda axis; per-lambda solve + val SSE are ONE shared
+    // SQL text (ridgeChains); best = min rounded SSE, lambda tie-break
+    "q_ridge_grid" -> {
+      val cut = text.Sampling.cutHex(0.8)
+      val lams = rel.TimeSeries.ridgeLambdas.mkString("[", ", ", "]")
+      val chains = rel.TimeSeries.ridgeChains
+        .map { case (name, chain) => s"$chain AS $name" }.mkString(", ")
+      "WITH li AS (SELECT substring(md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR) || ':' || CAST(l_quantity AS VARCHAR)), 1, 2) < " +
+        s"'$cut' AS tr, CAST(l_quantity AS BIGINT) AS x, CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y FROM lineitem), " +
+        "g AS (SELECT CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS n_tr, CAST(SUM(CASE WHEN tr THEN x ELSE 0 END) AS BIGINT) AS sx_tr, CAST(SUM(CASE WHEN tr THEN y ELSE 0 END) AS BIGINT) AS sy_tr, " +
+        "CAST(SUM(CASE WHEN tr THEN x * x ELSE 0 END) AS BIGINT) AS sxx_tr, CAST(SUM(CASE WHEN tr THEN x * y ELSE 0 END) AS BIGINT) AS sxy_tr, " +
+        "CAST(SUM(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS BIGINT) AS n_va, CAST(SUM(CASE WHEN NOT tr THEN x ELSE 0 END) AS BIGINT) AS sx_va, CAST(SUM(CASE WHEN NOT tr THEN y ELSE 0 END) AS BIGINT) AS sy_va, " +
+        "CAST(SUM(CASE WHEN NOT tr THEN x * x ELSE 0 END) AS BIGINT) AS sxx_va, CAST(SUM(CASE WHEN NOT tr THEN x * y ELSE 0 END) AS BIGINT) AS sxy_va, " +
+        "SUM(CASE WHEN NOT tr THEN CAST(y * y AS DECIMAL(28,0)) ELSE CAST(0 AS DECIMAL(28,0)) END) AS syy_va FROM li), " +
+        s"grid AS (SELECT g.*, UNNEST($lams) AS lambda FROM g), " +
+        s"fit AS (SELECT lambda, $chains FROM grid) " +
+        "SELECT lambda, slope, intercept, rmse_val, CAST(ROW_NUMBER() OVER (ORDER BY rmse_val, lambda) = 1 AS INTEGER) AS is_best FROM fit ORDER BY lambda"
+    },
+    // PCA power step: per-row coordinate-sum fold, ROUND(,9)->DECIMAL
+    // per-dim terms (the lloyd device), 64-row norm window
+    "q_pca_power" -> {
+      val s = "list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum')"
+      "WITH dm AS (SELECT CAST(UNNEST(range(0, 64)) AS INTEGER) AS dim), " +
+        s"terms AS (SELECT dim, CAST(ROUND($s * CAST(embedding[dim + 1] AS DOUBLE), 9) AS DECIMAL(18,9)) AS t FROM embeddings CROSS JOIN dm), " +
+        "u AS (SELECT dim, CAST(SUM(t) AS DOUBLE) AS u FROM terms GROUP BY dim), " +
+        "w AS (SELECT dim, u, sqrt(CAST(SUM(CAST(ROUND(u * u, 9) AS DECIMAL(18,9))) OVER () AS DOUBLE)) AS nrm FROM u) " +
+        "SELECT dim, ROUND(u, 6) AS u, ROUND(u / nrm, 6) AS v1 FROM w ORDER BY dim"
+    },
+    // quantile normalization: INTEGER-exact target index (no float
+    // quantile interpolation), doc_id tie-breaks on both rank windows
+    "q_quantile_normalize" ->
+      ("WITH d AS (SELECT doc_id, source, n_chars FROM documents), " +
+        "g AS (SELECT n_chars AS g_chars, ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS gidx FROM d), " +
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM d), " +
+        "r AS (SELECT doc_id, source, n_chars, ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS ridx, COUNT(*) OVER (PARTITION BY source) AS m FROM d), " +
+        "t AS (SELECT doc_id, source, n_chars, CASE WHEN m > 1 THEN CAST(FLOOR((ridx - 1) * (n_total - 1) / (m - 1)) AS BIGINT) + 1 ELSE CAST(FLOOR((n_total + 1) / 2) AS BIGINT) END AS gidx FROM r CROSS JOIN nn) " +
+        "SELECT doc_id, source, n_chars, g_chars AS norm_chars FROM t JOIN g USING (gidx) ORDER BY doc_id"),
     // Lloyd round: max-dot assignment (the IVF fixed device), per-dim
     // means from ROUND(,9)->DECIMAL sums, movement vs the old centroid
     "q_lloyd_round" -> {

@@ -1469,6 +1469,81 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** Ridge penalty grid for [[ridgeGrid]] — per-observation λ, so the
+    * shrinkage strength is scale-invariant (Sxx/n ≈ var(x) regardless
+    * of SF). */
+  val ridgeLambdas = Seq(0.0, 50.0, 500.0)
+
+  /** Shared per-λ chains for [[ridgeGrid]] (the [[olsMultiChains]]
+    * device: ONE SQL text parsed by both engines). Centered ridge with
+    * unpenalized intercept: b = Sxy_c / (Sxx_c + λn), a = ȳ − b·x̄;
+    * validation SSE expanded from the val power sums. */
+  def ridgeChains: Seq[(String, String)] = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val n = d("n_tr")
+    val (sx, sy, sxx, sxy) = (d("sx_tr"), d("sy_tr"), d("sxx_tr"), d("sxy_tr"))
+    val lam = d("lambda")
+    val sxyC = s"($sxy - $sx * $sy / $n)"
+    val sxxC = s"($sxx - $sx * $sx / $n)"
+    val b = s"($sxyC / ($sxxC + $lam * $n))"
+    val a = s"($sy / $n - $b * ($sx / $n))"
+    val (nv, sxv, syv) = (d("n_va"), d("sx_va"), d("sy_va"))
+    val (sxxv, sxyv, syyv) = (d("sxx_va"), d("sxy_va"), d("syy_va"))
+    // Σ_val (y − a − bx)² expanded in power sums, fixed term order
+    val sse = s"($syyv - 2.0 * $a * $syv - 2.0 * $b * $sxyv + 2.0 * $a * $b * $sxv + $a * $a * $nv + $b * $b * $sxxv)"
+    Seq(
+      "slope" -> s"ROUND($b / 100.0, 6)",
+      "intercept" -> s"ROUND($a / 100.0, 6)",
+      // RMSE in dollars, not raw SSE: the cents² SSE is ~1e14 at sf0.1,
+      // where a 2-dp ROUND has no exact representation and the engines'
+      // last ulp diverges; RMSE is O(10³) and rounds identically
+      "rmse_val" -> s"ROUND(sqrt($sse / $nv) / 100.0, 6)")
+  }
+
+  /** q_ridge_grid — hyperparameter grid search as ONE declarative
+    * plan: three ridge penalties fit on the 80% hash-split train rows
+    * and scored on the 20% validation rows, best-by-validation
+    * flagged. The model-selection pattern a distributed trainer runs
+    * (dist-keras's grid of workers): at 100 TB the corpus is scanned
+    * ONCE for the conditional train/val power sums; every candidate
+    * model is then a few arithmetic rows on the driver-side-free
+    * 1-row pivot — fitting K models costs K rows, not K scans.
+    *
+    * Determinism: sums are exact (BIGINT, cents² via DECIMAL(28,0));
+    * the per-λ solve + validation SSE are ONE shared SQL text
+    * ([[ridgeChains]]); the best flag compares 2-dp-rounded SSE with
+    * λ as the tie-break. */
+  def ridgeGrid(spark: SparkSession, dir: String): DataFrame = {
+    val isTrain = graft.text.Sampling.inSample(
+      concat(col("l_orderkey"), lit(":"), col("l_linenumber"), lit(":"),
+        col("l_quantity")), 0.8)
+    val li = Tables.lineitem(spark, dir).select(
+      isTrain.as("tr"),
+      col("l_quantity").cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+    def part(p: Column, c: Column) = sum(when(p, c).otherwise(lit(0L)))
+    val g = li.agg(
+      sum(when(col("tr"), 1L).otherwise(0L)).as("n_tr"),
+      part(col("tr"), col("x")).as("sx_tr"),
+      part(col("tr"), col("y")).as("sy_tr"),
+      part(col("tr"), col("x") * col("x")).as("sxx_tr"),
+      part(col("tr"), col("x") * col("y")).as("sxy_tr"),
+      sum(when(!col("tr"), 1L).otherwise(0L)).as("n_va"),
+      part(!col("tr"), col("x")).as("sx_va"),
+      part(!col("tr"), col("y")).as("sy_va"),
+      part(!col("tr"), col("x") * col("x")).as("sxx_va"),
+      part(!col("tr"), col("x") * col("y")).as("sxy_va"),
+      sum(when(!col("tr"), (col("y") * col("y")).cast(DecimalType(28, 0)))
+        .otherwise(lit(0).cast(DecimalType(28, 0)))).as("syy_va"))
+    val grid = g.select(col("*"),
+      explode(array(ridgeLambdas.map(lit): _*)).as("lambda"))
+    val outs = ridgeChains.map { case (name, chain) => expr(chain).as(name) }
+    val fit = grid.select(col("lambda") +: outs: _*)
+    val best = Window.orderBy(col("rmse_val"), col("lambda"))
+    fit.withColumn("is_best", (row_number().over(best) === 1).cast("int"))
+      .orderBy("lambda")
+  }
+
   /** q_propensity_strata — stratified ATT: users quintiled on
     * pre-period spend (the propensity stand-in — at 100 TB the score
     * would come from [[olsMulti]]-style closed-form fits over more

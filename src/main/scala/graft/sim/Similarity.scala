@@ -1173,6 +1173,45 @@ object Similarity {
       .orderBy("centroid_id", "dim")
   }
 
+  /** q_pca_power — one power-method iteration toward the corpus's
+    * dominant principal direction: u = Xᵀ(X·v₀) with the deterministic
+    * all-ones start, emitted both raw and L2-normalized per dimension.
+    * The PCA-at-scale primitive (uncentered, i.e. the top right
+    * singular vector): iterated, this is how the leading direction of
+    * a 100 TB embedding corpus is actually computed — each round is
+    * ONE corpus pass and a 64-row reduce, never a 64×64 covariance
+    * materialization per partition pair, never a driver-side matrix.
+    * The leading direction feeds whitening, ABTT-style common-
+    * direction removal, and the q_random_projection ladder.
+    *
+    * Scale shape: s = x·v₀ is a per-row codegen fold; the dim explode
+    * is absorbed map-side into the 64-row (dim, Σ s·x_d) aggregate;
+    * the norm is a window over those 64 rows. Determinism: per-row
+    * terms ROUND(,9) → DECIMAL(18,9) (the [[qLloydRound]] device —
+    * float sums in partition order are not order-proof); the norm
+    * chain runs once per dim in fixed order. */
+  def qPcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val d9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val emb = Tables.embeddings(spark, dir)
+    // v0 = ones: x·v0 is just the coordinate sum (a sequential fold)
+    val s = aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x.cast("double"))
+    val terms = emb
+      .select(s.as("s"), explode(zip_with(
+        sequence(lit(0), lit(63)), col("embedding"),
+        (i, x) => struct(i.cast("int").as("dim"), x.as("v")))).as("p"))
+      .select(col("p.dim").as("dim"),
+        round(col("s") * col("p.v").cast("double"), 9).cast(d9).as("t"))
+    val u = terms.groupBy(col("dim"))
+      .agg(sum(col("t")).cast("double").as("u"))
+    val wAll = Window.partitionBy()
+    u.withColumn("nrm",
+        sqrt(sum(round(col("u") * col("u"), 9).cast(d9)).over(wAll)
+          .cast("double")))
+      .select(col("dim"), round(col("u"), 6).as("u"),
+        round(col("u") / col("nrm"), 6).as("v1"))
+      .orderBy("dim")
+  }
+
   /** Oracle: the same 8 literal sign chains, same association order,
     * same fixed-point emit — generated from [[rpSigns]]. */
   def randomProjectionOracleSql: String = {

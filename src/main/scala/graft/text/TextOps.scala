@@ -2313,4 +2313,45 @@ object TextOps {
           .cast("int").as("within_bound"))
       .orderBy(col("n_exact").desc, col("token"))
   }
+
+  /** q_quantile_normalize — cross-source quantile normalization of the
+    * document length signal: each doc's within-source rank is mapped to
+    * the GLOBAL length distribution's value at the same quantile, so
+    * every source ends up with the same marginal distribution — the
+    * batch-effect correction (Bolstad's microarray recipe) a mixed
+    * crawl needs before a single global length/quality cut is fair
+    * (q_quality_tails_by_source adapts the CUT per source; this
+    * adapts the VALUES — the other standard answer).
+    *
+    * Scale shape: two rank windows over narrow (score, id) frames —
+    * global (the q_gini range-partitioned shape) and source-keyed —
+    * then ONE equi-join on the computed global index. INTEGER-exact
+    * end to end: the target index is floor((r−1)(N−1)/(m−1))+1 in
+    * BIGINT arithmetic (no float quantile interpolation to drift),
+    * ties ranked by doc_id on both engines. */
+  def qQuantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val global = docs
+      .select(col("n_chars").as("g_chars"), col("doc_id").as("g_id"))
+      .withColumn("gidx", row_number().over(
+        Window.orderBy(col("g_chars"), col("g_id"))).cast("long"))
+    val n = docs.agg(count(lit(1)).as("n_total"))
+    val ws = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    val ranked = docs
+      .withColumn("ridx", row_number().over(ws).cast("long"))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .crossJoin(broadcast(n))
+    val target = when(col("m") > 1,
+      floor((col("ridx") - 1) * (col("n_total") - 1) / (col("m") - 1)) + 1)
+      // lone doc -> the global median slot; FLOOR (not a bare long
+      // cast: Spark truncates double->long, DuckDB CAST rounds)
+      .otherwise(floor((col("n_total") + 1) / 2))
+    ranked.withColumn("gidx", target.cast("long"))
+      .join(global.select(col("gidx"), col("g_chars")), Seq("gidx"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("g_chars").as("norm_chars"))
+      .orderBy("doc_id")
+  }
 }

@@ -605,4 +605,22 @@ class SimilaritySpec extends SparkSpec {
     // their cell means differ unless every cell is a single point)
     assert(out.exists(_.getAs[Double]("movement") > 0.0))
   }
+
+  test("pca power: unit-norm output matching a driver-side recompute") {
+    val out = Similarity.qPcaPower(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("dim"), r.getAs[Double]("u"), r.getAs[Double]("v1")))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == (0 until 64))
+    val norm2 = out.map(t => t._3 * t._3).sum
+    assert(math.abs(norm2 - 1.0) < 1e-4, s"|v1|^2 = $norm2")
+    // brute recompute of u = X'(X·1) on the collected fixture corpus
+    val vecs = Tables.embeddings(spark, sfDir).select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val brute = Array.fill(64)(0.0)
+    vecs.foreach { x => val s = x.sum; (0 until 64).foreach(d => brute(d) += s * x(d)) }
+    out.foreach { case (d, u, _) =>
+      assert(math.abs(u - brute(d)) < math.abs(brute(d)) * 1e-6 + 1e-3,
+        s"dim $d: $u vs brute ${brute(d)}")
+    }
+  }
 }

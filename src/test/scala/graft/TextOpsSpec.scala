@@ -1073,4 +1073,32 @@ class TextOpsSpec extends SparkSpec {
     val atLen = r.getAs[Long]("at_len")
     assert(math.abs(gaps.toMap.apply(atLen) - brute) < 1e-9)
   }
+
+  test("quantile normalize: marginals converge across sources, order preserved") {
+    val out = TextOps.qQuantileNormalize(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("norm_chars")))
+    val n = Tables.documents(spark, sfDir).count()
+    assert(out.length == n, "every doc normalized exactly once")
+    // normalized values are drawn from the global value set
+    val globalVals = out.map(_._3).toSet
+    out.foreach { case (id, _, _, nv) =>
+      assert(globalVals.contains(nv), s"doc $id: $nv not a corpus value") }
+    // within a source, normalization preserves the length order
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      sorted.map(_._4).sliding(2).foreach {
+        case Array(a, b) => assert(a <= b, s"$src: order broken $a > $b")
+        case _ => ()
+      }
+    }
+    // extremes map to extremes: every source's min-rank doc lands at or
+    // near the global minimum (index floor puts rank 1 at gidx 1)
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      if (rows.length > 1) {
+        val lo = rows.minBy(r => (r._3, r._1))
+        assert(lo._4 == out.map(_._3).min, s"$src min-rank doc not at global min")
+      }
+    }
+  }
 }

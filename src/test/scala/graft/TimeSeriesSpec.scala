@@ -622,6 +622,19 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.map(_.getAs[Double]("att_pooled")).distinct.length == 1)
   }
 
+  test("ridge grid: shrinkage monotone in lambda, exactly one best") {
+    val out = TimeSeries.ridgeGrid(spark, sfDir).collect()
+    assert(out.length == TimeSeries.ridgeLambdas.length)
+    assert(out.map(_.getAs[Int]("is_best")).sum == 1, "exactly one best")
+    // |slope| shrinks monotonically as the penalty grows
+    val byLam = out.sortBy(_.getAs[Double]("lambda"))
+    val slopes = byLam.map(r => math.abs(r.getAs[Double]("slope")))
+    slopes.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-9, s"shrinkage not monotone: $a -> $b")
+    }
+    byLam.foreach(r => assert(r.getAs[Double]("rmse_val") >= 0.0))
+  }
+
   test("decision stump: exhaustive split search beats or ties the parent") {
     val r = TimeSeries.decisionStump(spark, sfDir).head()
     val n = Tables.lineitem(spark, sfDir).count()
