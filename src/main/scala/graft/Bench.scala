@@ -223,7 +223,7 @@ object Bench {
     // COMPACT line instead — rounds 1-4 all show "parsed": null in
     // BENCH_r*.json because the full ~5 kB line overflowed the harness's
     // ~2000-char stdout tail and could never be json.loads'd whole
-    val fullJson = s"""{"method":"$method","runs":$runs,"queries":$qs,"errors":$errs,"sentinel":$sentJson,"contended":$contJson,"unstable":$unstJson,"regressed":$regrJson,"baseline_checked":${baseQ.nonEmpty},"contended_run":$runContended,"sf":"$sfDir","n_queries":${ok.size},"n_errors":$nErrors,"unit":"sec","metric":"total","value":${r3(total)}}"""
+    val fullJson = s"""{"method":"$method","runs":$runs,"queries":$qs,"errors":$errs,"sentinel":$sentJson,"contended":$contJson,"unstable":$unstJson,"regressed":$regrJson,"baseline_checked":${baseQ.nonEmpty},"contended_run":$runContended,"sf":"$sfDir","n_queries":${ok.size},"n_errors":$nErrors,"per_key_mean":${r3(if (ok.nonEmpty) total / ok.size else 0.0)},"unit":"sec","metric":"total","value":${r3(total)}}"""
     // a BENCH_ONLY partial sweep must NOT silently overwrite the
     // committed full-sweep BENCH_LOCAL.json — default partial output to
     // a temp file instead (override explicitly if you mean it)
@@ -242,7 +242,7 @@ object Bench {
     // whole line survives inside the tail window alongside sbt's epilogue
     val topQs = byTime.takeRight(25).map { case (k, m, _, e) => keyVal(k, m, e) }
       .mkString("{", ",", "}")
-    println(s"""{"full":"$outFile","queries":$topQs,"errors":$errs,"n_contended":${contended.size},"n_unstable":${unstable.size},"n_regressed":${regressed.size},"contended_run":$runContended,"sf":"$sfDir","n_queries":${ok.size},"n_errors":$nErrors,"queries_note":"slowest 25 of ${results.size}; every key + sentinel detail in $outFile","unit":"sec","metric":"total","value":${r3(total)}}""")
+    println(s"""{"full":"$outFile","queries":$topQs,"errors":$errs,"n_contended":${contended.size},"n_unstable":${unstable.size},"n_regressed":${regressed.size},"contended_run":$runContended,"sf":"$sfDir","n_queries":${ok.size},"n_errors":$nErrors,"per_key_mean":${r3(if (ok.nonEmpty) total / ok.size else 0.0)},"queries_note":"slowest 25 of ${results.size}; every key + sentinel detail in $outFile","unit":"sec","metric":"total","value":${r3(total)}}""")
     spark.stop()
     // any erroring key fails the whole run — a partial sweep must never
     // exit 0 and masquerade as a full one downstream
