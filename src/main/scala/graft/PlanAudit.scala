@@ -123,6 +123,8 @@ object PlanAudit {
       "q_domain_shift", "q_knn_label_noise", "q_naive_bayes", "q_silhouette",
       "q_lloyd_round", // the same K-row broadcast assignment cross as IVF
       "q_quantile_normalize", // ONE-ROW corpus-count broadcast cross
+      "q_conformal_interval", // ONE-ROW (a,b)/percentile/coverage crosses
+      "q_dedup_eval", // three ONE-ROW count aggregates crossed
       "q_dedup_embedding",
       "q_minmax_scale", "q_ivf_topk", "q_ivf_topk_fixed", "q_ivf_pq_topk",
       "q_eval_metrics",

@@ -231,6 +231,11 @@ object SparkEntry {
     "q_ridge_grid" -> (TimeSeries.ridgeGrid _),
     "q_pca_power" -> (Similarity.qPcaPower _),
     "q_quantile_normalize" -> (TextOps.qQuantileNormalize _),
+    // r12 wave U: BFS hop layers, conformal intervals, and the
+    // LSH-vs-exact dedup audit
+    "q_bfs_layers" -> (graft.graph.Bfs.qBfsLayers _),
+    "q_conformal_interval" -> (TimeSeries.conformalInterval _),
+    "q_dedup_eval" -> (TextOps.qDedupEval _),
     // §2.A reference (dist-keras) operator surface
     "q_minmax_scale" -> (VectorOps.qMinMaxScale _),
     "q_onehot" -> (VectorOps.qOneHot _),
@@ -2157,6 +2162,32 @@ object SparkEntry {
         "CAST(post - CASE WHEN ub THEN b_post ELSE a_post END AS DOUBLE) AS effect " +
         "FROM t ORDER BY user_id"
     },
+    // BFS layers: the identical unrolled frontier expansion, set-exact
+    "q_bfs_layers" -> graft.graph.Bfs.oracleSql,
+    // conformal: shared (a, b) text, per-row residual chain,
+    // percentile = quantile_cont on identical doubles
+    "q_conformal_interval" -> {
+      val cut = text.Sampling.cutHex(0.8)
+      val (a, b) = rel.TimeSeries.conformalAB
+      "WITH li AS (SELECT substring(md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR) || ':' || CAST(l_quantity AS VARCHAR)), 1, 2) < " +
+        s"'$cut' AS tr, CAST(l_quantity AS BIGINT) AS x, CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y FROM lineitem), " +
+        "g AS (SELECT CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS n_tr, CAST(SUM(CASE WHEN tr THEN x ELSE 0 END) AS BIGINT) AS sx_tr, CAST(SUM(CASE WHEN tr THEN y ELSE 0 END) AS BIGINT) AS sy_tr, " +
+        "CAST(SUM(CASE WHEN tr THEN x * x ELSE 0 END) AS BIGINT) AS sxx_tr, CAST(SUM(CASE WHEN tr THEN x * y ELSE 0 END) AS BIGINT) AS sxy_tr FROM li), " +
+        s"ab AS (SELECT $a AS a, $b AS b FROM g), " +
+        "r AS (SELECT ABS(CAST(y AS DOUBLE) - a - b * CAST(x AS DOUBLE)) AS r FROM li CROSS JOIN ab WHERE NOT tr), " +
+        "q AS (SELECT quantile_cont(r, 0.9) AS qh, COUNT(*) AS n_val FROM r), " +
+        "c AS (SELECT ROUND(AVG(CASE WHEN r <= qh THEN 1.0 ELSE 0.0 END), 6) AS coverage FROM r CROSS JOIN q) " +
+        "SELECT n_val, ROUND(b / 100.0, 6) AS slope, ROUND(a / 100.0, 6) AS intercept, ROUND(qh / 100.0, 6) AS q90_resid, coverage FROM q CROSS JOIN ab CROSS JOIN c"
+    },
+    // dedup eval: truth = the df-capped exact-jaccard equi-join (s1/
+    // cnt), candidates = the banded cand CTE — both reused verbatim
+    "q_dedup_eval" ->
+      (s"$ngramShingleCte, $minhashPairsCte, " +
+        "tru AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, ROUND(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 6) AS j FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni FROM s1 a JOIN s1 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) i JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b) WHERE j > 0.6), " +
+        "mtc AS (SELECT t.id_a, t.id_b FROM tru t JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b) " +
+        "SELECT (SELECT COUNT(*) FROM tru) AS n_true, (SELECT COUNT(*) FROM cand) AS n_candidates, (SELECT COUNT(*) FROM mtc) AS n_matched, " +
+        "ROUND(CAST((SELECT COUNT(*) FROM mtc) AS DOUBLE) / CAST((SELECT COUNT(*) FROM tru) AS DOUBLE), 6) AS recall, " +
+        "ROUND(CAST((SELECT COUNT(*) FROM mtc) AS DOUBLE) / CAST((SELECT COUNT(*) FROM cand) AS DOUBLE), 6) AS band_precision"),
     // ridge grid: one-scan conditional train/val power sums crossed
     // with the lambda axis; per-lambda solve + val SSE are ONE shared
     // SQL text (ridgeChains); best = min rounded SSE, lambda tie-break

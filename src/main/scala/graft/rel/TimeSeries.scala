@@ -1544,6 +1544,66 @@ object TimeSeries {
       .orderBy("lambda")
   }
 
+  /** Shared OLS (a, b) chains for [[conformalInterval]] over the train
+    * power-sum columns — the [[olsMultiChains]] one-text device. */
+  def conformalAB: (String, String) = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val (n, sx, sy, sxx, sxy) =
+      (d("n_tr"), d("sx_tr"), d("sy_tr"), d("sxx_tr"), d("sxy_tr"))
+    val b = s"(($sxy - $sx * $sy / $n) / ($sxx - $sx * $sx / $n))"
+    val a = s"($sy / $n - $b * ($sx / $n))"
+    (a, b)
+  }
+
+  /** q_conformal_interval — split conformal prediction (Papadopoulos
+    * et al. / Vovk): fit price ~ quantity on the 80% hash split, take
+    * the 90th percentile of absolute validation residuals as the
+    * calibration width q̂ — then ŷ ± q̂ covers ≥ 90% of future points
+    * with NO distributional assumptions. The uncertainty layer the
+    * point-predictor keys (ols/ridge/mlp_predict) lack: at 100 TB,
+    * calibrated intervals are how a prediction service reports what it
+    * does not know. Coverage on the calibration split itself is
+    * emitted as the self-check (≈ the nominal level by construction).
+    *
+    * Scale shape: ONE scan to the train power sums; residuals are one
+    * per-row codegen chain over the val rows; q̂ = ONE exact
+    * percentile over the narrow residual column (the GK sketch at
+    * 100 TB, same plan); coverage is a second bounded pass over the
+    * same residuals. Determinism: (a, b) are ONE shared SQL text
+    * ([[conformalAB]]); residuals are fixed-order double chains;
+    * percentile ≡ quantile_cont on identical doubles (the
+    * q_lateness_audit device). */
+  def conformalInterval(spark: SparkSession, dir: String): DataFrame = {
+    val isTrain = graft.text.Sampling.inSample(
+      concat(col("l_orderkey"), lit(":"), col("l_linenumber"), lit(":"),
+        col("l_quantity")), 0.8)
+    val li = Tables.lineitem(spark, dir).select(
+      isTrain.as("tr"),
+      col("l_quantity").cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+    def part(p: Column, c: Column) = sum(when(p, c).otherwise(lit(0L)))
+    val g = li.agg(
+      sum(when(col("tr"), 1L).otherwise(0L)).as("n_tr"),
+      part(col("tr"), col("x")).as("sx_tr"),
+      part(col("tr"), col("y")).as("sy_tr"),
+      part(col("tr"), col("x") * col("x")).as("sxx_tr"),
+      part(col("tr"), col("x") * col("y")).as("sxy_tr"))
+    val (aChain, bChain) = conformalAB
+    val ab = g.select(expr(aChain).as("a"), expr(bChain).as("b"))
+    val r = li.filter(!col("tr")).crossJoin(broadcast(ab))
+      .select(expr("ABS(CAST(y AS DOUBLE) - a - b * CAST(x AS DOUBLE))").as("r"))
+    val q = r.agg(percentile(col("r"), lit(0.9)).as("qh"),
+      count(lit(1)).as("n_val"))
+    val cov = r.crossJoin(broadcast(q.select(col("qh"))))
+      .agg(round(avg((col("r") <= col("qh")).cast("double")), 6).as("coverage"))
+    q.crossJoin(broadcast(ab)).crossJoin(broadcast(cov))
+      .select(col("n_val"),
+        expr("ROUND(b / 100.0, 6)").as("slope"),
+        expr("ROUND(a / 100.0, 6)").as("intercept"),
+        round(col("qh") / 100.0, 6).as("q90_resid"),
+        col("coverage"))
+  }
+
   /** q_propensity_strata — stratified ATT: users quintiled on
     * pre-period spend (the propensity stand-in — at 100 TB the score
     * would come from [[olsMulti]]-style closed-form fits over more

@@ -229,17 +229,24 @@ object TextOps {
         array((0 until minhashPerms).map(j => col(s"m$j")): _*).as("sig"))
   }
 
+  /** Banded MinHash candidate pairs BEFORE exact verification — the
+    * probabilistic half of [[nearDupPairs]], exposed so [[qDedupEval]]
+    * can measure what banding alone finds and misses. */
+  def bandedCandidates(docs: DataFrame, w: Int = 3): DataFrame = {
+    val keyed = minhashSignatures(docs, w)
+      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("k"))
+    keyed.select(col("k"), col("doc_id").as("id_a"))
+      .join(keyed.select(col("k"), col("doc_id").as("id_b")), Seq("k"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
   def nearDupPairs(docs: DataFrame, w: Int = 3, minJaccard: Double = 0.6): DataFrame = {
     // Band join ships only (bandKey, doc_id) — constant-width rows — and
     // candidate pairs are de-duplicated BEFORE any document content is
     // rejoined. Exact-Jaccard shingle sets are computed only for the few
     // surviving candidate pairs, not for the whole corpus.
-    val keyed = minhashSignatures(docs, w)
-      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("k"))
-    val cand = keyed.select(col("k"), col("doc_id").as("id_a"))
-      .join(keyed.select(col("k"), col("doc_id").as("id_b")), Seq("k"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val cand = bandedCandidates(docs, w)
     val text = docs.select(col("doc_id"), col("text"))
     cand
       .join(text.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
@@ -2312,6 +2319,36 @@ object TextOps {
           ceil(lit(2.0) * col("n_total").cast("double") / lit(cmsWidth.toDouble)))
           .cast("int").as("within_bound"))
       .orderBy(col("n_exact").desc, col("token"))
+  }
+
+  /** q_dedup_eval — "measure, don't guess" for the near-dup stack:
+    * MinHash BANDING recall/precision measured against the exact
+    * df-capped-Jaccard ground truth on the SAME corpus. recall asks
+    * "which true near-dup pairs did the bands never propose?" (the
+    * real production risk of LSH — silently missed duplicates);
+    * band_precision asks "how selective are the bands?" (the cost of
+    * the exact-verify stage). At 100 TB this audit runs on a hash
+    * sample; the plan is the same.
+    *
+    * Scale shape: truth = the [[ngramJaccardPairs]] df-capped shingle
+    * equi-join (never all-pairs); candidates = the banded equi-join of
+    * [[bandedCandidates]]; the comparison is one pair-keyed join over
+    * two pair sets ≪ corpus. Counts are exact BIGINTs; the two ratios
+    * are one-shot ROUND(,6). */
+  def qDedupEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val truth = ngramJaccardPairs(docs, 3, 0.6, None)
+      .select(col("id_a"), col("id_b"))
+    val cand = bandedCandidates(docs, 3)
+    val matched = truth.join(cand, Seq("id_a", "id_b"))
+    val g = truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(matched.agg(count(lit(1)).as("n_matched")))
+    g.select(col("n_true"), col("n_candidates"), col("n_matched"),
+      round(col("n_matched").cast("double") / col("n_true").cast("double"), 6)
+        .as("recall"),
+      round(col("n_matched").cast("double") / col("n_candidates").cast("double"), 6)
+        .as("band_precision"))
   }
 
   /** q_quantile_normalize — cross-source quantile normalization of the

@@ -1074,6 +1074,21 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(gaps.toMap.apply(atLen) - brute) < 1e-9)
   }
 
+  test("dedup eval: counts reconcile against the two source pipelines") {
+    val r = TextOps.qDedupEval(spark, sfDir).head()
+    val nTrue = r.getAs[Long]("n_true")
+    val nCand = r.getAs[Long]("n_candidates")
+    val nMatched = r.getAs[Long]("n_matched")
+    assert(nTrue > 0 && nCand > 0, "both pipelines must produce pairs")
+    assert(nMatched <= math.min(nTrue, nCand))
+    assert(math.abs(r.getAs[Double]("recall") - nMatched.toDouble / nTrue) < 1e-6)
+    assert(math.abs(r.getAs[Double]("band_precision") - nMatched.toDouble / nCand) < 1e-6)
+    // candidates = the banded pairs the production key starts from
+    val cand = TextOps.bandedCandidates(
+      Tables.documents(spark, sfDir), 3).count()
+    assert(cand == nCand)
+  }
+
   test("quantile normalize: marginals converge across sources, order preserved") {
     val out = TextOps.qQuantileNormalize(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),

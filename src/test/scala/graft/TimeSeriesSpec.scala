@@ -635,6 +635,16 @@ class TimeSeriesSpec extends SparkSpec {
     byLam.foreach(r => assert(r.getAs[Double]("rmse_val") >= 0.0))
   }
 
+  test("conformal interval: coverage at or above the nominal level on the calibration split") {
+    val r = TimeSeries.conformalInterval(spark, sfDir).head()
+    assert(r.getAs[Long]("n_val") > 0)
+    assert(r.getAs[Double]("q90_resid") > 0.0)
+    // the 90th-percentile width must cover >= ~90% of calibration
+    // residuals by construction (exact percentile, interpolated)
+    val cov = r.getAs[Double]("coverage")
+    assert(cov >= 0.899 && cov <= 1.0, s"coverage $cov")
+  }
+
   test("decision stump: exhaustive split search beats or ties the parent") {
     val r = TimeSeries.decisionStump(spark, sfDir).head()
     val n = Tables.lineitem(spark, sfDir).count()
