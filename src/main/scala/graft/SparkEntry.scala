@@ -1580,7 +1580,7 @@ object SparkEntry {
         "s AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS BIGINT) AS session_idx FROM f) " +
         "SELECT user_id, session_idx, MIN(tss) AS session_start, MAX(tss) AS session_end, " +
         "epoch_us(MAX(tss)) - epoch_us(MIN(tss)) AS duration_us, COUNT(*) AS n_events, " +
-        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value " +
+        "CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value " +
         "FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx"
     },
     // transition matrix: integer counts, prob = ROUND(n/rowtotal, 6)
@@ -2214,7 +2214,7 @@ object SparkEntry {
       "WITH dm AS (SELECT CAST(UNNEST(range(0, 64)) AS INTEGER) AS dim), " +
         s"terms AS (SELECT dim, CAST(ROUND($s * CAST(embedding[dim + 1] AS DOUBLE), 9) AS DECIMAL(18,9)) AS t FROM embeddings CROSS JOIN dm), " +
         "u AS (SELECT dim, CAST(SUM(t) AS DOUBLE) AS u FROM terms GROUP BY dim), " +
-        "w AS (SELECT dim, u, sqrt(CAST(SUM(CAST(ROUND(u * u, 9) AS DECIMAL(18,9))) OVER () AS DOUBLE)) AS nrm FROM u) " +
+        "w AS (SELECT dim, u, sqrt(CAST(SUM(CAST(ROUND(u * u, 9) AS DECIMAL(38,9))) OVER () AS DOUBLE)) AS nrm FROM u) " +
         "SELECT dim, ROUND(u, 6) AS u, ROUND(u / nrm, 6) AS v1 FROM w ORDER BY dim"
     },
     // quantile normalization: INTEGER-exact target index (no float
@@ -2224,7 +2224,7 @@ object SparkEntry {
         "g AS (SELECT n_chars AS g_chars, ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS gidx FROM d), " +
         "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM d), " +
         "r AS (SELECT doc_id, source, n_chars, ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS ridx, COUNT(*) OVER (PARTITION BY source) AS m FROM d), " +
-        "t AS (SELECT doc_id, source, n_chars, CASE WHEN m > 1 THEN CAST(FLOOR((ridx - 1) * (n_total - 1) / (m - 1)) AS BIGINT) + 1 ELSE CAST(FLOOR((n_total + 1) / 2) AS BIGINT) END AS gidx FROM r CROSS JOIN nn) " +
+        "t AS (SELECT doc_id, source, n_chars, CASE WHEN m > 1 THEN ((ridx - 1) * (n_total - 1)) // (m - 1) + 1 ELSE (n_total + 1) // 2 END AS gidx FROM r CROSS JOIN nn) " +
         "SELECT doc_id, source, n_chars, g_chars AS norm_chars FROM t JOIN g USING (gidx) ORDER BY doc_id"),
     // Lloyd round: max-dot assignment (the IVF fixed device), per-dim
     // means from ROUND(,9)->DECIMAL sums, movement vs the old centroid
@@ -2401,11 +2401,11 @@ object SparkEntry {
         "s AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS BIGINT) AS session_idx FROM f) " +
         "SELECT user_id, session_idx, MIN(tss) AS session_start, MAX(tss) AS session_end, " +
         "epoch_us(MAX(tss)) - epoch_us(MIN(tss)) AS duration_us, COUNT(*) AS n_events, " +
-        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value " +
+        "CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value " +
         "FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx"
     },
     "q_stream_counters" ->
-      ("SELECT user_id, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value " +
+      ("SELECT user_id, COUNT(*) AS n_events, CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
     // mutual information: the contingency grid rebuilt verbatim, PMI
     // terms ROUND(,9)->DECIMAL so the MI total is order-proof
@@ -2528,7 +2528,7 @@ object SparkEntry {
         "st AS (SELECT user_id, n, sx_dec, sqrt(greatest((sxx - CAST(sx_dec AS DOUBLE) * CAST(sx_dec AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 0.0)) AS sigma FROM s), " +
         "e AS (SELECT ev.user_id, event_id, CAST(ts AS TIMESTAMP) AS tss, CAST(CAST(value AS DECIMAL(18,2)) * n - sx_dec AS DECIMAL(28,2)) AS dev_n, n, sigma FROM events ev JOIN st USING (user_id)), " +
         "c AS (SELECT user_id, event_id, CAST(SUM(dev_n) OVER w AS DECIMAL(38,2)) AS cusum_n, n, sigma, ROW_NUMBER() OVER w AS rn FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)) " +
-        "SELECT user_id, event_id, cusum_n, n, " +
+        "SELECT user_id, event_id, CAST(cusum_n AS DOUBLE) AS cusum_n, n, " +
         s"CAST(CAST(abs(cusum_n) AS DOUBLE) > $k * sigma * sqrt(CAST(rn AS DOUBLE)) * CAST(n AS DOUBLE) AS INTEGER) AS flag " +
         "FROM c ORDER BY user_id, event_id"
     },
@@ -2551,8 +2551,8 @@ object SparkEntry {
         "lead(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS valid_to " +
         "FROM events WHERE event_type = 'signup'), " +
         "f AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tss, value FROM events WHERE event_type = 'purchase') " +
-        "SELECT f.user_id, f.event_id, f.tss AS ts, CAST(f.value AS DECIMAL(18,2)) AS purchase_value, " +
-        "version_id, CAST(version_value AS DECIMAL(18,2)) AS version_value " +
+        "SELECT f.user_id, f.event_id, f.tss AS ts, CAST(CAST(f.value AS DECIMAL(18,2)) AS DOUBLE) AS purchase_value, " +
+        "version_id, CAST(CAST(version_value AS DECIMAL(18,2)) AS DOUBLE) AS version_value " +
         "FROM f JOIN d ON f.user_id = d.user_id AND f.tss >= d.valid_from AND (d.valid_to IS NULL OR f.tss < d.valid_to) " +
         "ORDER BY f.user_id, f.event_id"),
     // MAD: deviations rounded BEFORE the second median; quantile_cont
@@ -2618,7 +2618,7 @@ object SparkEntry {
     // Pareto frontier: the oracle states raw NOT EXISTS dominance — an
     // independent O(n²) definition the per-size-sweep plan must equal
     "q_skyline" ->
-      ("SELECT p_partkey, p_name, p_size, CAST(p_retailprice AS DECIMAL(18,2)) AS price FROM part p " +
+      ("SELECT p_partkey, p_name, p_size, CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS price FROM part p " +
         "WHERE NOT EXISTS (SELECT 1 FROM part q WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice " +
         "AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice)) ORDER BY p_partkey"),
   )

@@ -64,15 +64,20 @@ object Hits {
   }
 
   /** Driver key: 2 HITS iterations over the order→part incidence;
-    * output (node_id, kind, score) with exact integer scores. */
+    * output (node_id, kind, score) with exact integer scores. Score is
+    * emitted as the DECIMAL's exact STRING rendering (scale 0, so
+    * "12345") in BOTH engines: a BIGINT re-cast would reintroduce the
+    * wrap the DECIMAL(28,0) device exists to avoid — past 2^63 Spark
+    * (non-ANSI) silently NULLs while DuckDB raises, divergent failure
+    * modes on an extreme 100 TB hub. Strings stay exact at any degree. */
   def qHits(spark: SparkSession, dir: String): DataFrame = {
     val e = graft.Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
     val (hub, auth) = run(e)
     hub.select(col("id").as("node_id"), lit("order").as("kind"),
-        col("h").cast("long").as("score"))
+        col("h").cast("string").as("score"))
       .unionAll(auth.select(col("id").as("node_id"), lit("part").as("kind"),
-        col("a").cast("long").as("score")))
+        col("a").cast("string").as("score")))
       .orderBy("kind", "node_id")
   }
 
@@ -89,8 +94,8 @@ object Hits {
         s"a$i AS (SELECT e.dst, CAST(SUM(h) AS DECIMAL(28,0)) AS a FROM e JOIN h$i USING (src) GROUP BY e.dst)"
     }.mkString(", ")
     val tail = if (iterations >= 2) s", $iters" else ""
-    s"$base$tail SELECT src AS node_id, 'order' AS kind, CAST(h AS BIGINT) AS score FROM h$iterations " +
-      s"UNION ALL SELECT dst AS node_id, 'part' AS kind, CAST(a AS BIGINT) AS score FROM a$iterations " +
+    s"$base$tail SELECT src AS node_id, 'order' AS kind, CAST(h AS VARCHAR) AS score FROM h$iterations " +
+      s"UNION ALL SELECT dst AS node_id, 'part' AS kind, CAST(a AS VARCHAR) AS score FROM a$iterations " +
       "ORDER BY kind, node_id"
   }
 }

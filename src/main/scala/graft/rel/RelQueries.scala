@@ -684,8 +684,9 @@ object RelQueries {
       .filter(col("ts") >= col("valid_from") &&
         (col("valid_to").isNull || col("ts") < col("valid_to")))
       .select(col("user_id"), col("event_id"), col("ts"),
-        dec(col("value")).as("purchase_value"),
-        col("version_id"), dec(col("version_value")).as("version_value"))
+        dec(col("value")).cast("double").as("purchase_value"),
+        col("version_id"),
+        dec(col("version_value")).cast("double").as("version_value"))
       .orderBy("user_id", "event_id")
   }
 
@@ -1354,7 +1355,10 @@ object RelQueries {
       .select(col("p_size").as("f_size"), col("min_price").as("f_price"))
     p.join(broadcast(frontier),
         col("p_size") === col("f_size") && col("price") === col("f_price"))
-      .select(col("p_partkey"), col("p_name"), col("p_size"), col("price"))
+      // frontier equality join stays exact-DECIMAL; only the OUTPUT cell
+      // ships as double (float64 parity with the oracle's pandas bridge)
+      .select(col("p_partkey"), col("p_name"), col("p_size"),
+        col("price").cast("double").as("price"))
       .orderBy("p_partkey")
   }
 

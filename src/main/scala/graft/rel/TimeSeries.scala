@@ -148,7 +148,10 @@ object TimeSeries {
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
-        sum(dec(col("value"))).cast(DecimalType(18, 2)).as("sum_value"))
+        // exact DECIMAL accumulation; the OUTPUT cell is double like every
+        // other key — a physical Decimal in the dump hash-mismatches the
+        // oracle's float64 even when values are identical (r12 driver red)
+        sum(dec(col("value"))).cast(DecimalType(18, 2)).cast("double").as("sum_value"))
       .withColumn("duration_us",
         unix_micros(col("session_end").cast("timestamp")) -
           unix_micros(col("session_start").cast("timestamp")))
@@ -310,7 +313,11 @@ object TimeSeries {
         (abs(col("cusum_n")).cast("double") >
           lit(cusumK) * col("sigma") * sqrt(col("rn").cast("double")) *
             col("n").cast("double")).cast("int"))
-      .select(col("user_id"), col("event_id"), col("cusum_n"), col("n"), col("flag"))
+      // the flag compares the exact DECIMAL; the OUTPUT cell ships as double
+      // (|cusum_n| ≤ ~1e7·n · 100ths — inside double-exact range at tested
+      // SFs; the driver's hash needs float64 parity with DuckDB's bridge)
+      .select(col("user_id"), col("event_id"),
+        col("cusum_n").cast("double").as("cusum_n"), col("n"), col("flag"))
       .orderBy("user_id", "event_id")
   }
 

@@ -1204,8 +1204,15 @@ object Similarity {
     val u = terms.groupBy(col("dim"))
       .agg(sum(col("t")).cast("double").as("u"))
     val wAll = Window.partitionBy()
+    // u is an UNNORMALIZED corpus-size-proportional sum, so u² needs the
+    // wide accumulator: DECIMAL(18,9) caps at <1e9 and Spark (non-ANSI)
+    // would silently NULL the overflow past |u| ≈ 31.6k while DuckDB's
+    // CAST raises — DECIMAL(38,9) holds u up to ~5.4e14, far beyond any
+    // plausible corpus (the per-row t terms stay (18,9): s·x is bounded
+    // by the 64-dim coordinate range, not the corpus size)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 9)
     u.withColumn("nrm",
-        sqrt(sum(round(col("u") * col("u"), 9).cast(d9)).over(wAll)
+        sqrt(sum(round(col("u") * col("u"), 9).cast(d38)).over(wAll)
           .cast("double")))
       .select(col("dim"), round(col("u"), 6).as("u"),
         round(col("u") / col("nrm"), 6).as("v1"))

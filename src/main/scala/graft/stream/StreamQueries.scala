@@ -293,6 +293,10 @@ object StreamQueries {
       .as[StreamOps.SessEvent]
   }
 
+  /** Exact cents → value reconstruction. Callers cast the OUTPUT cell to
+    * double — the internal DECIMAL keeps the division exact; a physical
+    * Decimal in the dumped parquet hash-mismatches the oracle's float64
+    * bridge even when values are identical (r12 driver red). */
   private def centsAsValue(cents: org.apache.spark.sql.Column) =
     (cents.cast("decimal(18,0)") / 100)
       .cast(org.apache.spark.sql.types.DecimalType(18, 2))
@@ -316,7 +320,8 @@ object StreamQueries {
         timestamp_micros(col("start_us")).cast("timestamp_ntz").as("session_start"),
         timestamp_micros(col("end_us")).cast("timestamp_ntz").as("session_end"),
         (col("end_us") - col("start_us")).as("duration_us"),
-        col("n_events"), centsAsValue(col("sum_cents")).as("sum_value"))
+        col("n_events"),
+        centsAsValue(col("sum_cents")).cast("double").as("sum_value"))
       .orderBy("user_id", "session_idx")
   }
 
@@ -330,6 +335,6 @@ object StreamQueries {
       StreamOps.countersStateful(sessEvents(spark, dir)).toDF(),
       OutputMode.Update)
       .select(col("user_id"), col("n_events"),
-        centsAsValue(col("sum_cents")).as("sum_value"))
+        centsAsValue(col("sum_cents")).cast("double").as("sum_value"))
       .orderBy("user_id")
 }

@@ -2363,8 +2363,9 @@ object TextOps {
     * Scale shape: two rank windows over narrow (score, id) frames —
     * global (the q_gini range-partitioned shape) and source-keyed —
     * then ONE equi-join on the computed global index. INTEGER-exact
-    * end to end: the target index is floor((r−1)(N−1)/(m−1))+1 in
-    * BIGINT arithmetic (no float quantile interpolation to drift),
+    * end to end: the target index is (r−1)(N−1) div (m−1) + 1 in
+    * BIGINT arithmetic — explicit integer division (`div` / DuckDB
+    * `//`), not a float `/` whose floor is only exact below 2^53 —
     * ties ranked by doc_id on both engines. */
   def qQuantileNormalize(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)
@@ -2380,11 +2381,14 @@ object TextOps {
       .withColumn("ridx", row_number().over(ws).cast("long"))
       .withColumn("m", count(lit(1)).over(Window.partitionBy(col("source"))))
       .crossJoin(broadcast(n))
+    // TRUE integer division (`div` here, `//` in the oracle): a plain `/`
+    // on longs is double division in both engines, exact only while the
+    // product (ridx-1)(n_total-1) stays under 2^53 (~9e7 docs); `div`
+    // keeps the target index BIGINT-exact to int64 range
     val target = when(col("m") > 1,
-      floor((col("ridx") - 1) * (col("n_total") - 1) / (col("m") - 1)) + 1)
-      // lone doc -> the global median slot; FLOOR (not a bare long
-      // cast: Spark truncates double->long, DuckDB CAST rounds)
-      .otherwise(floor((col("n_total") + 1) / 2))
+      expr("(ridx - 1) * (n_total - 1) div (m - 1)") + 1)
+      // lone doc -> the global median slot
+      .otherwise(expr("(n_total + 1) div 2"))
     ranked.withColumn("gidx", target.cast("long"))
       .join(global.select(col("gidx"), col("g_chars")), Seq("gidx"))
       .select(col("doc_id"), col("source"), col("n_chars"),

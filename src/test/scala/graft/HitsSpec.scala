@@ -33,7 +33,9 @@ class HitsSpec extends SparkSpec {
   test("hits gate key: both roles present, all scores positive") {
     val out = Hits.qHits(spark, sfDir).cache()
     try {
-      assert(out.filter(col("score") <= 0).count() == 0)
+      // score is an exact-integer STRING (overflow-proof emission);
+      // compare numerically via a wide decimal cast
+      assert(out.filter(col("score").cast("decimal(28,0)") <= 0).count() == 0)
       val kinds = out.select("kind").distinct().as[String].collect().toSet
       assert(kinds == Set("order", "part"))
       // every order with a lineitem is a hub; every part bought is an authority

@@ -669,8 +669,14 @@ class RelQueriesSpec extends SparkSpec {
   }
 
   test("skyline equals the brute-force dominance frontier") {
+    // output price is double (exact image of the DECIMAL(18,2) frontier);
+    // re-cast to the decimal grid so the brute-force compare stays exact
     val out = rel.RelQueries.skyline(spark, sfDir)
-      .select("p_partkey", "p_size", "price").collect()
+      .select(org.apache.spark.sql.functions.col("p_partkey"),
+        org.apache.spark.sql.functions.col("p_size"),
+        org.apache.spark.sql.functions.col("price")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("price"))
+      .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDecimal(2)))
     // brute-force over the full (small at sf0.001) part table
     val all = Tables.part(spark, sfDir)

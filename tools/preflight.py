@@ -23,10 +23,15 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def norm_cell(v):
     if v is None:
         return "NULL"
-    # dtype-family normalization: the engines expose Decimal/float and
-    # date/datetime differently through pandas; compare values
+    # Do NOT collapse Decimal to float: the driver's hash compares the
+    # physical cell, so a Spark dump carrying Decimal("900.20") against the
+    # oracle's float64 900.2 is a REAL mismatch. r12 shipped six reds
+    # because this function used to do `Decimal -> float` here and masked
+    # exactly that divergence. A Decimal cell now renders as its exact
+    # decimal string ("900.20"), which never equals repr(float) — any
+    # DECIMAL-typed output column fails loudly, as it does on the driver.
     if isinstance(v, decimal.Decimal):
-        v = float(v)
+        return f"DECIMAL({v})"
     if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
         v = datetime.datetime(v.year, v.month, v.day)
     if isinstance(v, float):
