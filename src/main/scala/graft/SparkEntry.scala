@@ -243,6 +243,7 @@ object SparkEntry {
     "q_vector_assemble" -> (VectorOps.qVectorAssemble _),
     "q_linear_predict" -> (VectorOps.qLinearPredict _),
     "q_mlp_predict" -> (VectorOps.qMlpPredict _),
+    "q_mlp2_predict" -> (VectorOps.qMlp2Predict _),
     "q_accuracy" -> (VectorOps.qAccuracy _),
     "q_eval_metrics" -> (VectorOps.qEvalMetrics _),
     "q_string_index" -> (VectorOps.qStringIndex _),
@@ -639,6 +640,27 @@ object SparkEntry {
         .map(j => s"h$j * ${VectorOps.mlpW2(j)}").mkString(" + ")
       s"WITH h AS (SELECT vec_id, $hCols FROM embeddings) " +
         s"SELECT vec_id, ROUND(1.0/(1.0+exp(-($zSum + ${VectorOps.mlpB2}))), 6) AS mlp_prob FROM h ORDER BY vec_id"
+    },
+    // deep (2-hidden-layer) MLP forward pass: hidden-1 tanh units from
+    // dot products, hidden-2 tanh units over the h columns, sigmoid out —
+    // every weighted sum left-associated to mirror the Spark reduce
+    "q_mlp2_predict" -> {
+      import VectorOps._
+      def tanhSql(x: String): String = s"1.0 - 2.0/(exp(2.0*($x))+1.0)"
+      val h1Cols = (0 until mlp2Hidden1).map { j =>
+        val w1 = mlp2W1(j).mkString("[", ", ", "]")
+        s"${tanhSql(s"${dotSql("embedding", w1)} + ${mlp2B1(j)}")} AS h$j"
+      }.mkString(", ")
+      val h2Cols = (0 until mlp2Hidden2).map { k =>
+        val zk = (0 until mlp2Hidden1)
+          .map(j => s"h$j * ${mlp2W2(k)(j)}").mkString(" + ")
+        s"${tanhSql(s"$zk + ${mlp2B2(k)}")} AS g$k"
+      }.mkString(", ")
+      val zOut = (0 until mlp2Hidden2)
+        .map(k => s"g$k * ${mlp2W3(k)}").mkString(" + ")
+      s"WITH h AS (SELECT vec_id, $h1Cols FROM embeddings), " +
+        s"g AS (SELECT vec_id, $h2Cols FROM h) " +
+        s"SELECT vec_id, ROUND(1.0/(1.0+exp(-($zOut + ${mlp2B3}))), 6) AS mlp2_prob FROM g ORDER BY vec_id"
     },
     "q_accuracy" ->
       "SELECT ROUND(AVG(CASE WHEN (list_position(embedding, list_max(embedding)) - 1) % 10 = label THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6) AS acc FROM embeddings",

@@ -189,6 +189,129 @@ object MlpModel {
     MlpModel(ModelWeights.uniform(shapes(din, hidden), -0.5, 0.5, seed), din, hidden)
 }
 
+/** Configurable-depth MLP (any number of tanh hidden layers, logistic
+  * output) — the ARBITRARY-ARCHITECTURE member of the model zoo, closing
+  * the gap to the reference's "any compiled Keras model" contract
+  * (`distkeras/trainers.py › Trainer.__init__ [H]`; `examples/mnist.py`
+  * stacks multiple Dense layers [H]) within this sandbox's honest means
+  * (no Keras/GPU: a pure-Scala N-layer net trained through the SAME
+  * [[graft.ml.Trainers]] harness and update rules as every other model).
+  *
+  * Weight layout per layer l (widths dims = din +: hiddens :+ 1):
+  * W_l row-major (dims(l+1) × dims(l)) then b_l (dims(l+1)) — for
+  * `hiddens = Seq(h)` this is bit-identical to [[MlpModel]]'s layout,
+  * pinned in DeepMlpSpec, so a 1-hidden DeepMlp and an MlpModel are
+  * interchangeable around the same flat vector.
+  *
+  * Forward: a_0 = x; a_l = tanh(W_l·a_{l−1} + b_l) for hidden layers;
+  * p = σ(W_L·a_{L−1} + b_L). Backward (log loss): δ_L = p − y;
+  * δ_{l−1} = (W_lᵀ·δ_l) ⊙ (1 − a_{l−1}²); ∂W_l = δ_l·a_{l−1}ᵀ,
+  * ∂b_l = δ_l — gradient-checked against central finite differences
+  * per parameter in DeepMlpSpec. */
+final case class DeepMlpModel(weights: ModelWeights, din: Int,
+                              hiddens: Seq[Int]) extends DiffModel {
+  require(hiddens.nonEmpty && hiddens.forall(_ > 0), s"bad hidden sizes: $hiddens")
+  private val dims: Array[Int] = (din +: hiddens :+ 1).toArray
+  private val nLayers = dims.length - 1
+  private val wOff = new Array[Int](nLayers)
+  private val bOff = new Array[Int](nLayers)
+  private val totalParams: Int = {
+    var off = 0
+    var l = 0
+    while (l < nLayers) {
+      wOff(l) = off; off += dims(l + 1) * dims(l)
+      bOff(l) = off; off += dims(l + 1)
+      l += 1
+    }
+    off
+  }
+  require(weights.flat.length == totalParams,
+    s"weight layout mismatch: ${weights.flat.length} for dims ${dims.toSeq}")
+
+  def withWeights(w: ModelWeights): DeepMlpModel = copy(weights = w)
+
+  /** Forward pass keeping each layer's activations (backprop needs them).
+    * acts(0) = x, acts(l+1) = layer l's output; the last is length-1. */
+  private def forward(x: Array[Double]): Array[Array[Double]] = {
+    val f = weights.flat
+    val acts = new Array[Array[Double]](nLayers + 1)
+    acts(0) = x
+    var l = 0
+    while (l < nLayers) {
+      val in = acts(l)
+      val out = new Array[Double](dims(l + 1))
+      var j = 0
+      while (j < out.length) {
+        var s = f(bOff(l) + j)
+        val row = wOff(l) + j * dims(l)
+        var i = 0
+        while (i < in.length) { s += f(row + i) * in(i); i += 1 }
+        out(j) =
+          if (l == nLayers - 1) 1.0 / (1.0 + math.exp(-s)) else math.tanh(s)
+        j += 1
+      }
+      acts(l + 1) = out
+      l += 1
+    }
+    acts
+  }
+
+  def predictProb(x: Array[Double]): Double = forward(x)(nLayers)(0)
+
+  def gradient(x: Array[Double], y: Double): Array[Double] = {
+    val f = weights.flat
+    val acts = forward(x)
+    val g = new Array[Double](f.length)
+    // sigmoid + log-loss collapses the output delta to (p − y)
+    var delta = Array(acts(nLayers)(0) - y)
+    var l = nLayers - 1
+    while (l >= 0) {
+      val in = acts(l)
+      var j = 0
+      while (j < delta.length) {
+        val row = wOff(l) + j * dims(l)
+        var i = 0
+        while (i < in.length) { g(row + i) = delta(j) * in(i); i += 1 }
+        g(bOff(l) + j) = delta(j)
+        j += 1
+      }
+      if (l > 0) {
+        // δ_{l−1}[i] = (Σ_j W_l[j,i]·δ_j) · (1 − a_{l−1}[i]²)  (tanh′)
+        val prev = new Array[Double](dims(l))
+        var i = 0
+        while (i < prev.length) {
+          var s = 0.0
+          var jj = 0
+          while (jj < delta.length) {
+            s += f(wOff(l) + jj * dims(l) + i) * delta(jj); jj += 1
+          }
+          prev(i) = s * (1.0 - in(i) * in(i))
+          i += 1
+        }
+        delta = prev
+      }
+      l -= 1
+    }
+    g
+  }
+}
+
+object DeepMlpModel {
+  /** Shape list: per layer, the (out, in) weight matrix then the
+    * (out, 1) bias — `hiddens = Seq(h)` reproduces [[MlpModel.shapes]]. */
+  def shapes(din: Int, hiddens: Seq[Int]): Seq[(Int, Int)] = {
+    val dims = din +: hiddens :+ 1
+    dims.sliding(2).toSeq.flatMap {
+      case Seq(in, out) => Seq((out, in), (out, 1))
+      case _ => Seq.empty
+    }
+  }
+
+  def init(din: Int, hiddens: Seq[Int], seed: Long = 42L): DeepMlpModel =
+    DeepMlpModel(ModelWeights.uniform(shapes(din, hiddens), -0.5, 0.5, seed),
+      din, hiddens)
+}
+
 /** Model persistence — the disk-format replacement for the reference's
   * pickled model files (`examples/mnist.py` saves/loads the trained
   * Keras model between runs [M]). Weights are written as ONE parquet
@@ -221,6 +344,26 @@ object ModelIO {
     require(w.shapes.sizeIs == 1 && w.shapes.head._1 == 1,
       s"not a linear model shape list: ${w.shapes}")
     LinearModel(w)
+  }
+
+  /** N-layer MLP: the shape list is pairs ((out,in),(out,1)) chained so
+    * each layer's `in` equals the previous layer's `out`, ending at the
+    * single output unit — fully determines (din, hiddens). */
+  def loadDeepMlp(spark: org.apache.spark.sql.SparkSession,
+                  path: String): DeepMlpModel = {
+    val w = load(spark, path)
+    val pairs = w.shapes.grouped(2).toSeq
+    val ok = pairs.nonEmpty && pairs.forall {
+      case Seq((o1, _), (o2, 1)) => o1 == o2
+      case _ => false
+    } && pairs.sliding(2).forall {
+      case Seq(a, b) => b.head._2 == a.head._1
+      case _ => true
+    } && pairs.last.head._1 == 1
+    require(ok, s"not a layered MLP shape list: ${w.shapes}")
+    val din = pairs.head.head._2
+    val hiddens = pairs.dropRight(1).map(_.head._1)
+    DeepMlpModel(w, din, hiddens)
   }
 
   def loadMlp(spark: org.apache.spark.sql.SparkSession, path: String): MlpModel = {
