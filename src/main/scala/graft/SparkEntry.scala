@@ -225,6 +225,7 @@ object SparkEntry {
     "q_nn_match" -> (TimeSeries.nnMatch _),
     "q_silhouette" -> (Similarity.qSilhouette _),
     "q_lloyd_round" -> (Similarity.qLloydRound _),
+    "q_pq_lloyd_round" -> (Similarity.qPqLloydRound _),
     "q_propensity_strata" -> (TimeSeries.propensityStrata _),
     // r12 wave T: grid model selection in one scan, the PCA power
     // step, and integer-exact cross-source quantile normalization
@@ -2250,6 +2251,23 @@ object SparkEntry {
         "SELECT doc_id, source, n_chars, g_chars AS norm_chars FROM t JOIN g USING (gidx) ORDER BY doc_id"),
     // Lloyd round: max-dot assignment (the IVF fixed device), per-dim
     // means from ROUND(,9)->DECIMAL sums, movement vs the old centroid
+    // PQ Lloyd round: per-subspace (m,k)-keyed assignment (squared-L2
+    // fold mirrored from q_pq_topk's encode) + decimal-device means +
+    // per-codeword movement; emptied codewords keep their seed, n=0
+    "q_pq_lloyd_round" ->
+      ("WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8), " +
+        "ms AS (SELECT CAST(UNNEST(range(0, 8)) AS INTEGER) AS m), " +
+        "book AS (SELECT m, CAST(vec_id - 8 AS INTEGER) AS k, list_transform(embedding[m*8+1 : m*8+8], x -> CAST(x AS DOUBLE)) AS cv FROM embeddings CROSS JOIN ms WHERE vec_id >= 8 AND vec_id < 24), " +
+        "csub AS (SELECT cid, m, list_transform(ce[m*8+1 : m*8+8], x -> CAST(x AS DOUBLE)) AS sv FROM c CROSS JOIN ms), " +
+        "dists AS (SELECT cid, m, k, list_aggregate(list_transform(range(1, 9), i -> (sv[i] - cv[i]) * (sv[i] - cv[i])), 'sum') AS dist FROM csub JOIN book USING (m)), " +
+        "codes AS (SELECT cid, m, k FROM (SELECT cid, m, k, ROW_NUMBER() OVER (PARTITION BY cid, m ORDER BY dist, k) AS rn FROM dists) WHERE rn = 1), " +
+        "dm AS (SELECT CAST(UNNEST(range(0, 8)) AS INTEGER) AS dim), " +
+        "terms AS (SELECT codes.m, codes.k, dim, CAST(ROUND(sv[dim + 1], 9) AS DECIMAL(18,9)) AS t FROM codes JOIN csub ON codes.cid = csub.cid AND codes.m = csub.m CROSS JOIN dm), " +
+        "sums AS (SELECT m, k, dim, SUM(t) AS s, COUNT(*) AS n FROM terms GROUP BY m, k, dim), " +
+        "old AS (SELECT m, k, dim, cv[dim + 1] AS o FROM book CROSS JOIN dm), " +
+        "nc AS (SELECT old.m, old.k, old.dim, COALESCE(CAST(n AS BIGINT), 0) AS n_points, COALESCE(ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6), ROUND(o, 6)) AS coord, o FROM old LEFT JOIN sums ON old.m = sums.m AND old.k = sums.k AND old.dim = sums.dim), " +
+        "mt AS (SELECT m, k, dim, n_points, coord, CAST(ROUND((coord - o) * (coord - o), 9) AS DECIMAL(18,9)) AS mv FROM nc) " +
+        "SELECT m, k, dim, n_points, coord, ROUND(CAST(SUM(mv) OVER (PARTITION BY m, k) AS DOUBLE), 6) AS movement FROM mt ORDER BY m, k, dim"),
     "q_lloyd_round" -> {
       import sim.Similarity.silhouetteK
       "WITH p AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings), " +

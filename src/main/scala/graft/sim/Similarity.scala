@@ -1173,6 +1173,57 @@ object Similarity {
       .orderBy("centroid_id", "dim")
   }
 
+  /** q_pq_lloyd_round — ONE Lloyd round of the PQ CODEBOOK training,
+    * (m, k)-keyed (round-13 verdict ask #6): the [[qLloydRound]] device
+    * applied per SUBSPACE, putting [[pqCodebookTrained]]'s iterated step
+    * under the DuckDB gate — assignment is the exact [[pqEncodeSub]]
+    * squared-L2 argmin (fold order mirrored, ties to min k), the update
+    * is the per-(m, k, dim) mean of assigned subvectors, and movement is
+    * the squared centroid shift a PQ training loop watches per codeword.
+    * Emptied codewords keep their seed with n_points = 0 (the
+    * left-join + coalesce semantics of the real trainer). The rows-only
+    * `q_pq_topk_trained` key remains the float end-to-end; this key
+    * gate-checks its training round exactly.
+    *
+    * Scale shape: one corpus-linear explode (× [[pqM]]) + a broadcast
+    * codebook join + a (cid, m)-keyed argmin, then ONE map-side-combined
+    * (m, k, dim) aggregate whose shuffle carries ≤ M·K·D narrow rows;
+    * the movement window runs over that tiny frame. Determinism: the
+    * [[qLloydRound]] ROUND(,9) → DECIMAL device for the mean numerator. */
+  def qPqLloydRound(spark: SparkSession, dir: String): DataFrame = {
+    val d9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val emb = Tables.embeddings(spark, dir)
+    val cands = emb.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val seeds = pqCodebook(emb)
+    val sub = pqSubvecs(cands)
+    val asg = pqEncodeSub(sub, seeds)
+    def dims(vec: Column) = explode(zip_with(
+      sequence(lit(0), lit(pqD - 1)), vec,
+      (i, x) => struct(i.cast("int").as("dim"), x.as("v"))))
+    val terms = asg.join(sub, Seq("cid", "m"))
+      .select(col("m"), col("k"), dims(col("sv")).as("p"))
+      .select(col("m"), col("k"), col("p.dim").as("dim"),
+        round(col("p.v"), 9).cast(d9).as("t"))
+    val sums = terms.groupBy(col("m"), col("k"), col("dim"))
+      .agg(sum(col("t")).as("s"), count(lit(1)).as("n"))
+    val old = seeds.select(col("m"), col("k"), dims(col("cv")).as("p"))
+      .select(col("m"), col("k"), col("p.dim").as("dim"), col("p.v").as("o"))
+    val nc = old.join(sums, Seq("m", "k", "dim"), "left")
+      .select(col("m"), col("k"), col("dim"),
+        coalesce(col("n"), lit(0L)).as("n_points"),
+        coalesce(round(col("s").cast("double") / col("n").cast("double"), 6),
+          round(col("o"), 6)).as("coord"),
+        col("o"))
+    val wmk = Window.partitionBy(col("m"), col("k"))
+    nc.select(col("m"), col("k"), col("dim"), col("n_points"), col("coord"),
+        round((col("coord") - col("o")) * (col("coord") - col("o")), 9)
+          .cast(d9).as("mv"))
+      .select(col("m"), col("k"), col("dim"), col("n_points"), col("coord"),
+        round(sum(col("mv")).over(wmk).cast("double"), 6).as("movement"))
+      .orderBy("m", "k", "dim")
+  }
+
   /** q_pca_power — one power-method iteration toward the corpus's
     * dominant principal direction: u = Xᵀ(X·v₀) with the deterministic
     * all-ones start, emitted both raw and L2-normalized per dimension.

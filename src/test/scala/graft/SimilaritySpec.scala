@@ -606,6 +606,32 @@ class SimilaritySpec extends SparkSpec {
     assert(out.exists(_.getAs[Double]("movement") > 0.0))
   }
 
+  test("pq lloyd round key equals one iteration of the real PQ trainer") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfDir)
+    val cands = emb.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    // the float trainer after exactly one Lloyd iteration
+    val trained = Similarity.pqCodebookTrained(cands, iters = 1).collect()
+      .map(r => ((r.getAs[Int]("m"), r.getAs[Int]("k")),
+        r.getSeq[Double](r.fieldIndex("cv")).toArray)).toMap
+    val out = Similarity.qPqLloydRound(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // every oracled (m, k, dim) coord matches the trainer's codeword to
+    // the decimal device's tolerance; assigned counts are positive for
+    // non-empty codewords and seeds survive for empty ones
+    out.foreach { r =>
+      val (m, k, dim) = (r.getAs[Int]("m"), r.getAs[Int]("k"), r.getAs[Int]("dim"))
+      val coord = r.getAs[Double]("coord")
+      val cv = trained((m, k))(dim)
+      assert(math.abs(coord - cv) < 1e-5,
+        s"(m=$m,k=$k,dim=$dim): key $coord vs trainer $cv")
+      assert(r.getAs[Double]("movement") >= 0.0)
+    }
+    // full (m, k, dim) grid present: 8 subspaces × 16 codewords × 8 dims
+    assert(out.length == 8 * 16 * 8)
+  }
+
   test("pca power: unit-norm output matching a driver-side recompute") {
     val out = Similarity.qPcaPower(spark, sfDir).collect()
       .map(r => (r.getAs[Int]("dim"), r.getAs[Double]("u"), r.getAs[Double]("v1")))
