@@ -325,6 +325,7 @@ object SparkEntry {
     "q_quality_entropy" -> (TextOps.qQualityEntropy _),
     "q_token_bpe" -> (TextOps.qTokenBpe _),
     "q_frame_sample" -> (graft.mm.Multimodal.qFrameSample _),
+    "q_media_scan" -> (graft.mm.Multimodal.qMediaScan _),
     "q_tfidf" -> (text.Relevance.qTfidf _),
     "q_bm25_search" -> (text.Relevance.qBm25Search _),
     // r12: reciprocal-rank fusion — the hybrid-retrieval primitive RAG
@@ -1061,6 +1062,25 @@ object SparkEntry {
       s"WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), s0 AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' ') AS s FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - 3, 0) + 1)) AS i FROM tok))), s1 AS (SELECT doc_id, s FROM s0 WHERE s IN (SELECT s FROM s0 GROUP BY s HAVING COUNT(*) <= ${text.TextOps.shingleDfCap})), cnt AS (SELECT doc_id, COUNT(*) AS n FROM s1 GROUP BY doc_id), pairs AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, ROUND(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 6) AS jaccard FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni FROM s1 a JOIN s1 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) i JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b) WHERE jaccard > 0.5), edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), comp(id, lbl) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.id) SELECT id AS doc_id, MIN(lbl) AS cluster_id, (id = MIN(lbl)) AS keep FROM comp GROUP BY id ORDER BY doc_id",
     "q_frame_sample" ->
       "SELECT media_id, CAST(i AS INTEGER) AS frame_idx FROM (SELECT doc_id AS media_id, UNNEST(range(0, n_chars % 240 + 1)) AS i FROM documents) WHERE i % 10 = 0 ORDER BY media_id, frame_idx",
+    // DSv2 media connector: the synthesized directory's every cell —
+    // including the exact on-disk byte size (PPM: 9 + digits(w) +
+    // digits(h) + 3wh; WAV: 44 + 2·n_samples) — is a fixed function of
+    // (doc_id, n_chars), so the connector's listing-pruned,
+    // metadata-only scan has a full relational oracle; blob files
+    // (doc_id % 3 = 2) are excluded by the pushed kind filter on the
+    // Spark side and by construction here
+    "q_media_scan" ->
+      ("WITH d AS (SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 48), " +
+        "img AS (SELECT doc_id, n_chars % 13 + 2 AS w, doc_id % 7 + 2 AS h FROM d WHERE doc_id % 3 = 0), " +
+        "aud AS (SELECT doc_id, 8000 + (doc_id % 4) * 4000 AS rate, n_chars % 300 + 10 AS ns FROM d WHERE doc_id % 3 = 1) " +
+        "SELECT name, kind, size, width, height, sample_rate FROM (" +
+        "SELECT 'm' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.ppm' AS name, 'image' AS kind, " +
+        "CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3 * w * h AS BIGINT) AS size, " +
+        "CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, CAST(NULL AS INTEGER) AS sample_rate FROM img " +
+        "UNION ALL " +
+        "SELECT 'm' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.wav', 'audio', " +
+        "CAST(44 + 2 * ns AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(rate AS INTEGER) FROM aud" +
+        ") ORDER BY name"),
     "q_cosine_topk" ->
       s"WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8), c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8), s AS (SELECT qid, cid, ${dotSql("qe", "ce")} AS score FROM c CROSS JOIN q) SELECT qid, cid, ROUND(score, 6) AS score, rn FROM (SELECT qid, cid, score, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS INTEGER) AS rn FROM s) WHERE rn <= 3 ORDER BY qid, rn",
     // kNN label noise: the cosine-topk window shape + two vote aggs;

@@ -180,4 +180,36 @@ class MediaSourceSpec extends SparkSpec {
     assert(rows.length == 3)
     rows.foreach(r => assert(r.getSeq[Float](2).length == 16))
   }
+
+  test("q_media_scan driver key: listing prunes blobs, bodies never read, sizes exact") {
+    MediaSource.headerReads.set(0); MediaSource.bodyReads.set(0)
+    val out = graft.mm.Multimodal.qMediaScan(spark, sfDir).collect()
+    // doc_id 0..47: 16 images (%3=0), 16 audio (%3=1), 16 blobs (%3=2)
+    assert(out.length == 32)
+    // metadata-only projection: zero full-body reads
+    assert(MediaSource.bodyReads.get() == 0L,
+      s"bodyReads=${MediaSource.bodyReads.get()}")
+    // the pushed kind filter pruned blobs at LISTING time: only the 32
+    // matching files were ever opened, and only for their headers
+    assert(MediaSource.headerReads.get() == 32L,
+      s"headerReads=${MediaSource.headerReads.get()}")
+    // per-format metadata parsed from real headers, size from listing
+    val img = out.filter(_.getAs[String]("kind") == "image")
+    val aud = out.filter(_.getAs[String]("kind") == "audio")
+    assert(img.length == 16 && aud.length == 16)
+    img.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val hdr = 9 + w.toString.length + h.toString.length
+      assert(r.getAs[Long]("size") == hdr + 3L * w * h)
+      assert(r.isNullAt(r.fieldIndex("sample_rate")))
+    }
+    aud.foreach { r =>
+      assert(Set(8000, 12000, 16000, 20000).contains(r.getAs[Int]("sample_rate")))
+      assert((r.getAs[Long]("size") - 44) % 2 == 0)
+      assert(r.isNullAt(r.fieldIndex("width")))
+    }
+    // the temp directory is deleted inside the key — a successful
+    // collect() above ALSO proves the localCheckpoint materialization
+    // (a lazy scan over deleted files would have thrown)
+  }
 }
