@@ -245,6 +245,7 @@ object SparkEntry {
     "q_linear_predict" -> (VectorOps.qLinearPredict _),
     "q_mlp_predict" -> (VectorOps.qMlpPredict _),
     "q_mlp2_predict" -> (VectorOps.qMlp2Predict _),
+    "q_softmax_predict" -> (VectorOps.qSoftmaxPredict _),
     "q_accuracy" -> (VectorOps.qAccuracy _),
     "q_eval_metrics" -> (VectorOps.qEvalMetrics _),
     "q_string_index" -> (VectorOps.qStringIndex _),
@@ -642,6 +643,26 @@ object SparkEntry {
         .map(j => s"h$j * ${VectorOps.mlpW2(j)}").mkString(" + ")
       s"WITH h AS (SELECT vec_id, $hCols FROM embeddings) " +
         s"SELECT vec_id, ROUND(1.0/(1.0+exp(-($zSum + ${VectorOps.mlpB2}))), 6) AS mlp_prob FROM h ORDER BY vec_id"
+    },
+    // K-way softmax head: per-class logits via dot products,
+    // max-subtracted exponentials (greatest + exp mirrored literally),
+    // left-associated normalizer sum, argmax CASE with ties to the
+    // smallest class index — the SoftmaxMlpModel.predictLabel semantics
+    "q_softmax_predict" -> {
+      import VectorOps._
+      val zs = (0 until smClasses).map { k =>
+        val w = smW(k).mkString("[", ", ", "]")
+        s"${dotSql("embedding", w)} + ${smB(k)}"
+      }
+      val zCols = zs.zipWithIndex.map { case (z, k) => s"$z AS z$k" }.mkString(", ")
+      val mx = s"greatest(${(0 until smClasses).map(k => s"z$k").mkString(", ")})"
+      val eCols = (0 until smClasses).map(k => s"exp(z$k - $mx) AS e$k").mkString(", ")
+      val tot = (0 until smClasses).map(k => s"e$k").mkString(" + ")
+      val pCols = (0 until smClasses)
+        .map(k => s"ROUND(e$k / ($tot), 6) AS p$k").mkString(", ")
+      s"WITH z AS (SELECT vec_id, $zCols FROM embeddings), " +
+        s"e AS (SELECT vec_id, CASE WHEN z0 >= z1 AND z0 >= z2 THEN 0 WHEN z1 >= z2 THEN 1 ELSE 2 END AS pred_class, $eCols FROM z) " +
+        s"SELECT vec_id, pred_class, $pCols FROM e ORDER BY vec_id"
     },
     // deep (2-hidden-layer) MLP forward pass: hidden-1 tanh units from
     // dot products, hidden-2 tanh units over the h columns, sigmoid out —

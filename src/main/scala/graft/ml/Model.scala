@@ -312,6 +312,156 @@ object DeepMlpModel {
       din, hiddens)
 }
 
+/** MULTI-CLASS MLP: tanh hidden layers, K-way softmax output under
+  * cross-entropy — the head the reference's flagship example actually
+  * trains (`examples/mnist.py` ends in Dense(10, softmax) [H]). Labels
+  * travel through the unchanged [[DiffModel]]/[[Trainers]] plumbing as
+  * the double-encoded class index (y ∈ {0..K−1}):
+  *  - `gradient(x, y)` = cross-entropy backprop, output delta
+  *    p − onehot(y);
+  *  - `logLoss(x, y)` (overridden) = −log p_y;
+  *  - `predictLabel(x)` (overridden) = argmax class, ties to the
+  *    smallest index;
+  *  - `predictProb(x)` = the max softmax probability (the confidence
+  *    a binary-thresholding caller would read).
+  * Softmax runs with max-logit subtraction so huge logits can't
+  * overflow to NaN (spec-pinned). Layout: the [[DeepMlpModel]] per-layer
+  * convention with a final (K × last) layer. */
+final case class SoftmaxMlpModel(weights: ModelWeights, din: Int,
+                                 hiddens: Seq[Int], nClasses: Int)
+    extends DiffModel {
+  require(nClasses >= 2, s"need >= 2 classes, got $nClasses")
+  require(hiddens.forall(_ > 0), s"bad hidden sizes: $hiddens")
+  private val dims: Array[Int] = (din +: hiddens :+ nClasses).toArray
+  private val nLayers = dims.length - 1
+  private val wOff = new Array[Int](nLayers)
+  private val bOff = new Array[Int](nLayers)
+  private val totalParams: Int = {
+    var off = 0
+    var l = 0
+    while (l < nLayers) {
+      wOff(l) = off; off += dims(l + 1) * dims(l)
+      bOff(l) = off; off += dims(l + 1)
+      l += 1
+    }
+    off
+  }
+  require(weights.flat.length == totalParams,
+    s"weight layout mismatch: ${weights.flat.length} for dims ${dims.toSeq}")
+
+  def withWeights(w: ModelWeights): SoftmaxMlpModel = copy(weights = w)
+
+  private def forward(x: Array[Double]): Array[Array[Double]] = {
+    val f = weights.flat
+    val acts = new Array[Array[Double]](nLayers + 1)
+    acts(0) = x
+    var l = 0
+    while (l < nLayers) {
+      val in = acts(l)
+      val out = new Array[Double](dims(l + 1))
+      var j = 0
+      while (j < out.length) {
+        var s = f(bOff(l) + j)
+        val row = wOff(l) + j * dims(l)
+        var i = 0
+        while (i < in.length) { s += f(row + i) * in(i); i += 1 }
+        out(j) = if (l == nLayers - 1) s else math.tanh(s) // raw logits last
+        j += 1
+      }
+      acts(l + 1) = out
+      l += 1
+    }
+    // softmax in place over the logits, max-subtracted for stability
+    val z = acts(nLayers)
+    var mx = z(0)
+    var k = 1
+    while (k < z.length) { if (z(k) > mx) mx = z(k); k += 1 }
+    var tot = 0.0
+    k = 0
+    while (k < z.length) { z(k) = math.exp(z(k) - mx); tot += z(k); k += 1 }
+    k = 0
+    while (k < z.length) { z(k) /= tot; k += 1 }
+    acts
+  }
+
+  /** Full softmax distribution over the K classes. */
+  def predictClassProbs(x: Array[Double]): Array[Double] =
+    forward(x)(nLayers).clone()
+
+  def predictProb(x: Array[Double]): Double = {
+    val p = forward(x)(nLayers)
+    var best = p(0); var k = 1
+    while (k < p.length) { if (p(k) > best) best = p(k); k += 1 }
+    best
+  }
+
+  override def predictLabel(x: Array[Double]): Double = {
+    val p = forward(x)(nLayers)
+    var arg = 0; var k = 1
+    while (k < p.length) { if (p(k) > p(arg)) arg = k; k += 1 }
+    arg.toDouble
+  }
+
+  override def logLoss(x: Array[Double], y: Double): Double = {
+    val p = forward(x)(nLayers)(y.toInt)
+    -math.log(math.min(math.max(p, 1e-12), 1.0))
+  }
+
+  def gradient(x: Array[Double], y: Double): Array[Double] = {
+    val f = weights.flat
+    val acts = forward(x)
+    val g = new Array[Double](f.length)
+    // cross-entropy + softmax collapses the output delta to p − onehot(y)
+    val delta0 = acts(nLayers).clone()
+    delta0(y.toInt) -= 1.0
+    var delta = delta0
+    var l = nLayers - 1
+    while (l >= 0) {
+      val in = acts(l)
+      var j = 0
+      while (j < delta.length) {
+        val row = wOff(l) + j * dims(l)
+        var i = 0
+        while (i < in.length) { g(row + i) = delta(j) * in(i); i += 1 }
+        g(bOff(l) + j) = delta(j)
+        j += 1
+      }
+      if (l > 0) {
+        val prev = new Array[Double](dims(l))
+        var i = 0
+        while (i < prev.length) {
+          var s = 0.0
+          var jj = 0
+          while (jj < delta.length) {
+            s += f(wOff(l) + jj * dims(l) + i) * delta(jj); jj += 1
+          }
+          prev(i) = s * (1.0 - in(i) * in(i))
+          i += 1
+        }
+        delta = prev
+      }
+      l -= 1
+    }
+    g
+  }
+}
+
+object SoftmaxMlpModel {
+  def shapes(din: Int, hiddens: Seq[Int], nClasses: Int): Seq[(Int, Int)] = {
+    val dims = din +: hiddens :+ nClasses
+    dims.sliding(2).toSeq.flatMap {
+      case Seq(in, out) => Seq((out, in), (out, 1))
+      case _ => Seq.empty
+    }
+  }
+
+  def init(din: Int, hiddens: Seq[Int], nClasses: Int,
+           seed: Long = 42L): SoftmaxMlpModel =
+    SoftmaxMlpModel(
+      ModelWeights.uniform(shapes(din, hiddens, nClasses), -0.5, 0.5, seed),
+      din, hiddens, nClasses)
+}
+
 /** Model persistence — the disk-format replacement for the reference's
   * pickled model files (`examples/mnist.py` saves/loads the trained
   * Keras model between runs [M]). Weights are written as ONE parquet

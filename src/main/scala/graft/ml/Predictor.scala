@@ -63,6 +63,34 @@ object Predictor {
         d.withColumn(f.name, col(f.name).as(f.name, f.metadata))
       }
   }
+
+  /** Batched MULTI-CLASS scorer: appends the argmax class index (what
+    * `examples/mnist.py` reads off its Dense(10, softmax) head [H]) —
+    * same broadcast/batch/pre-resolved-schema discipline as
+    * [[predictBatched]], using the model's own `predictLabel` so any
+    * [[DiffModel]] with an overridden argmax (e.g.
+    * [[SoftmaxMlpModel]]) scores correctly. */
+  def predictBatchedLabel[M <: DiffModel](df: DataFrame, modelBc: Broadcast[M],
+                     featuresCol: String, outputCol: String,
+                     batchSize: Int = 1024): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      org.apache.spark.sql.types.StructField(outputCol, DoubleType, nullable = false))
+    val featIdx = df.schema.fieldIndex(featuresCol)
+    val enc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      val model = modelBc.value
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val x = r.getSeq[Any](featIdx).map {
+            case f: Float => f.toDouble
+            case d: Double => d
+            case o => o.toString.toDouble
+          }.toArray
+          Row.fromSeq(r.toSeq :+ model.predictLabel(x))
+        }
+      }
+    }(enc)
+  }
 }
 
 /** AccuracyEvaluator (`distkeras/evaluators.py ~L15-60 [H]`): fraction of

@@ -148,6 +148,24 @@ object VectorOps {
   val mlp2W3: Seq[Double] = (0 until mlp2Hidden2).map(k => ((k * 23) % 11 - 5) / 10.0)
   val mlp2B3: Double = -0.1
 
+  /** Deterministic 3-class SOFTMAX demo weights (multinomial logistic
+    * head over the 64-dim embedding) — formula-derived; layout matches
+    * [[graft.ml.SoftmaxMlpModel]] with no hidden layers ([W row-major,
+    * b]); SoftmaxMlpSpec pins the expression form to the Scala model. */
+  val smClasses: Int = 3
+  val smW: Seq[Seq[Double]] = (0 until smClasses).map(k =>
+    (0 until 64).map(i => ((i * 43 + k * 89) % 21 - 10) / 10.0))
+  val smB: Seq[Double] = (0 until smClasses).map(k => ((k * 37) % 9 - 4) / 10.0)
+
+  /** The [[smW]]/[[smB]] literals as one [[graft.ml.SoftmaxMlpModel]]. */
+  def smModel: graft.ml.SoftmaxMlpModel = {
+    val flat = (smW.flatten ++ smB).toArray
+    graft.ml.SoftmaxMlpModel(
+      graft.ml.ModelWeights(
+        graft.ml.SoftmaxMlpModel.shapes(64, Seq.empty, smClasses), flat),
+      64, Seq.empty, smClasses)
+  }
+
   /** The [[mlp2*]] literals as one [[graft.ml.DeepMlpModel]] flat vector
     * (single source of truth for the spec equivalence). */
   def mlp2Model: graft.ml.DeepMlpModel = {
@@ -298,6 +316,30 @@ object VectorOps {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("mlp2_prob"))
+      .orderBy("vec_id")
+  }
+
+  /** q_softmax_predict — the K-WAY SOFTMAX head as pure Catalyst
+    * expressions (the output layer of the reference's flagship
+    * `examples/mnist.py` Dense(softmax) model): per-class logits from
+    * the fused codegen dot product, max-subtracted exponentials (the
+    * overflow-stable form, mirrored literally in SQL), probabilities
+    * normalized by the left-associated sum, argmax class with ties to
+    * the smallest index — the exact `SoftmaxMlpModel.predictLabel`
+    * semantics, spec-pinned. One projection, zero shuffles before the
+    * display sort, whole-stage codegen end to end. */
+  def qSoftmaxPredict(spark: SparkSession, dir: String): DataFrame = {
+    val z = (0 until smClasses).map(k =>
+      dotLit(col("embedding"), smW(k)) + lit(smB(k)))
+    val mx = greatest(z: _*)
+    val e = z.map(zk => exp(zk - mx))
+    val tot = e.reduce(_ + _)
+    val cls = when(z(0) >= z(1) && z(0) >= z(2), lit(0))
+      .when(z(1) >= z(2), lit(1)).otherwise(lit(2))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id") +: cls.as("pred_class") +:
+        (0 until smClasses).map(k =>
+          round(e(k) / tot, 6).as(s"p$k")): _*)
       .orderBy("vec_id")
   }
 
