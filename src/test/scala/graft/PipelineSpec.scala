@@ -78,6 +78,62 @@ class PipelineSpec extends SparkSpec {
     assert(acc > 0.95, s"end-to-end accuracy $acc")
   }
 
+  /** 10-class fixture, the reference example's REAL output shape
+    * (`examples/mnist.py` ends in Dense(10, softmax) [H]): ten Gaussian
+    * blobs in 4-D pixel space (equal covariance → linearly separable,
+    * so the multinomial-logistic head is realizable; nearest-center
+    * accuracy of the generator is 0.99). Written as CSV like the binary
+    * fixture so the flow starts from a genuine file source. */
+  private lazy val csv10Dir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipeline10").toString
+    val rnd = new scala.util.Random(31)
+    def gauss(): Double = {
+      // Box-Muller from the seeded uniform stream (deterministic fixture)
+      val (u1, u2) = (rnd.nextDouble() max 1e-12, rnd.nextDouble())
+      math.sqrt(-2.0 * math.log(u1)) * math.cos(2 * math.Pi * u2)
+    }
+    val rows = for (k <- 0 until 10; _ <- 0 until 60) yield {
+      val px = Array.tabulate(4) { i =>
+        val c = 2.0 * math.cos(2 * math.Pi * k / 10 + i * 1.7)
+        (c + gauss() * 0.35 + 4.0) * 32.0 // shift into [0, 255] pixel range
+      }
+      f"${px(0)}%.3f,${px(1)}%.3f,${px(2)}%.3f,${px(3)}%.3f,$k"
+    }
+    // shuffle before writing — the reference does the same before
+    // training (`distkeras/utils.py › shuffle [H]`): sequential
+    // minibatch SGD over CLASS-SORTED rows oscillates (each batch is
+    // single-class) and measurably stalls at ~0.74 where shuffled
+    // order reaches ~0.99
+    val shuffled = rnd.shuffle(rows)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "digits10.csv"),
+      ("p0,p1,p2,p3,label" +: shuffled).mkString("\n").getBytes)
+    dir
+  }
+
+  test("10-class pipeline: CSV->assemble->scale->softmax train->batched argmax->accuracy > 0.9") {
+    val raw = spark.read
+      .option("header", "true")
+      .schema("p0 DOUBLE, p1 DOUBLE, p2 DOUBLE, p3 DOUBLE, label INT")
+      .csv(csv10Dir)
+    val data = raw.select(
+      VectorOps.minMaxScale(
+        VectorOps.assemble(col("p0"), col("p1"), col("p2"), col("p3")),
+        lit(0.0), lit(255.0)).as("features"),
+      col("label"), col("label").cast("double").as("y"))
+    // the mnist.py head: a 10-way softmax trained through the same
+    // distributed harness as every other DiffModel
+    val model = Trainers.trainDistributedModel(data, "features", "y",
+      SoftmaxMlpModel.init(din = 4, hiddens = Seq.empty, nClasses = 10, seed = 5L),
+      numWorkers = 4, epochs = 100, lr = 0.8, batchSize = 16)
+    val bc = spark.sparkContext.broadcast(model)
+    val scored = Predictor.predictBatchedLabel(data, bc, "features", "pred")
+    val acc = Evaluator.accuracy(
+      scored.withColumn("pred", col("pred").cast("int")), "pred", "label")
+    bc.destroy()
+    assert(acc > 0.9, s"10-class end-to-end accuracy $acc")
+  }
+
   test("everything outside the ML island is ONE unbroken Catalyst plan (SURVEY 3.3)") {
     val data = prepped
     val model = LinearModel.init(4, seed = 3L)
