@@ -178,12 +178,13 @@ object Trainers {
 
   /** EnsembleTrainer (`distkeras/trainers.py ~L150-260 [H]`): one model
     * per partition, no merge — returned as an ensemble whose prediction
-    * averages member probabilities. */
-  def trainEnsemble(df: DataFrame, featuresCol: String, labelCol: String,
-                    dim: Int, numModels: Int = 4, epochs: Int = 5,
-                    lr: Double = 0.5, batchSize: Int = 32,
-                    seed: Long = 42L): Seq[LinearModel] = {
-    val init = LinearModel.init(dim, seed)
+    * averages member probabilities. Architecture-generic like the
+    * reference's (it trained any compiled model): every member starts
+    * from the same `init` and trains fully locally on its partition. */
+  def trainEnsembleModel[M <: DiffModel](
+      df: DataFrame, featuresCol: String, labelCol: String, init: M,
+      numModels: Int = 4, epochs: Int = 5, lr: Double = 0.5,
+      batchSize: Int = 32): Seq[M] = {
     toExamples(df, featuresCol, labelCol)
       .repartition(numModels)
       .mapPartitions { it =>
@@ -192,19 +193,45 @@ object Trainers {
         val data = it.toArray
         if (data.isEmpty) Iterator.empty
         else {
-          var m = init
+          var m: DiffModel = init
           (0 until epochs).foreach { _ =>
-            m = LinearModel(localSgd(m, data.iterator, lr, batchSize)._1)
+            m = m.withWeights(localSgd(m, data.iterator, lr, batchSize)._1)
           }
           Iterator.single(m.weights.flat)
         }
       }
-      .collect().toSeq.map(f => LinearModel(init.weights.copy(flat = f)))
+      .collect().toSeq
+      .map(f => init.withWeights(init.weights.copy(flat = f)).asInstanceOf[M])
   }
 
+  def trainEnsemble(df: DataFrame, featuresCol: String, labelCol: String,
+                    dim: Int, numModels: Int = 4, epochs: Int = 5,
+                    lr: Double = 0.5, batchSize: Int = 32,
+                    seed: Long = 42L): Seq[LinearModel] =
+    trainEnsembleModel(df, featuresCol, labelCol, LinearModel.init(dim, seed),
+      numModels, epochs, lr, batchSize)
+
   /** Average-probability ensemble prediction. */
-  def ensemblePredict(models: Seq[LinearModel], x: Array[Double]): Double =
+  def ensemblePredict(models: Seq[_ <: DiffModel], x: Array[Double]): Double =
     models.map(_.predictProb(x)).sum / models.size
+
+  /** Multi-class ensemble vote: average the members' full softmax
+    * distributions, then argmax (ties to the smallest class) — the
+    * standard soft-voting committee over [[SoftmaxMlpModel]] members. */
+  def ensemblePredictClass(models: Seq[SoftmaxMlpModel],
+                           x: Array[Double]): Double = {
+    require(models.nonEmpty)
+    val k = models.head.nClasses
+    val acc = new Array[Double](k)
+    models.foreach { m =>
+      val p = m.predictClassProbs(x)
+      var i = 0
+      while (i < k) { acc(i) += p(i); i += 1 }
+    }
+    var arg = 0; var i = 1
+    while (i < k) { if (acc(i) > acc(arg)) arg = i; i += 1 }
+    arg.toDouble
+  }
 
   /** The synchronous data-parallel trainer (DistributedTrainer redesign,
     * `trainers.py ~L270-360 [H]`). One Spark stage per epoch; the only

@@ -96,6 +96,20 @@ class SoftmaxMlpSpec extends SparkSpec {
     bc.destroy()
   }
 
+  test("softmax ensemble: members differ, soft-vote committee accuracy high") {
+    val members = Trainers.trainEnsembleModel(blobs, "features", "label",
+      SoftmaxMlpModel.init(din = 2, hiddens = Seq(6), nClasses = 3, seed = 5L),
+      numModels = 4, epochs = 40, lr = 0.8)
+    assert(members.size == 4)
+    // partitions see different data, so members must not be identical
+    assert(members.map(_.weights.flat.toSeq).distinct.size > 1)
+    val data = blobs.as[(Seq[Double], Double)].collect()
+    val acc = data.count { case (x, y) =>
+      Trainers.ensemblePredictClass(members, x.toArray) == y
+    }.toDouble / data.length
+    assert(acc > 0.9, s"softmax ensemble accuracy $acc")
+  }
+
   test("q_softmax_predict expression form equals the Scala softmax model") {
     val model = VectorOps.smModel
     val out = VectorOps.qSoftmaxPredict(spark, sfDir).collect()
