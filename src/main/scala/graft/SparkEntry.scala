@@ -660,8 +660,12 @@ object SparkEntry {
       val tot = (0 until smClasses).map(k => s"e$k").mkString(" + ")
       val pCols = (0 until smClasses)
         .map(k => s"ROUND(e$k / ($tot), 6) AS p$k").mkString(", ")
+      val argmax = (0 until smClasses - 1).map { k =>
+        val cond = (k + 1 until smClasses).map(j => s"z$k >= z$j").mkString(" AND ")
+        s"WHEN $cond THEN $k"
+      }.mkString("CASE ", " ", s" ELSE ${smClasses - 1} END")
       s"WITH z AS (SELECT vec_id, $zCols FROM embeddings), " +
-        s"e AS (SELECT vec_id, CASE WHEN z0 >= z1 AND z0 >= z2 THEN 0 WHEN z1 >= z2 THEN 1 ELSE 2 END AS pred_class, $eCols FROM z) " +
+        s"e AS (SELECT vec_id, $argmax AS pred_class, $eCols FROM z) " +
         s"SELECT vec_id, pred_class, $pCols FROM e ORDER BY vec_id"
     },
     // deep (2-hidden-layer) MLP forward pass: hidden-1 tanh units from

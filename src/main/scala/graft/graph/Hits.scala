@@ -25,7 +25,10 @@ import graft.plans.Checkpointer
   * engines and the driver hash-compare needs no float device at all.
   * Sums run through DECIMAL(28,0): magnitudes grow like degreeᵏ per
   * iteration, and a BIGINT sum would silently wrap on a 100 TB hub
-  * (Spark long overflow is unchecked); output re-casts to BIGINT.
+  * (Spark long overflow is unchecked); the driver key emits the score
+  * as the DECIMAL's exact STRING rendering in both engines (see
+  * [[qHits]]) — never a BIGINT re-cast, which would reintroduce the
+  * same wrap at the output boundary.
   *
   * Scale shape: per iteration ONE node-keyed equi-join (edges ⋈ scores)
   * and ONE aggregate — O(|E|) shuffle per round, the CC/PageRank bill.

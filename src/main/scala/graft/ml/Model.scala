@@ -189,50 +189,50 @@ object MlpModel {
     MlpModel(ModelWeights.uniform(shapes(din, hidden), -0.5, 0.5, seed), din, hidden)
 }
 
-/** Configurable-depth MLP (any number of tanh hidden layers, logistic
-  * output) — the ARBITRARY-ARCHITECTURE member of the model zoo, closing
-  * the gap to the reference's "any compiled Keras model" contract
-  * (`distkeras/trainers.py › Trainer.__init__ [H]`; `examples/mnist.py`
-  * stacks multiple Dense layers [H]) within this sandbox's honest means
-  * (no Keras/GPU: a pure-Scala N-layer net trained through the SAME
-  * [[graft.ml.Trainers]] harness and update rules as every other model).
-  *
-  * Weight layout per layer l (widths dims = din +: hiddens :+ 1):
-  * W_l row-major (dims(l+1) × dims(l)) then b_l (dims(l+1)) — for
-  * `hiddens = Seq(h)` this is bit-identical to [[MlpModel]]'s layout,
-  * pinned in DeepMlpSpec, so a 1-hidden DeepMlp and an MlpModel are
-  * interchangeable around the same flat vector.
-  *
-  * Forward: a_0 = x; a_l = tanh(W_l·a_{l−1} + b_l) for hidden layers;
-  * p = σ(W_L·a_{L−1} + b_L). Backward (log loss): δ_L = p − y;
-  * δ_{l−1} = (W_lᵀ·δ_l) ⊙ (1 − a_{l−1}²); ∂W_l = δ_l·a_{l−1}ᵀ,
-  * ∂b_l = δ_l — gradient-checked against central finite differences
-  * per parameter in DeepMlpSpec. */
-final case class DeepMlpModel(weights: ModelWeights, din: Int,
-                              hiddens: Seq[Int]) extends DiffModel {
-  require(hiddens.nonEmpty && hiddens.forall(_ > 0), s"bad hidden sizes: $hiddens")
-  private val dims: Array[Int] = (din +: hiddens :+ 1).toArray
-  private val nLayers = dims.length - 1
-  private val wOff = new Array[Int](nLayers)
-  private val bOff = new Array[Int](nLayers)
-  private val totalParams: Int = {
+/** Shared layered-net machinery: the per-layer flat layout (W_l
+  * row-major (dims(l+1) × dims(l)) then b_l), the tanh-hidden forward
+  * pass, and the backprop loop — everything that does NOT depend on the
+  * output head. [[DeepMlpModel]] (1 sigmoid unit, log loss) and
+  * [[SoftmaxMlpModel]] (K-way softmax, cross-entropy) plug in only
+  * their output activation and initial delta, so a fix to the offset
+  * math or the inner loops lands in ONE place (round-13 review). */
+private[ml] trait LayeredNet extends DiffModel {
+  def din: Int
+  def hiddens: Seq[Int]
+  /** Width of the output layer (1 for sigmoid, K for softmax). */
+  protected def outUnits: Int
+  /** Activate the raw output logits IN PLACE. */
+  protected def activateOutput(z: Array[Double]): Unit
+  /** Initial backprop delta from the ACTIVATED output and the label —
+    * a fresh array the caller may keep. */
+  protected def outputDelta(out: Array[Double], y: Double): Array[Double]
+
+  protected lazy val dims: Array[Int] = (din +: hiddens :+ outUnits).toArray
+  protected lazy val nLayers: Int = dims.length - 1
+  protected lazy val wOff: Array[Int] = layout._1
+  protected lazy val bOff: Array[Int] = layout._2
+  protected lazy val totalParams: Int = layout._3
+  private lazy val layout: (Array[Int], Array[Int], Int) = {
+    val w = new Array[Int](nLayers)
+    val b = new Array[Int](nLayers)
     var off = 0
     var l = 0
     while (l < nLayers) {
-      wOff(l) = off; off += dims(l + 1) * dims(l)
-      bOff(l) = off; off += dims(l + 1)
+      w(l) = off; off += dims(l + 1) * dims(l)
+      b(l) = off; off += dims(l + 1)
       l += 1
     }
-    off
+    (w, b, off)
   }
-  require(weights.flat.length == totalParams,
-    s"weight layout mismatch: ${weights.flat.length} for dims ${dims.toSeq}")
+  /** Concrete constructors call this to fail fast on a bad flat vector. */
+  protected final def checkLayout(): Unit =
+    require(weights.flat.length == totalParams,
+      s"weight layout mismatch: ${weights.flat.length} for dims ${dims.toSeq}")
 
-  def withWeights(w: ModelWeights): DeepMlpModel = copy(weights = w)
-
-  /** Forward pass keeping each layer's activations (backprop needs them).
-    * acts(0) = x, acts(l+1) = layer l's output; the last is length-1. */
-  private def forward(x: Array[Double]): Array[Array[Double]] = {
+  /** Forward pass keeping each layer's activations (backprop needs
+    * them): acts(0) = x, acts(l+1) = layer l's output; the last is
+    * [[activateOutput]]-transformed in place. */
+  protected final def forward(x: Array[Double]): Array[Array[Double]] = {
     val f = weights.flat
     val acts = new Array[Array[Double]](nLayers + 1)
     acts(0) = x
@@ -246,24 +246,21 @@ final case class DeepMlpModel(weights: ModelWeights, din: Int,
         val row = wOff(l) + j * dims(l)
         var i = 0
         while (i < in.length) { s += f(row + i) * in(i); i += 1 }
-        out(j) =
-          if (l == nLayers - 1) 1.0 / (1.0 + math.exp(-s)) else math.tanh(s)
+        out(j) = if (l == nLayers - 1) s else math.tanh(s) // raw logits last
         j += 1
       }
       acts(l + 1) = out
       l += 1
     }
+    activateOutput(acts(nLayers))
     acts
   }
 
-  def predictProb(x: Array[Double]): Double = forward(x)(nLayers)(0)
-
-  def gradient(x: Array[Double], y: Double): Array[Double] = {
+  final def gradient(x: Array[Double], y: Double): Array[Double] = {
     val f = weights.flat
     val acts = forward(x)
     val g = new Array[Double](f.length)
-    // sigmoid + log-loss collapses the output delta to (p − y)
-    var delta = Array(acts(nLayers)(0) - y)
+    var delta = outputDelta(acts(nLayers), y)
     var l = nLayers - 1
     while (l >= 0) {
       val in = acts(l)
@@ -296,6 +293,38 @@ final case class DeepMlpModel(weights: ModelWeights, din: Int,
   }
 }
 
+/** Configurable-depth MLP (any number of tanh hidden layers, logistic
+  * output) — the ARBITRARY-ARCHITECTURE member of the model zoo, closing
+  * the gap to the reference's "any compiled Keras model" contract
+  * (`distkeras/trainers.py › Trainer.__init__ [H]`; `examples/mnist.py`
+  * stacks multiple Dense layers [H]) within this sandbox's honest means
+  * (no Keras/GPU: a pure-Scala N-layer net trained through the SAME
+  * [[graft.ml.Trainers]] harness and update rules as every other model).
+  *
+  * Layout/forward/backprop live in [[LayeredNet]]; for
+  * `hiddens = Seq(h)` the layout is bit-identical to [[MlpModel]]'s,
+  * pinned in DeepMlpSpec, so a 1-hidden DeepMlp and an MlpModel are
+  * interchangeable around the same flat vector. Output head: one
+  * sigmoid unit under log loss (δ_L = p − y); gradient-checked against
+  * central finite differences per parameter in DeepMlpSpec. */
+final case class DeepMlpModel(weights: ModelWeights, din: Int,
+                              hiddens: Seq[Int]) extends LayeredNet {
+  require(hiddens.nonEmpty && hiddens.forall(_ > 0), s"bad hidden sizes: $hiddens")
+  protected def outUnits: Int = 1
+  checkLayout()
+
+  def withWeights(w: ModelWeights): DeepMlpModel = copy(weights = w)
+
+  protected def activateOutput(z: Array[Double]): Unit =
+    z(0) = 1.0 / (1.0 + math.exp(-z(0)))
+
+  // sigmoid + log-loss collapses the output delta to (p − y)
+  protected def outputDelta(out: Array[Double], y: Double): Array[Double] =
+    Array(out(0) - y)
+
+  def predictProb(x: Array[Double]): Double = forward(x)(nLayers)(0)
+}
+
 object DeepMlpModel {
   /** Shape list: per layer, the (out, in) weight matrix then the
     * (out, 1) bias — `hiddens = Seq(h)` reproduces [[MlpModel.shapes]]. */
@@ -325,54 +354,21 @@ object DeepMlpModel {
   *  - `predictProb(x)` = the max softmax probability (the confidence
   *    a binary-thresholding caller would read).
   * Softmax runs with max-logit subtraction so huge logits can't
-  * overflow to NaN (spec-pinned). Layout: the [[DeepMlpModel]] per-layer
-  * convention with a final (K × last) layer. */
+  * overflow to NaN (spec-pinned). Layout/forward/backprop live in
+  * [[LayeredNet]]; an empty `hiddens` is the plain multinomial
+  * logistic head. */
 final case class SoftmaxMlpModel(weights: ModelWeights, din: Int,
                                  hiddens: Seq[Int], nClasses: Int)
-    extends DiffModel {
+    extends LayeredNet {
   require(nClasses >= 2, s"need >= 2 classes, got $nClasses")
   require(hiddens.forall(_ > 0), s"bad hidden sizes: $hiddens")
-  private val dims: Array[Int] = (din +: hiddens :+ nClasses).toArray
-  private val nLayers = dims.length - 1
-  private val wOff = new Array[Int](nLayers)
-  private val bOff = new Array[Int](nLayers)
-  private val totalParams: Int = {
-    var off = 0
-    var l = 0
-    while (l < nLayers) {
-      wOff(l) = off; off += dims(l + 1) * dims(l)
-      bOff(l) = off; off += dims(l + 1)
-      l += 1
-    }
-    off
-  }
-  require(weights.flat.length == totalParams,
-    s"weight layout mismatch: ${weights.flat.length} for dims ${dims.toSeq}")
+  protected def outUnits: Int = nClasses
+  checkLayout()
 
   def withWeights(w: ModelWeights): SoftmaxMlpModel = copy(weights = w)
 
-  private def forward(x: Array[Double]): Array[Array[Double]] = {
-    val f = weights.flat
-    val acts = new Array[Array[Double]](nLayers + 1)
-    acts(0) = x
-    var l = 0
-    while (l < nLayers) {
-      val in = acts(l)
-      val out = new Array[Double](dims(l + 1))
-      var j = 0
-      while (j < out.length) {
-        var s = f(bOff(l) + j)
-        val row = wOff(l) + j * dims(l)
-        var i = 0
-        while (i < in.length) { s += f(row + i) * in(i); i += 1 }
-        out(j) = if (l == nLayers - 1) s else math.tanh(s) // raw logits last
-        j += 1
-      }
-      acts(l + 1) = out
-      l += 1
-    }
-    // softmax in place over the logits, max-subtracted for stability
-    val z = acts(nLayers)
+  // softmax in place over the logits, max-subtracted for stability
+  protected def activateOutput(z: Array[Double]): Unit = {
     var mx = z(0)
     var k = 1
     while (k < z.length) { if (z(k) > mx) mx = z(k); k += 1 }
@@ -381,7 +377,13 @@ final case class SoftmaxMlpModel(weights: ModelWeights, din: Int,
     while (k < z.length) { z(k) = math.exp(z(k) - mx); tot += z(k); k += 1 }
     k = 0
     while (k < z.length) { z(k) /= tot; k += 1 }
-    acts
+  }
+
+  // cross-entropy + softmax collapses the output delta to p − onehot(y)
+  protected def outputDelta(out: Array[Double], y: Double): Array[Double] = {
+    val d = out.clone()
+    d(y.toInt) -= 1.0
+    d
   }
 
   /** Full softmax distribution over the K classes. */
@@ -405,44 +407,6 @@ final case class SoftmaxMlpModel(weights: ModelWeights, din: Int,
   override def logLoss(x: Array[Double], y: Double): Double = {
     val p = forward(x)(nLayers)(y.toInt)
     -math.log(math.min(math.max(p, 1e-12), 1.0))
-  }
-
-  def gradient(x: Array[Double], y: Double): Array[Double] = {
-    val f = weights.flat
-    val acts = forward(x)
-    val g = new Array[Double](f.length)
-    // cross-entropy + softmax collapses the output delta to p − onehot(y)
-    val delta0 = acts(nLayers).clone()
-    delta0(y.toInt) -= 1.0
-    var delta = delta0
-    var l = nLayers - 1
-    while (l >= 0) {
-      val in = acts(l)
-      var j = 0
-      while (j < delta.length) {
-        val row = wOff(l) + j * dims(l)
-        var i = 0
-        while (i < in.length) { g(row + i) = delta(j) * in(i); i += 1 }
-        g(bOff(l) + j) = delta(j)
-        j += 1
-      }
-      if (l > 0) {
-        val prev = new Array[Double](dims(l))
-        var i = 0
-        while (i < prev.length) {
-          var s = 0.0
-          var jj = 0
-          while (jj < delta.length) {
-            s += f(wOff(l) + jj * dims(l) + i) * delta(jj); jj += 1
-          }
-          prev(i) = s * (1.0 - in(i) * in(i))
-          i += 1
-        }
-        delta = prev
-      }
-      l -= 1
-    }
-    g
   }
 }
 

@@ -30,12 +30,17 @@ object Predictor {
     df.withColumn(outputCol,
       VectorOps.dotLit(col(featuresCol), model.w.toSeq) + lit(model.b))
 
-  /** Batched black-box scorer. Batches amortize per-call model overhead
-    * (for a real NN: one forward pass per `batchSize` rows). The model
-    * ships once per executor via broadcast, not once per task closure. */
-  def predictBatched[M <: DiffModel](df: DataFrame, modelBc: Broadcast[M],
-                     featuresCol: String, outputCol: String,
-                     batchSize: Int = 1024): DataFrame = {
+  /** Shared batched-scorer core: append ONE double column computed by
+    * `score(model, features)` over bounded row batches. The model ships
+    * once per executor via broadcast, not once per task closure; the
+    * output schema is pre-resolved (no `rdd.toDF()` re-inference); and
+    * column metadata the RowEncoder drops (e.g. ReshapeTransformer's
+    * shape annotation) is re-attached — a plan-level Project only, the
+    * MapPartitions island stays a single node. */
+  private def predictBatchedWith[M <: DiffModel](
+      df: DataFrame, modelBc: Broadcast[M], featuresCol: String,
+      outputCol: String, batchSize: Int)(
+      score: (M, Array[Double]) => Double): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       org.apache.spark.sql.types.StructField(outputCol, DoubleType, nullable = false))
     val featIdx = df.schema.fieldIndex(featuresCol)
@@ -51,46 +56,35 @@ object Predictor {
             case d: Double => d
             case o => o.toString.toDouble
           }.toArray
-          Row.fromSeq(r.toSeq :+ model.predictProb(x))
+          Row.fromSeq(r.toSeq :+ score(model, x))
         }
       }
     }(enc)
-    // the row encoder drops column metadata (e.g. ReshapeTransformer's
-    // shape annotation) — re-attach it; a plan-level Project only, the
-    // MapPartitions island stays a single node
     df.schema.fields.filter(_.metadata != org.apache.spark.sql.types.Metadata.empty)
       .foldLeft(mapped) { (d, f) =>
         d.withColumn(f.name, col(f.name).as(f.name, f.metadata))
       }
   }
 
+  /** Batched black-box scorer (probability). Batches amortize per-call
+    * model overhead (for a real NN: one forward pass per `batchSize`
+    * rows). */
+  def predictBatched[M <: DiffModel](df: DataFrame, modelBc: Broadcast[M],
+                     featuresCol: String, outputCol: String,
+                     batchSize: Int = 1024): DataFrame =
+    predictBatchedWith(df, modelBc, featuresCol, outputCol, batchSize)(
+      _.predictProb(_))
+
   /** Batched MULTI-CLASS scorer: appends the argmax class index (what
     * `examples/mnist.py` reads off its Dense(10, softmax) head [H]) —
-    * same broadcast/batch/pre-resolved-schema discipline as
-    * [[predictBatched]], using the model's own `predictLabel` so any
-    * [[DiffModel]] with an overridden argmax (e.g.
-    * [[SoftmaxMlpModel]]) scores correctly. */
+    * the same core as [[predictBatched]], using the model's own
+    * `predictLabel` so any [[DiffModel]] with an overridden argmax
+    * (e.g. [[SoftmaxMlpModel]]) scores correctly. */
   def predictBatchedLabel[M <: DiffModel](df: DataFrame, modelBc: Broadcast[M],
                      featuresCol: String, outputCol: String,
-                     batchSize: Int = 1024): DataFrame = {
-    val outSchema = StructType(df.schema.fields :+
-      org.apache.spark.sql.types.StructField(outputCol, DoubleType, nullable = false))
-    val featIdx = df.schema.fieldIndex(featuresCol)
-    val enc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { it =>
-      val model = modelBc.value
-      it.grouped(batchSize).flatMap { batch =>
-        batch.map { r =>
-          val x = r.getSeq[Any](featIdx).map {
-            case f: Float => f.toDouble
-            case d: Double => d
-            case o => o.toString.toDouble
-          }.toArray
-          Row.fromSeq(r.toSeq :+ model.predictLabel(x))
-        }
-      }
-    }(enc)
-  }
+                     batchSize: Int = 1024): DataFrame =
+    predictBatchedWith(df, modelBc, featuresCol, outputCol, batchSize)(
+      _.predictLabel(_))
 }
 
 /** AccuracyEvaluator (`distkeras/evaluators.py ~L15-60 [H]`): fraction of

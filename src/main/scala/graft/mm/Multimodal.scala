@@ -170,6 +170,14 @@ object Multimodal {
     * The result is localCheckpoint-materialized before the temp
     * directory is deleted. */
   def qMediaScan(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    // the staged fixture lives on the DRIVER's local filesystem and is
+    // deleted after a localCheckpoint — both only sound in local mode;
+    // a cluster deployment points the connector at a shared media lake
+    // and never stages (fail fast instead of FileNotFound mid-scan)
+    require(spark.sparkContext.isLocal,
+      "q_media_scan stages its fixture on the driver-local filesystem; " +
+        "on a cluster, read an existing shared media directory via " +
+        "MediaSourceProvider directly")
     val docs = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars"))
       .orderBy("doc_id").limit(48).collect()

@@ -334,8 +334,14 @@ object VectorOps {
     val mx = greatest(z: _*)
     val e = z.map(zk => exp(zk - mx))
     val tot = e.reduce(_ + _)
-    val cls = when(z(0) >= z(1) && z(0) >= z(2), lit(0))
-      .when(z(1) >= z(2), lit(1)).otherwise(lit(2))
+    // argmax with ties to the smallest index, generated for ANY
+    // smClasses (a hardcoded 3-way CASE was a silent-wrongness trap if
+    // the class count ever changed; the SQL twin generates identically)
+    val cls = (0 until smClasses - 1).reverse
+      .foldLeft(lit(smClasses - 1)) { case (acc, k) =>
+        val cond = (k + 1 until smClasses).map(j => z(k) >= z(j)).reduce(_ && _)
+        when(cond, lit(k)).otherwise(acc)
+      }
     Tables.embeddings(spark, dir)
       .select(col("vec_id") +: cls.as("pred_class") +:
         (0 until smClasses).map(k =>

@@ -126,7 +126,6 @@ class DeepMlpSpec extends SparkSpec {
 
   test("q_mlp2_predict expression form equals the Scala DeepMlpModel forward pass") {
     val model = VectorOps.mlp2Model
-    val sfDir = "/root/testdata/sf0.001"
     val expr = VectorOps.qMlp2Predict(spark, sfDir)
       .select("vec_id", "mlp2_prob").as[(Long, Double)].collect().toMap
     val emb = Tables.embeddings(spark, sfDir)
