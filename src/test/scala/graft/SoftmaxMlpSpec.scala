@@ -96,6 +96,16 @@ class SoftmaxMlpSpec extends SparkSpec {
     bc.destroy()
   }
 
+  test("softmax training report: per-epoch cross-entropy descends") {
+    val report = Trainers.trainDistributedWithHistory(blobs, "features", "label",
+      SoftmaxMlpModel.init(din = 2, hiddens = Seq(6), nClasses = 3, seed = 5L),
+      numWorkers = 4, epochs = 10, lr = 0.8)
+    assert(report.epochLoss.length == 10)
+    assert(report.epochLoss.last < report.epochLoss.head,
+      s"cross-entropy did not decrease: ${report.epochLoss}")
+    assert(report.seconds > 0.0)
+  }
+
   test("softmax ensemble: members differ, soft-vote committee accuracy high") {
     val members = Trainers.trainEnsembleModel(blobs, "features", "label",
       SoftmaxMlpModel.init(din = 2, hiddens = Seq(6), nClasses = 3, seed = 5L),
