@@ -1913,6 +1913,98 @@ object TextOps {
   def qBpeMerge(spark: SparkSession, dir: String): DataFrame =
     bpeMergePairs(Tables.documents(spark, dir)).orderBy("rank")
 
+  /** Result of [[bpeTrain]]: the learned merge list in order (symbol
+    * pair + its count at selection time) and the final vocab
+    * segmentation (w, wc, syms). */
+  final case class BpeTrainResult(merges: Seq[(String, String, Long)],
+                                  vocab: DataFrame)
+
+  /** FULL iterated BPE training (Sennrich et al. 2016) — the loop whose
+    * single step `q_bpe_merge` puts under the oracle: start from the
+    * character segmentation of the DISTINCT word vocabulary (weighted
+    * by word count), then per merge round (1) count adjacent symbol
+    * pairs weighted by wc, (2) pick the max-count pair (count desc,
+    * then (a, b) lexicographic — deterministic across partitionings),
+    * (3) re-segment every word by greedy left-to-right non-overlapping
+    * replacement of that pair.
+    *
+    * Scale shape — why this survives 100 TB: the CORPUS is touched
+    * exactly once (the word-count aggregate); every round after that
+    * runs over the distinct VOCAB (Heaps-law sublinear in corpus size),
+    * as one explode + map-side-combined pair aggregate plus a per-row
+    * re-segmentation fold (pure Catalyst `aggregate`, no UDF). The only
+    * driver traffic is ONE (pair, count) row per round — the bounded
+    * probe collect of the CC/Lloyd loops — and per-round state is
+    * lineage-truncated through the [[graft.plans.Checkpointer]] so
+    * plans don't grow with merges. Spec-pinned against an in-memory
+    * reference implementation (BpeTrainSpec). */
+  def bpeTrain(docs: DataFrame, nMerges: Int,
+               cp: graft.plans.Checkpointer = graft.plans.Checkpointer.Local)
+      : BpeTrainResult = {
+    // the single corpus pass: distinct words + counts, char-segmented
+    var vocab = cp(docs
+      .select(explode(tokens(lower(col("text")))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(col("w"), col("wc"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("syms")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    var round = 0
+    while (!done && round < nMerges) {
+      // adjacent symbol pairs in the CURRENT segmentation, weighted by wc
+      val best = vocab
+        .select(col("wc"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("pc"))
+        .orderBy(col("pc").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true // every word fully merged
+      else {
+        val (a, b, pc) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((a, b, pc))
+        // greedy left-to-right non-overlapping replacement as a pure
+        // Catalyst fold: merge when the accumulated tail is `a` and the
+        // incoming symbol is `b`; the merged symbol never re-merges in
+        // this round (its value a+b differs from a unless a+b == a,
+        // impossible for non-empty b)
+        val merged = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (out, s) => when(
+            size(out) > 0 && element_at(out, -1) === lit(a) && s === lit(b),
+            concat(slice(out, lit(1), size(out) - 1), array(lit(a + b))))
+            .otherwise(concat(out, array(s))))
+        val next = cp(vocab.select(col("w"), col("wc"), merged.as("syms")))
+        graft.plans.Checkpointer.release(vocab)
+        vocab = next
+        round += 1
+      }
+    }
+    BpeTrainResult(merges.toSeq, vocab)
+  }
+
+  /** Apply a learned merge list to segment one word (driver-side
+    * utility mirroring the fold in [[bpeTrain]] — used by the spec's
+    * reference implementation and by callers tokenizing probes). */
+  def bpeSegment(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms: Seq[String] = word.map(_.toString)
+    merges.foreach { case (a, b) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      syms.foreach { s =>
+        if (out.nonEmpty && out.last == a && s == b)
+          out(out.length - 1) = a + b
+        else out += s
+      }
+      syms = out.toSeq
+    }
+    syms
+  }
+
   // ------------------------------------------- tokenizer fertility stats
 
   /** Tokenizer fertility per language — the stat tokenizer teams watch
