@@ -246,6 +246,7 @@ object SparkEntry {
     "q_mlp_predict" -> (VectorOps.qMlpPredict _),
     "q_mlp2_predict" -> (VectorOps.qMlp2Predict _),
     "q_softmax_predict" -> (VectorOps.qSoftmaxPredict _),
+    "q_conv_predict" -> (VectorOps.qConvPredict _),
     "q_accuracy" -> (VectorOps.qAccuracy _),
     "q_eval_metrics" -> (VectorOps.qEvalMetrics _),
     "q_string_index" -> (VectorOps.qStringIndex _),
@@ -688,6 +689,29 @@ object SparkEntry {
       s"WITH h AS (SELECT vec_id, $h1Cols FROM embeddings), " +
         s"g AS (SELECT vec_id, $h2Cols FROM h) " +
         s"SELECT vec_id, ROUND(1.0/(1.0+exp(-($zOut + ${mlp2B3}))), 6) AS mlp2_prob FROM g ORDER BY vec_id"
+    },
+    // convnet forward pass: 72 ReLU'd valid-conv cells (explicit
+    // left-associated 9-term sums over the 8×8 row-major embedding
+    // view, 1-based in DuckDB), greatest-of-4 max-pool, dense sigmoid —
+    // all literals interpolated from VectorOps.conv* (single source of
+    // truth); max/ReLU are exact so only the final sigmoid is
+    // transcendental, the exact device q_mlp_predict proved
+    "q_conv_predict" -> {
+      import VectorOps._
+      val zCols = (for { f <- 0 until convFilters; r <- 0 until 6; c <- 0 until 6 } yield {
+        val terms = (for { i <- 0 until 3; j <- 0 until 3 } yield
+          s"CAST(embedding[${(r + i) * 8 + (c + j) + 1}] AS DOUBLE) * ${convKernel(f)(i * 3 + j)}")
+          .mkString(" + ")
+        s"greatest($terms + ${convBias(f)}, 0.0) AS z_${f}_${r}_$c"
+      }).mkString(", ")
+      val pCols = (for { f <- 0 until convFilters; pr <- 0 until 3; pc <- 0 until 3 } yield {
+        s"greatest(z_${f}_${2 * pr}_${2 * pc}, z_${f}_${2 * pr}_${2 * pc + 1}, " +
+          s"z_${f}_${2 * pr + 1}_${2 * pc}, z_${f}_${2 * pr + 1}_${2 * pc + 1}) AS p${f * 9 + pr * 3 + pc}"
+      }).mkString(", ")
+      val zSum = (0 until convPooled).map(k => s"p$k * ${convDenseW(k)}").mkString(" + ")
+      s"WITH z AS (SELECT vec_id, $zCols FROM embeddings), " +
+        s"p AS (SELECT vec_id, $pCols FROM z) " +
+        s"SELECT vec_id, ROUND(1.0/(1.0+exp(-($zSum + $convDenseB))), 6) AS conv_prob FROM p ORDER BY vec_id"
     },
     "q_accuracy" ->
       "SELECT ROUND(AVG(CASE WHEN (list_position(embedding, list_max(embedding)) - 1) % 10 = label THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6) AS acc FROM embeddings",

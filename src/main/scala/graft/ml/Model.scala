@@ -491,3 +491,175 @@ object ModelIO {
     }
   }
 }
+
+/** CONVOLUTIONAL net — the last architecture family of the reference's
+  * flagship example (`examples/mnist.py` builds Convolution2D → ReLU →
+  * MaxPooling2D → Dense on 28×28×1 MNIST [H]) re-expressed within this
+  * sandbox's honest means (no Keras/GPU): a pure-Scala single-channel
+  * conv net trained through the SAME [[Trainers]] harness and update
+  * rules as every other [[DiffModel]].
+  *
+  * Architecture: the flat `features` array is read as a row-major h×w
+  * image; `nFilters` valid kh×kw convolutions with per-filter bias and
+  * ReLU; 2×2 stride-2 max-pool; dense sigmoid head under log loss.
+  * Backprop routes the pooled delta to the argmax cell (ties to the
+  * first cell in row-major scan order — `>` keeps the earlier winner)
+  * and masks it by ReLU (post-activation > 0 ⇔ pre-activation > 0),
+  * then accumulates kernel gradients over every conv position — checked
+  * against central finite differences in ConvNetSpec.
+  *
+  * Flat layout (mirrored by [[ConvNetModel.shapes]]): per-filter kh×kw
+  * kernels row-major, then the nFilters conv biases, then the dense row
+  * over the nFilters·(ch/2)·(cw/2) pooled features (filter-major, then
+  * pool row, then pool col), then the dense bias. */
+final case class ConvNetModel(weights: ModelWeights, h: Int, w: Int,
+                              kh: Int, kw: Int, nFilters: Int)
+    extends DiffModel {
+  require(nFilters > 0 && kh > 0 && kw > 0, s"bad conv config: $kh x $kw x $nFilters")
+  /** Conv output dims (valid padding). */
+  val ch: Int = h - kh + 1
+  val cw: Int = w - kw + 1
+  require(ch > 0 && cw > 0 && ch % 2 == 0 && cw % 2 == 0,
+    s"conv output ${ch}x$cw must be positive and even for the 2x2 pool")
+  /** Pooled dims and the dense-feature count. */
+  val ph: Int = ch / 2
+  val pw: Int = cw / 2
+  val nFeat: Int = nFilters * ph * pw
+  private val kSize = kh * kw
+  private val offConvB = nFilters * kSize
+  private val offDense = offConvB + nFilters
+  private val offDenseB = offDense + nFeat
+  require(weights.flat.length == offDenseB + 1,
+    s"flat length ${weights.flat.length} != ${offDenseB + 1} for ${h}x$w/${kh}x$kw/$nFilters")
+
+  def withWeights(wts: ModelWeights): ConvNetModel = copy(weights = wts)
+
+  /** Forward pass keeping the intermediates backprop needs: post-ReLU
+    * conv activations, per-pooled-cell argmax indices into them, the
+    * pooled feature vector, and the output probability. */
+  private def forwardFull(x: Array[Double])
+      : (Array[Double], Array[Int], Array[Double], Double) = {
+    val f = weights.flat
+    val z = new Array[Double](nFilters * ch * cw)
+    var fi = 0
+    while (fi < nFilters) {
+      val kOff = fi * kSize
+      var r = 0
+      while (r < ch) {
+        var c = 0
+        while (c < cw) {
+          var s = 0.0
+          var i = 0
+          while (i < kh) {
+            val xRow = (r + i) * w + c
+            val kRow = kOff + i * kw
+            var j = 0
+            while (j < kw) { s += x(xRow + j) * f(kRow + j); j += 1 }
+            i += 1
+          }
+          s += f(offConvB + fi)
+          z(fi * ch * cw + r * cw + c) = if (s > 0.0) s else 0.0
+          c += 1
+        }
+        r += 1
+      }
+      fi += 1
+    }
+    val feat = new Array[Double](nFeat)
+    val argm = new Array[Int](nFeat)
+    fi = 0
+    while (fi < nFilters) {
+      var pr = 0
+      while (pr < ph) {
+        var pc = 0
+        while (pc < pw) {
+          var best = Double.NegativeInfinity
+          var bestIdx = -1
+          var dr = 0
+          while (dr < 2) {
+            var dc = 0
+            while (dc < 2) {
+              val idx = fi * ch * cw + (2 * pr + dr) * cw + (2 * pc + dc)
+              if (z(idx) > best) { best = z(idx); bestIdx = idx }
+              dc += 1
+            }
+            dr += 1
+          }
+          val k = fi * ph * pw + pr * pw + pc
+          feat(k) = best
+          argm(k) = bestIdx
+          pc += 1
+        }
+        pr += 1
+      }
+      fi += 1
+    }
+    var logit = 0.0
+    var k = 0
+    while (k < nFeat) { logit += feat(k) * f(offDense + k); k += 1 }
+    logit += f(offDenseB)
+    (z, argm, feat, 1.0 / (1.0 + math.exp(-logit)))
+  }
+
+  def predictProb(x: Array[Double]): Double = forwardFull(x)._4
+
+  def gradient(x: Array[Double], y: Double): Array[Double] = {
+    val f = weights.flat
+    val (z, argm, feat, p) = forwardFull(x)
+    val g = new Array[Double](f.length)
+    val delta = p - y
+    g(offDenseB) = delta
+    val dz = new Array[Double](z.length)
+    var k = 0
+    while (k < nFeat) {
+      g(offDense + k) = delta * feat(k)
+      val idx = argm(k)
+      // ReLU mask: post-activation 0 means the cell contributed a flat 0
+      if (z(idx) > 0.0) dz(idx) += delta * f(offDense + k)
+      k += 1
+    }
+    var fi = 0
+    while (fi < nFilters) {
+      val kOff = fi * kSize
+      var r = 0
+      while (r < ch) {
+        var c = 0
+        while (c < cw) {
+          val d = dz(fi * ch * cw + r * cw + c)
+          if (d != 0.0) {
+            var i = 0
+            while (i < kh) {
+              val xRow = (r + i) * w + c
+              val kRow = kOff + i * kw
+              var j = 0
+              while (j < kw) { g(kRow + j) += d * x(xRow + j); j += 1 }
+              i += 1
+            }
+            g(offConvB + fi) += d
+          }
+          c += 1
+        }
+        r += 1
+      }
+      fi += 1
+    }
+    g
+  }
+}
+
+object ConvNetModel {
+  /** Shape list mirroring the flat layout: one (kh,kw) matrix per
+    * filter, the (nFilters,1) conv biases, the (1,nFeat) dense row and
+    * the (1,1) dense bias. */
+  def shapes(h: Int, w: Int, kh: Int, kw: Int, nFilters: Int): Seq[(Int, Int)] = {
+    val ph = (h - kh + 1) / 2
+    val pw = (w - kw + 1) / 2
+    Seq.fill(nFilters)((kh, kw)) ++
+      Seq((nFilters, 1), (1, nFilters * ph * pw), (1, 1))
+  }
+
+  def init(h: Int, w: Int, kh: Int, kw: Int, nFilters: Int,
+           seed: Long = 42L): ConvNetModel =
+    ConvNetModel(ModelWeights.uniform(shapes(h, w, kh, kw, nFilters),
+      -0.5, 0.5, seed), h, w, kh, kw, nFilters)
+}

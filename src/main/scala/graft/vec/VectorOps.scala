@@ -177,6 +177,64 @@ object VectorOps {
       64, Seq(mlp2Hidden1, mlp2Hidden2))
   }
 
+  /** Deterministic CONVNET demo weights (the flagship `examples/mnist.py`
+    * Conv2D→ReLU→MaxPool→Dense architecture [H], scaled to the 8×8
+    * row-major view of the 64-dim embedding): 2 valid 3×3 filters with
+    * bias + ReLU → 6×6 maps, 2×2/stride-2 max-pool → 3×3, dense sigmoid
+    * over the 18 pooled features. Formula-derived literals; layout
+    * matches [[graft.ml.ConvNetModel]] (ConvNetSpec pins the Catalyst
+    * expression form to the Scala forward pass). */
+  val convFilters: Int = 2
+  val convKernel: Seq[Seq[Double]] = (0 until convFilters).map(f =>
+    (0 until 9).map(i => ((i * 29 + f * 53) % 13 - 6) / 10.0))
+  val convBias: Seq[Double] = (0 until convFilters).map(f => ((f * 37) % 5 - 2) / 10.0)
+  val convPooled: Int = convFilters * 3 * 3
+  val convDenseW: Seq[Double] = (0 until convPooled).map(k => ((k * 19) % 15 - 7) / 10.0)
+  val convDenseB: Double = 0.05
+
+  /** The conv literals as one [[graft.ml.ConvNetModel]] (8×8 input). */
+  def convDemoModel: graft.ml.ConvNetModel = {
+    val flat = (convKernel.flatten ++ convBias ++ convDenseW ++
+      Seq(convDenseB)).toArray
+    graft.ml.ConvNetModel(
+      graft.ml.ModelWeights(graft.ml.ConvNetModel.shapes(8, 8, 3, 3, convFilters), flat),
+      8, 8, 3, 3, convFilters)
+  }
+
+  /** q_conv_predict — the CONVNET forward pass as pure Catalyst
+    * expressions, completing the architecture ladder (linear → MLP →
+    * deep MLP → softmax → conv) of expression-only scorers: stage 1
+    * computes the 72 ReLU'd valid-conv cells (each an explicit
+    * left-associated 9-term weighted sum over the 8×8 row-major view of
+    * the embedding, `greatest(·, 0.0)` as ReLU), stage 2 max-pools 2×2
+    * blocks via `greatest` (max is exact in doubles, so pooling carries
+    * no float-fold risk), stage 3 is the dense sigmoid. Three chained
+    * projections — zero shuffles before the display sort, whole-stage
+    * codegen end to end; the staged form keeps each generated function
+    * small instead of inlining a ~2k-node tree per output column. */
+  def qConvPredict(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("embedding")
+    def cell(f: Int, r: Int, c: Int): Column = {
+      val terms = for { i <- 0 until 3; j <- 0 until 3 } yield
+        x.getItem((r + i) * 8 + (c + j)).cast("double") * lit(convKernel(f)(i * 3 + j))
+      greatest(terms.reduce(_ + _) + lit(convBias(f)), lit(0.0))
+    }
+    val zCols = for { f <- 0 until convFilters; r <- 0 until 6; c <- 0 until 6 }
+      yield cell(f, r, c).as(s"z_${f}_${r}_$c")
+    val z = Tables.embeddings(spark, dir).select(col("vec_id") +: zCols: _*)
+    val pCols = for { f <- 0 until convFilters; pr <- 0 until 3; pc <- 0 until 3 }
+      yield greatest(
+        col(s"z_${f}_${2 * pr}_${2 * pc}"), col(s"z_${f}_${2 * pr}_${2 * pc + 1}"),
+        col(s"z_${f}_${2 * pr + 1}_${2 * pc}"), col(s"z_${f}_${2 * pr + 1}_${2 * pc + 1}"))
+        .as(s"p${f * 9 + pr * 3 + pc}")
+    val p = z.select(col("vec_id") +: pCols: _*)
+    val logit = (0 until convPooled).map(k => col(s"p$k") * lit(convDenseW(k)))
+      .reduce(_ + _) + lit(convDenseB)
+    p.select(col("vec_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-logit)), 6).as("conv_prob"))
+      .orderBy("vec_id")
+  }
+
   /** StringIndexer usage (`examples/mnist.py`/`workflow.ipynb` index
     * string labels before one-hot [M]): category → dense index by
     * frequency (most frequent = 0), ties broken by value — MLlib's
