@@ -247,6 +247,7 @@ object SparkEntry {
     "q_mlp2_predict" -> (VectorOps.qMlp2Predict _),
     "q_softmax_predict" -> (VectorOps.qSoftmaxPredict _),
     "q_conv_predict" -> (VectorOps.qConvPredict _),
+    "q_conv_softmax_predict" -> (VectorOps.qConvSoftmaxPredict _),
     "q_accuracy" -> (VectorOps.qAccuracy _),
     "q_eval_metrics" -> (VectorOps.qEvalMetrics _),
     "q_string_index" -> (VectorOps.qStringIndex _),
@@ -394,6 +395,29 @@ object SparkEntry {
   /** The 64-element sequential dot-product fold both engines share. */
   private def dotSql(a: String, b: String): String =
     s"list_aggregate(list_transform(range(1,65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),'sum')"
+
+  /** The shared conv-block CTEs of the conv-family scorers: z = the 72
+    * ReLU'd valid-conv cells (explicit left-associated 9-term sums over
+    * the 8×8 row-major embedding view, 1-based in DuckDB), p = the
+    * greatest-of-4 2×2 max-pool — max/ReLU are exact in doubles, so the
+    * conv block carries no float-fold risk; literals interpolated from
+    * VectorOps.conv* (single source of truth, mirror of
+    * VectorOps.convPooledFrame). */
+  private lazy val convPooledCtes: String = {
+    import VectorOps._
+    val zCols = (for { f <- 0 until convFilters; r <- 0 until 6; c <- 0 until 6 } yield {
+      val terms = (for { i <- 0 until 3; j <- 0 until 3 } yield
+        s"CAST(embedding[${(r + i) * 8 + (c + j) + 1}] AS DOUBLE) * ${convKernel(f)(i * 3 + j)}")
+        .mkString(" + ")
+      s"greatest($terms + ${convBias(f)}, 0.0) AS z_${f}_${r}_$c"
+    }).mkString(", ")
+    val pCols = (for { f <- 0 until convFilters; pr <- 0 until 3; pc <- 0 until 3 } yield {
+      s"greatest(z_${f}_${2 * pr}_${2 * pc}, z_${f}_${2 * pr}_${2 * pc + 1}, " +
+        s"z_${f}_${2 * pr + 1}_${2 * pc}, z_${f}_${2 * pr + 1}_${2 * pc + 1}) AS p${f * 9 + pr * 3 + pc}"
+    }).mkString(", ")
+    s"z AS (SELECT vec_id, $zCols FROM embeddings), " +
+      s"p AS (SELECT vec_id, $pCols FROM z)"
+  }
 
   /** Shared int8-quantization fragments (mirror Similarity.quantized):
     * inner SELECT computes the per-vector scale, outer applies the
@@ -698,20 +722,34 @@ object SparkEntry {
     // transcendental, the exact device q_mlp_predict proved
     "q_conv_predict" -> {
       import VectorOps._
-      val zCols = (for { f <- 0 until convFilters; r <- 0 until 6; c <- 0 until 6 } yield {
-        val terms = (for { i <- 0 until 3; j <- 0 until 3 } yield
-          s"CAST(embedding[${(r + i) * 8 + (c + j) + 1}] AS DOUBLE) * ${convKernel(f)(i * 3 + j)}")
-          .mkString(" + ")
-        s"greatest($terms + ${convBias(f)}, 0.0) AS z_${f}_${r}_$c"
-      }).mkString(", ")
-      val pCols = (for { f <- 0 until convFilters; pr <- 0 until 3; pc <- 0 until 3 } yield {
-        s"greatest(z_${f}_${2 * pr}_${2 * pc}, z_${f}_${2 * pr}_${2 * pc + 1}, " +
-          s"z_${f}_${2 * pr + 1}_${2 * pc}, z_${f}_${2 * pr + 1}_${2 * pc + 1}) AS p${f * 9 + pr * 3 + pc}"
-      }).mkString(", ")
       val zSum = (0 until convPooled).map(k => s"p$k * ${convDenseW(k)}").mkString(" + ")
-      s"WITH z AS (SELECT vec_id, $zCols FROM embeddings), " +
-        s"p AS (SELECT vec_id, $pCols FROM z) " +
+      s"WITH $convPooledCtes " +
         s"SELECT vec_id, ROUND(1.0/(1.0+exp(-($zSum + $convDenseB))), 6) AS conv_prob FROM p ORDER BY vec_id"
+    },
+    // full flagship architecture: the conv z/p CTEs joined to the
+    // softmax head device of q_softmax_predict (max-subtracted
+    // exponentials, left-associated normalizer, argmax CASE with ties
+    // to the smallest class) — all literals interpolated from
+    // VectorOps.conv*/csm* (single source of truth)
+    "q_conv_softmax_predict" -> {
+      import VectorOps._
+      val zCols = (0 until csmClasses).map { k =>
+        val zk = (0 until convPooled).map(j => s"p$j * ${csmDenseW(k)(j)}")
+          .mkString(" + ")
+        s"$zk + ${csmDenseB(k)} AS z$k"
+      }.mkString(", ")
+      val mx = s"greatest(${(0 until csmClasses).map(k => s"z$k").mkString(", ")})"
+      val eCols = (0 until csmClasses).map(k => s"exp(z$k - $mx) AS e$k").mkString(", ")
+      val tot = (0 until csmClasses).map(k => s"e$k").mkString(" + ")
+      val pCols = (0 until csmClasses)
+        .map(k => s"ROUND(e$k / ($tot), 6) AS cp$k").mkString(", ")
+      val argmax = (0 until csmClasses - 1).map { k =>
+        val cond = (k + 1 until csmClasses).map(j => s"z$k >= z$j").mkString(" AND ")
+        s"WHEN $cond THEN $k"
+      }.mkString("CASE ", " ", s" ELSE ${csmClasses - 1} END")
+      s"WITH $convPooledCtes, lg AS (SELECT vec_id, $zCols FROM p), " +
+        s"e AS (SELECT vec_id, $argmax AS pred_class, $eCols FROM lg) " +
+        s"SELECT vec_id, pred_class, $pCols FROM e ORDER BY vec_id"
     },
     "q_accuracy" ->
       "SELECT ROUND(AVG(CASE WHEN (list_position(embedding, list_max(embedding)) - 1) % 10 = label THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6) AS acc FROM embeddings",

@@ -341,34 +341,56 @@ object DeepMlpModel {
       din, hiddens)
 }
 
-/** MULTI-CLASS MLP: tanh hidden layers, K-way softmax output under
-  * cross-entropy — the head the reference's flagship example actually
-  * trains (`examples/mnist.py` ends in Dense(10, softmax) [H]). Labels
-  * travel through the unchanged [[DiffModel]]/[[Trainers]] plumbing as
-  * the double-encoded class index (y ∈ {0..K−1}):
-  *  - `gradient(x, y)` = cross-entropy backprop, output delta
-  *    p − onehot(y);
-  *  - `logLoss(x, y)` (overridden) = −log p_y;
-  *  - `predictLabel(x)` (overridden) = argmax class, ties to the
-  *    smallest index;
+/** Shared K-WAY SOFTMAX head semantics — what makes a [[DiffModel]]
+  * multi-class regardless of what feeds the logits (the tanh stack of
+  * [[SoftmaxMlpModel]] or the conv/pool block of [[ConvSoftmaxModel]]).
+  * Labels travel through the unchanged [[DiffModel]]/[[Trainers]]
+  * plumbing as the double-encoded class index (y ∈ {0..K−1}):
+  *  - `logLoss(x, y)` = −log p_y (cross-entropy);
+  *  - `predictLabel(x)` = argmax class, ties to the smallest index;
   *  - `predictProb(x)` = the max softmax probability (the confidence
   *    a binary-thresholding caller would read).
-  * Softmax runs with max-logit subtraction so huge logits can't
-  * overflow to NaN (spec-pinned). Layout/forward/backprop live in
-  * [[LayeredNet]]; an empty `hiddens` is the plain multinomial
-  * logistic head. */
-final case class SoftmaxMlpModel(weights: ModelWeights, din: Int,
-                                 hiddens: Seq[Int], nClasses: Int)
-    extends LayeredNet {
-  require(nClasses >= 2, s"need >= 2 classes, got $nClasses")
-  require(hiddens.forall(_ > 0), s"bad hidden sizes: $hiddens")
-  protected def outUnits: Int = nClasses
-  checkLayout()
+  * Implementations expose the full distribution via
+  * [[predictClassProbs]] and backprop from [[softmaxDelta]]
+  * (cross-entropy + softmax collapses the output delta to
+  * p − onehot(y)). */
+trait SoftmaxHead extends DiffModel {
+  def nClasses: Int
+  /** Full softmax distribution over the K classes (a fresh array). */
+  def predictClassProbs(x: Array[Double]): Array[Double]
 
-  def withWeights(w: ModelWeights): SoftmaxMlpModel = copy(weights = w)
+  final def predictProb(x: Array[Double]): Double = {
+    val p = predictClassProbs(x)
+    var best = p(0); var k = 1
+    while (k < p.length) { if (p(k) > best) best = p(k); k += 1 }
+    best
+  }
 
-  // softmax in place over the logits, max-subtracted for stability
-  protected def activateOutput(z: Array[Double]): Unit = {
+  override final def predictLabel(x: Array[Double]): Double = {
+    val p = predictClassProbs(x)
+    var arg = 0; var k = 1
+    while (k < p.length) { if (p(k) > p(arg)) arg = k; k += 1 }
+    arg.toDouble
+  }
+
+  override final def logLoss(x: Array[Double], y: Double): Double = {
+    val p = predictClassProbs(x)(y.toInt)
+    -math.log(math.min(math.max(p, 1e-12), 1.0))
+  }
+
+  /** Output delta p − onehot(y) (a fresh array the caller may keep). */
+  protected final def softmaxDelta(probs: Array[Double],
+                                   y: Double): Array[Double] = {
+    val d = probs.clone()
+    d(y.toInt) -= 1.0
+    d
+  }
+}
+
+object SoftmaxHead {
+  /** Softmax in place over the logits, max-subtracted so huge logits
+    * can't overflow to NaN (spec-pinned). */
+  def softmaxInPlace(z: Array[Double]): Unit = {
     var mx = z(0)
     var k = 1
     while (k < z.length) { if (z(k) > mx) mx = z(k); k += 1 }
@@ -378,36 +400,32 @@ final case class SoftmaxMlpModel(weights: ModelWeights, din: Int,
     k = 0
     while (k < z.length) { z(k) /= tot; k += 1 }
   }
+}
 
-  // cross-entropy + softmax collapses the output delta to p − onehot(y)
-  protected def outputDelta(out: Array[Double], y: Double): Array[Double] = {
-    val d = out.clone()
-    d(y.toInt) -= 1.0
-    d
-  }
+/** MULTI-CLASS MLP: tanh hidden layers, K-way softmax output under
+  * cross-entropy — the head the reference's flagship example actually
+  * trains (`examples/mnist.py` ends in Dense(10, softmax) [H]).
+  * Layout/forward/backprop live in [[LayeredNet]]; the multi-class
+  * prediction/loss surface lives in [[SoftmaxHead]]; an empty `hiddens`
+  * is the plain multinomial logistic head. */
+final case class SoftmaxMlpModel(weights: ModelWeights, din: Int,
+                                 hiddens: Seq[Int], nClasses: Int)
+    extends LayeredNet with SoftmaxHead {
+  require(nClasses >= 2, s"need >= 2 classes, got $nClasses")
+  require(hiddens.forall(_ > 0), s"bad hidden sizes: $hiddens")
+  protected def outUnits: Int = nClasses
+  checkLayout()
 
-  /** Full softmax distribution over the K classes. */
+  def withWeights(w: ModelWeights): SoftmaxMlpModel = copy(weights = w)
+
+  protected def activateOutput(z: Array[Double]): Unit =
+    SoftmaxHead.softmaxInPlace(z)
+
+  protected def outputDelta(out: Array[Double], y: Double): Array[Double] =
+    softmaxDelta(out, y)
+
   def predictClassProbs(x: Array[Double]): Array[Double] =
     forward(x)(nLayers).clone()
-
-  def predictProb(x: Array[Double]): Double = {
-    val p = forward(x)(nLayers)
-    var best = p(0); var k = 1
-    while (k < p.length) { if (p(k) > best) best = p(k); k += 1 }
-    best
-  }
-
-  override def predictLabel(x: Array[Double]): Double = {
-    val p = forward(x)(nLayers)
-    var arg = 0; var k = 1
-    while (k < p.length) { if (p(k) > p(arg)) arg = k; k += 1 }
-    arg.toDouble
-  }
-
-  override def logLoss(x: Array[Double], y: Double): Double = {
-    val p = forward(x)(nLayers)(y.toInt)
-    -math.log(math.min(math.max(p, 1e-12), 1.0))
-  }
 }
 
 object SoftmaxMlpModel {
@@ -492,53 +510,64 @@ object ModelIO {
   }
 }
 
-/** CONVOLUTIONAL net — the last architecture family of the reference's
+/** CONVOLUTIONAL nets — the last architecture family of the reference's
   * flagship example (`examples/mnist.py` builds Convolution2D → ReLU →
   * MaxPooling2D → Dense on 28×28×1 MNIST [H]) re-expressed within this
-  * sandbox's honest means (no Keras/GPU): a pure-Scala single-channel
-  * conv net trained through the SAME [[Trainers]] harness and update
-  * rules as every other [[DiffModel]].
+  * sandbox's honest means (no Keras/GPU): pure-Scala single-channel conv
+  * nets trained through the SAME [[Trainers]] harness and update rules
+  * as every other [[DiffModel]]. This trait is the shared conv/pool
+  * block of the family: geometry checks, the conv+ReLU+max-pool forward
+  * keeping backprop intermediates, and the backprop routing from
+  * pooled-feature deltas through the pool argmax and ReLU mask into the
+  * kernel/conv-bias gradients.
   *
   * Architecture: the flat `features` array is read as a row-major h×w
   * image; `nFilters` valid kh×kw convolutions with per-filter bias and
-  * ReLU; 2×2 stride-2 max-pool; dense sigmoid head under log loss.
-  * Backprop routes the pooled delta to the argmax cell (ties to the
-  * first cell in row-major scan order — `>` keeps the earlier winner)
-  * and masks it by ReLU (post-activation > 0 ⇔ pre-activation > 0),
-  * then accumulates kernel gradients over every conv position — checked
-  * against central finite differences in ConvNetSpec.
+  * ReLU; 2×2 stride-2 max-pool; then a dense head the concrete model
+  * supplies ([[ConvNetModel]]: one sigmoid unit under log loss;
+  * [[ConvSoftmaxModel]]: K-way softmax under cross-entropy). Backprop
+  * routes the pooled delta to the argmax cell and masks it by ReLU
+  * (post-activation > 0 ⇔ pre-activation > 0), then accumulates kernel
+  * gradients over every conv position — checked against central finite
+  * differences in ConvNetSpec.
   *
-  * Flat layout (mirrored by [[ConvNetModel.shapes]]): per-filter kh×kw
-  * kernels row-major, then the nFilters conv biases, then the dense row
-  * over the nFilters·(ch/2)·(cw/2) pooled features (filter-major, then
-  * pool row, then pool col), then the dense bias. */
-final case class ConvNetModel(weights: ModelWeights, h: Int, w: Int,
-                              kh: Int, kw: Int, nFilters: Int)
-    extends DiffModel {
-  require(nFilters > 0 && kh > 0 && kw > 0, s"bad conv config: $kh x $kw x $nFilters")
+  * Flat layout: per-filter kh×kw kernels row-major, then the nFilters
+  * conv biases; the dense head — whatever its shape — follows at
+  * [[ConvCore.offDense]] over the nFilters·(ch/2)·(cw/2) pooled
+  * features (filter-major, then pool row, then pool col). */
+private[ml] trait ConvCore extends DiffModel {
+  def h: Int
+  def w: Int
+  def kh: Int
+  def kw: Int
+  def nFilters: Int
+
   /** Conv output dims (valid padding). */
-  val ch: Int = h - kh + 1
-  val cw: Int = w - kw + 1
-  require(ch > 0 && cw > 0 && ch % 2 == 0 && cw % 2 == 0,
-    s"conv output ${ch}x$cw must be positive and even for the 2x2 pool")
+  final lazy val ch: Int = h - kh + 1
+  final lazy val cw: Int = w - kw + 1
   /** Pooled dims and the dense-feature count. */
-  val ph: Int = ch / 2
-  val pw: Int = cw / 2
-  val nFeat: Int = nFilters * ph * pw
-  private val kSize = kh * kw
-  private val offConvB = nFilters * kSize
-  private val offDense = offConvB + nFilters
-  private val offDenseB = offDense + nFeat
-  require(weights.flat.length == offDenseB + 1,
-    s"flat length ${weights.flat.length} != ${offDenseB + 1} for ${h}x$w/${kh}x$kw/$nFilters")
+  final lazy val ph: Int = ch / 2
+  final lazy val pw: Int = cw / 2
+  final lazy val nFeat: Int = nFilters * ph * pw
+  protected final lazy val kSize: Int = kh * kw
+  protected final lazy val offConvB: Int = nFilters * kSize
+  /** Offset of the dense head's parameters in the flat vector. */
+  protected final lazy val offDense: Int = offConvB + nFilters
 
-  def withWeights(wts: ModelWeights): ConvNetModel = copy(weights = wts)
+  protected final def checkConvLayout(headParams: Int): Unit = {
+    require(nFilters > 0 && kh > 0 && kw > 0, s"bad conv config: $kh x $kw x $nFilters")
+    require(ch > 0 && cw > 0 && ch % 2 == 0 && cw % 2 == 0,
+      s"conv output ${ch}x$cw must be positive and even for the 2x2 pool")
+    require(weights.flat.length == offDense + headParams,
+      s"flat length ${weights.flat.length} != ${offDense + headParams} for ${h}x$w/${kh}x$kw/$nFilters")
+  }
 
-  /** Forward pass keeping the intermediates backprop needs: post-ReLU
-    * conv activations, per-pooled-cell argmax indices into them, the
-    * pooled feature vector, and the output probability. */
-  private def forwardFull(x: Array[Double])
-      : (Array[Double], Array[Int], Array[Double], Double) = {
+  /** Conv+ReLU+max-pool forward keeping the intermediates backprop
+    * needs: post-ReLU conv activations, per-pooled-cell argmax indices
+    * into them (ties to the first cell in row-major scan order — `>`
+    * keeps the earlier winner), and the pooled feature vector. */
+  protected final def convForward(x: Array[Double])
+      : (Array[Double], Array[Int], Array[Double]) = {
     val f = weights.flat
     val z = new Array[Double](nFilters * ch * cw)
     var fi = 0
@@ -594,28 +623,21 @@ final case class ConvNetModel(weights: ModelWeights, h: Int, w: Int,
       }
       fi += 1
     }
-    var logit = 0.0
-    var k = 0
-    while (k < nFeat) { logit += feat(k) * f(offDense + k); k += 1 }
-    logit += f(offDenseB)
-    (z, argm, feat, 1.0 / (1.0 + math.exp(-logit)))
+    (z, argm, feat)
   }
 
-  def predictProb(x: Array[Double]): Double = forwardFull(x)._4
-
-  def gradient(x: Array[Double], y: Double): Array[Double] = {
-    val f = weights.flat
-    val (z, argm, feat, p) = forwardFull(x)
-    val g = new Array[Double](f.length)
-    val delta = p - y
-    g(offDenseB) = delta
+  /** Backprop from pooled-feature deltas into the conv-block gradients:
+    * each dfeat(k) routes to its pool-argmax cell, masked by ReLU
+    * (post-activation 0 means the cell contributed a flat 0), then the
+    * kernel/conv-bias gradients accumulate over every conv position. */
+  protected final def convBackprop(x: Array[Double], z: Array[Double],
+                                   argm: Array[Int], dfeat: Array[Double],
+                                   g: Array[Double]): Unit = {
     val dz = new Array[Double](z.length)
     var k = 0
     while (k < nFeat) {
-      g(offDense + k) = delta * feat(k)
       val idx = argm(k)
-      // ReLU mask: post-activation 0 means the cell contributed a flat 0
-      if (z(idx) > 0.0) dz(idx) += delta * f(offDense + k)
+      if (z(idx) > 0.0) dz(idx) += dfeat(k)
       k += 1
     }
     var fi = 0
@@ -643,6 +665,48 @@ final case class ConvNetModel(weights: ModelWeights, h: Int, w: Int,
       }
       fi += 1
     }
+  }
+}
+
+/** The binary (sigmoid-head) convnet: conv block from [[ConvCore]],
+  * dense row over the pooled features, sigmoid under log loss. Flat
+  * layout after the conv block: the (1,nFeat) dense row, then the
+  * dense bias. */
+final case class ConvNetModel(weights: ModelWeights, h: Int, w: Int,
+                              kh: Int, kw: Int, nFilters: Int)
+    extends ConvCore {
+  private lazy val offDenseB = offDense + nFeat
+  checkConvLayout(nFeat + 1)
+
+  def withWeights(wts: ModelWeights): ConvNetModel = copy(weights = wts)
+
+  private def forwardFull(x: Array[Double])
+      : (Array[Double], Array[Int], Array[Double], Double) = {
+    val f = weights.flat
+    val (z, argm, feat) = convForward(x)
+    var logit = 0.0
+    var k = 0
+    while (k < nFeat) { logit += feat(k) * f(offDense + k); k += 1 }
+    logit += f(offDenseB)
+    (z, argm, feat, 1.0 / (1.0 + math.exp(-logit)))
+  }
+
+  def predictProb(x: Array[Double]): Double = forwardFull(x)._4
+
+  def gradient(x: Array[Double], y: Double): Array[Double] = {
+    val f = weights.flat
+    val (z, argm, feat, p) = forwardFull(x)
+    val g = new Array[Double](f.length)
+    val delta = p - y
+    g(offDenseB) = delta
+    val dfeat = new Array[Double](nFeat)
+    var k = 0
+    while (k < nFeat) {
+      g(offDense + k) = delta * feat(k)
+      dfeat(k) = delta * f(offDense + k)
+      k += 1
+    }
+    convBackprop(x, z, argm, dfeat, g)
     g
   }
 }
@@ -662,4 +726,87 @@ object ConvNetModel {
            seed: Long = 42L): ConvNetModel =
     ConvNetModel(ModelWeights.uniform(shapes(h, w, kh, kw, nFilters),
       -0.5, 0.5, seed), h, w, kh, kw, nFilters)
+}
+
+/** The MULTI-CLASS convnet — the EXACT architecture of the reference's
+  * flagship example (`examples/mnist.py`: Convolution2D → ReLU →
+  * MaxPooling2D → Flatten → Dense(10, softmax) on 28×28×1 MNIST [H]):
+  * conv block from [[ConvCore]], a (nClasses × nFeat) dense layer over
+  * the pooled features, softmax under cross-entropy from
+  * [[SoftmaxHead]]. Flat layout after the conv block: the dense rows
+  * class-major (class k's nFeat weights contiguous), then the nClasses
+  * dense biases. Gradient: δ = p − onehot(y); dense grads are the
+  * outer product δ·featᵀ; the pooled-feature delta
+  * dfeat_j = Σ_k δ_k·W[k,j] routes through [[ConvCore.convBackprop]] —
+  * checked against central finite differences in ConvNetSpec. */
+final case class ConvSoftmaxModel(weights: ModelWeights, h: Int, w: Int,
+                                  kh: Int, kw: Int, nFilters: Int,
+                                  nClasses: Int)
+    extends ConvCore with SoftmaxHead {
+  require(nClasses >= 2, s"need >= 2 classes, got $nClasses")
+  private lazy val offDenseB = offDense + nClasses * nFeat
+  checkConvLayout(nClasses * (nFeat + 1))
+
+  def withWeights(wts: ModelWeights): ConvSoftmaxModel = copy(weights = wts)
+
+  private def forwardFull(x: Array[Double])
+      : (Array[Double], Array[Int], Array[Double], Array[Double]) = {
+    val f = weights.flat
+    val (z, argm, feat) = convForward(x)
+    val p = new Array[Double](nClasses)
+    var k = 0
+    while (k < nClasses) {
+      var s = f(offDenseB + k)
+      val row = offDense + k * nFeat
+      var j = 0
+      while (j < nFeat) { s += feat(j) * f(row + j); j += 1 }
+      p(k) = s
+      k += 1
+    }
+    SoftmaxHead.softmaxInPlace(p)
+    (z, argm, feat, p)
+  }
+
+  def predictClassProbs(x: Array[Double]): Array[Double] = forwardFull(x)._4
+
+  def gradient(x: Array[Double], y: Double): Array[Double] = {
+    val f = weights.flat
+    val (z, argm, feat, p) = forwardFull(x)
+    val g = new Array[Double](f.length)
+    val delta = softmaxDelta(p, y)
+    val dfeat = new Array[Double](nFeat)
+    var k = 0
+    while (k < nClasses) {
+      val dk = delta(k)
+      g(offDenseB + k) = dk
+      val row = offDense + k * nFeat
+      var j = 0
+      while (j < nFeat) {
+        g(row + j) = dk * feat(j)
+        dfeat(j) += dk * f(row + j)
+        j += 1
+      }
+      k += 1
+    }
+    convBackprop(x, z, argm, dfeat, g)
+    g
+  }
+}
+
+object ConvSoftmaxModel {
+  /** Shape list mirroring the flat layout: one (kh,kw) matrix per
+    * filter, the (nFilters,1) conv biases, the (nClasses,nFeat) dense
+    * matrix and the (nClasses,1) dense biases. */
+  def shapes(h: Int, w: Int, kh: Int, kw: Int, nFilters: Int,
+             nClasses: Int): Seq[(Int, Int)] = {
+    val ph = (h - kh + 1) / 2
+    val pw = (w - kw + 1) / 2
+    Seq.fill(nFilters)((kh, kw)) ++
+      Seq((nFilters, 1), (nClasses, nFilters * ph * pw), (nClasses, 1))
+  }
+
+  def init(h: Int, w: Int, kh: Int, kw: Int, nFilters: Int, nClasses: Int,
+           seed: Long = 42L): ConvSoftmaxModel =
+    ConvSoftmaxModel(ModelWeights.uniform(shapes(h, w, kh, kw, nFilters, nClasses),
+      -0.5, 0.5, seed), h, w, kh, kw, nFilters, nClasses)
 }

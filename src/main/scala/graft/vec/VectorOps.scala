@@ -213,6 +213,22 @@ object VectorOps {
     * codegen end to end; the staged form keeps each generated function
     * small instead of inlining a ~2k-node tree per output column. */
   def qConvPredict(spark: SparkSession, dir: String): DataFrame = {
+    val p = convPooledFrame(spark, dir)
+    val logit = (0 until convPooled).map(k => col(s"p$k") * lit(convDenseW(k)))
+      .reduce(_ + _) + lit(convDenseB)
+    p.select(col("vec_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-logit)), 6).as("conv_prob"))
+      .orderBy("vec_id")
+  }
+
+  /** The shared conv block of the conv-family scorers as two chained
+    * projections: (vec_id, p0..p17) where p_k is the 2×2 max-pool of
+    * the ReLU'd valid-conv cells (stage 1: 72 explicit left-associated
+    * 9-term weighted sums over the 8×8 row-major embedding view; stage
+    * 2: `greatest`-of-4 pooling — max is exact in doubles, so pooling
+    * carries no float-fold risk). [[qConvPredict]] hangs the sigmoid
+    * head off this; [[qConvSoftmaxPredict]] the K-way softmax head. */
+  private def convPooledFrame(spark: SparkSession, dir: String): DataFrame = {
     val x = col("embedding")
     def cell(f: Int, r: Int, c: Int): Column = {
       val terms = for { i <- 0 until 3; j <- 0 until 3 } yield
@@ -227,11 +243,55 @@ object VectorOps {
         col(s"z_${f}_${2 * pr}_${2 * pc}"), col(s"z_${f}_${2 * pr}_${2 * pc + 1}"),
         col(s"z_${f}_${2 * pr + 1}_${2 * pc}"), col(s"z_${f}_${2 * pr + 1}_${2 * pc + 1}"))
         .as(s"p${f * 9 + pr * 3 + pc}")
-    val p = z.select(col("vec_id") +: pCols: _*)
-    val logit = (0 until convPooled).map(k => col(s"p$k") * lit(convDenseW(k)))
-      .reduce(_ + _) + lit(convDenseB)
-    p.select(col("vec_id"),
-        round(lit(1.0) / (lit(1.0) + exp(-logit)), 6).as("conv_prob"))
+    z.select(col("vec_id") +: pCols: _*)
+  }
+
+  /** Deterministic 3-class CONV-SOFTMAX demo weights — the dense head
+    * of the exact `examples/mnist.py` architecture (Conv2D → ReLU →
+    * MaxPool → Dense(K, softmax) [H]) over the [[convKernel]] conv
+    * block: per-class rows over the 18 pooled features, formula-derived;
+    * layout matches [[graft.ml.ConvSoftmaxModel]] (class-major dense
+    * rows, then the K biases); ConvSoftmaxSpec pins the expression form
+    * to the Scala model. */
+  val csmClasses: Int = 3
+  val csmDenseW: Seq[Seq[Double]] = (0 until csmClasses).map(k =>
+    (0 until convPooled).map(j => ((j * 23 + k * 71) % 17 - 8) / 10.0))
+  val csmDenseB: Seq[Double] = (0 until csmClasses).map(k => ((k * 29) % 7 - 3) / 10.0)
+
+  /** The conv + [[csm*]] literals as one [[graft.ml.ConvSoftmaxModel]]. */
+  def convSmModel: graft.ml.ConvSoftmaxModel = {
+    val flat = (convKernel.flatten ++ convBias ++ csmDenseW.flatten ++
+      csmDenseB).toArray
+    graft.ml.ConvSoftmaxModel(
+      graft.ml.ModelWeights(
+        graft.ml.ConvSoftmaxModel.shapes(8, 8, 3, 3, convFilters, csmClasses), flat),
+      8, 8, 3, 3, convFilters, csmClasses)
+  }
+
+  /** q_conv_softmax_predict — the FULL flagship architecture
+    * (`examples/mnist.py`: Conv2D → ReLU → MaxPool → Dense(K, softmax)
+    * [H]) as pure Catalyst expressions, joining the conv block of
+    * [[qConvPredict]] to the softmax head device of
+    * [[qSoftmaxPredict]]: per-class logits as left-associated weighted
+    * sums over the pooled features, max-subtracted exponentials,
+    * normalized probabilities, argmax class with ties to the smallest
+    * index. Three chained projections — zero shuffles before the
+    * display sort, whole-stage codegen end to end. */
+  def qConvSoftmaxPredict(spark: SparkSession, dir: String): DataFrame = {
+    val p = convPooledFrame(spark, dir)
+    val z = (0 until csmClasses).map(k =>
+      (0 until convPooled).map(j => col(s"p$j") * lit(csmDenseW(k)(j)))
+        .reduce(_ + _) + lit(csmDenseB(k)))
+    val mx = greatest(z: _*)
+    val e = z.map(zk => exp(zk - mx))
+    val tot = e.reduce(_ + _)
+    val cls = (0 until csmClasses - 1).reverse
+      .foldLeft(lit(csmClasses - 1)) { case (acc, k) =>
+        val cond = (k + 1 until csmClasses).map(j => z(k) >= z(j)).reduce(_ && _)
+        when(cond, lit(k)).otherwise(acc)
+      }
+    p.select(col("vec_id") +: cls.as("pred_class") +:
+        (0 until csmClasses).map(k => round(e(k) / tot, 6).as(s"cp$k")): _*)
       .orderBy("vec_id")
   }
 
