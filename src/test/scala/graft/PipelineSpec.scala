@@ -134,6 +134,48 @@ class PipelineSpec extends SparkSpec {
     assert(acc > 0.9, s"10-class end-to-end accuracy $acc")
   }
 
+  /** Image-shaped fixture for the FULL flagship stack: 8×8 single-channel
+    * "pixels" in [0,255], 3 spatial classes (no patch / patch in the top
+    * half / patch in the bottom half — the ConvSoftmaxSpec fixture in
+    * pixel range), written as a real parquet file so the flow starts
+    * from a genuine file source. */
+  private lazy val imgDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipeline_img").toString
+    val rnd = new scala.util.Random(41)
+    val rows = rnd.shuffle((0 until 384).map { i =>
+      val img = Array.fill(64)(rnd.nextDouble() * 0.3)
+      val y = i % 3
+      if (y > 0) {
+        val r = if (y == 1) rnd.nextInt(2) else 4 + rnd.nextInt(2)
+        val c = rnd.nextInt(6)
+        for (dr <- 0 until 3; dc <- 0 until 3)
+          img((r + dr) * 8 + (c + dc)) = 0.8 + rnd.nextDouble() * 0.2
+      }
+      (img.map(_ * 255.0).toSeq, y)
+    })
+    rows.toDF("pixels", "label")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("flagship pipeline: parquet->scale->conv-softmax train->batched argmax->accuracy > 0.85") {
+    // the EXACT examples/mnist.py flow at fixture scale: file source →
+    // pixel scaling → Conv2D→ReLU→MaxPool→Dense(K, softmax) trained
+    // through the same distributed harness → batched argmax scoring
+    val data = spark.read.parquet(imgDir).select(
+      VectorOps.minMaxScale(col("pixels"), lit(0.0), lit(255.0)).as("features"),
+      col("label"), col("label").cast("double").as("y"))
+    val model = Trainers.trainDistributedModel(data, "features", "y",
+      ConvSoftmaxModel.init(8, 8, 3, 3, nFilters = 2, nClasses = 3, seed = 5L),
+      numWorkers = 4, epochs = 40, lr = 0.3)
+    val bc = spark.sparkContext.broadcast(model)
+    val scored = Predictor.predictBatchedLabel(data, bc, "features", "pred")
+    val acc = Evaluator.accuracy(
+      scored.withColumn("pred", col("pred").cast("int")), "pred", "label")
+    bc.destroy()
+    assert(acc > 0.85, s"flagship conv-softmax end-to-end accuracy $acc")
+  }
+
   test("everything outside the ML island is ONE unbroken Catalyst plan (SURVEY 3.3)") {
     val data = prepped
     val model = LinearModel.init(4, seed = 3L)
