@@ -248,6 +248,7 @@ object SparkEntry {
     "q_softmax_predict" -> (VectorOps.qSoftmaxPredict _),
     "q_conv_predict" -> (VectorOps.qConvPredict _),
     "q_conv_softmax_predict" -> (VectorOps.qConvSoftmaxPredict _),
+    "q_sgd_step" -> (VectorOps.qSgdStep _),
     "q_accuracy" -> (VectorOps.qAccuracy _),
     "q_eval_metrics" -> (VectorOps.qEvalMetrics _),
     "q_string_index" -> (VectorOps.qStringIndex _),
@@ -750,6 +751,23 @@ object SparkEntry {
       s"WITH $convPooledCtes, lg AS (SELECT vec_id, $zCols FROM p), " +
         s"e AS (SELECT vec_id, $argmax AS pred_class, $eCols FROM lg) " +
         s"SELECT vec_id, pred_class, $pCols FROM e ORDER BY vec_id"
+    },
+    // one full-batch logistic gradient step: per-row p rounded to 6 dp
+    // (the q_eval_metrics device — both engines agree on every err),
+    // per-coordinate terms rounded to 9 dp and summed as DECIMAL(28,9)
+    // (addition-order-proof), bias as the constant-1 65th coordinate;
+    // weight literals interpolated from VectorOps.demoWeights/demoBias
+    "q_sgd_step" -> {
+      import VectorOps._
+      val wall = (demoWeights :+ demoBias).mkString("[", ", ", "]")
+      s"WITH s AS (SELECT ROUND(1.0/(1.0+exp(-(${dotSql("embedding", wLit)} + $demoBias))), 6) - (label % 2) AS err, " +
+        "list_concat(list_transform(embedding, v -> CAST(v AS DOUBLE)), [1.0]) AS xs FROM embeddings), " +
+        "g AS (SELECT CAST(i - 1 AS INTEGER) AS idx, " +
+        "SUM(CAST(ROUND(err * xs[CAST(i AS INTEGER)], 9) AS DECIMAL(28,9))) AS gsum, COUNT(*) AS n " +
+        "FROM (SELECT err, xs, UNNEST(range(1, 66)) AS i FROM s) GROUP BY 1) " +
+        s"SELECT idx, ROUND(($wall)[idx + 1], 6) AS w_old, " +
+        s"ROUND(($wall)[idx + 1] - 0.1 * (CAST(gsum AS DOUBLE) / n), 6) AS w_new " +
+        "FROM g ORDER BY idx"
     },
     "q_accuracy" ->
       "SELECT ROUND(AVG(CASE WHEN (list_position(embedding, list_max(embedding)) - 1) % 10 = label THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6) AS acc FROM embeddings",

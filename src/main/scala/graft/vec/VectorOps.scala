@@ -295,6 +295,47 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** q_sgd_step — ONE full-batch gradient-descent step of the logistic
+    * model as a pure relational aggregate: the distributed heart of the
+    * reference's training loop (`distkeras/trainers.py` workers compute
+    * gradients over their partition and the driver averages them [H])
+    * with Spark's map-side partial aggregation playing the worker role
+    * and the 65-key final aggregate the parameter average — no
+    * mapPartitions, no driver loop, ORACLE-CHECKABLE in SQL.
+    *
+    * Per row: p = σ(w·x + b) rounded to the 1e-6 grid (both engines
+    * agree on every per-row decision — the q_eval_metrics device);
+    * err = p − y with y = label mod 2. Per coordinate i (the bias rides
+    * along as a constant-1 65th feature): the mean-gradient sum
+    * Σ err·x_i runs with each term rounded to 9 dp and summed as
+    * DECIMAL(28,9) — integer-scaled, commutative, ADDITION-ORDER-PROOF,
+    * so any partitioning of a 100 TB corpus produces the bit-identical
+    * update (a raw double sum would drift per plan). Output: one row
+    * per coordinate with the old and stepped weight (lr = 0.1).
+    *
+    * Scale shape: one scan → per-row projection → posexplode to
+    * (coordinate, term) → 65-key hash aggregate (partial agg does the
+    * per-partition work; the shuffle carries 65 rows per partition). */
+  def qSgdStep(spark: SparkSession, dir: String): DataFrame = {
+    val lr = 0.1
+    val margin = dotLit(col("embedding"), demoWeights) + lit(demoBias)
+    val p = round(lit(1.0) / (lit(1.0) + exp(-margin)), 6)
+    val e = Tables.embeddings(spark, dir).select(
+      concat(transform(col("embedding"), v => v.cast("double")),
+        array(lit(1.0))).as("xs"),
+      (p - (col("label") % 2)).as("err"))
+    val wOld = (demoWeights :+ demoBias).map(lit)
+    val g = e.select(col("err"), posexplode(col("xs")).as(Seq("idx", "x")))
+      .groupBy(col("idx"))
+      .agg(sum(round(col("err") * col("x"), 9).cast("decimal(28,9)")).as("gsum"),
+        count(lit(1)).as("n"))
+    g.select(col("idx"),
+        round(element_at(array(wOld: _*), col("idx") + 1), 6).as("w_old"),
+        round(element_at(array(wOld: _*), col("idx") + 1) -
+          lit(lr) * (col("gsum").cast("double") / col("n")), 6).as("w_new"))
+      .orderBy("idx")
+  }
+
   /** StringIndexer usage (`examples/mnist.py`/`workflow.ipynb` index
     * string labels before one-hot [M]): category → dense index by
     * frequency (most frequent = 0), ties broken by value — MLlib's
