@@ -249,6 +249,7 @@ object SparkEntry {
     "q_conv_predict" -> (VectorOps.qConvPredict _),
     "q_conv_softmax_predict" -> (VectorOps.qConvSoftmaxPredict _),
     "q_sgd_step" -> (VectorOps.qSgdStep _),
+    "q_multiclass_metrics" -> (VectorOps.qMulticlassMetrics _),
     "q_accuracy" -> (VectorOps.qAccuracy _),
     "q_eval_metrics" -> (VectorOps.qEvalMetrics _),
     "q_string_index" -> (VectorOps.qStringIndex _),
@@ -771,6 +772,34 @@ object SparkEntry {
     },
     "q_accuracy" ->
       "SELECT ROUND(AVG(CASE WHEN (list_position(embedding, list_max(embedding)) - 1) % 10 = label THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6) AS acc FROM embeddings",
+    // multi-class evaluator: confusion grid first (K^2 rows leave the
+    // shuffle), then one-vs-rest tp/fp/fn per class unpivoted from the
+    // grid; argmax CASE mirrored from q_softmax_predict; NULLIF guards
+    // align the engines' divide-by-zero behavior (NULL vs inf)
+    "q_multiclass_metrics" -> {
+      import VectorOps._
+      val zs = (0 until smClasses).map { k =>
+        val w = smW(k).mkString("[", ", ", "]")
+        s"${dotSql("embedding", w)} + ${smB(k)} AS z$k"
+      }.mkString(", ")
+      val argmax = (0 until smClasses - 1).map { k =>
+        val cond = (k + 1 until smClasses).map(j => s"z$k >= z$j").mkString(" AND ")
+        s"WHEN $cond THEN $k"
+      }.mkString("CASE ", " ", s" ELSE ${smClasses - 1} END")
+      val classes = (0 until smClasses).mkString("[", ", ", "]")
+      s"WITH z AS (SELECT (label % $smClasses) AS y, $zs FROM embeddings), " +
+        s"s AS (SELECT y, $argmax AS pred FROM z), " +
+        "c AS (SELECT y, pred, COUNT(*) AS n FROM s GROUP BY 1, 2), " +
+        s"e AS (SELECT k.class, c.y, c.pred, c.n FROM c CROSS JOIN (SELECT UNNEST($classes) AS class) k), " +
+        "m AS (SELECT class, CAST(SUM(CASE WHEN y = class AND pred = class THEN n ELSE 0 END) AS BIGINT) AS tp, " +
+        "CAST(SUM(CASE WHEN y <> class AND pred = class THEN n ELSE 0 END) AS BIGINT) AS fp, " +
+        "CAST(SUM(CASE WHEN y = class AND pred <> class THEN n ELSE 0 END) AS BIGINT) AS fn FROM e GROUP BY 1) " +
+        "SELECT class, tp, fp, fn, " +
+        "ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 6) AS prec, " +
+        "ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) AS recall, " +
+        "ROUND(2.0 * tp / NULLIF(2 * tp + fp + fn, 0), 6) AS f1 " +
+        "FROM m ORDER BY class"
+    },
     "q_string_index" ->
       "WITH f AS (SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment), i AS (SELECT c_mktsegment, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, c_mktsegment) - 1 AS BIGINT) AS seg_idx FROM f) SELECT c_custkey, c.c_mktsegment, seg_idx FROM customer c JOIN i ON c.c_mktsegment = i.c_mktsegment ORDER BY c_custkey",
     "q_bucketize" ->

@@ -487,20 +487,26 @@ object VectorOps {
     * the smallest index — the exact `SoftmaxMlpModel.predictLabel`
     * semantics, spec-pinned. One projection, zero shuffles before the
     * display sort, whole-stage codegen end to end. */
+  /** Per-class softmax-demo logits over the embedding column. */
+  private def smLogits: Seq[Column] =
+    (0 until smClasses).map(k => dotLit(col("embedding"), smW(k)) + lit(smB(k)))
+
+  /** Argmax class with ties to the smallest index, generated for ANY
+    * class count (a hardcoded K-way CASE was a silent-wrongness trap if
+    * the class count ever changed; the SQL twin generates identically). */
+  private def smArgmax(z: Seq[Column]): Column =
+    (0 until z.size - 1).reverse
+      .foldLeft(lit(z.size - 1)) { case (acc, k) =>
+        val cond = (k + 1 until z.size).map(j => z(k) >= z(j)).reduce(_ && _)
+        when(cond, lit(k)).otherwise(acc)
+      }
+
   def qSoftmaxPredict(spark: SparkSession, dir: String): DataFrame = {
-    val z = (0 until smClasses).map(k =>
-      dotLit(col("embedding"), smW(k)) + lit(smB(k)))
+    val z = smLogits
     val mx = greatest(z: _*)
     val e = z.map(zk => exp(zk - mx))
     val tot = e.reduce(_ + _)
-    // argmax with ties to the smallest index, generated for ANY
-    // smClasses (a hardcoded 3-way CASE was a silent-wrongness trap if
-    // the class count ever changed; the SQL twin generates identically)
-    val cls = (0 until smClasses - 1).reverse
-      .foldLeft(lit(smClasses - 1)) { case (acc, k) =>
-        val cond = (k + 1 until smClasses).map(j => z(k) >= z(j)).reduce(_ && _)
-        when(cond, lit(k)).otherwise(acc)
-      }
+    val cls = smArgmax(z)
     Tables.embeddings(spark, dir)
       .select(col("vec_id") +: cls.as("pred_class") +:
         (0 until smClasses).map(k =>
@@ -537,6 +543,38 @@ object VectorOps {
       (lit(1.0) / (lit(1.0) + exp(-margin))).as("prob"),
       (argMax(col("embedding")) % 2).cast("int").as("y"))
     graft.ml.Evaluator.binaryMetrics(scored, "prob", "y")
+  }
+
+  /** q_multiclass_metrics — the MULTI-CLASS evaluator surface
+    * (`distkeras/evaluators.py` evaluates categorical predictions [H];
+    * per-class precision/recall/F1 is its production extension): the
+    * softmax demo head's argmax class vs truth = label mod K, reduced
+    * to the K×K confusion aggregate FIRST (the only data-sized op —
+    * K² rows leave the shuffle regardless of corpus size), then
+    * one-vs-rest tp/fp/fn per class unpivoted from the tiny grid.
+    * Zero-denominator guards via NULLIF on both engines (Spark emits
+    * NULL on x/0, DuckDB emits inf — the guard makes them agree). */
+  def qMulticlassMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val conf = Tables.embeddings(spark, dir)
+      .select(smArgmax(smLogits).as("pred"),
+        (col("label") % smClasses).as("y"))
+      .groupBy(col("y"), col("pred")).agg(count(lit(1)).as("n"))
+    val m = conf
+      .select(explode(array((0 until smClasses).map(lit): _*)).as("class"),
+        col("y"), col("pred"), col("n"))
+      .groupBy(col("class"))
+      .agg(
+        sum(when(col("y") === col("class") && col("pred") === col("class"), col("n"))
+          .otherwise(lit(0L))).as("tp"),
+        sum(when(col("y") =!= col("class") && col("pred") === col("class"), col("n"))
+          .otherwise(lit(0L))).as("fp"),
+        sum(when(col("y") === col("class") && col("pred") =!= col("class"), col("n"))
+          .otherwise(lit(0L))).as("fn"))
+    m.select(col("class"), col("tp"), col("fp"), col("fn"),
+        round(col("tp").cast("double") / nullif(col("tp") + col("fp"), lit(0L)), 6).as("prec"),
+        round(col("tp").cast("double") / nullif(col("tp") + col("fn"), lit(0L)), 6).as("recall"),
+        round(lit(2.0) * col("tp") / nullif(lit(2L) * col("tp") + col("fp") + col("fn"), lit(0L)), 6).as("f1"))
+      .orderBy("class")
   }
 
   /** q_accuracy — AccuracyEvaluator (`distkeras/evaluators.py ~L15-60

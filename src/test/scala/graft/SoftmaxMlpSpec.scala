@@ -137,4 +137,27 @@ class SoftmaxMlpSpec extends SparkSpec {
       }
     }
   }
+
+  test("q_multiclass_metrics equals the driver-side one-vs-rest confusion counts") {
+    val model = VectorOps.smModel
+    val k = VectorOps.smClasses
+    val data = Tables.embeddings(spark, sfDir)
+      .select("embedding", "label")
+      .as[(Seq[Float], Int)].collect()
+      .map { case (v, lab) =>
+        (model.predictLabel(v.map(_.toDouble).toArray).toInt, lab % k)
+      }
+    val out = VectorOps.qMulticlassMetrics(spark, sfDir).collect()
+    assert(out.length == k)
+    out.foreach { r =>
+      val c = r.getAs[Int]("class")
+      val tp = data.count { case (p, y) => p == c && y == c }.toLong
+      val fp = data.count { case (p, y) => p == c && y != c }.toLong
+      val fn = data.count { case (p, y) => p != c && y == c }.toLong
+      assert(r.getAs[Long]("tp") == tp && r.getAs[Long]("fp") == fp &&
+        r.getAs[Long]("fn") == fn, s"class $c counts")
+      val f1 = 2.0 * tp / (2 * tp + fp + fn)
+      assert(math.abs(r.getAs[Double]("f1") - f1) < 1e-6, s"class $c f1")
+    }
+  }
 }
