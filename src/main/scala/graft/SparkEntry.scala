@@ -250,6 +250,8 @@ object SparkEntry {
     "q_conv_softmax_predict" -> (VectorOps.qConvSoftmaxPredict _),
     "q_sgd_step" -> (VectorOps.qSgdStep _),
     "q_multiclass_metrics" -> (VectorOps.qMulticlassMetrics _),
+    "q_cross_entropy" -> (VectorOps.qCrossEntropy _),
+    "q_topk_accuracy" -> (VectorOps.qTopkAccuracy _),
     "q_accuracy" -> (VectorOps.qAccuracy _),
     "q_eval_metrics" -> (VectorOps.qEvalMetrics _),
     "q_string_index" -> (VectorOps.qStringIndex _),
@@ -799,6 +801,44 @@ object SparkEntry {
         "ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) AS recall, " +
         "ROUND(2.0 * tp / NULLIF(2 * tp + fp + fn, 0), 6) AS f1 " +
         "FROM m ORDER BY class"
+    },
+    // categorical cross-entropy of the softmax head: stable softmax
+    // p_y via 1-based list pick, -ln clamped at 1e-12, per-row rounded
+    // 6 dp then DECIMAL(28,6)-summed (order-proof) before the mean
+    "q_cross_entropy" -> {
+      import VectorOps._
+      val zs = (0 until smClasses).map { k =>
+        val w = smW(k).mkString("[", ", ", "]")
+        s"${dotSql("embedding", w)} + ${smB(k)} AS z$k"
+      }.mkString(", ")
+      val mx = s"greatest(${(0 until smClasses).map(k => s"z$k").mkString(", ")})"
+      val es = (0 until smClasses).map(k => s"exp(z$k - $mx)").mkString(", ")
+      val tot = (0 until smClasses).map(k => s"exp(z$k - $mx)").mkString(" + ")
+      s"WITH z AS (SELECT (label % $smClasses) AS y, $zs FROM embeddings), " +
+        s"c AS (SELECT ROUND(-ln(greatest(([$es])[y + 1] / ($tot), 1e-12)), 6) AS ce FROM z) " +
+        "SELECT ROUND(CAST(SUM(CAST(ce AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS mean_ce, COUNT(*) AS n FROM c"
+    },
+    // top-k categorical accuracy: the true class hits when fewer than
+    // k logits strictly beat it (equal logits at smaller indices count
+    // against it — the q_softmax_predict argmax tie-break, so top-1
+    // here equals argmax accuracy); 0/1 hits make the AVG exact
+    "q_topk_accuracy" -> {
+      import VectorOps._
+      val zs = (0 until smClasses).map { k =>
+        val w = smW(k).mkString("[", ", ", "]")
+        s"${dotSql("embedding", w)} + ${smB(k)} AS z$k"
+      }.mkString(", ")
+      val zy = s"([${(0 until smClasses).map(k => s"z$k").mkString(", ")}])[y + 1]"
+      val rank = (0 until smClasses).map(j =>
+        s"CASE WHEN z$j > zy OR (z$j = zy AND $j < y) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"WITH z AS (SELECT (label % $smClasses) AS y, $zs FROM embeddings), " +
+        s"r AS (SELECT y, $zy AS zy, z0" +
+        (1 until smClasses).map(k => s", z$k").mkString + " FROM z), " +
+        s"s AS (SELECT ($rank) AS rnk FROM r) " +
+        "SELECT ROUND(AVG(CASE WHEN rnk < 1 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6) AS top1_acc, " +
+        "ROUND(AVG(CASE WHEN rnk < 2 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6) AS top2_acc, " +
+        "COUNT(*) AS n FROM s"
     },
     "q_string_index" ->
       "WITH f AS (SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment), i AS (SELECT c_mktsegment, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, c_mktsegment) - 1 AS BIGINT) AS seg_idx FROM f) SELECT c_custkey, c.c_mktsegment, seg_idx FROM customer c JOIN i ON c.c_mktsegment = i.c_mktsegment ORDER BY c_custkey",

@@ -577,6 +577,56 @@ object VectorOps {
       .orderBy("class")
   }
 
+  /** q_cross_entropy — the categorical cross-entropy the reference's
+    * flagship model COMPILES as its loss (`examples/mnist.py`:
+    * `categorical_crossentropy` [H]) as a corpus-level evaluation
+    * aggregate: per row, the stable softmax probability of the true
+    * class (max-subtracted exponentials, p_y picked by element_at so
+    * the data-dependent label stays inside codegen), −ln clamped at
+    * 1e-12 (the `DiffModel.logLoss` floor), ROUNDED TO 6 DP and summed
+    * as DECIMAL(28,6) — the order-proof device, since a raw double AVG
+    * of transcendental terms drifts per partitioning. One scan, one
+    * single-row aggregate. */
+  def qCrossEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val z = smLogits
+    val mx = greatest(z: _*)
+    val e = z.map(zk => exp(zk - mx))
+    val tot = e.reduce(_ + _)
+    val y = col("label") % smClasses
+    val py = element_at(array(e: _*), (y + 1).cast("int")) / tot
+    val ce = round(-log(greatest(py, lit(1e-12))), 6)
+    Tables.embeddings(spark, dir)
+      .agg(
+        round(sum(ce.cast("decimal(28,6)")).cast("double") / count(lit(1)), 6)
+          .as("mean_ce"),
+        count(lit(1)).as("n"))
+  }
+
+  /** q_topk_accuracy — `top_k_categorical_accuracy`, the other metric
+    * the reference's flagship compile step tracks [H]: the true class
+    * counts as a hit when fewer than k classes strictly beat its logit
+    * (ties resolved toward smaller class indices, exactly the
+    * [[smArgmax]] convention, so top-1 here ≡ argmax accuracy — the SQL
+    * twin mirrors the same tie-break). Hits are 0/1 integers, so the
+    * corpus AVG is exact at any partitioning; reported beside top-1 as
+    * one aggregate row. */
+  def qTopkAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val z = smLogits
+    val y = col("label") % smClasses
+    val zy = element_at(array(z: _*), (y + 1).cast("int"))
+    // rank of the true class = strictly-greater logits + equal logits
+    // at smaller class indices (the deterministic tie-break)
+    val rank = (0 until smClasses).map { j =>
+      when(z(j) > zy || (z(j) === zy && lit(j) < y), lit(1L)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    Tables.embeddings(spark, dir)
+      .select(rank.as("r"))
+      .agg(
+        round(avg(when(col("r") < 1, 1.0).otherwise(0.0)), 6).as("top1_acc"),
+        round(avg(when(col("r") < 2, 1.0).otherwise(0.0)), 6).as("top2_acc"),
+        count(lit(1)).as("n"))
+  }
+
   /** q_accuracy — AccuracyEvaluator (`distkeras/evaluators.py ~L15-60
     * [H]`) as a single-row aggregate; "prediction" is argmax(embedding)
     * mod 10 for a deterministic, model-free oracle. */

@@ -160,4 +160,34 @@ class SoftmaxMlpSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("f1") - f1) < 1e-6, s"class $c f1")
     }
   }
+
+  test("q_cross_entropy equals the mean SoftmaxHead logLoss of the demo model") {
+    val model = VectorOps.smModel
+    val k = VectorOps.smClasses
+    val data = Tables.embeddings(spark, sfDir)
+      .select("embedding", "label").as[(Seq[Float], Int)].collect()
+    val expected = data.map { case (v, lab) =>
+      model.logLoss(v.map(_.toDouble).toArray, (lab % k).toDouble)
+    }.sum / data.length
+    val r = VectorOps.qCrossEntropy(spark, sfDir).head()
+    assert(r.getAs[Long]("n") == data.length)
+    // per-row 6dp rounding bounds the mean's drift by 5e-7
+    assert(math.abs(r.getAs[Double]("mean_ce") - expected) < 1e-6,
+      s"mean_ce ${r.getAs[Double]("mean_ce")} vs $expected")
+  }
+
+  test("q_topk_accuracy: top-1 equals argmax accuracy, top-2 dominates it") {
+    val model = VectorOps.smModel
+    val k = VectorOps.smClasses
+    val data = Tables.embeddings(spark, sfDir)
+      .select("embedding", "label").as[(Seq[Float], Int)].collect()
+    val top1 = data.count { case (v, lab) =>
+      model.predictLabel(v.map(_.toDouble).toArray).toInt == lab % k
+    }.toDouble / data.length
+    val r = VectorOps.qTopkAccuracy(spark, sfDir).head()
+    assert(math.abs(r.getAs[Double]("top1_acc") - top1) < 1e-6,
+      s"top1 ${r.getAs[Double]("top1_acc")} vs argmax-accuracy $top1")
+    assert(r.getAs[Double]("top2_acc") >= r.getAs[Double]("top1_acc"))
+    assert(r.getAs[Double]("top2_acc") <= 1.0)
+  }
 }
