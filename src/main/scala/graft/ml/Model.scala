@@ -508,6 +508,52 @@ object ModelIO {
         throw new IllegalArgumentException(s"not an MLP shape list: $other")
     }
   }
+
+  /** Shared conv-family shape inference: the shape list is a leading
+    * run of identical (kh,kw) kernels (length = nFilters), the
+    * (nFilters,1) conv biases, the (K,nFeat) dense matrix and the (K,1)
+    * dense biases. The image dims (h,w) are NOT in the shape list —
+    * the caller supplies them and the inferred geometry is validated
+    * against nFeat, so a wrong (h,w) fails fast instead of
+    * mis-scoring. Returns (kh, kw, nFilters, nClasses, nFeat). */
+  private def inferConv(shapes: Seq[(Int, Int)], h: Int,
+                        w: Int): (Int, Int, Int, Int, Int) = {
+    require(shapes.sizeIs >= 4, s"not a conv shape list: $shapes")
+    val (kh, kw) = shapes.head
+    val nf = shapes.takeWhile(_ == (kh, kw)).size
+    val tail = shapes.drop(nf)
+    tail match {
+      case Seq((`nf`, 1), (k1, nFeat), (k2, 1)) if k1 == k2 =>
+        val ph = (h - kh + 1) / 2
+        val pw = (w - kw + 1) / 2
+        require(nFeat == nf * ph * pw,
+          s"dense width $nFeat != $nf*$ph*$pw for ${h}x$w/${kh}x$kw")
+        (kh, kw, nf, k1, nFeat)
+      case other =>
+        throw new IllegalArgumentException(s"not a conv shape list tail: $other")
+    }
+  }
+
+  /** Binary convnet load: shapes infer (kh, kw, nFilters); the caller
+    * supplies the image dims (see [[inferConv]]); the dense head must
+    * be the single sigmoid row. */
+  def loadConvNet(spark: org.apache.spark.sql.SparkSession, path: String,
+                  h: Int, w: Int): ConvNetModel = {
+    val wts = load(spark, path)
+    val (kh, kw, nf, k, _) = inferConv(wts.shapes, h, w)
+    require(k == 1, s"dense head has $k rows; use loadConvSoftmax")
+    ConvNetModel(wts, h, w, kh, kw, nf)
+  }
+
+  /** Multi-class convnet load: like [[loadConvNet]] but the dense head
+    * is the (K,nFeat) softmax block, K >= 2. */
+  def loadConvSoftmax(spark: org.apache.spark.sql.SparkSession, path: String,
+                      h: Int, w: Int): ConvSoftmaxModel = {
+    val wts = load(spark, path)
+    val (kh, kw, nf, k, _) = inferConv(wts.shapes, h, w)
+    require(k >= 2, s"dense head has $k row(s); use loadConvNet")
+    ConvSoftmaxModel(wts, h, w, kh, kw, nf, k)
+  }
 }
 
 /** CONVOLUTIONAL nets — the last architecture family of the reference's

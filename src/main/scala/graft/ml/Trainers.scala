@@ -300,17 +300,98 @@ object Trainers {
         if (locals.nonEmpty)
           center = center.withWeights(rule(center.weights, locals, state))
         val bcEval = sc.broadcast(center)
-        val (lossSum, n) = data.mapPartitions { it =>
+        // partition-ordered combine: see trainWithEarlyStopping — a
+        // plain reduce() makes the recorded curve drift by ulps across
+        // otherwise-identical runs
+        val parts = data.mapPartitionsWithIndex { (pi, it) =>
           val m = bcEval.value
           var s = 0.0; var k = 0L
           it.foreach { case (x, y) => s += m.logLoss(x, y); k += 1 }
-          Iterator.single((s, k))
-        }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+          Iterator.single((pi, s, k))
+        }.collect().sortBy(_._1)
         bc.destroy(); bcEval.destroy()
+        val lossSum = parts.foldLeft(0.0)(_ + _._2)
+        val n = parts.foldLeft(0L)(_ + _._3)
         losses += (if (n == 0) 0.0 else lossSum / n)
       }
       TrainingReport(center.asInstanceOf[M], losses.toSeq,
         (System.nanoTime() - t0) / 1e9)
     } finally data.unpersist()
+  }
+
+  /** Early-stopping record: the per-epoch VALIDATION loss curve, the
+    * epoch whose weights are returned, and whether the patience budget
+    * fired before `maxEpochs`. */
+  final case class EarlyStopReport[M <: DiffModel](
+      model: M, valLoss: Seq[Double], bestEpoch: Int, stoppedEarly: Boolean)
+
+  /** Early-stopped distributed training — the reference workflow's
+    * model-selection loop (`examples/mnist.py` holds out a test split
+    * and evaluates the trained model on it [M]; Keras's
+    * `EarlyStopping(monitor='val_loss', restore_best_weights=True)` is
+    * the canonical form): per epoch, one distributed SGD round exactly
+    * as [[trainDistributedModel]], then ONE (sum, count) log-loss
+    * aggregate over the VALIDATION partitions — O(1) rows to the
+    * driver per epoch, never the data. Training stops after `patience`
+    * consecutive epochs without a validation improvement > `minDelta`,
+    * and the returned model is the BEST epoch's (not the last — a
+    * divergent tail cannot poison the result). Deterministic given the
+    * init seed: same partitioning, same merge, same stop decision. */
+  def trainWithEarlyStopping[M <: DiffModel](
+      df: DataFrame, featuresCol: String, labelCol: String,
+      valDf: DataFrame, init: M,
+      numWorkers: Int = 4, maxEpochs: Int = 50, lr: Double = 0.5,
+      batchSize: Int = 32, rule: UpdateRule = Averaging,
+      patience: Int = 3, minDelta: Double = 0.0): EarlyStopReport[M] = {
+    require(patience >= 1, s"patience must be >= 1, got $patience")
+    val data = toExamples(df, featuresCol, labelCol)
+      .repartition(numWorkers).persist()
+    val valData = toExamples(valDf, featuresCol, labelCol)
+      .repartition(numWorkers).persist()
+    try {
+      val sc = df.sparkSession.sparkContext
+      var center: DiffModel = init
+      val state = new Array[Double](center.weights.flat.length)
+      val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var best = center
+      var bestLoss = Double.PositiveInfinity
+      var bestEpoch = -1
+      var sinceBest = 0
+      var epoch = 0
+      var stopped = false
+      while (epoch < maxEpochs && !stopped) {
+        val bc = sc.broadcast(center)
+        val locals = data.mapPartitions { it =>
+          val res = localSgd(bc.value, it, lr, batchSize)
+          if (res._2 == 0) Iterator.empty else Iterator.single(res)
+        }.collect().toSeq
+        if (locals.nonEmpty)
+          center = center.withWeights(rule(center.weights, locals, state))
+        val bcEval = sc.broadcast(center)
+        // per-partition sums combined IN PARTITION ORDER: a plain
+        // reduce() folds in task-arrival order, so the float total (and
+        // with it the stop decision at the ulp margin) would vary
+        // run-to-run on identical data
+        val parts = valData.mapPartitionsWithIndex { (pi, it) =>
+          val m = bcEval.value
+          var s = 0.0; var k = 0L
+          it.foreach { case (x, y) => s += m.logLoss(x, y); k += 1 }
+          Iterator.single((pi, s, k))
+        }.collect().sortBy(_._1)
+        bc.destroy(); bcEval.destroy()
+        val lossSum = parts.foldLeft(0.0)(_ + _._2)
+        val n = parts.foldLeft(0L)(_ + _._3)
+        val vl = if (n == 0) 0.0 else lossSum / n
+        losses += vl
+        if (vl < bestLoss - minDelta) {
+          bestLoss = vl; best = center; bestEpoch = epoch; sinceBest = 0
+        } else {
+          sinceBest += 1
+          if (sinceBest >= patience) stopped = true
+        }
+        epoch += 1
+      }
+      EarlyStopReport(best.asInstanceOf[M], losses.toSeq, bestEpoch, stopped)
+    } finally { data.unpersist(); valData.unpersist() }
   }
 }

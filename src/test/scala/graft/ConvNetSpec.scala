@@ -107,6 +107,13 @@ class ConvNetSpec extends SparkSpec {
     val rebuilt = ConvNetModel(back, 8, 8, 3, 3, 2)
     val x = Array.tabulate(64)(i => (i % 7) * 0.1)
     assert(rebuilt.predictProb(x) == m.predictProb(x))
+    // arch-inferring loader: (kh, kw, nFilters) from the shapes alone
+    val loaded = ModelIO.loadConvNet(spark, path, 8, 8)
+    assert((loaded.h, loaded.w, loaded.kh, loaded.kw, loaded.nFilters) ==
+      (m.h, m.w, m.kh, m.kw, m.nFilters))
+    assert(loaded.weights.flat.toSeq == m.weights.flat.toSeq)
+    intercept[IllegalArgumentException](ModelIO.loadConvNet(spark, path, 10, 8))
+    intercept[IllegalArgumentException](ModelIO.loadConvSoftmax(spark, path, 8, 8))
   }
 
   test("q_conv_predict expression form equals the Scala ConvNetModel forward pass") {

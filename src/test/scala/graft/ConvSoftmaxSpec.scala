@@ -118,6 +118,15 @@ class ConvSoftmaxSpec extends SparkSpec {
     val rebuilt = ConvSoftmaxModel(back, 8, 8, 3, 3, 2, 3)
     val x = Array.tabulate(64)(i => (i % 7) * 0.1)
     assert(rebuilt.predictClassProbs(x).toSeq == m.predictClassProbs(x).toSeq)
+    // arch-inferring loader: (kh, kw, nFilters, K) come from the shape
+    // list alone; only the image dims are supplied
+    val loaded = ModelIO.loadConvSoftmax(spark, path, 8, 8)
+    assert((loaded.h, loaded.w, loaded.kh, loaded.kw, loaded.nFilters,
+      loaded.nClasses) == (m.h, m.w, m.kh, m.kw, m.nFilters, m.nClasses))
+    assert(loaded.weights.flat.toSeq == m.weights.flat.toSeq)
+    // a wrong geometry or the wrong family fails fast, never mis-scores
+    intercept[IllegalArgumentException](ModelIO.loadConvSoftmax(spark, path, 8, 10))
+    intercept[IllegalArgumentException](ModelIO.loadConvNet(spark, path, 8, 8))
   }
 
   test("q_conv_softmax_predict expression form equals the Scala ConvSoftmaxModel") {
