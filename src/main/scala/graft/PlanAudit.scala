@@ -128,6 +128,9 @@ object PlanAudit {
       "q_dedup_embedding",
       "q_minmax_scale", "q_ivf_topk", "q_ivf_topk_fixed", "q_ivf_pq_topk",
       "q_eval_metrics",
+      // the evaluator curves cross their ONE-ROW totals aggregate into
+      // the <=256-row bin frame — bounded by construction
+      "q_roc_curve", "q_lift_curve",
       "q_bloom_join", "q_tfidf", "q_bm25_search",
       "q_rank_fusion", // inherits bm25's + vsm's one-row corpus-stat crosses
       "q_quality_unigram", "q_domain_mix", "q_domain_mix_temp", "q_quality_tails",

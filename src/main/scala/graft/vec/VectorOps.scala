@@ -545,6 +545,74 @@ object VectorOps {
     graft.ml.Evaluator.binaryMetrics(scored, "prob", "y")
   }
 
+  /** The shared scored frame of the binary-evaluator family: prob =
+    * sigmoid(linear demo margin) ROUNDED to the 1e-6 grid (both engines
+    * agree on every binning decision — the q_eval_metrics device),
+    * y = argmax(embedding) mod 2. */
+  private def binaryScored(spark: SparkSession, dir: String): DataFrame = {
+    val margin = dotLit(col("embedding"), demoWeights) + lit(demoBias)
+    Tables.embeddings(spark, dir).select(
+      round(lit(1.0) / (lit(1.0) + exp(-margin)), 6).as("p"),
+      (argMax(col("embedding")) % 2).cast("int").as("y"))
+  }
+
+  /** q_roc_curve — the full binned ROC curve behind q_eval_metrics'
+    * scalar AUC (the evaluator artifact a model-selection workflow
+    * plots): scores bin to 256 fixed cells, per-bin (pos, neg) counts
+    * are the ONLY data-sized aggregate, then descending-threshold
+    * cumulative tpr/fpr come from a window over the ≤256 bin rows —
+    * never over data, so the curve costs one scan at any corpus size.
+    * Counts are exact longs; tpr/fpr are single divisions of exact
+    * longs, deterministic at any partitioning. */
+  def qRocCurve(spark: SparkSession, dir: String): DataFrame = {
+    val bins = binaryScored(spark, dir)
+      .select(least(floor(col("p") * 256), lit(255)).cast("int").as("bin"), col("y"))
+      .groupBy("bin")
+      .agg(sum(col("y")).cast("long").as("n_pos"),
+        sum(lit(1) - col("y")).cast("long").as("n_neg"))
+    // the window runs over <= 256 aggregate rows (intent: bounded frame)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("bin").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = bins.agg(sum(col("n_pos")).as("tot_pos"), sum(col("n_neg")).as("tot_neg"))
+    bins
+      .select(col("bin"), col("n_pos"), col("n_neg"),
+        sum(col("n_pos")).over(w).as("cum_pos"),
+        sum(col("n_neg")).over(w).as("cum_neg"))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_pos"), col("n_neg"),
+        round(col("cum_pos").cast("double") / col("tot_pos"), 6).as("tpr"),
+        round(col("cum_neg").cast("double") / col("tot_neg"), 6).as("fpr"))
+      .orderBy(col("bin").desc)
+  }
+
+  /** q_lift_curve — cumulative lift/capture at descending score
+    * cutoffs (the targeting artifact: "scoring the top X% of the
+    * corpus captures Y% of the positives at Z× the base rate"): same
+    * 256-bin reduction as [[qRocCurve]], lift = precision-above-cutoff
+    * over the base positive rate, capture = recall-above-cutoff. Same
+    * scale shape: one data-sized aggregate, windows over bin rows. */
+  def qLiftCurve(spark: SparkSession, dir: String): DataFrame = {
+    val bins = binaryScored(spark, dir)
+      .select(least(floor(col("p") * 256), lit(255)).cast("int").as("bin"), col("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("n_pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("bin").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = bins.agg(sum(col("n")).as("tot_n"), sum(col("n_pos")).as("tot_pos"))
+    bins
+      .select(col("bin"), col("n"), col("n_pos"),
+        sum(col("n")).over(w).as("cum_n"),
+        sum(col("n_pos")).over(w).as("cum_pos"))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round((col("cum_pos").cast("double") / col("cum_n")) /
+          (col("tot_pos").cast("double") / col("tot_n")), 6).as("lift"),
+        round(col("cum_pos").cast("double") / col("tot_pos"), 6).as("capture"))
+      .orderBy(col("bin").desc)
+  }
+
   /** q_multiclass_metrics — the MULTI-CLASS evaluator surface
     * (`distkeras/evaluators.py` evaluates categorical predictions [H];
     * per-class precision/recall/F1 is its production extension): the
