@@ -249,6 +249,7 @@ object SparkEntry {
     "q_conv_predict" -> (VectorOps.qConvPredict _),
     "q_conv_softmax_predict" -> (VectorOps.qConvSoftmaxPredict _),
     "q_sgd_step" -> (VectorOps.qSgdStep _),
+    "q_softmax_sgd_step" -> (VectorOps.qSoftmaxSgdStep _),
     "q_multiclass_metrics" -> (VectorOps.qMulticlassMetrics _),
     "q_cross_entropy" -> (VectorOps.qCrossEntropy _),
     "q_topk_accuracy" -> (VectorOps.qTopkAccuracy _),
@@ -773,6 +774,38 @@ object SparkEntry {
         s"SELECT idx, ROUND(($wall)[idx + 1], 6) AS w_old, " +
         s"ROUND(($wall)[idx + 1] - 0.1 * (CAST(gsum AS DOUBLE) / n), 6) AS w_new " +
         "FROM g ORDER BY idx"
+    },
+    // the multi-class gradient step: per-row softmax deltas (stable,
+    // 6dp-rounded) exploded over class THEN coordinate in separate
+    // subqueries (same-select UNNESTs would zip, not cross), 9dp terms
+    // DECIMAL-summed per (k, idx) cell; nested weight-array literal
+    // interpolated from VectorOps.smW/smB
+    "q_softmax_sgd_step" -> {
+      import VectorOps._
+      val zs = (0 until smClasses).map { k =>
+        val w = smW(k).mkString("[", ", ", "]")
+        s"${dotSql("embedding", w)} + ${smB(k)} AS z$k"
+      }.mkString(", ")
+      val mx = s"greatest(${(0 until smClasses).map(k => s"z$k").mkString(", ")})"
+      val tot = (0 until smClasses).map(k => s"exp(z$k - $mx)").mkString(" + ")
+      val ds = (0 until smClasses).map(k =>
+        s"ROUND(exp(z$k - $mx) / ($tot), 6) - CASE WHEN y = $k THEN 1.0 ELSE 0.0 END")
+        .mkString("[", ", ", "]")
+      val wall = (0 until smClasses)
+        .map(k => (smW(k) :+ smB(k)).mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")
+      s"WITH z AS (SELECT (label % $smClasses) AS y, " +
+        "list_concat(list_transform(embedding, v -> CAST(v AS DOUBLE)), [1.0]) AS xs, " +
+        s"$zs FROM embeddings), " +
+        s"d AS (SELECT xs, $ds AS ds FROM z), " +
+        s"ek AS (SELECT xs, ds, UNNEST(range(0, $smClasses)) AS k FROM d), " +
+        "ei AS (SELECT k, ds[CAST(k + 1 AS INTEGER)] AS dd, xs, UNNEST(range(1, 66)) AS i FROM ek), " +
+        "g AS (SELECT CAST(k AS INTEGER) AS k, CAST(i - 1 AS INTEGER) AS idx, " +
+        "SUM(CAST(ROUND(dd * xs[CAST(i AS INTEGER)], 9) AS DECIMAL(28,9))) AS gsum, COUNT(*) AS n " +
+        "FROM ei GROUP BY 1, 2) " +
+        s"SELECT k, idx, ROUND(($wall)[k + 1][idx + 1], 6) AS w_old, " +
+        s"ROUND(($wall)[k + 1][idx + 1] - 0.1 * (CAST(gsum AS DOUBLE) / n), 6) AS w_new " +
+        "FROM g ORDER BY k, idx"
     },
     "q_accuracy" ->
       "SELECT ROUND(AVG(CASE WHEN (list_position(embedding, list_max(embedding)) - 1) % 10 = label THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6) AS acc FROM embeddings",

@@ -336,6 +336,49 @@ object VectorOps {
       .orderBy("idx")
   }
 
+  /** q_softmax_sgd_step — the [[qSgdStep]] device extended to the
+    * MULTI-CLASS head the flagship example actually trains
+    * (`examples/mnist.py`'s Dense(10, softmax) layer under
+    * cross-entropy [H]): the full-batch gradient of the multinomial
+    * logistic model as ONE (class × coordinate) relational aggregate.
+    * Per row: stable softmax probabilities rounded to the 1e-6 grid
+    * (engines agree on every per-row delta), δ_k = p_k − [y = k]; per
+    * cell (k, i): Σ δ_k·x_i with terms rounded 9 dp and summed
+    * DECIMAL(28,9) — addition-order-proof, bit-identical update under
+    * any partitioning. The bias rides as the constant-1 65th
+    * coordinate; output is the K·65-row stepped weight table.
+    *
+    * Scale shape: one scan → per-row delta vector → two chained
+    * posexplodes (class, then coordinate) → K·65-key hash aggregate
+    * with map-side partial agg doing the per-partition worker pass. */
+  def qSoftmaxSgdStep(spark: SparkSession, dir: String): DataFrame = {
+    val lr = 0.1
+    val z = smLogits
+    val mx = greatest(z: _*)
+    val e = z.map(zk => exp(zk - mx))
+    val tot = e.reduce(_ + _)
+    val y = col("label") % smClasses
+    val deltas = (0 until smClasses).map(k =>
+      round(e(k) / tot, 6) - when(y === k, 1.0).otherwise(0.0))
+    val rows = Tables.embeddings(spark, dir).select(
+      concat(transform(col("embedding"), v => v.cast("double")),
+        array(lit(1.0))).as("xs"),
+      array(deltas: _*).as("ds"))
+    val g = rows
+      .select(col("xs"), posexplode(col("ds")).as(Seq("k", "d")))
+      .select(col("k"), col("d"), posexplode(col("xs")).as(Seq("idx", "x")))
+      .groupBy(col("k"), col("idx"))
+      .agg(sum(round(col("d") * col("x"), 9).cast("decimal(28,9)")).as("gsum"),
+        count(lit(1)).as("n"))
+    val wall = array((0 until smClasses).map(k =>
+      array((smW(k) :+ smB(k)).map(lit): _*)): _*)
+    val wOld = element_at(element_at(wall, col("k") + 1), (col("idx") + 1).cast("int"))
+    g.select(col("k"), col("idx"),
+        round(wOld, 6).as("w_old"),
+        round(wOld - lit(lr) * (col("gsum").cast("double") / col("n")), 6).as("w_new"))
+      .orderBy("k", "idx")
+  }
+
   /** StringIndexer usage (`examples/mnist.py`/`workflow.ipynb` index
     * string labels before one-hot [M]): category → dense index by
     * frequency (most frequent = 0), ties broken by value — MLlib's

@@ -73,6 +73,54 @@ class SgdStepSpec extends SparkSpec {
     assert(run(1) == run(16))
   }
 
+  test("q_softmax_sgd_step equals the SoftmaxMlpModel mean gradient per (class, coord)") {
+    val k = VectorOps.smClasses
+    val out = VectorOps.qSoftmaxSgdStep(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(out.size == k * 65)
+    val m = VectorOps.smModel
+    val rows = Tables.embeddings(spark, sfDir)
+      .select(col("embedding"), (col("label") % k).cast("double").as("y"))
+      .as[(Seq[Float], Double)].collect()
+    // flat layout of the no-hidden softmax model: class-major W rows
+    // (k*64) then the k biases — map (class, coord) onto it
+    val g = new Array[Double](m.weights.flat.length)
+    rows.foreach { case (v, y) =>
+      val gi = m.gradient(v.map(_.toDouble).toArray, y)
+      var i = 0
+      while (i < g.length) { g(i) += gi(i); i += 1 }
+    }
+    val n = rows.length
+    for (c <- 0 until k; i <- 0 to 64) {
+      val flatIdx = if (i < 64) c * 64 + i else k * 64 + c
+      val wOld = if (i < 64) VectorOps.smW(c)(i) else VectorOps.smB(c)
+      val expected = wOld - 0.1 * g(flatIdx) / n
+      val (qOld, qNew) = out((c, i))
+      assert(math.abs(qOld - wOld) < 1e-9, s"w_old at ($c,$i)")
+      assert(math.abs(qNew - expected) < 1e-6,
+        s"w_new at ($c,$i): query $qNew vs model $expected")
+    }
+  }
+
+  test("the softmax step strictly reduces the mean cross-entropy") {
+    val k = VectorOps.smClasses
+    val out = VectorOps.qSoftmaxSgdStep(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val flatNew = Array.tabulate(k * 65) { fi =>
+      if (fi < k * 64) out((fi / 64, fi % 64)) else out((fi - k * 64, 64))
+    }
+    val before = VectorOps.smModel
+    val after = before.withWeights(before.weights.copy(flat = flatNew))
+    val rows = Tables.embeddings(spark, sfDir)
+      .select(col("embedding"), (col("label") % k).cast("double").as("y"))
+      .as[(Seq[Float], Double)].collect()
+    def loss(m: graft.ml.SoftmaxMlpModel): Double =
+      rows.map { case (v, y) => m.logLoss(v.map(_.toDouble).toArray, y) }.sum / rows.length
+    assert(loss(after) < loss(before),
+      s"softmax step must descend: ${loss(after)} !< ${loss(before)}")
+  }
+
   test("plan shape: one 65-key aggregate, no UDF, codegen end to end") {
     val plan = VectorOps.qSgdStep(spark, sfDir)
       .queryExecution.executedPlan.toString
