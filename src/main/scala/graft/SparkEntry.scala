@@ -243,6 +243,7 @@ object SparkEntry {
     "q_argmax" -> (VectorOps.qArgMax _),
     "q_vector_assemble" -> (VectorOps.qVectorAssemble _),
     "q_linear_predict" -> (VectorOps.qLinearPredict _),
+    "q_linear_predict_int8" -> (VectorOps.qLinearPredictInt8 _),
     "q_mlp_predict" -> (VectorOps.qMlpPredict _),
     "q_mlp2_predict" -> (VectorOps.qMlp2Predict _),
     "q_softmax_predict" -> (VectorOps.qSoftmaxPredict _),
@@ -809,6 +810,22 @@ object SparkEntry {
     },
     "q_accuracy" ->
       "SELECT ROUND(AVG(CASE WHEN (list_position(embedding, list_max(embedding)) - 1) % 10 = label THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6) AS acc FROM embeddings",
+    // int8-quantized inference: weight codes + scale interpolated from
+    // VectorOps.int8Weight* (single source of truth), embedding side
+    // via the shared quantize fragments, exact BIGINT code dot, one
+    // double rescale into the sigmoid
+    "q_linear_predict_int8" -> {
+      import VectorOps._
+      val dotQ = (0 until 64)
+        .map(i => s"CAST(q[${i + 1}] AS BIGINT) * ${int8WeightCodes(i)}")
+        .mkString(" + ")
+      s"WITH s AS ($quantizeScaleSql FROM embeddings), " +
+        s"qt AS (SELECT vec_id, scale, $quantizeQSql FROM s), " +
+        s"d AS (SELECT vec_id, scale, $dotQ AS dot_q FROM qt) " +
+        "SELECT vec_id, dot_q, " +
+        s"ROUND(1.0/(1.0+exp(-(CASE WHEN scale > 0 THEN CAST(dot_q AS DOUBLE) / (scale * $int8WeightScale) ELSE 0.0 END + $demoBias))), 6) AS prob_int8 " +
+        "FROM d ORDER BY vec_id"
+    },
     // multi-class evaluator: confusion grid first (K^2 rows leave the
     // shuffle), then one-vs-rest tp/fp/fn per class unpivoted from the
     // grid; argmax CASE mirrored from q_softmax_predict; NULLIF guards

@@ -468,6 +468,38 @@ object VectorOps {
         round(dotLit(col("embedding"), demoWeights) + demoBias, 6).as("pred"))
       .orderBy("vec_id")
 
+  /** Driver-side int8 quantization of the demo weight vector: scale =
+    * 127/max|w|, codes = ⌊w·s + 0.5⌋ — the weight-side twin of
+    * [[graft.sim.Similarity.quantized]]'s per-vector device. */
+  lazy val int8WeightScale: Double = 127.0 / demoWeights.map(math.abs).max
+  lazy val int8WeightCodes: Seq[Long] =
+    demoWeights.map(w => math.floor(w * int8WeightScale + 0.5).toLong)
+
+  /** q_linear_predict_int8 — QUANTIZED inference, the serving form a
+    * 100 TB scorer actually runs (4× less scan bandwidth, integer
+    * multiply-adds): both sides symmetric-int8 (weights quantized once
+    * driver-side to literal codes; each embedding per-row by the
+    * [[graft.sim.Similarity.quantized]] device), the code dot product
+    * is an EXACT 64-term integer sum (≤ 64·127² ≈ 1.03e6 — far inside
+    * BIGINT, no float fold at all), and only the final rescale
+    * margin ≈ dot_q/(s_x·s_w) + b touches doubles. Emits the exact
+    * integer dot beside the approximate probability so the driver
+    * hashes an exact column too. One projection over the quantized
+    * frame — no shuffle before the display sort, codegen end to end. */
+  def qLinearPredictInt8(spark: SparkSession, dir: String): DataFrame = {
+    val qd = graft.sim.Similarity.quantized(Tables.embeddings(spark, dir))
+    val intDot = (0 until 64)
+      .map(i => col("q").getItem(i).cast("long") * lit(int8WeightCodes(i)))
+      .reduce(_ + _)
+    val margin = when(col("scale") > 0,
+        col("dot_q").cast("double") / (col("scale") * lit(int8WeightScale)))
+      .otherwise(lit(0.0)) + lit(demoBias)
+    qd.select(col("vec_id"), col("scale"), intDot.as("dot_q"))
+      .select(col("vec_id"), col("dot_q"),
+        round(lit(1.0) / (lit(1.0) + exp(-margin)), 6).as("prob_int8"))
+      .orderBy("vec_id")
+  }
+
   /** q_mlp_predict — the general ModelPredictor case
     * (`distkeras/predictors.py ~L20-80 [H]`) for a NONLINEAR net,
     * expressed entirely as Catalyst expressions: hidden unit j is
