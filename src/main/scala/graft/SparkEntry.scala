@@ -244,6 +244,7 @@ object SparkEntry {
     "q_vector_assemble" -> (VectorOps.qVectorAssemble _),
     "q_linear_predict" -> (VectorOps.qLinearPredict _),
     "q_linear_predict_int8" -> (VectorOps.qLinearPredictInt8 _),
+    "q_stream_scored" -> (graft.stream.StreamQueries.qStreamScored _),
     "q_mlp_predict" -> (VectorOps.qMlpPredict _),
     "q_mlp2_predict" -> (VectorOps.qMlp2Predict _),
     "q_softmax_predict" -> (VectorOps.qSoftmaxPredict _),
@@ -605,6 +606,24 @@ object SparkEntry {
       "SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50, quantile_cont(l_extendedprice, 0.95) AS p95, CAST(1 AS INTEGER) AS ok50, CAST(1 AS INTEGER) AS ok95 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q_window_tumbling" ->
       "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type",
+    // streaming model monitor: per-event 6dp sigmoid over the literal
+    // 4-feature scorer (weights interpolated from StreamOps.scoreW/B),
+    // DECIMAL(28,6)-summed per tumbling hour x type (the exact sum, not
+    // a rounded mean — small-n means tie at the 6dp grid and the
+    // engines' rounding splits) — the batch twin of the streaming
+    // stateful aggregate
+    "q_stream_scored" -> {
+      import graft.stream.StreamOps.{scoreW, scoreB}
+      val margin = Seq(
+        s"CAST(value AS DOUBLE)/100.0 * ${scoreW(0)}",
+        s"CAST(user_id % 10 AS DOUBLE)/10.0 * ${scoreW(1)}",
+        s"CAST(json_extract(props, '$$.k') AS DOUBLE)/100.0 * ${scoreW(2)}",
+        s"CAST(hour(CAST(ts AS TIMESTAMP)) AS DOUBLE)/24.0 * ${scoreW(3)}")
+        .mkString(" + ") + s" + $scoreB"
+      "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, COUNT(*) AS n, " +
+        s"CAST(SUM(CAST(ROUND(1.0/(1.0+exp(-($margin))), 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_prob " +
+        "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"
+    },
     "q_window_sliding" ->
       "SELECT wstart, COUNT(*) AS n FROM (SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) - i * INTERVAL 30 MINUTE AS wstart FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS i) t) GROUP BY wstart ORDER BY wstart",
     "q_window_session" ->

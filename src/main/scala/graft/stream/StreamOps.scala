@@ -31,6 +31,49 @@ object StreamOps {
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Literal 4-feature logistic scorer over event rows — MODEL
+    * INFERENCE INSIDE THE STREAM: the compiled-expression scoring path
+    * ([[graft.ml.ModelExpressions]]'s device at fixed literals, so the
+    * oracle can mirror it) applied per event before any stateful
+    * aggregation. Features: value/100, (user_id mod 10)/10, props.k/100,
+    * hour-of-day/24; prob rounds to the 1e-6 grid so both engines agree
+    * on every term BEFORE the order-proof DECIMAL sum. */
+  val scoreW: Seq[Double] = Seq(0.8, -0.5, 0.3, 0.6)
+  val scoreB: Double = -0.2
+
+  def eventProb: org.apache.spark.sql.Column = {
+    val fs = Seq(
+      col("value").cast("double") / lit(100.0),
+      (col("user_id") % 10).cast("double") / lit(10.0),
+      get_json_object(col("props"), "$.k").cast("double") / lit(100.0),
+      hour(col("ts")).cast("double") / lit(24.0))
+    val margin = fs.zip(scoreW).map { case (f, w) => f * lit(w) }
+      .reduce(_ + _) + lit(scoreB)
+    round(lit(1.0) / (lit(1.0) + exp(-margin)), 6)
+  }
+
+  /** Tumbling per-hour × event-type PREDICTED-PROBABILITY MONITOR —
+    * the streaming model-monitoring aggregate (score drift per window
+    * is the first thing a production scorer dashboards): per-event
+    * probs (6 dp) sum as DECIMAL(28,6) inside the stateful agg —
+    * exact, commutative, so the streaming state merge order can't
+    * change the result. The EXACT sum (a 6 dp-scaled integer, exact as
+    * a double far past any window size) ships beside n rather than a
+    * rounded mean: round(psum/n, 6) with small n lands EXACTLY on
+    * decimal .5 ties (a 6 dp sum over 4 rows has .25-granularity
+    * digits), where the engines' rounding implementations split —
+    * measured 8/3385 one-ulp reds before this. Consumers divide
+    * downstream at whatever precision they need. */
+  def scoredTumbling(events: DataFrame,
+                     watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(eventProb.cast(DecimalType(28, 6))).as("psum"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"),
+        col("psum").cast("double").as("sum_prob"))
+  }
+
   /** Sliding 1-hour window every 30 minutes. */
   def sliding(events: DataFrame, watermark: Option[String] = None): DataFrame = {
     val src = watermark.fold(events)(w => events.withWatermark("ts", w))

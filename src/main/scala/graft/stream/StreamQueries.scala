@@ -82,6 +82,14 @@ object StreamQueries {
     runToTable(spark, StreamOps.tumbling(eventsStream(spark, dir)))
       .orderBy("hour", "event_type")
 
+  /** MODEL INFERENCE through the streaming engine: per-event compiled
+    * expression scoring feeding the tumbling probability monitor
+    * ([[StreamOps.scoredTumbling]]); oracle = the identical batch
+    * statement over the events table. */
+  def qStreamScored(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, StreamOps.scoredTumbling(eventsStream(spark, dir)))
+      .orderBy("hour", "event_type")
+
   /** Sliding 1h/30min counts through the streaming engine; oracle =
     * q_window_sliding's SQL. */
   def qStreamSliding(spark: SparkSession, dir: String): DataFrame =

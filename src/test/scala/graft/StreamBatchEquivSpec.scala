@@ -146,4 +146,19 @@ class StreamBatchEquivSpec extends SparkSpec {
                   rows(batch, "user_id", "session_start"))
     assert(b.nonEmpty && s == b, s"streamed ${s.size} rows vs batch ${b.size}")
   }
+
+  test("q_stream_scored (inference in the stream) == the identical batch plan") {
+    // the scored monitor needs props, which Ev doesn't carry — run the
+    // REAL streaming engine end to end (file source → stateful agg →
+    // memory sink) and compare against the same logical plan on the
+    // batch reader; the DECIMAL prob sum makes both sides exact, so
+    // equality is bitwise, not approximate
+    val streamed = graft.stream.StreamQueries.qStreamScored(spark, sfDir)
+      .withColumn("hour", col("hour").cast("string"))
+    val batch = StreamOps.scoredTumbling(graft.Tables.events(spark, sfDir))
+      .withColumn("hour", col("hour").cast("string"))
+    val (s, b) = (rows(streamed, "hour", "event_type"),
+                  rows(batch, "hour", "event_type"))
+    assert(b.nonEmpty && s == b, s"streamed ${s.size} rows vs batch ${b.size}")
+  }
 }
