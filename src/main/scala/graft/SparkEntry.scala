@@ -915,11 +915,11 @@ object SparkEntry {
     // binning — both engines agree on every cell), per-bin exact counts,
     // descending-threshold cumulative tpr/fpr over the <=256 bin rows
     "q_roc_curve" ->
-      s"""WITH s AS (SELECT ROUND(1.0/(1.0+exp(-(${dotSql("embedding", wLit)} + ${VectorOps.demoBias}))), 6) AS p, CAST((list_position(embedding, list_max(embedding)) - 1) % 2 AS INTEGER) AS y FROM embeddings), b AS (SELECT CAST(least(floor(p*256), 255) AS INTEGER) AS bin, CAST(SUM(y) AS BIGINT) AS n_pos, CAST(SUM(1-y) AS BIGINT) AS n_neg FROM s GROUP BY 1), c AS (SELECT bin, n_pos, n_neg, SUM(n_pos) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos, SUM(n_neg) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_neg FROM b), t AS (SELECT SUM(n_pos) AS tot_pos, SUM(n_neg) AS tot_neg FROM b) SELECT bin, n_pos, n_neg, ROUND(CAST(cum_pos AS DOUBLE)/tot_pos, 6) AS tpr, ROUND(CAST(cum_neg AS DOUBLE)/tot_neg, 6) AS fpr FROM c CROSS JOIN t ORDER BY bin DESC""",
+      s"""WITH s AS (SELECT ROUND(1.0/(1.0+exp(-(${dotSql("embedding", wLit)} + ${VectorOps.demoBias}))), 6) AS p, CAST((list_position(embedding, list_max(embedding)) - 1) % 2 AS INTEGER) AS y FROM embeddings), b AS (SELECT CAST(least(floor(p*256), 255) AS INTEGER) AS bin, CAST(SUM(y) AS BIGINT) AS n_pos, CAST(SUM(1-y) AS BIGINT) AS n_neg FROM s GROUP BY 1), c AS (SELECT bin, n_pos, n_neg, SUM(n_pos) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos, SUM(n_neg) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_neg FROM b), t AS (SELECT SUM(n_pos) AS tot_pos, SUM(n_neg) AS tot_neg FROM b) SELECT bin, n_pos, n_neg, ROUND(CAST(cum_pos AS DOUBLE)/NULLIF(tot_pos, 0), 6) AS tpr, ROUND(CAST(cum_neg AS DOUBLE)/NULLIF(tot_neg, 0), 6) AS fpr FROM c CROSS JOIN t ORDER BY bin DESC""",
     // cumulative lift/capture at descending score cutoffs over the same
     // 256-cell reduction: lift = precision-above-cutoff / base rate
     "q_lift_curve" ->
-      s"""WITH s AS (SELECT ROUND(1.0/(1.0+exp(-(${dotSql("embedding", wLit)} + ${VectorOps.demoBias}))), 6) AS p, CAST((list_position(embedding, list_max(embedding)) - 1) % 2 AS INTEGER) AS y FROM embeddings), b AS (SELECT CAST(least(floor(p*256), 255) AS INTEGER) AS bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos FROM s GROUP BY 1), c AS (SELECT bin, n, n_pos, SUM(n) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n, SUM(n_pos) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos FROM b), t AS (SELECT SUM(n) AS tot_n, SUM(n_pos) AS tot_pos FROM b) SELECT bin, n, n_pos, ROUND((CAST(cum_pos AS DOUBLE)/cum_n)/(CAST(tot_pos AS DOUBLE)/tot_n), 6) AS lift, ROUND(CAST(cum_pos AS DOUBLE)/tot_pos, 6) AS capture FROM c CROSS JOIN t ORDER BY bin DESC""",
+      s"""WITH s AS (SELECT ROUND(1.0/(1.0+exp(-(${dotSql("embedding", wLit)} + ${VectorOps.demoBias}))), 6) AS p, CAST((list_position(embedding, list_max(embedding)) - 1) % 2 AS INTEGER) AS y FROM embeddings), b AS (SELECT CAST(least(floor(p*256), 255) AS INTEGER) AS bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos FROM s GROUP BY 1), c AS (SELECT bin, n, n_pos, SUM(n) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n, SUM(n_pos) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos FROM b), t AS (SELECT SUM(n) AS tot_n, SUM(n_pos) AS tot_pos FROM b) SELECT bin, n, n_pos, ROUND((CAST(cum_pos AS DOUBLE)/cum_n)/NULLIF(CAST(tot_pos AS DOUBLE)/tot_n, 0.0), 6) AS lift, ROUND(CAST(cum_pos AS DOUBLE)/NULLIF(tot_pos, 0), 6) AS capture FROM c CROSS JOIN t ORDER BY bin DESC""",
     "q_string_index" ->
       "WITH f AS (SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment), i AS (SELECT c_mktsegment, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, c_mktsegment) - 1 AS BIGINT) AS seg_idx FROM f) SELECT c_custkey, c.c_mktsegment, seg_idx FROM customer c JOIN i ON c.c_mktsegment = i.c_mktsegment ORDER BY c_custkey",
     "q_bucketize" ->

@@ -520,9 +520,14 @@ object ModelIO {
                         w: Int): (Int, Int, Int, Int, Int) = {
     require(shapes.sizeIs >= 4, s"not a conv shape list: $shapes")
     val (kh, kw) = shapes.head
-    val nf = shapes.takeWhile(_ == (kh, kw)).size
-    val tail = shapes.drop(nf)
-    tail match {
+    // the list is STRUCTURALLY nf kernels + 3 tail entries, so count
+    // from the length — a takeWhile on the kernel shape would absorb
+    // the (nFilters,1) bias whenever (kh,kw) == (nFilters,1) (e.g. any
+    // kw=1 net with kh == nFilters) and reject a valid saved model
+    val nf = shapes.size - 3
+    require(shapes.take(nf).forall(_ == (kh, kw)),
+      s"not a conv shape list (mixed kernel shapes): $shapes")
+    shapes.drop(nf) match {
       case Seq((`nf`, 1), (k1, nFeat), (k2, 1)) if k1 == k2 =>
         val ph = (h - kh + 1) / 2
         val pw = (w - kw + 1) / 2
@@ -615,6 +620,11 @@ private[ml] trait ConvCore extends DiffModel {
   protected final def convForward(x: Array[Double])
       : (Array[Double], Array[Int], Array[Double]) = {
     val f = weights.flat
+    // hoist the lazy-val geometry to locals: each lazy access is a
+    // volatile bitmap check the JIT can't lift out of these per-row
+    // training/scoring loops (round-13 review)
+    val (ch, cw, ph, pw, nFeat) = (this.ch, this.cw, this.ph, this.pw, this.nFeat)
+    val (kSize, offConvB) = (this.kSize, this.offConvB)
     val z = new Array[Double](nFilters * ch * cw)
     var fi = 0
     while (fi < nFilters) {
@@ -679,6 +689,9 @@ private[ml] trait ConvCore extends DiffModel {
   protected final def convBackprop(x: Array[Double], z: Array[Double],
                                    argm: Array[Int], dfeat: Array[Double],
                                    g: Array[Double]): Unit = {
+    // locals for the lazy-val geometry — see convForward
+    val (ch, cw, nFeat) = (this.ch, this.cw, this.nFeat)
+    val (kSize, offConvB) = (this.kSize, this.offConvB)
     val dz = new Array[Double](z.length)
     var k = 0
     while (k < nFeat) {

@@ -68,8 +68,12 @@ object ModelExpressions {
   }
 
   /** Argmax class (ties to the smallest index) over logit columns —
-    * softmax is monotone, so this IS the softmax argmax. */
-  private def argmaxC(z: Seq[Column]): Column =
+    * softmax is monotone, so this IS the softmax argmax. Public: the
+    * ONE implementation of the load-bearing tie-break convention
+    * (`SoftmaxHead.predictLabel`, the oracle CASE chains, and every
+    * multi-class scorer key delegate here — round-13 review deduped
+    * three copies). */
+  def argmaxC(z: Seq[Column]): Column =
     (0 until z.size - 1).reverse.foldLeft(lit(z.size - 1)) { case (acc, k) =>
       val cond = (k + 1 until z.size).map(j => z(k) >= z(j)).reduce(_ && _)
       when(cond, lit(k)).otherwise(acc)
@@ -126,32 +130,42 @@ object ModelExpressions {
   def score(df: DataFrame, model: DiffModel, featuresCol: String,
             outCol: String): DataFrame = model match {
     case m: ConvNetModel =>
-      val p = convPooled(df, m, featuresCol)
+      val (p, pn) = convPooled(df, m, featuresCol)
       val denseOff = m.nFilters * m.kh * m.kw + m.nFilters
-      val logit = wsum((0 until m.nFeat).map(k => col(s"__p$k")),
+      val logit = wsum((0 until m.nFeat).map(k => col(s"${pn}$k")),
         (0 until m.nFeat).map(k => m.weights.flat(denseOff + k)),
         m.weights.flat(denseOff + m.nFeat))
       p.withColumn(outCol, sigmoid(logit))
-        .drop((0 until m.nFeat).map(k => s"__p$k"): _*)
+        .drop((0 until m.nFeat).map(k => s"${pn}$k"): _*)
     case m: ConvSoftmaxModel =>
-      val p = convPooled(df, m, featuresCol)
+      val (p, pn) = convPooled(df, m, featuresCol)
       val denseOff = m.nFilters * m.kh * m.kw + m.nFilters
-      val pooled = (0 until m.nFeat).map(k => col(s"__p$k"))
+      val pooled = (0 until m.nFeat).map(k => col(s"${pn}$k"))
       val z = (0 until m.nClasses).map { c =>
         wsum(pooled,
           (0 until m.nFeat).map(k => m.weights.flat(denseOff + c * m.nFeat + k)),
           m.weights.flat(denseOff + m.nClasses * m.nFeat + c))
       }
       p.withColumn(outCol, argmaxC(z).cast("double"))
-        .drop((0 until m.nFeat).map(k => s"__p$k"): _*)
+        .drop((0 until m.nFeat).map(k => s"${pn}$k"): _*)
     case m =>
       df.withColumn(outCol, probColumn(m, col(featuresCol)))
   }
 
-  /** Conv+ReLU+pool stages as two chained projections producing the
-    * pooled feature columns `__p0..__p{nFeat-1}` beside the input. */
+  // staging-name counter: fixed __z_*/__p* names would collide with a
+  // caller column of the same name (e.g. the output of a previous
+  // score() over the same frame) and make the stage-2 references
+  // ambiguous (round-13 review)
+  private val stageId = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Conv+ReLU+pool stages as two chained projections producing pooled
+    * feature columns `<prefix>0..<prefix>{nFeat-1}` beside the input;
+    * returns the frame and the per-call-unique prefix. */
   private def convPooled(df: DataFrame, m: ConvCore,
-                         featuresCol: String): DataFrame = {
+                         featuresCol: String): (DataFrame, String) = {
+    val id = stageId.incrementAndGet()
+    val zn = s"__g${id}_z_"
+    val pn = s"__g${id}_p"
     val x = col(featuresCol)
     val f = m.weights.flat
     def cell(fi: Int, r: Int, c: Int): Column = {
@@ -161,13 +175,13 @@ object ModelExpressions {
       greatest(terms.reduce(_ + _) + lit(f(m.nFilters * m.kh * m.kw + fi)), lit(0.0))
     }
     val zCols = for { fi <- 0 until m.nFilters; r <- 0 until m.ch; c <- 0 until m.cw }
-      yield cell(fi, r, c).as(s"__z_${fi}_${r}_$c")
+      yield cell(fi, r, c).as(s"$zn${fi}_${r}_$c")
     val z = df.select(df.columns.map(col) ++ zCols: _*)
     val pCols = for { fi <- 0 until m.nFilters; pr <- 0 until m.ph; pc <- 0 until m.pw }
       yield greatest(
-        col(s"__z_${fi}_${2 * pr}_${2 * pc}"), col(s"__z_${fi}_${2 * pr}_${2 * pc + 1}"),
-        col(s"__z_${fi}_${2 * pr + 1}_${2 * pc}"), col(s"__z_${fi}_${2 * pr + 1}_${2 * pc + 1}"))
-        .as(s"__p${fi * m.ph * m.pw + pr * m.pw + pc}")
-    z.select(df.columns.map(col) ++ pCols: _*)
+        col(s"$zn${fi}_${2 * pr}_${2 * pc}"), col(s"$zn${fi}_${2 * pr}_${2 * pc + 1}"),
+        col(s"$zn${fi}_${2 * pr + 1}_${2 * pc}"), col(s"$zn${fi}_${2 * pr + 1}_${2 * pc + 1}"))
+        .as(s"$pn${fi * m.ph * m.pw + pr * m.pw + pc}")
+    (z.select(df.columns.map(col) ++ pCols: _*), pn)
   }
 }

@@ -141,6 +141,45 @@ object Trainers {
     (m.weights, n)
   }
 
+  /** ONE synchronous epoch of the distributed loop: broadcast the
+    * center model, local minibatch SGD per partition, merge the
+    * per-partition results through the update rule. Shared by every
+    * distributed trainer (plain / with-history / early-stopped) so the
+    * SGD round exists exactly once (round-13 review). */
+  private def epochRound(data: org.apache.spark.rdd.RDD[(Array[Double], Double)],
+                         center: DiffModel, rule: UpdateRule,
+                         state: Array[Double], lr: Double,
+                         batchSize: Int): DiffModel = {
+    val bc = data.sparkContext.broadcast(center)
+    val locals = data.mapPartitions { it =>
+      val res = localSgd(bc.value, it, lr, batchSize)
+      if (res._2 == 0) Iterator.empty else Iterator.single(res)
+    }.collect().toSeq
+    bc.destroy()
+    if (locals.nonEmpty) center.withWeights(rule(center.weights, locals, state))
+    else center
+  }
+
+  /** Mean log-loss of `model` over `data` as ONE O(partitions)-row
+    * aggregate, per-partition sums combined IN PARTITION ORDER: a plain
+    * reduce() folds in task-arrival order, so the float total (and with
+    * it an early-stop decision at the ulp margin) would vary run-to-run
+    * on identical data. */
+  private def meanLoss(data: org.apache.spark.rdd.RDD[(Array[Double], Double)],
+                       model: DiffModel): Double = {
+    val bc = data.sparkContext.broadcast(model)
+    val parts = data.mapPartitionsWithIndex { (pi, it) =>
+      val m = bc.value
+      var s = 0.0; var k = 0L
+      it.foreach { case (x, y) => s += m.logLoss(x, y); k += 1 }
+      Iterator.single((pi, s, k))
+    }.collect().sortBy(_._1)
+    bc.destroy()
+    val lossSum = parts.foldLeft(0.0)(_ + _._2)
+    val n = parts.foldLeft(0L)(_ + _._3)
+    if (n == 0) 0.0 else lossSum / n
+  }
+
   private def toExamples(df: DataFrame, featuresCol: String, labelCol: String) = {
     df.select(col(featuresCol), col(labelCol).cast("double"))
       .rdd.map { r: Row =>
@@ -244,21 +283,12 @@ object Trainers {
     val data = toExamples(df, featuresCol, labelCol)
       .repartition(numWorkers).persist()
     try {
+      // epochRound broadcasts the whole (immutable) model, not just the
+      // weights: the architecture (shapes, hyperparams) travels with them
       var center: DiffModel = init
       val state = new Array[Double](center.weights.flat.length)
-      for (_ <- 0 until epochs) {
-        val sc = df.sparkSession.sparkContext
-        // broadcast the whole (immutable) model, not just the weights:
-        // the architecture (shapes, hyperparams) must travel with them
-        val bc = sc.broadcast(center)
-        val locals = data.mapPartitions { it =>
-          val res = localSgd(bc.value, it, lr, batchSize)
-          if (res._2 == 0) Iterator.empty else Iterator.single(res)
-        }.collect().toSeq
-        bc.destroy()
-        if (locals.nonEmpty)
-          center = center.withWeights(rule(center.weights, locals, state))
-      }
+      for (_ <- 0 until epochs)
+        center = epochRound(data, center, rule, state, lr, batchSize)
       center.asInstanceOf[M]
     } finally data.unpersist()
   }
@@ -291,28 +321,8 @@ object Trainers {
       val state = new Array[Double](center.weights.flat.length)
       val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
       for (_ <- 0 until epochs) {
-        val sc = df.sparkSession.sparkContext
-        val bc = sc.broadcast(center)
-        val locals = data.mapPartitions { it =>
-          val res = localSgd(bc.value, it, lr, batchSize)
-          if (res._2 == 0) Iterator.empty else Iterator.single(res)
-        }.collect().toSeq
-        if (locals.nonEmpty)
-          center = center.withWeights(rule(center.weights, locals, state))
-        val bcEval = sc.broadcast(center)
-        // partition-ordered combine: see trainWithEarlyStopping — a
-        // plain reduce() makes the recorded curve drift by ulps across
-        // otherwise-identical runs
-        val parts = data.mapPartitionsWithIndex { (pi, it) =>
-          val m = bcEval.value
-          var s = 0.0; var k = 0L
-          it.foreach { case (x, y) => s += m.logLoss(x, y); k += 1 }
-          Iterator.single((pi, s, k))
-        }.collect().sortBy(_._1)
-        bc.destroy(); bcEval.destroy()
-        val lossSum = parts.foldLeft(0.0)(_ + _._2)
-        val n = parts.foldLeft(0L)(_ + _._3)
-        losses += (if (n == 0) 0.0 else lossSum / n)
+        center = epochRound(data, center, rule, state, lr, batchSize)
+        losses += meanLoss(data, center)
       }
       TrainingReport(center.asInstanceOf[M], losses.toSeq,
         (System.nanoTime() - t0) / 1e9)
@@ -349,7 +359,6 @@ object Trainers {
     val valData = toExamples(valDf, featuresCol, labelCol)
       .repartition(numWorkers).persist()
     try {
-      val sc = df.sparkSession.sparkContext
       var center: DiffModel = init
       val state = new Array[Double](center.weights.flat.length)
       val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -360,28 +369,8 @@ object Trainers {
       var epoch = 0
       var stopped = false
       while (epoch < maxEpochs && !stopped) {
-        val bc = sc.broadcast(center)
-        val locals = data.mapPartitions { it =>
-          val res = localSgd(bc.value, it, lr, batchSize)
-          if (res._2 == 0) Iterator.empty else Iterator.single(res)
-        }.collect().toSeq
-        if (locals.nonEmpty)
-          center = center.withWeights(rule(center.weights, locals, state))
-        val bcEval = sc.broadcast(center)
-        // per-partition sums combined IN PARTITION ORDER: a plain
-        // reduce() folds in task-arrival order, so the float total (and
-        // with it the stop decision at the ulp margin) would vary
-        // run-to-run on identical data
-        val parts = valData.mapPartitionsWithIndex { (pi, it) =>
-          val m = bcEval.value
-          var s = 0.0; var k = 0L
-          it.foreach { case (x, y) => s += m.logLoss(x, y); k += 1 }
-          Iterator.single((pi, s, k))
-        }.collect().sortBy(_._1)
-        bc.destroy(); bcEval.destroy()
-        val lossSum = parts.foldLeft(0.0)(_ + _._2)
-        val n = parts.foldLeft(0L)(_ + _._3)
-        val vl = if (n == 0) 0.0 else lossSum / n
+        center = epochRound(data, center, rule, state, lr, batchSize)
+        val vl = meanLoss(valData, center)
         losses += vl
         if (vl < bestLoss - minDelta) {
           bestLoss = vl; best = center; bestEpoch = epoch; sinceBest = 0

@@ -285,11 +285,7 @@ object VectorOps {
     val mx = greatest(z: _*)
     val e = z.map(zk => exp(zk - mx))
     val tot = e.reduce(_ + _)
-    val cls = (0 until csmClasses - 1).reverse
-      .foldLeft(lit(csmClasses - 1)) { case (acc, k) =>
-        val cond = (k + 1 until csmClasses).map(j => z(k) >= z(j)).reduce(_ && _)
-        when(cond, lit(k)).otherwise(acc)
-      }
+    val cls = smArgmax(z)
     p.select(col("vec_id") +: cls.as("pred_class") +:
         (0 until csmClasses).map(k => round(e(k) / tot, 6).as(s"cp$k")): _*)
       .orderBy("vec_id")
@@ -568,13 +564,10 @@ object VectorOps {
 
   /** Argmax class with ties to the smallest index, generated for ANY
     * class count (a hardcoded K-way CASE was a silent-wrongness trap if
-    * the class count ever changed; the SQL twin generates identically). */
+    * the class count ever changed; the SQL twin generates identically).
+    * Delegates to the single shared implementation. */
   private def smArgmax(z: Seq[Column]): Column =
-    (0 until z.size - 1).reverse
-      .foldLeft(lit(z.size - 1)) { case (acc, k) =>
-        val cond = (k + 1 until z.size).map(j => z(k) >= z(j)).reduce(_ && _)
-        when(cond, lit(k)).otherwise(acc)
-      }
+    graft.ml.ModelExpressions.argmaxC(z)
 
   def qSoftmaxPredict(spark: SparkSession, dir: String): DataFrame = {
     val z = smLogits
@@ -655,9 +648,12 @@ object VectorOps {
         sum(col("n_pos")).over(w).as("cum_pos"),
         sum(col("n_neg")).over(w).as("cum_neg"))
       .crossJoin(broadcast(tot))
+      // NULLIF guards: an all-one-class corpus zeroes a total, where
+      // Spark emits NULL and DuckDB inf — the q_multiclass_metrics
+      // divide-by-zero alignment (round-13 review)
       .select(col("bin"), col("n_pos"), col("n_neg"),
-        round(col("cum_pos").cast("double") / col("tot_pos"), 6).as("tpr"),
-        round(col("cum_neg").cast("double") / col("tot_neg"), 6).as("fpr"))
+        round(col("cum_pos").cast("double") / nullif(col("tot_pos"), lit(0L)), 6).as("tpr"),
+        round(col("cum_neg").cast("double") / nullif(col("tot_neg"), lit(0L)), 6).as("fpr"))
       .orderBy(col("bin").desc)
   }
 
@@ -681,10 +677,12 @@ object VectorOps {
         sum(col("n")).over(w).as("cum_n"),
         sum(col("n_pos")).over(w).as("cum_pos"))
       .crossJoin(broadcast(tot))
+      // NULLIF on the positive total: a positive-free corpus zeroes the
+      // base rate — see qRocCurve's guard note
       .select(col("bin"), col("n"), col("n_pos"),
         round((col("cum_pos").cast("double") / col("cum_n")) /
-          (col("tot_pos").cast("double") / col("tot_n")), 6).as("lift"),
-        round(col("cum_pos").cast("double") / col("tot_pos"), 6).as("capture"))
+          nullif(col("tot_pos").cast("double") / col("tot_n"), lit(0.0)), 6).as("lift"),
+        round(col("cum_pos").cast("double") / nullif(col("tot_pos"), lit(0L)), 6).as("capture"))
       .orderBy(col("bin").desc)
   }
 

@@ -116,6 +116,19 @@ class ConvNetSpec extends SparkSpec {
     intercept[IllegalArgumentException](ModelIO.loadConvSoftmax(spark, path, 8, 8))
   }
 
+  test("loader survives the kernel-shape == bias-shape collision (kw=1, kh=nFilters)") {
+    // shapes [(2,1),(2,1),(2,1),(1,32),(1,1)]: the conv-bias entry is
+    // bit-identical to the kernels — a takeWhile-based filter count
+    // absorbed it and rejected this valid saved model (round-13 review)
+    val m = ConvNetModel.init(h = 9, w = 8, kh = 2, kw = 1, nFilters = 2, seed = 31L)
+    val path = java.nio.file.Files.createTempDirectory("graft_conv_kw1").toString
+    ModelIO.save(spark, m.weights, path)
+    val loaded = ModelIO.loadConvNet(spark, path, 9, 8)
+    assert((loaded.kh, loaded.kw, loaded.nFilters) == (2, 1, 2))
+    val x = Array.tabulate(72)(i => (i % 5) * 0.2)
+    assert(loaded.predictProb(x) == m.predictProb(x))
+  }
+
   test("q_conv_predict expression form equals the Scala ConvNetModel forward pass") {
     val model = VectorOps.convDemoModel
     val expr = VectorOps.qConvPredict(spark, sfDir)
