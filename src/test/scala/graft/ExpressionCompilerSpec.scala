@@ -110,6 +110,40 @@ class ExpressionCompilerSpec extends SparkSpec {
     assert(acc > 0.9, s"compiled trained model accuracy $acc")
   }
 
+  test("the FULL production loop: distributed train -> save -> arch-infer load -> compile -> score") {
+    // the complete user story the reference serves with pickled Keras
+    // models + rdd.map scoring, end to end on the Spark-native path
+    val rnd = new scala.util.Random(23)
+    val fixture = rnd.shuffle((0 until 384).map { i =>
+      val img = Array.fill(64)(rnd.nextDouble() * 0.3)
+      val y = i % 3
+      if (y > 0) {
+        val r = if (y == 1) rnd.nextInt(2) else 4 + rnd.nextInt(2)
+        val c = rnd.nextInt(6)
+        for (dr <- 0 until 3; dc <- 0 until 3)
+          img((r + dr) * 8 + (c + dc)) = 0.8 + rnd.nextDouble() * 0.2
+      }
+      (img.toSeq, y.toDouble)
+    }).toDF("features", "label")
+    val trained = Trainers.trainDistributedModel(fixture, "features", "label",
+      ConvSoftmaxModel.init(8, 8, 3, 3, nFilters = 2, nClasses = 3, seed = 5L),
+      numWorkers = 4, epochs = 40, lr = 0.3)
+    val path = java.nio.file.Files.createTempDirectory("graft_loop").toString
+    ModelIO.save(spark, trained.weights, path)
+    val loaded = ModelIO.loadConvSoftmax(spark, path, 8, 8)
+    val scored = ModelExpressions.score(fixture, loaded, "features", "pred")
+      .select(col("label"), col("pred")).as[(Double, Double)].collect()
+    val acc = scored.count { case (y, p) => y == p }.toDouble / scored.length
+    assert(acc > 0.85, s"full-loop accuracy $acc")
+    // the compiled scorer agrees with the loaded model's own argmax
+    val sample = fixture.limit(50).select("features").as[Seq[Double]].collect()
+    val byExpr = ModelExpressions.score(fixture.limit(50), loaded, "features", "p")
+      .select("p").as[Double].collect()
+    sample.zip(byExpr).foreach { case (x, p) =>
+      assert(p == loaded.predictLabel(x.toArray))
+    }
+  }
+
   test("compiled scorers stay inside whole-stage codegen (no UDF, no mapPartitions)") {
     val m = ConvSoftmaxModel.init(8, 8, 3, 3, 2, 3, seed = 137L)
     val plan = ModelExpressions.score(frame, m, "embedding", "cls")
