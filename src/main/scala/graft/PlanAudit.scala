@@ -5,6 +5,7 @@ import org.apache.spark.sql.execution.{ReusedSubqueryExec, SortExec, SparkPlan, 
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 
 /** Dev tool: physical-plan audit over every registered query — the
   * "would this survive 100×" review (SURVEY.md §4.2) as a runnable
@@ -52,6 +53,55 @@ object PlanAudit {
   def codegenSpans(p: SparkPlan): Int = nodes(p).count(_.isInstanceOf[WholeStageCodegenExec])
   def hasCross(p: SparkPlan): Boolean = nodes(p).exists(n =>
     n.isInstanceOf[CartesianProductExec] || n.isInstanceOf[BroadcastNestedLoopJoinExec])
+
+  /** Physical windows with NO real partitioning (empty spec, or all-
+    * foldable like `partitionBy(lit(0))`) — each executes in ONE task
+    * over its whole input: the single-reducer-sort class the r13
+    * verdict flagged. Bounded-by-design frames (histogram bins, the
+    * ScalableRank ≤`buckets`-row offset frames) are whitelisted per
+    * query, same mechanism as cross(by-design). */
+  def globalWindows(p: SparkPlan): Int = nodes(p).count {
+    case w: WindowExec => w.partitionSpec.forall(_.foldable)
+    case w: WindowGroupLimitExec => w.partitionSpec.forall(_.foldable)
+    case _ => false
+  }
+
+  /** Keys whose partition-less physical windows are ALL bounded by
+    * construction (r14 audit sweep) — the window(by-design) whitelist,
+    * same mechanism as cross(by-design). Two bounded families:
+    *
+    * (a) the ScalableRank/shufflePositions device's own ≤`buckets`-row
+    *     offset/carry windows (the device EXISTS to remove data-sized
+    *     global windows): q_gini, q_rfm, q_quantile_normalize,
+    *     q_nn_match, q_propensity_strata, q_gains_curve,
+    *     q_manifest_prune, q_zipf_fit, q_shuffle_order.
+    *
+    * (b) frames bounded by value granularity or query constants, never
+    *     by corpus size: q_acf (≤|hours|), q_auc_exact /
+    *     q_eval_metrics / q_roc_curve / q_lift_curve (≤10⁶ distinct
+    *     6-dp scores / fixed bins), q_bpe_merge (alphabet² pair frame,
+    *     rank≤topN), q_chi2_independence / q_woe_iv (contingency
+    *     cells / bins), q_decision_stump / q_skyline (distinct
+    *     quantity / size values ≤ 50), q_growth_accounting (weeks),
+    *     q_ks_test (distinct lengths), q_pca_power (d×d),
+    *     q_rank_fusion (two ≤rrfPerList top lists), q_retention_curve
+    *     (day spans), q_ridge_grid (λ grid), q_string_index (the
+    *     categorical vocabulary — bounded by the transformer's
+    *     contract), q_survival_km (≤49 event hours), q_vocab_growth
+    *     (256 hash buckets).
+    *
+    * Any OTHER key planning a partition-less window flags
+    * UNEXPECTED-WINDOW — the structural gate for the single-reducer-
+    * sort class (r13 verdict item 8). */
+  val expectedGlobalWindow: Set[String] = Set(
+    "q_gini", "q_rfm", "q_quantile_normalize", "q_nn_match",
+    "q_propensity_strata", "q_gains_curve", "q_manifest_prune",
+    "q_zipf_fit", "q_shuffle_order",
+    "q_acf", "q_auc_exact", "q_bpe_merge", "q_chi2_independence",
+    "q_decision_stump", "q_eval_metrics", "q_growth_accounting",
+    "q_ks_test", "q_lift_curve", "q_pca_power", "q_rank_fusion",
+    "q_retention_curve", "q_ridge_grid", "q_roc_curve", "q_skyline",
+    "q_string_index", "q_survival_km", "q_vocab_growth", "q_woe_iv")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -137,17 +187,26 @@ object PlanAudit {
       "q_quality_tails_by_source", // inherits the unigram one-row totals cross
       "q_gap_fill", "q_llm_pipeline_v2")
 
-    println(f"${"query"}%-24s ${"exch"}%5s ${"bcast"}%5s ${"sort"}%5s ${"wscg"}%5s  flags")
+    // bounded-by-design GLOBAL windows (single-task by construction but
+    // over frames whose size is fixed by the query, not by the data) —
+    // populated by auditing each listed key's partition-less windows;
+    // any key NOT listed that plans one flags UNEXPECTED-WINDOW
+    val expectedGlobalWindow: Set[String] = PlanAudit.expectedGlobalWindow
+
+    println(f"${"query"}%-24s ${"exch"}%5s ${"bcast"}%5s ${"sort"}%5s ${"wscg"}%5s ${"gwin"}%5s  flags")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = executedPlan(fn(spark, sfDir))
         val cross = hasCross(plan)
-        val flag =
+        val gwin = globalWindows(plan)
+        val flags = Seq(
           if (cross && !expectedCross.contains(name)) "UNEXPECTED-CROSS"
-          else if (cross) "cross(by-design)"
-          else ""
+          else if (cross) "cross(by-design)" else "",
+          if (gwin > 0 && !expectedGlobalWindow.contains(name)) "UNEXPECTED-WINDOW"
+          else if (gwin > 0) "window(by-design)" else ""
+        ).filter(_.nonEmpty).mkString(" ")
         println(f"$name%-24s ${shuffles(plan)}%5d ${broadcasts(plan)}%5d " +
-          f"${sorts(plan)}%5d ${codegenSpans(plan)}%5d  $flag")
+          f"${sorts(plan)}%5d ${codegenSpans(plan)}%5d $gwin%5d  $flags")
       } catch {
         case e: Throwable => println(f"$name%-24s ERROR ${e.getMessage.take(60)}")
       }

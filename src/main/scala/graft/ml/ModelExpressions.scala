@@ -121,35 +121,77 @@ object ModelExpressions {
   def classProbColumns(model: SoftmaxMlpModel, x: Column): Seq[Column] =
     softmaxC(layeredLogits(x, model.weights.flat, layeredDims(model).get))
 
-  /** Staged conv scoring (the `q_conv_predict` three-projection shape,
-    * generalized to the model's geometry and weights): stage 1 the
-    * ReLU'd valid-conv cells, stage 2 the greatest-of-4 max-pool,
-    * stage 3 the dense head — each stage its own projection so the
-    * generated functions stay small. Returns the input columns plus
-    * `outCol` (binary prob / softmax argmax class as double). */
-  def score(df: DataFrame, model: DiffModel, featuresCol: String,
-            outCol: String): DataFrame = model match {
+  /** Staged conv logit for the binary conv family: the ReLU'd
+    * valid-conv cells, the max-pool, and the dense head as chained
+    * projections. Returns (staged frame, logit column, staging columns
+    * to drop). */
+  private def convNetStaged(df: DataFrame, m: ConvNetModel,
+                            featuresCol: String): (DataFrame, Column, Seq[String]) = {
+    val (p, pn) = convPooled(df, m, featuresCol)
+    val denseOff = m.nFilters * m.kh * m.kw + m.nFilters
+    val logit = wsum((0 until m.nFeat).map(k => col(s"${pn}$k")),
+      (0 until m.nFeat).map(k => m.weights.flat(denseOff + k)),
+      m.weights.flat(denseOff + m.nFeat))
+    (p, logit, (0 until m.nFeat).map(k => s"${pn}$k"))
+  }
+
+  /** Staged per-class logits for the softmax conv family. */
+  private def convSoftmaxStaged(df: DataFrame, m: ConvSoftmaxModel,
+                                featuresCol: String): (DataFrame, Seq[Column], Seq[String]) = {
+    val (p, pn) = convPooled(df, m, featuresCol)
+    val denseOff = m.nFilters * m.kh * m.kw + m.nFilters
+    val pooled = (0 until m.nFeat).map(k => col(s"${pn}$k"))
+    val z = (0 until m.nClasses).map { c =>
+      wsum(pooled,
+        (0 until m.nFeat).map(k => m.weights.flat(denseOff + c * m.nFeat + k)),
+        m.weights.flat(denseOff + m.nClasses * m.nFeat + c))
+    }
+    (p, z, (0 until m.nFeat).map(k => s"${pn}$k"))
+  }
+
+  /** Staged scoring with PROBABILITY semantics for every family:
+    * binary models emit P(y=1), softmax families the max class
+    * probability — the column's meaning is fixed by this API, never by
+    * the model's runtime type (r13 advice; [[score]] mixed prob and
+    * label in one outCol). Conv models stage through the
+    * `q_conv_predict` three-projection shape. */
+  def scoreProb(df: DataFrame, model: DiffModel, featuresCol: String,
+                outCol: String): DataFrame = model match {
     case m: ConvNetModel =>
-      val (p, pn) = convPooled(df, m, featuresCol)
-      val denseOff = m.nFilters * m.kh * m.kw + m.nFilters
-      val logit = wsum((0 until m.nFeat).map(k => col(s"${pn}$k")),
-        (0 until m.nFeat).map(k => m.weights.flat(denseOff + k)),
-        m.weights.flat(denseOff + m.nFeat))
-      p.withColumn(outCol, sigmoid(logit))
-        .drop((0 until m.nFeat).map(k => s"${pn}$k"): _*)
+      val (p, logit, drops) = convNetStaged(df, m, featuresCol)
+      p.withColumn(outCol, sigmoid(logit)).drop(drops: _*)
     case m: ConvSoftmaxModel =>
-      val (p, pn) = convPooled(df, m, featuresCol)
-      val denseOff = m.nFilters * m.kh * m.kw + m.nFilters
-      val pooled = (0 until m.nFeat).map(k => col(s"${pn}$k"))
-      val z = (0 until m.nClasses).map { c =>
-        wsum(pooled,
-          (0 until m.nFeat).map(k => m.weights.flat(denseOff + c * m.nFeat + k)),
-          m.weights.flat(denseOff + m.nClasses * m.nFeat + c))
-      }
-      p.withColumn(outCol, argmaxC(z).cast("double"))
-        .drop((0 until m.nFeat).map(k => s"${pn}$k"): _*)
+      val (p, z, drops) = convSoftmaxStaged(df, m, featuresCol)
+      p.withColumn(outCol, greatest(softmaxC(z): _*)).drop(drops: _*)
     case m =>
       df.withColumn(outCol, probColumn(m, col(featuresCol)))
+  }
+
+  /** Staged scoring with LABEL semantics for every family: the
+    * predicted class id as DOUBLE (binary: 0/1 at the 0.5 threshold;
+    * softmax: argmax, ties to the smallest class). */
+  def scoreLabel(df: DataFrame, model: DiffModel, featuresCol: String,
+                 outCol: String): DataFrame = model match {
+    case m: ConvNetModel =>
+      val (p, logit, drops) = convNetStaged(df, m, featuresCol)
+      p.withColumn(outCol,
+        when(sigmoid(logit) >= 0.5, 1.0).otherwise(0.0)).drop(drops: _*)
+    case m: ConvSoftmaxModel =>
+      val (p, z, drops) = convSoftmaxStaged(df, m, featuresCol)
+      p.withColumn(outCol, argmaxC(z).cast("double")).drop(drops: _*)
+    case m =>
+      df.withColumn(outCol, labelColumn(m, col(featuresCol)))
+  }
+
+  /** Legacy combined entry: probability for binary families but argmax
+    * LABEL for ConvSoftmaxModel — outCol semantics depend on the
+    * model's runtime type. Kept for source compatibility; prefer
+    * [[scoreProb]] / [[scoreLabel]], whose semantics are fixed by the
+    * API (r13 advice). */
+  def score(df: DataFrame, model: DiffModel, featuresCol: String,
+            outCol: String): DataFrame = model match {
+    case m: ConvSoftmaxModel => scoreLabel(df, m, featuresCol, outCol)
+    case m => scoreProb(df, m, featuresCol, outCol)
   }
 
   // staging-name counter: fixed __z_*/__p* names would collide with a

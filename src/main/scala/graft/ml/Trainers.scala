@@ -30,14 +30,49 @@ import org.apache.spark.sql.functions.col
   */
 object Trainers {
 
+  /** Associative sufficient statistics of the per-partition training
+    * results — everything any [[UpdateRule]] consumes: Σ wᵢ, Σ nᵢ·wᵢ,
+    * Σ nᵢ, and the participating-partition count. Folding THESE instead
+    * of collecting one weight vector per partition keeps the driver's
+    * merge memory at O([[mergeFanIn]]·|w|) regardless of cluster size
+    * (r13 verdict item 5: the old per-partition collect was O(P·|w|)
+    * at 10⁴–10⁵ partitions). */
+  final case class MergeStats(sumW: Array[Double], sumNW: Array[Double],
+                              nExamples: Long, nParts: Long) {
+    /** In-place element-wise fold (left operand mutated and returned —
+      * each merge node owns its accumulator). */
+    def merge(o: MergeStats): MergeStats = {
+      var i = 0
+      while (i < sumW.length) {
+        sumW(i) += o.sumW(i); sumNW(i) += o.sumNW(i); i += 1
+      }
+      MergeStats(sumW, sumNW, nExamples + o.nExamples, nParts + o.nParts)
+    }
+  }
+
+  object MergeStats {
+    def of(w: ModelWeights, n: Long): MergeStats = {
+      val f = w.flat
+      MergeStats(f.clone(), Array.tabulate(f.length)(i => f(i) * n), n, 1L)
+    }
+  }
+
   /** How the driver folds per-partition results into the center —
     * the sync forms of `distkeras/trainers.py` algorithms. */
   sealed trait UpdateRule {
-    /** @param center  weights broadcast at epoch start
+    /** Semantic definition over the explicit per-partition list (the
+      * spec surface; the distributed path uses [[applyStats]]).
+      * @param center  weights broadcast at epoch start
       * @param locals  per-partition (trained weights, example count)
       * @param state   accumulated rule state (e.g. Adag magnitudes) */
     def apply(center: ModelWeights, locals: Seq[(ModelWeights, Long)],
               state: Array[Double]): ModelWeights
+
+    /** The same update from the tree-merged sufficient statistics —
+      * equal to [[apply]] up to float re-association (each rule is a
+      * function of Σwᵢ / Σnᵢwᵢ / Σnᵢ / P only; pinned by spec). */
+    def applyStats(center: ModelWeights, stats: MergeStats,
+                   state: Array[Double]): ModelWeights
   }
 
   /** Plain parameter averaging, example-count weighted —
@@ -47,6 +82,11 @@ object Trainers {
               state: Array[Double]): ModelWeights = {
       val total = locals.map(_._2).sum.toDouble.max(1.0)
       locals.map { case (m, n) => m * (n / total) }.reduce(_ + _)
+    }
+    def applyStats(c: ModelWeights, s: MergeStats,
+                   state: Array[Double]): ModelWeights = {
+      val total = s.nExamples.toDouble.max(1.0)
+      c.copy(flat = s.sumNW.map(_ / total))
     }
   }
 
@@ -58,6 +98,13 @@ object Trainers {
       val mean = ModelWeights.average(locals.map { case (m, _) => m - c })
       c + mean
     }
+    def applyStats(c: ModelWeights, s: MergeStats,
+                   state: Array[Double]): ModelWeights = {
+      val p = s.nParts.toDouble
+      // mean delta = Σwᵢ/P − c
+      c.copy(flat = Array.tabulate(c.flat.length)(i =>
+        c.flat(i) + (s.sumW(i) / p - c.flat(i))))
+    }
   }
 
   /** Elastic averaging (Zhang/Choromanska/LeCun 2015; `trainers.py
@@ -68,6 +115,12 @@ object Trainers {
               state: Array[Double]): ModelWeights = {
       val avg = ModelWeights.average(locals.map(_._1))
       c + (avg - c) * alpha
+    }
+    def applyStats(c: ModelWeights, s: MergeStats,
+                   state: Array[Double]): ModelWeights = {
+      val p = s.nParts.toDouble
+      c.copy(flat = Array.tabulate(c.flat.length)(i =>
+        c.flat(i) + (s.sumW(i) / p - c.flat(i)) * alpha))
     }
   }
 
@@ -88,12 +141,37 @@ object Trainers {
       }
       c.copy(flat = out)
     }
+    def applyStats(c: ModelWeights, s: MergeStats,
+                   state: Array[Double]): ModelWeights = {
+      val p = s.nParts.toDouble
+      val out = new Array[Double](c.flat.length)
+      var i = 0
+      while (i < out.length) {
+        state(i) = momentum * state(i) + alpha * (s.sumW(i) / p - c.flat(i))
+        out(i) = c.flat(i) + state(i)
+        i += 1
+      }
+      c.copy(flat = out)
+    }
   }
 
   /** ADAG (accumulated-gradient normalization, Hermans;
     * `trainers.py ~L530-580 [H]` + `ADAGParameterServer [H]`): delta
     * scaled by 1/sqrt(accumulated squared delta + eps), element-wise. */
   final case class Adag(eps: Double = 1e-8) extends UpdateRule {
+    def applyStats(c: ModelWeights, s: MergeStats,
+                   state: Array[Double]): ModelWeights = {
+      val p = s.nParts.toDouble
+      var i = 0
+      val out = new Array[Double](c.flat.length)
+      while (i < out.length) {
+        val d = s.sumW(i) / p - c.flat(i)
+        state(i) += d * d
+        out(i) = c.flat(i) + d / math.sqrt(state(i) + eps)
+        i += 1
+      }
+      c.copy(flat = out)
+    }
     def apply(c: ModelWeights, locals: Seq[(ModelWeights, Long)],
               state: Array[Double]): ModelWeights = {
       val delta = ModelWeights.average(locals.map { case (m, _) => m - c })
@@ -115,6 +193,9 @@ object Trainers {
     def apply(c: ModelWeights, locals: Seq[(ModelWeights, Long)],
               state: Array[Double]): ModelWeights =
       Downpour(c, locals, state)
+    def applyStats(c: ModelWeights, s: MergeStats,
+                   state: Array[Double]): ModelWeights =
+      Downpour.applyStats(c, s, state)
   }
 
   /** One local-SGD pass over a partition's rows, for ANY [[DiffModel]]
@@ -141,43 +222,89 @@ object Trainers {
     (m.weights, n)
   }
 
+  /** Bounded fan-in for the distributed merge: at most this many
+    * partial payloads (weight vectors / loss tuples) ever reach the
+    * driver, regardless of cluster size. */
+  val mergeFanIn = 32
+
+  /** Deterministic two-level tree fold of per-partition contributions
+    * (r13 verdict item 5 — the old path collected one weight vector PER
+    * PARTITION to the driver: O(P·|w|) memory at 10⁴–10⁵ partitions).
+    * Partitions group by index into ≤ [[mergeFanIn]] CONTIGUOUS buckets
+    * (`bucket = pi·G/P`, monotone); each bucket folds its members IN
+    * PARTITION-INDEX ORDER on an executor (the sort in
+    * repartitionAndSortWithinPartitions); the driver folds the bucket
+    * partials in bucket order. Every fold order is a pure function of
+    * (P, G), so the float result is bit-reproducible run to run — the
+    * property a plain treeAggregate (task-arrival combine order) does
+    * NOT give, and the early-stop determinism contract needs.
+    * Returns (fold, number of partials materialized on the driver). */
+  private[graft] def treeFold[T](
+      contrib: org.apache.spark.rdd.RDD[(Int, T)], numParts: Int,
+      merge: (T, T) => T)(
+      implicit ct: scala.reflect.ClassTag[T]): (Option[T], Int) = {
+    val g = math.max(1, math.min(numParts, mergeFanIn))
+    val part = new org.apache.spark.Partitioner {
+      def numPartitions: Int = g
+      def getPartition(key: Any): Int =
+        (key.asInstanceOf[Int].toLong * g / math.max(numParts, 1)).toInt
+    }
+    import org.apache.spark.rdd.RDD.rddToOrderedRDDFunctions
+    val partials = contrib.repartitionAndSortWithinPartitions(part)
+      .mapPartitionsWithIndex { (gi, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          var acc = it.next()._2
+          it.foreach { kv => acc = merge(acc, kv._2) }
+          Iterator.single((gi, acc))
+        }
+      }.collect()
+    (partials.sortBy(_._1).map(_._2).reduceOption(merge), partials.length)
+  }
+
   /** ONE synchronous epoch of the distributed loop: broadcast the
-    * center model, local minibatch SGD per partition, merge the
-    * per-partition results through the update rule. Shared by every
-    * distributed trainer (plain / with-history / early-stopped) so the
-    * SGD round exists exactly once (round-13 review). */
+    * center model, local minibatch SGD per partition, tree-fold the
+    * per-partition [[MergeStats]] (never one vector per partition on
+    * the driver), apply the update rule to move the center. Shared by
+    * every distributed trainer (plain / with-history / early-stopped)
+    * so the SGD round exists exactly once (round-13 review). */
   private def epochRound(data: org.apache.spark.rdd.RDD[(Array[Double], Double)],
                          center: DiffModel, rule: UpdateRule,
                          state: Array[Double], lr: Double,
                          batchSize: Int): DiffModel = {
     val bc = data.sparkContext.broadcast(center)
-    val locals = data.mapPartitions { it =>
+    val contrib = data.mapPartitionsWithIndex { (pi, it) =>
       val res = localSgd(bc.value, it, lr, batchSize)
-      if (res._2 == 0) Iterator.empty else Iterator.single(res)
-    }.collect().toSeq
+      if (res._2 == 0) Iterator.empty
+      else Iterator.single((pi, MergeStats.of(res._1, res._2)))
+    }
+    val (merged, _) = treeFold[MergeStats](contrib, data.getNumPartitions, _.merge(_))
     bc.destroy()
-    if (locals.nonEmpty) center.withWeights(rule(center.weights, locals, state))
-    else center
+    merged.fold(center)(s =>
+      center.withWeights(rule.applyStats(center.weights, s, state)))
   }
 
-  /** Mean log-loss of `model` over `data` as ONE O(partitions)-row
-    * aggregate, per-partition sums combined IN PARTITION ORDER: a plain
-    * reduce() folds in task-arrival order, so the float total (and with
-    * it an early-stop decision at the ulp margin) would vary run-to-run
-    * on identical data. */
+  /** Mean log-loss of `model` over `data` through the same
+    * deterministic [[treeFold]] — per-partition (sum, count) tuples
+    * combined in a fixed order, so the float total (and with it an
+    * early-stop decision at the ulp margin) cannot vary run-to-run on
+    * identical data. */
   private def meanLoss(data: org.apache.spark.rdd.RDD[(Array[Double], Double)],
                        model: DiffModel): Double = {
     val bc = data.sparkContext.broadcast(model)
-    val parts = data.mapPartitionsWithIndex { (pi, it) =>
+    val contrib = data.mapPartitionsWithIndex { (pi, it) =>
       val m = bc.value
       var s = 0.0; var k = 0L
       it.foreach { case (x, y) => s += m.logLoss(x, y); k += 1 }
-      Iterator.single((pi, s, k))
-    }.collect().sortBy(_._1)
+      Iterator.single((pi, (s, k)))
+    }
+    val (merged, _) = treeFold[(Double, Long)](contrib, data.getNumPartitions,
+      (a, b) => (a._1 + b._1, a._2 + b._2))
     bc.destroy()
-    val lossSum = parts.foldLeft(0.0)(_ + _._2)
-    val n = parts.foldLeft(0L)(_ + _._3)
-    if (n == 0) 0.0 else lossSum / n
+    merged match {
+      case Some((s, k)) if k > 0 => s / k
+      case _ => 0.0
+    }
   }
 
   private def toExamples(df: DataFrame, featuresCol: String, labelCol: String) = {
@@ -372,7 +499,13 @@ object Trainers {
         center = epochRound(data, center, rule, state, lr, batchSize)
         val vl = meanLoss(valData, center)
         losses += vl
-        if (vl < bestLoss - minDelta) {
+        // epoch 0 is the initial best UNCONDITIONALLY: a NaN validation
+        // loss (or one that never improves) must still leave bestEpoch a
+        // valid index and the model a trained one, never the silent
+        // untrained init (r13 advice). A later FINITE loss always beats
+        // a NaN best (NaN compares false to everything).
+        if (epoch == 0 || vl < bestLoss - minDelta ||
+            (bestLoss.isNaN && !vl.isNaN)) {
           bestLoss = vl; best = center; bestEpoch = epoch; sinceBest = 0
         } else {
           sinceBest += 1

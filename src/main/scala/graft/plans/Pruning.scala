@@ -1,7 +1,6 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -23,11 +22,13 @@ import graft.Tables
   * calculation a 100 TB table's OPTIMIZE/CLUSTER BY decision rests on,
   * computed from manifest-sized metadata, never the data.
   *
-  * Scale shape: two balanced-ntile window passes simulate the layouts
-  * (a real table reads (file, min, max, rows) straight from its
-  * manifest — row-count-free), then one (layout, file) agg and a
-  * per-row CASE. Money min/max are exact 2-dp doubles, so both engines
-  * classify identically.
+  * Scale shape: two balanced-ntile passes simulate the layouts via the
+  * range-bucketed [[graft.rel.ScalableRank.rangeNtile]] device (r14 —
+  * bit-identical to a naive global ntile but never a single-reducer
+  * sort over ALL orders; a real table reads (file, min, max, rows)
+  * straight from its manifest — row-count-free), then one
+  * (layout, file) agg and a per-row CASE. Money min/max are exact
+  * 2-dp doubles, so both engines classify identically.
   */
 object Pruning {
 
@@ -45,11 +46,11 @@ object Pruning {
     * 2·[[pruneFiles]] rows. */
   def qManifestPrune(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
-    val arrival = o.withColumn("file_id",
-      ntile(pruneFiles).over(Window.orderBy(col("o_orderkey"))))
+    val arrival = graft.rel.ScalableRank.rangeNtile(o, col("o_orderkey"),
+        Seq(col("o_orderkey")), pruneFiles, "file_id")
       .withColumn("layout", lit("arrival"))
-    val clustered = o.withColumn("file_id",
-      ntile(pruneFiles).over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+    val clustered = graft.rel.ScalableRank.rangeNtile(o, col("o_totalprice"),
+        Seq(col("o_totalprice"), col("o_orderkey")), pruneFiles, "file_id")
       .withColumn("layout", lit("clustered"))
     val manifest = arrival.unionByName(clustered)
       .groupBy(col("layout"), col("file_id"))

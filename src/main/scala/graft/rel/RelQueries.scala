@@ -1375,13 +1375,12 @@ object RelQueries {
     *
     * Scale shape: ONE map-side-combined aggregate over orders reduces
     * the corpus to a narrow per-customer frame; the anchor is a one-row
-    * broadcast cross (the in-plan scalar device). The three ntile
-    * windows are global sorts — over the AGGREGATED frame (|customers|
-    * narrow rows, range-partitioned skew-free); at 100 TB swap ntile
-    * for broadcast approx_percentile cut points (the
-    * q_quality_tails_by_source device), same output contract modulo
-    * boundary ties. Ties inside a window are totally ordered by
-    * custkey, so scores are deterministic on both engines. */
+    * broadcast cross (the in-plan scalar device). The three quintile
+    * scores are [[ScalableRank.rangeNtile]] devices (r14) — range-
+    * bucketed exact NTILE, bit-identical to the naive unpartitioned
+    * window but never a single-reducer sort over ALL customers at
+    * 100 TB. Ties inside an order are totally broken by custkey, so
+    * scores are deterministic on both engines. */
   def rfm(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"),
@@ -1394,14 +1393,17 @@ object RelQueries {
       .select(col("o_custkey"),
         datediff(col("anchor"), col("last_d")).as("recency_days"),
         col("frequency"), col("monetary"))
-    val rW = Window.orderBy(col("recency_days").desc, col("o_custkey"))
-    val fW = Window.orderBy(col("frequency"), col("o_custkey"))
-    val mW = Window.orderBy(col("monetary"), col("o_custkey"))
-    base.select(col("o_custkey"), col("recency_days"), col("frequency"),
+    // three chained devices; each bucket key tracks its order's primary
+    // direction (negated for the DESC recency sort)
+    val s1 = ScalableRank.rangeNtile(base, -col("recency_days"),
+      Seq(col("recency_days").desc, col("o_custkey")), rfmBuckets, "r_score")
+    val s2 = ScalableRank.rangeNtile(s1, col("frequency"),
+      Seq(col("frequency"), col("o_custkey")), rfmBuckets, "f_score")
+    val s3 = ScalableRank.rangeNtile(s2, col("monetary"),
+      Seq(col("monetary"), col("o_custkey")), rfmBuckets, "m_score")
+    s3.select(col("o_custkey"), col("recency_days"), col("frequency"),
         round(col("monetary").cast("double"), 2).as("monetary"),
-        ntile(rfmBuckets).over(rW).as("r_score"),
-        ntile(rfmBuckets).over(fW).as("f_score"),
-        ntile(rfmBuckets).over(mW).as("m_score"))
+        col("r_score"), col("f_score"), col("m_score"))
       .orderBy("o_custkey")
   }
 

@@ -1013,20 +1013,22 @@ object TimeSeries {
     * aggregate instead of the textbook all-pairs |xᵢ−xⱼ| double sum.
     *
     * Scale shape: the corpus pass ends at the per-customer aggregate
-    * (≪ orders); the rank is a global sort over that NARROW aggregate
-    * only (range-partitioned at scale, the q_rfm ntile shape). All
-    * terms are integer cents × BIGINT ranks in DECIMAL(38,0) — exact
-    * until the one final double division. Ties broken by custkey so
-    * the rank (and hence the identity's Σ i·xᵢ) is total on both
-    * engines — Gini itself is tie-invariant, the determinism is for
-    * the hash gate. */
+    * (≪ orders); the rank over that narrow frame is the range-bucketed
+    * [[ScalableRank.rangeRowNumber]] device (r14) — approx-percentile
+    * buckets + keyed within-bucket rank + broadcast offsets — NOT an
+    * unpartitioned window, which would be a single-reducer sort over
+    * ALL customers at 100 TB. All terms are integer cents × BIGINT
+    * ranks in DECIMAL(38,0) — exact until the one final double
+    * division. Ties broken by custkey so the rank (and hence the
+    * identity's Σ i·xᵢ) is total on both engines — Gini itself is
+    * tie-invariant, the determinism is for the hash gate. */
   def gini(spark: SparkSession, dir: String): DataFrame = {
     val spend = Tables.orders(spark, dir)
       .select(col("o_custkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
       .groupBy(col("o_custkey")).agg(sum(col("cents")).as("cents"))
-    val ranked = spend.withColumn("i",
-      row_number().over(Window.orderBy(col("cents"), col("o_custkey"))).cast("long"))
+    val ranked = ScalableRank.rangeRowNumber(spend, col("cents"),
+      Seq(col("cents"), col("o_custkey")), "i")
     val d38 = DecimalType(38, 0)
     ranked.agg(count(lit(1)).as("n_customers"),
         sum(col("cents")).as("total_cents"),
@@ -1419,15 +1421,23 @@ object TimeSeries {
     * sort order.
     *
     * Scale shape: the corpus pass ends at the per-user conditional
-    * DECIMAL sums (the cuped frame); matching is ONE ordered window
-    * over that narrow frame — each treated row reads the last control
+    * DECIMAL sums (the cuped frame); matching reads the last control
     * at-or-before and the first control after (IGNORE NULLS running
     * values), so the nearest neighbor costs a sort, not a join, and
-    * never goes quadratic. The window is partition-less over the
-    * per-user AGGREGATE (the q_gini/q_rfm shape — range-partitioned
-    * at scale, never the raw corpus). Every value is DECIMAL(18/19,2)
-    * end to end — matching distance, tie-breaks, and the emitted
-    * effect are all EXACT; the key carries no float device at all. */
+    * never goes quadratic. Since r14 the running reads are range-
+    * BUCKETED (the [[ScalableRank]] device generalized from rank to
+    * carry-forward): within-bucket KEYED running windows, plus a
+    * bounded per-bucket boundary frame (last/first control per bucket,
+    * ≤256 rows) whose own running carry is broadcast back — identical
+    * output to the old partition-less window, never a single-reducer
+    * sort over ALL users at 100 TB. Both directions stay RUNNING
+    * (unboundedPreceding..currentRow; the after-side uses the REVERSED
+    * ordering) — Spark evaluates unboundedFollowing frames by
+    * re-scanning the tail per row (O(n²); measured 23.8× at 10× data),
+    * while running frames are incremental (1.3×). Every value is
+    * DECIMAL(18/19,2) end to end — matching distance, tie-breaks, and
+    * the emitted effect are all EXACT; the key carries no float device
+    * at all. */
   def nnMatch(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.Sampling
     val arm = Sampling.splitAssign(col("user_id"), Seq("T" -> 0.5, "C" -> 0.5))
@@ -1439,24 +1449,45 @@ object TimeSeries {
       .agg(sum(when(!isPost, dec(col("value"))).otherwise(zero)).as("pre"),
         sum(when(isPost, dec(col("value"))).otherwise(zero)).as("post"))
       .select(col("user_id"), arm.as("arm"), col("pre"), col("post"))
-    // both neighbors as RUNNING (unboundedPreceding..currentRow) reads:
-    // the after-side uses the REVERSED ordering instead of a
-    // currentRow..unboundedFollowing frame — Spark evaluates unbounded-
-    // FOLLOWING frames by re-scanning the tail per row (O(n²); measured
-    // 23.8× at 10× data), while running frames are incremental (1.3×)
-    val before = Window.orderBy(col("pre"), col("user_id"))
+    // range-bucket on the matching covariate: ties share a bucket, so
+    // bucket-major (pre, user_id) order ≡ the global order
+    val b = ScalableRank.withRangeBucket(perUser, col("pre"))
+    val ctlS = when(col("arm") === "C",
+      struct(col("pre").as("pre"), col("user_id").as("user_id"),
+        col("post").as("post")))
+    val ctlKey = when(col("arm") === "C", struct(col("pre"), col("user_id")))
+    // per-bucket boundary controls (max_by/min_by skip null keys, i.e.
+    // treated rows; a control-free bucket yields NULL and is skipped by
+    // the ignoreNulls carry below)
+    val summ = b.groupBy(col("__rb")).agg(
+      max_by(ctlS, ctlKey).as("lastC"), min_by(ctlS, ctlKey).as("firstC"))
+    // cross-bucket carry over the ≤256-row boundary frame — bounded
+    // partition-less windows (the histogram-bins pattern)
+    val bw = Window.partitionBy(lit(0)).orderBy(col("__rb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val fw = Window.partitionBy(lit(0)).orderBy(col("__rb").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = summ.select(col("__rb"),
+      last(col("lastC"), ignoreNulls = true).over(bw).as("prevC"),
+      last(col("firstC"), ignoreNulls = true).over(fw).as("nextC"))
+    val before = Window.partitionBy(col("__rb"))
+      .orderBy(col("pre"), col("user_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val afterRev = Window.orderBy(col("pre").desc, col("user_id").desc)
+    val afterRev = Window.partitionBy(col("__rb"))
+      .orderBy(col("pre").desc, col("user_id").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def ctl(c: Column) = when(col("arm") === "C", c)
-    val m = perUser
-      .withColumn("b_id", last(ctl(col("user_id")), ignoreNulls = true).over(before))
-      .withColumn("b_pre", last(ctl(col("pre")), ignoreNulls = true).over(before))
-      .withColumn("b_post", last(ctl(col("post")), ignoreNulls = true).over(before))
-      .withColumn("a_id", last(ctl(col("user_id")), ignoreNulls = true).over(afterRev))
-      .withColumn("a_pre", last(ctl(col("pre")), ignoreNulls = true).over(afterRev))
-      .withColumn("a_post", last(ctl(col("post")), ignoreNulls = true).over(afterRev))
+    val m = b.join(broadcast(carry), Seq("__rb"))
+      .withColumn("sB", coalesce(
+        last(ctlS, ignoreNulls = true).over(before), col("prevC")))
+      .withColumn("sA", coalesce(
+        last(ctlS, ignoreNulls = true).over(afterRev), col("nextC")))
       .filter(col("arm") === "T")
+      .withColumn("b_id", col("sB.user_id"))
+      .withColumn("b_pre", col("sB.pre"))
+      .withColumn("b_post", col("sB.post"))
+      .withColumn("a_id", col("sA.user_id"))
+      .withColumn("a_pre", col("sA.pre"))
+      .withColumn("a_post", col("sA.post"))
     // nearer neighbor wins; equal distance (or missing after-side) → before
     val useBefore = col("a_id").isNull ||
       (col("b_id").isNotNull &&
@@ -1623,9 +1654,11 @@ object TimeSeries {
     * identically on both engines).
     *
     * Scale shape: the corpus pass ends at the per-user DECIMAL sums
-    * (the cuped frame); the quintile is ONE ordered ntile window over
-    * that narrow aggregate (the q_rfm shape — range-partitioned at
-    * scale); everything after runs on 5 rows. Determinism: DECIMAL
+    * (the cuped frame); the quintile is the range-bucketed
+    * [[ScalableRank.rangeNtile]] device (r14) over that narrow
+    * aggregate — bit-identical to the naive unpartitioned ntile but
+    * never a single-reducer sort over ALL users at 100 TB; everything
+    * after runs on 5 rows. Determinism: DECIMAL
     * sums; per-stratum diff is a fixed-order double chain ROUND(,6);
     * the pooled terms ROUND(,9) → DECIMAL so the final weighted sum is
     * addition-order-proof. */
@@ -1640,8 +1673,8 @@ object TimeSeries {
       .agg(sum(when(!isPost, dec(col("value"))).otherwise(zero)).as("pre"),
         sum(when(isPost, dec(col("value"))).otherwise(zero)).as("post"))
       .select(col("user_id"), arm.as("arm"), col("pre"), col("post"))
-    val strat = perUser.withColumn("stratum",
-      ntile(5).over(Window.orderBy(col("pre"), col("user_id"))))
+    val strat = ScalableRank.rangeNtile(perUser, col("pre"),
+      Seq(col("pre"), col("user_id")), 5, "stratum")
     val g = strat.groupBy(col("stratum")).agg(
       sum(when(col("arm") === "T", 1L).otherwise(0L)).as("n_t"),
       sum(when(col("arm") === "C", 1L).otherwise(0L)).as("n_c"),

@@ -2253,9 +2253,11 @@ object TextOps {
     val counts = Tables.documents(spark, dir)
       .select(explode(tokens(lower(col("text")))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-    val ranked = counts.withColumn("rank",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("cnt").desc, col("term"))))
+    // vocab-sized frame: the rank is the range-bucketed device (r14),
+    // never an unpartitioned window (a 100 TB crawl's "vocabulary" is
+    // typo/hash-heavy — potentially billions of distinct terms)
+    val ranked = graft.rel.ScalableRank.rangeRowNumber(counts, -col("cnt"),
+      Seq(col("cnt").desc, col("term")), "rank")
     // per-term ln pairs rounded to 9 dp then DECIMAL-summed: the
     // engine-stable fold (q_domain_shift's device)
     val x = round(log(col("rank").cast("double")), 9).cast(DecimalType(18, 9))
@@ -2452,9 +2454,12 @@ object TextOps {
     * (q_quality_tails_by_source adapts the CUT per source; this
     * adapts the VALUES — the other standard answer).
     *
-    * Scale shape: two rank windows over narrow (score, id) frames —
-    * global (the q_gini range-partitioned shape) and source-keyed —
-    * then ONE equi-join on the computed global index. INTEGER-exact
+    * Scale shape: two rank passes over narrow (score, id) frames —
+    * the global one is the range-bucketed
+    * [[graft.rel.ScalableRank.rangeRowNumber]] device (r14; never an
+    * unpartitioned window's single-reducer sort over ALL docs at
+    * 100 TB), the other source-KEYED — then ONE equi-join on the
+    * computed global index. INTEGER-exact
     * end to end: the target index is (r−1)(N−1) div (m−1) + 1 in
     * BIGINT arithmetic — explicit integer division (`div` / DuckDB
     * `//`), not a float `/` whose floor is only exact below 2^53 —
@@ -2462,10 +2467,9 @@ object TextOps {
   def qQuantileNormalize(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
-    val global = docs
-      .select(col("n_chars").as("g_chars"), col("doc_id").as("g_id"))
-      .withColumn("gidx", row_number().over(
-        Window.orderBy(col("g_chars"), col("g_id"))).cast("long"))
+    val global = graft.rel.ScalableRank.rangeRowNumber(
+      docs.select(col("n_chars").as("g_chars"), col("doc_id").as("g_id")),
+      col("g_chars"), Seq(col("g_chars"), col("g_id")), "gidx")
     val n = docs.agg(count(lit(1)).as("n_total"))
     val ws = Window.partitionBy(col("source"))
       .orderBy(col("n_chars"), col("doc_id"))

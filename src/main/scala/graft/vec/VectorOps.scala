@@ -953,10 +953,12 @@ object VectorOps {
     * what fraction?"). Decile ties are broken by vec_id so the rank is
     * total on both engines.
     *
-    * Scale shape: per-row codegen scoring; the decile ntile is a
-    * global sort over (p, id) — narrow rows, range-partitioned; the
-    * cumulative window then runs over the 10-row decile aggregate
-    * only. */
+    * Scale shape: per-row codegen scoring; the decile score is the
+    * range-bucketed [[graft.rel.ScalableRank.rangeNtile]] device (r14)
+    * over the narrow (p, id) frame — bit-identical to the naive
+    * unpartitioned ntile but never a single-reducer sort over ALL
+    * embedding rows at 100 TB; the cumulative window then runs over
+    * the 10-row decile aggregate only. */
   def qGainsCurve(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val margin = dotLit(col("embedding"), demoWeights) + lit(demoBias)
@@ -964,9 +966,8 @@ object VectorOps {
       col("vec_id"),
       round(lit(1.0) / (lit(1.0) + exp(-margin)), 6).as("p"),
       (argMax(col("embedding")) % 2).cast("int").as("y"))
-    val deciles = scored
-      .withColumn("decile",
-        ntile(10).over(Window.orderBy(col("p").desc, col("vec_id"))))
+    val deciles = graft.rel.ScalableRank.rangeNtile(scored, -col("p"),
+        Seq(col("p").desc, col("vec_id")), 10, "decile")
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n"), sum(col("y").cast("long")).as("n_pos"))
     val w = Window.orderBy(col("decile"))

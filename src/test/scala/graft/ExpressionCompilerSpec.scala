@@ -68,7 +68,7 @@ class ExpressionCompilerSpec extends SparkSpec {
 
   test("binary convnet compiles (staged) to its predictProb") {
     val m = ConvNetModel.init(8, 8, 3, 3, nFilters = 2, seed = 113L)
-    val got = ModelExpressions.score(frame, m, "embedding", "p")
+    val got = ModelExpressions.scoreProb(frame, m, "embedding", "p")
       .select("vec_id", "p").as[(Long, Double)].collect().toMap
     emb.foreach { case (id, x) =>
       assert(math.abs(got(id) - m.predictProb(x)) < eps, s"vec $id")
@@ -77,10 +77,20 @@ class ExpressionCompilerSpec extends SparkSpec {
 
   test("conv-softmax compiles (staged) to its predictLabel") {
     val m = ConvSoftmaxModel.init(8, 8, 3, 3, nFilters = 2, nClasses = 3, seed = 127L)
-    val got = ModelExpressions.score(frame, m, "embedding", "cls")
+    val got = ModelExpressions.scoreLabel(frame, m, "embedding", "cls")
       .select("vec_id", "cls").as[(Long, Double)].collect().toMap
     emb.foreach { case (id, x) =>
       assert(got(id) == m.predictLabel(x), s"vec $id: ${got(id)} vs ${m.predictLabel(x)}")
+    }
+    // scoreProb on the SAME softmax model has probability semantics
+    // (max class probability), never a class id — the r13-advice split:
+    // outCol meaning is fixed by the API, not the model's runtime type
+    val probs = ModelExpressions.scoreProb(frame, m, "embedding", "p")
+      .select("vec_id", "p").as[(Long, Double)].collect().toMap
+    emb.foreach { case (id, x) =>
+      val want = m.predictClassProbs(x).max
+      assert(math.abs(probs(id) - want) < eps, s"vec $id maxprob")
+      assert(probs(id) >= 1.0 / 3 - eps && probs(id) <= 1.0 + eps)
     }
   }
 
@@ -131,13 +141,13 @@ class ExpressionCompilerSpec extends SparkSpec {
     val path = java.nio.file.Files.createTempDirectory("graft_loop").toString
     ModelIO.save(spark, trained.weights, path)
     val loaded = ModelIO.loadConvSoftmax(spark, path, 8, 8)
-    val scored = ModelExpressions.score(fixture, loaded, "features", "pred")
+    val scored = ModelExpressions.scoreLabel(fixture, loaded, "features", "pred")
       .select(col("label"), col("pred")).as[(Double, Double)].collect()
     val acc = scored.count { case (y, p) => y == p }.toDouble / scored.length
     assert(acc > 0.85, s"full-loop accuracy $acc")
     // the compiled scorer agrees with the loaded model's own argmax
     val sample = fixture.limit(50).select("features").as[Seq[Double]].collect()
-    val byExpr = ModelExpressions.score(fixture.limit(50), loaded, "features", "p")
+    val byExpr = ModelExpressions.scoreLabel(fixture.limit(50), loaded, "features", "p")
       .select("p").as[Double].collect()
     sample.zip(byExpr).foreach { case (x, p) =>
       assert(p == loaded.predictLabel(x.toArray))
@@ -146,7 +156,7 @@ class ExpressionCompilerSpec extends SparkSpec {
 
   test("compiled scorers stay inside whole-stage codegen (no UDF, no mapPartitions)") {
     val m = ConvSoftmaxModel.init(8, 8, 3, 3, 2, 3, seed = 137L)
-    val plan = ModelExpressions.score(frame, m, "embedding", "cls")
+    val plan = ModelExpressions.scoreLabel(frame, m, "embedding", "cls")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython") &&
       !plan.contains("MapPartitions"), s"non-codegen stage in:\n$plan")

@@ -224,4 +224,61 @@ class TrainersSpec extends SparkSpec {
       .select("p").as[Double].collect().sorted
     viaExpr.zip(viaBatch).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
   }
+
+  test("applyStats ≡ apply for every rule (the merged-path contract)") {
+    val rnd = new scala.util.Random(19)
+    val dim = 7
+    val center = ModelWeights(Seq((1, dim)), Array.fill(dim)(rnd.nextGaussian()))
+    val locals = (0 until 5).map { _ =>
+      (ModelWeights(Seq((1, dim)), Array.fill(dim)(rnd.nextGaussian())),
+        (rnd.nextInt(40) + 1).toLong)
+    }
+    val stats = locals.map { case (w, n) => Trainers.MergeStats.of(w, n) }
+      .reduce(_.merge(_))
+    val rules: Seq[(String, Trainers.UpdateRule)] = Seq(
+      "averaging" -> Trainers.Averaging,
+      "downpour" -> Trainers.Downpour,
+      "elastic" -> Trainers.ElasticAverage(0.4),
+      "eamsgd" -> Trainers.ElasticAverageMomentum(0.4, 0.7),
+      "adag" -> Trainers.Adag(),
+      "dynsgd" -> Trainers.DynSgd)
+    rules.foreach { case (name, rule) =>
+      // rule state is mutated by both paths: give each its own copy
+      val viaSeq = rule(center, locals, Array.fill(dim)(0.25))
+      val viaStats = rule.applyStats(center, stats, Array.fill(dim)(0.25))
+      viaSeq.flat.zip(viaStats.flat).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-12, s"$name: $a vs $b")
+      }
+    }
+  }
+
+  test("treeFold: ≤ mergeFanIn partials on the driver, in-order fold, reproducible") {
+    val sc = spark.sparkContext
+    val p = 64
+    val rdd = sc.parallelize((0 until p).map(i => (i, Seq(i))), p)
+    val (fold, nPartials) =
+      Trainers.treeFold[Seq[Int]](rdd, p, (a, b) => a ++ b)
+    // the driver never materializes one payload per partition
+    assert(nPartials <= Trainers.mergeFanIn,
+      s"driver saw $nPartials partials for $p partitions")
+    // the grouped fold preserves partition-index order end to end
+    assert(fold.get == (0 until p))
+    // empty contributions disappear without poisoning the fold
+    val sparse = sc.parallelize(Seq(5, 17, 40).map(i => (i, Seq(i))), 3)
+    assert(Trainers.treeFold[Seq[Int]](sparse, p, (a, b) => a ++ b)
+      ._1.get == Seq(5, 17, 40))
+    assert(Trainers.treeFold[Seq[Int]](
+      sc.emptyRDD[(Int, Seq[Int])], p, (a, b) => a ++ b)._1.isEmpty)
+  }
+
+  test("early stop on a NaN/Inf validation curve still returns a valid bestEpoch") {
+    // lr absurdly large: weights overflow, validation loss goes Inf/NaN
+    // from epoch 0 — bestEpoch must be a real index (the first epoch),
+    // never -1 / the silent untrained init (r13 advice)
+    val r = Trainers.trainWithEarlyStopping(linsep, "features", "label",
+      linsep, LinearModel.init(2, seed = 3L),
+      numWorkers = 4, maxEpochs = 10, lr = 1e12, patience = 2)
+    assert(r.bestEpoch >= 0 && r.bestEpoch < r.valLoss.length,
+      s"bestEpoch ${r.bestEpoch}, curve ${r.valLoss}")
+  }
 }
