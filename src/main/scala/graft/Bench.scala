@@ -86,22 +86,22 @@ object Bench {
     }
     sentinelRun() // codegen warm-up: the first sentinel pays plan compile
     val sentinels = scala.collection.mutable.ArrayBuffer[Double]()
-    val results = SparkEntry.queries.toSeq
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      sentinels += sentinelRun()
+    // one key's full measurement (shared by the sweep and the flagged-
+    // key rerun pass): untimed warm-ups — compiles the key's codegen +
+    // primes shuffle file/page caches; failures are ignored because the
+    // timed loop records them as the key's visible "errors" entry —
+    // then `reps` timed noop writes. An errored rep's (typically
+    // truncated) wall time must NOT enter the sample: the "errors"
+    // entry is the only signal, and the median is over successful reps
+    // only (0.0 if none succeeded).
+    def measureKey(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Vector[Double], Option[String]) = {
       var err: Option[String] = None
-      // untimed warm-up: compiles this key's codegen + primes shuffle
-      // file/page caches; failures are ignored here because the timed
-      // loop below records them as the key's visible "errors" entry
       (1 to warmup).foreach { _ =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => }
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       }
-      // an errored rep's (typically truncated) wall time must NOT enter
-      // the sample: the "errors" entry is the only signal, and the median
-      // is over successful reps only (0.0 if none succeeded)
       val times = (1 to reps).iterator.takeWhile(_ => err.isEmpty).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -117,6 +117,13 @@ object Bench {
         if (ok) Some(dt) else None
       }.toVector
       val median = if (times.isEmpty) 0.0 else times.sorted.apply((times.size - 1) / 2)
+      (median, times, err)
+    }
+    val results = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+      sentinels += sentinelRun()
+      val (median, times, err) = measureKey(fn)
       (name, median, times, err)
     }
     sentinels += sentinelRun()
@@ -141,7 +148,7 @@ object Bench {
       .map(_.toDouble).getOrElse(0.10)
     val runContended = sentinelBase > 2 * sentinelRef
     val perKeyCut = 2 * math.max(sentinelBase, 0.10)
-    val contended = results.zipWithIndex.collect {
+    val contended0 = results.zipWithIndex.collect {
       case ((k, _, _, _), i)
         if math.min(sentinels(i), sentinels(i + 1)) > perKeyCut => k
     }
@@ -151,7 +158,7 @@ object Bench {
     // its median is suspect even if the run as a whole looks clean. A
     // healthy solo sweep has zero of these; any round-over-round
     // comparison should discard flagged keys first.
-    val unstable = results.collect {
+    val unstable0 = results.collect {
       case (k, _, ts, _) if ts.size >= 2 && ts.max > 2.5 * ts.min => k
     }
     // third contention signature (round-10 verdict ask #3): steady load
@@ -191,9 +198,42 @@ object Bench {
                 else Map.empty[String, Double]
     val baseBad = baselineSrc.map(s => jsonArrStrs(s, "contended") ++ jsonArrStrs(s, "unstable"))
       .getOrElse(Set.empty)
-    val regressed = results.collect {
+    val regressed0 = results.collect {
       case (k, m, _, None) if baseQ.get(k).exists(b =>
         !baseBad(k) && b >= 0.15 && m > 2 * b && m - b > 0.5) => k
+    }
+    // auto-rerun pass (round-13 verdict ask #7): every flagged key gets
+    // ONE solo re-measurement at the end of the sweep — by then the
+    // transient co-tenant load that caused most flags is gone, and the
+    // adjudication that used to cost a manual SPARK_GRAFT_BENCH_ONLY
+    // cycle per round happens inside the run. A rerun is TRUSTED (its
+    // median replaces the key's value and clears its flags) only when
+    // its own evidence is clean: no error, bracketing sentinels under
+    // the per-key cut, rep spread ≤ 2.5×. Both numbers stay on the
+    // artifact under "rerun" — a cleared flag is auditable, not silent.
+    val flagged0 = (contended0 ++ unstable0 ++ regressed0).distinct
+    val reruns = flagged0.map { k =>
+      val s0 = sentinelRun()
+      val (m, ts, e) = measureKey(SparkEntry.queries(k))
+      val s1 = sentinelRun()
+      val clean = e.isEmpty && math.min(s0, s1) <= perKeyCut &&
+        (ts.size < 2 || ts.max <= 2.5 * ts.min)
+      (k, m, ts, e, clean)
+    }
+    val rerunClean = reruns.collect { case (k, m, ts, _, true) => k -> (m, ts) }.toMap
+    val finalResults = results.map {
+      case (k, _, _, err0) if rerunClean.contains(k) =>
+        val (m, ts) = rerunClean(k)
+        (k, m, ts, err0)
+      case r => r
+    }
+    val contended = contended0.filterNot(rerunClean.contains)
+    val unstable = unstable0.filterNot(rerunClean.contains)
+    // regressed re-adjudicates against the FINAL median: a clean rerun
+    // that still exceeds the committed baseline is a real regression
+    val regressed = finalResults.collect {
+      case (k, m, _, None) if regressed0.contains(k) && baseQ.get(k).exists(b =>
+        b >= 0.15 && m > 2 * b && m - b > 0.5) => k
     }
     def r3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     // an erroring key is `null` in every timing map, EXCLUDED from the
@@ -205,17 +245,17 @@ object Bench {
     // ascending by median: the harness keeps only the LAST ~2000 output
     // chars of the run, so the expensive (interesting) keys and the
     // headline total must sit at the END of the line to survive truncation
-    val byTime = results.sortBy(_._2)
+    val byTime = finalResults.sortBy(_._2)
     val qs = byTime.map { case (k, m, _, e) => keyVal(k, m, e) }
       .mkString("{", ",", "}")
     val runs = byTime.map { case (k, _, ts, _) => "\"" + k + "\":" + ts.map(r3).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
+    val errs = finalResults.collect { case (k, _, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
-    val ok = results.filter(_._4.isEmpty)
-    val nErrors = results.size - ok.size
+    val ok = finalResults.filter(_._4.isEmpty)
+    val nErrors = finalResults.size - ok.size
     val total = ok.map(_._2).sum
-    val method = s"median of $reps noop-format writes per query after $warmup untimed warm-up rep (steady-state: codegen compile paid before timing; includes final ORDER BY cost; value per key = median over successful reps, raw samples under runs, queries sorted ascending by median; contended = keys whose surrounding sentinel no-ops ran >2x the run median, unstable = keys whose own reps spread >2.5x (max/min), regressed = keys whose median exceeds 2x (and +0.5s) their value in the clean solo BENCH_LOCAL.json at git HEAD (catches sustained load the sentinels miss; empty if no clean committed baseline) - discard flagged medians in round-over-round comparisons, contended_run = the whole run is under sustained load (sentinel median >2x the solo reference) - treat such medians as load-inflated; round-1 timed count(), which dropped sorts via EliminateSorts - totals not directly comparable)"
+    val method = s"median of $reps noop-format writes per query after $warmup untimed warm-up rep (steady-state: codegen compile paid before timing; includes final ORDER BY cost; value per key = median over successful reps, raw samples under runs, queries sorted ascending by median; contended = keys whose surrounding sentinel no-ops ran >2x the run median, unstable = keys whose own reps spread >2.5x (max/min), regressed = keys whose median exceeds 2x (and +0.5s) their value in the clean solo BENCH_LOCAL.json at git HEAD (catches sustained load the sentinels miss; empty if no clean committed baseline) - discard flagged medians in round-over-round comparisons, contended_run = the whole run is under sustained load (sentinel median >2x the solo reference) - treat such medians as load-inflated; every first-pass-flagged key is auto-rerun ONCE at sweep end and its rerun median replaces the flagged one (clearing the flag) only when the rerun itself is evidence-clean (no error, clean bracketing sentinels, rep spread <=2.5x) - both passes stay on the artifact under rerun; round-1 timed count(), which dropped sorts via EliminateSorts - totals not directly comparable)"
     val contJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
     val unstJson = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
     val regrJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -224,7 +264,11 @@ object Bench {
     // COMPACT line instead — rounds 1-4 all show "parsed": null in
     // BENCH_r*.json because the full ~5 kB line overflowed the harness's
     // ~2000-char stdout tail and could never be json.loads'd whole
-    val fullJson = s"""{"method":"$method","runs":$runs,"queries":$qs,"errors":$errs,"sentinel":$sentJson,"contended":$contJson,"unstable":$unstJson,"regressed":$regrJson,"baseline_checked":${baseQ.nonEmpty},"contended_run":$runContended,"sf":"$sfDir","n_queries":${ok.size},"n_errors":$nErrors,"per_key_mean":${r3(if (ok.nonEmpty) total / ok.size else 0.0)},"unit":"sec","metric":"total","value":${r3(total)}}"""
+    val rerunJson = reruns.map { case (k, m, _, e, clean) =>
+      val first = results.collectFirst { case (`k`, m0, _, _) => m0 }.getOrElse(0.0)
+      s""""$k":{"first":${r3(first)},"rerun":${if (e.isDefined) "null" else r3(m)},"clean":$clean}"""
+    }.mkString("{", ",", "}")
+    val fullJson = s"""{"method":"$method","runs":$runs,"queries":$qs,"errors":$errs,"sentinel":$sentJson,"contended":$contJson,"unstable":$unstJson,"regressed":$regrJson,"rerun":$rerunJson,"baseline_checked":${baseQ.nonEmpty},"contended_run":$runContended,"sf":"$sfDir","n_queries":${ok.size},"n_errors":$nErrors,"per_key_mean":${r3(if (ok.nonEmpty) total / ok.size else 0.0)},"unit":"sec","metric":"total","value":${r3(total)}}"""
     // a BENCH_ONLY partial sweep must NOT silently overwrite the
     // committed full-sweep BENCH_LOCAL.json — default partial output to
     // a temp file instead (override explicitly if you mean it)

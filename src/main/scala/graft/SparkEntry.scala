@@ -371,6 +371,9 @@ object SparkEntry {
     // oracled non-adaptive cores of the two adaptive keys below
     // (round-9 verdict asks #6/#7): fixed plane count / fixed seeds
     "q_dedup_embedding_lsh_capped_fixed" -> (Similarity.qDedupEmbeddingLshCappedFixed _),
+    // one refinement ROUND of the adaptive capped-LSH loop (r13 verdict
+    // ask #6: the q_lloyd_round pattern for the hot-bucket trainer)
+    "q_lsh_refine_round" -> (Similarity.qLshRefineRound _),
     "q_ivf_topk_fixed" -> (Similarity.qIvfTopKFixed _),
     // non-SQL-expressible (runtime-adaptive / sketch-internal) —
     // rows-only check by the driver; behavior covered in ScalaTest.
@@ -1695,6 +1698,19 @@ object SparkEntry {
         "pairs AS (SELECT DISTINCT id_a, id_b FROM (SELECT id_a, id_b FROM cp0 UNION ALL SELECT id_a, id_b FROM sp0 UNION ALL SELECT id_a, id_b FROM cp1 UNION ALL SELECT id_a, id_b FROM sp1)), " +
         s"s AS (SELECT id_a, id_b, ${dotSql("ea.embedding", "eb.embedding")} AS score FROM pairs JOIN embeddings ea ON ea.vec_id = id_a JOIN embeddings eb ON eb.vec_id = id_b) " +
         "SELECT id_a, id_b, ROUND(score, 6) AS score FROM s WHERE score > 0.25 ORDER BY id_a, id_b"
+    },
+    // one capped-LSH refinement round: level-0 buckets, the hot test,
+    // the sub-plane re-bucket composition (bucket*8 + sub-signature at
+    // plane offset 4), and the post-round population/residual-hot flag
+    "q_lsh_refine_round" -> {
+      val b0 = Similarity.lshBucketSql("embedding", 4, 64)
+      val sub = Similarity.lshBucketSql("embedding", 3, 64, 4)
+      s"WITH b0 AS (SELECT vec_id, embedding, CAST($b0 AS BIGINT) AS bucket FROM embeddings), " +
+        "c0 AS (SELECT bucket, COUNT(*) > 64 AS hot0 FROM b0 GROUP BY bucket), " +
+        s"refined AS (SELECT vec_id, CASE WHEN hot0 THEN 1 ELSE 0 END AS lvl, CASE WHEN hot0 THEN b0.bucket * 8 + ($sub) ELSE b0.bucket END AS bucket FROM b0 JOIN c0 ON b0.bucket = c0.bucket), " +
+        "a AS (SELECT lvl, bucket, COUNT(*) AS n_bucket FROM refined GROUP BY lvl, bucket) " +
+        "SELECT r.vec_id, r.lvl, r.bucket, a.n_bucket, CAST(a.n_bucket > 64 AS INTEGER) AS still_hot " +
+        "FROM refined r JOIN a ON r.lvl = a.lvl AND r.bucket = a.bucket ORDER BY vec_id"
     },
     // fixed-seed IVF: the 16 lowest candidate ids seed the quantizer
     // (no hash sample, no Lloyd), so assignment, probe choice and the

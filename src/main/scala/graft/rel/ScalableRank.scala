@@ -59,24 +59,54 @@ object ScalableRank {
       require(!df.columns.contains(c), s"ScalableRank reserves column name '$c'")
     }
 
-  /** Adds `__rb` (int range-bucket id) via broadcast approx-percentile
-    * cuts on `bucketKey`. `bucketKey` must be non-null and monotone
+  /** Bucket id = number of cut points strictly below `v`, compiled as
+    * a binary-search CASE tree over the SORTED cut literals: depth
+    * log₂(buckets) codegen'd comparisons per row with short-circuit
+    * evaluation. An array higher-order function here is NOT codegen'd —
+    * each lambda step is interpreted expression evaluation, measured at
+    * 1.9 s for 150 k rows × 255 cuts vs ~0 for this tree. */
+  private def bucketExpr(cuts: Array[Double], v: Column): Column = {
+    // lower_bound: v > cuts(mid) ⇒ ≥ mid+1 cuts below ⇒ go right
+    def go(lo: Int, hi: Int): Column =
+      if (lo >= hi) lit(lo)
+      else {
+        val mid = (lo + hi) / 2
+        when(v > lit(cuts(mid)), go(mid + 1, hi)).otherwise(go(lo, mid))
+      }
+    go(0, cuts.length)
+  }
+
+  /** Adds `__rb` (int range-bucket id) from approx-percentile cuts on
+    * `bucketKey`. The ≤`buckets`−1 cut values are collected to the
+    * driver (the bounded control-decision collect, same class as the
+    * IVF probed-centroid ids) and inlined as literals so assignment is
+    * pure codegen. `bucketKey` must be non-null and monotone
     * NON-DECREASING along the caller's intended total order (negate it
-    * for a descending primary sort); equal keys always share a bucket. */
+    * for a descending primary sort); equal keys always share a bucket
+    * — and the cut VALUES never affect the caller-visible output, only
+    * the balance, so the collect can never change a hash. */
   def withRangeBucket(df: DataFrame, bucketKey: Column,
-                      buckets: Int = defaultBuckets): DataFrame = {
+                      buckets: Int = defaultBuckets,
+                      cp: graft.plans.Checkpointer =
+                        graft.plans.Checkpointer.Local): DataFrame = {
     require(buckets >= 2 && buckets <= 65536, s"buckets must be in [2,65536]: $buckets")
     reserve(df, Nil)
-    val keyed = df.withColumn("__rbk", bucketKey.cast("double"))
+    // the device reads its input three ways (cut points, per-bucket
+    // counts, the ranked output): checkpoint the keyed frame ONCE so
+    // the upstream corpus pass runs once and the two extra reads hit
+    // materialized blocks (the PageRank lineage idiom; pass
+    // Checkpointer.None for plan-inspection composition)
+    val keyed = cp(df.withColumn("__rbk", bucketKey.cast("double")))
     val fracs = (1 until buckets).map(i => lit(i.toDouble / buckets))
-    // one-row scalar broadcast back (the in-plan alternative to a
-    // driver-side collect of the cut points)
-    val cuts = keyed.agg(
+    val cutsRow = keyed.agg(
       percentile_approx(col("__rbk"), array(fracs: _*), lit(10000)).as("__rcuts"))
-    keyed.crossJoin(broadcast(cuts))
-      // monotone non-strict bucket: ties stay together by construction
-      .withColumn("__rb", expr("size(filter(__rcuts, c -> c < __rbk))"))
-      .drop("__rcuts", "__rbk")
+      .head()
+    // duplicate cuts collapse (a value-heavy tie spans several
+    // percentiles): fewer, distinct cut literals — same monotone buckets
+    val cuts: Array[Double] =
+      if (cutsRow.isNullAt(0)) Array.empty
+      else cutsRow.getSeq[Double](0).distinct.sorted.toArray
+    keyed.withColumn("__rb", bucketExpr(cuts, col("__rbk"))).drop("__rbk")
   }
 
   /** Exact `ROW_NUMBER() OVER (ORDER BY order...)` as LONG column `out`.
@@ -86,9 +116,11 @@ object ScalableRank {
     * at zero extra passes. */
   def rangeRowNumber(df: DataFrame, bucketKey: Column, order: Seq[Column],
                      out: String, buckets: Int = defaultBuckets,
-                     totalOut: Option[String] = None): DataFrame = {
+                     totalOut: Option[String] = None,
+                     cp: graft.plans.Checkpointer =
+                       graft.plans.Checkpointer.Local): DataFrame = {
     reserve(df, out +: totalOut.toSeq)
-    val b = withRangeBucket(df, bucketKey, buckets)
+    val b = withRangeBucket(df, bucketKey, buckets, cp)
     // exclusive cumulative offsets over the ≤`buckets`-row count frame;
     // the partition-less window is intentional and BOUNDED (the
     // histogram/AUC-bins pattern); total count rides along for free
@@ -112,9 +144,12 @@ object ScalableRank {
     * bit-identical to the naive window (first `N mod n` tiles take one
     * extra row), computed from the range-bucketed rank. */
   def rangeNtile(df: DataFrame, bucketKey: Column, order: Seq[Column],
-                 n: Int, out: String, buckets: Int = defaultBuckets): DataFrame = {
+                 n: Int, out: String, buckets: Int = defaultBuckets,
+                 cp: graft.plans.Checkpointer =
+                   graft.plans.Checkpointer.Local): DataFrame = {
     require(n >= 1, s"ntile n must be >= 1: $n")
-    val r = rangeRowNumber(df, bucketKey, order, "__rrn", buckets, totalOut = Some("__rtot"))
+    val r = rangeRowNumber(df, bucketKey, order, "__rrn", buckets,
+      totalOut = Some("__rtot"), cp = cp)
     // BIGINT-exact tile arithmetic (never a float division whose floor
     // could drift); IF is lazy, so the q=0 else-branch (N < n) is never
     // evaluated and its `div 0` cannot trip ANSI

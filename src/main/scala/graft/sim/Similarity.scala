@@ -345,11 +345,38 @@ object Similarity {
     * hyperplanes (each cuts a pair at angle θ with prob θ/π) can be
     * missed — recall is measured vs bounded brute force in
     * SimilaritySpec, not assumed. */
+  /** Hot-bucket density budget for the UNCAPPED LSH pair join: the pair
+    * work per bucket is ~(probes+1)·c² in the bucket population c, so a
+    * guarded run does at most ~(nPlanes+1)·2^nPlanes·guard² candidate
+    * dot products — bounded minutes at guard 8192, and the ×100
+    * rehearsal's planted 100-deep duplicate piles (c ≈ 10⁴–10⁵ per
+    * bucket) trip it immediately instead of silently burning a 25-min+
+    * run (r13 verdict item 4: the demonstrated failure mode). Passes
+    * untouched at every test SF and the ×10 corpus (max bucket ≈ 3 k). */
+  val uncappedBucketGuard = 8192L
+
+  /** Fail-fast density check before an uncapped pair join: ONE cheap
+    * map-side-combined aggregate into the ≤2^nPlanes-row bucket-count
+    * frame; a bucket above `guard` aborts with the hot-bucket profile
+    * and the capped operator's name, BEFORE any quadratic work runs. */
+  private def assertBucketDensity(withBucket: DataFrame, guard: Long): Unit = {
+    val hot = withBucket.groupBy(col("b0")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > guard).orderBy(col("n").desc).limit(5)
+      .collect().map(r => s"bucket ${r.get(0)}=${r.getLong(1)}")
+    require(hot.isEmpty,
+      s"uncapped LSH bucket density exceeds guard $guard (hot: " +
+        s"${hot.mkString(", ")}); the pair join would be ~quadratic in " +
+        "the hot-bucket population — use embeddingNearDupPairsCapped " +
+        "(q_dedup_embedding_lsh_capped) at this duplicate density")
+  }
+
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double,
-                            nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+                            nPlanes: Int = 4, dim: Int = 64,
+                            maxBucket: Long = uncappedBucketGuard): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
     val withBucket = emb.select(col("vec_id"), col("embedding"),
       lshBuckets(col("embedding"), planes).as("b0"))
+    assertBucketDensity(withBucket, maxBucket)
     val a = withBucket.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
       explode(array(col("b0") +: (0 until nPlanes).map(p =>
         col("b0").bitwiseXOR(lit(1 << p))): _*)).as("bucket"))
@@ -365,7 +392,10 @@ object Similarity {
 
   /** LSH-bucketed embedding near-dup on the driver gate — oracled via
     * [[lshBucketSql]]'s generated SQL mirror. Same threshold as the
-    * oracled q_dedup_embedding, minus its probe bound. */
+    * oracled q_dedup_embedding, minus its probe bound. Density-guarded
+    * (r14): a corpus whose duplicate piles exceed
+    * [[uncappedBucketGuard]] per bucket fails fast with the capped
+    * operator's name instead of running a quadratic pair join. */
   def qDedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDupPairs(Tables.embeddings(spark, dir), 0.25)
       .orderBy("id_a", "id_b")
@@ -380,8 +410,11 @@ object Similarity {
     * Scale: edge generation is the bucket equi-join (document-linear,
     * never all-pairs) and CC is the checkpointed iterative core both
     * already proven at the banded-MinHash key — composition adds no new
-    * shape. Oracled: the LSH bucket mirror is SQL-generated, so the
-    * pair set AND the recursive-CTE fixpoint reproduce in DuckDB. */
+    * shape; the edge pass carries the [[uncappedBucketGuard]] fail-fast
+    * (r14), so a dup density the uncapped join cannot survive aborts in
+    * one cheap aggregate (use the capped variants there). Oracled: the
+    * LSH bucket mirror is SQL-generated, so the pair set AND the
+    * recursive-CTE fixpoint reproduce in DuckDB. */
   def qDedupEmbeddingCluster(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val edges = embeddingNearDupPairs(emb, 0.25)
@@ -459,6 +492,49 @@ object Similarity {
   def qDedupEmbeddingLshCappedFixed(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDupPairsCappedFixed(Tables.embeddings(spark, dir), 0.25,
       nPlanes = 4, cap = 64L)
+
+  /** ONE hot-bucket refinement round of [[cappedLshBuckets]] under the
+    * oracle (r13 verdict ask #6 — the q_lloyd_round pattern applied to
+    * the capped-LSH training loop): level-0 bucketing, the hot test
+    * (population > cap), the sub-plane re-bucketing composition
+    * (`bucket·2^subPlanes + sub-signature`, plane offset = nPlanes — the
+    * exact arithmetic the adaptive loop iterates), and the POST-round
+    * population + residual-hot flag (the loop's next decision). The
+    * rows-only adaptive key (`q_dedup_embedding_lsh_capped`) is THIS
+    * plan iterated with a data-driven plane count and depth.
+    *
+    * Scale shape: two map-side-combined bucket-count aggregates, each
+    * broadcast back over the corpus (≤2^nPlanes / ≤2^(nPlanes+subPlanes)
+    * rows); the signature folds are per-row codegen. Nothing quadratic —
+    * this key is the refinement machinery WITHOUT the pair join. */
+  def lshRefineRound(emb: DataFrame, nPlanes: Int, subPlanes: Int,
+                     cap: Long, dim: Int = 64): DataFrame = {
+    val b0 = emb.select(col("vec_id"), col("embedding"),
+      lshBuckets(col("embedding"), hyperplanes(nPlanes, dim))
+        .cast("long").as("bucket"))
+    val counts = b0.groupBy(col("bucket"))
+      .agg((count(lit(1)) > cap).as("hot0"))
+    val refined = b0.join(broadcast(counts), Seq("bucket"))
+      .select(col("vec_id"),
+        when(col("hot0"), lit(1)).otherwise(lit(0)).as("lvl"),
+        when(col("hot0"), col("bucket") * (1 << subPlanes) +
+            lshBuckets(col("embedding"), hyperplanes(subPlanes, dim, nPlanes)))
+          .otherwise(col("bucket")).as("bucket"))
+    val after = refined.groupBy(col("lvl"), col("bucket"))
+      .agg(count(lit(1)).as("n_bucket"))
+    refined.join(broadcast(after), Seq("lvl", "bucket"))
+      .select(col("vec_id"), col("lvl"), col("bucket"), col("n_bucket"),
+        (col("n_bucket") > cap).cast("int").as("still_hot"))
+      .orderBy("vec_id")
+  }
+
+  /** Driver gate for [[lshRefineRound]]: same plane/cap geometry as the
+    * oracled fixed-core key (nPlanes 4, cap 64; subPlanes 3 = the
+    * adaptive loop's default), profiled so the hot path fires at every
+    * test SF. */
+  def qLshRefineRound(spark: SparkSession, dir: String): DataFrame =
+    lshRefineRound(Tables.embeddings(spark, dir),
+      nPlanes = 4, subPlanes = 3, cap = 64L)
 
   /** IVF probe with SQL-expressible seeding (round-9 verdict ask #7):
     * the first `nCentroids` candidate ids seed the coarse quantizer

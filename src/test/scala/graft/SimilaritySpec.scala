@@ -155,6 +155,55 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH near-dup recall $recall too low")
   }
 
+  test("uncapped LSH density guard: passes real data, fails fast on a planted pile") {
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    // the default guard is invisible on every test corpus (this is the
+    // oracle-stability contract: the guard never changes green output)
+    assert(Similarity.embeddingNearDupPairs(emb, 0.25).count() > 0)
+    // a 100-deep pile of the SAME vector (the ×100 rehearsal's planted
+    // density, miniaturized) lands in one bucket and must abort in the
+    // cheap count aggregate — BEFORE the quadratic pair join — naming
+    // the capped operator
+    val one = emb.limit(1).collect().head.getSeq[Float](1)
+    val pile = spark.range(100).select($"id".as("vec_id"),
+      typedLit(one).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.embeddingNearDupPairs(pile, 0.25, maxBucket = 64L)
+    }
+    assert(e.getMessage.contains("embeddingNearDupPairsCapped"),
+      s"guard message should route to the capped operator: ${e.getMessage}")
+  }
+
+  test("lshRefineRound: hot buckets split with the loop's exact arithmetic, cold pass through") {
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val out = Similarity.qLshRefineRound(spark, sfDir).collect()
+    assert(out.length == emb.count())
+    // reconstruct level-0 buckets and the hot set independently
+    val b0 = emb.select($"vec_id",
+        Similarity.lshBuckets($"embedding", Similarity.hyperplanes(4, 64))
+          .cast("long").as("b"))
+      .as[(Long, Long)].collect().toMap
+    val hot0 = b0.values.groupBy(identity).collect {
+      case (b, xs) if xs.size > 64 => b }.toSet
+    out.foreach { r =>
+      val (id, lvl, bucket) = (r.getAs[Long]("vec_id"), r.getAs[Int]("lvl"),
+        r.getAs[Long]("bucket"))
+      if (hot0.contains(b0(id))) {
+        assert(lvl == 1, s"vec $id in a hot bucket must be refined")
+        // refined bucket embeds its parent: bucket div 8 == level-0 id
+        assert(bucket / 8 == b0(id), s"vec $id: $bucket not child of ${b0(id)}")
+      } else {
+        assert(lvl == 0 && bucket == b0(id), s"vec $id cold bucket must pass through")
+      }
+      // the residual flag is consistent with the emitted population
+      assert((r.getAs[Long]("n_bucket") > 64) == (r.getAs[Int]("still_hot") == 1))
+    }
+    // the round must exercise BOTH paths at the test SF (profiled
+    // geometry), or the oracle pins only half the machinery
+    assert(out.exists(_.getAs[Int]("lvl") == 1), "no hot bucket fired")
+    assert(out.exists(_.getAs[Int]("lvl") == 0), "no cold bucket passed")
+  }
+
   test("LSH near-dup recalls planted high-similarity pairs") {
     // a vector and a tiny perturbation of it: angle ≈ 0 → every
     // hyperplane puts them on the same side → recall must be 1.0
