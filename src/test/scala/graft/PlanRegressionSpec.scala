@@ -172,9 +172,12 @@ class PlanRegressionSpec extends SparkSpec {
     // compaction planner: manifest agg + the part-keyed target/bin
     // windows (shared exchange) + output sort — data never moves
     ("q_compaction_plan", 3, 3),
-    // manifest pruning: two ntile layout windows + the (layout, file)
-    // agg + output sort (a real table reads its manifest instead)
-    ("q_manifest_prune", 1, 3),
+    // manifest pruning via two ScalableRank.rangeNtile devices (r14 —
+    // no single-reducer layout sorts): per device a per-bucket count
+    // agg + bounded offsets exchange + keyed rank window over the
+    // checkpointed keyed frame, then the (layout, file) agg + output
+    // sort (a real table reads its manifest instead)
+    ("q_manifest_prune", 8, 5),
     // MERGE apply: the diff's full-outer SMJ builds the changeset, one
     // doc_id-keyed anti join drops replaced/deleted base rows, the
     // upsert union rides free; + output sort
