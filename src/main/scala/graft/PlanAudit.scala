@@ -193,8 +193,14 @@ object PlanAudit {
     // any key NOT listed that plans one flags UNEXPECTED-WINDOW
     val expectedGlobalWindow: Set[String] = PlanAudit.expectedGlobalWindow
 
+    // SPARK_GRAFT_AUDIT_KEYS=q_a,q_b restricts the audit — the targeted
+    // loop for re-auditing a changed key without the full 265-plan sweep
+    val only = sys.env.get("SPARK_GRAFT_AUDIT_KEYS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     println(f"${"query"}%-24s ${"exch"}%5s ${"bcast"}%5s ${"sort"}%5s ${"wscg"}%5s ${"gwin"}%5s  flags")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         val plan = executedPlan(fn(spark, sfDir))
         val cross = hasCross(plan)

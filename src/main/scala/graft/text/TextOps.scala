@@ -217,10 +217,12 @@ object TextOps {
     * (long buffers → HashAggregate), and the shuffle carries one
     * 32-long signature row per document. This is the 100 TB shape:
     * explode → partial agg, never a per-row lambda fold. */
-  def minhashSignatures(docs: DataFrame, w: Int,
-                        maxDf: Long = shingleDfCap): DataFrame = {
-    val hashed = shingleRows(docs, w, maxDf)
-      .select(col("doc_id"), baseHash(col("s")).as("h"))
+  /** [[minhashSignatures]] over a PREBUILT (doc_id, s) shingle stream —
+    * the shared-stream form: q_dedup_eval computes truth AND candidates
+    * from ONE tokenize→shingle pass instead of two (r14; halved that
+    * key's corpus passes). */
+  def minhashSignaturesFromShingles(sh: DataFrame): DataFrame = {
+    val hashed = sh.select(col("doc_id"), baseHash(col("s")).as("h"))
     val mins = (0 until minhashPerms).map(j =>
       min(pmod(lit(permA(j)) * col("h") + lit(permB(j)), lit(prime))).as(s"m$j"))
     hashed.groupBy(col("doc_id"))
@@ -229,17 +231,24 @@ object TextOps {
         array((0 until minhashPerms).map(j => col(s"m$j")): _*).as("sig"))
   }
 
-  /** Banded MinHash candidate pairs BEFORE exact verification — the
-    * probabilistic half of [[nearDupPairs]], exposed so [[qDedupEval]]
-    * can measure what banding alone finds and misses. */
-  def bandedCandidates(docs: DataFrame, w: Int = 3): DataFrame = {
-    val keyed = minhashSignatures(docs, w)
-      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("k"))
+  def minhashSignatures(docs: DataFrame, w: Int,
+                        maxDf: Long = shingleDfCap): DataFrame =
+    minhashSignaturesFromShingles(shingleRows(docs, w, maxDf))
+
+  /** Band-join candidate pairs from precomputed signatures. */
+  def bandedCandidatesFromSignatures(sigs: DataFrame): DataFrame = {
+    val keyed = sigs.select(col("doc_id"), explode(bandKeys(col("sig"))).as("k"))
     keyed.select(col("k"), col("doc_id").as("id_a"))
       .join(keyed.select(col("k"), col("doc_id").as("id_b")), Seq("k"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
+
+  /** Banded MinHash candidate pairs BEFORE exact verification — the
+    * probabilistic half of [[nearDupPairs]], exposed so [[qDedupEval]]
+    * can measure what banding alone finds and misses. */
+  def bandedCandidates(docs: DataFrame, w: Int = 3): DataFrame =
+    bandedCandidatesFromSignatures(minhashSignatures(docs, w))
 
   def nearDupPairs(docs: DataFrame, w: Int = 3, minJaccard: Double = 0.6): DataFrame = {
     // Band join ships only (bandKey, doc_id) — constant-width rows — and
@@ -2424,16 +2433,34 @@ object TextOps {
     * the exact-verify stage). At 100 TB this audit runs on a hash
     * sample; the plan is the same.
     *
-    * Scale shape: truth = the [[ngramJaccardPairs]] df-capped shingle
-    * equi-join (never all-pairs); candidates = the banded equi-join of
-    * [[bandedCandidates]]; the comparison is one pair-keyed join over
-    * two pair sets ≪ corpus. Counts are exact BIGINTs; the two ratios
+    * Scale shape: truth = the df-capped shingle equi-join (never
+    * all-pairs); candidates = the banded equi-join — both consuming ONE
+    * SHARED tokenize→shingle stream (r14: the two paths used to build
+    * it independently, doubling the corpus passes; q_dedup_eval solo
+    * dropped 5.0 → 4.3 s solo); the comparison is one pair-keyed join
+    * over two pair sets ≪ corpus — the pair frames recompute from the
+    * checkpointed shingle blocks per consumer, which measures CHEAPER
+    * than materializing them. Counts are exact BIGINTs; the two ratios
     * are one-shot ROUND(,6). */
   def qDedupEval(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)
-    val truth = ngramJaccardPairs(docs, 3, 0.6, None)
-      .select(col("id_a"), col("id_b"))
-    val cand = bandedCandidates(docs, 3)
+    val sh = shingleRows(docs, 3) // df-capped; checkpointed internally
+    // truth: exact Jaccard over the shared stream (the
+    // ngramJaccardPairs body, probe-free)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("id_a"), col("s"))
+      .join(sh.select(col("doc_id").as("id_b"), col("s")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
+    val truth = (inter
+      .join(counts.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(counts.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      // EXACTLY ngramJaccardPairs' predicate: 6-dp-rounded, strict >
+      .filter(round(col("ni").cast("double") /
+        (col("na") + col("nb") - col("ni")), 6) > 0.6)
+      .select(col("id_a"), col("id_b")))
+    // candidates: banding over the SAME stream
+    val cand = (bandedCandidatesFromSignatures(minhashSignaturesFromShingles(sh)))
     val matched = truth.join(cand, Seq("id_a", "id_b"))
     val g = truth.agg(count(lit(1)).as("n_true"))
       .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
