@@ -1122,23 +1122,24 @@ object Similarity {
     * pairwise geometry in expectation (E[⟨Ru,Rv⟩]/k = ⟨u,v⟩ —
     * SimilaritySpec pins the realized correlation on the fixture).
     *
-    * Determinism: each output dim is one LEFT-ASSOCIATED IEEE chain of
-    * ±x_d terms built from the SAME literal sign matrix on both
-    * engines — no aggregation-order float sums; the emitted value is
-    * fixed-point (×1e6, floor+0.5) so the output carries only BIGINTs.
+    * Determinism: each output dim is the native [[graft.plans.DotProduct]]
+    * sequential fold (acc starts 0.0, += xᵢ·sᵢ in array order) against
+    * the literal sign row — BIT-IDENTICAL to the old unrolled
+    * ±x_d literal chain (same left association, multiply commutes
+    * bitwise) and to the oracle's interpolated list fold; the emitted
+    * value is fixed-point (×1e6, floor+0.5) so the output carries only
+    * BIGINTs.
     *
-    * Scale shape: pure per-row codegen (the fold unrolls into one
-    * wholestage-compiled arithmetic chain), zero shuffles beyond the
-    * output sort. The measured ~3 s at sf0.1 is ONE-TIME Janino
-    * compilation of the 16×64-term chain, not data work — amortized to
-    * nothing over a real corpus (×10 rehearsal ratio ~flat), which is
-    * exactly the codegen trade a 100 TB pass wants. */
+    * Scale shape: pure per-row codegen, zero shuffles beyond the
+    * output sort. r14: the 16 dims used to be 16 UNROLLED 64-term
+    * expression chains (~2048 plan nodes) whose per-invocation
+    * analysis/codegen cost ~3 s at ANY data size; 16 fused-dot
+    * expressions over literal arrays plan in milliseconds and run the
+    * identical arithmetic (solo 3.1 → 0.6 s, hashes unchanged). */
   def qRandomProjection(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val dims = (0 until rpOutDims).map { j =>
-      val y = rpSigns(j).zipWithIndex.foldLeft(lit(0.0)) { case (acc, (s, d)) =>
-        acc + lit(s) * element_at(col("embedding"), d + 1).cast("double")
-      }
+      val y = VectorOps.dotLit(col("embedding"), rpSigns(j))
       struct(lit(j).as("dim"),
         floor(y * rpScale + lit(0.5)).cast("long").as("y_fix"))
     }
