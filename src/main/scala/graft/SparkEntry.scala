@@ -368,6 +368,11 @@ object SparkEntry {
     "q_ann_topk" -> (Similarity.qAnnTopK _),
     "q_dedup_simhash" -> (TextOps.qDedupSimhash _),
     "q_dedup_simhash_banded" -> (TextOps.qDedupSimhashBanded _),
+    // capped form (r14): hot (band, bits) buckets star-expand against
+    // their min-id rep — the production path at adversarial dup density
+    // where the uncapped band join is output-bound (~10^4x pairs at the
+    // x100 rehearsal's planted piles)
+    "q_dedup_simhash_capped" -> (TextOps.qDedupSimhashCapped _),
     // oracled non-adaptive cores of the two adaptive keys below
     // (round-9 verdict asks #6/#7): fixed plane count / fixed seeds
     "q_dedup_embedding_lsh_capped_fixed" -> (Similarity.qDedupEmbeddingLshCappedFixed _),
@@ -1485,6 +1490,25 @@ object SparkEntry {
         "keyed AS (SELECT doc_id, fp, band, (fp >> (band * 8)) & 255 AS bits FROM fps CROSS JOIN (SELECT UNNEST(range(0, 4)) AS band) bands), " +
         "cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, a.fp AS fp_a, c.fp AS fp_b FROM keyed a JOIN keyed c ON a.band = c.band AND a.bits = c.bits AND a.doc_id < c.doc_id) " +
         "SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3 ORDER BY id_a, id_b"
+    },
+    // capped SimHash banding: the same fps/keyed CTEs plus the hot map,
+    // cold exact pairing, and min-id-rep star expansion (the
+    // capped-fixed embedding oracle's CTE shape on (band, bits) keys)
+    "q_dedup_simhash_capped" -> {
+      val fpLong = (0 until 32)
+        .map(b => s"CASE WHEN b$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+        .mkString(" + ")
+      s"$simhashBitSumsCte, " +
+        s"fps AS (SELECT doc_id, $fpLong AS fp FROM sb), " +
+        "keyed AS (SELECT doc_id, fp, band, (fp >> (band * 8)) & 255 AS bits FROM fps CROSS JOIN (SELECT UNNEST(range(0, 4)) AS band) bands), " +
+        s"cnt AS (SELECT band, bits, COUNT(*) > ${TextOps.simhashBucketCap} AS hot FROM keyed GROUP BY band, bits), " +
+        "tg AS (SELECT k.doc_id, k.fp, k.band, k.bits, c.hot FROM keyed k JOIN cnt c ON k.band = c.band AND k.bits = c.bits), " +
+        "cpp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fp_a, b.fp AS fp_b FROM tg a JOIN tg b ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id WHERE NOT a.hot AND NOT b.hot), " +
+        "rp AS (SELECT band, bits, MIN(doc_id) AS id_a FROM tg WHERE hot GROUP BY band, bits), " +
+        "rv AS (SELECT r.band, r.bits, r.id_a, t.fp AS fp_a FROM rp r JOIN tg t ON t.band = r.band AND t.bits = r.bits AND t.doc_id = r.id_a), " +
+        "spp AS (SELECT v.id_a, h.doc_id AS id_b, v.fp_a, h.fp AS fp_b FROM tg h JOIN rv v ON h.band = v.band AND h.bits = v.bits WHERE h.hot AND h.doc_id <> v.id_a), " +
+        "pairs AS (SELECT DISTINCT id_a, id_b, fp_a, fp_b FROM (SELECT * FROM cpp UNION ALL SELECT * FROM spp)) " +
+        "SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming FROM pairs WHERE bit_count(xor(fp_a, fp_b)) <= 3 ORDER BY id_a, id_b"
     },
     // hyperplane-LSH ANN: bucket assignment via Similarity.lshBucketSql
     // (plane vectors interpolated as literals — the zvalueSql pattern);

@@ -362,6 +362,76 @@ object TextOps {
                    cp: Checkpointer = Checkpointer.Local): DataFrame =
     simhashBandPairs(simhashFingerprintsLong(docs), maxHamming, nBands, cp)
 
+  /** Per-bucket population cap for [[simhashBandPairsCapped]] /
+    * q_dedup_simhash_capped — profiled so BOTH the cold-pair and the
+    * star-expansion paths carry rows at every test SF. */
+  val simhashBucketCap = 16L
+
+  /** CAPPED Hamming-band pairs — the production form of
+    * [[simhashBandPairs]] at adversarial duplicate density (r14): a
+    * 32-bit fingerprint space collides hard when a corpus carries deep
+    * exact-duplicate piles (every copy shares every band key), and the
+    * uncapped band self-join then owes Σ C(pile,2) pair rows — the
+    * ×100 rehearsal measured q_dedup_simhash_banded output-bound at
+    * ~10⁴× pairs (its artifact note). Here a (band, bits) bucket whose
+    * population exceeds `cap` STAR-EXPANDS against its min-id
+    * representative instead of pairing all-vs-all — O(|bucket|) pairs,
+    * the [[graft.sim.Similarity.embeddingNearDupPairsCappedFixed]]
+    * device — while cold buckets keep the exact pairing. Members of a
+    * hot pile still reach each other transitively through the rep (the
+    * duplicate-CLUSTER step downstream closes the component, exactly
+    * as in the capped embedding-LSH family).
+    *
+    * Scale: the hot map is a ≤nBands·2^(32/nBands)-row broadcast
+    * (1024 rows at the default 4×8-bit geometry); cold pairs are the
+    * bounded band equi-join; star pairs are O(corpus). Fully
+    * SQL-expressible — counts, reps and the popcount verify all
+    * mirror — so the key is DuckDB-oracled, unlike the capped
+    * embedding key whose plane count is data-driven. */
+  def simhashBandPairsCapped(fps: DataFrame, maxHamming: Int = 3,
+                             nBands: Int = 4, cap: Long = simhashBucketCap,
+                             cp: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(32 % nBands == 0, s"nBands must divide 32, got $nBands")
+    val width = 32 / nBands
+    val mask = (1L << width) - 1
+    val keyed = cp(fps.select(col("doc_id"), col("fp"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("fp"), b * width).bitwiseAND(lit(mask)).as("bits"))): _*))
+          .as("k"))
+      .select(col("doc_id"), col("fp"),
+        col("k.band").as("band"), col("k.bits").as("bits")))
+    val counts = keyed.groupBy(col("band"), col("bits"))
+      .agg((count(lit(1)) > cap).as("hot"))
+    val tagged = keyed.join(broadcast(counts), Seq("band", "bits"))
+    val cold = tagged.filter(!col("hot"))
+    val coldPairs = cold
+      .select(col("band"), col("bits"), col("doc_id").as("id_a"), col("fp").as("fp_a"))
+      .join(cold.select(col("band"), col("bits"),
+        col("doc_id").as("id_b"), col("fp").as("fp_b")), Seq("band", "bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("fp_a"), col("fp_b"))
+    val hotRows = tagged.filter(col("hot"))
+    val reps = hotRows.groupBy(col("band"), col("bits"))
+      .agg(min(col("doc_id")).as("id_a"))
+    val repVecs = reps.join(hotRows.select(col("band"), col("bits"),
+      col("doc_id").as("id_a"), col("fp").as("fp_a")), Seq("band", "bits", "id_a"))
+    // min-id rep < every other member: (rep, member) already canonical
+    val starPairs = hotRows.join(repVecs, Seq("band", "bits"))
+      .filter(col("doc_id") =!= col("id_a"))
+      .select(col("id_a"), col("doc_id").as("id_b"), col("fp_a"), col("fp").as("fp_b"))
+    coldPairs.unionAll(starPairs)
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Driver gate for the capped SimHash band join. */
+  def qDedupSimhashCapped(spark: SparkSession, dir: String): DataFrame =
+    simhashBandPairsCapped(simhashFingerprintsLong(Tables.documents(spark, dir)))
+
   /** Hamming-banded SimHash near-dup on the driver gate — the production
     * path for fingerprint near-dup (pigeonhole-guaranteed recall for
     * distance < nBands, candidates from band equi-joins, popcount

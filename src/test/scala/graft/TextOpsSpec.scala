@@ -201,6 +201,36 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("capped simhash banding: ≡ uncapped when nothing is hot; O(n) pairs on a planted pile") {
+    val fps = TextOps.simhashFingerprintsLong(dupDocs)
+    // a cap no real bucket reaches → capped must equal the exact form
+    val exact = TextOps.simhashBandPairs(fps, 3, 4)
+      .as[(Long, Long, Int)].collect().toSet
+    val cappedHigh = TextOps.simhashBandPairsCapped(fps, 3, 4, cap = 1L << 40)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(cappedHigh == exact, "high-cap capped form must equal the uncapped pairing")
+    // a 100-deep pile of ONE fingerprint (the ×100 rehearsal's planted
+    // density, miniaturized): the uncapped form owes C(100,2)=4950
+    // pairs; the capped form star-expands to 99 rep-member pairs
+    val pile = spark.range(100).select($"id".as("doc_id"), lit(0x0F0F0F0FL).as("fp"))
+    val got = TextOps.simhashBandPairsCapped(pile, 3, 4, cap = 16L)
+      .as[(Long, Long, Int)].collect()
+    assert(got.length == 99, s"star expansion must emit O(n) pairs, got ${got.length}")
+    assert(got.forall(p => p._1 == 0L && p._3 == 0), "every pair anchors at the min-id rep")
+    // the gate key exercises BOTH paths at the test SF (or the oracle
+    // pins only half the machinery)
+    val corpus = TextOps.simhashFingerprintsLong(
+      Tables.documents(spark, sfDir))
+    val counts = corpus.select($"doc_id",
+        posexplode(array((0 until 4).map(b =>
+          shiftright($"fp", b * 8).bitwiseAND(lit(255L))): _*)))
+      .toDF("doc_id", "band", "bits")
+      .groupBy("band", "bits").count()
+      .select("count").as[Long].collect()
+    assert(counts.exists(_ > TextOps.simhashBucketCap), "no hot bucket at test SF")
+    assert(counts.exists(_ <= TextOps.simhashBucketCap), "no cold bucket at test SF")
+  }
+
   test("simhash banding catches a planted 1-bit flip, rejects far pairs") {
     val base = 0x0F0F0F0FL
     val fps = Seq(
