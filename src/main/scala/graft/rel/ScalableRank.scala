@@ -18,12 +18,15 @@ import org.apache.spark.sql.functions._
   * identical hashes) from parallel pieces:
   *
   *  1. ONE one-row aggregate computes `buckets-1` approx-percentile cut
-  *     points over the bucket key (plus the total row count, free in the
-  *     same pass) — broadcast back as an in-plan scalar.
-  *  2. Each row's bucket = #cuts strictly below its key — a monotone,
-  *     non-strict function of the key, so ties NEVER straddle a bucket
-  *     boundary and bucket-major order ≡ global order (the external
-  *     sort-merge argument, same as shufflePositions' hex prefix).
+  *     points over the bucket key, collected to the driver (the bounded
+  *     control-decision collect) and inlined as LITERALS.
+  *  2. Each row's bucket = #cuts strictly below its key, compiled as a
+  *     codegen'd binary-search CASE tree over the sorted cut literals —
+  *     a monotone, non-strict function of the key, so ties NEVER
+  *     straddle a bucket boundary and bucket-major order ≡ global order
+  *     (the external sort-merge argument, same as shufflePositions' hex
+  *     prefix). Keys must be non-null and non-NaN (NaN sorts LAST in
+  *     Spark's double order but compares false against every cut).
   *  3. Per-bucket counts (≤ `buckets` rows) turn into exclusive offsets
   *     via a BOUNDED window, broadcast back; a row's global rank is its
   *     bucket offset + its rank WITHIN the bucket (a keyed window,
