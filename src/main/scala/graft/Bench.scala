@@ -221,10 +221,15 @@ object Bench {
       (k, m, ts, e, clean)
     }
     val rerunClean = reruns.collect { case (k, m, ts, _, true) => k -> (m, ts) }.toMap
+    // a trusted rerun replaces the key's err as well as its median: a
+    // first-pass error + successful rerun samples would otherwise leave
+    // the artifact claiming both "errored" and "ran clean" for the same
+    // key (r14 advice); the first-pass error stays auditable under
+    // "rerun" via the first/rerun pair
     val finalResults = results.map {
-      case (k, _, _, err0) if rerunClean.contains(k) =>
+      case (k, _, _, _) if rerunClean.contains(k) =>
         val (m, ts) = rerunClean(k)
-        (k, m, ts, err0)
+        (k, m, ts, Option.empty[String])
       case r => r
     }
     val contended = contended0.filterNot(rerunClean.contains)

@@ -187,12 +187,6 @@ object PlanAudit {
       "q_quality_tails_by_source", // inherits the unigram one-row totals cross
       "q_gap_fill", "q_llm_pipeline_v2")
 
-    // bounded-by-design GLOBAL windows (single-task by construction but
-    // over frames whose size is fixed by the query, not by the data) —
-    // populated by auditing each listed key's partition-less windows;
-    // any key NOT listed that plans one flags UNEXPECTED-WINDOW
-    val expectedGlobalWindow: Set[String] = PlanAudit.expectedGlobalWindow
-
     // SPARK_GRAFT_AUDIT_KEYS=q_a,q_b restricts the audit — the targeted
     // loop for re-auditing a changed key without the full 265-plan sweep
     val only = sys.env.get("SPARK_GRAFT_AUDIT_KEYS")

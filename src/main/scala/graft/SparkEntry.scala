@@ -548,7 +548,7 @@ object SparkEntry {
     "q_join_semi" ->
       "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F') ORDER BY c_custkey",
     "q_join_anti" ->
-      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000) ORDER BY c_custkey",
     "q_join_range" ->
       "SELECT l_orderkey, l_linenumber, p_partkey, p_name FROM lineitem JOIN part ON l_partkey = p_partkey AND l_extendedprice/l_quantity BETWEEN p_retailprice*0.9 AND p_retailprice*1.1 ORDER BY l_orderkey, l_linenumber, p_partkey",
     // bucketing only relocates the shuffle (ingest-time layout), so the
@@ -580,7 +580,7 @@ object SparkEntry {
     "q_intersect" ->
       "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' INTERSECT SELECT o_custkey AS c_custkey FROM orders ORDER BY c_custkey",
     "q_except" ->
-      "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey AS c_custkey FROM orders ORDER BY c_custkey",
+      "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY c_custkey",
     "q_string_funcs" ->
       "SELECT p_partkey, upper(p_name) AS up_name, lower(p_brand) AS lo_brand, substring(p_type, 1, 4) AS ty4, CAST(length(p_name) AS INTEGER) AS name_len, concat(p_brand, '#', p_type) AS brand_type, replace(p_name, ' ', '_') AS name_us, string_split(p_name, ' ')[1] AS first_word, lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4, (p_name LIKE '%red%') AS is_red FROM part ORDER BY p_partkey",
     "q_date_funcs" ->

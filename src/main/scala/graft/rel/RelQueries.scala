@@ -107,10 +107,15 @@ object RelQueries {
       .select(col("c_custkey"), col("c_name"))
       .orderBy("c_custkey")
 
-  /** Left-anti ≡ NOT EXISTS: customers with no orders at all. */
+  /** Left-anti ≡ NOT EXISTS: customers with no big-ticket order. The
+    * filter is >300000 rather than "no orders at all" because every
+    * testdata customer has at least one order — a 0-row anti-join hashes
+    * an empty frame and proves only the schema (r14 verdict ask #3);
+    * this predicate yields 3/30/308 rows at sf0.001/0.01/0.1. */
   def joinAnti(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
-      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy("c_custkey")
 
@@ -348,10 +353,17 @@ object RelQueries {
       .intersect(Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey")))
       .orderBy("c_custkey")
 
+  /** Customers who never placed a 1-URGENT order. The urgency filter
+    * keeps the result non-empty at every SF (18/203/1986 rows at
+    * sf0.001/0.01/0.1) — the unfiltered version is 0 rows because every
+    * customer has orders, and a hash over an empty frame proves nothing
+    * (r14 verdict ask #3). */
   def exceptQ(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
       .select(col("c_custkey"))
-      .except(Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey")))
+      .except(Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey")))
       .orderBy("c_custkey")
 
   // ------------------------------------------------------- scalar families

@@ -92,7 +92,12 @@ object ScalableRank {
                       buckets: Int = defaultBuckets,
                       cp: graft.plans.Checkpointer =
                         graft.plans.Checkpointer.Local): DataFrame = {
-    require(buckets >= 2 && buckets <= 65536, s"buckets must be in [2,65536]: $buckets")
+    // upper bound 4096, not 65536: bucketExpr's CASE tree is linear-SIZE
+    // in the cut count (only its depth is log), and ~131k expression
+    // nodes at 65536 would blow Janino's 64KB method limit into
+    // interpreted fallback — the per-invocation planning cost the
+    // random-projection fused-dot commit exists to avoid (r14 advice)
+    require(buckets >= 2 && buckets <= 4096, s"buckets must be in [2,4096]: $buckets")
     reserve(df, Nil)
     // the device reads its input three ways (cut points, per-bucket
     // counts, the ranked output): checkpoint the keyed frame ONCE so
@@ -101,9 +106,19 @@ object ScalableRank {
     // Checkpointer.None for plan-inspection composition)
     val keyed = cp(df.withColumn("__rbk", bucketKey.cast("double")))
     val fracs = (1 until buckets).map(i => lit(i.toDouble / buckets))
+    // the non-null/non-NaN key requirement is ENFORCED, not just
+    // documented (r14 advice): a null/NaN key compares false against
+    // every cut and would silently land in bucket 0 — wrong ranks for
+    // descending orders where nulls/NaN sort last. The count folds into
+    // the one-row percentile aggregate, so the guard costs zero jobs.
     val cutsRow = keyed.agg(
-      percentile_approx(col("__rbk"), array(fracs: _*), lit(10000)).as("__rcuts"))
+      percentile_approx(col("__rbk"), array(fracs: _*), lit(10000)).as("__rcuts"),
+      count_if(col("__rbk").isNull || isnan(col("__rbk"))).as("__rbad"))
       .head()
+    require(cutsRow.getLong(1) == 0L,
+      s"ScalableRank bucket key has ${cutsRow.getLong(1)} null/NaN rows — " +
+        "these compare false against every cut and would rank wrongly; " +
+        "filter or coalesce the key first")
     // duplicate cuts collapse (a value-heavy tie spans several
     // percentiles): fewer, distinct cut literals — same monotone buckets
     val cuts: Array[Double] =

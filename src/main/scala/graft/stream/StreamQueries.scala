@@ -55,14 +55,38 @@ object StreamQueries {
     }
   }
 
+  /** State-store partition count for the bounded driver-gate runs. A
+    * stateful query pins its state partitioning to
+    * spark.sql.shuffle.partitions at FIRST run; every state store
+    * instance then commits a delta file (+ CRC) per micro-batch, so the
+    * fixed cost of a bounded 2-3-batch run is
+    * partitions × storesPerPartition × batches small-file fsyncs — a
+    * stream-stream join keeps FOUR stores per partition, which at the
+    * session's 32 shuffle partitions is ~400 file commits per run,
+    * pure fsync-bound overhead that a loaded/slow-disk box inflates 3×
+    * (the r14 driver sweep's only `regressed` flags, 8.0/8.5 s vs 2.8 s
+    * solo, reproduced locally under load). 8 partitions still exercises
+    * genuinely partitioned state; at 100 TB the same plans run with
+    * partitions sized to the cluster — a per-deployment config, not a
+    * plan property (AQE is disabled in stateful streaming, so this knob
+    * is always explicit there). */
+  private val streamStatePartitions = "8"
+
   /** Runs a streaming DataFrame to a fresh memory sink with
     * AvailableNow and returns the materialized result table. */
   private def runToTable(spark: SparkSession, streamed: DataFrame,
                          mode: OutputMode = OutputMode.Complete): DataFrame = {
     val id = runId.incrementAndGet()
     val name = s"graft_stream_q_$id"
-    val query = streamed.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    // scoped override: the streaming query captures the value at start;
+    // restore so batch plans in the same session keep the session width
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val query =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", streamStatePartitions)
+        streamed.writeStream.format("memory").queryName(name)
+          .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     query.awaitTermination()
     // drop EVERY stale graft_stream_q_* view, not just id-1 (r11 advice:
     // a run that throws between the id increment and sink registration

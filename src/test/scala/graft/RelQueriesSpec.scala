@@ -14,8 +14,7 @@ class RelQueriesSpec extends SparkSpec {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sfDir).count()
       assert(n >= 0, s"$name failed")
-      // except/anti are legitimately empty when every customer has orders
-      if (!Set("q_dedup_ngram", "q_dedup_minhash", "q_except", "q_join_anti").contains(name))
+      if (!Set("q_dedup_ngram", "q_dedup_minhash").contains(name))
         assert(n > 0, s"$name returned no rows")
     }
   }
@@ -81,10 +80,14 @@ class RelQueriesSpec extends SparkSpec {
   }
 
   test("semi + anti partition the customer set") {
-    val semiAll = Tables.customer(spark, sfDir)
-      .join(Tables.orders(spark, sfDir), col("c_custkey") === col("o_custkey"), "left_semi").count()
+    // same >300000 predicate as joinAnti: semi(P) and anti(P) must tile
+    // the customer set exactly for any P
+    val bigOrders = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 300000)
+    val semiBig = Tables.customer(spark, sfDir)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi").count()
     val anti = RelQueries.joinAnti(spark, sfDir).count()
-    assert(semiAll + anti == Tables.customer(spark, sfDir).count())
+    assert(anti > 0, "anti-join fixture regressed to empty (r14 ask #3)")
+    assert(semiBig + anti == Tables.customer(spark, sfDir).count())
   }
 
   test("q_agg_rollup adds subtotal and grand-total rows") {
