@@ -380,18 +380,13 @@ object SparkEntry {
     // ask #6: the q_lloyd_round pattern for the hot-bucket trainer)
     "q_lsh_refine_round" -> (Similarity.qLshRefineRound _),
     "q_ivf_topk_fixed" -> (Similarity.qIvfTopKFixed _),
-    // non-SQL-expressible (runtime-adaptive / sketch-internal) —
-    // rows-only check by the driver; behavior covered in ScalaTest.
-    // q_dedup_embedding_lsh_capped: plane count + refinement depth are
-    // data-driven (corpus count, per-round hot-bucket sets); its
-    // non-adaptive core is oracled at q_dedup_embedding_lsh_capped_fixed.
-    // q_ivf_topk: centroids are xxhash64-sampled then Lloyd-refined —
-    // the float vector average is not addition-order-reproducible in
-    // SQL; its probe/assignment core is oracled at q_ivf_topk_fixed.
-    // q_pq_topk_trained: Lloyd-trained PQ codebook (the same float-
-    // average declaration); its encode/LUT/ADC plan is the oracled
-    // q_pq_topk verbatim — only the codebook rows differ — and
-    // SimilaritySpec pins recall >= the deterministic-codebook key.
+    // oracled since r15 (the last three rows-only keys — no_oracle is
+    // extinct): the adaptive capped-LSH mirror unrolls the refinement
+    // loop with formula-computed planes and the integer autoPlanes
+    // count (Similarity.cappedLshMirrorSql); IVF seeds by a
+    // multiplicative hash and re-centers via the decimal device; the
+    // trained-PQ codebook's two Lloyd rounds unroll the
+    // q_pq_lloyd_round CTE chain.
     "q_dedup_embedding_lsh_capped" -> (Similarity.qDedupEmbeddingLshCapped _),
     "q_ivf_topk" -> (Similarity.qIvfTopK _),
     "q_pq_topk_trained" -> (Similarity.qPqTopKTrained _),
@@ -1382,6 +1377,34 @@ object SparkEntry {
         "lut AS (SELECT qid, m, k, CAST(ROUND(list_aggregate(list_transform(range(1, 9), i -> qv[i] * cv[i]), 'sum'), 6) AS DECIMAL(18,6)) AS pdot FROM qsub JOIN book USING (m)), " +
         "sc AS (SELECT qid, cid, CAST(SUM(pdot) AS DOUBLE) AS score FROM codes JOIN lut USING (m, k) GROUP BY qid, cid) " +
         "SELECT qid, cid, ROUND(score, 6) AS score, rn FROM (SELECT qid, cid, score, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS INTEGER) AS rn FROM sc) WHERE rn <= 3 ORDER BY qid, rn"),
+    // TRAINED-codebook PQ (r15, no_oracle extinction): both Lloyd
+    // training rounds unrolled — each is the q_pq_lloyd_round CTE chain
+    // (squared-L2 argmin, decimal-device means, emptied codewords keep
+    // their seed) — then the q_pq_topk encode/LUT/ADC tail verbatim
+    // over the trained book
+    "q_pq_topk_trained" -> {
+      def lloydRoundCte(r: Int, prev: String): String =
+        s"dists$r AS (SELECT cid, m, k, list_aggregate(list_transform(range(1, 9), i -> (sv[i] - cv[i]) * (sv[i] - cv[i])), 'sum') AS dist FROM csub JOIN $prev USING (m)), " +
+          s"codes$r AS (SELECT cid, m, k FROM (SELECT cid, m, k, ROW_NUMBER() OVER (PARTITION BY cid, m ORDER BY dist, k) AS rn FROM dists$r) WHERE rn = 1), " +
+          s"terms$r AS (SELECT codes$r.m, codes$r.k, dim, CAST(ROUND(sv[dim + 1], 9) AS DECIMAL(18,9)) AS t FROM codes$r JOIN csub ON codes$r.cid = csub.cid AND codes$r.m = csub.m CROSS JOIN dm), " +
+          s"sums$r AS (SELECT m, k, dim, SUM(t) AS s, COUNT(*) AS n FROM terms$r GROUP BY m, k, dim), " +
+          s"old$r AS (SELECT m, k, dim, cv[dim + 1] AS o FROM $prev CROSS JOIN dm), " +
+          s"nc$r AS (SELECT old$r.m, old$r.k, old$r.dim, COALESCE(ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6), o) AS coord FROM old$r LEFT JOIN sums$r ON old$r.m = sums$r.m AND old$r.k = sums$r.k AND old$r.dim = sums$r.dim), " +
+          s"book$r AS (SELECT m, k, list(coord ORDER BY dim) AS cv FROM nc$r GROUP BY m, k)"
+      "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8), " +
+        "c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8), " +
+        "ms AS (SELECT CAST(UNNEST(range(0, 8)) AS INTEGER) AS m), " +
+        "dm AS (SELECT CAST(UNNEST(range(0, 8)) AS INTEGER) AS dim), " +
+        "book0 AS (SELECT m, CAST(vec_id - 8 AS INTEGER) AS k, list_transform(embedding[m*8+1 : m*8+8], x -> CAST(x AS DOUBLE)) AS cv FROM embeddings CROSS JOIN ms WHERE vec_id >= 8 AND vec_id < 24), " +
+        "csub AS (SELECT cid, m, list_transform(ce[m*8+1 : m*8+8], x -> CAST(x AS DOUBLE)) AS sv FROM c CROSS JOIN ms), " +
+        s"${lloydRoundCte(1, "book0")}, ${lloydRoundCte(2, "book1")}, " +
+        "fdists AS (SELECT cid, m, k, list_aggregate(list_transform(range(1, 9), i -> (sv[i] - cv[i]) * (sv[i] - cv[i])), 'sum') AS dist FROM csub JOIN book2 USING (m)), " +
+        "fcodes AS (SELECT cid, m, k FROM (SELECT cid, m, k, ROW_NUMBER() OVER (PARTITION BY cid, m ORDER BY dist, k) AS rn FROM fdists) WHERE rn = 1), " +
+        "qsub AS (SELECT qid, m, list_transform(qe[m*8+1 : m*8+8], x -> CAST(x AS DOUBLE)) AS qv FROM q CROSS JOIN ms), " +
+        "lut AS (SELECT qid, m, k, CAST(ROUND(list_aggregate(list_transform(range(1, 9), i -> qv[i] * cv[i]), 'sum'), 6) AS DECIMAL(18,6)) AS pdot FROM qsub JOIN book2 USING (m)), " +
+        "sc AS (SELECT qid, cid, CAST(SUM(pdot) AS DOUBLE) AS score FROM fcodes JOIN lut USING (m, k) GROUP BY qid, cid) " +
+        "SELECT qid, cid, ROUND(score, 6) AS score, rn FROM (SELECT qid, cid, score, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS INTEGER) AS rn FROM sc) WHERE rn <= 3 ORDER BY qid, rn"
+    },
     "q_dedup_embedding" ->
       s"WITH a AS (SELECT vec_id AS id_a, embedding AS ea FROM embeddings WHERE vec_id < 100), b AS (SELECT vec_id AS id_b, embedding AS eb FROM embeddings) SELECT id_a, id_b, ROUND(score, 6) AS score FROM (SELECT id_a, id_b, ${dotSql("ea", "eb")} AS score FROM b CROSS JOIN a WHERE id_a < id_b) WHERE score > 0.25 ORDER BY id_a, id_b",
     // MinHash/LSH near-dup: md5-derived permutations are engine-
@@ -1723,6 +1746,12 @@ object SparkEntry {
         s"s AS (SELECT id_a, id_b, ${dotSql("ea.embedding", "eb.embedding")} AS score FROM pairs JOIN embeddings ea ON ea.vec_id = id_a JOIN embeddings eb ON eb.vec_id = id_b) " +
         "SELECT id_a, id_b, ROUND(score, 6) AS score FROM s WHERE score > 0.25 ORDER BY id_a, id_b"
     },
+    // the ADAPTIVE capped key itself (r15, no_oracle extinction): plane
+    // count = the integer autoPlanes formula over COUNT(*), refinement
+    // loop unrolled to its maxDepth bound, planes computed by the
+    // integer hyperplane formula inline — see cappedLshMirrorSql
+    "q_dedup_embedding_lsh_capped" ->
+      Similarity.cappedLshMirrorSql(threshold = 0.25, target = 64L, cap = 256L),
     // one capped-LSH refinement round: level-0 buckets, the hot test,
     // the sub-plane re-bucket composition (bucket*8 + sub-signature at
     // plane offset 4), and the post-round population/residual-hot flag
@@ -1740,6 +1769,26 @@ object SparkEntry {
     // (no hash sample, no Lloyd), so assignment, probe choice and the
     // final ranking are all the shared sequential dot fold — window
     // ranks mirror the Spark row_number tie-breaks exactly
+    // the full PRODUCTION IVF build→probe (r15, no_oracle extinction):
+    // multiplicative-hash seed sample (pure BIGINT — xxhash64 was the
+    // old, DuckDB-opaque choice), one Lloyd refinement via the decimal
+    // device (ROUND(x,9)→DECIMAL(18,9) exact sums, mean ROUND(/n, 6)),
+    // centroid arrays rebuilt in dim order, then the q_ivf_topk_fixed
+    // probe plan verbatim
+    "q_ivf_topk" -> {
+      import sim.Similarity.{seedHashMul, seedHashMod}
+      "WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8), " +
+        "q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8), " +
+        s"sd AS (SELECT cid AS centroid_id, ce AS centroid FROM c WHERE cid IN (SELECT cid FROM c ORDER BY (cid * $seedHashMul) % $seedHashMod, cid LIMIT 16)), " +
+        s"a0 AS (SELECT cid, ce, centroid_id FROM (SELECT c.cid, c.ce, sd.centroid_id, ROW_NUMBER() OVER (PARTITION BY c.cid ORDER BY ${dotSql("c.ce", "sd.centroid")} DESC, sd.centroid_id) AS r FROM c CROSS JOIN sd) WHERE r = 1), " +
+        "ex AS (SELECT centroid_id, i AS dim, CAST(ROUND(CAST(ce[i+1] AS DOUBLE), 9) AS DECIMAL(18,9)) AS xd FROM a0 CROSS JOIN range(0,64) t(i)), " +
+        "mn AS (SELECT centroid_id, dim, ROUND(CAST(SUM(xd) AS DOUBLE)/COUNT(*), 6) AS coord FROM ex GROUP BY centroid_id, dim), " +
+        "ctr AS (SELECT centroid_id, list(coord ORDER BY dim) AS centroid FROM mn GROUP BY centroid_id), " +
+        s"asg AS (SELECT cid, ce, centroid_id FROM (SELECT c.cid, c.ce, ctr.centroid_id, ROW_NUMBER() OVER (PARTITION BY c.cid ORDER BY ${dotSql("c.ce", "ctr.centroid")} DESC, ctr.centroid_id) AS r FROM c CROSS JOIN ctr) WHERE r = 1), " +
+        s"probes AS (SELECT qid, qe, centroid_id FROM (SELECT q.qid, q.qe, ctr.centroid_id, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY ${dotSql("q.qe", "ctr.centroid")} DESC, ctr.centroid_id) AS r FROM q CROSS JOIN ctr) WHERE r <= 4), " +
+        s"s AS (SELECT qid, cid, ${dotSql("qe", "ce")} AS score FROM asg JOIN probes USING (centroid_id)) " +
+        "SELECT qid, cid, ROUND(score, 6) AS score, rn FROM (SELECT qid, cid, score, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS INTEGER) AS rn FROM s) WHERE rn <= 3 ORDER BY qid, rn"
+    },
     "q_ivf_topk_fixed" -> {
       "WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8), " +
         "q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8), " +

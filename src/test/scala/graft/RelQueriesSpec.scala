@@ -29,17 +29,11 @@ class RelQueriesSpec extends SparkSpec {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracle-only keys: ${os -- qs}")
-    assert((qs -- os) == Set(
-      // remaining rows-only keys: runtime-adaptive capped LSH
-      // (hot-bucket refinement depends on observed counts) and IVF
-      // (iterative centroid refinement) — each carries named ScalaTest
-      // properties, and their fixed-parameter cores are oracled.
-      // q_approx_distinct graduated to oracled in round 11: its output
-      // now carries the exact count plus the ≤5% bound as an int flag.
-      // q_pq_topk_trained (r12) shares the IVF declaration: its Lloyd
-      // codebook is a float average; the encode/LUT/ADC plan is the
-      // oracled q_pq_topk verbatim and SimilaritySpec pins recall.
-      "q_dedup_embedding_lsh_capped", "q_ivf_topk", "q_pq_topk_trained"))
+    // every key is oracled since r15: the adaptive capped-LSH mirror
+    // unrolls the refinement loop (cappedLshMirrorSql), and the
+    // IVF/PQ Lloyd averages use the decimal device so training is
+    // addition-order-proof in both engines
+    assert((qs -- os).isEmpty, s"rows-only keys remain: ${qs -- os}")
   }
 
   test("q_filter pushes predicates into the parquet scan") {
