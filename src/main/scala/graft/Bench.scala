@@ -39,6 +39,11 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // bounded-collect audit — see graft.CollectAudit; any key whose
+    // largest driver collect exceeds the cap fails the sweep
+    val collectCap = sys.env.get("SPARK_GRAFT_COLLECT_CAP").map(_.toLong).getOrElse(10000L)
+    val collectAudit = new CollectAudit(spark)
+    def flushAudit(key: String): Unit = collectAudit.advanceTo(key)
     // warm up JVM/codegen + parquet footer caches so the first timed
     // query isn't charged ~10 s of one-time session startup
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
@@ -123,6 +128,7 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       sentinels += sentinelRun()
+      flushAudit(name)
       val (median, times, err) = measureKey(fn)
       (name, median, times, err)
     }
@@ -214,6 +220,7 @@ object Bench {
     val flagged0 = (contended0 ++ unstable0 ++ regressed0).distinct
     val reruns = flagged0.map { k =>
       val s0 = sentinelRun()
+      flushAudit(k)
       val (m, ts, e) = measureKey(SparkEntry.queries(k))
       val s1 = sentinelRun()
       val clean = e.isEmpty && math.min(s0, s1) <= perKeyCut &&
@@ -273,7 +280,21 @@ object Bench {
       val first = results.collectFirst { case (`k`, m0, _, _) => m0 }.getOrElse(0.0)
       s""""$k":{"first":${r3(first)},"rerun":${if (e.isDefined) "null" else r3(m)},"clean":$clean}"""
     }.mkString("{", ",", "}")
-    val fullJson = s"""{"method":"$method","runs":$runs,"queries":$qs,"errors":$errs,"sentinel":$sentJson,"contended":$contJson,"unstable":$unstJson,"regressed":$regrJson,"rerun":$rerunJson,"baseline_checked":${baseQ.nonEmpty},"contended_run":$runContended,"sf":"$sfDir","n_queries":${ok.size},"n_errors":$nErrors,"per_key_mean":${r3(if (ok.nonEmpty) total / ok.size else 0.0)},"unit":"sec","metric":"total","value":${r3(total)}}"""
+    // drain the bus so the last key's collect events are attributed,
+    // then close the audit: keys whose biggest single driver collect
+    // exceeded the cap are VIOLATIONS (whitelist currently empty — the
+    // engine claims every collect is control-plane) and fail the run;
+    // everything over 1000 rows is listed for visibility either way
+    val audit = collectAudit.snapshot()
+    val collectWhitelist = Set.empty[String]
+    val collectViolations = audit.collect {
+      case (k, n) if n > collectCap && !collectWhitelist(k) => k
+    }.toSeq.sorted
+    val over1k = audit.filter(_._2 > 1000).toSeq.sortBy(-_._2)
+      .map { case (k, n) => s""""$k":$n""" }.mkString("{", ",", "}")
+    val collectJson =
+      s"""{"cap":$collectCap,"over_1k":$over1k,"violations":${collectViolations.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+    val fullJson = s"""{"method":"$method","runs":$runs,"queries":$qs,"errors":$errs,"sentinel":$sentJson,"contended":$contJson,"unstable":$unstJson,"regressed":$regrJson,"rerun":$rerunJson,"collect_audit":$collectJson,"baseline_checked":${baseQ.nonEmpty},"contended_run":$runContended,"sf":"$sfDir","n_queries":${ok.size},"n_errors":$nErrors,"per_key_mean":${r3(if (ok.nonEmpty) total / ok.size else 0.0)},"unit":"sec","metric":"total","value":${r3(total)}}"""
     // a BENCH_ONLY partial sweep must NOT silently overwrite the
     // committed full-sweep BENCH_LOCAL.json — default partial output to
     // a temp file instead (override explicitly if you mean it)
@@ -292,10 +313,13 @@ object Bench {
     // whole line survives inside the tail window alongside sbt's epilogue
     val topQs = byTime.takeRight(25).map { case (k, m, _, e) => keyVal(k, m, e) }
       .mkString("{", ",", "}")
-    println(s"""{"full":"$outFile","queries":$topQs,"errors":$errs,"n_contended":${contended.size},"n_unstable":${unstable.size},"n_regressed":${regressed.size},"contended_run":$runContended,"sf":"$sfDir","n_queries":${ok.size},"n_errors":$nErrors,"per_key_mean":${r3(if (ok.nonEmpty) total / ok.size else 0.0)},"queries_note":"slowest 25 of ${results.size}; every key + sentinel detail in $outFile","unit":"sec","metric":"total","value":${r3(total)}}""")
+    println(s"""{"full":"$outFile","queries":$topQs,"errors":$errs,"n_contended":${contended.size},"n_unstable":${unstable.size},"n_regressed":${regressed.size},"n_collect_violations":${collectViolations.size},"contended_run":$runContended,"sf":"$sfDir","n_queries":${ok.size},"n_errors":$nErrors,"per_key_mean":${r3(if (ok.nonEmpty) total / ok.size else 0.0)},"queries_note":"slowest 25 of ${results.size}; every key + sentinel detail in $outFile","unit":"sec","metric":"total","value":${r3(total)}}""")
+    if (collectViolations.nonEmpty)
+      System.err.println(s"[bench] COLLECT-AUDIT VIOLATIONS (> $collectCap rows to the driver): ${collectViolations.mkString(", ")}")
     spark.stop()
-    // any erroring key fails the whole run — a partial sweep must never
-    // exit 0 and masquerade as a full one downstream
-    if (nErrors > 0) sys.exit(1)
+    // any erroring key — or an over-cap driver collect — fails the
+    // whole run; a partial sweep must never exit 0 and masquerade as a
+    // full one downstream
+    if (nErrors > 0 || collectViolations.nonEmpty) sys.exit(1)
   }
 }

@@ -185,7 +185,8 @@ object PlanAudit {
       "q_rank_fusion", // inherits bm25's + vsm's one-row corpus-stat crosses
       "q_quality_unigram", "q_domain_mix", "q_domain_mix_temp", "q_quality_tails",
       "q_quality_tails_by_source", // inherits the unigram one-row totals cross
-      "q_gap_fill", "q_llm_pipeline_v2")
+      "q_gap_fill", "q_llm_pipeline_v2",
+      "q_llm_pipeline_v3") // inherits v2's one-row tail-cut crosses
 
     // SPARK_GRAFT_AUDIT_KEYS=q_a,q_b restricts the audit — the targeted
     // loop for re-auditing a changed key without the full 265-plan sweep

@@ -316,6 +316,10 @@ object SparkEntry {
     "q_text_normalize" -> (TextOps.qTextNormalize _),
     "q_llm_pipeline" -> (TextOps.qLlmPipeline _),
     "q_llm_pipeline_v2" -> (TextOps.qLlmPipelineV2 _),
+    // r15: v2's stage chain with the cluster-dedup edges from the
+    // CAPPED SimHash band join — the scale-safe near-dup operator
+    // composed into the pipeline users actually copy
+    "q_llm_pipeline_v3" -> (TextOps.qLlmPipelineV3 _),
     "q_filter_domains" -> (TextOps.qFilterDomains _),
     "q_token_fertility" -> (TextOps.qTokenFertility _),
     "q_scrub_pii" -> (TextOps.qScrubPii _),
@@ -522,10 +526,69 @@ object SparkEntry {
     * serves both gate keys. */
   private val minhashClusterSql: String =
     s"${ngramShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $minhashPairsCte, " +
-      "pairs AS (SELECT id_a, id_b FROM mh WHERE jac >= 0.6), " +
-      "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), " +
+      "pairs AS MATERIALIZED (SELECT id_a, id_b FROM mh WHERE jac >= 0.6), " +
+      "edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), " +
       "comp(id, lbl) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.id) " +
       "SELECT id AS doc_id, MIN(lbl) AS cluster_id, (id = MIN(lbl)) AS keep FROM comp GROUP BY id ORDER BY doc_id"
+
+  /** Stages 0–4 of the composed v2/v3 pipeline oracles (scrub → gates →
+    * exact dedup → substring dedup), ending at the base3 survivor CTE —
+    * shared so the v3 oracle cannot drift from v2's stage chain (the
+    * SQL twin of TextOps.pipelineGatedDeduped). */
+  private lazy val pipelineV2PrefixSql: String = {
+      val stop = TextOps.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      val evalIn = s"substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(TextOps.decontamEvalFraction)}'"
+      val inj = "CASE WHEN doc_id % 7 = 0 THEN concat('contact user', CAST(doc_id AS VARCHAR), '@example.com via https://example.org/u/', CAST(doc_id AS VARCHAR), ' ', text) ELSE text END"
+      "WITH RECURSIVE " +
+        // stage 0: PII inject + scrub — every later CTE reads d
+        s"d AS MATERIALIZED (SELECT doc_id, source, regexp_replace(regexp_replace($inj, '${TextOps.emailRe}', '<EMAIL>', 'g'), '${TextOps.urlRe}', '<URL>', 'g') AS text FROM documents), " +
+        s"${shingleChain(3, "d", "")}, " +
+        // stage 1a: Gopher composite gate (q_quality_gopher shape)
+        s"gop_ok AS (SELECT doc_id FROM (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens, ROUND(CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum') AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS mean_token_len, CAST(len(list_filter(toks, t -> list_contains($stop, t))) AS INTEGER) AS stop_hits, ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS distinct_ratio FROM tok) WHERE n_tokens >= ${TextOps.gopherMinTokens} AND n_tokens <= ${TextOps.gopherMaxTokens} AND mean_token_len >= CAST(${TextOps.gopherMeanLenMin} AS DOUBLE) AND mean_token_len <= CAST(${TextOps.gopherMeanLenMax} AS DOUBLE) AND stop_hits >= ${TextOps.gopherMinStopHits} AND distinct_ratio >= CAST(${TextOps.gopherMinDistinctRatio} AS DOUBLE)), " +
+        // stage 1b: unigram tail cut (q_quality_tails shape; mid mass survives)
+        "utk AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS t FROM d), " +
+        "utf AS (SELECT t, COUNT(*) AS c FROM utk GROUP BY t), " +
+        "utot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM utf), " +
+        "ucost AS (SELECT doc_id, CAST(ROUND(-ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS nll FROM utk JOIN utf USING (t) CROSS JOIN utot), " +
+        "usc AS (SELECT doc_id, ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll FROM ucost GROUP BY doc_id), " +
+        "ucut AS (SELECT ROUND(quantile_cont(avg_nll, 0.1), 6) AS p10, ROUND(quantile_cont(avg_nll, 0.9), 6) AS p90 FROM usc), " +
+        "tail_ok AS (SELECT doc_id FROM usc CROSS JOIN ucut WHERE avg_nll > p10 AND avg_nll < p90), " +
+        // stage 1c: quality gate (q_quality_score shape)
+        s"qual_ok AS (SELECT doc_id FROM (SELECT doc_id, ROUND((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5 + (1.0 - CAST(len(list_filter(toks, t -> list_contains($stop, t))) AS DOUBLE) / len(toks)) * 0.5, 6) AS quality FROM tok) WHERE quality >= ${TextOps.pipelineMinQuality}), " +
+        // stage 1d: repetition gate (q_quality_repetition shape)
+        "g2 AS (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS g FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - 2, 0) + 1)) AS i FROM tok)), " +
+        "a2 AS (SELECT doc_id, MAX(c) AS max2, SUM(c) AS tot2 FROM (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g) GROUP BY doc_id), " +
+        "g3 AS (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' ') AS g FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - 3, 0) + 1)) AS i FROM tok)), " +
+        "a3 AS (SELECT doc_id, COUNT(*) AS tot3, COUNT(DISTINCT g) AS dist3 FROM g3 GROUP BY doc_id), " +
+        s"rep_ok AS (SELECT a2.doc_id FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id WHERE NOT (CAST(max2 AS DOUBLE) / tot2 > ${TextOps.repTopBigramMax} OR 1.0 - CAST(dist3 AS DOUBLE) / tot3 > ${TextOps.repDupTrigramMax})), " +
+        // stage 2: decontamination vs the eval carve-out
+        s"ev AS (SELECT DISTINCT s FROM s1 WHERE $evalIn), " +
+        s"tr AS (SELECT doc_id, s FROM s1 WHERE NOT $evalIn), " +
+        "tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id), " +
+        "cont AS (SELECT doc_id, COUNT(*) AS nc FROM tr JOIN ev USING (s) GROUP BY doc_id), " +
+        s"decon_ok AS (SELECT t.doc_id FROM tot t LEFT JOIN cont c ON t.doc_id = c.doc_id WHERE NOT (CAST(COALESCE(nc, 0) AS DOUBLE) / n_shingles > ${TextOps.pipelineContamMax})), " +
+        // gates compose; stage 3: exact dedup
+        s"base AS MATERIALIZED (SELECT doc_id, source, text FROM d WHERE NOT $evalIn AND doc_id IN (SELECT doc_id FROM qual_ok) AND doc_id IN (SELECT doc_id FROM gop_ok) AND doc_id IN (SELECT doc_id FROM tail_ok) AND doc_id IN (SELECT doc_id FROM rep_ok) AND doc_id IN (SELECT doc_id FROM decon_ok)), " +
+        "base2 AS MATERIALIZED (SELECT * FROM base WHERE doc_id IN (SELECT MIN(doc_id) FROM base GROUP BY md5(text))), " +
+        // stage 4: exact-substring dedup (q_dedup_substring shape;
+        // min-id-wins — any doc sharing a span with a lower id drops)
+        s"${shingleChain(TextOps.substringSpanTokens, "base2", "x")}, " +
+        "xh AS (SELECT doc_id, md5(s) AS h FROM xs1), " +
+        "xdup AS (SELECT DISTINCT b.doc_id AS doc_id FROM xh a JOIN xh b ON a.h = b.h AND a.doc_id < b.doc_id), " +
+        "base3 AS MATERIALIZED (SELECT * FROM base2 WHERE doc_id NOT IN (SELECT doc_id FROM xdup))"
+  }
+
+  /** Shared v2/v3 oracle tail: CC over the `cpairs` edge CTE, keep the
+    * min-id survivor per component, split assignment + packing. */
+  private lazy val pipelineClusterPackTailSql: String =
+    ", " +         "cedges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM cpairs UNION ALL SELECT id_b, id_a FROM cpairs), " +
+        "comp(id, lbl) AS (SELECT doc_id, doc_id FROM base3 UNION SELECT e.dst, c.lbl FROM comp c JOIN cedges e ON e.src = c.id), " +
+        "keepc AS (SELECT id AS doc_id FROM comp GROUP BY id HAVING id = MIN(lbl)), " +
+        // stages 6+7: split assignment + packing
+        s"fin AS (SELECT doc_id, source, text, CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(0.8)}' THEN 'train' WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(0.9)}' THEN 'val' ELSE 'test' END AS split FROM base3 WHERE doc_id IN (SELECT doc_id FROM keepc)), " +
+        "tt AS (SELECT doc_id, split || '/' || source AS stream, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM fin), " +
+        "o AS (SELECT doc_id, stream, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset FROM tt) " +
+        s"SELECT doc_id, stream, n_tokens, tok_offset, CAST(floor(tok_offset / ${TextOps.packBlockTokens}.0) AS BIGINT) AS chunk_first, CAST(floor((tok_offset + n_tokens - 1) / ${TextOps.packBlockTokens}.0) AS BIGINT) AS chunk_last FROM o ORDER BY doc_id"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -1212,9 +1275,9 @@ object SparkEntry {
     "q_survivorship" ->
       (s"WITH RECURSIVE nm AS (SELECT p_name, COUNT(*) AS n, split_part(p_name, ' ', 2) AS blk, " +
         s"(${hex60Sql("md5(p_name)")}) AS id FROM part GROUP BY p_name), " +
-        "pairs AS (SELECT a.id AS ida, b.id AS idb FROM nm a JOIN nm b ON a.blk = b.blk AND a.p_name < b.p_name " +
+        "pairs AS MATERIALIZED (SELECT a.id AS ida, b.id AS idb FROM nm a JOIN nm b ON a.blk = b.blk AND a.p_name < b.p_name " +
         s"WHERE levenshtein(a.p_name, b.p_name) <= ${RelQueries.fuzzyMaxDist}), " +
-        "edges AS (SELECT ida AS src, idb AS dst FROM pairs UNION ALL SELECT idb, ida FROM pairs), " +
+        "edges AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM pairs UNION ALL SELECT idb, ida FROM pairs), " +
         "comp(id, lbl) AS (SELECT id, id FROM nm UNION SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.id), " +
         "lab AS (SELECT id, MIN(lbl) AS lbl FROM comp GROUP BY id), " +
         "mem AS (SELECT lab.lbl, nm.p_name, nm.n FROM lab JOIN nm USING (id)), " +
@@ -1316,7 +1379,7 @@ object SparkEntry {
     "q_pack_chunks" ->
       s"WITH t AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), o AS (SELECT doc_id, source AS stream, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset FROM t) SELECT doc_id, stream, n_tokens, tok_offset, CAST(floor(tok_offset / ${text.TextOps.packBlockTokens}.0) AS BIGINT) AS chunk_first, CAST(floor((tok_offset + n_tokens - 1) / ${text.TextOps.packBlockTokens}.0) AS BIGINT) AS chunk_last FROM o ORDER BY doc_id",
     "q_dedup_cluster" ->
-      s"WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), s0 AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' ') AS s FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - 3, 0) + 1)) AS i FROM tok))), s1 AS (SELECT doc_id, s FROM s0 WHERE s IN (SELECT s FROM s0 GROUP BY s HAVING COUNT(*) <= ${text.TextOps.shingleDfCap})), cnt AS (SELECT doc_id, COUNT(*) AS n FROM s1 GROUP BY doc_id), pairs AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, ROUND(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 6) AS jaccard FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni FROM s1 a JOIN s1 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) i JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b) WHERE jaccard > 0.5), edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), comp(id, lbl) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.id) SELECT id AS doc_id, MIN(lbl) AS cluster_id, (id = MIN(lbl)) AS keep FROM comp GROUP BY id ORDER BY doc_id",
+      s"WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), s0 AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' ') AS s FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - 3, 0) + 1)) AS i FROM tok))), s1 AS (SELECT doc_id, s FROM s0 WHERE s IN (SELECT s FROM s0 GROUP BY s HAVING COUNT(*) <= ${text.TextOps.shingleDfCap})), cnt AS (SELECT doc_id, COUNT(*) AS n FROM s1 GROUP BY doc_id), pairs AS MATERIALIZED (SELECT id_a, id_b FROM (SELECT id_a, id_b, ROUND(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 6) AS jaccard FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni FROM s1 a JOIN s1 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) i JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b) WHERE jaccard > 0.5), edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), comp(id, lbl) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.id) SELECT id AS doc_id, MIN(lbl) AS cluster_id, (id = MIN(lbl)) AS keep FROM comp GROUP BY id ORDER BY doc_id",
     "q_frame_sample" ->
       "SELECT media_id, CAST(i AS INTEGER) AS frame_idx FROM (SELECT doc_id AS media_id, UNNEST(range(0, n_chars % 240 + 1)) AS i FROM documents) WHERE i % 10 = 0 ORDER BY media_id, frame_idx",
     // DSv2 media connector: the synthesized directory's every cell —
@@ -1568,16 +1631,16 @@ object SparkEntry {
         "cont AS (SELECT doc_id, COUNT(*) AS nc FROM tr JOIN ev USING (s) GROUP BY doc_id), " +
         s"decon_ok AS (SELECT t.doc_id FROM tot t LEFT JOIN cont c ON t.doc_id = c.doc_id WHERE NOT (CAST(COALESCE(nc, 0) AS DOUBLE) / n_shingles > ${TextOps.pipelineContamMax})), " +
         // stages 1+2 compose; stage 3: exact dedup (q_dedup_exact shape)
-        s"base AS (SELECT doc_id, source, text FROM documents WHERE NOT $evalIn AND doc_id IN (SELECT doc_id FROM qual_ok) AND doc_id IN (SELECT doc_id FROM rep_ok) AND doc_id IN (SELECT doc_id FROM decon_ok)), " +
-        "base2 AS (SELECT * FROM base WHERE doc_id IN (SELECT MIN(doc_id) FROM base GROUP BY md5(text))), " +
+        s"base AS MATERIALIZED (SELECT doc_id, source, text FROM documents WHERE NOT $evalIn AND doc_id IN (SELECT doc_id FROM qual_ok) AND doc_id IN (SELECT doc_id FROM rep_ok) AND doc_id IN (SELECT doc_id FROM decon_ok)), " +
+        "base2 AS MATERIALIZED (SELECT * FROM base WHERE doc_id IN (SELECT MIN(doc_id) FROM base GROUP BY md5(text))), " +
         // stage 4: ngram-jaccard cluster dedup over the survivors
         // (q_dedup_cluster shape, c-prefixed CTE names, source = base2)
         "ctok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM base2), " +
         "cs0 AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' ') AS s FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - 3, 0) + 1)) AS i FROM ctok))), " +
         s"cs1 AS (SELECT doc_id, s FROM cs0 WHERE s IN (SELECT s FROM cs0 GROUP BY s HAVING COUNT(*) <= ${TextOps.shingleDfCap})), " +
         "ccnt AS (SELECT doc_id, COUNT(*) AS n FROM cs1 GROUP BY doc_id), " +
-        s"cpairs AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, ROUND(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 6) AS jaccard FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni FROM cs1 a JOIN cs1 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) i JOIN ccnt ca ON ca.doc_id = id_a JOIN ccnt cb ON cb.doc_id = id_b) WHERE jaccard > ${TextOps.pipelineClusterJaccard}), " +
-        "cedges AS (SELECT id_a AS src, id_b AS dst FROM cpairs UNION ALL SELECT id_b, id_a FROM cpairs), " +
+        s"cpairs AS MATERIALIZED (SELECT id_a, id_b FROM (SELECT id_a, id_b, ROUND(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 6) AS jaccard FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni FROM cs1 a JOIN cs1 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) i JOIN ccnt ca ON ca.doc_id = id_a JOIN ccnt cb ON cb.doc_id = id_b) WHERE jaccard > ${TextOps.pipelineClusterJaccard}), " +
+        "cedges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM cpairs UNION ALL SELECT id_b, id_a FROM cpairs), " +
         "comp(id, lbl) AS (SELECT doc_id, doc_id FROM base2 UNION SELECT e.dst, c.lbl FROM comp c JOIN cedges e ON e.src = c.id), " +
         "keepc AS (SELECT id AS doc_id FROM comp GROUP BY id HAVING id = MIN(lbl)), " +
         // stages 5+6: split assignment (q_split_assign cuts) + packing
@@ -1594,58 +1657,40 @@ object SparkEntry {
     // substring dedup between exact and cluster dedup. Every stage is
     // its own gate key's oracle SQL with the source relation swapped;
     // all thresholds/cuts interpolated from the same constants.
-    "q_llm_pipeline_v2" -> {
-      val stop = TextOps.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
-      val evalIn = s"substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(TextOps.decontamEvalFraction)}'"
-      val inj = "CASE WHEN doc_id % 7 = 0 THEN concat('contact user', CAST(doc_id AS VARCHAR), '@example.com via https://example.org/u/', CAST(doc_id AS VARCHAR), ' ', text) ELSE text END"
-      "WITH RECURSIVE " +
-        // stage 0: PII inject + scrub — every later CTE reads d
-        s"d AS (SELECT doc_id, source, regexp_replace(regexp_replace($inj, '${TextOps.emailRe}', '<EMAIL>', 'g'), '${TextOps.urlRe}', '<URL>', 'g') AS text FROM documents), " +
-        s"${shingleChain(3, "d", "")}, " +
-        // stage 1a: Gopher composite gate (q_quality_gopher shape)
-        s"gop_ok AS (SELECT doc_id FROM (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens, ROUND(CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum') AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS mean_token_len, CAST(len(list_filter(toks, t -> list_contains($stop, t))) AS INTEGER) AS stop_hits, ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS distinct_ratio FROM tok) WHERE n_tokens >= ${TextOps.gopherMinTokens} AND n_tokens <= ${TextOps.gopherMaxTokens} AND mean_token_len >= CAST(${TextOps.gopherMeanLenMin} AS DOUBLE) AND mean_token_len <= CAST(${TextOps.gopherMeanLenMax} AS DOUBLE) AND stop_hits >= ${TextOps.gopherMinStopHits} AND distinct_ratio >= CAST(${TextOps.gopherMinDistinctRatio} AS DOUBLE)), " +
-        // stage 1b: unigram tail cut (q_quality_tails shape; mid mass survives)
-        "utk AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS t FROM d), " +
-        "utf AS (SELECT t, COUNT(*) AS c FROM utk GROUP BY t), " +
-        "utot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM utf), " +
-        "ucost AS (SELECT doc_id, CAST(ROUND(-ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS nll FROM utk JOIN utf USING (t) CROSS JOIN utot), " +
-        "usc AS (SELECT doc_id, ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll FROM ucost GROUP BY doc_id), " +
-        "ucut AS (SELECT ROUND(quantile_cont(avg_nll, 0.1), 6) AS p10, ROUND(quantile_cont(avg_nll, 0.9), 6) AS p90 FROM usc), " +
-        "tail_ok AS (SELECT doc_id FROM usc CROSS JOIN ucut WHERE avg_nll > p10 AND avg_nll < p90), " +
-        // stage 1c: quality gate (q_quality_score shape)
-        s"qual_ok AS (SELECT doc_id FROM (SELECT doc_id, ROUND((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5 + (1.0 - CAST(len(list_filter(toks, t -> list_contains($stop, t))) AS DOUBLE) / len(toks)) * 0.5, 6) AS quality FROM tok) WHERE quality >= ${TextOps.pipelineMinQuality}), " +
-        // stage 1d: repetition gate (q_quality_repetition shape)
-        "g2 AS (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS g FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - 2, 0) + 1)) AS i FROM tok)), " +
-        "a2 AS (SELECT doc_id, MAX(c) AS max2, SUM(c) AS tot2 FROM (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g) GROUP BY doc_id), " +
-        "g3 AS (SELECT doc_id, array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' ') AS g FROM (SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - 3, 0) + 1)) AS i FROM tok)), " +
-        "a3 AS (SELECT doc_id, COUNT(*) AS tot3, COUNT(DISTINCT g) AS dist3 FROM g3 GROUP BY doc_id), " +
-        s"rep_ok AS (SELECT a2.doc_id FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id WHERE NOT (CAST(max2 AS DOUBLE) / tot2 > ${TextOps.repTopBigramMax} OR 1.0 - CAST(dist3 AS DOUBLE) / tot3 > ${TextOps.repDupTrigramMax})), " +
-        // stage 2: decontamination vs the eval carve-out
-        s"ev AS (SELECT DISTINCT s FROM s1 WHERE $evalIn), " +
-        s"tr AS (SELECT doc_id, s FROM s1 WHERE NOT $evalIn), " +
-        "tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id), " +
-        "cont AS (SELECT doc_id, COUNT(*) AS nc FROM tr JOIN ev USING (s) GROUP BY doc_id), " +
-        s"decon_ok AS (SELECT t.doc_id FROM tot t LEFT JOIN cont c ON t.doc_id = c.doc_id WHERE NOT (CAST(COALESCE(nc, 0) AS DOUBLE) / n_shingles > ${TextOps.pipelineContamMax})), " +
-        // gates compose; stage 3: exact dedup
-        s"base AS (SELECT doc_id, source, text FROM d WHERE NOT $evalIn AND doc_id IN (SELECT doc_id FROM qual_ok) AND doc_id IN (SELECT doc_id FROM gop_ok) AND doc_id IN (SELECT doc_id FROM tail_ok) AND doc_id IN (SELECT doc_id FROM rep_ok) AND doc_id IN (SELECT doc_id FROM decon_ok)), " +
-        "base2 AS (SELECT * FROM base WHERE doc_id IN (SELECT MIN(doc_id) FROM base GROUP BY md5(text))), " +
-        // stage 4: exact-substring dedup (q_dedup_substring shape;
-        // min-id-wins — any doc sharing a span with a lower id drops)
-        s"${shingleChain(TextOps.substringSpanTokens, "base2", "x")}, " +
-        "xh AS (SELECT doc_id, md5(s) AS h FROM xs1), " +
-        "xdup AS (SELECT DISTINCT b.doc_id AS doc_id FROM xh a JOIN xh b ON a.h = b.h AND a.doc_id < b.doc_id), " +
-        "base3 AS (SELECT * FROM base2 WHERE doc_id NOT IN (SELECT doc_id FROM xdup)), " +
+    "q_llm_pipeline_v2" ->
+      (s"$pipelineV2PrefixSql, " +
         // stage 5: ngram-jaccard cluster dedup over the survivors
         s"${shingleChain(3, "base3", "c")}, " +
-        s"cpairs AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, ROUND(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 6) AS jaccard FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni FROM cs1 a JOIN cs1 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) i JOIN ccnt ca ON ca.doc_id = id_a JOIN ccnt cb ON cb.doc_id = id_b) WHERE jaccard > ${TextOps.pipelineClusterJaccard}), " +
-        "cedges AS (SELECT id_a AS src, id_b AS dst FROM cpairs UNION ALL SELECT id_b, id_a FROM cpairs), " +
-        "comp(id, lbl) AS (SELECT doc_id, doc_id FROM base3 UNION SELECT e.dst, c.lbl FROM comp c JOIN cedges e ON e.src = c.id), " +
-        "keepc AS (SELECT id AS doc_id FROM comp GROUP BY id HAVING id = MIN(lbl)), " +
-        // stages 6+7: split assignment + packing
-        s"fin AS (SELECT doc_id, source, text, CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(0.8)}' THEN 'train' WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(0.9)}' THEN 'val' ELSE 'test' END AS split FROM base3 WHERE doc_id IN (SELECT doc_id FROM keepc)), " +
-        "tt AS (SELECT doc_id, split || '/' || source AS stream, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM fin), " +
-        "o AS (SELECT doc_id, stream, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset FROM tt) " +
-        s"SELECT doc_id, stream, n_tokens, tok_offset, CAST(floor(tok_offset / ${TextOps.packBlockTokens}.0) AS BIGINT) AS chunk_first, CAST(floor((tok_offset + n_tokens - 1) / ${TextOps.packBlockTokens}.0) AS BIGINT) AS chunk_last FROM o ORDER BY doc_id"
+        s"cpairs AS MATERIALIZED (SELECT id_a, id_b FROM (SELECT id_a, id_b, ROUND(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 6) AS jaccard FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni FROM cs1 a JOIN cs1 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) i JOIN ccnt ca ON ca.doc_id = id_a JOIN ccnt cb ON cb.doc_id = id_b) WHERE jaccard > ${TextOps.pipelineClusterJaccard})" +
+        pipelineClusterPackTailSql),
+    // composed LLM pipeline v3 (r15, verdict ask #7): v2's exact stage
+    // chain with the cluster-dedup edges generated by the CAPPED
+    // SimHash band join (the scale-safe operator the SimHash family's
+    // notes point production users at) — the q_dedup_simhash_capped
+    // mirror re-rooted on the base3 survivor CTE
+    "q_llm_pipeline_v3" -> {
+      val bitSums = (0 until 32)
+        .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+        .mkString(", ")
+      val fpLong = (0 until 32)
+        .map(b => s"CASE WHEN b$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+        .mkString(" + ")
+      s"$pipelineV2PrefixSql, " +
+        // stage 5: capped SimHash band pairs over the survivors
+        "stk AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS t FROM base3), " +
+        s"ssh AS (SELECT doc_id, ${hex60Sql("m")} AS h FROM (SELECT doc_id, md5(t) AS m FROM stk)), " +
+        s"ssb AS MATERIALIZED (SELECT doc_id, $bitSums FROM ssh GROUP BY doc_id), " +
+        s"sfps AS MATERIALIZED (SELECT doc_id, $fpLong AS fp FROM ssb), " +
+        "skeyed AS (SELECT doc_id, fp, band, (fp >> (band * 8)) & 255 AS bits FROM sfps CROSS JOIN (SELECT UNNEST(range(0, 4)) AS band) bands), " +
+        s"scnt AS (SELECT band, bits, COUNT(*) > ${TextOps.simhashBucketCap} AS hot FROM skeyed GROUP BY band, bits), " +
+        "stg AS MATERIALIZED (SELECT k.doc_id, k.fp, k.band, k.bits, c.hot FROM skeyed k JOIN scnt c ON k.band = c.band AND k.bits = c.bits), " +
+        "scpp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fp_a, b.fp AS fp_b FROM stg a JOIN stg b ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id WHERE NOT a.hot AND NOT b.hot), " +
+        "srp AS (SELECT band, bits, MIN(doc_id) AS id_a FROM stg WHERE hot GROUP BY band, bits), " +
+        "srv AS (SELECT r.band, r.bits, r.id_a, t.fp AS fp_a FROM srp r JOIN stg t ON t.band = r.band AND t.bits = r.bits AND t.doc_id = r.id_a), " +
+        "sspp AS (SELECT v.id_a, h.doc_id AS id_b, v.fp_a, h.fp AS fp_b FROM stg h JOIN srv v ON h.band = v.band AND h.bits = v.bits WHERE h.hot AND h.doc_id <> v.id_a), " +
+        "spairs AS MATERIALIZED (SELECT DISTINCT id_a, id_b, fp_a, fp_b FROM (SELECT * FROM scpp UNION ALL SELECT * FROM sspp)), " +
+        "cpairs AS MATERIALIZED (SELECT id_a, id_b FROM spairs WHERE bit_count(xor(fp_a, fp_b)) <= 3)" +
+        pipelineClusterPackTailSql
     },
     // URL/domain blocklist: synthetic doc_id-derived URLs over the
     // literal pool (the q_scrub_pii injection device), host extracted
@@ -1720,8 +1765,8 @@ object SparkEntry {
       s"WITH RECURSIVE wb AS (SELECT vec_id, embedding, ${Similarity.lshBucketSql("embedding", 4, 64)} AS b0 FROM embeddings), " +
         s"a AS (SELECT vec_id AS id_a, embedding AS ea, ${Similarity.multiProbeSql("b0", 4)} AS bucket FROM wb), " +
         "b AS (SELECT vec_id AS id_b, embedding AS eb, b0 AS bucket FROM wb), " +
-        s"p AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, ${dotSql("ea", "eb")} AS score FROM a JOIN b USING (bucket) WHERE id_a < id_b) WHERE score > 0.25), " +
-        "edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p), " +
+        s"p AS MATERIALIZED (SELECT id_a, id_b FROM (SELECT id_a, id_b, ${dotSql("ea", "eb")} AS score FROM a JOIN b USING (bucket) WHERE id_a < id_b) WHERE score > 0.25), " +
+        "edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p), " +
         "comp(id, lbl) AS (SELECT vec_id, vec_id FROM embeddings UNION SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.id) " +
         "SELECT id AS vec_id, MIN(lbl) AS cluster_id, (id = MIN(lbl)) AS keep FROM comp GROUP BY id ORDER BY vec_id"
     },

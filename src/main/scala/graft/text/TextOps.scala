@@ -1731,9 +1731,12 @@ object TextOps {
     * substring dedup is the same df-capped digest equi-join as its gate
     * key. Stages drop documents monotonically, so the expensive
     * token-stream work (shingles, CC) runs over ever-smaller survivor
-    * sets. */
-  def llmPipelineV2(docs: DataFrame,
-                    cp: Checkpointer = Checkpointer.Local): DataFrame = {
+    * sets.
+    *
+    * Stages 0–4 (scrub → gates → exact dedup → substring dedup) live in
+    * [[pipelineGatedDeduped]], shared with the v3 key (r15) so the two
+    * cluster-dedup variants cannot drift. */
+  private def pipelineGatedDeduped(docs: DataFrame, cp: Checkpointer): DataFrame = {
     // stage 0: PII inject (the q_scrub_pii device) + scrub
     val injected = when(col("doc_id") % 7 === 0,
       concat(lit("contact user"), col("doc_id").cast("string"),
@@ -1794,25 +1797,63 @@ object TextOps {
     // LOWER-id survivor drops (min-id-wins, the exact-dedup convention)
     val subDropped = substringDupPairs(deduped, cp = cp)
       .select(col("id_b").as("doc_id")).distinct()
-    val subKept = cp(deduped.join(subDropped, Seq("doc_id"), "left_anti"))
+    cp(deduped.join(subDropped, Seq("doc_id"), "left_anti"))
+  }
 
-    // near-dup cluster dedup over the surviving subset
-    val edges = ngramJaccardPairs(subKept, 3, pipelineClusterJaccard, None, cp = cp)
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
+  /** Shared v2/v3 tail: keep one doc per near-dup component, then split
+    * assignment + packing over (split, source) streams. */
+  private def clusterSplitPack(subKept: DataFrame, edges: DataFrame,
+                               cp: Checkpointer): DataFrame = {
     val keepCluster = graft.graph.ConnectedComponents
       .run(edges, subKept.select(col("doc_id").as("id")), cp = cp)
       .filter(col("id") === col("lbl"))
       .select(col("id").as("doc_id"))
     val survivors = subKept.join(keepCluster, Seq("doc_id"), "left_semi")
-
-    // split + pack over (split, source) streams
     val withSplit = survivors.select(col("doc_id"), col("source"), col("text"),
       Sampling.splitAssign(col("doc_id"), pipelineSplits).as("split"))
     packChunks(withSplit, concat_ws("/", col("split"), col("source")), col("doc_id"))
   }
 
+  def llmPipelineV2(docs: DataFrame,
+                    cp: Checkpointer = Checkpointer.Local): DataFrame = {
+    val subKept = pipelineGatedDeduped(docs, cp)
+    // near-dup cluster dedup over the surviving subset
+    val edges = ngramJaccardPairs(subKept, 3, pipelineClusterJaccard, None, cp = cp)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    clusterSplitPack(subKept, edges, cp)
+  }
+
   def qLlmPipelineV2(spark: SparkSession, dir: String): DataFrame =
     llmPipelineV2(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** The v3 pipeline (r15, verdict ask #7): v2's exact stage chain with
+    * the near-dup CLUSTER stage running on CAPPED SimHash band pairs
+    * ([[simhashBandPairsCapped]] — the scale-safe operator) instead of
+    * n-gram Jaccard. This is the composition the SimHash family's
+    * artifact notes point users at: exact dedup FIRST (stage 3 already
+    * collapsed identical texts, so fingerprint piles are near-dup, not
+    * exact-dup, piles), then banded fingerprint candidates with hot
+    * (band, bits) buckets star-expanding against their min-id rep —
+    * components still close transitively through the rep, so the
+    * cluster keep-set is pile-lossless while pair emission stays
+    * O(corpus) at any duplicate density.
+    *
+    * Scale: identical gate shapes to v2; the cluster stage swaps a
+    * shingle equi-join (corpus token stream) for one fingerprint
+    * aggregate + a bounded band join — CHEAPER at equal recall targets
+    * for near-identical piles, the adversarial case the rehearsals
+    * plant. Oracle = v2's CTE chain with stage 5 swapped for the
+    * q_dedup_simhash_capped mirror re-rooted on the survivor CTE. */
+  def llmPipelineV3(docs: DataFrame,
+                    cp: Checkpointer = Checkpointer.Local): DataFrame = {
+    val subKept = pipelineGatedDeduped(docs, cp)
+    val edges = simhashBandPairsCapped(simhashFingerprintsLong(subKept), cp = cp)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    clusterSplitPack(subKept, edges, cp)
+  }
+
+  def qLlmPipelineV3(spark: SparkSession, dir: String): DataFrame =
+    llmPipelineV3(Tables.documents(spark, dir)).orderBy("doc_id")
 
   // ------------------------------------------ Gopher composite gate
 
