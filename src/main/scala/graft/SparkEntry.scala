@@ -1391,15 +1391,23 @@ object SparkEntry {
     // Spark side and by construction here
     "q_media_scan" ->
       ("WITH d AS (SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 48), " +
-        "img AS (SELECT doc_id, n_chars % 13 + 2 AS w, doc_id % 7 + 2 AS h FROM d WHERE doc_id % 3 = 0), " +
-        "aud AS (SELECT doc_id, 8000 + (doc_id % 4) * 4000 AS rate, n_chars % 300 + 10 AS ns FROM d WHERE doc_id % 3 = 1) " +
+        "img AS (SELECT doc_id, n_chars % 13 + 2 AS w, doc_id % 7 + 2 AS h FROM d WHERE doc_id % 4 = 0), " +
+        "aud AS (SELECT doc_id, 8000 + (doc_id % 4) * 4000 AS rate, n_chars % 300 + 10 AS ns FROM d WHERE doc_id % 4 = 1), " +
+        // deterministic stored-block PNG: size = 8 sig + 25 IHDR +
+        // (12 + 2 + 5*ceil(raw/65535) + raw + 4) IDAT + 12 IEND with
+        // raw = h*(1+3w) — PngCodec.encodedSize's closed form
+        "png AS (SELECT doc_id, n_chars % 11 + 2 AS w, doc_id % 5 + 2 AS h FROM d WHERE doc_id % 4 = 2) " +
         "SELECT name, kind, size, width, height, sample_rate FROM (" +
         "SELECT 'm' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.ppm' AS name, 'image' AS kind, " +
         "CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3 * w * h AS BIGINT) AS size, " +
         "CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, CAST(NULL AS INTEGER) AS sample_rate FROM img " +
         "UNION ALL " +
         "SELECT 'm' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.wav', 'audio', " +
-        "CAST(44 + 2 * ns AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(rate AS INTEGER) FROM aud" +
+        "CAST(44 + 2 * ns AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(rate AS INTEGER) FROM aud " +
+        "UNION ALL " +
+        "SELECT 'm' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.png', 'image', " +
+        "CAST(63 + 5 * ((h * (1 + 3 * w) + 65534) // 65535) + h * (1 + 3 * w) AS BIGINT), " +
+        "CAST(w AS INTEGER), CAST(h AS INTEGER), CAST(NULL AS INTEGER) FROM png" +
         ") ORDER BY name"),
     "q_cosine_topk" ->
       s"WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8), c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8), s AS (SELECT qid, cid, ${dotSql("qe", "ce")} AS score FROM c CROSS JOIN q) SELECT qid, cid, ROUND(score, 6) AS score, rn FROM (SELECT qid, cid, score, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS INTEGER) AS rn FROM s) WHERE rn <= 3 ORDER BY qid, rn",

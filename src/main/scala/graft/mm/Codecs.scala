@@ -109,6 +109,186 @@ object PpmCodec {
   }
 }
 
+/** PNG codec with zero new dependencies (r15, verdict ask #5 — the
+  * highest-value missing compressed format): decode = chunk walk +
+  * `java.util.zip.Inflater` over the concatenated IDAT stream + full
+  * scanline unfiltering (None/Sub/Up/Average/Paeth), supporting 8-bit
+  * greyscale (color type 0), RGB (2) and RGBA (6), non-interlaced —
+  * the overwhelming share of real-world PNGs. Output is the shared
+  * [[PpmCodec.Image]] RGB shape, so features/resize reuse the proven
+  * paths (alpha is dropped; grey replicates to RGB).
+  *
+  * Encode exists for fixtures and round-trip tests and is fully
+  * DETERMINISTIC at the byte level: the zlib stream is hand-rolled as
+  * STORED (uncompressed) deflate blocks + adler32, so the on-disk size
+  * is the closed form `8 + 25 + (12 + 2 + 5·ceil(raw/65535) + raw + 4)
+  * + 12` with raw = h·(1 + 3·w) — the property that lets the media-scan
+  * oracle compute PNG file sizes in SQL (a Deflater's output segments
+  * by internal buffer state and is not portably reproducible).
+  *
+  * Total like its siblings: malformed/truncated input → None → the
+  * caller's stub fallback; one corrupt blob must never kill a job. */
+object PngCodec {
+
+  private val SIG = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  /** Decode to interleaved RGB. None on anything unsupported. */
+  def decode(bytes: Array[Byte]): Option[PpmCodec.Image] = {
+    if (bytes.length < SIG.length + 25 ||
+      !java.util.Arrays.equals(java.util.Arrays.copyOf(bytes, 8), SIG)) return None
+    var i = 8
+    var w = 0; var h = 0; var bitDepth = -1; var colorType = -1; var interlace = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd && i + 8 <= bytes.length) {
+      val len = be32(bytes, i)
+      if (len < 0 || len > Int.MaxValue - 12 || i + 12 + len > bytes.length) return None
+      val typ = new String(bytes, i + 4, 4, "US-ASCII")
+      val dataOff = i + 8
+      typ match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = be32(bytes, dataOff).toInt
+          h = be32(bytes, dataOff + 4).toInt
+          bitDepth = bytes(dataOff + 8) & 0xff
+          colorType = bytes(dataOff + 9) & 0xff
+          interlace = bytes(dataOff + 12) & 0xff
+        case "IDAT" => idat.write(bytes, dataOff, len.toInt)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunks skipped; CRCs not verified (total decode)
+      }
+      i += 12 + len.toInt
+    }
+    val channels = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 6 => 4
+      case _ => return None
+    }
+    if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0 || !sawEnd) return None
+    if (w.toLong * h * channels > (1L << 28)) return None // sanity bound
+    val stride = w * channels
+    val raw = new Array[Byte](h * (1 + stride))
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+      if (off < raw.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    // unfilter scanlines in place into `px`
+    val px = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (1 + stride)) & 0xff
+      val rowOff = y * (1 + stride) + 1
+      val outOff = y * stride
+      var x = 0
+      while (x < stride) {
+        val cur = raw(rowOff + x) & 0xff
+        val left = if (x >= channels) px(outOff + x - channels) & 0xff else 0
+        val up = if (y > 0) px(outOff - stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= channels) px(outOff - stride + x - channels) & 0xff else 0
+        val v = ft match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            cur + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case _ => return None
+        }
+        px(outOff + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    // normalize to RGB
+    val rgb = channels match {
+      case 3 => px
+      case 1 =>
+        val out = new Array[Byte](w * h * 3)
+        var j = 0
+        while (j < w * h) { val g = px(j); out(j * 3) = g; out(j * 3 + 1) = g; out(j * 3 + 2) = g; j += 1 }
+        out
+      case 4 =>
+        val out = new Array[Byte](w * h * 3)
+        var j = 0
+        while (j < w * h) {
+          out(j * 3) = px(j * 4); out(j * 3 + 1) = px(j * 4 + 1); out(j * 3 + 2) = px(j * 4 + 2)
+          j += 1
+        }
+        out
+    }
+    Some(PpmCodec.Image(w, h, rgb))
+  }
+
+  /** The closed-form encoded size for a w×h RGB image — mirrored by the
+    * media-scan oracle SQL. */
+  def encodedSize(w: Int, h: Int): Long = {
+    val raw = h.toLong * (1 + 3L * w)
+    val nBlocks = (raw + 65534) / 65535
+    8L + 25 + (12 + 2 + 5 * nBlocks + raw + 4) + 12
+  }
+
+  /** Deterministic encode: filter-0 scanlines, STORED deflate blocks,
+    * hand-computed adler32 + CRC32 — byte-stable across JVMs. */
+  def encode(img: PpmCodec.Image): Array[Byte] = {
+    val stride = img.width * 3
+    val raw = new Array[Byte](img.height * (1 + stride))
+    var y = 0
+    while (y < img.height) {
+      raw(y * (1 + stride)) = 0
+      System.arraycopy(img.pixels, y * stride, raw, y * (1 + stride) + 1, stride)
+      y += 1
+    }
+    // zlib: 0x78 0x01 header, stored blocks, adler32
+    val zlib = new java.io.ByteArrayOutputStream()
+    zlib.write(0x78); zlib.write(0x01)
+    var off = 0
+    while (off < raw.length || (raw.length == 0 && off == 0)) {
+      val n = math.min(65535, raw.length - off)
+      val last = off + n >= raw.length
+      zlib.write(if (last) 1 else 0)
+      zlib.write(n & 0xff); zlib.write((n >> 8) & 0xff)
+      zlib.write(~n & 0xff); zlib.write((~n >> 8) & 0xff)
+      zlib.write(raw, off, n)
+      off += n
+      if (last) off = raw.length + 1 // exit (handles the 0-byte case)
+    }
+    val adler = new java.util.zip.Adler32(); adler.update(raw)
+    val a = adler.getValue
+    zlib.write(((a >> 24) & 0xff).toInt); zlib.write(((a >> 16) & 0xff).toInt)
+    zlib.write(((a >> 8) & 0xff).toInt); zlib.write((a & 0xff).toInt)
+
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(img.width).putInt(img.height)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    SIG ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zlib.toByteArray) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+}
+
 /** RIFF/WAVE PCM-16 parser. */
 object WavCodec {
 

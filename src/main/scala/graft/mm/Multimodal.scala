@@ -37,17 +37,21 @@ object Multimodal {
       StructField("sample_rate", IntegerType, nullable = true),
       StructField("n_frames", IntegerType, nullable = true))), nullable = false)))
 
-  /** Format-dispatching decode front end: real parsing for PPM/WAV,
-    * stub fallback for every other byte pattern. */
+  /** Format-dispatching decode front end: real parsing for PPM/PNG/WAV,
+    * stub fallback for every other byte pattern. A PNG re-encodes as
+    * PNG on resize (format preserved). */
   object Codec {
     def imageFeatures(bytes: Array[Byte], dim: Int = 16): Array[Float] =
       PpmCodec.decode(bytes).map(PpmCodec.features(_, dim))
+        .orElse(PngCodec.decode(bytes).map(PpmCodec.features(_, dim)))
         .orElse(WavCodec.decode(bytes).map(WavCodec.features(_, dim)))
         .getOrElse(StubCodec.imageFeatures(bytes, dim))
 
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
       PpmCodec.decode(bytes)
         .map(img => PpmCodec.encode(PpmCodec.resizeNearest(img, w, h)))
+        .orElse(PngCodec.decode(bytes)
+          .map(img => PngCodec.encode(PpmCodec.resizeNearest(img, w, h))))
         .getOrElse(StubCodec.resize(bytes, w, h))
   }
 
@@ -147,10 +151,12 @@ object Multimodal {
 
   /** q_media_scan — the DSv2 media connector under the driver gate
     * (round-13 verdict ask #7): a media DIRECTORY is synthesized
-    * deterministically from the first 48 `documents` rows (doc_id % 3
-    * selects PPM image / WAV audio / opaque blob; dimensions, sample
-    * rate and sample count derive from (doc_id, n_chars) by fixed
-    * formulas), then read back through [[graft.sources.v2
+    * deterministically from the first 48 `documents` rows (doc_id % 4
+    * selects PPM image / WAV audio / REAL compressed PNG (r15) / opaque
+    * blob; dimensions, sample rate and sample count derive from
+    * (doc_id, n_chars) by fixed formulas — PNG sizes stay oracle-able
+    * because [[PngCodec.encode]] emits deterministic stored-block zlib,
+    * see [[PngCodec.encodedSize]]), then read back through [[graft.sources.v2
     * .MediaSourceProvider]] with `kind IN ('image','audio')` — the
     * predicate the connector pushes to the LISTING, so blob files are
     * pruned before they become tasks — projecting METADATA ONLY, the
@@ -191,7 +197,7 @@ object Multimodal {
         val id = r.getLong(0)
         val nc = r.getLong(1)
         val name = f"m$id%06d"
-        (id % 3) match {
+        (id % 4) match {
           case 0 =>
             val w = (nc % 13 + 2).toInt
             val h = (id % 7 + 2).toInt
@@ -202,6 +208,14 @@ object Multimodal {
             val ns = (nc % 300 + 10).toInt
             val samples = Array.tabulate(ns)(j => ((j * 31 + id) % 20000).toShort)
             write(s"$name.wav", WavCodec.encode(WavCodec.Audio(rate, 1, samples)))
+          case 2 =>
+            // REAL compressed format (r15): deterministic stored-block
+            // PNG, so the on-disk size stays a closed form of (w, h)
+            // the oracle computes — see PngCodec.encodedSize
+            val w = (nc % 11 + 2).toInt
+            val h = (id % 5 + 2).toInt
+            val px = Array.tabulate(w * h * 3)(j => ((j * 7 + id) % 253).toByte)
+            write(s"$name.png", PngCodec.encode(PpmCodec.Image(w, h, px)))
           case _ =>
             write(s"$name.bin", s"blob:$id:$nc".getBytes("UTF-8"))
         }

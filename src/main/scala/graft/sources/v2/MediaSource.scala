@@ -58,7 +58,7 @@ object MediaSource {
 
   def kindOf(name: String): String = {
     val n = name.toLowerCase
-    if (n.endsWith(".ppm")) "image"
+    if (n.endsWith(".ppm") || n.endsWith(".png")) "image"
     else if (n.endsWith(".wav")) "audio"
     else "binary"
   }
@@ -276,7 +276,8 @@ class MediaPartitionReader(paths: Array[String], required: StructType,
       var w: Integer = null; var h: Integer = null; var sr: Integer = null
       header.foreach { bs =>
         if (kind == "image")
-          parsePpmDims(bs).foreach { case (pw, ph) => w = pw; h = ph }
+          parsePpmDims(bs).orElse(parsePngDims(bs))
+            .foreach { case (pw, ph) => w = pw; h = ph }
         else if (kind == "audio") parseWavRate(bs).foreach(r => sr = r)
       }
       val metaVals = Map[String, Any]("width" -> w, "height" -> h, "sample_rate" -> sr)
@@ -310,6 +311,19 @@ class MediaPartitionReader(paths: Array[String], required: StructType,
     try if (toks.length == 2) Some((toks(0).toInt, toks(1).toInt)) else scala.None
     catch { case _: NumberFormatException => scala.None }
   }
+
+  /** PNG dims from the signature + IHDR (always the first chunk per
+    * spec): width/height are the two big-endian ints at offsets 16/20 —
+    * well inside the 256-byte prefix, so PNG metadata never opens a
+    * body either. */
+  private def parsePngDims(bs: Array[Byte]): Option[(Int, Int)] =
+    if (bs.length >= 24 &&
+        (bs(0) & 0xff) == 0x89 && bs(1) == 'P' && bs(2) == 'N' && bs(3) == 'G' &&
+        new String(bs.slice(12, 16), "US-ASCII") == "IHDR") {
+      val w = java.nio.ByteBuffer.wrap(bs, 16, 4).getInt
+      val h = java.nio.ByteBuffer.wrap(bs, 20, 4).getInt
+      if (w > 0 && h > 0) Some((w, h)) else scala.None
+    } else scala.None
 
   /** WAV sample rate from the 44-byte canonical header. Requires the
     * full RIFF/WAVE/fmt magic chain — a non-WAV RIFF container (AVI,

@@ -184,23 +184,33 @@ class MediaSourceSpec extends SparkSpec {
   test("q_media_scan driver key: listing prunes blobs, bodies never read, sizes exact") {
     MediaSource.headerReads.set(0); MediaSource.bodyReads.set(0)
     val out = graft.mm.Multimodal.qMediaScan(spark, sfDir).collect()
-    // doc_id 0..47: 16 images (%3=0), 16 audio (%3=1), 16 blobs (%3=2)
-    assert(out.length == 32)
+    // doc_id 0..47: 12 PPM (%4=0), 12 WAV (%4=1), 12 PNG (%4=2), 12 blobs
+    assert(out.length == 36)
     // metadata-only projection: zero full-body reads
     assert(MediaSource.bodyReads.get() == 0L,
       s"bodyReads=${MediaSource.bodyReads.get()}")
-    // the pushed kind filter pruned blobs at LISTING time: only the 32
+    // the pushed kind filter pruned blobs at LISTING time: only the 36
     // matching files were ever opened, and only for their headers
-    assert(MediaSource.headerReads.get() == 32L,
+    assert(MediaSource.headerReads.get() == 36L,
       s"headerReads=${MediaSource.headerReads.get()}")
     // per-format metadata parsed from real headers, size from listing
-    val img = out.filter(_.getAs[String]("kind") == "image")
+    val img = out.filter(r => r.getAs[String]("kind") == "image" &&
+      r.getAs[String]("name").endsWith(".ppm"))
+    val png = out.filter(_.getAs[String]("name").endsWith(".png"))
     val aud = out.filter(_.getAs[String]("kind") == "audio")
-    assert(img.length == 16 && aud.length == 16)
+    assert(img.length == 12 && png.length == 12 && aud.length == 12)
     img.foreach { r =>
       val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
       val hdr = 9 + w.toString.length + h.toString.length
       assert(r.getAs[Long]("size") == hdr + 3L * w * h)
+      assert(r.isNullAt(r.fieldIndex("sample_rate")))
+    }
+    // PNG dims come from the real big-endian IHDR parse; size is the
+    // deterministic stored-block closed form
+    png.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      assert(r.getAs[String]("kind") == "image")
+      assert(r.getAs[Long]("size") == graft.mm.PngCodec.encodedSize(w, h))
       assert(r.isNullAt(r.fieldIndex("sample_rate")))
     }
     aud.foreach { r =>

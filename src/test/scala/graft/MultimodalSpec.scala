@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Row
 
-import graft.mm.{Multimodal, PpmCodec, WavCodec}
+import graft.mm.{Multimodal, PngCodec, PpmCodec, WavCodec}
 
 class MultimodalSpec extends SparkSpec {
 
@@ -215,5 +215,110 @@ class MultimodalSpec extends SparkSpec {
     // plan never reads the bytes column
     val plan = Multimodal.sampleFrames(media, 3).queryExecution.optimizedPlan.toString
     assert(!plan.contains("bytes,") || !plan.contains("#bytes"), plan)
+  }
+
+  // ------------------------------------------------- PNG codec (r15)
+
+  /** Wraps raw (filtered) scanline bytes in a valid PNG container using
+    * a REAL Deflater stream — exercises the decoder against compressed
+    * zlib, not just our own stored blocks. */
+  private def pngFromRaw(w: Int, h: Int, colorType: Int, raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val n = d.deflate(buf); d.end()
+    val idat = java.util.Arrays.copyOf(buf, n)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n') ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++ chunk("IEND", Array.empty[Byte])
+  }
+
+  test("PNG codec: encode/decode round-trip, deterministic size, features parity with PPM") {
+    val w = 7; val h = 5
+    val px = Array.tabulate(w * h * 3)(j => ((j * 11 + 3) % 256).toByte)
+    val img = PpmCodec.Image(w, h, px)
+    val png = PngCodec.encode(img)
+    assert(png.length == PngCodec.encodedSize(w, h), s"${png.length}")
+    val back = PngCodec.decode(png).get
+    assert(back.width == w && back.height == h && back.pixels.toSeq == px.toSeq)
+    // the SAME pixels through PPM and PNG must extract identical features
+    val viaPpm = Multimodal.Codec.imageFeatures(PpmCodec.encode(img))
+    val viaPng = Multimodal.Codec.imageFeatures(png)
+    assert(viaPpm.toSeq == viaPng.toSeq)
+    // resize preserves the container format: a resized PNG is a PNG
+    val resized = Multimodal.Codec.resize(png, 3, 2)
+    val rimg = PngCodec.decode(resized).get
+    assert(rimg.width == 3 && rimg.height == 2)
+    assert(rimg.pixels.toSeq == PpmCodec.resizeNearest(img, 3, 2).pixels.toSeq)
+  }
+
+  test("PNG codec: all five filter types unfilter correctly under a real Deflater stream") {
+    val w = 6; val h = 5; val stride = w * 3
+    val px = Array.tabulate(stride * h)(j => ((j * 37 + j * j % 19) % 256).toByte)
+    // forward-filter each row with filter type = row % 5 (the encoder
+    // inverse of the decoder's unfilter branches)
+    val raw = new Array[Byte]((1 + stride) * h)
+    for (y <- 0 until h) {
+      val ft = y % 5
+      raw(y * (1 + stride)) = ft.toByte
+      for (x <- 0 until stride) {
+        val cur = px(y * stride + x) & 0xff
+        val left = if (x >= 3) px(y * stride + x - 3) & 0xff else 0
+        val up = if (y > 0) px((y - 1) * stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= 3) px((y - 1) * stride + x - 3) & 0xff else 0
+        val v = ft match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            cur - (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+        }
+        raw(y * (1 + stride) + 1 + x) = (v & 0xff).toByte
+      }
+    }
+    val img = PngCodec.decode(pngFromRaw(w, h, 2, raw)).get
+    assert(img.pixels.toSeq == px.toSeq, "filtered scanlines did not unfilter to the source")
+  }
+
+  test("PNG codec: greyscale and RGBA normalize to RGB") {
+    val g = Array.tabulate(4 * 3)(j => (j * 20).toByte) // 4x3 grey
+    val grawRows = (0 until 3).flatMap(y => 0.toByte +: g.slice(y * 4, y * 4 + 4).toSeq).toArray
+    val grey = PngCodec.decode(pngFromRaw(4, 3, 0, grawRows)).get
+    assert(grey.width == 4 && grey.height == 3)
+    assert((0 until 12).forall(j => grey.pixels(j * 3) == g(j) &&
+      grey.pixels(j * 3 + 1) == g(j) && grey.pixels(j * 3 + 2) == g(j)))
+    val rgba = Array.tabulate(2 * 2 * 4)(j => (j * 13).toByte)
+    val rrawRows = (0 until 2).flatMap(y => 0.toByte +: rgba.slice(y * 8, y * 8 + 8).toSeq).toArray
+    val rgb = PngCodec.decode(pngFromRaw(2, 2, 6, rrawRows)).get
+    assert(rgb.pixels.toSeq == Seq(0, 13, 26, 52, 65, 78, 104, 117, 130, 156, 169, 182).map(_.toByte))
+  }
+
+  test("PNG codec: corrupt blobs degrade to the stub path, never throw") {
+    val img = PpmCodec.Image(5, 4, Array.tabulate(60)(j => (j * 3).toByte))
+    val png = PngCodec.encode(img)
+    // truncated IDAT (cut mid-stream), bad magic, interlaced flag,
+    // 16-bit depth: every one must decode to None
+    val truncated = png.take(png.length - 20)
+    assert(PngCodec.decode(truncated).isEmpty)
+    assert(PngCodec.decode("nonsense".getBytes).isEmpty)
+    val interlaced = png.clone(); interlaced(8 + 8 + 12) = 1 // IHDR interlace byte
+    assert(PngCodec.decode(interlaced).isEmpty)
+    val deep = png.clone(); deep(8 + 8 + 8) = 16 // IHDR bit depth
+    assert(PngCodec.decode(deep).isEmpty)
+    // and the operator-facing dispatch falls back to the stub features
+    // instead of raising — one corrupt blob must never kill a job
+    val f = Multimodal.Codec.imageFeatures(truncated)
+    assert(f.toSeq == Multimodal.StubCodec.imageFeatures(truncated).toSeq)
   }
 }
