@@ -87,6 +87,9 @@ object SparkEntry {
     // batch SQL restricted to closed windows); and stream-static
     // incremental dedup under the batch twin's oracle verbatim
     "q_stream_append" -> (graft.stream.StreamQueries.qStreamAppend _),
+    // r15: the second append+watermark shape — overlapping sliding
+    // windows closing in stride order as the watermark passes each end
+    "q_stream_append_sliding" -> (graft.stream.StreamQueries.qStreamAppendSliding _),
     "q_stream_dedup_incremental" -> (graft.stream.StreamQueries.qStreamDedupIncremental _),
     "q_stream_join" -> (graft.stream.StreamQueries.qStreamJoin _),
     "q_stream_join_outer" -> (graft.stream.StreamQueries.qStreamJoinOuter _),
@@ -710,6 +713,11 @@ object SparkEntry {
     "q_stream_append" ->
       ("SELECT hour, event_type, n, sum_value FROM (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY 1, 2) " +
         "WHERE hour + INTERVAL 1 HOUR <= (SELECT date_trunc('milliseconds', MAX(CAST(ts AS TIMESTAMP))) - INTERVAL 1 HOUR FROM events) ORDER BY hour, event_type"),
+    // sliding windows in append mode: the batch sliding SQL restricted
+    // to windows whose END (wstart + 1h) the final watermark passed
+    "q_stream_append_sliding" ->
+      ("SELECT wstart, n FROM (SELECT wstart, COUNT(*) AS n FROM (SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) - i * INTERVAL 30 MINUTE AS wstart FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS i) t) GROUP BY wstart) " +
+        "WHERE wstart + INTERVAL 1 HOUR <= (SELECT date_trunc('milliseconds', MAX(CAST(ts AS TIMESTAMP))) - INTERVAL 1 HOUR FROM events) ORDER BY wstart"),
     // stream-stream banded join: oracle = the equivalent batch range
     // join (clicks × purchases on user_id, purchase within 30 min after
     // the click); event ids keep output rows unique

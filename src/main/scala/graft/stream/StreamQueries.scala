@@ -166,7 +166,13 @@ object StreamQueries {
     * windows × types with eviction below the watermark — bounded, the
     * production contract. The staged copy + checkpoint are per-invocation
     * temp dirs, deleted after the memory sink holds the result. */
-  def qStreamAppend(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared staging for the append/watermark keys: the events table cut
+    * into two chronological single-part files, replayed as two
+    * microbatches (maxFilesPerTrigger=1, mtime-pinned listing order),
+    * handed to `f` as a streaming source; the staged copy is deleted
+    * after `f` returns a fully-materialized result. */
+  private def withStagedEventStream(spark: SparkSession, dir: String)
+                                   (f: DataFrame => DataFrame): DataFrame = {
     val ev = graft.Tables.events(spark, dir)
       .select(col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"), col("value"))
@@ -180,18 +186,38 @@ object StreamQueries {
         stage, "f0", "ts", 1000000L)
       stageFile(ev.filter(col("ts") >= lit(cut.toString).cast("timestamp")),
         stage, "f1", "ts", 2000000L)
-      val src = spark.readStream.schema(ev.schema)
+      f(spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(s"$stage/f*/part-*.parquet")
+        .parquet(s"$stage/f*/part-*.parquet"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    }
+  }
+
+  def qStreamAppend(spark: SparkSession, dir: String): DataFrame =
+    withStagedEventStream(spark, dir) { src =>
       runToTable(spark, StreamOps.tumbling(src, watermark = Some("1 hour")),
         OutputMode.Append)
         .select(col("hour").cast("timestamp_ntz").as("hour"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("hour", "event_type")
-    } finally {
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
     }
-  }
+
+  /** The SECOND append+watermark shape (r15, verdict ask #4): SLIDING
+    * 1h/30min windows in APPEND mode over the same two-microbatch
+    * staged replay — a window emits exactly once, when the watermark
+    * passes its END (wstart + 1h), so overlapping windows close in
+    * stride order and the tail windows the watermark cannot prove
+    * complete are withheld. Oracle = the batch sliding SQL restricted
+    * to closed windows: wstart + 1h ≤ ms-floor(max ts) − 1h (the
+    * q_stream_append restriction device). */
+  def qStreamAppendSliding(spark: SparkSession, dir: String): DataFrame =
+    withStagedEventStream(spark, dir) { src =>
+      runToTable(spark, StreamOps.sliding(src, watermark = Some("1 hour")),
+        OutputMode.Append)
+        .select(col("wstart").cast("timestamp_ntz").as("wstart"), col("n"))
+        .orderBy("wstart")
+    }
 
   /** Stream-STREAM banded join on the driver gate (r12): the
     * [[StreamOps.streamStreamJoin]] operator — clicks and purchases as
