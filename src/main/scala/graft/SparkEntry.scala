@@ -380,6 +380,9 @@ object SparkEntry {
     // where the uncapped band join is output-bound (~10^4x pairs at the
     // x100 rehearsal's planted piles)
     "q_dedup_simhash_capped" -> (TextOps.qDedupSimhashCapped _),
+    // r15: the capped family completed — MinHash band buckets get the
+    // same hot-bucket star expansion as SimHash/embedding LSH
+    "q_dedup_minhash_capped" -> (TextOps.qDedupMinhashCapped _),
     // oracled non-adaptive cores of the two adaptive keys below
     // (round-9 verdict asks #6/#7): fixed plane count / fixed seeds
     "q_dedup_embedding_lsh_capped_fixed" -> (Similarity.qDedupEmbeddingLshCappedFixed _),
@@ -507,7 +510,8 @@ object SparkEntry {
       .map(i => s"(CAST(strpos('0123456789abcdef', substring($m, $i, 1)) AS BIGINT) - 1) * ${1L << (4 * (15 - i))}")
       .mkString("(", " + ", ")")
 
-  private val minhashPairsCte: String = {
+  /** hh/sig/bnd: base hash, 32 permutation minima, banded keys. */
+  private val minhashSigCtes: String = {
     val perms = text.TextOps.minhashPerms
     val r = perms / text.TextOps.minhashBands
     val p = text.TextOps.prime
@@ -515,12 +519,33 @@ object SparkEntry {
     val bLit = text.TextOps.permB.mkString("([", ", ", "])")
     s"hh AS (SELECT doc_id, ${hex60Sql("m")} % $p AS h FROM (SELECT doc_id, md5(s) AS m FROM s1)), " +
       s"sig AS (SELECT doc_id, j, MIN(($aLit[CAST(j + 1 AS INTEGER)] * h + $bLit[CAST(j + 1 AS INTEGER)]) % $p) AS m FROM hh CROSS JOIN (SELECT UNNEST(range(0, $perms)) AS j) perms GROUP BY doc_id, j), " +
-      s"bnd AS (SELECT doc_id, CAST(j // $r AS INTEGER) AS band, md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY j)) AS bh FROM sig GROUP BY doc_id, band), " +
-      "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bnd a JOIN bnd b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id), " +
-      "c0 AS (SELECT doc_id, COUNT(*) AS n FROM s0 GROUP BY doc_id), " +
+      s"bnd AS (SELECT doc_id, CAST(j // $r AS INTEGER) AS band, md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY j)) AS bh FROM sig GROUP BY doc_id, band)"
+  }
+
+  /** Exact Jaccard over the UNCAPPED s0 shingle sets for a `cand`
+    * (id_a, id_b) CTE — yields `mh(id_a, id_b, jac)`. */
+  private val minhashVerifyCtes: String =
+    "c0 AS (SELECT doc_id, COUNT(*) AS n FROM s0 GROUP BY doc_id), " +
       "inter AS (SELECT id_a, id_b, COUNT(*) AS ni FROM cand JOIN s0 sa ON sa.doc_id = cand.id_a JOIN s0 sb ON sb.doc_id = cand.id_b AND sb.s = sa.s GROUP BY id_a, id_b), " +
       "mh AS (SELECT id_a, id_b, CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) AS jac FROM inter JOIN c0 ca ON ca.doc_id = id_a JOIN c0 cb ON cb.doc_id = id_b)"
-  }
+
+  private val minhashPairsCte: String =
+    s"$minhashSigCtes, " +
+      "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bnd a JOIN bnd b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id), " +
+      minhashVerifyCtes
+
+  /** Capped variant (r15): hot (band, bh) buckets star-expand against
+    * their min-id rep — the q_dedup_simhash_capped CTE shape on banded
+    * MinHash keys. */
+  private val minhashCappedPairsCte: String =
+    s"$minhashSigCtes, " +
+      s"mccnt AS (SELECT band, bh, COUNT(*) > ${text.TextOps.minhashBandBucketCap} AS hot FROM bnd GROUP BY band, bh), " +
+      "mctg AS (SELECT k.doc_id, k.band, k.bh, c.hot FROM bnd k JOIN mccnt c ON k.band = c.band AND k.bh = c.bh), " +
+      "mccpp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM mctg a JOIN mctg b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id WHERE NOT a.hot AND NOT b.hot), " +
+      "mcrp AS (SELECT band, bh, MIN(doc_id) AS id_a FROM mctg WHERE hot GROUP BY band, bh), " +
+      "mcspp AS (SELECT r.id_a, h.doc_id AS id_b FROM mctg h JOIN mcrp r ON h.band = r.band AND h.bh = r.bh AND h.doc_id <> r.id_a WHERE h.hot), " +
+      "cand AS (SELECT DISTINCT id_a, id_b FROM (SELECT * FROM mccpp UNION ALL SELECT * FROM mcspp)), " +
+      minhashVerifyCtes
 
   /** Recursive-CTE connected components over the MinHash edge set (jac
     * >= 0.6, the nearDupPairs threshold) — shared by the banded and
@@ -1491,6 +1516,10 @@ object SparkEntry {
     // candidates AND the exact-Jaccard verify all reproduce in DuckDB
     "q_dedup_minhash" ->
       s"$ngramShingleCte, $minhashPairsCte SELECT id_a, id_b, ROUND(jac, 6) AS jaccard FROM mh WHERE jac >= 0.6 ORDER BY id_a, id_b",
+    // capped band buckets: hot (band, bh) star-expands vs its min-id
+    // rep before the exact-Jaccard verify (the simhash_capped device)
+    "q_dedup_minhash_capped" ->
+      s"$ngramShingleCte, $minhashCappedPairsCte SELECT id_a, id_b, ROUND(jac, 6) AS jaccard FROM mh WHERE jac >= 0.6 ORDER BY id_a, id_b",
     // banded/star CC over the same MinHash edges: one recursive-CTE
     // oracle serves both (identical fixpoint, different round structure)
     "q_dedup_cluster_banded" -> minhashClusterSql,

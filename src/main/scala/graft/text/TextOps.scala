@@ -250,12 +250,12 @@ object TextOps {
   def bandedCandidates(docs: DataFrame, w: Int = 3): DataFrame =
     bandedCandidatesFromSignatures(minhashSignatures(docs, w))
 
-  def nearDupPairs(docs: DataFrame, w: Int = 3, minJaccard: Double = 0.6): DataFrame = {
-    // Band join ships only (bandKey, doc_id) — constant-width rows — and
-    // candidate pairs are de-duplicated BEFORE any document content is
-    // rejoined. Exact-Jaccard shingle sets are computed only for the few
-    // surviving candidate pairs, not for the whole corpus.
-    val cand = bandedCandidates(docs, w)
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs —
+    * the shared tail of [[nearDupPairs]] / [[nearDupPairsCapped]].
+    * Shingle sets are computed only for the surviving candidates,
+    * never for the whole corpus. */
+  private def verifyJaccard(cand: DataFrame, docs: DataFrame, w: Int,
+                            minJaccard: Double): DataFrame = {
     val text = docs.select(col("doc_id"), col("text"))
     cand
       .join(text.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
@@ -270,8 +270,71 @@ object TextOps {
       .orderBy("id_a", "id_b")
   }
 
+  def nearDupPairs(docs: DataFrame, w: Int = 3, minJaccard: Double = 0.6): DataFrame =
+    // Band join ships only (bandKey, doc_id) — constant-width rows — and
+    // candidate pairs are de-duplicated BEFORE any document content is
+    // rejoined.
+    verifyJaccard(bandedCandidates(docs, w), docs, w, minJaccard)
+
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     nearDupPairs(Tables.documents(spark, dir))
+
+  /** Per-(band, bh) population cap for [[bandedCandidatesCapped]] —
+    * profiled so BOTH the cold-pair and star-expansion paths carry rows
+    * at every test SF (band-bucket populations there peak at 4). */
+  val minhashBandBucketCap = 2L
+
+  /** CAPPED banded MinHash candidates (r15) — the production form at
+    * adversarial duplicate density, completing the capped family
+    * (embedding LSH r13, SimHash r14, MinHash now): a deep
+    * exact-duplicate pile shares every band key, so the uncapped band
+    * self-join owes Σ C(pile,2) candidate rows — the ×100 rehearsal
+    * adjudicated `q_dedup_minhash` output-bound at 27.5× against
+    * planted 100-deep piles. A (band, bh) bucket above `cap`
+    * star-expands against its min-id representative instead of pairing
+    * all-vs-all — O(|bucket|) candidates; exact-duplicate piles still
+    * collapse downstream because every (rep, member) pair verifies at
+    * jaccard 1.0 and the cluster step closes the component through the
+    * rep (the same argument as the SimHash/embedding capped keys; a
+    * hot bucket of merely-similar docs keeps only its rep edges — the
+    * documented recall trade the cap buys its output bound with).
+    *
+    * Scale: the hot map is a ≤nBands·|buckets|-row broadcast-side
+    * aggregate (map-side combined); cold pairs are the bounded band
+    * equi-join; star pairs are O(corpus). */
+  def bandedCandidatesCapped(sigs: DataFrame,
+                             cap: Long = minhashBandBucketCap): DataFrame = {
+    val keyed = sigs.select(col("doc_id"), explode(bandKeys(col("sig"))).as("k"))
+      .select(col("doc_id"), col("k.band").as("band"), col("k.bh").as("bh"))
+    val counts = keyed.groupBy(col("band"), col("bh"))
+      .agg((count(lit(1)) > cap).as("hot"))
+    val tagged = keyed.join(broadcast(counts), Seq("band", "bh"))
+    val cold = tagged.filter(!col("hot"))
+    val coldPairs = cold
+      .select(col("band"), col("bh"), col("doc_id").as("id_a"))
+      .join(cold.select(col("band"), col("bh"), col("doc_id").as("id_b")),
+        Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val hotRows = tagged.filter(col("hot"))
+    val reps = hotRows.groupBy(col("band"), col("bh"))
+      .agg(min(col("doc_id")).as("id_a"))
+    // min-id rep < every other member: (rep, member) already canonical
+    val starPairs = hotRows.join(reps, Seq("band", "bh"))
+      .filter(col("doc_id") =!= col("id_a"))
+      .select(col("id_a"), col("doc_id").as("id_b"))
+    coldPairs.unionAll(starPairs).distinct()
+  }
+
+  /** [[nearDupPairs]] with the capped candidate generator. */
+  def nearDupPairsCapped(docs: DataFrame, w: Int = 3, minJaccard: Double = 0.6,
+                         cap: Long = minhashBandBucketCap): DataFrame =
+    verifyJaccard(bandedCandidatesCapped(minhashSignatures(docs, w), cap),
+      docs, w, minJaccard)
+
+  /** Driver gate for the capped MinHash band join. */
+  def qDedupMinhashCapped(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairsCapped(Tables.documents(spark, dir))
 
   // ----------------------------------------------------- near-dup (SimHash)
 

@@ -231,6 +231,35 @@ class TextOpsSpec extends SparkSpec {
     assert(counts.exists(_ <= TextOps.simhashBucketCap), "no cold bucket at test SF")
   }
 
+  test("capped minhash banding: ≡ uncapped when nothing is hot; O(n) candidates on a planted pile") {
+    val docs = Tables.documents(spark, sfDir)
+    // a cap no real bucket reaches → capped must equal the exact form
+    val exact = TextOps.nearDupPairs(docs)
+      .as[(Long, Long, Double)].collect().toSet
+    val cappedHigh = TextOps.nearDupPairsCapped(docs, cap = 1L << 40)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cappedHigh == exact, "high-cap capped form must equal the uncapped pairing")
+    // a 100-deep pile of ONE signature (identical text → identical
+    // bands): the uncapped band join owes C(100,2)=4950 candidates per
+    // band; the capped form star-expands to 99 rep-member candidates,
+    // every one verifying at jaccard 1.0 (exact-dup piles stay
+    // component-lossless through the rep)
+    val pile = spark.range(100).select($"id".as("doc_id"),
+      lit("alpha beta gamma delta epsilon zeta eta theta").as("text"))
+    val got = TextOps.nearDupPairsCapped(pile, cap = 16L)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 99, s"star expansion must emit O(n) pairs, got ${got.length}")
+    assert(got.forall(p => p._1 == 0L && p._3 == 1.0), "every pair anchors at the min-id rep")
+    // the gate key exercises BOTH paths at the test SF
+    val counts = TextOps.minhashSignatures(docs, 3)
+      .select($"doc_id", explode(TextOps.bandKeys($"sig")).as("k"))
+      .groupBy($"k").count()
+      .select("count").as[Long].collect()
+    assert(counts.exists(_ > TextOps.minhashBandBucketCap), "no hot bucket at test SF")
+    assert(counts.exists(c => c > 1 && c <= TextOps.minhashBandBucketCap),
+      "no pair-carrying cold bucket at test SF")
+  }
+
   test("simhash banding catches a planted 1-bit flip, rejects far pairs") {
     val base = 0x0F0F0F0FL
     val fps = Seq(
