@@ -91,6 +91,10 @@ object SparkEntry {
     // windows closing in stride order as the watermark passes each end
     "q_stream_append_sliding" -> (graft.stream.StreamQueries.qStreamAppendSliding _),
     "q_stream_dedup_incremental" -> (graft.stream.StreamQueries.qStreamDedupIncremental _),
+    // r15: the ONLINE near-dup ingest gate — row-local MinHash band
+    // keys on the stream side vs a static corpus band table, exact
+    // Jaccard verify before emission
+    "q_stream_dedup_neardup" -> (graft.stream.StreamQueries.qStreamDedupNearDup _),
     "q_stream_join" -> (graft.stream.StreamQueries.qStreamJoin _),
     "q_stream_join_outer" -> (graft.stream.StreamQueries.qStreamJoinOuter _),
     "q_dedup_latest" -> (RelQueries.dedupLatest _),
@@ -769,6 +773,34 @@ object SparkEntry {
     // (same eval-fraction split, md5 digests, min-doc_id keep)
     "q_stream_dedup_incremental" ->
       s"WITH newb AS (SELECT doc_id, md5(text) AS h FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(text.TextOps.decontamEvalFraction)}'), corp AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE NOT substring(md5(CAST(doc_id AS VARCHAR)),1,2) < '${text.Sampling.cutHex(text.TextOps.decontamEvalFraction)}'), keep AS (SELECT MIN(doc_id) AS doc_id, h FROM newb GROUP BY h) SELECT k.doc_id, k.h FROM keep k LEFT JOIN corp c ON k.h = c.h WHERE c.h IS NULL ORDER BY k.doc_id",
+    // stream-static near-dup ingest gate: band keys over UNCAPPED
+    // shingles (s0 — the row-local stream signature can't see document
+    // frequencies) on both sides; the CORPUS band table is capped (hot
+    // buckets keep their min-id rep — one witness per pile suffices
+    // for an ingest decision); exact Jaccard over the same s0 sets
+    "q_stream_dedup_neardup" -> {
+      val perms = text.TextOps.minhashPerms
+      val r = perms / text.TextOps.minhashBands
+      val p = text.TextOps.prime
+      val aLit = text.TextOps.permA.mkString("([", ", ", "])")
+      val bLit = text.TextOps.permB.mkString("([", ", ", "])")
+      def evalOf(x: String) =
+        s"substring(md5(CAST($x AS VARCHAR)),1,2) < '${text.Sampling.cutHex(text.TextOps.decontamEvalFraction)}'"
+      s"$ngramShingleCte, " +
+        s"ndhh AS (SELECT doc_id, ${hex60Sql("m")} % $p AS h FROM (SELECT doc_id, md5(s) AS m FROM s0)), " +
+        s"ndsig AS (SELECT doc_id, j, MIN(($aLit[CAST(j + 1 AS INTEGER)] * h + $bLit[CAST(j + 1 AS INTEGER)]) % $p) AS m FROM ndhh CROSS JOIN (SELECT UNNEST(range(0, $perms)) AS j) perms GROUP BY doc_id, j), " +
+        s"ndbnd AS (SELECT doc_id, CAST(j // $r AS INTEGER) AS band, md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY j)) AS bh FROM ndsig GROUP BY doc_id, band), " +
+        // corpus band table CAPPED: hot buckets keep min corpus_id only
+        s"corb0 AS (SELECT doc_id, band, bh FROM ndbnd WHERE NOT ${evalOf("doc_id")}), " +
+        s"ccnt AS (SELECT band, bh, COUNT(*) > ${text.TextOps.minhashBandBucketCap} AS hot FROM corb0 GROUP BY band, bh), " +
+        "ctg AS (SELECT c.doc_id, c.band, c.bh, t.hot FROM corb0 c JOIN ccnt t ON c.band = t.band AND c.bh = t.bh), " +
+        "corb AS (SELECT doc_id, band, bh FROM ctg WHERE NOT hot UNION ALL SELECT MIN(doc_id) AS doc_id, band, bh FROM ctg WHERE hot GROUP BY band, bh), " +
+        s"cand AS (SELECT DISTINCT n.doc_id AS doc_id, c.doc_id AS corpus_id FROM ndbnd n JOIN corb c ON n.band = c.band AND n.bh = c.bh WHERE ${evalOf("n.doc_id")}), " +
+        "c0 AS (SELECT doc_id, COUNT(*) AS n FROM s0 GROUP BY doc_id), " +
+        "inter AS (SELECT cand.doc_id, corpus_id, COUNT(*) AS ni FROM cand JOIN s0 sa ON sa.doc_id = cand.doc_id JOIN s0 sb ON sb.doc_id = cand.corpus_id AND sb.s = sa.s GROUP BY cand.doc_id, corpus_id), " +
+        "mh AS (SELECT inter.doc_id, corpus_id, CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) AS jac FROM inter JOIN c0 ca ON ca.doc_id = inter.doc_id JOIN c0 cb ON cb.doc_id = corpus_id) " +
+        "SELECT doc_id, corpus_id, ROUND(jac, 6) AS jaccard FROM mh WHERE jac >= 0.6 ORDER BY doc_id, corpus_id"
+    },
     // §2.A
     "q_minmax_scale" ->
       "SELECT l_orderkey, l_linenumber, ROUND((l_quantity - MIN(l_quantity) OVER ()) / (MAX(l_quantity) OVER () - MIN(l_quantity) OVER ()), 6) AS scaled FROM lineitem ORDER BY l_orderkey, l_linenumber, scaled",

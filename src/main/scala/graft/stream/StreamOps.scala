@@ -168,6 +168,58 @@ object StreamOps {
       .join(corpusDigests, col("__h") === col("h"), "left_anti")
       .drop("__h")
 
+  /** STREAM-STATIC NEAR-dup ingest gate (r15) — the online form of the
+    * MinHash band join: each incoming document computes its signature
+    * ROW-LOCALLY ([[graft.text.TextOps.minhashSignature]], the HOF form
+    * — stateless, no corpus aggregate on the stream side), explodes its
+    * band keys, and equi-joins a STATIC corpus band table (built in
+    * batch, refreshed out-of-band — the incrementalDedupStream corpus
+    * convention). Candidates verify by exact Jaccard against the corpus
+    * text before emission; a pair can share up to nBands keys, so
+    * candidate duplicates collapse within the watermark (bounded state,
+    * GC'd below it).
+    *
+    * Both sides key on UNCAPPED distinct shingles: a row-local signature
+    * cannot see document frequencies, so the corpus table must be built
+    * with `maxDf = 0` for the keys to be comparable.
+    *
+    * Scale: the stream side ships (band, bh, doc) rows — constant
+    * width; the corpus band table and text are document-linear static
+    * relations planned like any batch join side. `corpusBands` columns:
+    * (band, bh, corpus_id); `corpusText`: (corpus_id, corpus_text). */
+  def nearDupGateStream(newDocs: DataFrame, corpusBands: DataFrame,
+                        corpusText: DataFrame, w: Int = 3,
+                        minJaccard: Double = 0.6,
+                        watermark: String = "10 minutes"): DataFrame = {
+    import graft.text.TextOps
+    def shingleSet(c: org.apache.spark.sql.Column) =
+      array_distinct(TextOps.shingles(TextOps.tokens(c), w))
+    val cand = newDocs
+      .withWatermark("ts", watermark)
+      // hash array and signature each materialize in their OWN
+      // projection: the 32 min-aggregates are not CSE'd, so inlining
+      // would recompute every shingle md5 32x per row (25 s -> 5.6 s
+      // at sf0.1) — the minhashHashes note
+      .withColumn("__mh", TextOps.minhashHashes(shingleSet(col("text"))))
+      .withColumn("__sig", TextOps.minhashSignatureFromHashes(col("__mh")))
+      .select(col("doc_id"), col("text"), col("ts"),
+        explode(TextOps.bandKeys(col("__sig"))).as("k"))
+      .select(col("doc_id"), col("text"), col("ts"),
+        col("k.band").as("band"), col("k.bh").as("bh"))
+      .join(corpusBands, Seq("band", "bh"))
+      .select(col("doc_id"), col("text"), col("ts"), col("corpus_id"))
+      .dropDuplicatesWithinWatermark(Seq("doc_id", "corpus_id"))
+    cand.join(corpusText, Seq("corpus_id"))
+      .withColumn("sh_a", shingleSet(col("text")))
+      .withColumn("sh_b", shingleSet(col("corpus_text")))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_id"), col("corpus_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
   final case class UserCounter(user_id: Long, n_events: Long, total_value: Double)
 

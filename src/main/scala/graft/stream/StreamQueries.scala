@@ -339,6 +339,61 @@ object StreamQueries {
     }
   }
 
+  /** Stream-static NEAR-dup ingest gate on the driver oracle (r15):
+    * [[StreamOps.nearDupGateStream]] — new documents (the eval-fraction
+    * split, the q_stream_dedup_incremental convention) stream in,
+    * compute row-local MinHash band keys, equi-join the STATIC corpus
+    * band table, and emit exact-Jaccard-verified near-dup pairs — the
+    * online dedup decision a production ingest makes BEFORE a document
+    * enters the corpus. Oracle = the equivalent batch band join over
+    * uncapped shingles restricted to (new × corpus) pairs; the staged
+    * single-part doc_id-sorted input makes the bounded run reproducible
+    * (all rows in one microbatch — the watermark can't late-drop). */
+  def qStreamDedupNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val isNew = graft.text.Sampling.inSample(col("doc_id"),
+      graft.text.TextOps.decontamEvalFraction)
+    val corpus = docs.filter(!isNew)
+    // UNCAPPED shingles (maxDf = 0): the row-local stream signature
+    // cannot see document frequencies — see nearDupGateStream.
+    // The band table itself is CAPPED (the capped-family device applied
+    // to the gate's STATIC side): a corpus band bucket above the cap
+    // keeps only its min-id representative, so an incoming doc hits at
+    // most one witness per pile — all an ingest DECISION needs — and
+    // candidate emission stays O(new × bands) at ANY corpus duplicate
+    // density (uncapped, the ×100 rehearsal's 100-deep piles owe ~100
+    // verified pairs per new doc and the run is output-bound).
+    val allBands = graft.text.TextOps.minhashSignaturesFromShingles(
+        graft.text.TextOps.shingleRows(corpus, 3, maxDf = 0))
+      .select(col("doc_id").as("corpus_id"),
+        explode(graft.text.TextOps.bandKeys(col("sig"))).as("k"))
+      .select(col("k.band").as("band"), col("k.bh").as("bh"), col("corpus_id"))
+    val bandCounts = allBands.groupBy(col("band"), col("bh"))
+      .agg((count(lit(1)) > graft.text.TextOps.minhashBandBucketCap).as("hot"))
+    val tagged = allBands.join(broadcast(bandCounts), Seq("band", "bh"))
+    val corpusBands = tagged.filter(!col("hot")).drop("hot")
+      .unionAll(tagged.filter(col("hot"))
+        .groupBy(col("band"), col("bh"))
+        .agg(min(col("corpus_id")).as("corpus_id")))
+    val corpusText = corpus
+      .select(col("doc_id").as("corpus_id"), col("text").as("corpus_text"))
+    val newDocs = docs.filter(isNew)
+      .select(col("doc_id"), col("text"),
+        timestamp_seconds(col("doc_id")).as("ts"))
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_ndg").toString
+    try {
+      stageFile(newDocs, stage, "f0", "doc_id", 1000000L)
+      val src = spark.readStream.schema(newDocs.schema)
+        .parquet(s"$stage/f0/part-*.parquet")
+      runToTable(spark,
+        StreamOps.nearDupGateStream(src, corpusBands, corpusText),
+        OutputMode.Append)
+        .orderBy("doc_id", "corpus_id")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    }
+  }
+
   /** Events as the exact-arithmetic stateful-op input: epoch-µs longs
     * and cents BIGINT (the [[StreamOps.SessEvent]] shape), so a group's
     * fold order cannot wiggle any output. */

@@ -254,4 +254,34 @@ class StreamOpsSpec extends SparkSpec {
       spark.catalog.dropTempView("sess_stitch")
     }
   }
+
+  test("stream-static near-dup gate: banded candidates verify, far docs don't emit, band dups collapse") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpusDocs = Seq((100L, base), (101L, "wholly different corpus body text here"))
+      .toDF("doc_id", "text")
+    val corpusBands = graft.text.TextOps.minhashSignaturesFromShingles(
+        graft.text.TextOps.shingleRows(corpusDocs, 3, maxDf = 0))
+      .select($"doc_id".as("corpus_id"),
+        explode(graft.text.TextOps.bandKeys($"sig")).as("k"))
+      .select($"k.band".as("band"), $"k.bh".as("bh"), $"corpus_id")
+    val corpusText = corpusDocs.select($"doc_id".as("corpus_id"), $"text".as("corpus_text"))
+    val mem = MemoryStream[Doc]
+    val q = StreamOps.nearDupGateStream(mem.toDF(), corpusBands, corpusText)
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("t_ndgate").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(
+      // identical to corpus 100: every band matches (4 candidate rows
+      // collapse to one within the watermark), jaccard 1.0 → emits
+      Doc(ts("2024-01-01 10:00:00"), 1, base),
+      // unrelated: no band key in the corpus table → never a candidate
+      Doc(ts("2024-01-01 10:01:00"), 2, "totally unrelated stream payload words"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_ndgate")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("corpus_id"),
+        r.getAs[Double]("jaccard")))
+    assert(got.toSeq == Seq((1L, 100L, 1.0)), got.toSeq.toString)
+  }
 }
