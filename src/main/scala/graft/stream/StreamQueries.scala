@@ -368,9 +368,18 @@ object StreamQueries {
       .select(col("doc_id").as("corpus_id"),
         explode(graft.text.TextOps.bandKeys(col("sig"))).as("k"))
       .select(col("k.band").as("band"), col("k.bh").as("bh"), col("corpus_id"))
-    val bandCounts = allBands.groupBy(col("band"), col("bh"))
-      .agg((count(lit(1)) > graft.text.TextOps.minhashBandBucketCap).as("hot"))
-    val tagged = allBands.join(broadcast(bandCounts), Seq("band", "bh"))
+    // Only the HOT keys are broadcast (r16): the full (band, bh) count
+    // frame grows ~nBands·|distinct docs| (md5 band hashes — unbounded
+    // keyspace), but every hot key owes >cap member rows, so the hot
+    // subset is bounded by band-rows/cap at ANY corpus size. Cold
+    // membership comes back via left-join + coalesce(hot, false) — the
+    // bandedCandidatesCapped device.
+    val hotKeys = allBands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > graft.text.TextOps.minhashBandBucketCap)
+      .select(col("band"), col("bh"), lit(true).as("hot"))
+    val tagged = allBands.join(broadcast(hotKeys), Seq("band", "bh"), "left")
+      .withColumn("hot", coalesce(col("hot"), lit(false)))
     val corpusBands = tagged.filter(!col("hot")).drop("hot")
       .unionAll(tagged.filter(col("hot"))
         .groupBy(col("band"), col("bh"))

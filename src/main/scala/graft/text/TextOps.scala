@@ -283,11 +283,52 @@ object TextOps {
       .orderBy("id_a", "id_b")
   }
 
-  def nearDupPairs(docs: DataFrame, w: Int = 3, minJaccard: Double = 0.6): DataFrame =
+  /** Hot-bucket density budget for the UNCAPPED MinHash band join (r16
+    * verdict ask #2 — the [[graft.sim.Similarity.uncappedBucketGuard]]
+    * device applied to the text family): pair work per (band, bh)
+    * bucket is C(pop, 2), so a planted exact-duplicate pile (every copy
+    * shares every band key) makes the join Ω(Σ C(pile, 2)) — the ×100
+    * rehearsal adjudicated q_dedup_minhash output-bound at 27.5×.
+    * Guarded runs abort in ONE cheap map-side-combined aggregate
+    * instead. Sized from measured populations: sf0.1 max bucket = 4
+    * (→ ~40 at ×10, ~400 at ×100), so 128 passes every test SF and the
+    * ×10 corpus, and trips the ×100 planted piles immediately. */
+  val minhashBandGuard = 128L
+
+  /** Fail-fast density check before an uncapped band self-join: one
+    * aggregate over the (already checkpointed) band-key frame; any
+    * bucket above `guard` aborts with the hot-bucket profile and the
+    * capped operator's name, BEFORE any quadratic pair work runs. */
+  private def assertBandDensity(keyed: DataFrame, guard: Long,
+                                capped: String): Unit = {
+    val hot = keyed.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > guard).orderBy(col("n").desc).limit(5)
+      .collect().map(r => s"bucket ${r.get(0)}=${r.getLong(1)}")
+    require(hot.isEmpty,
+      s"uncapped band-bucket density exceeds guard $guard (hot: " +
+        s"${hot.mkString(", ")}); the band self-join would be " +
+        s"~quadratic in the hot-bucket population — use $capped at " +
+        "this duplicate density")
+  }
+
+  def nearDupPairs(docs: DataFrame, w: Int = 3, minJaccard: Double = 0.6,
+                   guard: Long = minhashBandGuard,
+                   cp: Checkpointer = Checkpointer.Local): DataFrame = {
     // Band join ships only (bandKey, doc_id) — constant-width rows — and
     // candidate pairs are de-duplicated BEFORE any document content is
-    // rejoined.
-    verifyJaccard(bandedCandidates(docs, w), docs, w, minJaccard)
+    // rejoined. The band frame is materialized ONCE (cp): the density
+    // guard's aggregate reads the same blocks both self-join sides then
+    // reuse, so the fail-fast costs one aggregate, not a second
+    // signature pass over the corpus.
+    val keyed = cp(minhashSignatures(docs, w)
+      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("k")))
+    if (guard > 0) assertBandDensity(keyed, guard, "q_dedup_minhash_capped")
+    val cand = keyed.select(col("k"), col("doc_id").as("id_a"))
+      .join(keyed.select(col("k"), col("doc_id").as("id_b")), Seq("k"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    verifyJaccard(cand, docs, w, minJaccard)
+  }
 
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     nearDupPairs(Tables.documents(spark, dir))
@@ -312,16 +353,26 @@ object TextOps {
     * hot bucket of merely-similar docs keeps only its rep edges — the
     * documented recall trade the cap buys its output bound with).
     *
-    * Scale: the hot map is a ≤nBands·|buckets|-row broadcast-side
-    * aggregate (map-side combined); cold pairs are the bounded band
-    * equi-join; star pairs are O(corpus). */
+    * Scale: only the HOT (band, bh) keys are broadcast (r16) — unlike
+    * the SimHash twin, whose full count frame is bounded by the
+    * ≤nBands·2^(32/nBands) keyspace, a MinHash band hash is md5 of the
+    * band's signature slice, so the FULL count frame grows
+    * ~nBands·|distinct docs| (≈4 B rows at 1 B docs — an executor OOM
+    * as a forced broadcast). Every hot key owes >cap member rows, so
+    * the hot subset is bounded by band-rows/cap regardless of corpus
+    * size; cold membership is recovered by left-join +
+    * coalesce(hot, false) — the [[graft.sim.Similarity.cappedLshBuckets]]
+    * device. Cold pairs are the bounded band equi-join; star pairs are
+    * O(corpus). */
   def bandedCandidatesCapped(sigs: DataFrame,
                              cap: Long = minhashBandBucketCap): DataFrame = {
     val keyed = sigs.select(col("doc_id"), explode(bandKeys(col("sig"))).as("k"))
       .select(col("doc_id"), col("k.band").as("band"), col("k.bh").as("bh"))
-    val counts = keyed.groupBy(col("band"), col("bh"))
-      .agg((count(lit(1)) > cap).as("hot"))
-    val tagged = keyed.join(broadcast(counts), Seq("band", "bh"))
+    val hotKeys = keyed.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > cap)
+      .select(col("band"), col("bh"), lit(true).as("hot"))
+    val tagged = keyed.join(broadcast(hotKeys), Seq("band", "bh"), "left")
+      .withColumn("hot", coalesce(col("hot"), lit(false)))
     val cold = tagged.filter(!col("hot"))
     val coldPairs = cold
       .select(col("band"), col("bh"), col("doc_id").as("id_a"))
@@ -409,9 +460,21 @@ object TextOps {
     * (`bit_count(xor)`). Guaranteed recall for distance ≤ nBands − 1;
     * pairs at distance in (nBands−1, maxHamming] are caught only if
     * their flips cluster outside one band. */
+  /** Hot-bucket density budget for the UNCAPPED SimHash band join (r16
+    * verdict ask #2, twin of [[minhashBandGuard]]): a 32-bit
+    * fingerprint space collides hard under exact-duplicate piles (every
+    * copy shares every band key), and the uncapped self-join owes
+    * Σ C(pile, 2) pairs — the ×10 rehearsal measured q_dedup_simhash_
+    * banded output-bound at 101.7× rows. Sized from measured
+    * populations: sf0.1 max (band, bits) bucket = 748 (→ ~7.5 k at ×10,
+    * ~75 k at ×100), so 16384 passes every test SF and the ×10 corpus,
+    * and trips the ×100 planted piles immediately. */
+  val simhashBandGuard = 16384L
+
   def simhashBandPairs(fps: DataFrame, maxHamming: Int = 3,
                        nBands: Int = 4,
-                       cp: Checkpointer = Checkpointer.Local): DataFrame = {
+                       cp: Checkpointer = Checkpointer.Local,
+                       guard: Long = simhashBandGuard): DataFrame = {
     require(32 % nBands == 0, s"nBands must divide 32, got $nBands")
     val width = 32 / nBands
     val mask = (1L << width) - 1
@@ -421,6 +484,8 @@ object TextOps {
         struct(lit(b).as("band"),
           shiftright(col("fp"), b * width).bitwiseAND(lit(mask)).as("bits"))): _*))
         .as("k")))
+    if (guard > 0)
+      assertBandDensity(keyed, guard, "q_dedup_simhash_capped")
     keyed.select(col("k"), col("doc_id").as("id_a"), col("fp").as("fp_a"))
       .join(keyed.select(col("k"), col("doc_id").as("id_b"), col("fp").as("fp_b")), Seq("k"))
       .filter(col("id_a") < col("id_b"))

@@ -260,6 +260,85 @@ class TextOpsSpec extends SparkSpec {
       "no pair-carrying cold bucket at test SF")
   }
 
+  test("uncapped band-join density guards fail fast on a planted pile, naming the capped sibling") {
+    // the default guards are invisible on every test corpus (the
+    // oracle-stability contract: a guard never changes green output) —
+    // sf band-bucket populations peak at 4 (minhash) / 748 (simhash at
+    // sf0.1) vs guards 128 / 16384
+    assert(TextOps.nearDupPairs(Tables.documents(spark, sfDir)).count() > 0)
+    // a 100-deep exact-duplicate pile (the ×100 rehearsal's planted
+    // density, miniaturized) must abort in the cheap count aggregate —
+    // BEFORE any quadratic pair work — routing to the capped operator
+    val pile = spark.range(100).select($"id".as("doc_id"),
+      lit("alpha beta gamma delta epsilon zeta eta theta").as("text"))
+    val e1 = intercept[IllegalArgumentException] {
+      TextOps.nearDupPairs(pile, guard = 16L)
+    }
+    assert(e1.getMessage.contains("q_dedup_minhash_capped"),
+      s"guard must route to the capped operator: ${e1.getMessage}")
+    val fpsPile = spark.range(100)
+      .select($"id".as("doc_id"), lit(0x0F0F0F0FL).as("fp"))
+    val e2 = intercept[IllegalArgumentException] {
+      TextOps.simhashBandPairs(fpsPile, 3, 4, guard = 16L)
+    }
+    assert(e2.getMessage.contains("q_dedup_simhash_capped"),
+      s"guard must route to the capped operator: ${e2.getMessage}")
+  }
+
+  test("capped minhash banding broadcasts ONLY the hot (band, bh) subset") {
+    // the full (band, bh) count frame grows ~nBands·|distinct docs| —
+    // unbounded — so the broadcast side must be the hot-filtered frame
+    // (bounded by band-rows/cap), joined back as a LEFT join with
+    // coalesce(hot, false) (r16; VERDICT r15 What's-wrong #1)
+    // pin the HINTED broadcast only: at test SF, AQE also legitimately
+    // broadcasts the small cold self-join sides (a size decision that
+    // reverses itself at corpus scale) — with AQE + auto-broadcast off,
+    // every surviving BroadcastExchange is one the operator ASKED for
+    val conf = spark.conf
+    val (aqe0, abt0) = (conf.get("spark.sql.adaptive.enabled"),
+      conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan =
+      try {
+        val sigs = TextOps.minhashSignatures(Tables.documents(spark, sfDir), 3)
+        PlanAudit.executedPlan(TextOps.bandedCandidatesCapped(sigs))
+      } finally {
+        conf.set("spark.sql.adaptive.enabled", aqe0)
+        conf.set("spark.sql.autoBroadcastJoinThreshold", abt0)
+      }
+    val hotJoins = PlanAudit.nodes(plan).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.joinType.toString == "LeftOuter" => j
+    }
+    assert(hotJoins.nonEmpty, s"hot tagging must be a left-outer broadcast join:\n$plan")
+    // every ORIGINAL broadcast exchange in the plan (reused leaves point
+    // back at one of these) must build from the hot-FILTERED count frame
+    val exchanges = PlanAudit.nodes(plan).collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    assert(exchanges.nonEmpty, s"no broadcast exchange in:\n$plan")
+    // the operator hints exactly two broadcasts — the shingle df-cap
+    // frame (df > maxDf) and the hot band-key frame (n > cap) — and
+    // BOTH must be count-THRESHOLDED aggregates (bounded regardless of
+    // corpus size), never the full unbounded count frame
+    val hotThreshold = raw"> \d+".r
+    exchanges.foreach { b =>
+      val filtered = PlanAudit.nodes(b).exists {
+        case f: org.apache.spark.sql.execution.FilterExec =>
+          hotThreshold.findFirstIn(f.condition.toString).isDefined
+        case _ => false
+      }
+      assert(filtered,
+        s"broadcast side must be a count-thresholded hot subset:\n$b")
+    }
+    assert(exchanges.exists(b => PlanAudit.nodes(b).exists {
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        f.condition.toString.contains("> " + TextOps.minhashBandBucketCap)
+      case _ => false
+    }), s"no broadcast carries the band-bucket hot filter (> cap):\n$plan")
+  }
+
   test("simhash banding catches a planted 1-bit flip, rejects far pairs") {
     val base = 0x0F0F0F0FL
     val fps = Seq(
