@@ -228,13 +228,14 @@ object Bench {
       (k, m, ts, e, clean)
     }
     val rerunClean = reruns.collect { case (k, m, ts, _, true) => k -> (m, ts) }.toMap
-    // a trusted rerun replaces the key's err as well as its median: a
-    // first-pass error + successful rerun samples would otherwise leave
-    // the artifact claiming both "errored" and "ran clean" for the same
-    // key (r14 advice); the first-pass error stays auditable under
-    // "rerun" via the first/rerun pair
+    // a trusted rerun replaces a key's MEDIAN and clears its
+    // contention/instability flags — but never its first-pass ERROR
+    // (r15 advice): a rerun speaks to load, not to whether the key can
+    // fail; an intermittently-erroring key must keep failing the sweep,
+    // so only error-free first passes are eligible for replacement (the
+    // rerun numbers stay auditable under "rerun" either way)
     val finalResults = results.map {
-      case (k, _, _, _) if rerunClean.contains(k) =>
+      case (k, _, _, None) if rerunClean.contains(k) =>
         val (m, ts) = rerunClean(k)
         (k, m, ts, Option.empty[String])
       case r => r
@@ -267,7 +268,7 @@ object Bench {
     val ok = finalResults.filter(_._4.isEmpty)
     val nErrors = finalResults.size - ok.size
     val total = ok.map(_._2).sum
-    val method = s"median of $reps noop-format writes per query after $warmup untimed warm-up rep (steady-state: codegen compile paid before timing; includes final ORDER BY cost; value per key = median over successful reps, raw samples under runs, queries sorted ascending by median; contended = keys whose surrounding sentinel no-ops ran >2x the run median, unstable = keys whose own reps spread >2.5x (max/min), regressed = keys whose median exceeds 2x (and +0.5s) their value in the clean solo BENCH_LOCAL.json at git HEAD (catches sustained load the sentinels miss; empty if no clean committed baseline) - discard flagged medians in round-over-round comparisons, contended_run = the whole run is under sustained load (sentinel median >2x the solo reference) - treat such medians as load-inflated; every first-pass-flagged key is auto-rerun ONCE at sweep end and its rerun median replaces the flagged one (clearing the flag) only when the rerun itself is evidence-clean (no error, clean bracketing sentinels, rep spread <=2.5x) - both passes stay on the artifact under rerun; round-1 timed count(), which dropped sorts via EliminateSorts - totals not directly comparable); collect_audit = per-key max rows any single collect-class action delivered to the driver (topmost numOutputRows capped by root limits), violations = keys over the cap (default 10000, SPARK_GRAFT_COLLECT_CAP) - a non-empty list fails the run"
+    val method = s"median of $reps noop-format writes per query after $warmup untimed warm-up rep (steady-state: codegen compile paid before timing; includes final ORDER BY cost; value per key = median over successful reps, raw samples under runs, queries sorted ascending by median; contended = keys whose surrounding sentinel no-ops ran >2x the run median, unstable = keys whose own reps spread >2.5x (max/min), regressed = keys whose median exceeds 2x (and +0.5s) their value in the clean solo BENCH_LOCAL.json at git HEAD (catches sustained load the sentinels miss; empty if no clean committed baseline) - discard flagged medians in round-over-round comparisons, contended_run = the whole run is under sustained load (sentinel median >2x the solo reference) - treat such medians as load-inflated; every first-pass-flagged key is auto-rerun ONCE at sweep end and its rerun median replaces the flagged one (clearing the flag) only when the rerun itself is evidence-clean (no error, clean bracketing sentinels, rep spread <=2.5x) - both passes stay on the artifact under rerun; round-1 timed count(), which dropped sorts via EliminateSorts - totals not directly comparable); collect_audit = per-key max rows any single collect-class action delivered to the driver (topmost numOutputRows capped by root limits), violations = keys over the cap (default 10000, SPARK_GRAFT_COLLECT_CAP; the three memory-sink streaming keys carry finite elevated caps ~10x their sf0.1 result size instead of an exemption) - a non-empty list fails the run"
     val contJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
     val unstJson = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
     val regrJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -291,20 +292,27 @@ object Bench {
     // harness device that lets the driver hash a stream's output, not a
     // data-path collect (production writes the same plans to a real
     // sink; StreamQueries.scala:22-31 documents the contract). The
-    // result-sized keys at sf0.1 are whitelisted BY NAME; every other
-    // streaming key stays under the cap and under the gate, and any
-    // new offender still fails the sweep.
-    val collectWhitelist = Set(
-      "q_stream_session",    // complete-mode session table ≈ |sessions|
-      "q_stream_sessionize", // append of all closed sessions
-      "q_stream_join_outer") // append of matches + watermark-flushed nulls
+    // result-sized keys at sf0.1 get a FINITE elevated cap — ~10× their
+    // measured sf0.1 result size (r15 advice: an unconditional
+    // exemption would let a regression that materializes millions of
+    // driver rows pass silently) — every other streaming key stays
+    // under the base cap, and any new offender still fails the sweep.
+    val collectWhitelist = Map(
+      "q_stream_session" -> 1000000L,   // complete-mode session table ≈ |sessions| (~95k)
+      "q_stream_sessionize" -> 600000L, // append of all closed sessions (~57k)
+      "q_stream_join_outer" -> 200000L) // append of matches + watermark-flushed nulls (~20k)
     val collectViolations = audit.collect {
-      case (k, n) if n > collectCap && !collectWhitelist(k) => k
+      case (k, n) if n > collectWhitelist.getOrElse(k, collectCap.toLong) => k
     }.toSeq.sorted
     val over1k = audit.filter(_._2 > 1000).toSeq.sortBy(-_._2)
       .map { case (k, n) => s""""$k":$n""" }.mkString("{", ",", "}")
+    // drain_timeouts: keys whose post-run bus drain timed out — their
+    // straggler collect events attribute to the NEXT key, so a
+    // violation adjacent to one of these is suspect (r15 advice)
+    val drainJson = collectAudit.drainTimeouts()
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val collectJson =
-      s"""{"cap":$collectCap,"over_1k":$over1k,"violations":${collectViolations.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      s"""{"cap":$collectCap,"over_1k":$over1k,"drain_timeouts":$drainJson,"violations":${collectViolations.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val fullJson = s"""{"method":"$method","runs":$runs,"queries":$qs,"errors":$errs,"sentinel":$sentJson,"contended":$contJson,"unstable":$unstJson,"regressed":$regrJson,"rerun":$rerunJson,"collect_audit":$collectJson,"baseline_checked":${baseQ.nonEmpty},"contended_run":$runContended,"sf":"$sfDir","n_queries":${ok.size},"n_errors":$nErrors,"per_key_mean":${r3(if (ok.nonEmpty) total / ok.size else 0.0)},"unit":"sec","metric":"total","value":${r3(total)}}"""
     // a BENCH_ONLY partial sweep must NOT silently overwrite the
     // committed full-sweep BENCH_LOCAL.json — default partial output to

@@ -53,12 +53,27 @@ final class CollectAudit(spark: SparkSession) {
                            exception: Exception): Unit = ()
   })
 
+  private val drainTimeoutKeys = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
   /** Drains in-flight listener events (they belong to the PREVIOUS
-    * key), then makes `key` the attribution target. */
+    * key), then makes `key` the attribution target. A drain that times
+    * out (5 s) is RECORDED against the outgoing key (r15 advice): its
+    * straggler events will attribute to `key` instead, so a violation
+    * raised on a key adjacent to a timed-out drain is suspect — the
+    * artifact's drain_timeouts list makes that auditable rather than
+    * silent. */
   def advanceTo(key: String): Unit = {
-    org.apache.spark.sql.graftbridge.ListenerBridge
+    val drained = org.apache.spark.sql.graftbridge.ListenerBridge
       .flushListenerBus(spark.sparkContext, 5000)
+    if (!drained) drainTimeoutKeys.add(currentKey.get())
     currentKey.set(key)
+  }
+
+  /** Keys whose OUTGOING drain timed out — events recorded under the
+    * key that FOLLOWED each of these may really belong to it. */
+  def drainTimeouts(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    drainTimeoutKeys.iterator().asScala.toSeq.distinct
   }
 
   /** Final drain + snapshot: key → max rows any single collect of that

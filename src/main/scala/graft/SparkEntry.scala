@@ -1901,7 +1901,7 @@ object SparkEntry {
       import sim.Similarity.{seedHashMul, seedHashMod}
       "WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8), " +
         "q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8), " +
-        s"sd AS (SELECT cid AS centroid_id, ce AS centroid FROM c WHERE cid IN (SELECT cid FROM c ORDER BY (cid * $seedHashMul) % $seedHashMod, cid LIMIT 16)), " +
+        s"sd AS (SELECT cid AS centroid_id, ce AS centroid FROM c WHERE cid IN (SELECT cid FROM c ORDER BY ((cid % $seedHashMod) * $seedHashMul) % $seedHashMod, cid LIMIT 16)), " +
         s"a0 AS (SELECT cid, ce, centroid_id FROM (SELECT c.cid, c.ce, sd.centroid_id, ROW_NUMBER() OVER (PARTITION BY c.cid ORDER BY ${dotSql("c.ce", "sd.centroid")} DESC, sd.centroid_id) AS r FROM c CROSS JOIN sd) WHERE r = 1), " +
         "ex AS (SELECT centroid_id, i AS dim, CAST(ROUND(CAST(ce[i+1] AS DOUBLE), 9) AS DECIMAL(18,9)) AS xd FROM a0 CROSS JOIN range(0,64) t(i)), " +
         "mn AS (SELECT centroid_id, dim, ROUND(CAST(SUM(xd) AS DOUBLE)/COUNT(*), 6) AS coord FROM ex GROUP BY centroid_id, dim), " +

@@ -179,7 +179,11 @@ object PngCodec {
       var off = 0
       while (off < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, off, raw.length - off)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // any zero-progress iteration is corrupt for our purposes:
+        // needsInput() = truncated stream, needsDictionary() (zlib
+        // FDICT) = a preset-dictionary blob we never emit — without
+        // this the loop would spin forever on a crafted FDICT header
+        if (n == 0) return None
         off += n
       }
       if (off < raw.length) return None

@@ -339,8 +339,13 @@ object Similarity {
     * aggregate is map-side combined; K·dim rows shuffle. */
   def buildIvfIndex(candidates: DataFrame, nCentroids: Int = 16): (DataFrame, DataFrame) = {
     val d9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    // reduce BEFORE multiplying (r15 advice): (mod−1)·mul ≈ 2.65e18
+    // fits BIGINT, but a raw cid·mul wraps silently in Spark Long
+    // arithmetic past cid ≈ 3.4e9 while DuckDB's BIGINT multiply RAISES
+    // on overflow — the oracle would error (or the permutation diverge)
+    // exactly where ids get large; identical values for cid < mod
     val seeds = candidates
-      .orderBy((col("cid") * seedHashMul) % seedHashMod, col("cid"))
+      .orderBy(((col("cid") % seedHashMod) * seedHashMul) % seedHashMod, col("cid"))
       .limit(nCentroids)
       .select(col("cid").as("centroid_id"), col("ce").as("centroid"))
     val assigned0 = nearestCentroid(seeds, candidates, "ce")

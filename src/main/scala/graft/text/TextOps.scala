@@ -400,6 +400,50 @@ object TextOps {
   def qDedupMinhashCapped(spark: SparkSession, dir: String): DataFrame =
     nearDupPairsCapped(Tables.documents(spark, dir))
 
+  /** CAPPED corpus band table for the online near-dup ingest gate
+    * (r16, verdict ask #3): (band, bh, corpus_id) rows an incoming
+    * document's row-local band keys equi-join against. Shingles are
+    * UNCAPPED (maxDf = 0) because the stream side cannot see document
+    * frequencies; the table itself is capped — a (band, bh) bucket
+    * above `cap` keeps only its min-id representative, so an incoming
+    * doc hits at most one witness per pile (all an ingest DECISION
+    * needs) and candidate emission stays O(new × bands) at any corpus
+    * duplicate density. Hot keys only are broadcast (bounded by
+    * band-rows/cap — the [[bandedCandidatesCapped]] device).
+    *
+    * Production refreshes this table OUT-OF-BAND (the
+    * [[graft.sim.Similarity.saveIvfIndex]] precedent): build + save on
+    * corpus updates, serve every ingest micro-batch from the loaded
+    * parquet — the signature pass over the corpus is paid per refresh,
+    * not per query. */
+  def corpusBandTable(corpus: DataFrame, w: Int = 3,
+                      cap: Long = minhashBandBucketCap): DataFrame = {
+    val allBands = minhashSignaturesFromShingles(
+        shingleRows(corpus, w, maxDf = 0))
+      .select(col("doc_id").as("corpus_id"),
+        explode(bandKeys(col("sig"))).as("k"))
+      .select(col("k.band").as("band"), col("k.bh").as("bh"), col("corpus_id"))
+    val hotKeys = allBands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > cap)
+      .select(col("band"), col("bh"), lit(true).as("hot"))
+    val tagged = allBands.join(broadcast(hotKeys), Seq("band", "bh"), "left")
+      .withColumn("hot", coalesce(col("hot"), lit(false)))
+    tagged.filter(!col("hot")).drop("hot")
+      .unionAll(tagged.filter(col("hot"))
+        .groupBy(col("band"), col("bh"))
+        .agg(min(col("corpus_id")).as("corpus_id")))
+  }
+
+  /** Persist [[corpusBandTable]] — the out-of-band refresh step. */
+  def saveCorpusBandTable(corpus: DataFrame, dir: String, w: Int = 3,
+                          cap: Long = minhashBandBucketCap): Unit =
+    corpusBandTable(corpus, w, cap).write.mode("overwrite").parquet(dir)
+
+  /** Load a persisted corpus band table for gate serving. */
+  def loadCorpusBandTable(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .select(col("band").cast("int"), col("bh"), col("corpus_id"))
+
   // ----------------------------------------------------- near-dup (SimHash)
 
   /** 32-bit SimHash over word hashes: per bit, sum +1/-1 weighted by

@@ -12,9 +12,14 @@ import org.apache.spark.SparkContext
 object ListenerBridge {
 
   /** Blocks until every queued listener event has been delivered, or
-    * the timeout elapses (swallowed — an audit attribution slip must
-    * never fail a bench run). */
-  def flushListenerBus(sc: SparkContext, timeoutMs: Long): Unit =
-    try sc.listenerBus.waitUntilEmpty(timeoutMs)
-    catch { case _: Throwable => () }
+    * the timeout elapses. Returns true on a clean drain, false when the
+    * timeout (or any bus error) cut the wait short — callers record
+    * that, because an un-drained bus means the NEXT key may inherit
+    * this key's collect events (r15 advice: a violation raised near a
+    * timed-out drain must be distinguishable from a clean attribution).
+    * Never throws — an audit attribution slip must not fail a bench
+    * run. */
+  def flushListenerBus(sc: SparkContext, timeoutMs: Long): Boolean =
+    try { sc.listenerBus.waitUntilEmpty(timeoutMs); true }
+    catch { case _: Throwable => false }
 }

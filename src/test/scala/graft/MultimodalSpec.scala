@@ -316,6 +316,26 @@ class MultimodalSpec extends SparkSpec {
     assert(PngCodec.decode(interlaced).isEmpty)
     val deep = png.clone(); deep(8 + 8 + 8) = 16 // IHDR bit depth
     assert(PngCodec.decode(deep).isEmpty)
+    // zlib FDICT bit set (preset dictionary — no PNG encoder emits one):
+    // Inflater.inflate() returns 0 with needsDictionary() true and
+    // needsInput()/finished() false, so a decoder that only treats
+    // needsInput() as corrupt would spin forever on this blob (r15
+    // advisory): any zero-progress iteration must bail to None
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(5).putInt(4)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+    // 0x78 0x20: CMF deflate/32k, FLG with FDICT — (0x7820 % 31) == 0 so
+    // the header itself is valid; DICTID + junk follow
+    val fdictIdat = Array[Byte](0x78, 0x20, 1, 2, 3, 4, 9, 9, 9, 9, 9, 9)
+    val fdictPng = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n') ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", fdictIdat) ++ chunk("IEND", Array.empty[Byte])
+    assert(PngCodec.decode(fdictPng).isEmpty)
     // and the operator-facing dispatch falls back to the stub features
     // instead of raising — one corrupt blob must never kill a job
     val f = Multimodal.Codec.imageFeatures(truncated)

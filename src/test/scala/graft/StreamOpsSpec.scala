@@ -284,4 +284,32 @@ class StreamOpsSpec extends SparkSpec {
         r.getAs[Double]("jaccard")))
     assert(got.toSeq == Seq((1L, 100L, 1.0)), got.toSeq.toString)
   }
+
+  test("corpus band table: saved+loaded ≡ inline, and piles collapse to one representative") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val inline = graft.text.TextOps.corpusBandTable(docs)
+      .as[(Int, String, Long)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_bands_spec").toString
+    try {
+      graft.text.TextOps.saveCorpusBandTable(docs, dir)
+      val loaded = graft.text.TextOps.loadCorpusBandTable(spark, dir)
+        .as[(Int, String, Long)].collect().toSet
+      assert(loaded == inline,
+        s"loaded band table must equal the inline build (${loaded.size} vs ${inline.size})")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+    // capping: a 50-deep exact-duplicate pile shares every band key —
+    // the table must keep ONE (min-id) witness per (band, bh), so an
+    // incoming copy meets one candidate, not fifty
+    val pile = spark.range(50).select($"id".as("doc_id"),
+      lit("alpha beta gamma delta epsilon zeta eta theta").as("text"))
+    val tbl = graft.text.TextOps.corpusBandTable(pile)
+      .as[(Int, String, Long)].collect()
+    assert(tbl.nonEmpty)
+    assert(tbl.groupBy(t => (t._1, t._2)).values.forall(_.length == 1),
+      "hot buckets must collapse to a single representative")
+    assert(tbl.forall(_._3 == 0L), "the representative is the min-id doc")
+  }
 }
