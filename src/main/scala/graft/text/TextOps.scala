@@ -319,14 +319,19 @@ object TextOps {
     // rejoined. The band frame is materialized ONCE (cp): the density
     // guard's aggregate reads the same blocks both self-join sides then
     // reuse, so the fail-fast costs one aggregate, not a second
-    // signature pass over the corpus.
+    // signature pass over the corpus. The (small, deduped) candidate
+    // frame is then checkpointed itself and the band blocks RELEASED —
+    // without this, iterative consumers (the cluster keys' CC rounds)
+    // drag the full band frame through their whole run as pinned dead
+    // weight.
     val keyed = cp(minhashSignatures(docs, w)
       .select(col("doc_id"), explode(bandKeys(col("sig"))).as("k")))
     if (guard > 0) assertBandDensity(keyed, guard, "q_dedup_minhash_capped")
-    val cand = keyed.select(col("k"), col("doc_id").as("id_a"))
+    val cand = cp(keyed.select(col("k"), col("doc_id").as("id_a"))
       .join(keyed.select(col("k"), col("doc_id").as("id_b")), Seq("k"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b").distinct())
+    Checkpointer.release(keyed) // no-op when cp = Checkpointer.None (cand stays lazy)
     verifyJaccard(cand, docs, w, minJaccard)
   }
 
