@@ -349,6 +349,7 @@ object SparkEntry {
     "q_token_bpe" -> (TextOps.qTokenBpe _),
     "q_frame_sample" -> (graft.mm.Multimodal.qFrameSample _),
     "q_media_scan" -> (graft.mm.Multimodal.qMediaScan _),
+    "q_media_gif" -> (graft.mm.Multimodal.qMediaGif _),
     "q_tfidf" -> (text.Relevance.qTfidf _),
     "q_bm25_search" -> (text.Relevance.qBm25Search _),
     // r12: reciprocal-rank fusion — the hybrid-retrieval primitive RAG
@@ -1474,6 +1475,18 @@ object SparkEntry {
         "CAST(63 + 5 * ((h * (1 + 3 * w) + 65534) // 65535) + h * (1 + 3 * w) AS BIGINT), " +
         "CAST(w AS INTEGER), CAST(h AS INTEGER), CAST(NULL AS INTEGER) FROM png" +
         ") ORDER BY name"),
+    // deterministic flat-9-bit LZW GIF: size = 794-byte fixed envelope
+    // (13 header + 768 padded palette + 10 descriptor + min-code +
+    // terminator + trailer) + data bytes + one length prefix per
+    // ≤255-byte sub-block, with codes = n + 2 clears/EOI + a CLEAR
+    // every 252 pixels — GifCodec.encodedSize's closed form
+    "q_media_gif" ->
+      ("WITH d AS (SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 48), " +
+        "g AS (SELECT doc_id, n_chars % 9 + 2 AS w, doc_id % 6 + 2 AS h FROM d), " +
+        "sz AS (SELECT doc_id, w, h, (9 * (w * h + 2 + (w * h - 1) // 252) + 7) // 8 AS db FROM g) " +
+        "SELECT 'g' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.gif' AS name, " +
+        "'image' AS kind, CAST(794 + db + (db + 254) // 255 AS BIGINT) AS size, " +
+        "CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height FROM sz ORDER BY name"),
     "q_cosine_topk" ->
       s"WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8), c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8), s AS (SELECT qid, cid, ${dotSql("qe", "ce")} AS score FROM c CROSS JOIN q) SELECT qid, cid, ROUND(score, 6) AS score, rn FROM (SELECT qid, cid, score, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS INTEGER) AS rn FROM s) WHERE rn <= 3 ORDER BY qid, rn",
     // kNN label noise: the cosine-topk window shape + two vote aggs;

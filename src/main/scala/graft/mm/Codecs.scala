@@ -293,6 +293,264 @@ object PngCodec {
   }
 }
 
+/** GIF codec with zero new dependencies (r16, verdict ask #4 — the
+  * second real compressed format after PNG): decode = header walk +
+  * FULL variable-width LZW (dictionary growth to 12 bits, CLEAR/EOI,
+  * sub-block framing, global AND local color tables, extension blocks
+  * skipped) over the first image of a GIF87a/GIF89a stream —
+  * non-interlaced, the overwhelming share of machine-generated GIFs;
+  * interlaced input degrades to None like every other unsupported
+  * shape. Output is the shared [[PpmCodec.Image]] RGB form, so
+  * features/resize reuse the proven paths.
+  *
+  * Encode exists for fixtures and round-trip tests and is fully
+  * DETERMINISTIC at the byte level: a padded 256-entry global color
+  * table and FLAT 9-bit LZW codes with a CLEAR every 252 pixels (the
+  * classic patent-era "uncompressed GIF" technique — decoders see a
+  * valid stream whose dictionary never outgrows 9-bit codes), so the
+  * on-disk size is the closed form in [[encodedSize]] and the
+  * media-source oracle computes GIF file sizes in SQL, exactly the
+  * [[PngCodec.encodedSize]] device. The real COMPRESSING path of the
+  * format lives in the decoder; MultimodalSpec round-trips a
+  * spec-local greedy LZW compressor through it to pin dictionary
+  * growth.
+  *
+  * Total like its siblings: malformed/truncated input → None → the
+  * caller's stub fallback; one corrupt blob must never kill a job. */
+object GifCodec {
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  /** Decode the first image to interleaved RGB. None on anything
+    * unsupported or malformed. */
+  def decode(bytes: Array[Byte]): Option[PpmCodec.Image] = {
+    if (bytes.length < 14) return None
+    val sig = new String(bytes, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    var i = 6
+    // logical screen descriptor
+    val packed = bytes(i + 4) & 0xff
+    i += 7
+    var palette: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 3 * (1 << ((packed & 0x07) + 1))
+      if (i + n > bytes.length) return None
+      palette = java.util.Arrays.copyOfRange(bytes, i, i + n)
+      i += n
+    }
+    // block walk to the first image descriptor
+    while (i < bytes.length) {
+      (bytes(i) & 0xff) match {
+        case 0x3b => return None // trailer before any image
+        case 0x21 => // extension: label byte then sub-blocks
+          i += 2
+          while (i < bytes.length && bytes(i) != 0) i += 1 + (bytes(i) & 0xff)
+          if (i >= bytes.length) return None
+          i += 1 // block terminator
+        case 0x2c =>
+          if (i + 10 > bytes.length) return None
+          val w = u16(bytes, i + 5)
+          val h = u16(bytes, i + 7)
+          val ipacked = bytes(i + 9) & 0xff
+          i += 10
+          if ((ipacked & 0x40) != 0) return None // interlaced: unsupported
+          if ((ipacked & 0x80) != 0) {           // local color table wins
+            val n = 3 * (1 << ((ipacked & 0x07) + 1))
+            if (i + n > bytes.length) return None
+            palette = java.util.Arrays.copyOfRange(bytes, i, i + n)
+            i += n
+          }
+          if (palette == null || w <= 0 || h <= 0) return None
+          if (w.toLong * h * 3 > (1L << 28)) return None // sanity bound
+          if (i >= bytes.length) return None
+          val minCode = bytes(i) & 0xff
+          i += 1
+          if (minCode < 2 || minCode > 8) return None
+          // concatenate the sub-block payloads
+          val data = new java.io.ByteArrayOutputStream()
+          while (i < bytes.length && bytes(i) != 0) {
+            val n = bytes(i) & 0xff
+            if (i + 1 + n > bytes.length) return None
+            data.write(bytes, i + 1, n)
+            i += 1 + n
+          }
+          if (i >= bytes.length) return None
+          val idx = lzwDecode(data.toByteArray, minCode, w * h).getOrElse(return None)
+          val nColors = palette.length / 3
+          val px = new Array[Byte](w * h * 3)
+          var j = 0
+          while (j < w * h) {
+            val c = idx(j) & 0xff
+            if (c >= nColors) return None // index beyond the palette: corrupt
+            px(j * 3) = palette(c * 3)
+            px(j * 3 + 1) = palette(c * 3 + 1)
+            px(j * 3 + 2) = palette(c * 3 + 2)
+            j += 1
+          }
+          return Some(PpmCodec.Image(w, h, px))
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** Full variable-width LZW over an LSB-first bit stream: dictionary
+    * rebuilt on CLEAR, code width grows 9→12 as the dictionary fills,
+    * the `code == dictSize` just-added case handled per the spec.
+    * Returns exactly `nPixels` indices or None. */
+  private def lzwDecode(data: Array[Byte], minCode: Int,
+                        nPixels: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val out = new Array[Byte](nPixels)
+    var outN = 0
+    var dictSize = eoi + 1
+    var width = minCode + 1
+    var prev = -1
+    var acc = 0L; var accBits = 0; var pos = 0
+    val stack = new Array[Byte](4096)
+    def expand(code: Int): Byte = { // push code's string, return its first byte
+      var sp = 0
+      var c = code
+      while (c >= clear) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+      stack(sp) = c.toByte; sp += 1
+      while (sp > 0 && outN < nPixels) { sp -= 1; out(outN) = stack(sp); outN += 1 }
+      c.toByte
+    }
+    while (outN < nPixels) {
+      while (accBits < width) {
+        if (pos >= data.length) return None // truncated stream
+        acc |= (data(pos) & 0xffL) << accBits
+        accBits += 8; pos += 1
+      }
+      val code = (acc & ((1 << width) - 1)).toInt
+      acc >>>= width; accBits -= width
+      if (code == clear) {
+        dictSize = eoi + 1; width = minCode + 1; prev = -1
+      } else if (code == eoi) {
+        return if (outN == nPixels) Some(out) else None
+      } else if (prev == -1) {
+        if (code >= clear) return None // first code must be a literal
+        expand(code)
+        prev = code
+      } else if (code <= dictSize) {
+        if (code == dictSize && dictSize >= 4096) return None
+        val first =
+          if (code == dictSize) { // the just-about-to-be-added entry
+            val f = expandFirst(prefix, suffix, clear, prev)
+            // entry = string(prev) + first(prev): emit prev then f
+            expand(prev)
+            if (outN < nPixels) { out(outN) = f; outN += 1 }
+            f
+          } else expand(code)
+        if (dictSize < 4096) {
+          prefix(dictSize) = prev; suffix(dictSize) = first
+          dictSize += 1
+          if (dictSize == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      } else return None // code beyond the dictionary: corrupt
+    }
+    Some(out)
+  }
+
+  private def expandFirst(prefix: Array[Int], suffix: Array[Byte],
+                          clear: Int, code: Int): Byte = {
+    var c = code
+    while (c >= clear) c = prefix(c)
+    c.toByte
+  }
+
+  /** Closed-form encoded size of [[encode]]'s output (the oracle's
+    * device): flat 9-bit codes = initial CLEAR + n pixels + a CLEAR
+    * before every 253rd pixel + EOI, packed LSB-first, framed in
+    * ≤255-byte sub-blocks; fixed 794-byte envelope (13-byte header +
+    * 768-byte padded palette + 10-byte descriptor + min-code byte +
+    * block terminator + trailer). */
+  def encodedSize(w: Int, h: Int): Long = {
+    val n = w.toLong * h
+    val codes = n + 2 + (n - 1) / 252
+    val dataBytes = (9 * codes + 7) / 8
+    val subBlocks = (dataBytes + 254) / 255
+    794 + dataBytes + subBlocks
+  }
+
+  /** Deterministic GIF87a bytes. Images with ≤256 distinct colors
+    * encode LOSSLESSLY (exact palette, sorted); anything richer
+    * quantizes to the fixed R3G3B2 palette — the same trade every real
+    * GIF encoder makes, kept deterministic. */
+  def encode(img: PpmCodec.Image): Array[Byte] = {
+    val n = img.width * img.height
+    val rgb = new Array[Int](n)
+    var j = 0
+    while (j < n) {
+      rgb(j) = ((img.pixels(j * 3) & 0xff) << 16) |
+        ((img.pixels(j * 3 + 1) & 0xff) << 8) | (img.pixels(j * 3 + 2) & 0xff)
+      j += 1
+    }
+    val distinct = rgb.toSet
+    val (palette, indexOf): (Array[Int], Int => Int) =
+      if (distinct.size <= 256) {
+        val p = distinct.toArray.sorted
+        val m = p.zipWithIndex.toMap
+        (p.padTo(256, 0), m)
+      } else {
+        val p = Array.tabulate(256) { i =>
+          val r = ((i >> 5) & 7) * 255 / 7
+          val g = ((i >> 2) & 7) * 255 / 7
+          val b = (i & 3) * 255 / 3
+          (r << 16) | (g << 8) | b
+        }
+        (p, c => {
+          val r = (c >> 16) & 0xff; val g = (c >> 8) & 0xff; val b = c & 0xff
+          ((r * 7 / 255) << 5) | ((g * 7 / 255) << 2) | (b * 3 / 255)
+        })
+      }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF87a".getBytes("US-ASCII"))
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    w16(img.width); w16(img.height)
+    out.write(0x80 | 0x07) // GCT present, 2^8 entries
+    out.write(0); out.write(0)
+    palette.foreach { c =>
+      out.write((c >> 16) & 0xff); out.write((c >> 8) & 0xff); out.write(c & 0xff)
+    }
+    out.write(0x2c); w16(0); w16(0); w16(img.width); w16(img.height); out.write(0)
+    out.write(8) // LZW min code size
+    // flat 9-bit stream with periodic CLEAR (see encodedSize)
+    val data = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var accBits = 0
+    def emit(code: Int): Unit = {
+      acc |= (code.toLong & 0x1ff) << accBits; accBits += 9
+      while (accBits >= 8) { data.write((acc & 0xff).toInt); acc >>>= 8; accBits -= 8 }
+    }
+    emit(256) // CLEAR
+    var sinceClear = 0
+    j = 0
+    while (j < n) {
+      if (sinceClear == 252) { emit(256); sinceClear = 0 }
+      emit(indexOf(rgb(j))); sinceClear += 1
+      j += 1
+    }
+    emit(257) // EOI
+    if (accBits > 0) data.write((acc & 0xff).toInt)
+    val payload = data.toByteArray
+    var off = 0
+    while (off < payload.length) {
+      val len = math.min(255, payload.length - off)
+      out.write(len)
+      out.write(payload, off, len)
+      off += len
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+}
+
 /** RIFF/WAVE PCM-16 parser. */
 object WavCodec {
 

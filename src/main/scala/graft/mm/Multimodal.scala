@@ -37,13 +37,14 @@ object Multimodal {
       StructField("sample_rate", IntegerType, nullable = true),
       StructField("n_frames", IntegerType, nullable = true))), nullable = false)))
 
-  /** Format-dispatching decode front end: real parsing for PPM/PNG/WAV,
-    * stub fallback for every other byte pattern. A PNG re-encodes as
-    * PNG on resize (format preserved). */
+  /** Format-dispatching decode front end: real parsing for PPM/PNG/GIF/
+    * WAV, stub fallback for every other byte pattern. A PNG re-encodes
+    * as PNG on resize, a GIF as GIF (format preserved). */
   object Codec {
     def imageFeatures(bytes: Array[Byte], dim: Int = 16): Array[Float] =
       PpmCodec.decode(bytes).map(PpmCodec.features(_, dim))
         .orElse(PngCodec.decode(bytes).map(PpmCodec.features(_, dim)))
+        .orElse(GifCodec.decode(bytes).map(PpmCodec.features(_, dim)))
         .orElse(WavCodec.decode(bytes).map(WavCodec.features(_, dim)))
         .getOrElse(StubCodec.imageFeatures(bytes, dim))
 
@@ -52,6 +53,8 @@ object Multimodal {
         .map(img => PpmCodec.encode(PpmCodec.resizeNearest(img, w, h)))
         .orElse(PngCodec.decode(bytes)
           .map(img => PngCodec.encode(PpmCodec.resizeNearest(img, w, h))))
+        .orElse(GifCodec.decode(bytes)
+          .map(img => GifCodec.encode(PpmCodec.resizeNearest(img, w, h))))
         .getOrElse(StubCodec.resize(bytes, w, h))
   }
 
@@ -228,6 +231,63 @@ object Multimodal {
           col("width"), col("height"), col("sample_rate"))
       // materialize the scan while the files still exist; the display
       // sort re-runs from the checkpointed blocks at write time
+      out.localCheckpoint(eager = true).orderBy("name")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+  }
+
+  /** q_media_gif — the GIF codec under the driver gate (r16, verdict
+    * ask #4): REAL LZW-compressed GIF bytes are staged deterministically
+    * from the first 48 `documents` rows (w/h and a 256-gray pixel ramp
+    * derive from (doc_id, n_chars) by fixed formulas), then read back
+    * through the media connector — kind from the extension, dims parsed
+    * from the logical screen descriptor inside the 256-byte header
+    * prefix, bodies never opened. [[GifCodec.encode]] emits flat-9-bit
+    * LZW with periodic CLEARs (deterministic at the byte level), so the
+    * on-disk SIZE is the [[GifCodec.encodedSize]] closed form and the
+    * key carries a full DuckDB oracle — the exact device the PNG slot
+    * of q_media_scan uses. Decode-side LZW correctness (dictionary
+    * growth, round-trips, corrupt-blob degradation) is pinned in
+    * MultimodalSpec.
+    *
+    * Scale shape: staging is fixture setup (production points the
+    * connector at an existing media lake); the scan lists and
+    * header-parses inside the source, one file per task row. */
+  def qMediaGif(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    require(spark.sparkContext.isLocal,
+      "q_media_gif stages its fixture on the driver-local filesystem; " +
+        "on a cluster, read an existing shared media directory via " +
+        "MediaSourceProvider directly")
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id").limit(48).collect()
+    val stage = java.nio.file.Files.createTempDirectory("graft_media_gif")
+    try {
+      docs.foreach { r =>
+        val id = r.getLong(0)
+        val nc = r.getLong(1)
+        val w = (nc % 9 + 2).toInt
+        val h = (id % 6 + 2).toInt
+        // grayscale ramp: ≤256 distinct colors → lossless exact palette
+        val px = new Array[Byte](w * h * 3)
+        var j = 0
+        while (j < w * h) {
+          val v = ((j * 5 + id) % 256).toByte
+          px(j * 3) = v; px(j * 3 + 1) = v; px(j * 3 + 2) = v
+          j += 1
+        }
+        val f = new java.io.File(stage.toFile, f"g$id%06d.gif")
+        val out = new java.io.FileOutputStream(f)
+        try out.write(GifCodec.encode(PpmCodec.Image(w, h, px)))
+        finally out.close()
+      }
+      val out = spark.read
+        .format(classOf[graft.sources.v2.MediaSourceProvider].getName)
+        .load(stage.toString)
+        .where(col("kind") === "image" && col("width") >= 2)
+        .select(col("name"), col("kind"), col("size"),
+          col("width"), col("height"))
       out.localCheckpoint(eager = true).orderBy("name")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)

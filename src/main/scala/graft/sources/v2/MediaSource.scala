@@ -58,7 +58,7 @@ object MediaSource {
 
   def kindOf(name: String): String = {
     val n = name.toLowerCase
-    if (n.endsWith(".ppm") || n.endsWith(".png")) "image"
+    if (n.endsWith(".ppm") || n.endsWith(".png") || n.endsWith(".gif")) "image"
     else if (n.endsWith(".wav")) "audio"
     else "binary"
   }
@@ -276,7 +276,7 @@ class MediaPartitionReader(paths: Array[String], required: StructType,
       var w: Integer = null; var h: Integer = null; var sr: Integer = null
       header.foreach { bs =>
         if (kind == "image")
-          parsePpmDims(bs).orElse(parsePngDims(bs))
+          parsePpmDims(bs).orElse(parsePngDims(bs)).orElse(parseGifDims(bs))
             .foreach { case (pw, ph) => w = pw; h = ph }
         else if (kind == "audio") parseWavRate(bs).foreach(r => sr = r)
       }
@@ -322,6 +322,19 @@ class MediaPartitionReader(paths: Array[String], required: StructType,
         new String(bs.slice(12, 16), "US-ASCII") == "IHDR") {
       val w = java.nio.ByteBuffer.wrap(bs, 16, 4).getInt
       val h = java.nio.ByteBuffer.wrap(bs, 20, 4).getInt
+      if (w > 0 && h > 0) Some((w, h)) else scala.None
+    } else scala.None
+
+  /** GIF dims from the logical screen descriptor: two little-endian
+    * u16s right after the 6-byte GIF87a/GIF89a signature — well inside
+    * the 256-byte prefix, so GIF metadata never opens a body either. */
+  private def parseGifDims(bs: Array[Byte]): Option[(Int, Int)] =
+    if (bs.length >= 10 && {
+        val s = new String(bs, 0, 6, "ISO-8859-1")
+        s == "GIF87a" || s == "GIF89a"
+      }) {
+      val w = (bs(6) & 0xff) | ((bs(7) & 0xff) << 8)
+      val h = (bs(8) & 0xff) | ((bs(9) & 0xff) << 8)
       if (w > 0 && h > 0) Some((w, h)) else scala.None
     } else scala.None
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Row
 
-import graft.mm.{Multimodal, PngCodec, PpmCodec, WavCodec}
+import graft.mm.{GifCodec, Multimodal, PngCodec, PpmCodec, WavCodec}
 
 class MultimodalSpec extends SparkSpec {
 
@@ -340,5 +340,118 @@ class MultimodalSpec extends SparkSpec {
     // instead of raising — one corrupt blob must never kill a job
     val f = Multimodal.Codec.imageFeatures(truncated)
     assert(f.toSeq == Multimodal.StubCodec.imageFeatures(truncated).toSeq)
+  }
+
+  test("GIF codec: encode/decode round-trip, deterministic size, features parity with PPM") {
+    val w = 9; val h = 7
+    // ≤256 distinct colors (a gray ramp) → lossless exact-palette encode
+    val px = Array.tabulate(w * h * 3)(j => { val v = ((j / 3) * 5 + 3) % 256; v.toByte })
+    val img = PpmCodec.Image(w, h, px)
+    val gif = GifCodec.encode(img)
+    assert(gif.length == GifCodec.encodedSize(w, h), s"${gif.length}")
+    val back = GifCodec.decode(gif).get
+    assert(back.width == w && back.height == h && back.pixels.toSeq == px.toSeq)
+    // the SAME pixels through PPM and GIF must extract identical features
+    val viaPpm = Multimodal.Codec.imageFeatures(PpmCodec.encode(img))
+    val viaGif = Multimodal.Codec.imageFeatures(gif)
+    assert(viaPpm.toSeq == viaGif.toSeq)
+    // resize preserves the container format: a resized GIF is a GIF
+    val resized = Multimodal.Codec.resize(gif, 4, 3)
+    val rimg = GifCodec.decode(resized).get
+    assert(rimg.width == 4 && rimg.height == 3)
+    assert(rimg.pixels.toSeq == PpmCodec.resizeNearest(img, 4, 3).pixels.toSeq)
+    // the periodic-CLEAR path: an image larger than 252 pixels forces a
+    // mid-stream CLEAR and the size formula must still be exact
+    val w2 = 23; val h2 = 17 // 391 pixels > 252
+    val px2 = Array.tabulate(w2 * h2 * 3)(j => { val v = ((j / 3) * 11 + 1) % 256; v.toByte })
+    val big = GifCodec.encode(PpmCodec.Image(w2, h2, px2))
+    assert(big.length == GifCodec.encodedSize(w2, h2), s"${big.length}")
+    assert(GifCodec.decode(big).get.pixels.toSeq == px2.toSeq)
+    // >256 distinct colors quantize to the fixed R3G3B2 palette —
+    // deterministic, still decodable, dims preserved
+    val rich = PpmCodec.Image(20, 15, Array.tabulate(20 * 15 * 3)(j => (j * 7 % 256).toByte))
+    val q = GifCodec.decode(GifCodec.encode(rich)).get
+    assert(q.width == 20 && q.height == 15)
+  }
+
+  test("GIF codec: full variable-width LZW decode (dictionary growth) via a greedy compressor") {
+    // spec-local REAL LZW compressor (greedy longest-match, growing code
+    // width 9→12, KwKwK cases included): the flat-9-bit production
+    // encoder never grows the dictionary, so this pins the decoder's
+    // growth/just-added-entry paths on genuinely compressed streams
+    def compress(indices: Array[Int]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var accBits = 0; var width = 9
+      def emit(code: Int): Unit = {
+        acc |= (code.toLong & ((1 << width) - 1)) << accBits; accBits += width
+        while (accBits >= 8) { out.write((acc & 0xff).toInt); acc >>>= 8; accBits -= 8 }
+      }
+      val dict = scala.collection.mutable.HashMap[List[Int], Int]()
+      var next = 258
+      emit(256) // CLEAR
+      var cur = List(indices(0))
+      for (j <- 1 until indices.length) {
+        val ext = indices(j) :: cur // reversed key: cheap prepend
+        if (dict.contains(ext)) cur = ext
+        else {
+          emit(if (cur.length == 1) cur.head else dict(cur))
+          if (next < 4096) {
+            dict(ext) = next
+            next += 1
+            // encoder widens when the NEXT code to assign reaches 2^width
+            if (next == (1 << width) + 1 && width < 12) width += 1
+          }
+          cur = List(indices(j))
+        }
+      }
+      emit(if (cur.length == 1) cur.head else dict(cur))
+      emit(257) // EOI
+      if (accBits > 0) out.write((acc & 0xff).toInt)
+      out.toByteArray
+    }
+    // highly repetitive pixels → deep dictionary chains + KwKwK
+    val w = 64; val h = 48 // 3072 pixels: enough adds to cross 512 → 10-bit codes
+    val idx = Array.tabulate(w * h)(j => (j % 7) * 3 % 256)
+    val payload = compress(idx)
+    // wrap in a minimal GIF envelope with a 256-gray global table
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    w16(w); w16(h); out.write(0x87); out.write(0); out.write(0)
+    (0 until 256).foreach(v => { out.write(v); out.write(v); out.write(v) })
+    out.write(0x2c); w16(0); w16(0); w16(w); w16(h); out.write(0)
+    out.write(8)
+    var off = 0
+    while (off < payload.length) {
+      val len = math.min(255, payload.length - off)
+      out.write(len); out.write(payload, off, len); off += len
+    }
+    out.write(0); out.write(0x3b)
+    val gif = out.toByteArray
+    // the compressed stream must be materially smaller than flat 9-bit
+    assert(gif.length < GifCodec.encodedSize(w, h) * 3 / 4,
+      s"greedy LZW should compress the repetitive ramp: ${gif.length}")
+    val img = GifCodec.decode(gif).get
+    assert(img.width == w && img.height == h)
+    assert((0 until w * h).forall(j => (img.pixels(j * 3) & 0xff) == idx(j)),
+      "decoded indices must match the source through dictionary growth")
+  }
+
+  test("GIF codec: corrupt blobs degrade to None, never throw or hang") {
+    val img = PpmCodec.Image(6, 5, Array.tabulate(90)(j => ((j / 3 * 9) % 256).toByte))
+    val gif = GifCodec.encode(img)
+    assert(GifCodec.decode(gif).isDefined)
+    assert(GifCodec.decode("nonsense".getBytes).isEmpty)
+    assert(GifCodec.decode(gif.take(40)).isEmpty)          // truncated in the palette
+    assert(GifCodec.decode(gif.take(gif.length - 6)).isEmpty) // truncated LZW data
+    val interlaced = gif.clone()
+    interlaced(6 + 7 + 768 + 9) = 0x40.toByte              // image-descriptor interlace flag
+    assert(GifCodec.decode(interlaced).isEmpty)
+    val badCode = gif.clone()
+    badCode(6 + 7 + 768 + 10) = 1                          // min code size below the valid range
+    assert(GifCodec.decode(badCode).isEmpty)
+    // operator-facing dispatch falls back to stub features, not an exception
+    val f = Multimodal.Codec.imageFeatures(gif.take(40))
+    assert(f.toSeq == Multimodal.StubCodec.imageFeatures(gif.take(40)).toSeq)
   }
 }
