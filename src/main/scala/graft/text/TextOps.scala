@@ -283,17 +283,42 @@ object TextOps {
       .orderBy("id_a", "id_b")
   }
 
-  /** Hot-bucket density budget for the UNCAPPED MinHash band join (r16
+  /** Duplicate-pile budget for the UNCAPPED MinHash band join (r16
     * verdict ask #2 — the [[graft.sim.Similarity.uncappedBucketGuard]]
-    * device applied to the text family): pair work per (band, bh)
-    * bucket is C(pop, 2), so a planted exact-duplicate pile (every copy
-    * shares every band key) makes the join Ω(Σ C(pile, 2)) — the ×100
-    * rehearsal adjudicated q_dedup_minhash output-bound at 27.5×.
-    * Guarded runs abort in ONE cheap map-side-combined aggregate
-    * instead. Sized from measured populations: sf0.1 max bucket = 4
-    * (→ ~40 at ×10, ~400 at ×100), so 128 passes every test SF and the
-    * ×10 corpus, and trips the ×100 planted piles immediately. */
+    * fail-fast device applied to the text family): a pile of `depth`
+    * identical documents shares every band key, so the band self-join
+    * owes C(depth, 2) pairs per pile — the ×100 rehearsal adjudicated
+    * q_dedup_minhash output-bound at 27.5× against planted 100-deep
+    * piles. Guarded runs abort in ONE cheap md5-multiplicity aggregate
+    * instead (see [[assertDupPileDepth]] for why the guard is
+    * text-level, not band-level). Sized from measured depths: sf0.1
+    * max exact-dup pile = 2 (→ ~20 at ×10, ~200 at ×100), so 128
+    * passes every test SF and the ×10 corpus, and trips the ×100
+    * planted piles immediately. */
   val minhashBandGuard = 128L
+
+  /** Fail-fast EXACT-DUPLICATE-pile guard for the uncapped MinHash band
+    * join: one md5(text)-multiplicity aggregate over the corpus — no
+    * shingles, no signatures, and no materialization that would break
+    * the band join's single-shuffle plan. A pile of `depth` identical
+    * documents shares every band key, so the band self-join owes
+    * C(depth, 2) pairs per pile — exactly the ×100 rehearsal's
+    * demonstrated Ω(result) blow-up. (Near-identical-but-distinct
+    * floods are bounded separately by the shingle df-cap, which drops
+    * any shingle shared by >maxDf documents before it can band.) */
+  private def assertDupPileDepth(docs: DataFrame, guard: Long,
+                                 capped: String): Unit = {
+    val hot = docs.groupBy(md5(lower(col("text"))).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > guard).orderBy(col("n").desc).limit(5)
+      .collect().map(r => s"pile ${r.getString(0).take(8)}…=${r.getLong(1)}")
+    require(hot.isEmpty,
+      s"exact-duplicate pile depth exceeds guard $guard (deepest: " +
+        s"${hot.mkString(", ")}); every copy shares every band key, so " +
+        "the band self-join owes C(depth, 2) pairs per pile — run exact " +
+        s"dedup first (q_dedup_exact / the q_llm_pipeline composition) " +
+        s"or use $capped at this duplicate density")
+  }
 
   /** Fail-fast density check before an uncapped band self-join: one
     * aggregate over the (already checkpointed) band-key frame; any
@@ -312,27 +337,21 @@ object TextOps {
   }
 
   def nearDupPairs(docs: DataFrame, w: Int = 3, minJaccard: Double = 0.6,
-                   guard: Long = minhashBandGuard,
-                   cp: Checkpointer = Checkpointer.Local): DataFrame = {
+                   guard: Long = minhashBandGuard): DataFrame = {
     // Band join ships only (bandKey, doc_id) — constant-width rows — and
     // candidate pairs are de-duplicated BEFORE any document content is
-    // rejoined. The band frame is materialized ONCE (cp): the density
-    // guard's aggregate reads the same blocks both self-join sides then
-    // reuse, so the fail-fast costs one aggregate, not a second
-    // signature pass over the corpus. The (small, deduped) candidate
-    // frame is then checkpointed itself and the band blocks RELEASED —
-    // without this, iterative consumers (the cluster keys' CC rounds)
-    // drag the full band frame through their whole run as pinned dead
-    // weight.
-    val keyed = cp(minhashSignatures(docs, w)
-      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("k")))
-    if (guard > 0) assertBandDensity(keyed, guard, "q_dedup_minhash_capped")
-    val cand = cp(keyed.select(col("k"), col("doc_id").as("id_a"))
-      .join(keyed.select(col("k"), col("doc_id").as("id_b")), Seq("k"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct())
-    Checkpointer.release(keyed) // no-op when cp = Checkpointer.None (cand stays lazy)
-    verifyJaccard(cand, docs, w, minJaccard)
+    // rejoined. The WHOLE plan stays lazy: the signature aggregate's
+    // hashpartitioning(doc_id) flows through the broadcast band join,
+    // the (id_a, id_b) distinct and the verify joins (id_a = doc_id
+    // satisfies their clustering), so the pipeline runs with ONE
+    // corpus shuffle. Every materialization variant measured at ×10
+    // corpus scale lost that property and re-shuffled the exploded
+    // candidate stream — 3-3.5× slower (a localCheckpoint leaf reports
+    // unknown partitioning, so AQE re-plans every downstream exchange).
+    // The guard is therefore a TEXT-level aggregate, not a band-level
+    // one: one cheap md5-multiplicity pass, no signature recompute.
+    if (guard > 0) assertDupPileDepth(docs, guard, "q_dedup_minhash_capped")
+    verifyJaccard(bandedCandidates(docs, w), docs, w, minJaccard)
   }
 
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
