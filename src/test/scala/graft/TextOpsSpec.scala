@@ -263,12 +263,13 @@ class TextOpsSpec extends SparkSpec {
   test("uncapped band-join density guards fail fast on a planted pile, naming the capped sibling") {
     // the default guards are invisible on every test corpus (the
     // oracle-stability contract: a guard never changes green output) —
-    // sf band-bucket populations peak at 4 (minhash) / 748 (simhash at
-    // sf0.1) vs guards 128 / 16384
+    // sf0.1 measures: max exact-dup pile depth 2 (minhash guard 128),
+    // max (band, bits) bucket 748 (simhash guard 16384)
     assert(TextOps.nearDupPairs(Tables.documents(spark, sfDir)).count() > 0)
     // a 100-deep exact-duplicate pile (the ×100 rehearsal's planted
-    // density, miniaturized) must abort in the cheap count aggregate —
-    // BEFORE any quadratic pair work — routing to the capped operator
+    // density, miniaturized) must abort in the cheap md5-multiplicity /
+    // band-count aggregate — BEFORE any quadratic pair work — routing
+    // to the capped operator
     val pile = spark.range(100).select($"id".as("doc_id"),
       lit("alpha beta gamma delta epsilon zeta eta theta").as("text"))
     val e1 = intercept[IllegalArgumentException] {
