@@ -350,6 +350,7 @@ object SparkEntry {
     "q_frame_sample" -> (graft.mm.Multimodal.qFrameSample _),
     "q_media_scan" -> (graft.mm.Multimodal.qMediaScan _),
     "q_media_gif" -> (graft.mm.Multimodal.qMediaGif _),
+    "q_media_gif_decode" -> (graft.mm.Multimodal.qMediaGifDecode _),
     "q_tfidf" -> (text.Relevance.qTfidf _),
     "q_bm25_search" -> (text.Relevance.qBm25Search _),
     // r12: reciprocal-rank fusion — the hybrid-retrieval primitive RAG
@@ -1487,6 +1488,20 @@ object SparkEntry {
         "SELECT 'g' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.gif' AS name, " +
         "'image' AS kind, CAST(794 + db + (db + 254) // 255 AS BIGINT) AS size, " +
         "CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height FROM sz ORDER BY name"),
+    // distributed LZW decode: the staged gray ramp v_j = (j*5 + doc_id)
+    // % 256 makes every decoded-pixel aggregate a closed form — a single
+    // wrong pixel anywhere in the decode path breaks the hash
+    "q_media_gif_decode" ->
+      ("WITH d AS (SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 48), " +
+        "g AS (SELECT doc_id, n_chars % 9 + 2 AS w, doc_id % 6 + 2 AS h FROM d), " +
+        // range() can't take lateral column bounds in DuckDB: cross a
+        // constant ramp (max w*h = 10*7) and filter j < w*h instead
+        "px AS (SELECT doc_id, w, h, (j * 5 + doc_id) % 256 AS v FROM g CROSS JOIN range(0, 70) t(j) WHERE j < w * h) " +
+        "SELECT 'g' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.gif' AS name, " +
+        "CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_px, CAST(SUM(v) AS BIGINT) AS px_sum, " +
+        "CAST(MIN(v) AS INTEGER) AS px_min, CAST(MAX(v) AS INTEGER) AS px_max " +
+        "FROM px GROUP BY doc_id, w, h ORDER BY name"),
     "q_cosine_topk" ->
       s"WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8), c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8), s AS (SELECT qid, cid, ${dotSql("qe", "ce")} AS score FROM c CROSS JOIN q) SELECT qid, cid, ROUND(score, 6) AS score, rn FROM (SELECT qid, cid, score, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS INTEGER) AS rn FROM s) WHERE rn <= 3 ORDER BY qid, rn",
     // kNN label noise: the cosine-topk window shape + two vote aggs;

@@ -254,9 +254,14 @@ object Multimodal {
     * Scale shape: staging is fixture setup (production points the
     * connector at an existing media lake); the scan lists and
     * header-parses inside the source, one file per task row. */
-  def qMediaGif(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  /** Stage the deterministic GIF fixture (first 48 documents rows →
+    * real LZW bytes; 256-gray ramp pixels v_j = (j·5 + doc_id) % 256,
+    * dims by fixed formulas) and hand the directory to `f`, deleting it
+    * after — shared by the two GIF driver keys. */
+  private def withGifFixture[T](spark: org.apache.spark.sql.SparkSession,
+                                dir: String)(f: String => T): T = {
     require(spark.sparkContext.isLocal,
-      "q_media_gif stages its fixture on the driver-local filesystem; " +
+      "the GIF keys stage their fixture on the driver-local filesystem; " +
         "on a cluster, read an existing shared media directory via " +
         "MediaSourceProvider directly")
     val docs = graft.Tables.documents(spark, dir)
@@ -277,20 +282,76 @@ object Multimodal {
           px(j * 3) = v; px(j * 3 + 1) = v; px(j * 3 + 2) = v
           j += 1
         }
-        val f = new java.io.File(stage.toFile, f"g$id%06d.gif")
-        val out = new java.io.FileOutputStream(f)
+        val file = new java.io.File(stage.toFile, f"g$id%06d.gif")
+        val out = new java.io.FileOutputStream(file)
         try out.write(GifCodec.encode(PpmCodec.Image(w, h, px)))
         finally out.close()
       }
-      val out = spark.read
-        .format(classOf[graft.sources.v2.MediaSourceProvider].getName)
-        .load(stage.toString)
-        .where(col("kind") === "image" && col("width") >= 2)
-        .select(col("name"), col("kind"), col("size"),
-          col("width"), col("height"))
-      out.localCheckpoint(eager = true).orderBy("name")
+      f(stage.toString)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
     }
   }
+
+  def qMediaGif(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    withGifFixture(spark, dir) { stage =>
+      val out = spark.read
+        .format(classOf[graft.sources.v2.MediaSourceProvider].getName)
+        .load(stage)
+        .where(col("kind") === "image" && col("width") >= 2)
+        .select(col("name"), col("kind"), col("size"),
+          col("width"), col("height"))
+      out.localCheckpoint(eager = true).orderBy("name")
+    }
+
+  /** q_media_gif_decode — distributed LZW DECODE under the oracle
+    * (r16): the connector serves each file's raw bytes to the
+    * executors, [[GifCodec.decode]] runs INSIDE mapPartitions (the
+    * extractFeatures batch shape — one decoded image per row, never a
+    * driver-side decode), and the key emits exact INTEGER pixel
+    * aggregates per file: decoded dims + count/sum/min/max of the red
+    * channel. Because the staged pixels are the fixed gray ramp
+    * v_j = (j·5 + doc_id) % 256, every cell is a closed form DuckDB
+    * reproduces with a generate_series sum — so a single wrong pixel
+    * anywhere in palette lookup, LZW expansion or sub-block reassembly
+    * hash-mismatches the oracle. q_media_gif pins the header/size path;
+    * THIS key pins the decode path, end-to-end on real compressed
+    * bytes.
+    *
+    * Scale shape: one file per row through the connector (bodies read
+    * exactly once, counter-asserted in MediaSourceSpec's machinery);
+    * decode is per-row executor work with no shuffle before the final
+    * display sort. */
+  def qMediaGifDecode(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    withGifFixture(spark, dir) { stage =>
+      val out = StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("width", IntegerType, nullable = false),
+        StructField("height", IntegerType, nullable = false),
+        StructField("n_px", LongType, nullable = false),
+        StructField("px_sum", LongType, nullable = false),
+        StructField("px_min", IntegerType, nullable = false),
+        StructField("px_max", IntegerType, nullable = false)))
+      val enc: Encoder[Row] = RowEncoder.encoderFor(out)
+      val bytesDf = spark.read
+        .format(classOf[graft.sources.v2.MediaSourceProvider].getName)
+        .load(stage)
+        .select(col("name"), col("bytes"))
+      val decoded = bytesDf.mapPartitions { it =>
+        it.flatMap { r =>
+          GifCodec.decode(r.getAs[Array[Byte]](1)).map { img =>
+            var s = 0L; var mn = 255; var mx = 0
+            var j = 0
+            val n = img.width * img.height
+            while (j < n) {
+              val v = img.pixels(j * 3) & 0xff // gray: r == g == b
+              s += v; if (v < mn) mn = v; if (v > mx) mx = v
+              j += 1
+            }
+            Row(r.getString(0), img.width, img.height, n.toLong, s, mn, mx)
+          }
+        }
+      }(enc)
+      decoded.localCheckpoint(eager = true).orderBy("name")
+    }
 }

@@ -437,6 +437,27 @@ class MultimodalSpec extends SparkSpec {
       "decoded indices must match the source through dictionary growth")
   }
 
+  test("qMediaGifDecode: executor-side LZW decode reproduces the generating formula exactly") {
+    val rows = Multimodal.qMediaGifDecode(spark, sfDir).collect()
+    assert(rows.length == 48)
+    // independently recompute every aggregate from the fixture formula —
+    // one wrong pixel anywhere in the decode path breaks this
+    val docs = Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("n_chars"))
+      .orderBy("doc_id").limit(48).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    rows.foreach { r =>
+      val id = r.getString(0).drop(1).dropRight(4).toLong
+      val nc = docs(id)
+      val w = (nc % 9 + 2).toInt; val h = (id % 6 + 2).toInt
+      val vs = (0 until w * h).map(j => ((j * 5 + id) % 256).toInt)
+      assert(r.getInt(1) == w && r.getInt(2) == h, r.toString)
+      assert(r.getLong(3) == w * h && r.getLong(4) == vs.map(_.toLong).sum, r.toString)
+      assert(r.getInt(5) == vs.min && r.getInt(6) == vs.max, r.toString)
+    }
+  }
+
   test("GIF codec: corrupt blobs degrade to None, never throw or hang") {
     val img = PpmCodec.Image(6, 5, Array.tabulate(90)(j => ((j / 3 * 9) % 256).toByte))
     val gif = GifCodec.encode(img)
