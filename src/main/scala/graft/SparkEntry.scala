@@ -351,6 +351,8 @@ object SparkEntry {
     "q_media_scan" -> (graft.mm.Multimodal.qMediaScan _),
     "q_media_gif" -> (graft.mm.Multimodal.qMediaGif _),
     "q_media_gif_decode" -> (graft.mm.Multimodal.qMediaGifDecode _),
+    "q_media_jpeg" -> (graft.mm.Multimodal.qMediaJpeg _),
+    "q_media_jpeg_decode" -> (graft.mm.Multimodal.qMediaJpegDecode _),
     "q_tfidf" -> (text.Relevance.qTfidf _),
     "q_bm25_search" -> (text.Relevance.qBm25Search _),
     // r12: reciprocal-rank fusion — the hybrid-retrieval primitive RAG
@@ -1498,6 +1500,33 @@ object SparkEntry {
         // constant ramp (max w*h = 10*7) and filter j < w*h instead
         "px AS (SELECT doc_id, w, h, (j * 5 + doc_id) % 256 AS v FROM g CROSS JOIN range(0, 70) t(j) WHERE j < w * h) " +
         "SELECT 'g' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.gif' AS name, " +
+        "CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_px, CAST(SUM(v) AS BIGINT) AS px_sum, " +
+        "CAST(MIN(v) AS INTEGER) AS px_min, CAST(MAX(v) AS INTEGER) AS px_max " +
+        "FROM px GROUP BY doc_id, w, h ORDER BY name"),
+    // JPEG header path: kind from extension, dims from the SOF0 frame
+    // header (no size column — a Huffman stream's length is not a
+    // closed form; the decode sibling pins the pixels instead)
+    "q_media_jpeg" ->
+      ("WITH d AS (SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 48) " +
+        "SELECT 'j' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.jpg' AS name, " +
+        "'image' AS kind, CAST(n_chars % 11 + 6 AS INTEGER) AS width, " +
+        "CAST(doc_id % 9 + 6 AS INTEGER) AS height FROM d ORDER BY name"),
+    // distributed baseline-JPEG decode: the per-8x8-block-constant gray
+    // v_b = (b*37 + doc_id) % 256 round-trips EXACTLY through the lossy
+    // format (Q00 = 8 makes DC quantization the identity and every AC
+    // coefficient zero), so each pixel aggregate is a closed form — one
+    // wrong pixel in Huffman decode / dequant / IDCT breaks the hash
+    "q_media_jpeg_decode" ->
+      ("WITH d AS (SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 48), " +
+        "g AS (SELECT doc_id, n_chars % 11 + 6 AS w, doc_id % 9 + 6 AS h FROM d), " +
+        // constant-ramp cross (max w = 16, h = 14) + j < bound filters,
+        // the q_media_gif_decode device
+        "px AS (SELECT doc_id, w, h, " +
+        "(((y // 8) * ((w + 7) // 8) + (x // 8)) * 37 + doc_id) % 256 AS v " +
+        "FROM g CROSS JOIN range(0, 16) tx(x) CROSS JOIN range(0, 14) ty(y) " +
+        "WHERE x < w AND y < h) " +
+        "SELECT 'j' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.jpg' AS name, " +
         "CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, " +
         "CAST(COUNT(*) AS BIGINT) AS n_px, CAST(SUM(v) AS BIGINT) AS px_sum, " +
         "CAST(MIN(v) AS INTEGER) AS px_min, CAST(MAX(v) AS INTEGER) AS px_max " +

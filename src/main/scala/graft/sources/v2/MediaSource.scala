@@ -58,7 +58,8 @@ object MediaSource {
 
   def kindOf(name: String): String = {
     val n = name.toLowerCase
-    if (n.endsWith(".ppm") || n.endsWith(".png") || n.endsWith(".gif")) "image"
+    if (n.endsWith(".ppm") || n.endsWith(".png") || n.endsWith(".gif") ||
+      n.endsWith(".jpg") || n.endsWith(".jpeg")) "image"
     else if (n.endsWith(".wav")) "audio"
     else "binary"
   }
@@ -277,6 +278,7 @@ class MediaPartitionReader(paths: Array[String], required: StructType,
       header.foreach { bs =>
         if (kind == "image")
           parsePpmDims(bs).orElse(parsePngDims(bs)).orElse(parseGifDims(bs))
+            .orElse(parseJpegDims(bs))
             .foreach { case (pw, ph) => w = pw; h = ph }
         else if (kind == "audio") parseWavRate(bs).foreach(r => sr = r)
       }
@@ -337,6 +339,33 @@ class MediaPartitionReader(paths: Array[String], required: StructType,
       val h = (bs(8) & 0xff) | ((bs(9) & 0xff) << 8)
       if (w > 0 && h > 0) Some((w, h)) else scala.None
     } else scala.None
+
+  /** JPEG dims from the SOF0/SOF1 frame header: walk markers inside the
+    * prefix (our encoder emits SOF0 before DHT precisely so dims land
+    * within 256 bytes; real-world JPEGs with big APPn/EXIF segments may
+    * push SOF0 past the prefix — those report null dims rather than a
+    * body read, the same degradation every parser here uses). */
+  private def parseJpegDims(bs: Array[Byte]): Option[(Int, Int)] = {
+    if (bs.length < 4 || (bs(0) & 0xff) != 0xff || (bs(1) & 0xff) != 0xd8)
+      return scala.None
+    var i = 2
+    while (i + 9 <= bs.length) {
+      if ((bs(i) & 0xff) != 0xff) return scala.None
+      val m = bs(i + 1) & 0xff
+      if (m == 0xff) i += 1
+      else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2
+      else if (m == 0xc0 || m == 0xc1 || m == 0xc2) {
+        val h = ((bs(i + 5) & 0xff) << 8) | (bs(i + 6) & 0xff)
+        val w = ((bs(i + 7) & 0xff) << 8) | (bs(i + 8) & 0xff)
+        return if (w > 0 && h > 0) Some((w, h)) else scala.None
+      } else {
+        val len = ((bs(i + 2) & 0xff) << 8) | (bs(i + 3) & 0xff)
+        if (len < 2) return scala.None
+        i += 2 + len
+      }
+    }
+    scala.None
+  }
 
   /** WAV sample rate from the 44-byte canonical header. Requires the
     * full RIFF/WAVE/fmt magic chain — a non-WAV RIFF container (AVI,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Row
 
-import graft.mm.{GifCodec, Multimodal, PngCodec, PpmCodec, WavCodec}
+import graft.mm.{GifCodec, JpegCodec, Multimodal, PngCodec, PpmCodec, WavCodec}
 
 class MultimodalSpec extends SparkSpec {
 
@@ -456,6 +456,245 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getLong(3) == w * h && r.getLong(4) == vs.map(_.toLong).sum, r.toString)
       assert(r.getInt(5) == vs.min && r.getInt(6) == vs.max, r.toString)
     }
+  }
+
+  test("JPEG codec: block-constant images round-trip EXACTLY (Q00=8 device), ragged dims") {
+    // every 8x8 block region constant → only the DC coefficient is
+    // nonzero and Q00 = 8 makes quantization the identity on it, so the
+    // full entropy-coded baseline stream reproduces the source pixels
+    // bit-for-bit — the property the driver key's oracle relies on
+    for (id <- 0L until 40L) {
+      val w = (id % 11 + 6).toInt
+      val h = (id % 9 + 6).toInt
+      val bw = (w + 7) / 8
+      val px = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (((y / 8) * bw + x / 8) * 37 + id) % 256
+        val o = (y * w + x) * 3
+        px(o) = v.toByte; px(o + 1) = v.toByte; px(o + 2) = v.toByte
+      }
+      val img = PpmCodec.Image(w, h, px)
+      val enc = JpegCodec.encode(img)
+      // deterministic at the byte level
+      assert(java.util.Arrays.equals(enc, JpegCodec.encode(img)))
+      val back = JpegCodec.decode(enc).getOrElse(fail(s"id=$id: decode failed"))
+      assert(back.width == w && back.height == h, s"id=$id dims")
+      assert(back.pixels.toSeq == px.toSeq, s"id=$id pixels differ")
+      // the SAME pixels through PPM and JPEG must extract identical features
+      assert(Multimodal.Codec.imageFeatures(enc).toSeq ==
+        Multimodal.Codec.imageFeatures(PpmCodec.encode(img)).toSeq)
+    }
+  }
+
+  test("JPEG codec: general images exercise the AC path and decode within lossy tolerance") {
+    val w = 21; val h = 17
+    val px = Array.tabulate(w * h * 3)(j => (((j / 3) * 7 + 13) % 256).toByte)
+    val img = PpmCodec.Image(w, h, px)
+    val enc = JpegCodec.encode(img)
+    val back = JpegCodec.decode(enc).get
+    assert(back.width == w && back.height == h)
+    var maxErr = 0
+    for (j <- 0 until w * h) {
+      val o = j * 3
+      val luma = (299 * (px(o) & 0xff) + 587 * (px(o + 1) & 0xff) +
+        114 * (px(o + 2) & 0xff)) / 1000
+      maxErr = math.max(maxErr, math.abs(luma - (back.pixels(o) & 0xff)))
+    }
+    assert(maxErr > 0, "a non-block-constant ramp must take the lossy path (AC real)")
+    assert(maxErr <= 16, s"lossy error out of JPEG range: $maxErr")
+    // grayscale output: channels replicate
+    assert((0 until w * h).forall(j =>
+      back.pixels(j * 3) == back.pixels(j * 3 + 1) && back.pixels(j * 3) == back.pixels(j * 3 + 2)))
+    // resize preserves the container format: a resized JPEG is a JPEG
+    val resized = Multimodal.Codec.resize(enc, 8, 8)
+    val rimg = JpegCodec.decode(resized).get
+    assert(rimg.width == 8 && rimg.height == 8)
+  }
+
+  test("JPEG codec: hand-built coefficient stream matches a naive direct IDCT (independent path)") {
+    // Build a full baseline file byte-by-byte with spec-local Huffman
+    // tables and a known coefficient set (run-lengths incl. ZRL), then
+    // compare the decoder's output against a NAIVE O(64^2) IDCT computed
+    // here — two independent implementations of dequant/zigzag/IDCT.
+    val zigzag = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    val qNat = Array.tabulate(64)(j => 1 + j % 13) // varied dequant entries
+    // spec-local canonical assignment (T.81 Annex C)
+    def canonical(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+      var code = 0; var k = 0
+      val out = scala.collection.mutable.Map[Int, (Int, Int)]()
+      for (len <- 1 to 16) {
+        for (_ <- 0 until bits(len)) { out(vals(k)) = (code, len); code += 1; k += 1 }
+        code <<= 1
+      }
+      out.toMap
+    }
+    val dcBits = Array(0, 0, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val dcVals = Array(0, 1, 2, 3, 4, 5) // categories 0..5
+    val acBits = Array(0, 0, 0, 5, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val acVals = Array(0x00, 0x02, 0x21, 0x42, 0xf0) // EOB,(0,2),(2,1),(4,2),ZRL
+    val dcC = canonical(dcBits, dcVals); val acC = canonical(acBits, acVals)
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    w16(0xffd8)
+    w16(0xffdb); w16(67); w8(0); (0 until 64).foreach(k => w8(qNat(zigzag(k))))
+    w16(0xffc0); w16(11); w8(8); w16(8); w16(8); w8(1); w8(1); w8(0x11); w8(0)
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      w16(0xffc4); w16(2 + 17 + vals.length); w8(cls << 4)
+      (1 to 16).foreach(l => w8(bits(l))); vals.foreach(w8)
+    }
+    dht(0, dcBits, dcVals); dht(1, acBits, acVals)
+    w16(0xffda); w16(8); w8(1); w8(1); w8(0x00); w8(0); w8(63); w8(0)
+    var acc = 0L; var nb = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); nb += len
+      while (nb >= 8) {
+        val b = ((acc >> (nb - 8)) & 0xff).toInt; w8(b); if (b == 0xff) w8(0); nb -= 8
+      }
+    }
+    def cat(v: Int): Int = { var a = math.abs(v); var t = 0; while (a != 0) { a >>= 1; t += 1 }; t }
+    def putCoef(huff: Map[Int, (Int, Int)], sym: Int, v: Int): Unit = {
+      val (c, l) = huff(sym); put(c, l)
+      val s = sym & 0x0f
+      if (s > 0) put(if (v < 0) v + (1 << s) - 1 else v, s)
+    }
+    // DC = 5 (cat 3); AC: zz1 = -3 (0,2), two zeros then zz4 = +1 (2,1),
+    // twenty zeros then zz25 = +2 (ZRL + (4,2)), EOB
+    putCoef(dcC, 3, 5)
+    putCoef(acC, 0x02, -3)
+    putCoef(acC, 0x21, 1)
+    putCoef(acC, 0xf0, 0)
+    putCoef(acC, 0x42, 2)
+    putCoef(acC, 0x00, 0)
+    if (nb > 0) put((1 << (8 - nb)) - 1, 8 - nb)
+    w16(0xffd9)
+    val img = JpegCodec.decode(out.toByteArray).getOrElse(fail("hand-built stream must decode"))
+    // naive expectation
+    val coefNat = new Array[Int](64)
+    coefNat(zigzag(0)) = 5; coefNat(zigzag(1)) = -3
+    coefNat(zigzag(4)) = 1; coefNat(zigzag(25)) = 2
+    def C(u: Int) = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    for (y <- 0 until 8; x <- 0 until 8) {
+      var s = 0.0
+      for (v <- 0 until 8; u <- 0 until 8)
+        s += C(u) * C(v) / 4.0 * (coefNat(v * 8 + u) * qNat(v * 8 + u)) *
+          math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+          math.cos((2 * y + 1) * v * math.Pi / 16.0)
+      val want = math.max(0, math.min(255, math.round(s).toInt + 128))
+      assert((img.pixels((y * 8 + x) * 3) & 0xff) == want, s"pixel ($x,$y)")
+    }
+  }
+
+  test("JPEG codec: restart markers reset DC prediction and bit alignment") {
+    // two-block 16x8 grayscale with DRI=1: each block's DC is coded
+    // ABSOLUTE (predictor reset at the RST0 boundary), stream re-aligns
+    // to a byte before the marker
+    val q0 = 8
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    w16(0xffd8)
+    w16(0xffdb); w16(67); w8(0); w8(q0); (1 until 64).foreach(_ => w8(16))
+    w16(0xffdd); w16(4); w16(1) // DRI = 1 MCU
+    w16(0xffc0); w16(11); w8(8); w16(8); w16(16); w8(1); w8(1); w8(0x11); w8(0)
+    val dcBits = Array(0, 0, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val dcVals = Array(0, 1, 2, 3, 4, 5)
+    val acBits = Array(0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val acVals = Array(0x00) // EOB only
+    def canonical(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+      var code = 0; var k = 0
+      val m = scala.collection.mutable.Map[Int, (Int, Int)]()
+      for (len <- 1 to 16) {
+        for (_ <- 0 until bits(len)) { m(vals(k)) = (code, len); code += 1; k += 1 }
+        code <<= 1
+      }
+      m.toMap
+    }
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      w16(0xffc4); w16(2 + 17 + vals.length); w8(cls << 4)
+      (1 to 16).foreach(l => w8(bits(l))); vals.foreach(w8)
+    }
+    dht(0, dcBits, dcVals); dht(1, acBits, acVals)
+    w16(0xffda); w16(8); w8(1); w8(1); w8(0x00); w8(0); w8(63); w8(0)
+    val dcC = canonical(dcBits, dcVals); val acC = canonical(acBits, acVals)
+    var acc = 0L; var nb = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); nb += len
+      while (nb >= 8) {
+        val b = ((acc >> (nb - 8)) & 0xff).toInt; w8(b); if (b == 0xff) w8(0); nb -= 8
+      }
+    }
+    def cat(v: Int): Int = { var a = math.abs(v); var t = 0; while (a != 0) { a >>= 1; t += 1 }; t }
+    def block(dcDiff: Int): Unit = {
+      val t = cat(dcDiff)
+      val (c, l) = dcC(t); put(c, l)
+      if (t > 0) put(if (dcDiff < 0) dcDiff + (1 << t) - 1 else dcDiff, t)
+      val (ec, el) = acC(0x00); put(ec, el)
+    }
+    block(10) // block A: DC = 10 → pixel 10*8/8 + 128 = 138
+    if (nb > 0) put((1 << (8 - nb)) - 1, 8 - nb)
+    w16(0xffd0) // RST0: predictor resets
+    block(-20) // block B: DC = -20 ABSOLUTE → pixel 108
+    if (nb > 0) put((1 << (8 - nb)) - 1, 8 - nb)
+    w16(0xffd9)
+    val img = JpegCodec.decode(out.toByteArray).getOrElse(fail("restart stream must decode"))
+    assert(img.width == 16 && img.height == 8)
+    assert((img.pixels(0) & 0xff) == 138, "block A constant")
+    assert((img.pixels(8 * 3) & 0xff) == 108, "block B decodes ABSOLUTE after RST reset")
+  }
+
+  test("qMediaJpegDecode: executor-side baseline decode reproduces the block formula exactly") {
+    val rows = Multimodal.qMediaJpegDecode(spark, sfDir).collect()
+    assert(rows.length == 48)
+    // independently recompute every aggregate from the fixture formula —
+    // one wrong pixel anywhere in the Huffman/dequant/IDCT path breaks this
+    val docs = Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("n_chars"))
+      .orderBy("doc_id").limit(48).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    rows.foreach { r =>
+      val id = r.getString(0).drop(1).dropRight(4).toLong
+      val nc = docs(id)
+      val w = (nc % 11 + 6).toInt; val h = (id % 9 + 6).toInt
+      val bw = (w + 7) / 8
+      val vs = for (y <- 0 until h; x <- 0 until w)
+        yield ((((y / 8) * bw + x / 8) * 37 + id) % 256).toInt
+      assert(r.getInt(1) == w && r.getInt(2) == h, r.toString)
+      assert(r.getLong(3) == w * h && r.getLong(4) == vs.map(_.toLong).sum, r.toString)
+      assert(r.getInt(5) == vs.min && r.getInt(6) == vs.max, r.toString)
+    }
+  }
+
+  test("JPEG codec: corrupt/unsupported blobs degrade to None, never throw") {
+    val px = Array.tabulate(16 * 16 * 3)(j => ((j / 3 * 5) % 256).toByte)
+    val enc = JpegCodec.encode(PpmCodec.Image(16, 16, px))
+    assert(JpegCodec.decode(enc).isDefined)
+    assert(JpegCodec.decode("not a jpeg".getBytes).isEmpty)
+    // every truncation point degrades, never throws/hangs
+    (0 until enc.length by 5).foreach { cut =>
+      JpegCodec.decode(java.util.Arrays.copyOf(enc, cut)) // must not throw
+    }
+    // every single-byte corruption is total (None or a decoded image)
+    (0 until enc.length by 3).foreach { flip =>
+      val b = enc.clone(); b(flip) = (b(flip) ^ 0x5a).toByte
+      JpegCodec.decode(b) // must not throw
+    }
+    // unsupported shapes: progressive, 12-bit, subsampled chroma
+    val sofOff = enc.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
+    val prog = enc.clone(); prog(sofOff + 1) = 0xc2.toByte
+    assert(JpegCodec.decode(prog).isEmpty, "progressive must be None")
+    val deep = enc.clone(); deep(sofOff + 4) = 12
+    assert(JpegCodec.decode(deep).isEmpty, "12-bit precision must be None")
+    val sub = enc.clone(); sub(sofOff + 11) = 0x22
+    assert(JpegCodec.decode(sub).isEmpty, "4:2:0 sampling must be None")
+    // operator-facing dispatch falls back to stub features, not an exception
+    val f = Multimodal.Codec.imageFeatures(enc.take(30))
+    assert(f.toSeq == Multimodal.StubCodec.imageFeatures(enc.take(30)).toSeq)
   }
 
   test("GIF codec: corrupt blobs degrade to None, never throw or hang") {
