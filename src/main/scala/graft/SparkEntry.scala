@@ -353,6 +353,7 @@ object SparkEntry {
     "q_media_gif_decode" -> (graft.mm.Multimodal.qMediaGifDecode _),
     "q_media_jpeg" -> (graft.mm.Multimodal.qMediaJpeg _),
     "q_media_jpeg_decode" -> (graft.mm.Multimodal.qMediaJpegDecode _),
+    "q_media_adpcm_decode" -> (graft.mm.Multimodal.qMediaAdpcmDecode _),
     "q_tfidf" -> (text.Relevance.qTfidf _),
     "q_bm25_search" -> (text.Relevance.qBm25Search _),
     // r12: reciprocal-rank fusion — the hybrid-retrieval primitive RAG
@@ -1531,6 +1532,23 @@ object SparkEntry {
         "CAST(COUNT(*) AS BIGINT) AS n_px, CAST(SUM(v) AS BIGINT) AS px_sum, " +
         "CAST(MIN(v) AS INTEGER) AS px_min, CAST(MAX(v) AS INTEGER) AS px_max " +
         "FROM px GROUP BY doc_id, w, h ORDER BY name"),
+    // distributed IMA-ADPCM decode: per-33-sample-block-constant signal
+    // round-trips exactly (block headers store the first sample
+    // verbatim; constant blocks emit zero nibbles = zero delta at step
+    // index 0), so sample aggregates AND the exact on-disk size are
+    // closed forms — one wrong sample in block parse / nibble unpack /
+    // step adaptation breaks the hash
+    "q_media_adpcm_decode" ->
+      ("WITH d AS (SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 48), " +
+        "g AS (SELECT doc_id, 8000 + (doc_id % 4) * 4000 AS rate, n_chars % 150 + 30 AS n FROM d), " +
+        "s AS (SELECT doc_id, rate, n, ((j // 33) * 911 + doc_id * 73) % 60001 - 30000 AS v " +
+        "FROM g CROSS JOIN range(0, 180) t(j) WHERE j < n) " +
+        "SELECT 'a' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.wav' AS name, " +
+        "CAST(60 + ((n + 32) // 33) * 20 AS BIGINT) AS size, " +
+        "CAST(rate AS INTEGER) AS sample_rate, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_samples, CAST(SUM(v) AS BIGINT) AS s_sum, " +
+        "CAST(MIN(v) AS INTEGER) AS s_min, CAST(MAX(v) AS INTEGER) AS s_max " +
+        "FROM s GROUP BY doc_id, rate, n ORDER BY name"),
     "q_cosine_topk" ->
       s"WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8), c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8), s AS (SELECT qid, cid, ${dotSql("qe", "ce")} AS score FROM c CROSS JOIN q) SELECT qid, cid, ROUND(score, 6) AS score, rn FROM (SELECT qid, cid, score, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS INTEGER) AS rn FROM s) WHERE rn <= 3 ORDER BY qid, rn",
     // kNN label noise: the cosine-topk window shape + two vote aggs;

@@ -551,6 +551,182 @@ object GifCodec {
   }
 }
 
+/** IMA ADPCM codec in the RIFF/WAVE container (r16 — the audio side of
+  * the "JPEG/OPUS stub" gap: a REAL 4:1 compressed audio format, zero
+  * dependencies). Decode parses `wFormatTag = 17` (IMA/DVI ADPCM) mono
+  * files — fmt extension with samples-per-block, optional `fact` chunk
+  * for the exact total sample count, per-block 4-byte headers (initial
+  * predictor int16 + step-table index) followed by 4-bit nibbles run
+  * through the standard IMA step/index adaptation — into the shared
+  * [[WavCodec.Audio]] PCM-16 shape, so audio features reuse the proven
+  * path. Encode is the deterministic greedy nibble quantizer.
+  *
+  * The oracle device (the JPEG Q00 = 8 analogue): a per-block-CONSTANT
+  * signal encodes losslessly — the block header stores its first sample
+  * exactly, every following delta is 0 → nibble 0, and at step index 0
+  * the decoded delta is step(0)>>3 = 7>>3 = 0 while the index stays
+  * clamped at 0 — so block-constant fixtures round-trip bit-exactly
+  * through real compressed bytes and the driver key's sample aggregates
+  * are closed forms. Arbitrary signals take the normal lossy path.
+  *
+  * Total like its siblings: malformed/truncated input → None. Step and
+  * index tables are the public IMA/DVI constants. */
+object AdpcmCodec {
+
+  private val stepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  private val indexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One nibble through the IMA update rule; returns the new sample and
+    * mutates nothing (pred/index threading is the caller's). */
+  @inline private def step(pred: Int, index: Int, nibble: Int): (Int, Int) = {
+    val st = stepTable(index)
+    var diff = st >> 3
+    if ((nibble & 1) != 0) diff += st >> 2
+    if ((nibble & 2) != 0) diff += st >> 1
+    if ((nibble & 4) != 0) diff += st
+    val p0 = if ((nibble & 8) != 0) pred - diff else pred + diff
+    val p = if (p0 < -32768) -32768 else if (p0 > 32767) 32767 else p0
+    val i0 = index + indexTable(nibble & 7)
+    val i = if (i0 < 0) 0 else if (i0 > 88) 88 else i0
+    (p, i)
+  }
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  /** Decode a mono IMA-ADPCM WAV. None on anything unsupported. */
+  def decode(bytes: Array[Byte]): Option[WavCodec.Audio] = {
+    if (bytes.length < 12) return None
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')) return None
+    if (!(bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')) return None
+    var i = 12
+    var rate = -1
+    var blockAlign = -1
+    var samplesPerBlock = -1
+    var factSamples = -1L
+    var data: Array[Byte] = null
+    while (i + 8 <= bytes.length) {
+      val id = new String(bytes, i, 4, "US-ASCII")
+      val size = le32(bytes, i + 4)
+      if (size < 0 || i + 8 + size > bytes.length) return None
+      val sz = size.toInt
+      if (id == "fmt " && sz >= 20) {
+        if (le16(bytes, i + 8) != 17) return None  // IMA ADPCM only
+        if (le16(bytes, i + 10) != 1) return None  // mono only
+        rate = le32(bytes, i + 12).toInt
+        blockAlign = le16(bytes, i + 20)
+        if (le16(bytes, i + 22) != 4) return None  // 4-bit nibbles only
+        samplesPerBlock = le16(bytes, i + 26)      // after cbSize
+      } else if (id == "fact" && sz >= 4) {
+        factSamples = le32(bytes, i + 8)
+      } else if (id == "data") {
+        if (blockAlign < 5) return None // fmt must precede data
+        data = java.util.Arrays.copyOfRange(bytes, i + 8, i + 8 + sz)
+      }
+      i += 8 + sz + (sz & 1)
+    }
+    if (rate <= 0 || data == null || samplesPerBlock <= 0) return None
+    if (samplesPerBlock != (blockAlign - 4) * 2 + 1) return None
+    if (data.length % blockAlign != 0) return None
+    val nBlocks = data.length / blockAlign
+    val maxSamples = nBlocks.toLong * samplesPerBlock
+    val total = if (factSamples >= 0) factSamples else maxSamples
+    if (total > maxSamples || total > (1L << 26)) return None
+    val out = new Array[Short](total.toInt)
+    var n = 0
+    var b = 0
+    while (b < nBlocks && n < out.length) {
+      val base = b * blockAlign
+      var pred = (le16(data, base) << 16) >> 16 // sign-extend int16
+      var index = data(base + 2) & 0xff
+      if (index > 88) return None
+      out(n) = pred.toShort; n += 1
+      var k = 0
+      val nNibbles = (blockAlign - 4) * 2
+      while (k < nNibbles && n < out.length) {
+        val byte = data(base + 4 + (k >> 1)) & 0xff
+        val nib = if ((k & 1) == 0) byte & 0x0f else (byte >> 4) & 0x0f
+        val (p, ix) = step(pred, index, nib)
+        pred = p; index = ix
+        out(n) = p.toShort; n += 1
+        k += 1
+      }
+      b += 1
+    }
+    if (n < out.length) return None // data ended before fact count
+    Some(WavCodec.Audio(rate, 1, out))
+  }
+
+  /** Closed-form encoded size (the oracle's device): fixed 60-byte
+    * envelope (12 RIFF + 28 fmt-with-extension + 12 fact + 8 data
+    * header) + ceil(n / samplesPerBlock(blockAlign)) · blockAlign. */
+  def encodedSize(nSamples: Int, blockAlign: Int = 20): Long = {
+    val spb = (blockAlign - 4) * 2 + 1
+    val nBlocks = (nSamples + spb - 1) / spb
+    60L + nBlocks.toLong * blockAlign
+  }
+
+  /** Deterministic mono IMA-ADPCM encode (greedy nibble quantizer).
+    * Signals CONSTANT within each block round-trip exactly (see the
+    * object scaladoc); everything else is normally lossy. */
+  def encode(a: WavCodec.Audio, blockAlign: Int = 20): Array[Byte] = {
+    require(a.channels == 1, "IMA ADPCM encoder is mono")
+    require(blockAlign >= 5, "blockAlign must hold a header + nibbles")
+    val spb = (blockAlign - 4) * 2 + 1
+    val n = a.samples.length
+    val nBlocks = (n + spb - 1) / spb
+    val out = java.nio.ByteBuffer.allocate((60 + nBlocks.toLong * blockAlign).toInt)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(52 + nBlocks * blockAlign)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(17).putShort(1).putInt(a.sampleRate)
+      .putInt(a.sampleRate * blockAlign / spb) // nominal byte rate
+      .putShort(blockAlign.toShort).putShort(4)
+      .putShort(2).putShort(spb.toShort) // cbSize, samples per block
+    out.put("fact".getBytes("US-ASCII")).putInt(4).putInt(n)
+    out.put("data".getBytes("US-ASCII")).putInt(nBlocks * blockAlign)
+    var index = 0
+    var b = 0
+    while (b < nBlocks) {
+      val base = b * spb
+      val first = if (base < n) a.samples(base).toInt else 0
+      out.putShort(first.toShort).put(index.toByte).put(0.toByte)
+      var pred = first
+      var k = 0
+      var byteAcc = 0
+      while (k < (blockAlign - 4) * 2) {
+        val j = base + 1 + k
+        val target = if (j < n) a.samples(j).toInt else pred
+        val st = stepTable(index)
+        var delta = target - pred
+        var nib = if (delta < 0) { delta = -delta; 8 } else 0
+        if (delta >= st) { nib |= 4; delta -= st }
+        if (delta >= (st >> 1)) { nib |= 2; delta -= st >> 1 }
+        if (delta >= (st >> 2)) nib |= 1
+        val (p, ix) = step(pred, index, nib)
+        pred = p; index = ix
+        if ((k & 1) == 0) byteAcc = nib
+        else { out.put((byteAcc | (nib << 4)).toByte); byteAcc = 0 }
+        k += 1
+      }
+      b += 1
+    }
+    out.array()
+  }
+}
+
 /** RIFF/WAVE PCM-16 parser. */
 object WavCodec {
 

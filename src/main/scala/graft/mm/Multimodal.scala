@@ -49,6 +49,7 @@ object Multimodal {
         .orElse(GifCodec.decode(bytes).map(PpmCodec.features(_, dim)))
         .orElse(JpegCodec.decode(bytes).map(PpmCodec.features(_, dim)))
         .orElse(WavCodec.decode(bytes).map(WavCodec.features(_, dim)))
+        .orElse(AdpcmCodec.decode(bytes).map(WavCodec.features(_, dim)))
         .getOrElse(StubCodec.imageFeatures(bytes, dim))
 
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
@@ -473,4 +474,78 @@ object Multimodal {
       }(enc)
       decoded.localCheckpoint(eager = true).orderBy("name")
     }
+
+  /** q_media_adpcm_decode — distributed IMA-ADPCM DECODE under the
+    * oracle (r16, the audio analogue of the JPEG/GIF decode keys): 48
+    * mono ADPCM WAVs are staged from documents rows with a per-BLOCK-
+    * constant signal (block b of file doc_id holds
+    * v_b = (b·911 + doc_id·73) % 60001 − 30000 over 33-sample blocks),
+    * which [[AdpcmCodec]] round-trips EXACTLY (block headers store the
+    * first sample verbatim; constant blocks emit all-zero nibbles whose
+    * decoded delta is 0 at step index 0). The connector serves raw
+    * bytes to executors; decode runs INSIDE mapPartitions and the key
+    * emits the exact on-disk size ([[AdpcmCodec.encodedSize]] closed
+    * form), decoded sample rate and INTEGER sample aggregates — all
+    * DuckDB closed forms, so one wrong sample anywhere in block
+    * parsing, nibble unpacking or the step/index adaptation
+    * hash-mismatches the oracle.
+    *
+    * Scale shape: one file per row, bodies read exactly once, per-row
+    * executor decode, no shuffle before the final display sort. */
+  def qMediaAdpcmDecode(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    require(spark.sparkContext.isLocal,
+      "q_media_adpcm_decode stages its fixture on the driver-local filesystem; " +
+        "on a cluster, read an existing shared media directory via " +
+        "MediaSourceProvider directly")
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id").limit(48).collect()
+    val stage = java.nio.file.Files.createTempDirectory("graft_media_adpcm")
+    try {
+      docs.foreach { r =>
+        val id = r.getLong(0)
+        val nc = r.getLong(1)
+        val rate = (8000 + (id % 4) * 4000).toInt
+        val n = (nc % 150 + 30).toInt
+        val samples = Array.tabulate(n) { j =>
+          (((j / 33) * 911 + id * 73) % 60001 - 30000).toShort
+        }
+        val file = new java.io.File(stage.toFile, f"a$id%06d.wav")
+        val out = new java.io.FileOutputStream(file)
+        try out.write(AdpcmCodec.encode(WavCodec.Audio(rate, 1, samples)))
+        finally out.close()
+      }
+      val out = StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("size", LongType, nullable = false),
+        StructField("sample_rate", IntegerType, nullable = false),
+        StructField("n_samples", LongType, nullable = false),
+        StructField("s_sum", LongType, nullable = false),
+        StructField("s_min", IntegerType, nullable = false),
+        StructField("s_max", IntegerType, nullable = false)))
+      val enc: Encoder[Row] = RowEncoder.encoderFor(out)
+      val bytesDf = spark.read
+        .format(classOf[graft.sources.v2.MediaSourceProvider].getName)
+        .load(stage.toString)
+        .select(col("name"), col("size"), col("bytes"))
+      val decoded = bytesDf.mapPartitions { it =>
+        it.flatMap { r =>
+          AdpcmCodec.decode(r.getAs[Array[Byte]](2)).map { a =>
+            var s = 0L; var mn = 32767; var mx = -32768
+            var j = 0
+            while (j < a.samples.length) {
+              val v = a.samples(j).toInt
+              s += v; if (v < mn) mn = v; if (v > mx) mx = v
+              j += 1
+            }
+            Row(r.getString(0), r.getLong(1), a.sampleRate,
+              a.samples.length.toLong, s, mn, mx)
+          }
+        }
+      }(enc)
+      decoded.localCheckpoint(eager = true).orderBy("name")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+  }
 }

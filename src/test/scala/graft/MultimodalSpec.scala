@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Row
 
-import graft.mm.{GifCodec, JpegCodec, Multimodal, PngCodec, PpmCodec, WavCodec}
+import graft.mm.{AdpcmCodec, GifCodec, JpegCodec, Multimodal, PngCodec, PpmCodec, WavCodec}
 
 class MultimodalSpec extends SparkSpec {
 
@@ -695,6 +695,103 @@ class MultimodalSpec extends SparkSpec {
     // operator-facing dispatch falls back to stub features, not an exception
     val f = Multimodal.Codec.imageFeatures(enc.take(30))
     assert(f.toSeq == Multimodal.StubCodec.imageFeatures(enc.take(30)).toSeq)
+  }
+
+  test("ADPCM codec: block-constant signals round-trip EXACTLY; size is the closed form") {
+    for (id <- 0L until 24L) {
+      val n = (id % 150 + 30).toInt
+      val samples = Array.tabulate(n)(j =>
+        (((j / 33) * 911 + id * 73) % 60001 - 30000).toShort)
+      val a = WavCodec.Audio((8000 + (id % 4) * 4000).toInt, 1, samples)
+      val enc = AdpcmCodec.encode(a)
+      assert(enc.length == AdpcmCodec.encodedSize(n), s"id=$id size")
+      // deterministic at the byte level
+      assert(java.util.Arrays.equals(enc, AdpcmCodec.encode(a)))
+      val back = AdpcmCodec.decode(enc).getOrElse(fail(s"id=$id: decode failed"))
+      assert(back.sampleRate == a.sampleRate && back.channels == 1)
+      assert(back.samples.toSeq == samples.toSeq, s"id=$id samples differ")
+      // the SAME audio through PCM-WAV and ADPCM must extract identical features
+      assert(Multimodal.Codec.imageFeatures(enc).toSeq ==
+        Multimodal.Codec.imageFeatures(WavCodec.encode(a)).toSeq)
+    }
+  }
+
+  test("ADPCM codec: hand-built nibble stream matches hand-computed step-table walk") {
+    // one 6-byte block (4 nibbles), predictor 0, index 0 — expected
+    // samples worked out BY HAND from the public IMA tables:
+    // 0x1: step 7, diff 0+1        -> 1,   index 0-1 -> 0
+    // 0x7: step 7, diff 0+1+3+7    -> 12,  index 0+8 -> 8
+    // 0xF: step 16, diff 2+4+8+16  -> -18, index 8+8 -> 16
+    // 0x8: step 34, diff 4         -> -22, index 16-1 -> 15
+    val bb = java.nio.ByteBuffer.allocate(66).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(58).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(17).putShort(1).putInt(8000).putInt(8000 * 6 / 5)
+      .putShort(6).putShort(4).putShort(2).putShort(5)
+    bb.put("fact".getBytes("US-ASCII")).putInt(4).putInt(5)
+    bb.put("data".getBytes("US-ASCII")).putInt(6)
+    bb.putShort(0).put(0.toByte).put(0.toByte)     // block header
+    bb.put(0x71.toByte).put(0x8f.toByte)           // nibbles 1,7,F,8
+    val a = AdpcmCodec.decode(bb.array()).getOrElse(fail("hand-built must decode"))
+    assert(a.samples.toSeq == Seq[Short](0, 1, 12, -18, -22))
+  }
+
+  test("ADPCM codec: general signals track within adaptive tolerance at ~4:1 compression") {
+    val n = 2000
+    val samples = Array.tabulate(n)(j => (j * 12).toShort) // a steady ramp
+    val a = WavCodec.Audio(16000, 1, samples)
+    // production-shaped 256-byte blocks: the 4-byte header amortizes to
+    // <1% and the ratio approaches the format's nominal 4:1
+    val enc = AdpcmCodec.encode(a, blockAlign = 256)
+    assert(enc.length < WavCodec.encode(a).length / 3, s"${enc.length}")
+    val back = AdpcmCodec.decode(enc).get
+    assert(back.samples.length == n)
+    var maxErr = 0
+    for (j <- 0 until n)
+      maxErr = math.max(maxErr, math.abs(back.samples(j) - samples(j)))
+    assert(maxErr > 0, "a ramp must take the lossy path")
+    assert(maxErr <= 512, s"adaptation should track the ramp: $maxErr")
+  }
+
+  test("ADPCM codec: corrupt blobs degrade to None; PCM and ADPCM reject each other") {
+    val samples = Array.tabulate(100)(j => (j * 11).toShort)
+    val a = WavCodec.Audio(8000, 1, samples)
+    val enc = AdpcmCodec.encode(a)
+    assert(AdpcmCodec.decode(enc).isDefined)
+    assert(AdpcmCodec.decode("not audio".getBytes).isEmpty)
+    assert(AdpcmCodec.decode(WavCodec.encode(a)).isEmpty, "PCM is not ADPCM")
+    assert(WavCodec.decode(enc).isEmpty, "ADPCM is not PCM")
+    (0 until enc.length by 3).foreach { cut =>
+      AdpcmCodec.decode(java.util.Arrays.copyOf(enc, cut)) // must not throw
+    }
+    (0 until enc.length by 2).foreach { flip =>
+      val b = enc.clone(); b(flip) = (b(flip) ^ 0x5a).toByte
+      AdpcmCodec.decode(b) // must not throw
+    }
+    // truncated data chunk (fact promises more samples than blocks hold)
+    val shortData = enc.clone()
+    val dataOff = enc.length - 40 // inside the last block
+    assert(AdpcmCodec.decode(java.util.Arrays.copyOf(shortData, dataOff)).isEmpty)
+  }
+
+  test("qMediaAdpcmDecode: executor-side ADPCM decode reproduces the block formula exactly") {
+    val rows = Multimodal.qMediaAdpcmDecode(spark, sfDir).collect()
+    assert(rows.length == 48)
+    val docs = Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("n_chars"))
+      .orderBy("doc_id").limit(48).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    rows.foreach { r =>
+      val id = r.getString(0).drop(1).dropRight(4).toLong
+      val nc = docs(id)
+      val n = (nc % 150 + 30).toInt
+      val vs = (0 until n).map(j => (((j / 33) * 911 + id * 73) % 60001 - 30000).toInt)
+      assert(r.getLong(1) == AdpcmCodec.encodedSize(n), r.toString)
+      assert(r.getInt(2) == (8000 + (id % 4) * 4000).toInt, r.toString)
+      assert(r.getLong(3) == n && r.getLong(4) == vs.map(_.toLong).sum, r.toString)
+      assert(r.getInt(5) == vs.min && r.getInt(6) == vs.max, r.toString)
+    }
   }
 
   test("GIF codec: corrupt blobs degrade to None, never throw or hang") {
