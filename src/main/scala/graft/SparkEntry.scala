@@ -354,6 +354,7 @@ object SparkEntry {
     "q_media_jpeg" -> (graft.mm.Multimodal.qMediaJpeg _),
     "q_media_jpeg_decode" -> (graft.mm.Multimodal.qMediaJpegDecode _),
     "q_media_adpcm_decode" -> (graft.mm.Multimodal.qMediaAdpcmDecode _),
+    "q_media_video_sample" -> (graft.mm.Multimodal.qMediaVideoSample _),
     "q_tfidf" -> (text.Relevance.qTfidf _),
     "q_bm25_search" -> (text.Relevance.qBm25Search _),
     // r12: reciprocal-rank fusion — the hybrid-retrieval primitive RAG
@@ -1549,6 +1550,23 @@ object SparkEntry {
         "CAST(COUNT(*) AS BIGINT) AS n_samples, CAST(SUM(v) AS BIGINT) AS s_sum, " +
         "CAST(MIN(v) AS INTEGER) AS s_min, CAST(MAX(v) AS INTEGER) AS s_max " +
         "FROM s GROUP BY doc_id, rate, n ORDER BY name"),
+    // animated-GIF demux + stride-5 frame sampling: frame f of file
+    // doc_id holds v_j = (j*3 + f*11 + doc_id) % 256 and the flat-9-bit
+    // encode makes the on-disk size a closed form (782-byte envelope +
+    // per-frame 21 + ceil((9*w*h + 18)/8) data bytes), so size, frame
+    // count, sampled indices and per-frame pixel sums are all oracled
+    "q_media_video_sample" ->
+      ("WITH d AS (SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 48), " +
+        "g AS (SELECT doc_id, n_chars % 7 + 2 AS w, doc_id % 5 + 2 AS h, n_chars % 20 + 4 AS nf FROM d), " +
+        "fr AS (SELECT doc_id, w, h, nf, f FROM g CROSS JOIN range(0, 23) t(f) WHERE f < nf AND f % 5 = 0), " +
+        "px AS (SELECT doc_id, w, h, nf, f, (j * 3 + f * 11 + doc_id) % 256 AS v " +
+        "FROM fr CROSS JOIN range(0, 48) tj(j) WHERE j < w * h) " +
+        "SELECT 'v' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.gif' AS name, " +
+        "CAST(782 + nf * (21 + (9 * w * h + 25) // 8) AS BIGINT) AS size, " +
+        "CAST(nf AS INTEGER) AS n_frames, CAST(f AS INTEGER) AS frame_idx, " +
+        "CAST(SUM(v) AS BIGINT) AS px_sum, " +
+        "CAST(MIN(v) AS INTEGER) AS px_min, CAST(MAX(v) AS INTEGER) AS px_max " +
+        "FROM px GROUP BY doc_id, w, h, nf, f ORDER BY name, frame_idx"),
     "q_cosine_topk" ->
       s"WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8), c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8), s AS (SELECT qid, cid, ${dotSql("qe", "ce")} AS score FROM c CROSS JOIN q) SELECT qid, cid, ROUND(score, 6) AS score, rn FROM (SELECT qid, cid, score, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS INTEGER) AS rn FROM s) WHERE rn <= 3 ORDER BY qid, rn",
     // kNN label noise: the cosine-topk window shape + two vote aggs;

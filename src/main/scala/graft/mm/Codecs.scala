@@ -324,75 +324,114 @@ object GifCodec {
 
   /** Decode the first image to interleaved RGB. None on anything
     * unsupported or malformed. */
-  def decode(bytes: Array[Byte]): Option[PpmCodec.Image] = {
-    if (bytes.length < 14) return None
+  def decode(bytes: Array[Byte]): Option[PpmCodec.Image] = decodeFrame(bytes, 0)
+
+  /** Number of image frames in the stream (animated-GIF demux: counts
+    * image descriptors, skipping their data without LZW-decoding it).
+    * None on malformed/truncated input or a frameless stream. */
+  def frameCount(bytes: Array[Byte]): Option[Int] =
+    walkFrames(bytes, -1).left.toOption.filter(_ > 0)
+
+  /** Decode frame `target` (0-based) of a possibly-animated GIF. Frames
+    * must be full-logical-screen and non-interlaced (the shape our
+    * encoder and virtually all machine-generated animations emit);
+    * partial-canvas frames would need disposal-method compositing and
+    * degrade to None. */
+  def decodeFrame(bytes: Array[Byte], target: Int): Option[PpmCodec.Image] =
+    if (target < 0) None else walkFrames(bytes, target).toOption
+
+  /** Shared walk: `target` < 0 counts frames to the trailer (Left n);
+    * otherwise decodes frame `target` (Right img). Any malformation is
+    * Left(-1) (count mode) / not-Right (decode mode) — callers see
+    * None. */
+  private def walkFrames(bytes: Array[Byte],
+                         target: Int): Either[Int, PpmCodec.Image] = {
+    val bad: Either[Int, PpmCodec.Image] = Left(-1)
+    if (bytes.length < 14) return bad
     val sig = new String(bytes, 0, 6, "US-ASCII")
-    if (sig != "GIF87a" && sig != "GIF89a") return None
+    if (sig != "GIF87a" && sig != "GIF89a") return bad
     var i = 6
     // logical screen descriptor
+    val sw = u16(bytes, i)
+    val sh = u16(bytes, i + 2)
     val packed = bytes(i + 4) & 0xff
     i += 7
-    var palette: Array[Byte] = null
+    var gct: Array[Byte] = null
     if ((packed & 0x80) != 0) {
       val n = 3 * (1 << ((packed & 0x07) + 1))
-      if (i + n > bytes.length) return None
-      palette = java.util.Arrays.copyOfRange(bytes, i, i + n)
+      if (i + n > bytes.length) return bad
+      gct = java.util.Arrays.copyOfRange(bytes, i, i + n)
       i += n
     }
-    // block walk to the first image descriptor
+    var frame = 0
     while (i < bytes.length) {
       (bytes(i) & 0xff) match {
-        case 0x3b => return None // trailer before any image
+        case 0x3b => // trailer
+          return if (target < 0) Left(frame) else bad
         case 0x21 => // extension: label byte then sub-blocks
           i += 2
           while (i < bytes.length && bytes(i) != 0) i += 1 + (bytes(i) & 0xff)
-          if (i >= bytes.length) return None
+          if (i >= bytes.length) return bad
           i += 1 // block terminator
         case 0x2c =>
-          if (i + 10 > bytes.length) return None
+          if (i + 10 > bytes.length) return bad
+          val left = u16(bytes, i + 1)
+          val top = u16(bytes, i + 3)
           val w = u16(bytes, i + 5)
           val h = u16(bytes, i + 7)
           val ipacked = bytes(i + 9) & 0xff
           i += 10
-          if ((ipacked & 0x40) != 0) return None // interlaced: unsupported
-          if ((ipacked & 0x80) != 0) {           // local color table wins
+          var palette = gct
+          if ((ipacked & 0x80) != 0) { // local color table wins for THIS frame
             val n = 3 * (1 << ((ipacked & 0x07) + 1))
-            if (i + n > bytes.length) return None
+            if (i + n > bytes.length) return bad
             palette = java.util.Arrays.copyOfRange(bytes, i, i + n)
             i += n
           }
-          if (palette == null || w <= 0 || h <= 0) return None
-          if (w.toLong * h * 3 > (1L << 28)) return None // sanity bound
-          if (i >= bytes.length) return None
+          if (i >= bytes.length) return bad
           val minCode = bytes(i) & 0xff
           i += 1
-          if (minCode < 2 || minCode > 8) return None
-          // concatenate the sub-block payloads
-          val data = new java.io.ByteArrayOutputStream()
+          val decodeThis = frame == target
+          if (decodeThis) {
+            if ((ipacked & 0x40) != 0) return bad // interlaced: unsupported
+            if (left != 0 || top != 0 || w != sw || h != sh) return bad // partial canvas
+            if (palette == null || w <= 0 || h <= 0) return bad
+            if (w.toLong * h * 3 > (1L << 28)) return bad // sanity bound
+            if (minCode < 2 || minCode > 8) return bad
+          }
+          // concatenate (or in count/skip mode just step over) sub-blocks
+          val data = if (decodeThis) new java.io.ByteArrayOutputStream() else null
           while (i < bytes.length && bytes(i) != 0) {
             val n = bytes(i) & 0xff
-            if (i + 1 + n > bytes.length) return None
-            data.write(bytes, i + 1, n)
+            if (i + 1 + n > bytes.length) return bad
+            if (decodeThis) data.write(bytes, i + 1, n)
             i += 1 + n
           }
-          if (i >= bytes.length) return None
-          val idx = lzwDecode(data.toByteArray, minCode, w * h).getOrElse(return None)
-          val nColors = palette.length / 3
-          val px = new Array[Byte](w * h * 3)
-          var j = 0
-          while (j < w * h) {
-            val c = idx(j) & 0xff
-            if (c >= nColors) return None // index beyond the palette: corrupt
-            px(j * 3) = palette(c * 3)
-            px(j * 3 + 1) = palette(c * 3 + 1)
-            px(j * 3 + 2) = palette(c * 3 + 2)
-            j += 1
+          if (i >= bytes.length) return bad
+          i += 1 // block terminator
+          if (decodeThis) {
+            val idx = lzwDecode(data.toByteArray, minCode, w * h) match {
+              case Some(x) => x
+              case None => return bad
+            }
+            val nColors = palette.length / 3
+            val px = new Array[Byte](w * h * 3)
+            var j = 0
+            while (j < w * h) {
+              val c = idx(j) & 0xff
+              if (c >= nColors) return bad // index beyond the palette: corrupt
+              px(j * 3) = palette(c * 3)
+              px(j * 3 + 1) = palette(c * 3 + 1)
+              px(j * 3 + 2) = palette(c * 3 + 2)
+              j += 1
+            }
+            return Right(PpmCodec.Image(w, h, px))
           }
-          return Some(PpmCodec.Image(w, h, px))
-        case _ => return None
+          frame += 1
+        case _ => return bad
       }
     }
-    None
+    bad // ran off the end without a trailer
   }
 
   /** Full variable-width LZW over an LSB-first bit stream: dictionary
@@ -476,6 +515,102 @@ object GifCodec {
     val dataBytes = (9 * codes + 7) / 8
     val subBlocks = (dataBytes + 254) / 255
     794 + dataBytes + subBlocks
+  }
+
+  /** Closed-form size of [[encodeAnimated]]'s output: 13-byte header +
+    * 768-byte global table + per frame (8-byte GCE + 10-byte descriptor
+    * + min-code byte + flat-9-bit data + sub-block framing + block
+    * terminator) + trailer. */
+  def encodedAnimatedSize(w: Int, h: Int, nFrames: Int): Long = {
+    val n = w.toLong * h
+    val codes = n + 2 + (n - 1) / 252
+    val dataBytes = (9 * codes + 7) / 8
+    val subBlocks = (dataBytes + 254) / 255
+    13L + 768 + nFrames.toLong * (8 + 10 + 1 + dataBytes + subBlocks + 1) + 1
+  }
+
+  /** Deterministic animated GIF89a bytes: one shared 256-entry global
+    * palette over the union of all frames' colors (≤256 distinct →
+    * lossless, sorted; richer → the fixed R3G3B2 quantization), then
+    * per frame a graphic-control extension (fixed 4/100 s delay) and a
+    * full-logical-screen image block in the same flat-9-bit LZW as
+    * [[encode]] — so the on-disk size is the [[encodedAnimatedSize]]
+    * closed form. This is the "video" container of the media stack:
+    * frame demux ([[frameCount]]) and per-frame decode
+    * ([[decodeFrame]]) run against exactly these streams. */
+  def encodeAnimated(frames: Seq[PpmCodec.Image]): Array[Byte] = {
+    require(frames.nonEmpty, "animated GIF needs at least one frame")
+    val w = frames.head.width
+    val h = frames.head.height
+    require(frames.forall(f => f.width == w && f.height == h),
+      "all frames must share the logical screen size")
+    val n = w * h
+    val rgbFrames = frames.map { f =>
+      Array.tabulate(n) { j =>
+        ((f.pixels(j * 3) & 0xff) << 16) | ((f.pixels(j * 3 + 1) & 0xff) << 8) |
+          (f.pixels(j * 3 + 2) & 0xff)
+      }
+    }
+    val distinct = rgbFrames.iterator.flatten.toSet
+    val (palette, indexOf): (Array[Int], Int => Int) =
+      if (distinct.size <= 256) {
+        val p = distinct.toArray.sorted
+        val m = p.zipWithIndex.toMap
+        (p.padTo(256, 0), m)
+      } else {
+        val p = Array.tabulate(256) { i =>
+          val r = ((i >> 5) & 7) * 255 / 7
+          val g = ((i >> 2) & 7) * 255 / 7
+          val b = (i & 3) * 255 / 3
+          (r << 16) | (g << 8) | b
+        }
+        (p, c => {
+          val r = (c >> 16) & 0xff; val g = (c >> 8) & 0xff; val b = c & 0xff
+          ((r * 7 / 255) << 5) | ((g * 7 / 255) << 2) | (b * 3 / 255)
+        })
+      }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    w16(w); w16(h)
+    out.write(0x80 | 0x07); out.write(0); out.write(0)
+    palette.foreach { c =>
+      out.write((c >> 16) & 0xff); out.write((c >> 8) & 0xff); out.write(c & 0xff)
+    }
+    rgbFrames.foreach { rgb =>
+      // graphic control extension: 4/100 s delay, no transparency
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0); w16(4); out.write(0); out.write(0)
+      out.write(0x2c); w16(0); w16(0); w16(w); w16(h); out.write(0)
+      out.write(8) // LZW min code size
+      val data = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var accBits = 0
+      def emit(code: Int): Unit = {
+        acc |= (code.toLong & 0x1ff) << accBits; accBits += 9
+        while (accBits >= 8) { data.write((acc & 0xff).toInt); acc >>>= 8; accBits -= 8 }
+      }
+      emit(256)
+      var sinceClear = 0
+      var j = 0
+      while (j < n) {
+        if (sinceClear == 252) { emit(256); sinceClear = 0 }
+        emit(indexOf(rgb(j))); sinceClear += 1
+        j += 1
+      }
+      emit(257)
+      if (accBits > 0) data.write((acc & 0xff).toInt)
+      val payload = data.toByteArray
+      var off = 0
+      while (off < payload.length) {
+        val len = math.min(255, payload.length - off)
+        out.write(len)
+        out.write(payload, off, len)
+        off += len
+      }
+      out.write(0) // block terminator
+    }
+    out.write(0x3b)
+    out.toByteArray
   }
 
   /** Deterministic GIF87a bytes. Images with ≤256 distinct colors

@@ -548,4 +548,96 @@ object Multimodal {
       org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
     }
   }
+
+  /** q_media_video_sample — REAL frame demux + stride-sampled decode
+    * (r16): until now the video path was metadata-only
+    * ([[sampleFrames]] plans indices without touching bytes, decode
+    * stubbed). This key makes it real end to end on the one video-ish
+    * container the zero-dep stack can hold: animated GIF. 48 multi-
+    * frame files are staged ([[GifCodec.encodeAnimated]] — shared
+    * global palette, per-frame GCE + full-screen image blocks), the
+    * connector serves bytes to executors, and inside mapPartitions each
+    * file is demuxed ([[GifCodec.frameCount]] walks descriptors without
+    * LZW work), every 5th frame is decoded ([[GifCodec.decodeFrame]]),
+    * and exact per-frame pixel aggregates are emitted. Frame f of file
+    * doc_id holds the ramp v_j = (j·3 + f·11 + doc_id) % 256 and the
+    * flat-9-bit encode makes the on-disk SIZE the
+    * [[GifCodec.encodedAnimatedSize]] closed form, so every cell —
+    * size, frame count, sampled indices, per-frame sums — is a DuckDB
+    * closed form: a wrong frame boundary, a mis-skipped sub-block or a
+    * single wrong pixel in any sampled frame breaks the hash.
+    *
+    * Scale shape: one file per row; demux + sampled decode is per-row
+    * executor work (decode cost ∝ sampled frames only — skipped frames
+    * are stepped over, never LZW-decoded); no shuffle before the final
+    * display sort. */
+  def qMediaVideoSample(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    require(spark.sparkContext.isLocal,
+      "q_media_video_sample stages its fixture on the driver-local filesystem; " +
+        "on a cluster, read an existing shared media directory via " +
+        "MediaSourceProvider directly")
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id").limit(48).collect()
+    val stage = java.nio.file.Files.createTempDirectory("graft_media_video")
+    try {
+      docs.foreach { r =>
+        val id = r.getLong(0)
+        val nc = r.getLong(1)
+        val w = (nc % 7 + 2).toInt
+        val h = (id % 5 + 2).toInt
+        val nF = (nc % 20 + 4).toInt
+        val frames = (0 until nF).map { f =>
+          val px = new Array[Byte](w * h * 3)
+          var j = 0
+          while (j < w * h) {
+            val v = ((j * 3 + f * 11 + id) % 256).toByte
+            px(j * 3) = v; px(j * 3 + 1) = v; px(j * 3 + 2) = v
+            j += 1
+          }
+          PpmCodec.Image(w, h, px)
+        }
+        val file = new java.io.File(stage.toFile, f"v$id%06d.gif")
+        val out = new java.io.FileOutputStream(file)
+        try out.write(GifCodec.encodeAnimated(frames))
+        finally out.close()
+      }
+      val out = StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("size", LongType, nullable = false),
+        StructField("n_frames", IntegerType, nullable = false),
+        StructField("frame_idx", IntegerType, nullable = false),
+        StructField("px_sum", LongType, nullable = false),
+        StructField("px_min", IntegerType, nullable = false),
+        StructField("px_max", IntegerType, nullable = false)))
+      val enc: Encoder[Row] = RowEncoder.encoderFor(out)
+      val bytesDf = spark.read
+        .format(classOf[graft.sources.v2.MediaSourceProvider].getName)
+        .load(stage.toString)
+        .select(col("name"), col("size"), col("bytes"))
+      val decoded = bytesDf.mapPartitions { it =>
+        it.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](2)
+          GifCodec.frameCount(bytes).toSeq.flatMap { nF =>
+            StubCodec.frameIndices(nF, 5).flatMap { f =>
+              GifCodec.decodeFrame(bytes, f).map { img =>
+                var s = 0L; var mn = 255; var mx = 0
+                var j = 0
+                val n = img.width * img.height
+                while (j < n) {
+                  val v = img.pixels(j * 3) & 0xff // gray: r == g == b
+                  s += v; if (v < mn) mn = v; if (v > mx) mx = v
+                  j += 1
+                }
+                Row(r.getString(0), r.getLong(1), nF, f, s, mn, mx)
+              }
+            }
+          }
+        }
+      }(enc)
+      decoded.localCheckpoint(eager = true).orderBy("name", "frame_idx")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+  }
 }

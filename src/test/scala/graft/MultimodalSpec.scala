@@ -697,6 +697,72 @@ class MultimodalSpec extends SparkSpec {
     assert(f.toSeq == Multimodal.StubCodec.imageFeatures(enc.take(30)).toSeq)
   }
 
+  test("GIF codec: animated encode / frame demux / per-frame decode round-trip exactly") {
+    val w = 7; val h = 5; val nF = 9
+    def framePx(f: Int): Array[Byte] = {
+      val px = new Array[Byte](w * h * 3)
+      for (j <- 0 until w * h) {
+        val v = ((j * 3 + f * 11 + 4) % 256).toByte
+        px(j * 3) = v; px(j * 3 + 1) = v; px(j * 3 + 2) = v
+      }
+      px
+    }
+    val frames = (0 until nF).map(f => PpmCodec.Image(w, h, framePx(f)))
+    val gif = GifCodec.encodeAnimated(frames)
+    assert(gif.length == GifCodec.encodedAnimatedSize(w, h, nF), s"${gif.length}")
+    assert(java.util.Arrays.equals(gif, GifCodec.encodeAnimated(frames)), "deterministic")
+    assert(GifCodec.frameCount(gif).contains(nF))
+    for (f <- 0 until nF) {
+      val img = GifCodec.decodeFrame(gif, f).getOrElse(fail(s"frame $f"))
+      assert(img.width == w && img.height == h)
+      assert(img.pixels.toSeq == framePx(f).toSeq, s"frame $f pixels")
+    }
+    // single-frame API views the animation as its first frame
+    assert(GifCodec.decode(gif).get.pixels.toSeq == framePx(0).toSeq)
+    assert(GifCodec.decodeFrame(gif, nF).isEmpty, "index past the last frame")
+    assert(GifCodec.decodeFrame(gif, -1).isEmpty)
+    // the still-image encoder's output is a 1-frame animation to the demux
+    assert(GifCodec.frameCount(GifCodec.encode(frames.head)).contains(1))
+    // truncation mid-animation: count and decode both degrade to None
+    assert(GifCodec.frameCount(gif.take(gif.length - 10)).isEmpty)
+    assert(GifCodec.decodeFrame(gif.take(800), 2).isEmpty)
+    // a partial-canvas frame (nonzero left offset) degrades to None on
+    // decode but still COUNTS as a frame (demux never inspects pixels)
+    val shifted = gif.clone()
+    val desc0 = 13 + 768 + 8 // header + GCT + first GCE
+    assert((shifted(desc0) & 0xff) == 0x2c)
+    shifted(desc0 + 1) = 1 // left = 1
+    assert(GifCodec.decodeFrame(shifted, 0).isEmpty)
+    assert(GifCodec.frameCount(shifted).contains(nF))
+  }
+
+  test("qMediaVideoSample: demux + stride-sampled executor decode reproduce the formulas") {
+    val rows = Multimodal.qMediaVideoSample(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("n_chars"))
+      .orderBy("doc_id").limit(48).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // every (file, sampled-frame) pair present, none extra
+    val expectRows = docs.toSeq.map { case (id, nc) =>
+      (nc % 20 + 4).toInt match { case nf => (nf + 4) / 5 }
+    }.sum
+    assert(rows.length == expectRows)
+    rows.foreach { r =>
+      val id = r.getString(0).drop(1).dropRight(4).toLong
+      val nc = docs(id)
+      val w = (nc % 7 + 2).toInt; val h = (id % 5 + 2).toInt
+      val nf = (nc % 20 + 4).toInt
+      val f = r.getInt(3)
+      assert(f % 5 == 0 && f < nf)
+      assert(r.getLong(1) == GifCodec.encodedAnimatedSize(w, h, nf), r.toString)
+      assert(r.getInt(2) == nf, r.toString)
+      val vs = (0 until w * h).map(j => ((j * 3 + f * 11 + id) % 256).toInt)
+      assert(r.getLong(4) == vs.map(_.toLong).sum, r.toString)
+      assert(r.getInt(5) == vs.min && r.getInt(6) == vs.max, r.toString)
+    }
+  }
+
   test("ADPCM codec: block-constant signals round-trip EXACTLY; size is the closed form") {
     for (id <- 0L until 24L) {
       val n = (id % 150 + 30).toInt
