@@ -589,6 +589,64 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("JPEG codec: YCbCr 4:4:4 color decodes with per-component prediction and RGB conversion") {
+    // three DC-only components (Y=+10, Cb=-20, Cr=+15 at Q00=8) — the
+    // planes are 138/108/143 and the expected RGB is hand-computed from
+    // the BT.601 inverse: R=159, G=134, B=103 for every pixel
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    w16(0xffd8)
+    w16(0xffdb); w16(67); w8(0); w8(8); (1 until 64).foreach(_ => w8(16))
+    w16(0xffc0); w16(17); w8(8); w16(8); w16(8); w8(3)
+    for (cid <- 1 to 3) { w8(cid); w8(0x11); w8(0) }
+    val dcBits = Array(0, 0, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val dcVals = Array(0, 1, 2, 3, 4, 5)
+    val acBits = Array(0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val acVals = Array(0x00)
+    def canonical(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+      var code = 0; var k = 0
+      val m = scala.collection.mutable.Map[Int, (Int, Int)]()
+      for (len <- 1 to 16) {
+        for (_ <- 0 until bits(len)) { m(vals(k)) = (code, len); code += 1; k += 1 }
+        code <<= 1
+      }
+      m.toMap
+    }
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      w16(0xffc4); w16(2 + 17 + vals.length); w8(cls << 4)
+      (1 to 16).foreach(l => w8(bits(l))); vals.foreach(w8)
+    }
+    dht(0, dcBits, dcVals); dht(1, acBits, acVals)
+    w16(0xffda); w16(12); w8(3)
+    for (cid <- 1 to 3) { w8(cid); w8(0x00) }
+    w8(0); w8(63); w8(0)
+    val dcC = canonical(dcBits, dcVals); val acC = canonical(acBits, acVals)
+    var acc = 0L; var nb = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); nb += len
+      while (nb >= 8) {
+        val b = ((acc >> (nb - 8)) & 0xff).toInt; w8(b); if (b == 0xff) w8(0); nb -= 8
+      }
+    }
+    def cat(v: Int): Int = { var a = math.abs(v); var t = 0; while (a != 0) { a >>= 1; t += 1 }; t }
+    for (dc <- Seq(10, -20, 15)) { // per-component predictors all start at 0
+      val t = cat(dc)
+      val (c, l) = dcC(t); put(c, l)
+      put(if (dc < 0) dc + (1 << t) - 1 else dc, t)
+      val (ec, el) = acC(0x00); put(ec, el)
+    }
+    if (nb > 0) put((1 << (8 - nb)) - 1, 8 - nb)
+    w16(0xffd9)
+    val img = JpegCodec.decode(out.toByteArray).getOrElse(fail("color stream must decode"))
+    assert(img.width == 8 && img.height == 8)
+    for (j <- 0 until 64) {
+      assert((img.pixels(j * 3) & 0xff) == 159, s"R at $j")
+      assert((img.pixels(j * 3 + 1) & 0xff) == 134, s"G at $j")
+      assert((img.pixels(j * 3 + 2) & 0xff) == 103, s"B at $j")
+    }
+  }
+
   test("JPEG codec: restart markers reset DC prediction and bit alignment") {
     // two-block 16x8 grayscale with DRI=1: each block's DC is coded
     // ABSOLUTE (predictor reset at the RST0 boundary), stream re-aligns
@@ -734,6 +792,41 @@ class MultimodalSpec extends SparkSpec {
     shifted(desc0 + 1) = 1 // left = 1
     assert(GifCodec.decodeFrame(shifted, 0).isEmpty)
     assert(GifCodec.frameCount(shifted).contains(nF))
+  }
+
+  test("GIF codec: a local color table applies to ITS frame only (scoping in animations)") {
+    // frame 0 carries a REVERSED-gray LCT, frame 1 falls back to the
+    // gray GCT; both frames' pixels are index 3 — so frame 0 must read
+    // 252 and frame 1 must read 3, proving the LCT never leaks forward
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def w16v(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    w16v(2); w16v(2); out.write(0x87); out.write(0); out.write(0)
+    (0 until 256).foreach(v => { out.write(v); out.write(v); out.write(v) }) // gray GCT
+    def frameData(): Unit = { // 4 pixels of index 3, flat 9-bit LZW
+      val data = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var accBits = 0
+      def emit(code: Int): Unit = {
+        acc |= (code.toLong & 0x1ff) << accBits; accBits += 9
+        while (accBits >= 8) { data.write((acc & 0xff).toInt); acc >>>= 8; accBits -= 8 }
+      }
+      emit(256); emit(3); emit(3); emit(3); emit(3); emit(257)
+      if (accBits > 0) data.write((acc & 0xff).toInt)
+      val payload = data.toByteArray
+      out.write(8) // min code size
+      out.write(payload.length); out.write(payload, 0, payload.length)
+      out.write(0)
+    }
+    out.write(0x2c); w16v(0); w16v(0); w16v(2); w16v(2); out.write(0x80 | 0x07) // LCT
+    (0 until 256).foreach(v => { val r = 255 - v; out.write(r); out.write(r); out.write(r) })
+    frameData()
+    out.write(0x2c); w16v(0); w16v(0); w16v(2); w16v(2); out.write(0) // no LCT
+    frameData()
+    out.write(0x3b)
+    val gif = out.toByteArray
+    assert(GifCodec.frameCount(gif).contains(2))
+    assert((GifCodec.decodeFrame(gif, 0).get.pixels(0) & 0xff) == 252, "frame 0 uses its LCT")
+    assert((GifCodec.decodeFrame(gif, 1).get.pixels(0) & 0xff) == 3, "frame 1 falls back to the GCT")
   }
 
   test("qMediaVideoSample: demux + stride-sampled executor decode reproduce the formulas") {
