@@ -330,26 +330,40 @@ object GifCodec {
     * image descriptors, skipping their data without LZW-decoding it).
     * None on malformed/truncated input or a frameless stream. */
   def frameCount(bytes: Array[Byte]): Option[Int] =
-    walkFrames(bytes, -1).left.toOption.filter(_ > 0)
+    walkFrames(bytes, _ => false, -1).map(_._1).filter(_ > 0)
 
-  /** Decode frame `target` (0-based) of a possibly-animated GIF. Frames
-    * must be full-logical-screen and non-interlaced (the shape our
-    * encoder and virtually all machine-generated animations emit);
-    * partial-canvas frames would need disposal-method compositing and
-    * degrade to None. */
+  /** Decode frame `target` (0-based) of a possibly-animated GIF,
+    * stopping the walk at that frame (bytes after it are never read).
+    * Frame 0 decodes STANDALONE with the image block's own dimensions
+    * (positioning offsets are compositing metadata — the classic
+    * "decode the first image" semantics, and what a sub-canvas still
+    * GIF needs); later frames must be full-logical-screen and
+    * non-interlaced, since a partial frame at index > 0 renders on top
+    * of prior content and would need disposal-method compositing —
+    * those degrade to None. */
   def decodeFrame(bytes: Array[Byte], target: Int): Option[PpmCodec.Image] =
-    if (target < 0) None else walkFrames(bytes, target).toOption
+    if (target < 0) None
+    else walkFrames(bytes, _ == target, target).flatMap(_._2.headOption.map(_._2))
 
-  /** Shared walk: `target` < 0 counts frames to the trailer (Left n);
-    * otherwise decodes frame `target` (Right img). Any malformation is
-    * Left(-1) (count mode) / not-Right (decode mode) — callers see
-    * None. */
-  private def walkFrames(bytes: Array[Byte],
-                         target: Int): Either[Int, PpmCodec.Image] = {
-    val bad: Either[Int, PpmCodec.Image] = Left(-1)
-    if (bytes.length < 14) return bad
+  /** Single-pass demux + stride sampling: ONE walk decodes every
+    * `stride`-th frame and returns (total frame count, decoded frames
+    * with their indices) — the shape a 1-in-N video sampler needs,
+    * where per-frame [[decodeFrame]] calls would re-walk all earlier
+    * frames' descriptors each time (O(frames²) skips per file). */
+  def decodeSampled(bytes: Array[Byte],
+                    stride: Int): Option[(Int, Seq[(Int, PpmCodec.Image)])] =
+    if (stride <= 0) None
+    else walkFrames(bytes, _ % stride == 0, -1).filter(_._1 > 0)
+
+  /** Shared single-pass walk: decodes the frames `want` selects; if
+    * `stopAt` ≥ 0 returns right after that frame (count = frames seen),
+    * else walks to the trailer (count = total frames). None on any
+    * malformation encountered before the stop point. */
+  private def walkFrames(bytes: Array[Byte], want: Int => Boolean, stopAt: Int)
+      : Option[(Int, List[(Int, PpmCodec.Image)])] = {
+    if (bytes.length < 14) return None
     val sig = new String(bytes, 0, 6, "US-ASCII")
-    if (sig != "GIF87a" && sig != "GIF89a") return bad
+    if (sig != "GIF87a" && sig != "GIF89a") return None
     var i = 6
     // logical screen descriptor
     val sw = u16(bytes, i)
@@ -359,79 +373,85 @@ object GifCodec {
     var gct: Array[Byte] = null
     if ((packed & 0x80) != 0) {
       val n = 3 * (1 << ((packed & 0x07) + 1))
-      if (i + n > bytes.length) return bad
+      if (i + n > bytes.length) return None
       gct = java.util.Arrays.copyOfRange(bytes, i, i + n)
       i += n
     }
     var frame = 0
+    var acc: List[(Int, PpmCodec.Image)] = Nil
     while (i < bytes.length) {
       (bytes(i) & 0xff) match {
         case 0x3b => // trailer
-          return if (target < 0) Left(frame) else bad
+          return Some((frame, acc.reverse))
         case 0x21 => // extension: label byte then sub-blocks
           i += 2
           while (i < bytes.length && bytes(i) != 0) i += 1 + (bytes(i) & 0xff)
-          if (i >= bytes.length) return bad
+          if (i >= bytes.length) return None
           i += 1 // block terminator
         case 0x2c =>
-          if (i + 10 > bytes.length) return bad
+          if (i + 10 > bytes.length) return None
           val left = u16(bytes, i + 1)
           val top = u16(bytes, i + 3)
           val w = u16(bytes, i + 5)
           val h = u16(bytes, i + 7)
           val ipacked = bytes(i + 9) & 0xff
           i += 10
+          val decodeThis = want(frame)
+          // local color table wins for THIS frame; in skip mode it is
+          // stepped over without the copy
           var palette = gct
-          if ((ipacked & 0x80) != 0) { // local color table wins for THIS frame
+          if ((ipacked & 0x80) != 0) {
             val n = 3 * (1 << ((ipacked & 0x07) + 1))
-            if (i + n > bytes.length) return bad
-            palette = java.util.Arrays.copyOfRange(bytes, i, i + n)
+            if (i + n > bytes.length) return None
+            if (decodeThis) palette = java.util.Arrays.copyOfRange(bytes, i, i + n)
             i += n
           }
-          if (i >= bytes.length) return bad
+          if (i >= bytes.length) return None
           val minCode = bytes(i) & 0xff
           i += 1
-          val decodeThis = frame == target
           if (decodeThis) {
-            if ((ipacked & 0x40) != 0) return bad // interlaced: unsupported
-            if (left != 0 || top != 0 || w != sw || h != sh) return bad // partial canvas
-            if (palette == null || w <= 0 || h <= 0) return bad
-            if (w.toLong * h * 3 > (1L << 28)) return bad // sanity bound
-            if (minCode < 2 || minCode > 8) return bad
+            if ((ipacked & 0x40) != 0) return None // interlaced: unsupported
+            // frame 0 decodes standalone with its own dims; later frames
+            // must cover the canvas (compositing is out of scope)
+            if (frame > 0 && (left != 0 || top != 0 || w != sw || h != sh)) return None
+            if (palette == null || w <= 0 || h <= 0) return None
+            if (w.toLong * h * 3 > (1L << 28)) return None // sanity bound
+            if (minCode < 2 || minCode > 8) return None
           }
-          // concatenate (or in count/skip mode just step over) sub-blocks
+          // concatenate (or in skip mode just step over) sub-blocks
           val data = if (decodeThis) new java.io.ByteArrayOutputStream() else null
           while (i < bytes.length && bytes(i) != 0) {
             val n = bytes(i) & 0xff
-            if (i + 1 + n > bytes.length) return bad
+            if (i + 1 + n > bytes.length) return None
             if (decodeThis) data.write(bytes, i + 1, n)
             i += 1 + n
           }
-          if (i >= bytes.length) return bad
+          if (i >= bytes.length) return None
           i += 1 // block terminator
           if (decodeThis) {
             val idx = lzwDecode(data.toByteArray, minCode, w * h) match {
               case Some(x) => x
-              case None => return bad
+              case None => return None
             }
             val nColors = palette.length / 3
             val px = new Array[Byte](w * h * 3)
             var j = 0
             while (j < w * h) {
               val c = idx(j) & 0xff
-              if (c >= nColors) return bad // index beyond the palette: corrupt
+              if (c >= nColors) return None // index beyond the palette: corrupt
               px(j * 3) = palette(c * 3)
               px(j * 3 + 1) = palette(c * 3 + 1)
               px(j * 3 + 2) = palette(c * 3 + 2)
               j += 1
             }
-            return Right(PpmCodec.Image(w, h, px))
+            acc = (frame, PpmCodec.Image(w, h, px)) :: acc
           }
+          if (frame == stopAt) return Some((frame + 1, acc.reverse))
           frame += 1
-        case _ => return bad
+        case _ => return None
       }
     }
-    bad // ran off the end without a trailer
+    None // ran off the end without a trailer
   }
 
   /** Full variable-width LZW over an LSB-first bit stream: dictionary

@@ -260,44 +260,69 @@ object Multimodal {
     * Scale shape: staging is fixture setup (production points the
     * connector at an existing media lake); the scan lists and
     * header-parses inside the source, one file per task row. */
-  /** Stage the deterministic GIF fixture (first 48 documents rows →
-    * real LZW bytes; 256-gray ramp pixels v_j = (j·5 + doc_id) % 256,
-    * dims by fixed formulas) and hand the directory to `f`, deleting it
-    * after — shared by the two GIF driver keys. */
-  private def withGifFixture[T](spark: org.apache.spark.sql.SparkSession,
-                                dir: String)(f: String => T): T = {
+  /** Stage a deterministic 48-file media fixture from the first
+    * `documents` rows on the driver-local filesystem, hand the
+    * directory to `f` and delete it after — the shared skeleton of
+    * every media driver key (staging is fixture SETUP, never the data
+    * path: production points the connector at an existing media lake).
+    * `writeOne` receives (doc_id, n_chars) and returns the file name
+    * and its bytes. */
+  private def withMediaFixture[T](spark: org.apache.spark.sql.SparkSession,
+                                  dir: String, tmpPrefix: String)
+                                 (writeOne: (Long, Long) => (String, Array[Byte]))
+                                 (f: String => T): T = {
     require(spark.sparkContext.isLocal,
-      "the GIF keys stage their fixture on the driver-local filesystem; " +
+      "the media keys stage their fixture on the driver-local filesystem; " +
         "on a cluster, read an existing shared media directory via " +
         "MediaSourceProvider directly")
     val docs = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars"))
       .orderBy("doc_id").limit(48).collect()
-    val stage = java.nio.file.Files.createTempDirectory("graft_media_gif")
+    val stage = java.nio.file.Files.createTempDirectory(tmpPrefix)
     try {
       docs.foreach { r =>
-        val id = r.getLong(0)
-        val nc = r.getLong(1)
-        val w = (nc % 9 + 2).toInt
-        val h = (id % 6 + 2).toInt
-        // grayscale ramp: ≤256 distinct colors → lossless exact palette
-        val px = new Array[Byte](w * h * 3)
-        var j = 0
-        while (j < w * h) {
-          val v = ((j * 5 + id) % 256).toByte
-          px(j * 3) = v; px(j * 3 + 1) = v; px(j * 3 + 2) = v
-          j += 1
-        }
-        val file = new java.io.File(stage.toFile, f"g$id%06d.gif")
-        val out = new java.io.FileOutputStream(file)
-        try out.write(GifCodec.encode(PpmCodec.Image(w, h, px)))
-        finally out.close()
+        val (name, bytes) = writeOne(r.getLong(0), r.getLong(1))
+        val out = new java.io.FileOutputStream(new java.io.File(stage.toFile, name))
+        try out.write(bytes) finally out.close()
       }
       f(stage.toString)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
     }
   }
+
+  /** (n, sum, min, max) over the red channel — the aggregate every
+    * gray-fixture decode key emits under its oracle. */
+  private def grayStats(img: PpmCodec.Image): (Long, Long, Int, Int) = {
+    var s = 0L; var mn = 255; var mx = 0
+    var j = 0
+    val n = img.width * img.height
+    while (j < n) {
+      val v = img.pixels(j * 3) & 0xff // gray fixture: r == g == b
+      s += v; if (v < mn) mn = v; if (v > mx) mx = v
+      j += 1
+    }
+    (n.toLong, s, mn, mx)
+  }
+
+  /** Stage the deterministic GIF fixture (first 48 documents rows →
+    * real LZW bytes; 256-gray ramp pixels v_j = (j·5 + doc_id) % 256,
+    * dims by fixed formulas) — shared by the two GIF driver keys. */
+  private def withGifFixture[T](spark: org.apache.spark.sql.SparkSession,
+                                dir: String)(f: String => T): T =
+    withMediaFixture(spark, dir, "graft_media_gif") { (id, nc) =>
+      val w = (nc % 9 + 2).toInt
+      val h = (id % 6 + 2).toInt
+      // grayscale ramp: ≤256 distinct colors → lossless exact palette
+      val px = new Array[Byte](w * h * 3)
+      var j = 0
+      while (j < w * h) {
+        val v = ((j * 5 + id) % 256).toByte
+        px(j * 3) = v; px(j * 3 + 1) = v; px(j * 3 + 2) = v
+        j += 1
+      }
+      (f"g$id%06d.gif", GifCodec.encode(PpmCodec.Image(w, h, px)))
+    }(f)
 
   def qMediaGif(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     withGifFixture(spark, dir) { stage =>
@@ -346,15 +371,8 @@ object Multimodal {
       val decoded = bytesDf.mapPartitions { it =>
         it.flatMap { r =>
           GifCodec.decode(r.getAs[Array[Byte]](1)).map { img =>
-            var s = 0L; var mn = 255; var mx = 0
-            var j = 0
-            val n = img.width * img.height
-            while (j < n) {
-              val v = img.pixels(j * 3) & 0xff // gray: r == g == b
-              s += v; if (v < mn) mn = v; if (v > mx) mx = v
-              j += 1
-            }
-            Row(r.getString(0), img.width, img.height, n.toLong, s, mn, mx)
+            val (n, s, mn, mx) = grayStats(img)
+            Row(r.getString(0), img.width, img.height, n, s, mn, mx)
           }
         }
       }(enc)
@@ -362,51 +380,32 @@ object Multimodal {
     }
 
   /** Stage the deterministic JPEG fixture (first 48 documents rows →
-    * real baseline entropy-coded bytes) and hand the directory to `f`,
-    * deleting it after — shared by the two JPEG driver keys. Every 8×8
-    * block region is CONSTANT (block b of file doc_id holds gray
-    * v_b = (b·37 + doc_id) % 256), so with [[JpegCodec]]'s Q00 = 8 the
-    * lossy format round-trips these files EXACTLY — the device that
-    * lets a DuckDB oracle state the decoded pixels in closed form. */
+    * real baseline entropy-coded bytes) — shared by the two JPEG driver
+    * keys. Every 8×8 block region is CONSTANT (block b of file doc_id
+    * holds gray v_b = (b·37 + doc_id) % 256), so with [[JpegCodec]]'s
+    * Q00 = 8 the lossy format round-trips these files EXACTLY — the
+    * device that lets a DuckDB oracle state the decoded pixels in
+    * closed form. */
   private def withJpegFixture[T](spark: org.apache.spark.sql.SparkSession,
-                                 dir: String)(f: String => T): T = {
-    require(spark.sparkContext.isLocal,
-      "the JPEG keys stage their fixture on the driver-local filesystem; " +
-        "on a cluster, read an existing shared media directory via " +
-        "MediaSourceProvider directly")
-    val docs = graft.Tables.documents(spark, dir)
-      .select(col("doc_id"), col("n_chars"))
-      .orderBy("doc_id").limit(48).collect()
-    val stage = java.nio.file.Files.createTempDirectory("graft_media_jpeg")
-    try {
-      docs.foreach { r =>
-        val id = r.getLong(0)
-        val nc = r.getLong(1)
-        val w = (nc % 11 + 6).toInt
-        val h = (id % 9 + 6).toInt
-        val bw = (w + 7) / 8
-        val px = new Array[Byte](w * h * 3)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val v = (((y / 8) * bw + x / 8) * 37 + id) % 256
-            val o = (y * w + x) * 3
-            px(o) = v.toByte; px(o + 1) = v.toByte; px(o + 2) = v.toByte
-            x += 1
-          }
-          y += 1
+                                 dir: String)(f: String => T): T =
+    withMediaFixture(spark, dir, "graft_media_jpeg") { (id, nc) =>
+      val w = (nc % 11 + 6).toInt
+      val h = (id % 9 + 6).toInt
+      val bw = (w + 7) / 8
+      val px = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = (((y / 8) * bw + x / 8) * 37 + id) % 256
+          val o = (y * w + x) * 3
+          px(o) = v.toByte; px(o + 1) = v.toByte; px(o + 2) = v.toByte
+          x += 1
         }
-        val file = new java.io.File(stage.toFile, f"j$id%06d.jpg")
-        val out = new java.io.FileOutputStream(file)
-        try out.write(JpegCodec.encode(PpmCodec.Image(w, h, px)))
-        finally out.close()
+        y += 1
       }
-      f(stage.toString)
-    } finally {
-      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
-    }
-  }
+      (f"j$id%06d.jpg", JpegCodec.encode(PpmCodec.Image(w, h, px)))
+    }(f)
 
   /** q_media_jpeg — the JPEG codec on the driver gate (r16): real
     * baseline entropy-coded files staged from the first 48 documents
@@ -460,15 +459,8 @@ object Multimodal {
       val decoded = bytesDf.mapPartitions { it =>
         it.flatMap { r =>
           JpegCodec.decode(r.getAs[Array[Byte]](1)).map { img =>
-            var s = 0L; var mn = 255; var mx = 0
-            var j = 0
-            val n = img.width * img.height
-            while (j < n) {
-              val v = img.pixels(j * 3) & 0xff // gray: r == g == b
-              s += v; if (v < mn) mn = v; if (v > mx) mx = v
-              j += 1
-            }
-            Row(r.getString(0), img.width, img.height, n.toLong, s, mn, mx)
+            val (n, s, mn, mx) = grayStats(img)
+            Row(r.getString(0), img.width, img.height, n, s, mn, mx)
           }
         }
       }(enc)
@@ -492,29 +484,15 @@ object Multimodal {
     *
     * Scale shape: one file per row, bodies read exactly once, per-row
     * executor decode, no shuffle before the final display sort. */
-  def qMediaAdpcmDecode(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    require(spark.sparkContext.isLocal,
-      "q_media_adpcm_decode stages its fixture on the driver-local filesystem; " +
-        "on a cluster, read an existing shared media directory via " +
-        "MediaSourceProvider directly")
-    val docs = graft.Tables.documents(spark, dir)
-      .select(col("doc_id"), col("n_chars"))
-      .orderBy("doc_id").limit(48).collect()
-    val stage = java.nio.file.Files.createTempDirectory("graft_media_adpcm")
-    try {
-      docs.foreach { r =>
-        val id = r.getLong(0)
-        val nc = r.getLong(1)
-        val rate = (8000 + (id % 4) * 4000).toInt
-        val n = (nc % 150 + 30).toInt
-        val samples = Array.tabulate(n) { j =>
-          (((j / 33) * 911 + id * 73) % 60001 - 30000).toShort
-        }
-        val file = new java.io.File(stage.toFile, f"a$id%06d.wav")
-        val out = new java.io.FileOutputStream(file)
-        try out.write(AdpcmCodec.encode(WavCodec.Audio(rate, 1, samples)))
-        finally out.close()
+  def qMediaAdpcmDecode(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    withMediaFixture(spark, dir, "graft_media_adpcm") { (id, nc) =>
+      val rate = (8000 + (id % 4) * 4000).toInt
+      val n = (nc % 150 + 30).toInt
+      val samples = Array.tabulate(n) { j =>
+        (((j / 33) * 911 + id * 73) % 60001 - 30000).toShort
       }
+      (f"a$id%06d.wav", AdpcmCodec.encode(WavCodec.Audio(rate, 1, samples)))
+    } { stage =>
       val out = StructType(Seq(
         StructField("name", StringType, nullable = false),
         StructField("size", LongType, nullable = false),
@@ -526,7 +504,7 @@ object Multimodal {
       val enc: Encoder[Row] = RowEncoder.encoderFor(out)
       val bytesDf = spark.read
         .format(classOf[graft.sources.v2.MediaSourceProvider].getName)
-        .load(stage.toString)
+        .load(stage)
         .select(col("name"), col("size"), col("bytes"))
       val decoded = bytesDf.mapPartitions { it =>
         it.flatMap { r =>
@@ -544,10 +522,7 @@ object Multimodal {
         }
       }(enc)
       decoded.localCheckpoint(eager = true).orderBy("name")
-    } finally {
-      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
     }
-  }
 
   /** q_media_video_sample — REAL frame demux + stride-sampled decode
     * (r16): until now the video path was metadata-only
@@ -557,51 +532,38 @@ object Multimodal {
     * frame files are staged ([[GifCodec.encodeAnimated]] — shared
     * global palette, per-frame GCE + full-screen image blocks), the
     * connector serves bytes to executors, and inside mapPartitions each
-    * file is demuxed ([[GifCodec.frameCount]] walks descriptors without
-    * LZW work), every 5th frame is decoded ([[GifCodec.decodeFrame]]),
-    * and exact per-frame pixel aggregates are emitted. Frame f of file
-    * doc_id holds the ramp v_j = (j·3 + f·11 + doc_id) % 256 and the
-    * flat-9-bit encode makes the on-disk SIZE the
-    * [[GifCodec.encodedAnimatedSize]] closed form, so every cell —
-    * size, frame count, sampled indices, per-frame sums — is a DuckDB
-    * closed form: a wrong frame boundary, a mis-skipped sub-block or a
-    * single wrong pixel in any sampled frame breaks the hash.
+    * file is demuxed and its every-5th frames decoded in ONE walk
+    * ([[GifCodec.decodeSampled]] — skipped frames' descriptors are
+    * stepped over once, never LZW-decoded, never re-walked), emitting
+    * exact per-frame pixel aggregates. Frame f of file doc_id holds the
+    * ramp v_j = (j·3 + f·11 + doc_id) % 256 and the flat-9-bit encode
+    * makes the on-disk SIZE the [[GifCodec.encodedAnimatedSize]] closed
+    * form, so every cell — size, frame count, sampled indices,
+    * per-frame sums — is a DuckDB closed form: a wrong frame boundary,
+    * a mis-skipped sub-block or a single wrong pixel in any sampled
+    * frame breaks the hash.
     *
     * Scale shape: one file per row; demux + sampled decode is per-row
     * executor work (decode cost ∝ sampled frames only — skipped frames
     * are stepped over, never LZW-decoded); no shuffle before the final
     * display sort. */
-  def qMediaVideoSample(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    require(spark.sparkContext.isLocal,
-      "q_media_video_sample stages its fixture on the driver-local filesystem; " +
-        "on a cluster, read an existing shared media directory via " +
-        "MediaSourceProvider directly")
-    val docs = graft.Tables.documents(spark, dir)
-      .select(col("doc_id"), col("n_chars"))
-      .orderBy("doc_id").limit(48).collect()
-    val stage = java.nio.file.Files.createTempDirectory("graft_media_video")
-    try {
-      docs.foreach { r =>
-        val id = r.getLong(0)
-        val nc = r.getLong(1)
-        val w = (nc % 7 + 2).toInt
-        val h = (id % 5 + 2).toInt
-        val nF = (nc % 20 + 4).toInt
-        val frames = (0 until nF).map { f =>
-          val px = new Array[Byte](w * h * 3)
-          var j = 0
-          while (j < w * h) {
-            val v = ((j * 3 + f * 11 + id) % 256).toByte
-            px(j * 3) = v; px(j * 3 + 1) = v; px(j * 3 + 2) = v
-            j += 1
-          }
-          PpmCodec.Image(w, h, px)
+  def qMediaVideoSample(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    withMediaFixture(spark, dir, "graft_media_video") { (id, nc) =>
+      val w = (nc % 7 + 2).toInt
+      val h = (id % 5 + 2).toInt
+      val nF = (nc % 20 + 4).toInt
+      val frames = (0 until nF).map { f =>
+        val px = new Array[Byte](w * h * 3)
+        var j = 0
+        while (j < w * h) {
+          val v = ((j * 3 + f * 11 + id) % 256).toByte
+          px(j * 3) = v; px(j * 3 + 1) = v; px(j * 3 + 2) = v
+          j += 1
         }
-        val file = new java.io.File(stage.toFile, f"v$id%06d.gif")
-        val out = new java.io.FileOutputStream(file)
-        try out.write(GifCodec.encodeAnimated(frames))
-        finally out.close()
+        PpmCodec.Image(w, h, px)
       }
+      (f"v$id%06d.gif", GifCodec.encodeAnimated(frames))
+    } { stage =>
       val out = StructType(Seq(
         StructField("name", StringType, nullable = false),
         StructField("size", LongType, nullable = false),
@@ -613,31 +575,19 @@ object Multimodal {
       val enc: Encoder[Row] = RowEncoder.encoderFor(out)
       val bytesDf = spark.read
         .format(classOf[graft.sources.v2.MediaSourceProvider].getName)
-        .load(stage.toString)
+        .load(stage)
         .select(col("name"), col("size"), col("bytes"))
       val decoded = bytesDf.mapPartitions { it =>
         it.flatMap { r =>
           val bytes = r.getAs[Array[Byte]](2)
-          GifCodec.frameCount(bytes).toSeq.flatMap { nF =>
-            StubCodec.frameIndices(nF, 5).flatMap { f =>
-              GifCodec.decodeFrame(bytes, f).map { img =>
-                var s = 0L; var mn = 255; var mx = 0
-                var j = 0
-                val n = img.width * img.height
-                while (j < n) {
-                  val v = img.pixels(j * 3) & 0xff // gray: r == g == b
-                  s += v; if (v < mn) mn = v; if (v > mx) mx = v
-                  j += 1
-                }
-                Row(r.getString(0), r.getLong(1), nF, f, s, mn, mx)
-              }
+          GifCodec.decodeSampled(bytes, 5).toSeq.flatMap { case (nF, frames) =>
+            frames.map { case (f, img) =>
+              val (_, s, mn, mx) = grayStats(img)
+              Row(r.getString(0), r.getLong(1), nF, f, s, mn, mx)
             }
           }
         }
       }(enc)
       decoded.localCheckpoint(eager = true).orderBy("name", "frame_idx")
-    } finally {
-      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
     }
-  }
 }

@@ -556,7 +556,6 @@ class MultimodalSpec extends SparkSpec {
         val b = ((acc >> (nb - 8)) & 0xff).toInt; w8(b); if (b == 0xff) w8(0); nb -= 8
       }
     }
-    def cat(v: Int): Int = { var a = math.abs(v); var t = 0; while (a != 0) { a >>= 1; t += 1 }; t }
     def putCoef(huff: Map[Int, (Int, Int)], sym: Int, v: Int): Unit = {
       val (c, l) = huff(sym); put(c, l)
       val s = sym & 0x0f
@@ -781,17 +780,49 @@ class MultimodalSpec extends SparkSpec {
     assert(GifCodec.decodeFrame(gif, -1).isEmpty)
     // the still-image encoder's output is a 1-frame animation to the demux
     assert(GifCodec.frameCount(GifCodec.encode(frames.head)).contains(1))
+    // single-pass sampling: one walk must agree with per-frame decodes
+    val (cnt, sampled) = GifCodec.decodeSampled(gif, 5).get
+    assert(cnt == nF)
+    assert(sampled.map(_._1) == (0 until nF by 5))
+    sampled.foreach { case (f, img) =>
+      assert(img.pixels.toSeq == framePx(f).toSeq, s"sampled frame $f")
+    }
+    assert(GifCodec.decodeSampled(gif, 0).isEmpty)
+    assert(GifCodec.decodeSampled(gif.take(gif.length - 10), 5).isEmpty)
     // truncation mid-animation: count and decode both degrade to None
     assert(GifCodec.frameCount(gif.take(gif.length - 10)).isEmpty)
     assert(GifCodec.decodeFrame(gif.take(800), 2).isEmpty)
-    // a partial-canvas frame (nonzero left offset) degrades to None on
-    // decode but still COUNTS as a frame (demux never inspects pixels)
+    // a partial-canvas frame at index > 0 would composit onto prior
+    // content → None; it still COUNTS (demux never inspects pixels),
+    // and earlier frames stay decodable
+    val frameLen = ((GifCodec.encodedAnimatedSize(w, h, nF) - 13 - 768 - 1) / nF).toInt
     val shifted = gif.clone()
-    val desc0 = 13 + 768 + 8 // header + GCT + first GCE
-    assert((shifted(desc0) & 0xff) == 0x2c)
-    shifted(desc0 + 1) = 1 // left = 1
-    assert(GifCodec.decodeFrame(shifted, 0).isEmpty)
+    val desc1 = 13 + 768 + frameLen + 8 // second frame's descriptor
+    assert((shifted(desc1) & 0xff) == 0x2c)
+    shifted(desc1 + 1) = 1 // left = 1 on frame 1
+    assert(GifCodec.decodeFrame(shifted, 1).isEmpty)
+    assert(GifCodec.decodeFrame(shifted, 0).isDefined)
     assert(GifCodec.frameCount(shifted).contains(nF))
+  }
+
+  test("GIF codec: a sub-canvas FIRST frame decodes standalone with its own dims") {
+    // positioning offsets and LSD mismatches are compositing metadata;
+    // "decode the first image" must still serve the image block itself
+    // (the pre-r16-refactor behavior, regression-pinned here)
+    val w = 6; val h = 4
+    val px = Array.tabulate(w * h * 3)(j => ((j / 3 * 7 + 2) % 256).toByte)
+    val gif = GifCodec.encode(PpmCodec.Image(w, h, px))
+    val desc = 6 + 7 + 768 // header + LSD + GCT
+    assert((gif(desc) & 0xff) == 0x2c)
+    val offset = gif.clone()
+    offset(desc + 1) = 2 // left = 2
+    offset(desc + 3) = 1 // top = 1
+    assert(GifCodec.decode(offset).get.pixels.toSeq == px.toSeq)
+    val lsdMismatch = gif.clone()
+    lsdMismatch(6) = (w + 3).toByte // screen wider than the image
+    val img = GifCodec.decode(lsdMismatch).get
+    assert(img.width == w && img.height == h, "image block dims win for frame 0")
+    assert(img.pixels.toSeq == px.toSeq)
   }
 
   test("GIF codec: a local color table applies to ITS frame only (scoping in animations)") {
