@@ -355,6 +355,7 @@ object SparkEntry {
     "q_media_jpeg_decode" -> (graft.mm.Multimodal.qMediaJpegDecode _),
     "q_media_adpcm_decode" -> (graft.mm.Multimodal.qMediaAdpcmDecode _),
     "q_media_video_sample" -> (graft.mm.Multimodal.qMediaVideoSample _),
+    "q_media_profile" -> (graft.mm.Multimodal.qMediaProfile _),
     "q_tfidf" -> (text.Relevance.qTfidf _),
     "q_bm25_search" -> (text.Relevance.qBm25Search _),
     // r12: reciprocal-rank fusion — the hybrid-retrieval primitive RAG
@@ -1567,6 +1568,31 @@ object SparkEntry {
         "CAST(SUM(v) AS BIGINT) AS px_sum, " +
         "CAST(MIN(v) AS INTEGER) AS px_min, CAST(MAX(v) AS INTEGER) AS px_max " +
         "FROM px GROUP BY doc_id, w, h, nf, f ORDER BY name, frame_idx"),
+    // the codec dispatch capstone: all six real formats in one mixed
+    // directory (doc_id % 6 picks the format; PCM and ADPCM share .wav
+    // so the audio branch must dispatch by format TAG); each branch
+    // reuses its family's closed-form fixture, so one mis-dispatched
+    // file changes a cell and breaks the hash
+    "q_media_profile" ->
+      ("WITH d AS (SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 48), " +
+        "g AS (SELECT doc_id AS id, n_chars AS nc, doc_id % 6 AS m FROM d), " +
+        "u AS (SELECT id, m, " +
+        "CASE m WHEN 0 THEN (nc % 13 + 2) * (id % 7 + 2) WHEN 1 THEN nc % 300 + 10 " +
+        "WHEN 2 THEN (nc % 11 + 2) * (id % 5 + 2) WHEN 3 THEN (nc % 9 + 2) * (id % 6 + 2) " +
+        "WHEN 4 THEN (nc % 11 + 6) * (id % 9 + 6) ELSE nc % 150 + 30 END AS n, " +
+        "nc % 11 + 6 AS jw FROM g), " +
+        "s AS (SELECT id, m, n, " +
+        "CASE m WHEN 0 THEN (3 * j + id) % 251 WHEN 1 THEN (j * 31 + id) % 20000 " +
+        "WHEN 2 THEN (21 * j + id) % 253 WHEN 3 THEN (5 * j + id) % 256 " +
+        "WHEN 4 THEN ((((j // jw) // 8) * ((jw + 7) // 8) + (j % jw) // 8) * 37 + id) % 256 " +
+        "ELSE ((j // 33) * 911 + id * 73) % 60001 - 30000 END AS v " +
+        "FROM u CROSS JOIN range(0, 310) t(j) WHERE j < n) " +
+        "SELECT 'm' || lpad(CAST(id AS VARCHAR), 6, '0') || " +
+        "CASE m WHEN 0 THEN '.ppm' WHEN 1 THEN '.wav' WHEN 2 THEN '.png' " +
+        "WHEN 3 THEN '.gif' WHEN 4 THEN '.jpg' ELSE '.wav' END AS name, " +
+        "CASE WHEN m IN (1, 5) THEN 'audio' ELSE 'image' END AS kind, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_units, CAST(SUM(v) AS BIGINT) AS payload_sum " +
+        "FROM s GROUP BY id, m ORDER BY name"),
     "q_cosine_topk" ->
       s"WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8), c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8), s AS (SELECT qid, cid, ${dotSql("qe", "ce")} AS score FROM c CROSS JOIN q) SELECT qid, cid, ROUND(score, 6) AS score, rn FROM (SELECT qid, cid, score, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS INTEGER) AS rn FROM s) WHERE rn <= 3 ORDER BY qid, rn",
     // kNN label noise: the cosine-topk window shape + two vote aggs;

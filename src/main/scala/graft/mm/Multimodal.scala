@@ -590,4 +590,112 @@ object Multimodal {
       }(enc)
       decoded.localCheckpoint(eager = true).orderBy("name", "frame_idx")
     }
+
+  /** q_media_profile — the full codec DISPATCH under one hash (r16
+    * capstone): a mixed directory cycling ALL SIX real formats by
+    * doc_id % 6 (PPM, PCM WAV, PNG, GIF, JPEG, IMA-ADPCM WAV — the
+    * last two share the `.wav` extension, so the audio dispatch must
+    * pick the codec by the container's format TAG, not the name), read
+    * through the connector in ONE distributed query; each file decodes
+    * via the normal [[Codec]]-style chain on the executors and emits
+    * its exact unit count and payload sum (red channel for images,
+    * signed samples for audio). Every fixture reuses its own family's
+    * closed-form formulas, so a single mis-dispatched file — a JPEG
+    * parsed as PNG, an ADPCM handed to the PCM parser — changes a cell
+    * and breaks the oracle hash. The per-format single-codec keys pin
+    * each decoder in isolation; THIS key pins the front door.
+    *
+    * Scale shape: one file per row, per-row executor decode, no shuffle
+    * before the final display sort. */
+  def qMediaProfile(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    withMediaFixture(spark, dir, "graft_media_profile") { (id, nc) =>
+      (id % 6) match {
+        case 0 =>
+          val w = (nc % 13 + 2).toInt
+          val h = (id % 7 + 2).toInt
+          val px = Array.tabulate(w * h * 3)(j => ((j + id) % 251).toByte)
+          (f"m$id%06d.ppm", PpmCodec.encode(PpmCodec.Image(w, h, px)))
+        case 1 =>
+          val rate = (8000 + (id % 4) * 4000).toInt
+          val ns = (nc % 300 + 10).toInt
+          val samples = Array.tabulate(ns)(j => ((j * 31 + id) % 20000).toShort)
+          (f"m$id%06d.wav", WavCodec.encode(WavCodec.Audio(rate, 1, samples)))
+        case 2 =>
+          val w = (nc % 11 + 2).toInt
+          val h = (id % 5 + 2).toInt
+          val px = Array.tabulate(w * h * 3)(j => ((j * 7 + id) % 253).toByte)
+          (f"m$id%06d.png", PngCodec.encode(PpmCodec.Image(w, h, px)))
+        case 3 =>
+          val w = (nc % 9 + 2).toInt
+          val h = (id % 6 + 2).toInt
+          val px = new Array[Byte](w * h * 3)
+          var j = 0
+          while (j < w * h) {
+            val v = ((j * 5 + id) % 256).toByte
+            px(j * 3) = v; px(j * 3 + 1) = v; px(j * 3 + 2) = v
+            j += 1
+          }
+          (f"m$id%06d.gif", GifCodec.encode(PpmCodec.Image(w, h, px)))
+        case 4 =>
+          val w = (nc % 11 + 6).toInt
+          val h = (id % 9 + 6).toInt
+          val bw = (w + 7) / 8
+          val px = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = (((y / 8) * bw + x / 8) * 37 + id) % 256
+              val o = (y * w + x) * 3
+              px(o) = v.toByte; px(o + 1) = v.toByte; px(o + 2) = v.toByte
+              x += 1
+            }
+            y += 1
+          }
+          (f"m$id%06d.jpg", JpegCodec.encode(PpmCodec.Image(w, h, px)))
+        case _ =>
+          val rate = (8000 + (id % 4) * 4000).toInt
+          val n = (nc % 150 + 30).toInt
+          val samples = Array.tabulate(n) { j =>
+            (((j / 33) * 911 + id * 73) % 60001 - 30000).toShort
+          }
+          (f"m$id%06d.wav", AdpcmCodec.encode(WavCodec.Audio(rate, 1, samples)))
+      }
+    } { stage =>
+      val out = StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("kind", StringType, nullable = false),
+        StructField("n_units", LongType, nullable = false),
+        StructField("payload_sum", LongType, nullable = false)))
+      val enc: Encoder[Row] = RowEncoder.encoderFor(out)
+      val bytesDf = spark.read
+        .format(classOf[graft.sources.v2.MediaSourceProvider].getName)
+        .load(stage)
+        .select(col("name"), col("kind"), col("bytes"))
+      val decoded = bytesDf.mapPartitions { it =>
+        it.flatMap { r =>
+          val kind = r.getString(1)
+          val bytes = r.getAs[Array[Byte]](2)
+          if (kind == "image")
+            PpmCodec.decode(bytes)
+              .orElse(PngCodec.decode(bytes))
+              .orElse(GifCodec.decode(bytes))
+              .orElse(JpegCodec.decode(bytes))
+              .map { img =>
+                val (n, s, _, _) = grayStats(img) // red-channel sum
+                Row(r.getString(0), kind, n, s)
+              }
+          else
+            WavCodec.decode(bytes)
+              .orElse(AdpcmCodec.decode(bytes))
+              .map { a =>
+                var s = 0L
+                var j = 0
+                while (j < a.samples.length) { s += a.samples(j); j += 1 }
+                Row(r.getString(0), kind, a.samples.length.toLong, s)
+              }
+        }
+      }(enc)
+      decoded.localCheckpoint(eager = true).orderBy("name")
+    }
 }

@@ -984,6 +984,46 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("qMediaProfile: six-format dispatch reproduces every family's formula in one query") {
+    val rows = Multimodal.qMediaProfile(spark, sfDir).collect()
+    assert(rows.length == 48, "every file must decode through SOME real codec")
+    val docs = Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("n_chars"))
+      .orderBy("doc_id").limit(48).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    rows.foreach { r =>
+      val id = r.getString(0).drop(1).dropRight(4).toLong
+      val nc = docs(id)
+      val (kind, n, sum): (String, Long, Long) = (id % 6) match {
+        case 0 =>
+          val n = (nc % 13 + 2) * (id % 7 + 2)
+          ("image", n, (0L until n).map(j => (3 * j + id) % 251).sum)
+        case 1 =>
+          val n = nc % 300 + 10
+          ("audio", n, (0L until n).map(j => (j * 31 + id) % 20000).sum)
+        case 2 =>
+          val n = (nc % 11 + 2) * (id % 5 + 2)
+          ("image", n, (0L until n).map(j => (21 * j + id) % 253).sum)
+        case 3 =>
+          val n = (nc % 9 + 2) * (id % 6 + 2)
+          ("image", n, (0L until n).map(j => (5 * j + id) % 256).sum)
+        case 4 =>
+          val w = nc % 11 + 6
+          val n = w * (id % 9 + 6)
+          ("image", n, (0L until n).map { j =>
+            (((j / w) / 8) * ((w + 7) / 8) + (j % w) / 8) * 37 + id
+          }.map(_ % 256).sum)
+        case _ =>
+          val n = nc % 150 + 30
+          ("audio", n, (0L until n).map(j => (j / 33) * 911 + id * 73)
+            .map(_ % 60001 - 30000).sum)
+      }
+      assert(r.getString(1) == kind, r.toString)
+      assert(r.getLong(2) == n && r.getLong(3) == sum, r.toString)
+    }
+  }
+
   test("GIF codec: corrupt blobs degrade to None, never throw or hang") {
     val img = PpmCodec.Image(6, 5, Array.tabulate(90)(j => ((j / 3 * 9) % 256).toByte))
     val gif = GifCodec.encode(img)
