@@ -646,6 +646,55 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("JPEG codec: real-world layout variants — combined DHT, COM segment, fill bytes") {
+    // most camera/library JPEGs pack BOTH Huffman tables into one DHT
+    // segment, carry COM/APPn text, and may pad with 0xFF fill bytes
+    // before markers; a decoder that only accepts its own encoder's
+    // one-table-per-segment layout would reject them
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    w16(0xffd8)
+    w8(0xff) // fill byte before the next marker
+    val comment = "shot on a potato".getBytes("US-ASCII")
+    w16(0xfffe); w16(2 + comment.length); comment.foreach(b => w8(b & 0xff)) // COM
+    w16(0xffdb); w16(67); w8(0); w8(8); (1 until 64).foreach(_ => w8(16))
+    w16(0xffc0); w16(11); w8(8); w16(8); w16(8); w8(1); w8(1); w8(0x11); w8(0)
+    val dcBits = Array(0, 0, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val dcVals = Array(0, 1, 2, 3, 4, 5)
+    val acBits = Array(0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val acVals = Array(0x00)
+    // ONE DHT segment holding BOTH tables back to back
+    w16(0xffc4); w16(2 + (17 + dcVals.length) + (17 + acVals.length))
+    w8(0x00); (1 to 16).foreach(l => w8(dcBits(l))); dcVals.foreach(w8)
+    w8(0x10); (1 to 16).foreach(l => w8(acBits(l))); acVals.foreach(w8)
+    w16(0xffda); w16(8); w8(1); w8(1); w8(0x00); w8(0); w8(63); w8(0)
+    def canonical(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+      var code = 0; var k = 0
+      val m = scala.collection.mutable.Map[Int, (Int, Int)]()
+      for (len <- 1 to 16) {
+        for (_ <- 0 until bits(len)) { m(vals(k)) = (code, len); code += 1; k += 1 }
+        code <<= 1
+      }
+      m.toMap
+    }
+    val dcC = canonical(dcBits, dcVals); val acC = canonical(acBits, acVals)
+    var acc = 0L; var nb = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); nb += len
+      while (nb >= 8) {
+        val b = ((acc >> (nb - 8)) & 0xff).toInt; w8(b); if (b == 0xff) w8(0); nb -= 8
+      }
+    }
+    val (c3, l3) = dcC(3); put(c3, l3); put(5, 3) // DC = 5 → pixel 133
+    val (ec, el) = acC(0x00); put(ec, el)
+    if (nb > 0) put((1 << (8 - nb)) - 1, 8 - nb)
+    w16(0xffd9)
+    val img = JpegCodec.decode(out.toByteArray).getOrElse(fail("variant layout must decode"))
+    assert(img.width == 8 && img.height == 8)
+    assert((img.pixels(0) & 0xff) == 133)
+  }
+
   test("JPEG codec: restart markers reset DC prediction and bit alignment") {
     // two-block 16x8 grayscale with DRI=1: each block's DC is coded
     // ABSOLUTE (predictor reset at the RST0 boundary), stream re-aligns
