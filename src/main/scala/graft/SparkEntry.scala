@@ -356,6 +356,7 @@ object SparkEntry {
     "q_media_adpcm_decode" -> (graft.mm.Multimodal.qMediaAdpcmDecode _),
     "q_media_video_sample" -> (graft.mm.Multimodal.qMediaVideoSample _),
     "q_media_profile" -> (graft.mm.Multimodal.qMediaProfile _),
+    "q_media_resize" -> (graft.mm.Multimodal.qMediaResize _),
     "q_tfidf" -> (text.Relevance.qTfidf _),
     "q_bm25_search" -> (text.Relevance.qBm25Search _),
     // r12: reciprocal-rank fusion — the hybrid-retrieval primitive RAG
@@ -1593,6 +1594,20 @@ object SparkEntry {
         "CASE WHEN m IN (1, 5) THEN 'audio' ELSE 'image' END AS kind, " +
         "CAST(COUNT(*) AS BIGINT) AS n_units, CAST(SUM(v) AS BIGINT) AS payload_sum " +
         "FROM s GROUP BY id, m ORDER BY name"),
+    // distributed resize: nearest-neighbor to 4x3 over the PPM ramp —
+    // output (x,y) samples source pixel floor(y*h/3)*w + floor(x*w/4),
+    // whose red byte is (3p + doc_id) % 251; the executor path is
+    // decode -> resize -> RE-ENCODE -> decode, so the oracle also pins
+    // the re-encode leg
+    "q_media_resize" ->
+      ("WITH d AS (SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 48), " +
+        "g AS (SELECT doc_id AS id, n_chars % 13 + 2 AS w, doc_id % 7 + 2 AS h FROM d), " +
+        "px AS (SELECT id, (3 * ((y * h // 3) * w + (x * w // 4)) + id) % 251 AS v " +
+        "FROM g CROSS JOIN range(0, 4) tx(x) CROSS JOIN range(0, 3) ty(y)) " +
+        "SELECT 'r' || lpad(CAST(id AS VARCHAR), 6, '0') || '.ppm' AS name, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_px, CAST(SUM(v) AS BIGINT) AS px_sum, " +
+        "CAST(MIN(v) AS INTEGER) AS px_min, CAST(MAX(v) AS INTEGER) AS px_max " +
+        "FROM px GROUP BY id ORDER BY name"),
     "q_cosine_topk" ->
       s"WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8), c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8), s AS (SELECT qid, cid, ${dotSql("qe", "ce")} AS score FROM c CROSS JOIN q) SELECT qid, cid, ROUND(score, 6) AS score, rn FROM (SELECT qid, cid, score, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS INTEGER) AS rn FROM s) WHERE rn <= 3 ORDER BY qid, rn",
     // kNN label noise: the cosine-topk window shape + two vote aggs;

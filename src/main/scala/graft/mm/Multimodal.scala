@@ -591,6 +591,51 @@ object Multimodal {
       decoded.localCheckpoint(eager = true).orderBy("name", "frame_idx")
     }
 
+  /** q_media_resize — the RESIZE operator under the hash (r16): until
+    * now [[Codec.resize]] was pinned only in unit specs. 48 PPM ramp
+    * images are staged, and on the executors each file goes through
+    * the full operator path — decode → [[PpmCodec.resizeNearest]] to
+    * 4×3 → RE-ENCODE in its container → decode the re-encoded bytes —
+    * emitting exact pixel aggregates of the final product. Nearest-
+    * neighbor sampling is a closed form (source pixel of output (x,y)
+    * is (⌊y·h/3⌋·w + ⌊x·w/4⌋)), so the oracle computes the resized
+    * red-channel sums in SQL: a wrong sampling index, a broken
+    * re-encode or a decode drift anywhere in the chain breaks the
+    * hash.
+    *
+    * Scale shape: per-row executor work, bytes never shuffled (only
+    * the 12-pixel aggregates leave the map side), no shuffle before
+    * the display sort. */
+  def qMediaResize(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    withMediaFixture(spark, dir, "graft_media_resize") { (id, nc) =>
+      val w = (nc % 13 + 2).toInt
+      val h = (id % 7 + 2).toInt
+      val px = Array.tabulate(w * h * 3)(j => ((j + id) % 251).toByte)
+      (f"r$id%06d.ppm", PpmCodec.encode(PpmCodec.Image(w, h, px)))
+    } { stage =>
+      val out = StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("n_px", LongType, nullable = false),
+        StructField("px_sum", LongType, nullable = false),
+        StructField("px_min", IntegerType, nullable = false),
+        StructField("px_max", IntegerType, nullable = false)))
+      val enc: Encoder[Row] = RowEncoder.encoderFor(out)
+      val bytesDf = spark.read
+        .format(classOf[graft.sources.v2.MediaSourceProvider].getName)
+        .load(stage)
+        .select(col("name"), col("bytes"))
+      val decoded = bytesDf.mapPartitions { it =>
+        it.flatMap { r =>
+          val resized = Codec.resize(r.getAs[Array[Byte]](1), 4, 3)
+          PpmCodec.decode(resized).map { img =>
+            val (n, s, mn, mx) = grayStats(img) // red channel
+            Row(r.getString(0), n, s, mn, mx)
+          }
+        }
+      }(enc)
+      decoded.localCheckpoint(eager = true).orderBy("name")
+    }
+
   /** q_media_profile — the full codec DISPATCH under one hash (r16
     * capstone): a mixed directory cycling ALL SIX real formats by
     * doc_id % 6 (PPM, PCM WAV, PNG, GIF, JPEG, IMA-ADPCM WAV — the

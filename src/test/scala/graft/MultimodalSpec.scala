@@ -1033,6 +1033,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("qMediaResize: distributed decode→resize→re-encode→decode matches the sampling formula") {
+    val rows = Multimodal.qMediaResize(spark, sfDir).collect()
+    assert(rows.length == 48)
+    val docs = Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("n_chars"))
+      .orderBy("doc_id").limit(48).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    rows.foreach { r =>
+      val id = r.getString(0).drop(1).dropRight(4).toLong
+      val nc = docs(id)
+      val w = (nc % 13 + 2).toInt; val h = (id % 7 + 2).toInt
+      val vs = for (y <- 0 until 3; x <- 0 until 4)
+        yield ((3L * ((y * h / 3) * w + (x * w / 4)) + id) % 251).toInt
+      assert(r.getLong(1) == 12, r.toString)
+      assert(r.getLong(2) == vs.map(_.toLong).sum, r.toString)
+      assert(r.getInt(3) == vs.min && r.getInt(4) == vs.max, r.toString)
+    }
+  }
+
   test("qMediaProfile: six-format dispatch reproduces every family's formula in one query") {
     val rows = Multimodal.qMediaProfile(spark, sfDir).collect()
     assert(rows.length == 48, "every file must decode through SOME real codec")
