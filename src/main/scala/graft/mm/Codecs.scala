@@ -330,7 +330,7 @@ object GifCodec {
     * image descriptors, skipping their data without LZW-decoding it).
     * None on malformed/truncated input or a frameless stream. */
   def frameCount(bytes: Array[Byte]): Option[Int] =
-    walkFrames(bytes, _ => false, -1).map(_._1).filter(_ > 0)
+    walkFrames(bytes, _ => false, -1)((_, img) => img).map(_._1).filter(_ > 0)
 
   /** Decode frame `target` (0-based) of a possibly-animated GIF,
     * stopping the walk at that frame (bytes after it are never read).
@@ -343,24 +343,36 @@ object GifCodec {
     * those degrade to None. */
   def decodeFrame(bytes: Array[Byte], target: Int): Option[PpmCodec.Image] =
     if (target < 0) None
-    else walkFrames(bytes, _ == target, target).flatMap(_._2.headOption.map(_._2))
+    else walkFrames(bytes, _ == target, target)((_, img) => img)
+      .flatMap(_._2.headOption.map(_._2))
 
   /** Single-pass demux + stride sampling: ONE walk decodes every
-    * `stride`-th frame and returns (total frame count, decoded frames
+    * `stride`-th frame, maps it through `f` IMMEDIATELY (so a caller
+    * folding frames to statistics never holds more than one decoded
+    * frame in memory), and returns (total frame count, mapped frames
     * with their indices) — the shape a 1-in-N video sampler needs,
     * where per-frame [[decodeFrame]] calls would re-walk all earlier
-    * frames' descriptors each time (O(frames²) skips per file). */
-  def decodeSampled(bytes: Array[Byte],
-                    stride: Int): Option[(Int, Seq[(Int, PpmCodec.Image)])] =
+    * frames' descriptors each time (O(frames²) skips per file).
+    * Robustness: a sampled frame that is individually undecodable
+    * (interlaced, partial-canvas at index > 0, corrupt LZW data) is
+    * SKIPPED — the good frames still come back, matching the
+    * one-corrupt-blob-never-kills-a-job contract; only structural
+    * malformation of the stream itself (bad signature, truncation, a
+    * lost block boundary) returns None. */
+  def decodeSampled[T](bytes: Array[Byte], stride: Int)
+                      (f: (Int, PpmCodec.Image) => T): Option[(Int, Seq[(Int, T)])] =
     if (stride <= 0) None
-    else walkFrames(bytes, _ % stride == 0, -1).filter(_._1 > 0)
+    else walkFrames(bytes, _ % stride == 0, -1)(f).filter(_._1 > 0)
 
-  /** Shared single-pass walk: decodes the frames `want` selects; if
-    * `stopAt` ≥ 0 returns right after that frame (count = frames seen),
-    * else walks to the trailer (count = total frames). None on any
-    * malformation encountered before the stop point. */
-  private def walkFrames(bytes: Array[Byte], want: Int => Boolean, stopAt: Int)
-      : Option[(Int, List[(Int, PpmCodec.Image)])] = {
+  /** Shared single-pass walk: decodes the frames `want` selects and
+    * maps each through `f` as soon as it is assembled; if `stopAt` ≥ 0
+    * returns right after that frame (count = frames seen), else walks
+    * to the trailer (count = total frames). A selected frame that
+    * cannot be decoded is skipped (not accumulated); None only on
+    * structural malformation of the walk itself. */
+  private def walkFrames[T](bytes: Array[Byte], want: Int => Boolean, stopAt: Int)
+                           (f: (Int, PpmCodec.Image) => T)
+      : Option[(Int, List[(Int, T)])] = {
     if (bytes.length < 14) return None
     val sig = new String(bytes, 0, 6, "US-ASCII")
     if (sig != "GIF87a" && sig != "GIF89a") return None
@@ -378,7 +390,7 @@ object GifCodec {
       i += n
     }
     var frame = 0
-    var acc: List[(Int, PpmCodec.Image)] = Nil
+    var acc: List[(Int, T)] = Nil
     while (i < bytes.length) {
       (bytes(i) & 0xff) match {
         case 0x3b => // trailer
@@ -409,42 +421,45 @@ object GifCodec {
           if (i >= bytes.length) return None
           val minCode = bytes(i) & 0xff
           i += 1
-          if (decodeThis) {
-            if ((ipacked & 0x40) != 0) return None // interlaced: unsupported
-            // frame 0 decodes standalone with its own dims; later frames
-            // must cover the canvas (compositing is out of scope)
-            if (frame > 0 && (left != 0 || top != 0 || w != sw || h != sh)) return None
-            if (palette == null || w <= 0 || h <= 0) return None
-            if (w.toLong * h * 3 > (1L << 28)) return None // sanity bound
-            if (minCode < 2 || minCode > 8) return None
-          }
+          // a selected frame decodes only if its SHAPE is supported:
+          // non-interlaced, full-canvas when at index > 0 (frame 0
+          // decodes standalone with its own dims — positioning offsets
+          // are compositing metadata), valid palette/dims/min-code;
+          // anything else is skipped, never a file-level failure
+          val frameOk = decodeThis &&
+            (ipacked & 0x40) == 0 &&
+            (frame == 0 || (left == 0 && top == 0 && w == sw && h == sh)) &&
+            palette != null && w > 0 && h > 0 &&
+            w.toLong * h * 3 <= (1L << 28) &&
+            minCode >= 2 && minCode <= 8
           // concatenate (or in skip mode just step over) sub-blocks
-          val data = if (decodeThis) new java.io.ByteArrayOutputStream() else null
+          val data = if (frameOk) new java.io.ByteArrayOutputStream() else null
           while (i < bytes.length && bytes(i) != 0) {
             val n = bytes(i) & 0xff
             if (i + 1 + n > bytes.length) return None
-            if (decodeThis) data.write(bytes, i + 1, n)
+            if (frameOk) data.write(bytes, i + 1, n)
             i += 1 + n
           }
           if (i >= bytes.length) return None
           i += 1 // block terminator
-          if (decodeThis) {
-            val idx = lzwDecode(data.toByteArray, minCode, w * h) match {
-              case Some(x) => x
-              case None => return None
+          if (frameOk) {
+            lzwDecode(data.toByteArray, minCode, w * h).foreach { idx =>
+              val nColors = palette.length / 3
+              val px = new Array[Byte](w * h * 3)
+              var j = 0
+              var pxOk = true
+              while (pxOk && j < w * h) {
+                val c = idx(j) & 0xff
+                if (c >= nColors) pxOk = false // index beyond the palette: corrupt
+                else {
+                  px(j * 3) = palette(c * 3)
+                  px(j * 3 + 1) = palette(c * 3 + 1)
+                  px(j * 3 + 2) = palette(c * 3 + 2)
+                  j += 1
+                }
+              }
+              if (pxOk) acc = (frame, f(frame, PpmCodec.Image(w, h, px))) :: acc
             }
-            val nColors = palette.length / 3
-            val px = new Array[Byte](w * h * 3)
-            var j = 0
-            while (j < w * h) {
-              val c = idx(j) & 0xff
-              if (c >= nColors) return None // index beyond the palette: corrupt
-              px(j * 3) = palette(c * 3)
-              px(j * 3 + 1) = palette(c * 3 + 1)
-              px(j * 3 + 2) = palette(c * 3 + 2)
-              j += 1
-            }
-            acc = (frame, PpmCodec.Image(w, h, px)) :: acc
           }
           if (frame == stopAt) return Some((frame + 1, acc.reverse))
           frame += 1

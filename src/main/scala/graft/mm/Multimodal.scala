@@ -11,13 +11,15 @@ import org.apache.spark.sql.types._
   * operators (the JVM analogue of a Pandas-UDF-over-Arrow-batches
   * pipeline — same batch shape and schema discipline).
   *
-  * Decode is real for the two formats simple enough to parse without
-  * libraries — binary PPM images ([[PpmCodec]]) and PCM-16 WAV audio
-  * ([[WavCodec]]) — so the batch plumbing is proven on real bytes.
-  * Anything else falls back to [[StubCodec]], a clearly-marked
-  * deterministic stand-in (a decode failure must degrade, never throw:
-  * one corrupt blob must not kill a 100 TB job). Swapping in a full
-  * codec (JPEG/OPUS/containers) extends [[Codec]]'s dispatch only.
+  * Decode is real for six formats, all parsed from scratch with zero
+  * dependencies — PPM ([[PpmCodec]]), PNG ([[PngCodec]]), GIF incl.
+  * animated demux ([[GifCodec]]), baseline JPEG ([[JpegCodec]]),
+  * PCM-16 WAV ([[WavCodec]]) and IMA-ADPCM WAV ([[AdpcmCodec]]) — so
+  * the batch plumbing is proven on real compressed bytes. Anything
+  * else falls back to [[StubCodec]], a clearly-marked deterministic
+  * stand-in (a decode failure must degrade, never throw: one corrupt
+  * blob must not kill a 100 TB job). A further format extends
+  * [[Codec]]'s dispatch only.
   *
   * Scale notes: media bytes dominate row size, so operators (a) never
   * shuffle raw bytes (feature extraction projects bytes away before any
@@ -82,11 +84,6 @@ object Multimodal {
       * the target dims (a real impl returns re-encoded pixels). */
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
       s"resized:${w}x$h:".getBytes("UTF-8") ++ bytes.take(64)
-
-    /** "Frame offsets": every strideth frame index, from metadata only —
-      * no byte access, so it runs as a pure Catalyst expression. */
-    def frameIndices(nFrames: Int, stride: Int): Seq[Int] =
-      0 until math.max(nFrames, 0) by math.max(stride, 1)
   }
 
   /** Feature extraction: binary → Array[Float] via batched
@@ -207,26 +204,13 @@ object Multimodal {
         val nc = r.getLong(1)
         val name = f"m$id%06d"
         (id % 4) match {
-          case 0 =>
-            val w = (nc % 13 + 2).toInt
-            val h = (id % 7 + 2).toInt
-            val px = Array.tabulate(w * h * 3)(j => ((j + id) % 251).toByte)
-            write(s"$name.ppm", PpmCodec.encode(PpmCodec.Image(w, h, px)))
-          case 1 =>
-            val rate = (8000 + (id % 4) * 4000).toInt
-            val ns = (nc % 300 + 10).toInt
-            val samples = Array.tabulate(ns)(j => ((j * 31 + id) % 20000).toShort)
-            write(s"$name.wav", WavCodec.encode(WavCodec.Audio(rate, 1, samples)))
-          case 2 =>
-            // REAL compressed format (r15): deterministic stored-block
-            // PNG, so the on-disk size stays a closed form of (w, h)
-            // the oracle computes — see PngCodec.encodedSize
-            val w = (nc % 11 + 2).toInt
-            val h = (id % 5 + 2).toInt
-            val px = Array.tabulate(w * h * 3)(j => ((j * 7 + id) % 253).toByte)
-            write(s"$name.png", PngCodec.encode(PpmCodec.Image(w, h, px)))
-          case _ =>
-            write(s"$name.bin", s"blob:$id:$nc".getBytes("UTF-8"))
+          case 0 => write(s"$name.ppm", ppmFixtureBytes(id, nc))
+          case 1 => write(s"$name.wav", pcmFixtureBytes(id, nc))
+          // REAL compressed format (r15): deterministic stored-block
+          // PNG, so the on-disk size stays a closed form of (w, h)
+          // the oracle computes — see PngCodec.encodedSize
+          case 2 => write(s"$name.png", pngFixtureBytes(id, nc))
+          case _ => write(s"$name.bin", s"blob:$id:$nc".getBytes("UTF-8"))
         }
       }
       val out = spark.read
@@ -291,18 +275,92 @@ object Multimodal {
     }
   }
 
-  /** (n, sum, min, max) over the red channel — the aggregate every
-    * gray-fixture decode key emits under its oracle. */
-  private def grayStats(img: PpmCodec.Image): (Long, Long, Int, Int) = {
+  /** (n, sum, min, max) over the RED channel — the aggregate the media
+    * decode keys emit under their oracles. Reads only byte 3j of each
+    * pixel BY CONTRACT: gray fixtures replicate it to all channels,
+    * and the color-fixture keys (resize, the PPM/PNG profile branches)
+    * state their oracles in red-channel terms — do not average
+    * channels here. */
+  private def redStats(img: PpmCodec.Image): (Long, Long, Int, Int) = {
     var s = 0L; var mn = 255; var mx = 0
     var j = 0
     val n = img.width * img.height
     while (j < n) {
-      val v = img.pixels(j * 3) & 0xff // gray fixture: r == g == b
+      val v = img.pixels(j * 3) & 0xff
       s += v; if (v < mn) mn = v; if (v > mx) mx = v
       j += 1
     }
     (n.toLong, s, mn, mx)
+  }
+
+  /** Per-family fixture byte generators, one per real format — each is
+    * shared by its per-format driver key AND [[qMediaProfile]]'s
+    * dispatch capstone, so the capstone can never silently drift from
+    * the key it cross-pins. Every formula is mirrored verbatim in the
+    * corresponding oracle SQL. */
+  private def ppmFixtureBytes(id: Long, nc: Long): Array[Byte] = {
+    val w = (nc % 13 + 2).toInt
+    val h = (id % 7 + 2).toInt
+    val px = Array.tabulate(w * h * 3)(j => ((j + id) % 251).toByte)
+    PpmCodec.encode(PpmCodec.Image(w, h, px))
+  }
+
+  private def pcmFixtureBytes(id: Long, nc: Long): Array[Byte] = {
+    val rate = (8000 + (id % 4) * 4000).toInt
+    val ns = (nc % 300 + 10).toInt
+    val samples = Array.tabulate(ns)(j => ((j * 31 + id) % 20000).toShort)
+    WavCodec.encode(WavCodec.Audio(rate, 1, samples))
+  }
+
+  private def pngFixtureBytes(id: Long, nc: Long): Array[Byte] = {
+    val w = (nc % 11 + 2).toInt
+    val h = (id % 5 + 2).toInt
+    val px = Array.tabulate(w * h * 3)(j => ((j * 7 + id) % 253).toByte)
+    PngCodec.encode(PpmCodec.Image(w, h, px))
+  }
+
+  /** Grayscale ramp: ≤256 distinct colors → lossless exact palette. */
+  private def gifFixtureBytes(id: Long, nc: Long): Array[Byte] = {
+    val w = (nc % 9 + 2).toInt
+    val h = (id % 6 + 2).toInt
+    val px = new Array[Byte](w * h * 3)
+    var j = 0
+    while (j < w * h) {
+      val v = ((j * 5 + id) % 256).toByte
+      px(j * 3) = v; px(j * 3 + 1) = v; px(j * 3 + 2) = v
+      j += 1
+    }
+    GifCodec.encode(PpmCodec.Image(w, h, px))
+  }
+
+  /** Per-8×8-block-constant gray → EXACT JPEG round-trip (Q00 = 8). */
+  private def jpegFixtureBytes(id: Long, nc: Long): Array[Byte] = {
+    val w = (nc % 11 + 6).toInt
+    val h = (id % 9 + 6).toInt
+    val bw = (w + 7) / 8
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (((y / 8) * bw + x / 8) * 37 + id) % 256
+        val o = (y * w + x) * 3
+        px(o) = v.toByte; px(o + 1) = v.toByte; px(o + 2) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    JpegCodec.encode(PpmCodec.Image(w, h, px))
+  }
+
+  /** Per-33-sample-block-constant signal → EXACT ADPCM round-trip. */
+  private def adpcmFixtureBytes(id: Long, nc: Long): Array[Byte] = {
+    val rate = (8000 + (id % 4) * 4000).toInt
+    val n = (nc % 150 + 30).toInt
+    val samples = Array.tabulate(n) { j =>
+      (((j / 33) * 911 + id * 73) % 60001 - 30000).toShort
+    }
+    AdpcmCodec.encode(WavCodec.Audio(rate, 1, samples))
   }
 
   /** Stage the deterministic GIF fixture (first 48 documents rows →
@@ -311,17 +369,7 @@ object Multimodal {
   private def withGifFixture[T](spark: org.apache.spark.sql.SparkSession,
                                 dir: String)(f: String => T): T =
     withMediaFixture(spark, dir, "graft_media_gif") { (id, nc) =>
-      val w = (nc % 9 + 2).toInt
-      val h = (id % 6 + 2).toInt
-      // grayscale ramp: ≤256 distinct colors → lossless exact palette
-      val px = new Array[Byte](w * h * 3)
-      var j = 0
-      while (j < w * h) {
-        val v = ((j * 5 + id) % 256).toByte
-        px(j * 3) = v; px(j * 3 + 1) = v; px(j * 3 + 2) = v
-        j += 1
-      }
-      (f"g$id%06d.gif", GifCodec.encode(PpmCodec.Image(w, h, px)))
+      (f"g$id%06d.gif", gifFixtureBytes(id, nc))
     }(f)
 
   def qMediaGif(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
@@ -371,7 +419,7 @@ object Multimodal {
       val decoded = bytesDf.mapPartitions { it =>
         it.flatMap { r =>
           GifCodec.decode(r.getAs[Array[Byte]](1)).map { img =>
-            val (n, s, mn, mx) = grayStats(img)
+            val (n, s, mn, mx) = redStats(img)
             Row(r.getString(0), img.width, img.height, n, s, mn, mx)
           }
         }
@@ -389,22 +437,7 @@ object Multimodal {
   private def withJpegFixture[T](spark: org.apache.spark.sql.SparkSession,
                                  dir: String)(f: String => T): T =
     withMediaFixture(spark, dir, "graft_media_jpeg") { (id, nc) =>
-      val w = (nc % 11 + 6).toInt
-      val h = (id % 9 + 6).toInt
-      val bw = (w + 7) / 8
-      val px = new Array[Byte](w * h * 3)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val v = (((y / 8) * bw + x / 8) * 37 + id) % 256
-          val o = (y * w + x) * 3
-          px(o) = v.toByte; px(o + 1) = v.toByte; px(o + 2) = v.toByte
-          x += 1
-        }
-        y += 1
-      }
-      (f"j$id%06d.jpg", JpegCodec.encode(PpmCodec.Image(w, h, px)))
+      (f"j$id%06d.jpg", jpegFixtureBytes(id, nc))
     }(f)
 
   /** q_media_jpeg — the JPEG codec on the driver gate (r16): real
@@ -459,7 +492,7 @@ object Multimodal {
       val decoded = bytesDf.mapPartitions { it =>
         it.flatMap { r =>
           JpegCodec.decode(r.getAs[Array[Byte]](1)).map { img =>
-            val (n, s, mn, mx) = grayStats(img)
+            val (n, s, mn, mx) = redStats(img)
             Row(r.getString(0), img.width, img.height, n, s, mn, mx)
           }
         }
@@ -486,12 +519,7 @@ object Multimodal {
     * executor decode, no shuffle before the final display sort. */
   def qMediaAdpcmDecode(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     withMediaFixture(spark, dir, "graft_media_adpcm") { (id, nc) =>
-      val rate = (8000 + (id % 4) * 4000).toInt
-      val n = (nc % 150 + 30).toInt
-      val samples = Array.tabulate(n) { j =>
-        (((j / 33) * 911 + id * 73) % 60001 - 30000).toShort
-      }
-      (f"a$id%06d.wav", AdpcmCodec.encode(WavCodec.Audio(rate, 1, samples)))
+      (f"a$id%06d.wav", adpcmFixtureBytes(id, nc))
     } { stage =>
       val out = StructType(Seq(
         StructField("name", StringType, nullable = false),
@@ -580,12 +608,14 @@ object Multimodal {
       val decoded = bytesDf.mapPartitions { it =>
         it.flatMap { r =>
           val bytes = r.getAs[Array[Byte]](2)
-          GifCodec.decodeSampled(bytes, 5).toSeq.flatMap { case (nF, frames) =>
-            frames.map { case (f, img) =>
-              val (_, s, mn, mx) = grayStats(img)
-              Row(r.getString(0), r.getLong(1), nF, f, s, mn, mx)
+          // frames fold to 4 numbers INSIDE the walk, so peak memory is
+          // one decoded frame regardless of how many are sampled
+          GifCodec.decodeSampled(bytes, 5)((_, img) => redStats(img))
+            .toSeq.flatMap { case (nF, stats) =>
+              stats.map { case (f, (_, s, mn, mx)) =>
+                Row(r.getString(0), r.getLong(1), nF, f, s, mn, mx)
+              }
             }
-          }
         }
       }(enc)
       decoded.localCheckpoint(eager = true).orderBy("name", "frame_idx")
@@ -608,10 +638,7 @@ object Multimodal {
     * the display sort. */
   def qMediaResize(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     withMediaFixture(spark, dir, "graft_media_resize") { (id, nc) =>
-      val w = (nc % 13 + 2).toInt
-      val h = (id % 7 + 2).toInt
-      val px = Array.tabulate(w * h * 3)(j => ((j + id) % 251).toByte)
-      (f"r$id%06d.ppm", PpmCodec.encode(PpmCodec.Image(w, h, px)))
+      (f"r$id%06d.ppm", ppmFixtureBytes(id, nc))
     } { stage =>
       val out = StructType(Seq(
         StructField("name", StringType, nullable = false),
@@ -628,7 +655,7 @@ object Multimodal {
         it.flatMap { r =>
           val resized = Codec.resize(r.getAs[Array[Byte]](1), 4, 3)
           PpmCodec.decode(resized).map { img =>
-            val (n, s, mn, mx) = grayStats(img) // red channel
+            val (n, s, mn, mx) = redStats(img) // red channel
             Row(r.getString(0), n, s, mn, mx)
           }
         }
@@ -654,57 +681,15 @@ object Multimodal {
     * before the final display sort. */
   def qMediaProfile(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     withMediaFixture(spark, dir, "graft_media_profile") { (id, nc) =>
+      // each branch calls the SAME generator its per-format key stages,
+      // so the capstone cross-pins the keys and cannot drift from them
       (id % 6) match {
-        case 0 =>
-          val w = (nc % 13 + 2).toInt
-          val h = (id % 7 + 2).toInt
-          val px = Array.tabulate(w * h * 3)(j => ((j + id) % 251).toByte)
-          (f"m$id%06d.ppm", PpmCodec.encode(PpmCodec.Image(w, h, px)))
-        case 1 =>
-          val rate = (8000 + (id % 4) * 4000).toInt
-          val ns = (nc % 300 + 10).toInt
-          val samples = Array.tabulate(ns)(j => ((j * 31 + id) % 20000).toShort)
-          (f"m$id%06d.wav", WavCodec.encode(WavCodec.Audio(rate, 1, samples)))
-        case 2 =>
-          val w = (nc % 11 + 2).toInt
-          val h = (id % 5 + 2).toInt
-          val px = Array.tabulate(w * h * 3)(j => ((j * 7 + id) % 253).toByte)
-          (f"m$id%06d.png", PngCodec.encode(PpmCodec.Image(w, h, px)))
-        case 3 =>
-          val w = (nc % 9 + 2).toInt
-          val h = (id % 6 + 2).toInt
-          val px = new Array[Byte](w * h * 3)
-          var j = 0
-          while (j < w * h) {
-            val v = ((j * 5 + id) % 256).toByte
-            px(j * 3) = v; px(j * 3 + 1) = v; px(j * 3 + 2) = v
-            j += 1
-          }
-          (f"m$id%06d.gif", GifCodec.encode(PpmCodec.Image(w, h, px)))
-        case 4 =>
-          val w = (nc % 11 + 6).toInt
-          val h = (id % 9 + 6).toInt
-          val bw = (w + 7) / 8
-          val px = new Array[Byte](w * h * 3)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val v = (((y / 8) * bw + x / 8) * 37 + id) % 256
-              val o = (y * w + x) * 3
-              px(o) = v.toByte; px(o + 1) = v.toByte; px(o + 2) = v.toByte
-              x += 1
-            }
-            y += 1
-          }
-          (f"m$id%06d.jpg", JpegCodec.encode(PpmCodec.Image(w, h, px)))
-        case _ =>
-          val rate = (8000 + (id % 4) * 4000).toInt
-          val n = (nc % 150 + 30).toInt
-          val samples = Array.tabulate(n) { j =>
-            (((j / 33) * 911 + id * 73) % 60001 - 30000).toShort
-          }
-          (f"m$id%06d.wav", AdpcmCodec.encode(WavCodec.Audio(rate, 1, samples)))
+        case 0 => (f"m$id%06d.ppm", ppmFixtureBytes(id, nc))
+        case 1 => (f"m$id%06d.wav", pcmFixtureBytes(id, nc))
+        case 2 => (f"m$id%06d.png", pngFixtureBytes(id, nc))
+        case 3 => (f"m$id%06d.gif", gifFixtureBytes(id, nc))
+        case 4 => (f"m$id%06d.jpg", jpegFixtureBytes(id, nc))
+        case _ => (f"m$id%06d.wav", adpcmFixtureBytes(id, nc))
       }
     } { stage =>
       val out = StructType(Seq(
@@ -727,7 +712,7 @@ object Multimodal {
               .orElse(GifCodec.decode(bytes))
               .orElse(JpegCodec.decode(bytes))
               .map { img =>
-                val (n, s, _, _) = grayStats(img) // red-channel sum
+                val (n, s, _, _) = redStats(img) // red-channel sum
                 Row(r.getString(0), kind, n, s)
               }
           else

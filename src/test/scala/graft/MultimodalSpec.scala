@@ -458,6 +458,46 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  /** Shared scaffolding for the hand-built JPEG stream tests (one copy,
+    * four tests): MSB-first bit writer with 0xFF stuffing, marker
+    * helpers, and the T.81 Annex C canonical Huffman assignment. */
+  private final class JpegStreamWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      w16(0xffc4); w16(2 + 17 + vals.length); w8(cls << 4)
+      (1 to 16).foreach(l => w8(bits(l))); vals.foreach(w8)
+    }
+    private var acc = 0L
+    private var nb = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); nb += len
+      while (nb >= 8) {
+        val b = ((acc >> (nb - 8)) & 0xff).toInt
+        w8(b); if (b == 0xff) w8(0)
+        nb -= 8
+      }
+    }
+    def putCoef(huff: Map[Int, (Int, Int)], sym: Int, v: Int): Unit = {
+      val (c, l) = huff(sym); put(c, l)
+      val s = sym & 0x0f
+      if (s > 0) put(if (v < 0) v + (1 << s) - 1 else v, s)
+    }
+    def pad(): Unit = if (nb > 0) put((1 << (8 - nb)) - 1, 8 - nb)
+    def bytes: Array[Byte] = out.toByteArray
+  }
+
+  private def canonicalCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0; var k = 0
+    val m = scala.collection.mutable.Map[Int, (Int, Int)]()
+    for (len <- 1 to 16) {
+      for (_ <- 0 until bits(len)) { m(vals(k)) = (code, len); code += 1; k += 1 }
+      code <<= 1
+    }
+    m.toMap
+  }
+
   test("JPEG codec: block-constant images round-trip EXACTLY (Q00=8 device), ragged dims") {
     // every 8x8 block region constant → only the DC coefficient is
     // nonzero and Q00 = 8 makes quantization the identity on it, so the
@@ -522,56 +562,28 @@ class MultimodalSpec extends SparkSpec {
       35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
       58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
     val qNat = Array.tabulate(64)(j => 1 + j % 13) // varied dequant entries
-    // spec-local canonical assignment (T.81 Annex C)
-    def canonical(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
-      var code = 0; var k = 0
-      val out = scala.collection.mutable.Map[Int, (Int, Int)]()
-      for (len <- 1 to 16) {
-        for (_ <- 0 until bits(len)) { out(vals(k)) = (code, len); code += 1; k += 1 }
-        code <<= 1
-      }
-      out.toMap
-    }
     val dcBits = Array(0, 0, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
     val dcVals = Array(0, 1, 2, 3, 4, 5) // categories 0..5
     val acBits = Array(0, 0, 0, 5, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
     val acVals = Array(0x00, 0x02, 0x21, 0x42, 0xf0) // EOB,(0,2),(2,1),(4,2),ZRL
-    val dcC = canonical(dcBits, dcVals); val acC = canonical(acBits, acVals)
-    val out = new java.io.ByteArrayOutputStream()
-    def w8(v: Int): Unit = out.write(v & 0xff)
-    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
-    w16(0xffd8)
-    w16(0xffdb); w16(67); w8(0); (0 until 64).foreach(k => w8(qNat(zigzag(k))))
-    w16(0xffc0); w16(11); w8(8); w16(8); w16(8); w8(1); w8(1); w8(0x11); w8(0)
-    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
-      w16(0xffc4); w16(2 + 17 + vals.length); w8(cls << 4)
-      (1 to 16).foreach(l => w8(bits(l))); vals.foreach(w8)
-    }
-    dht(0, dcBits, dcVals); dht(1, acBits, acVals)
-    w16(0xffda); w16(8); w8(1); w8(1); w8(0x00); w8(0); w8(63); w8(0)
-    var acc = 0L; var nb = 0
-    def put(code: Int, len: Int): Unit = {
-      acc = (acc << len) | (code & ((1L << len) - 1)); nb += len
-      while (nb >= 8) {
-        val b = ((acc >> (nb - 8)) & 0xff).toInt; w8(b); if (b == 0xff) w8(0); nb -= 8
-      }
-    }
-    def putCoef(huff: Map[Int, (Int, Int)], sym: Int, v: Int): Unit = {
-      val (c, l) = huff(sym); put(c, l)
-      val s = sym & 0x0f
-      if (s > 0) put(if (v < 0) v + (1 << s) - 1 else v, s)
-    }
+    val dcC = canonicalCodes(dcBits, dcVals); val acC = canonicalCodes(acBits, acVals)
+    val b = new JpegStreamWriter
+    b.w16(0xffd8)
+    b.w16(0xffdb); b.w16(67); b.w8(0); (0 until 64).foreach(k => b.w8(qNat(zigzag(k))))
+    b.w16(0xffc0); b.w16(11); b.w8(8); b.w16(8); b.w16(8); b.w8(1); b.w8(1); b.w8(0x11); b.w8(0)
+    b.dht(0, dcBits, dcVals); b.dht(1, acBits, acVals)
+    b.w16(0xffda); b.w16(8); b.w8(1); b.w8(1); b.w8(0x00); b.w8(0); b.w8(63); b.w8(0)
     // DC = 5 (cat 3); AC: zz1 = -3 (0,2), two zeros then zz4 = +1 (2,1),
     // twenty zeros then zz25 = +2 (ZRL + (4,2)), EOB
-    putCoef(dcC, 3, 5)
-    putCoef(acC, 0x02, -3)
-    putCoef(acC, 0x21, 1)
-    putCoef(acC, 0xf0, 0)
-    putCoef(acC, 0x42, 2)
-    putCoef(acC, 0x00, 0)
-    if (nb > 0) put((1 << (8 - nb)) - 1, 8 - nb)
-    w16(0xffd9)
-    val img = JpegCodec.decode(out.toByteArray).getOrElse(fail("hand-built stream must decode"))
+    b.putCoef(dcC, 3, 5)
+    b.putCoef(acC, 0x02, -3)
+    b.putCoef(acC, 0x21, 1)
+    b.putCoef(acC, 0xf0, 0)
+    b.putCoef(acC, 0x42, 2)
+    b.putCoef(acC, 0x00, 0)
+    b.pad()
+    b.w16(0xffd9)
+    val img = JpegCodec.decode(b.bytes).getOrElse(fail("hand-built stream must decode"))
     // naive expectation
     val coefNat = new Array[Int](64)
     coefNat(zigzag(0)) = 5; coefNat(zigzag(1)) = -3
@@ -592,52 +604,26 @@ class MultimodalSpec extends SparkSpec {
     // three DC-only components (Y=+10, Cb=-20, Cr=+15 at Q00=8) — the
     // planes are 138/108/143 and the expected RGB is hand-computed from
     // the BT.601 inverse: R=159, G=134, B=103 for every pixel
-    val out = new java.io.ByteArrayOutputStream()
-    def w8(v: Int): Unit = out.write(v & 0xff)
-    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
-    w16(0xffd8)
-    w16(0xffdb); w16(67); w8(0); w8(8); (1 until 64).foreach(_ => w8(16))
-    w16(0xffc0); w16(17); w8(8); w16(8); w16(8); w8(3)
-    for (cid <- 1 to 3) { w8(cid); w8(0x11); w8(0) }
+    val b = new JpegStreamWriter
+    b.w16(0xffd8)
+    b.w16(0xffdb); b.w16(67); b.w8(0); b.w8(8); (1 until 64).foreach(_ => b.w8(16))
+    b.w16(0xffc0); b.w16(17); b.w8(8); b.w16(8); b.w16(8); b.w8(3)
+    for (cid <- 1 to 3) { b.w8(cid); b.w8(0x11); b.w8(0) }
     val dcBits = Array(0, 0, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
     val dcVals = Array(0, 1, 2, 3, 4, 5)
     val acBits = Array(0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
     val acVals = Array(0x00)
-    def canonical(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
-      var code = 0; var k = 0
-      val m = scala.collection.mutable.Map[Int, (Int, Int)]()
-      for (len <- 1 to 16) {
-        for (_ <- 0 until bits(len)) { m(vals(k)) = (code, len); code += 1; k += 1 }
-        code <<= 1
-      }
-      m.toMap
-    }
-    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
-      w16(0xffc4); w16(2 + 17 + vals.length); w8(cls << 4)
-      (1 to 16).foreach(l => w8(bits(l))); vals.foreach(w8)
-    }
-    dht(0, dcBits, dcVals); dht(1, acBits, acVals)
-    w16(0xffda); w16(12); w8(3)
-    for (cid <- 1 to 3) { w8(cid); w8(0x00) }
-    w8(0); w8(63); w8(0)
-    val dcC = canonical(dcBits, dcVals); val acC = canonical(acBits, acVals)
-    var acc = 0L; var nb = 0
-    def put(code: Int, len: Int): Unit = {
-      acc = (acc << len) | (code & ((1L << len) - 1)); nb += len
-      while (nb >= 8) {
-        val b = ((acc >> (nb - 8)) & 0xff).toInt; w8(b); if (b == 0xff) w8(0); nb -= 8
-      }
-    }
+    b.dht(0, dcBits, dcVals); b.dht(1, acBits, acVals)
+    b.w16(0xffda); b.w16(12); b.w8(3)
+    for (cid <- 1 to 3) { b.w8(cid); b.w8(0x00) }
+    b.w8(0); b.w8(63); b.w8(0)
+    val dcC = canonicalCodes(dcBits, dcVals); val acC = canonicalCodes(acBits, acVals)
     def cat(v: Int): Int = { var a = math.abs(v); var t = 0; while (a != 0) { a >>= 1; t += 1 }; t }
-    for (dc <- Seq(10, -20, 15)) { // per-component predictors all start at 0
-      val t = cat(dc)
-      val (c, l) = dcC(t); put(c, l)
-      put(if (dc < 0) dc + (1 << t) - 1 else dc, t)
-      val (ec, el) = acC(0x00); put(ec, el)
-    }
-    if (nb > 0) put((1 << (8 - nb)) - 1, 8 - nb)
-    w16(0xffd9)
-    val img = JpegCodec.decode(out.toByteArray).getOrElse(fail("color stream must decode"))
+    for (dc <- Seq(10, -20, 15)) // per-component predictors all start at 0
+      { b.putCoef(dcC, cat(dc), dc); b.putCoef(acC, 0x00, 0) }
+    b.pad()
+    b.w16(0xffd9)
+    val img = JpegCodec.decode(b.bytes).getOrElse(fail("color stream must decode"))
     assert(img.width == 8 && img.height == 8)
     for (j <- 0 until 64) {
       assert((img.pixels(j * 3) & 0xff) == 159, s"R at $j")
@@ -651,46 +637,28 @@ class MultimodalSpec extends SparkSpec {
     // segment, carry COM/APPn text, and may pad with 0xFF fill bytes
     // before markers; a decoder that only accepts its own encoder's
     // one-table-per-segment layout would reject them
-    val out = new java.io.ByteArrayOutputStream()
-    def w8(v: Int): Unit = out.write(v & 0xff)
-    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
-    w16(0xffd8)
-    w8(0xff) // fill byte before the next marker
+    val b = new JpegStreamWriter
+    b.w16(0xffd8)
+    b.w8(0xff) // fill byte before the next marker
     val comment = "shot on a potato".getBytes("US-ASCII")
-    w16(0xfffe); w16(2 + comment.length); comment.foreach(b => w8(b & 0xff)) // COM
-    w16(0xffdb); w16(67); w8(0); w8(8); (1 until 64).foreach(_ => w8(16))
-    w16(0xffc0); w16(11); w8(8); w16(8); w16(8); w8(1); w8(1); w8(0x11); w8(0)
+    b.w16(0xfffe); b.w16(2 + comment.length); comment.foreach(c => b.w8(c & 0xff)) // COM
+    b.w16(0xffdb); b.w16(67); b.w8(0); b.w8(8); (1 until 64).foreach(_ => b.w8(16))
+    b.w16(0xffc0); b.w16(11); b.w8(8); b.w16(8); b.w16(8); b.w8(1); b.w8(1); b.w8(0x11); b.w8(0)
     val dcBits = Array(0, 0, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
     val dcVals = Array(0, 1, 2, 3, 4, 5)
     val acBits = Array(0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
     val acVals = Array(0x00)
     // ONE DHT segment holding BOTH tables back to back
-    w16(0xffc4); w16(2 + (17 + dcVals.length) + (17 + acVals.length))
-    w8(0x00); (1 to 16).foreach(l => w8(dcBits(l))); dcVals.foreach(w8)
-    w8(0x10); (1 to 16).foreach(l => w8(acBits(l))); acVals.foreach(w8)
-    w16(0xffda); w16(8); w8(1); w8(1); w8(0x00); w8(0); w8(63); w8(0)
-    def canonical(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
-      var code = 0; var k = 0
-      val m = scala.collection.mutable.Map[Int, (Int, Int)]()
-      for (len <- 1 to 16) {
-        for (_ <- 0 until bits(len)) { m(vals(k)) = (code, len); code += 1; k += 1 }
-        code <<= 1
-      }
-      m.toMap
-    }
-    val dcC = canonical(dcBits, dcVals); val acC = canonical(acBits, acVals)
-    var acc = 0L; var nb = 0
-    def put(code: Int, len: Int): Unit = {
-      acc = (acc << len) | (code & ((1L << len) - 1)); nb += len
-      while (nb >= 8) {
-        val b = ((acc >> (nb - 8)) & 0xff).toInt; w8(b); if (b == 0xff) w8(0); nb -= 8
-      }
-    }
-    val (c3, l3) = dcC(3); put(c3, l3); put(5, 3) // DC = 5 → pixel 133
-    val (ec, el) = acC(0x00); put(ec, el)
-    if (nb > 0) put((1 << (8 - nb)) - 1, 8 - nb)
-    w16(0xffd9)
-    val img = JpegCodec.decode(out.toByteArray).getOrElse(fail("variant layout must decode"))
+    b.w16(0xffc4); b.w16(2 + (17 + dcVals.length) + (17 + acVals.length))
+    b.w8(0x00); (1 to 16).foreach(l => b.w8(dcBits(l))); dcVals.foreach(b.w8)
+    b.w8(0x10); (1 to 16).foreach(l => b.w8(acBits(l))); acVals.foreach(b.w8)
+    b.w16(0xffda); b.w16(8); b.w8(1); b.w8(1); b.w8(0x00); b.w8(0); b.w8(63); b.w8(0)
+    val dcC = canonicalCodes(dcBits, dcVals); val acC = canonicalCodes(acBits, acVals)
+    b.putCoef(dcC, 3, 5) // DC = 5 → pixel 133
+    b.putCoef(acC, 0x00, 0)
+    b.pad()
+    b.w16(0xffd9)
+    val img = JpegCodec.decode(b.bytes).getOrElse(fail("variant layout must decode"))
     assert(img.width == 8 && img.height == 8)
     assert((img.pixels(0) & 0xff) == 133)
   }
@@ -700,54 +668,30 @@ class MultimodalSpec extends SparkSpec {
     // ABSOLUTE (predictor reset at the RST0 boundary), stream re-aligns
     // to a byte before the marker
     val q0 = 8
-    val out = new java.io.ByteArrayOutputStream()
-    def w8(v: Int): Unit = out.write(v & 0xff)
-    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
-    w16(0xffd8)
-    w16(0xffdb); w16(67); w8(0); w8(q0); (1 until 64).foreach(_ => w8(16))
-    w16(0xffdd); w16(4); w16(1) // DRI = 1 MCU
-    w16(0xffc0); w16(11); w8(8); w16(8); w16(16); w8(1); w8(1); w8(0x11); w8(0)
+    val b = new JpegStreamWriter
+    b.w16(0xffd8)
+    b.w16(0xffdb); b.w16(67); b.w8(0); b.w8(q0); (1 until 64).foreach(_ => b.w8(16))
+    b.w16(0xffdd); b.w16(4); b.w16(1) // DRI = 1 MCU
+    b.w16(0xffc0); b.w16(11); b.w8(8); b.w16(8); b.w16(16); b.w8(1); b.w8(1); b.w8(0x11); b.w8(0)
     val dcBits = Array(0, 0, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
     val dcVals = Array(0, 1, 2, 3, 4, 5)
     val acBits = Array(0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
     val acVals = Array(0x00) // EOB only
-    def canonical(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
-      var code = 0; var k = 0
-      val m = scala.collection.mutable.Map[Int, (Int, Int)]()
-      for (len <- 1 to 16) {
-        for (_ <- 0 until bits(len)) { m(vals(k)) = (code, len); code += 1; k += 1 }
-        code <<= 1
-      }
-      m.toMap
-    }
-    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
-      w16(0xffc4); w16(2 + 17 + vals.length); w8(cls << 4)
-      (1 to 16).foreach(l => w8(bits(l))); vals.foreach(w8)
-    }
-    dht(0, dcBits, dcVals); dht(1, acBits, acVals)
-    w16(0xffda); w16(8); w8(1); w8(1); w8(0x00); w8(0); w8(63); w8(0)
-    val dcC = canonical(dcBits, dcVals); val acC = canonical(acBits, acVals)
-    var acc = 0L; var nb = 0
-    def put(code: Int, len: Int): Unit = {
-      acc = (acc << len) | (code & ((1L << len) - 1)); nb += len
-      while (nb >= 8) {
-        val b = ((acc >> (nb - 8)) & 0xff).toInt; w8(b); if (b == 0xff) w8(0); nb -= 8
-      }
-    }
+    b.dht(0, dcBits, dcVals); b.dht(1, acBits, acVals)
+    b.w16(0xffda); b.w16(8); b.w8(1); b.w8(1); b.w8(0x00); b.w8(0); b.w8(63); b.w8(0)
+    val dcC = canonicalCodes(dcBits, dcVals); val acC = canonicalCodes(acBits, acVals)
     def cat(v: Int): Int = { var a = math.abs(v); var t = 0; while (a != 0) { a >>= 1; t += 1 }; t }
     def block(dcDiff: Int): Unit = {
-      val t = cat(dcDiff)
-      val (c, l) = dcC(t); put(c, l)
-      if (t > 0) put(if (dcDiff < 0) dcDiff + (1 << t) - 1 else dcDiff, t)
-      val (ec, el) = acC(0x00); put(ec, el)
+      b.putCoef(dcC, cat(dcDiff), dcDiff)
+      b.putCoef(acC, 0x00, 0)
     }
     block(10) // block A: DC = 10 → pixel 10*8/8 + 128 = 138
-    if (nb > 0) put((1 << (8 - nb)) - 1, 8 - nb)
-    w16(0xffd0) // RST0: predictor resets
+    b.pad()
+    b.w16(0xffd0) // RST0: predictor resets
     block(-20) // block B: DC = -20 ABSOLUTE → pixel 108
-    if (nb > 0) put((1 << (8 - nb)) - 1, 8 - nb)
-    w16(0xffd9)
-    val img = JpegCodec.decode(out.toByteArray).getOrElse(fail("restart stream must decode"))
+    b.pad()
+    b.w16(0xffd9)
+    val img = JpegCodec.decode(b.bytes).getOrElse(fail("restart stream must decode"))
     assert(img.width == 16 && img.height == 8)
     assert((img.pixels(0) & 0xff) == 138, "block A constant")
     assert((img.pixels(8 * 3) & 0xff) == 108, "block B decodes ABSOLUTE after RST reset")
@@ -830,14 +774,14 @@ class MultimodalSpec extends SparkSpec {
     // the still-image encoder's output is a 1-frame animation to the demux
     assert(GifCodec.frameCount(GifCodec.encode(frames.head)).contains(1))
     // single-pass sampling: one walk must agree with per-frame decodes
-    val (cnt, sampled) = GifCodec.decodeSampled(gif, 5).get
+    val (cnt, sampled) = GifCodec.decodeSampled(gif, 5)((_, img) => img).get
     assert(cnt == nF)
     assert(sampled.map(_._1) == (0 until nF by 5))
     sampled.foreach { case (f, img) =>
       assert(img.pixels.toSeq == framePx(f).toSeq, s"sampled frame $f")
     }
-    assert(GifCodec.decodeSampled(gif, 0).isEmpty)
-    assert(GifCodec.decodeSampled(gif.take(gif.length - 10), 5).isEmpty)
+    assert(GifCodec.decodeSampled(gif, 0)((_, img) => img).isEmpty)
+    assert(GifCodec.decodeSampled(gif.take(gif.length - 10), 5)((_, img) => img).isEmpty)
     // truncation mid-animation: count and decode both degrade to None
     assert(GifCodec.frameCount(gif.take(gif.length - 10)).isEmpty)
     assert(GifCodec.decodeFrame(gif.take(800), 2).isEmpty)
@@ -852,6 +796,11 @@ class MultimodalSpec extends SparkSpec {
     assert(GifCodec.decodeFrame(shifted, 1).isEmpty)
     assert(GifCodec.decodeFrame(shifted, 0).isDefined)
     assert(GifCodec.frameCount(shifted).contains(nF))
+    // sampling SKIPS the bad frame and still returns the good ones —
+    // one undecodable frame must not drop the file's whole output
+    val (cnt2, sampled2) = GifCodec.decodeSampled(shifted, 1)((f2, _) => f2).get
+    assert(cnt2 == nF)
+    assert(sampled2.map(_._1) == (0 until nF).filter(_ != 1))
   }
 
   test("GIF codec: a sub-canvas FIRST frame decodes standalone with its own dims") {
