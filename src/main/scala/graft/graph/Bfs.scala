@@ -38,11 +38,14 @@ object Bfs {
         .join(frontier.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id")).distinct()
         .join(visited.select(col("id")), Seq("id"), "left_anti"))
-      val grown = cp(visited.unionAll(
-        next.select(col("id"), lit(k).as("depth"))))
-      Checkpointer.release(visited)
-      Checkpointer.release(frontier)
-      visited = grown
+      // r16: `visited` stays a LAZY union of the already-checkpointed
+      // layer frames — materializing the union per round (the old
+      // cp(grown)) re-wrote the whole visited set every round, an
+      // O(|V|) copy per hop that the anti-join and final output read
+      // just as well from the layer blocks (every union leaf is its
+      // own checkpoint root, so no recompute lurks and the plan stays
+      // `iters` leaves deep, not lineage-deep)
+      visited = visited.unionAll(next.select(col("id"), lit(k).as("depth")))
       frontier = next
     }
     visited

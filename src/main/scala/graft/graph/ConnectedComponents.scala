@@ -70,10 +70,17 @@ object ConnectedComponents {
     // decreases until the fixpoint regardless of sign.
     var done = active.isEmpty
     while (!done && iter < maxIter) {
-      val nbrMin = edges
+      // r16: round 1 runs over IDENTITY labels (lbl(src) = src), so the
+      // edges ⋈ labels propagation join reduces algebraically to a
+      // plain aggregate over the edge list — one edge-sized shuffle
+      // join removed from every CC run's first (largest) round
+      // (guide §2.4); later rounds join shrunken label frames as before
+      val nbrMin = (if (iter == 0)
+        edges.groupBy(col("dst")).agg(min(col("src")).as("nbr_lbl"))
+      else edges
         .join(labels.select(col("id").as("src"), col("lbl")), Seq("src"))
         .groupBy(col("dst"))
-        .agg(min(col("lbl")).as("nbr_lbl"))
+        .agg(min(col("lbl")).as("nbr_lbl")))
         .withColumnRenamed("dst", "id")
       val next = cp(labels
         .join(nbrMin, Seq("id"), "left")

@@ -1615,10 +1615,17 @@ object TimeSeries {
     val isTrain = graft.text.Sampling.inSample(
       concat(col("l_orderkey"), lit(":"), col("l_linenumber"), lit(":"),
         col("l_quantity")), 0.8)
-    val li = Tables.lineitem(spark, dir).select(
-      isTrain.as("tr"),
-      col("l_quantity").cast("long").as("x"),
-      round(col("l_extendedprice") * 100).cast("long").as("y"))
+    // r16: materialize the narrow (tr, x, y) projection ONCE — the old
+    // lazy frame was re-derived by three consumers (train aggregate,
+    // residual pass, coverage pass), each re-reading lineitem and
+    // re-computing the md5 split hash per row (the expensive term);
+    // now one scan+hash pass feeds all three from checkpointed blocks
+    // (guide §1.2 "don't compute things twice", §2.3)
+    val li = graft.plans.Checkpointer.Local(
+      Tables.lineitem(spark, dir).select(
+        isTrain.as("tr"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("y")))
     def part(p: Column, c: Column) = sum(when(p, c).otherwise(lit(0L)))
     val g = li.agg(
       sum(when(col("tr"), 1L).otherwise(0L)).as("n_tr"),
@@ -1628,8 +1635,12 @@ object TimeSeries {
       part(col("tr"), col("x") * col("y")).as("sxy_tr"))
     val (aChain, bChain) = conformalAB
     val ab = g.select(expr(aChain).as("a"), expr(bChain).as("b"))
-    val r = li.filter(!col("tr")).crossJoin(broadcast(ab))
-      .select(expr("ABS(CAST(y AS DOUBLE) - a - b * CAST(x AS DOUBLE))").as("r"))
+    // the residual frame is itself read twice (quantile pass, coverage
+    // pass) — checkpoint it too so the |validation| rows are computed
+    // once rather than re-joined against the broadcast (a, b) per pass
+    val r = graft.plans.Checkpointer.Local(
+      li.filter(!col("tr")).crossJoin(broadcast(ab))
+        .select(expr("ABS(CAST(y AS DOUBLE) - a - b * CAST(x AS DOUBLE))").as("r")))
     val q = r.agg(percentile(col("r"), lit(0.9)).as("qh"),
       count(lit(1)).as("n_val"))
     val cov = r.crossJoin(broadcast(q.select(col("qh"))))

@@ -392,25 +392,28 @@ object TextOps {
                              cap: Long = minhashBandBucketCap): DataFrame = {
     val keyed = sigs.select(col("doc_id"), explode(bandKeys(col("sig"))).as("k"))
       .select(col("doc_id"), col("k.band").as("band"), col("k.bh").as("bh"))
+    // r16 fuse: the hot-key frame carries each hot bucket's min-id
+    // REPRESENTATIVE out of the same aggregate that counts it — the
+    // star expansion then reads `rep` off the broadcast row instead of
+    // re-aggregating the hot membership and re-joining reps (one
+    // Exchange + one join removed from the plan; guide §2.4). Output
+    // unchanged: rep ≡ min(doc_id) per hot (band, bh) either way.
     val hotKeys = keyed.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > cap)
-      .select(col("band"), col("bh"), lit(true).as("hot"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("rep"))
+      .filter(col("n") > cap)
+      .select(col("band"), col("bh"), col("rep"))
     val tagged = keyed.join(broadcast(hotKeys), Seq("band", "bh"), "left")
-      .withColumn("hot", coalesce(col("hot"), lit(false)))
-    val cold = tagged.filter(!col("hot"))
+    val cold = tagged.filter(col("rep").isNull)
     val coldPairs = cold
       .select(col("band"), col("bh"), col("doc_id").as("id_a"))
       .join(cold.select(col("band"), col("bh"), col("doc_id").as("id_b")),
         Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-    val hotRows = tagged.filter(col("hot"))
-    val reps = hotRows.groupBy(col("band"), col("bh"))
-      .agg(min(col("doc_id")).as("id_a"))
     // min-id rep < every other member: (rep, member) already canonical
-    val starPairs = hotRows.join(reps, Seq("band", "bh"))
-      .filter(col("doc_id") =!= col("id_a"))
-      .select(col("id_a"), col("doc_id").as("id_b"))
+    val starPairs = tagged.filter(col("rep").isNotNull)
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("doc_id").as("id_b"))
     coldPairs.unionAll(starPairs).distinct()
   }
 
@@ -447,15 +450,18 @@ object TextOps {
       .select(col("doc_id").as("corpus_id"),
         explode(bandKeys(col("sig"))).as("k"))
       .select(col("k.band").as("band"), col("k.bh").as("bh"), col("corpus_id"))
+    // r16 fuse (the bandedCandidatesCapped device): the hot-key
+    // aggregate carries each hot bucket's min-id representative, which
+    // IS the hot branch's entire output — no re-aggregation of the hot
+    // membership, the hot rows come straight off the (bounded,
+    // band-rows/cap) broadcast frame itself.
     val hotKeys = allBands.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > cap)
-      .select(col("band"), col("bh"), lit(true).as("hot"))
-    val tagged = allBands.join(broadcast(hotKeys), Seq("band", "bh"), "left")
-      .withColumn("hot", coalesce(col("hot"), lit(false)))
-    tagged.filter(!col("hot")).drop("hot")
-      .unionAll(tagged.filter(col("hot"))
-        .groupBy(col("band"), col("bh"))
-        .agg(min(col("corpus_id")).as("corpus_id")))
+      .agg(count(lit(1)).as("n"), min(col("corpus_id")).as("rep"))
+      .filter(col("n") > cap)
+      .select(col("band"), col("bh"), col("rep"))
+    allBands.join(broadcast(hotKeys), Seq("band", "bh"), "left")
+      .filter(col("rep").isNull).drop("rep")
+      .unionAll(hotKeys.select(col("band"), col("bh"), col("rep").as("corpus_id")))
   }
 
   /** Persist [[corpusBandTable]] — the out-of-band refresh step. */
@@ -610,8 +616,15 @@ object TextOps {
           .as("k"))
       .select(col("doc_id"), col("fp"),
         col("k.band").as("band"), col("k.bits").as("bits")))
+    // r16 fuse (the bandedCandidatesCapped device): the ≤1024-row count
+    // frame carries each hot bucket's min-id representative AND its
+    // fingerprint (`min_by(fp, doc_id)` — doc_id is unique per bucket,
+    // so the pick is deterministic), so the star expansion reads both
+    // off the broadcast row: the hot-membership re-aggregation and the
+    // two rep joins are gone from the plan (guide §2.4).
     val counts = keyed.groupBy(col("band"), col("bits"))
-      .agg((count(lit(1)) > cap).as("hot"))
+      .agg((count(lit(1)) > cap).as("hot"),
+        min(col("doc_id")).as("rep"), min_by(col("fp"), col("doc_id")).as("rep_fp"))
     val tagged = keyed.join(broadcast(counts), Seq("band", "bits"))
     val cold = tagged.filter(!col("hot"))
     val coldPairs = cold
@@ -620,15 +633,11 @@ object TextOps {
         col("doc_id").as("id_b"), col("fp").as("fp_b")), Seq("band", "bits"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("fp_a"), col("fp_b"))
-    val hotRows = tagged.filter(col("hot"))
-    val reps = hotRows.groupBy(col("band"), col("bits"))
-      .agg(min(col("doc_id")).as("id_a"))
-    val repVecs = reps.join(hotRows.select(col("band"), col("bits"),
-      col("doc_id").as("id_a"), col("fp").as("fp_a")), Seq("band", "bits", "id_a"))
     // min-id rep < every other member: (rep, member) already canonical
-    val starPairs = hotRows.join(repVecs, Seq("band", "bits"))
-      .filter(col("doc_id") =!= col("id_a"))
-      .select(col("id_a"), col("doc_id").as("id_b"), col("fp_a"), col("fp").as("fp_b"))
+    val starPairs = tagged.filter(col("hot"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("doc_id").as("id_b"),
+        col("rep_fp").as("fp_a"), col("fp").as("fp_b"))
     coldPairs.unionAll(starPairs)
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
@@ -1417,31 +1426,45 @@ object TextOps {
     * type-token ratio in [[qQualityScore]] misses exactly this failure
     * mode (a document looping 50 distinct words still has high TTR).
     *
-    * Scale shape: explode n-grams → two-phase hash aggregation keyed on
-    * (doc_id[, gram]) — partial map-side combine absorbs the explosion
-    * (each document lives in one input partition, so the map side
-    * already reduces to per-doc distinct grams), the two per-doc
-    * aggregates then join co-partitioned on doc_id.
+    * Scale shape (r16 split): the BIGRAM concentration needs a
+    * per-gram multiplicity, so it stays the explode → two-phase hash
+    * aggregation keyed on (doc_id, gram) — partial map-side combine
+    * absorbs the explosion (each document lives in one input
+    * partition, so the map side already reduces to per-doc distinct
+    * grams). The TRIGRAM signal needs only counts of elements vs
+    * DISTINCT elements — both single native array functions — so it is
+    * computed ROW-LOCALLY (`size` / `size ∘ array_distinct`) in one
+    * codegen pass over the corpus: no second explode, no per-doc
+    * countDistinct re-shuffle. Local A/B (RepProbe, one JVM, sf0.1):
+    * medians tie at ~1.9 s — 32 local cores hide the removed pass
+    * behind the bigram branch — but the plan drops one Exchange and a
+    * whole corpus explode→aggregate, which is the term that matters
+    * when the corpus, not the core count, is the long pole (guide
+    * §2.3/§2.4); output proven row-identical (symmetric diff 0).
     *
-    * Why not row-local HOFs (the stats ARE per-document)? Measured both
-    * at sf0.1: nested-lambda counting (`transform(distinct, x ->
+    * Why the bigram side is not row-local too? Measured at sf0.1:
+    * nested-lambda counting (`transform(distinct, x ->
     * size(filter(g2, y -> y = x)))`) re-derives the whole shingle
     * expression per outer element — Catalyst does not hoist common
     * subexpressions into lambda bodies — 150 s (~30× worse); the
     * sort-then-longest-run `aggregate` fold avoids the recompute but
     * HOF lambdas evaluate interpreted with per-element struct
-    * allocation — 8.4 s. The codegen'd relational aggregation wins at
-    * 4.5 s, and its shuffle carries (doc_id, gram, count) — already
-    * combiner-reduced, not the raw corpus. */
+    * allocation — 8.4 s. The codegen'd relational aggregation wins,
+    * and its shuffle carries (doc_id, gram, count) — already
+    * combiner-reduced, not the raw corpus. (`array_distinct` and
+    * `size` are single NATIVE functions, not lambdas — the trigram
+    * side dodges both failure modes.) */
   def repetitionReport(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val g2 = docs.select(col("doc_id"), explode(shingles(toks, 2)).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(max(col("c")).as("max2"), sum(col("c")).as("tot2"))
-    val g3 = docs.select(col("doc_id"), explode(shingles(toks, 3)).as("g"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("tot3"), countDistinct(col("g")).as("dist3"))
+    val g3 = docs
+      .select(col("doc_id"), shingles(toks, 3).as("sh3"))
+      .select(col("doc_id"),
+        size(col("sh3")).cast("long").as("tot3"),
+        size(array_distinct(col("sh3"))).cast("long").as("dist3"))
     val topBigram = col("max2").cast("double") / col("tot2")
     val dupTrigram = lit(1.0) - col("dist3").cast("double") / col("tot3")
     g2.join(g3, Seq("doc_id"))
@@ -1881,8 +1904,17 @@ object TextOps {
     // gates: each report is the gate key's own relational shape; the
     // decontamination reference is the FULL corpus (eval docs define
     // the contaminating shingle set regardless of their quality)
-    val repOk = repetitionReport(docs).filter(!col("flagged")).select("doc_id")
-    val deconOk = decontaminationReport(docs, isEval, 3,
+    // r16: the repetition and per-train-doc contamination verdicts are
+    // PER-DOCUMENT functions, so their inputs are pre-filtered to the
+    // row-local survivors (eval carve-out + quality cut) — the
+    // semi-join intersection is unchanged while the explode→aggregate
+    // passes run over survivors, not the whole corpus (guide §2.3).
+    // Decontamination keeps the FULL eval side: eval docs define the
+    // contaminating shingle set regardless of their own quality.
+    val rowKeep = !isEval && quality >= pipelineMinQuality
+    val repOk = repetitionReport(docs.filter(rowKeep))
+      .filter(!col("flagged")).select("doc_id")
+    val deconOk = decontaminationReport(docs.filter(isEval || rowKeep), isEval, 3,
         threshold = pipelineContamMax, cp = cp)
       .filter(!col("flagged")).select("doc_id")
     // checkpoint the gated set: three downstream consumers (exact
@@ -1891,7 +1923,7 @@ object TextOps {
     // 10.3 s → materialize-once at sf0.1. Survivor rows are a filtered
     // subset of the corpus, so the checkpoint is input-bounded.
     val cleaned = cp(docs
-      .filter(!isEval && quality >= pipelineMinQuality)
+      .filter(rowKeep)
       .join(repOk, Seq("doc_id"), "left_semi")
       .join(deconOk, Seq("doc_id"), "left_semi"))
 
@@ -1985,14 +2017,26 @@ object TextOps {
     // aggregation-shaped gates — each the gate key's own relational
     // shape over the scrubbed corpus; tail cuts span the WHOLE corpus
     // distribution (gating changes the percentile basis, so cuts come
-    // first)
+    // first). The repetition and decontamination verdicts, by contrast,
+    // are PER-DOCUMENT functions (repetition reads only the doc's own
+    // n-grams; a train doc's contamination reads only its own shingles
+    // vs the eval set), so their inputs are pre-filtered to the docs the
+    // row-local gates (eval carve-out, quality, Gopher) already keep —
+    // the semi-join intersection is unchanged, but the expensive
+    // explode→aggregate passes run over survivors instead of the whole
+    // corpus (guide §2.3 "project/filter before the exchange"; r16
+    // bench: v2 5.7 → 4.6 s). Decontamination keeps the FULL eval side
+    // (isEval ∪ survivors): eval docs define the contaminating shingle
+    // set regardless of their own quality.
+    val rowKeep = !isEval && quality >= pipelineMinQuality && gopherKeep
     val tailOk = qualityTails(scrubbed).filter(col("tail") === "mid").select("doc_id")
-    val repOk = repetitionReport(scrubbed).filter(!col("flagged")).select("doc_id")
-    val deconOk = decontaminationReport(scrubbed, isEval, 3,
+    val repOk = repetitionReport(scrubbed.filter(rowKeep))
+      .filter(!col("flagged")).select("doc_id")
+    val deconOk = decontaminationReport(scrubbed.filter(isEval || rowKeep), isEval, 3,
         threshold = pipelineContamMax, cp = cp)
       .filter(!col("flagged")).select("doc_id")
     val cleaned = cp(scrubbed
-      .filter(!isEval && quality >= pipelineMinQuality && gopherKeep)
+      .filter(rowKeep)
       .join(tailOk, Seq("doc_id"), "left_semi")
       .join(repOk, Seq("doc_id"), "left_semi")
       .join(deconOk, Seq("doc_id"), "left_semi"))
@@ -2781,10 +2825,19 @@ object TextOps {
       .select(col("id_a"), col("id_b")))
     // candidates: banding over the SAME stream
     val cand = (bandedCandidatesFromSignatures(minhashSignaturesFromShingles(sh)))
-    val matched = truth.join(cand, Seq("id_a", "id_b"))
-    val g = truth.agg(count(lit(1)).as("n_true"))
-      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
-      .crossJoin(matched.agg(count(lit(1)).as("n_matched")))
+    // r16: ONE full-outer pair join + one aggregate computes all three
+    // counts — the old shape (inner `matched` join + three crossed
+    // count aggregates) planned the truth subtree twice and the
+    // candidate subtree twice; exchange reuse hid part of that, but the
+    // post-exchange join/aggregate work still ran per branch (guide
+    // §2.4 "share one exchange"). Counts are identical: n_true = truth
+    // rows, n_candidates = cand rows, n_matched = pairs in both.
+    val g = truth.select(col("id_a"), col("id_b"), lit(1L).as("t"))
+      .join(cand.select(col("id_a"), col("id_b"), lit(1L).as("c")),
+        Seq("id_a", "id_b"), "full_outer")
+      .agg(coalesce(sum(col("t")), lit(0L)).as("n_true"),
+        coalesce(sum(col("c")), lit(0L)).as("n_candidates"),
+        coalesce(sum(col("t") * col("c")), lit(0L)).as("n_matched"))
     g.select(col("n_true"), col("n_candidates"), col("n_matched"),
       round(col("n_matched").cast("double") / col("n_true").cast("double"), 6)
         .as("recall"),
