@@ -917,15 +917,24 @@ object TextOps {
     * to 6 dp and summed as DECIMAL so the doc score is independent of
     * addition order (the BM25 device). */
   def unigramScores(docs: DataFrame): DataFrame = {
+    // r16: collapse the token stream to per-doc (t, k) multiplicity rows
+    // BEFORE anything shuffles — the (doc_id, t) aggregate is map-side
+    // combined, so the vocabulary join and the per-doc sum both move
+    // |distinct tokens per doc| rows instead of the raw token stream
+    // (guide §2.3 "aggregate before you shuffle"). The score is EXACTLY
+    // unchanged: k copies of round(-ln(c/n), 6) summed as DECIMAL(18,6)
+    // ≡ round(-ln(c/n), 6) × k in decimal arithmetic (scale-6 value
+    // times an exact integer), and n_tokens = Σk.
     val tk = docs.select(col("doc_id"), explode(tokens(lower(col("text")))).as("t"))
-    val tf = tk.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("k"))
+    val tf = tk.groupBy(col("t")).agg(sum(col("k")).as("c"))
     val tot = tf.agg(sum(col("c")).as("n"))
     val cost = tk.join(tf, Seq("t")).crossJoin(broadcast(tot))
-      .select(col("doc_id"),
-        round(-log(col("c").cast("double") / col("n").cast("double")), 6)
-          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("nll"))
+      .select(col("doc_id"), col("k"),
+        (round(-log(col("c").cast("double") / col("n").cast("double")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)) * col("k")).as("nll"))
     cost.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("nll")).as("snll"))
+      .agg(sum(col("k")).as("n_tokens"), sum(col("nll")).as("snll"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("snll").cast("double") / col("n_tokens"), 6).as("avg_nll"))
   }
@@ -947,6 +956,12 @@ object TextOps {
     * percentile for approx_percentile with the same broadcast shape
     * (the decision join is unchanged). */
   def qualityTails(docs: DataFrame): DataFrame = {
+    // (r16 measured dead end, do not redo: materializing `scores` via
+    // localCheckpoint costs MORE than the lazy double-consumption —
+    // the cut aggregate and the rejoin share every exchange of the
+    // unigram pipeline via ReusedExchange, so the "recompute" the
+    // checkpoint would save is already one post-shuffle pass; 0.98 →
+    // 1.13 s at sf0.1.)
     val scores = unigramScores(docs)
     val cuts = scores.agg(
       round(expr("percentile(avg_nll, 0.1)"), 6).as("p10"),
@@ -1015,14 +1030,21 @@ object TextOps {
           slice(toks, lit(2), size(toks) - 1),
           (x, y) => struct(x.as("a"), y.as("b")))).as("bg"))
       .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
-    val bf = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
-    val af = pairs.groupBy(col("a")).agg(count(lit(1)).as("ca"))
-    val cost = pairs.join(bf, Seq("a", "b")).join(af, Seq("a"))
-      .select(col("doc_id"),
-        round(-log(col("cab").cast("double") / col("ca").cast("double")), 6)
-          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("nll"))
+    // r16: the unigramScores multiplicity device one level up — collapse
+    // to per-doc (a, b, k) rows before the two vocabulary joins, so they
+    // and the final per-doc sum move |distinct bigrams per doc| rows
+    // instead of the raw bigram stream; k copies of the scale-6 decimal
+    // cost ≡ cost × k exactly, n_bigrams = Σk.
+    val keyed = pairs.groupBy(col("doc_id"), col("a"), col("b"))
+      .agg(count(lit(1)).as("k"))
+    val bf = keyed.groupBy(col("a"), col("b")).agg(sum(col("k")).as("cab"))
+    val af = keyed.groupBy(col("a")).agg(sum(col("k")).as("ca"))
+    val cost = keyed.join(bf, Seq("a", "b")).join(af, Seq("a"))
+      .select(col("doc_id"), col("k"),
+        (round(-log(col("cab").cast("double") / col("ca").cast("double")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)) * col("k")).as("nll"))
     cost.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("snll"))
+      .agg(sum(col("k")).as("n_bigrams"), sum(col("nll")).as("snll"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("snll").cast("double") / col("n_bigrams"), 6).as("avg_nll"))
   }
@@ -1073,16 +1095,24 @@ object TextOps {
     * per-doc sum; at 100 TB swap the target slice for a curated seed
     * corpus, same plan. */
   def dsirWeights(docs: DataFrame, buckets: Int = 256): DataFrame = {
+    // r16: collapse the exploded stream to per-doc (b, k) multiplicity
+    // rows FIRST (map-side combined) — the old lazy `tk` projection had
+    // no exchange, so its two consumers each re-ran the explode AND the
+    // per-token md5 bucket hash over the whole corpus; the aggregate
+    // below is one exchange that both consumers REUSE, and the rates
+    // join + per-doc sum move |distinct buckets per doc| (≤256) rows
+    // per doc instead of the raw token stream (guide §2.3/§2.4).
+    // Scores are exactly unchanged: Σ llr_b over tokens ≡ Σ_b k·llr_b
+    // (scale-6 decimal × exact integer), n_tokens = Σk.
     val tk = docs
       .select(col("doc_id"), col("lang"),
         explode(tokens(lower(col("text")))).as("t"))
       .withColumn("b", pmod(baseHash60(col("t")), lit(buckets.toLong)))
-    // ONE corpus pass builds both distributions: source count + target
-    // count per bucket as a conditional aggregate (a separate filtered
-    // agg would re-explode and re-shuffle the whole token stream)
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("k"))
     val stats = tk.groupBy(col("b")).agg(
-      count(lit(1)).as("cs"),
-      count(when(col("lang") === "en", lit(1))).as("ct"))
+      sum(col("k")).as("cs"),
+      sum(when(col("lang") === "en", col("k")).otherwise(lit(0L))).as("ct"))
     val totals = stats.agg(sum(col("cs")).as("ns"), sum(col("ct")).as("nt")) // ≤`buckets` rows in
     val rates = stats
       .crossJoin(broadcast(totals))
@@ -1093,7 +1123,7 @@ object TextOps {
           .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("llr_b"))
     tk.join(broadcast(rates), Seq("b"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("llr_b")).as("sllr"))
+      .agg(sum(col("k")).as("n_tokens"), sum(col("llr_b") * col("k")).as("sllr"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("sllr").cast("double"), 6).as("llr"),
         (col("sllr") > 0).cast("int").as("selected"))
