@@ -17,8 +17,42 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
-  def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
+  /** Starved-scan fix for the FACT tables (r16, guide §2.5 "one huge
+    * unsplittable file … repartition immediately after the read"): the
+    * test corpora ship as ONE parquet file with ONE row group per
+    * table, so every scan plans exactly one task and the whole
+    * scan-stage pipeline — tokenize, explode, per-row md5, map-side
+    * partial aggregation — ran on ONE core of the session regardless
+    * of `local[N]`. When the planned scan parallelism is starved
+    * relative to the session (fewer tasks than half the cores), fan
+    * the rows out by a deterministic HASH of the table's natural key:
+    * hash assignment needs no sort-before-repartition (unlike
+    * round-robin, guide §2.5's retry hazard) and the key cardinality
+    * is ≫100× the partition count, so the spread is even.
+    *
+    * Scale behavior, not a local[32] constant: the trigger compares
+    * planned scan tasks against `defaultParallelism` — at 100 TB a
+    * fact-table scan plans thousands of row-group splits, the
+    * condition is false, and this is a no-op (repartitioning a healthy
+    * scan would be a pure payload-shuffle tax). Dimension tables
+    * (nation, region, customer, supplier, part) are left alone: they
+    * feed broadcasts, where one small scan task is the right shape.
+    * Disable explicitly with spark.graft.scan.fanout=false to measure
+    * the starved layout itself. */
+  private def scaled(df: DataFrame, key: org.apache.spark.sql.Column*): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.conf.getOption("spark.graft.scan.fanout").forall(_.toBoolean)) df
+    else {
+      val want = spark.sparkContext.defaultParallelism
+      val have = df.rdd.getNumPartitions
+      if (2 * have <= want) df.repartition(want, key: _*) else df
+    }
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    scaled(apply(spark, dir, "lineitem"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    scaled(apply(spark, dir, "orders"), col("o_orderkey"))
   def customer(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
@@ -31,7 +65,7 @@ object Tables {
     * truncation DuckDB applies with `CAST(ts AS TIMESTAMP)`, so oracle
     * comparisons line up exactly. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = apply(spark, dir, "events")
+    val raw = scaled(apply(spark, dir, "events"), col("event_id"))
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
@@ -39,6 +73,8 @@ object Tables {
         raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
     }
   }
-  def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    scaled(apply(spark, dir, "documents"), col("doc_id"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    scaled(apply(spark, dir, "embeddings"), col("vec_id"))
 }

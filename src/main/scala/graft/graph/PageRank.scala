@@ -59,6 +59,10 @@ object PageRank {
     * regime. */
   def run(edgesIn: DataFrame, iters: Int = iterations,
           cp: Checkpointer = Checkpointer.Local): DataFrame = {
+    // (r16 measured dead end, do not redo: dropping this checkpoint and
+    // letting the degree aggregate + ewd build each re-derive the edge
+    // projection read 3.5 → 4.6 s at sf0.1 — the upstream scan fanout
+    // exchange re-executes per consumer.)
     val edges = cp(edgesIn.select(col("src"), col("dst")))
     val deg = cp(edges.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("d")))
@@ -73,11 +77,21 @@ object PageRank {
       .repartition(col("src")))
     Checkpointer.release(edges)
     var ranks = deg.select(col("id"), lit(1.0 / n).as("r"))
-    for (_ <- 1 to iters) {
-      ranks = ewd
-        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst"),
-          round(col("r") / col("d"), 12).cast("decimal(24,12)").as("sh"))
+    for (i <- 1 to iters) {
+      // r16: round 1 runs over the UNIFORM initial ranks (r = 1/n for
+      // every source by construction), so the ewd ⋈ ranks join reduces
+      // algebraically to a projection of ewd with the same literal —
+      // one edge-sized shuffle join removed (the CC/HITS round-1
+      // device); later rounds join the node-sized ranks frame as before
+      val contrib =
+        if (i == 1)
+          ewd.select(col("dst"),
+            round(lit(1.0 / n) / col("d"), 12).cast("decimal(24,12)").as("sh"))
+        else ewd
+          .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+          .select(col("dst"),
+            round(col("r") / col("d"), 12).cast("decimal(24,12)").as("sh"))
+      ranks = contrib
         .groupBy(col("dst"))
         .agg(sum(col("sh")).as("s"))
         .select(col("dst").as("id"),

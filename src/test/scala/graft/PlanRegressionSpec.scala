@@ -58,8 +58,13 @@ class PlanRegressionSpec extends SparkSpec {
     // the global-sort-free contract is the 4-exchange shape itself
     ("q_dedup_substring", 2, 1),
     ("q_scrub_pii", 1, 1),
-    ("q_quality_unigram", 4, 1),
-    ("q_quality_tails", 5, 1),
+    // r16 re-pin (+1): unigramScores collapses the exploded token
+    // stream to per-doc (t, k) multiplicities map-side BEFORE the
+    // vocabulary join — one extra, much narrower exchange; the joins
+    // and the per-doc sum then move distinct-grams-per-doc rows
+    // instead of the raw token stream (guide §2.3)
+    ("q_quality_unigram", 5, 1),
+    ("q_quality_tails", 6, 1),
     ("q_domain_mix", 4, 1),
     ("q_shuffle_order", 4, 3),
     // round-6 second wave: moments/gopher/bpe are single-agg or pure
@@ -107,9 +112,15 @@ class PlanRegressionSpec extends SparkSpec {
     // chunk = pure map pass (1 exch = output sort); dsir = ONE
     // conditional corpus agg (src+tgt in a single pass) + 256-row stats
     // agg + broadcast rates join + doc agg + sort
-    ("q_quality_bigram", 4, 1),
+    // r16 re-pin (+2): the unigram multiplicity collapse one level up —
+    // per-doc (a, b, k) rows before the two vocabulary joins
+    ("q_quality_bigram", 6, 1),
     ("q_chunk_overlap", 1, 1),
-    ("q_dsir_weights", 5, 1),
+    // r16 re-pin (+2): per-doc (lang, b, k) collapse; the aggregate's
+    // exchange is REUSED by both consumers, which is the point — the
+    // old single-pass projection re-ran the explode AND the per-token
+    // md5 bucket hash once per consumer
+    ("q_dsir_weights", 7, 1),
     // pq = encode argmin agg + ADC (qid,cid) agg + per-qid window +
     // output sort; no corpus window, no cross (codebook/LUT broadcast)
     ("q_pq_topk", 4, 5),
@@ -145,7 +156,9 @@ class PlanRegressionSpec extends SparkSpec {
     ("q_split_leakage", 3, 1),
     ("q_knn_label_noise", 3, 6),
     // unigram scores + grouped exact percentile + |sources|-row rejoin
-    ("q_quality_tails_by_source", 5, 1),
+    // r16 re-pin (+2): inherits the unigram collapse's extra narrow
+    // exchange, plus the per-source cut aggregate over the keyed frame
+    ("q_quality_tails_by_source", 7, 1),
     // JSONL scan → source-keyed agg (the write is eager, pre-plan)
     ("q_ingest_jsonl", 2, 1),
     // CSV twin: identical post-write plan shape

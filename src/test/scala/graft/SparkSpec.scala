@@ -24,6 +24,14 @@ object SparkSpec {
       // including the diameter-10^4 star-CC path, must stay green
       // under it (round-6 verdict ask #9)
       .config("spark.testing.memory", (1L << 30).toString)
+      // plan pins (PlanRegressionSpec and friends) assert the QUERIES'
+      // structural shapes; the r16 starved-scan fanout (Tables.scaled —
+      // a layout adaptation that no-ops on healthy multi-row-group
+      // inputs) would shift every pin by the input artifact instead of
+      // the query, so the suite pins the un-fanned layout. The fanout
+      // itself is covered by ScanFanoutSpec (toggles this conf) and by
+      // the full-registry DuckDB preflight, which runs fanout-on.
+      .config("spark.graft.scan.fanout", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
