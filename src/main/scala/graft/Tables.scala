@@ -17,7 +17,7 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** Starved-scan fix for the FACT tables (r16, guide §2.5 "one huge
+  /** Starved-scan fix for the TEXT corpus (r16, guide §2.5 "one huge
     * unsplittable file … repartition immediately after the read"): the
     * test corpora ship as ONE parquet file with ONE row group per
     * table, so every scan plans exactly one task and the whole
@@ -30,15 +30,27 @@ object Tables {
     * round-robin, guide §2.5's retry hazard) and the key cardinality
     * is ≫100× the partition count, so the spread is even.
     *
+    * Applied to `documents` ONLY — measured decision, r16 full-sweep
+    * A/B at sf0.1: text rows carry payloads whose per-row scan work
+    * (tokenize → shingle → md5, regex scrubbing) dominates whole keys,
+    * and the documents fanout nets ≈ −14 s across the text family
+    * (q_dedup_substring 2.30→0.80, q_boilerplate_ngrams 2.24→0.52,
+    * q_dedup_cluster 3.96→2.30, q_llm_pipeline_v2 5.66→2.98, …). The
+    * same device on the NARROW NUMERIC facts (lineitem, orders,
+    * events, embeddings) was a measured net LOSS: a handful of
+    * compute-heavy keys won (q_corr_matrix 1.42→0.58) but ~150 cheap
+    * keys each paid the extra exchange + query stage (~+0.2-0.5 s),
+    * ≈ +20 s total — so they stay un-fanned (do not redo without
+    * re-measuring the whole sweep, not just the hot keys).
+    *
     * Scale behavior, not a local[32] constant: the trigger compares
     * planned scan tasks against `defaultParallelism` — at 100 TB a
-    * fact-table scan plans thousands of row-group splits, the
-    * condition is false, and this is a no-op (repartitioning a healthy
-    * scan would be a pure payload-shuffle tax). Dimension tables
-    * (nation, region, customer, supplier, part) are left alone: they
-    * feed broadcasts, where one small scan task is the right shape.
-    * Disable explicitly with spark.graft.scan.fanout=false to measure
-    * the starved layout itself. */
+    * corpus scan plans thousands of row-group splits, the condition is
+    * false, and this is a no-op (repartitioning a healthy scan would
+    * be a pure payload-shuffle tax). Dimension tables feed broadcasts,
+    * where one small scan task is the right shape. Disable explicitly
+    * with spark.graft.scan.fanout=false to measure the starved layout
+    * itself. */
   private def scaled(df: DataFrame, key: org.apache.spark.sql.Column*): DataFrame = {
     val spark = df.sparkSession
     if (!spark.conf.getOption("spark.graft.scan.fanout").forall(_.toBoolean)) df
@@ -49,10 +61,8 @@ object Tables {
     }
   }
 
-  def lineitem(spark: SparkSession, dir: String): DataFrame =
-    scaled(apply(spark, dir, "lineitem"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-  def orders(spark: SparkSession, dir: String): DataFrame =
-    scaled(apply(spark, dir, "orders"), col("o_orderkey"))
+  def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
@@ -65,7 +75,7 @@ object Tables {
     * truncation DuckDB applies with `CAST(ts AS TIMESTAMP)`, so oracle
     * comparisons line up exactly. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = scaled(apply(spark, dir, "events"), col("event_id"))
+    val raw = apply(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
@@ -75,6 +85,5 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame =
     scaled(apply(spark, dir, "documents"), col("doc_id"))
-  def embeddings(spark: SparkSession, dir: String): DataFrame =
-    scaled(apply(spark, dir, "embeddings"), col("vec_id"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }
