@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout straight through instead of re-logging
+// each line with an "[info] " prefix: the bench's one-line JSON contract
+// (Bench.scala) must arrive on stdout as a bare parseable line — two
+// rounds of PERF comparisons were empty because the line reached the
+// driver as "[info] {...}". Log decoration only; no timing methodology
+// or measurement change.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -332,7 +332,19 @@ object Bench {
     // whole line survives inside the tail window alongside sbt's epilogue
     val topQs = byTime.takeRight(25).map { case (k, m, _, e) => keyVal(k, m, e) }
       .mkString("{", ",", "}")
-    println(s"""{"full":"$outFile","queries":$topQs,"errors":$errs,"n_contended":${contended.size},"n_unstable":${unstable.size},"n_regressed":${regressed.size},"n_collect_violations":${collectViolations.size},"contended_run":$runContended,"sf":"$sfDir","n_queries":${ok.size},"n_errors":$nErrors,"per_key_mean":${r3(if (ok.nonEmpty) total / ok.size else 0.0)},"queries_note":"slowest 25 of ${results.size}; every key + sentinel detail in $outFile","unit":"sec","metric":"total","value":${r3(total)}}""")
+    val compact = s"""{"full":"$outFile","queries":$topQs,"errors":$errs,"n_contended":${contended.size},"n_unstable":${unstable.size},"n_regressed":${regressed.size},"n_collect_violations":${collectViolations.size},"contended_run":$runContended,"sf":"$sfDir","n_queries":${ok.size},"n_errors":$nErrors,"per_key_mean":${r3(if (ok.nonEmpty) total / ok.size else 0.0)},"queries_note":"slowest 25 of ${results.size}; every key + sentinel detail in $outFile","unit":"sec","metric":"total","value":${r3(total)}}"""
+    println(compact)
+    // the same compact line, ALL-keys queries map, to a fixed file-wise
+    // contract (r16 verdict ask #2): two rounds of PERF had an empty
+    // per_query table because the stdout line arrives '[info]'-prefixed
+    // through sbt's logger and the driver's extractor rejects it. Full
+    // sweeps only — a partial BENCH_ONLY run must not masquerade as one.
+    if (only.isEmpty) {
+      val compactAll = s"""{"full":"$outFile","queries":$qs,"errors":$errs,"n_contended":${contended.size},"n_unstable":${unstable.size},"n_regressed":${regressed.size},"n_collect_violations":${collectViolations.size},"contended_run":$runContended,"sf":"$sfDir","n_queries":${ok.size},"n_errors":$nErrors,"per_key_mean":${r3(if (ok.nonEmpty) total / ok.size else 0.0)},"unit":"sec","metric":"total","value":${r3(total)}}"""
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_COMPACT.json"), (compactAll + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    }
     if (collectViolations.nonEmpty)
       System.err.println(s"[bench] COLLECT-AUDIT VIOLATIONS (> $collectCap rows to the driver): ${collectViolations.mkString(", ")}")
     spark.stop()

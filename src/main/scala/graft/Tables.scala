@@ -51,13 +51,43 @@ object Tables {
     * where one small scan task is the right shape. Disable explicitly
     * with spark.graft.scan.fanout=false to measure the starved layout
     * itself. */
-  private def scaled(df: DataFrame, key: org.apache.spark.sql.Column*): DataFrame = {
+  /** Planned-scan-task count per (application, path, cores): computing
+    * it costs a full physical planning + RDD conversion of the scan
+    * (r16 advice #4 — some keys build documents() several times), and
+    * the answer is stable for a fixed file set within an application.
+    * Bounded: one small entry per distinct corpus path per app. */
+  private val scanTasksCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int), Int]
+
+  private def scaled(df: DataFrame, path: String,
+                     key: org.apache.spark.sql.Column*): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.conf.getOption("spark.graft.scan.fanout").forall(_.toBoolean)) df
+    // tolerant, loud conf parse (r16 advice #4): only "true"/"false"
+    // (any case) are meaningful; anything else must not silently pick a
+    // branch via an unhelpful IllegalArgumentException from toBoolean
+    val enabled = spark.conf.getOption("spark.graft.scan.fanout") match {
+      case None => true
+      case Some(v) if v.trim.equalsIgnoreCase("true") => true
+      case Some(v) if v.trim.equalsIgnoreCase("false") => false
+      case Some(v) => throw new IllegalArgumentException(
+        s"spark.graft.scan.fanout must be true or false, got '$v'")
+    }
+    if (!enabled) df
     else {
       val want = spark.sparkContext.defaultParallelism
-      val have = df.rdd.getNumPartitions
-      if (2 * have <= want) df.repartition(want, key: _*) else df
+      val have = scanTasksCache.getOrElseUpdate(
+        (spark.sparkContext.applicationId, path, want), df.rdd.getNumPartitions)
+      if (2 * have <= want) {
+        // shape-scoped opt-out (r17): the rule removes THIS repartition
+        // from plans where column pruning shows no payload column ever
+        // crosses it — metadata-only consumers skip the exchange, every
+        // payload consumer keeps it. Idempotent per-session install.
+        val rules = spark.experimental.extraOptimizations
+        if (!rules.contains(graft.plans.IdleFanoutPrune))
+          spark.experimental.extraOptimizations =
+            rules :+ graft.plans.IdleFanoutPrune
+        df.repartition(want, key: _*)
+      } else df
     }
   }
 
@@ -84,6 +114,6 @@ object Tables {
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame =
-    scaled(apply(spark, dir, "documents"), col("doc_id"))
+    scaled(apply(spark, dir, "documents"), s"$dir/documents.parquet", col("doc_id"))
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }

@@ -1170,8 +1170,19 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("dim"), col("coord")))).as("a"))
         .select(col("m"), col("k"),
           transform(col("a"), s => s.getField("coord")).as("cv_new"))
-      book.join(means, Seq("m", "k"), "left")
-        .select(col("m"), col("k"), coalesce(col("cv_new"), col("cv")).as("cv"))
+      // LAZY checkpoint of each round's book (M·K = 128 tiny rows):
+      // round N's plan references `book` TWICE (the encode's broadcast
+      // AND the empty-codeword left join), so the unrolled lazy fold
+      // re-executed every earlier round's encode+re-center subtree per
+      // reference (guide §2.4 duplicated subtrees — the r17 ask on
+      // q_pq_topk_trained; no ReusedExchange fires across them, see
+      // plans/r17). eager=false makes both references share ONE
+      // checkpointed RDD computed inside the same job — dedupe without
+      // the serial job barrier an eager cp would add (measured: eager
+      // per-round cp was 4.24 → 5.11 s, a dead end — do not redo).
+      (book.join(means, Seq("m", "k"), "left")
+        .select(col("m"), col("k"), coalesce(col("cv_new"), col("cv")).as("cv")))
+        .localCheckpoint(eager = false)
     }
   }
 

@@ -1,0 +1,80 @@
+// Ad-hoc probe (not part of the sbt build; compile with scalac against
+// target/scala-2.13/classes + /opt/spark/jars): per-stage wall time of
+// q_llm_pipeline (v1) at bench shape (local[32], shuffle=32, noop
+// writes) — r17 ask #1: cut the measured dominant stage, not a guessed
+// one. Stages are timed CUMULATIVELY the way the pipeline runs them:
+// the eager localCheckpoints mean constructing a stage's frame already
+// executes its jobs, so each t() block reports the marginal cost of
+// that stage on top of the already-materialized predecessors.
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.plans.Checkpointer
+
+object V1Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", false).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.text.{TextOps, Sampling}
+
+    val deconFull = args.drop(1).headOption.contains("full")
+    def run(rep: Int): Unit = {
+      val t00 = System.nanoTime()
+      var last = t00
+      def mark(label: String): Unit = {
+        val now = System.nanoTime()
+        println(f"[rep $rep] $label%-34s ${(now - last) / 1e9}%7.2f s  (cum ${(now - t00) / 1e9}%7.2f)")
+        last = now
+      }
+      val docs = graft.Tables.documents(spark, dir)
+      val cp: Checkpointer = Checkpointer.Local
+      val toks = TextOps.tokens(col("text"))
+      val nTok = size(toks).cast("double")
+      val nDistinct = size(array_distinct(toks)).cast("double")
+      val nStop = size(filter(toks, t => array_contains(typedLit(TextOps.stopwords), t))).cast("double")
+      val quality = round((nDistinct / nTok) * 0.5 + (lit(1.0) - nStop / nTok) * 0.5, 6)
+      val isEval = Sampling.inSample(col("doc_id"), TextOps.decontamEvalFraction)
+      val rowKeep = !isEval && quality >= TextOps.pipelineMinQuality
+      val repOk = TextOps.repetitionReport(docs.filter(rowKeep))
+        .filter(!col("flagged")).select("doc_id")
+      mark("construct gates (lazy)")
+      val deconOk = TextOps.decontaminationReport(
+          if (deconFull) docs else docs.filter(isEval || rowKeep), isEval, 3,
+          threshold = TextOps.pipelineContamMax, cp = cp)
+        .filter(!col("flagged")).select("doc_id")
+      mark("decontamination cp(shingles)")
+      val cleaned = cp(docs
+        .filter(rowKeep)
+        .join(repOk, Seq("doc_id"), "left_semi")
+        .join(deconOk, Seq("doc_id"), "left_semi"))
+      mark("cp(cleaned) [gates execute]")
+      val exactKeep = cleaned.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val deduped = cp(cleaned.join(exactKeep, Seq("doc_id"), "left_semi"))
+      mark("cp(deduped) [exact dedup]")
+      val edges = TextOps.ngramJaccardPairs(deduped, 3, TextOps.pipelineClusterJaccard, None, cp = cp)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      mark("ngramJaccard cp(shingles)")
+      val keepCluster = graft.graph.ConnectedComponents
+        .run(edges, deduped.select(col("doc_id").as("id")), cp = cp)
+        .filter(col("id") === col("lbl"))
+        .select(col("id").as("doc_id"))
+      mark("CC.run [rounds]")
+      val survivors = deduped.join(keepCluster, Seq("doc_id"), "left_semi")
+      val withSplit = survivors.select(col("doc_id"), col("source"), col("text"),
+        Sampling.splitAssign(col("doc_id"), TextOps.pipelineSplits).as("split"))
+      val out = TextOps.packChunks(withSplit,
+        concat_ws("/", col("split"), col("source")), col("doc_id"))
+        .orderBy("doc_id")
+      out.write.format("noop").mode("overwrite").save()
+      mark("final action (pack+sort+noop)")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    (1 to 3).foreach(run) // rep 1 pays codegen; read reps 2-3
+    spark.stop()
+  }
+}
