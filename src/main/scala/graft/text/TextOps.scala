@@ -1959,7 +1959,15 @@ object TextOps {
     // oracle does; the eval side must be full anyway (eval docs define
     // the contaminating shingle set regardless of their quality).
     val rowKeep = !isEval && quality >= pipelineMinQuality
-    val repOk = repetitionReport(docs.filter(rowKeep))
+    // materialize the row-local survivor set ONCE (r17, from the
+    // V1Probe stage profile: the gate-execution job was 3.3-3.8 s of a
+    // ~5.5 s steady-state total because the corpus was scanned TWICE
+    // through the quality-HOF filter — once feeding repetitionReport,
+    // once as the main branch). Both consumers now read checkpointed
+    // blocks; the filter's tokenize/array_distinct/stopword HOFs run
+    // one time. Identical rows — `base` IS docs.filter(rowKeep).
+    val base = cp(docs.filter(rowKeep))
+    val repOk = repetitionReport(base)
       .filter(!col("flagged")).select("doc_id")
     val deconOk = decontaminationReport(docs, isEval, 3,
         threshold = pipelineContamMax, cp = cp)
@@ -1969,8 +1977,7 @@ object TextOps {
     // quality+repetition+decontamination subtree otherwise — measured
     // 10.3 s → materialize-once at sf0.1. Survivor rows are a filtered
     // subset of the corpus, so the checkpoint is input-bounded.
-    val cleaned = cp(docs
-      .filter(rowKeep)
+    val cleaned = cp(base
       .join(repOk, Seq("doc_id"), "left_semi")
       .join(deconOk, Seq("doc_id"), "left_semi"))
 
@@ -2079,6 +2086,12 @@ object TextOps {
     // scrubbed corpus, as the oracle does.
     val rowKeep = !isEval && quality >= pipelineMinQuality && gopherKeep
     val tailOk = qualityTails(scrubbed).filter(col("tail") === "mid").select("doc_id")
+    // (r17 measured dead end, do not redo: materializing
+    // scrubbed.filter(rowKeep) once — the v1 win, see llmPipeline —
+    // REGRESSES here, 3.4 → 4.1 s solo: `scrubbed` is already
+    // checkpointed blocks, so the doubled rowKeep HOF filter runs over
+    // cheap local reads inside one well-overlapped job, while the extra
+    // eager cp adds a serial job barrier.)
     val repOk = repetitionReport(scrubbed.filter(rowKeep))
       .filter(!col("flagged")).select("doc_id")
     val deconOk = decontaminationReport(scrubbed, isEval, 3,

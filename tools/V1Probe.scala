@@ -39,16 +39,19 @@ object V1Probe {
       val quality = round((nDistinct / nTok) * 0.5 + (lit(1.0) - nStop / nTok) * 0.5, 6)
       val isEval = Sampling.inSample(col("doc_id"), TextOps.decontamEvalFraction)
       val rowKeep = !isEval && quality >= TextOps.pipelineMinQuality
-      val repOk = TextOps.repetitionReport(docs.filter(rowKeep))
+      // r17 shape: the row-local survivor set is materialized once (the
+      // pre-r17 form scanned the corpus through the quality HOF filter
+      // twice — this probe measured that as a 3.3-3.8 s gate job)
+      val base = cp(docs.filter(rowKeep))
+      val repOk = TextOps.repetitionReport(base)
         .filter(!col("flagged")).select("doc_id")
-      mark("construct gates (lazy)")
+      mark("cp(base) [rowKeep filter]")
       val deconOk = TextOps.decontaminationReport(
           if (deconFull) docs else docs.filter(isEval || rowKeep), isEval, 3,
           threshold = TextOps.pipelineContamMax, cp = cp)
         .filter(!col("flagged")).select("doc_id")
       mark("decontamination cp(shingles)")
-      val cleaned = cp(docs
-        .filter(rowKeep)
+      val cleaned = cp(base
         .join(repOk, Seq("doc_id"), "left_semi")
         .join(deconOk, Seq("doc_id"), "left_semi"))
       mark("cp(cleaned) [gates execute]")
