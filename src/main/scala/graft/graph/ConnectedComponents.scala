@@ -52,7 +52,11 @@ object ConnectedComponents {
     // graph duplicates are a small fraction of the corpus, so the
     // iterated set is orders of magnitude smaller than `nodes`.
     val active = cp(edges.select(col("src").as("id")).distinct())
-    var labels = cp(active.select(col("id"), col("id").as("lbl")))
+    // round-0 labels are the IDENTITY projection of the checkpointed
+    // active set — materializing them again (r16 shape: cp(labels))
+    // was a redundant job; every consumer of labels₀ reads active's
+    // blocks through a zero-cost projection (r17, guide §2.4)
+    var labels = active.select(col("id"), col("id").as("lbl"))
 
     // Labels only ever decrease, so Σlbl strictly decreases until the
     // fixpoint: a one-row aggregate probe per round (decimal — an id sum
@@ -61,14 +65,21 @@ object ConnectedComponents {
       .agg(coalesce(sum(col("lbl").cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO)))
       .head().getDecimal(0)
 
-    var prevSum = lblSum(labels)
+    // ONE setup probe job instead of two (r17): Σid over active doubles
+    // as round 0's Σlbl (labels₀ ≡ identity), and the same aggregate's
+    // count answers the edgeless-graph bypass the old active.isEmpty
+    // job asked. A Σ=0 test alone would be wrong for signed ids (labels
+    // like {-5, 5} also sum to zero), so the bypass keys on COUNT — as
+    // before — and Σ stays the per-round convergence probe (labels only
+    // ever decrease, so Σ strictly decreases until the fixpoint
+    // regardless of sign).
+    val setup = active.agg(
+      count(lit(1)),
+      coalesce(sum(col("id").cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO)))
+      .head()
+    var prevSum = setup.getDecimal(1)
     var iter = 0
-    // Skip the loop only for an edgeless graph (empty active set). A Σ=0
-    // test would be wrong for signed ids: labels like {-5, 5} also sum to
-    // zero before any propagation. Inside the loop Σ stays a valid probe
-    // with negative ids — labels only ever decrease, so Σ strictly
-    // decreases until the fixpoint regardless of sign.
-    var done = active.isEmpty
+    var done = setup.getLong(0) == 0L
     while (!done && iter < maxIter) {
       // r16: round 1 runs over IDENTITY labels (lbl(src) = src), so the
       // edges ⋈ labels propagation join reduces algebraically to a
@@ -158,8 +169,10 @@ object ConnectedComponents {
 
     var edges = initial
     var iter = 0
-    var done = edges.isEmpty
-    var prev = if (done) scala.None else Some(probe(edges))
+    // one setup job, not two (r17): the probe's count answers isEmpty
+    val prev0 = probe(initial)
+    var done = prev0._1 == 0L
+    var prev: Option[(Long, java.math.BigDecimal)] = Some(prev0)
     while (!done && iter < maxIter) {
       // large-star over both orientations
       val both = edges.select(col("src").as("u"), col("dst").as("v"))

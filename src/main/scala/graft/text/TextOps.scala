@@ -269,12 +269,23 @@ object TextOps {
     * never for the whole corpus. */
   private def verifyJaccard(cand: DataFrame, docs: DataFrame, w: Int,
                             minJaccard: Double): DataFrame = {
-    val text = docs.select(col("doc_id"), col("text"))
+    // Shingle sets are computed PER DOCUMENT on the scan side, not per
+    // pair side after the join (r17; named limiter from the sf1 8-vs-32
+    // core probe): the candidate frame is tiny in BYTES, so AQE
+    // coalesces the post-join partitions to a handful of tasks — and
+    // the old form put the expensive tokenize→slice→concat shingling of
+    // BOTH texts of every pair inside those tasks (q_dedup_minhash_capped
+    // ran 25 s at sf1 on 8 AND 32 cores: two 9 s stages whose whole
+    // task-time sat in ONE task each). Shingling per doc (a) runs in
+    // the well-partitioned scan/shuffle-write stage, (b) is computed
+    // once per document instead of once per pair side — on dup-heavy
+    // corpora each doc appears in many pairs. Identical expressions →
+    // identical jaccard values; only placement and multiplicity change.
+    val sh = docs.select(col("doc_id"),
+      array_distinct(shingles(tokens(col("text")), w)).as("sh"))
     cand
-      .join(text.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
-      .join(text.select(col("doc_id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
-      .withColumn("sh_a", array_distinct(shingles(tokens(col("text_a")), w)))
-      .withColumn("sh_b", array_distinct(shingles(tokens(col("text_b")), w)))
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
